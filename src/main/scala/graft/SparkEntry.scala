@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.JaegerJsonSource
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query: the full trace pipeline — bundled Jaeger fixture →
+    * span flatten → distributed critical-path extraction — joined against
+    * the sf0.001 lineitem table to prove both ingest paths in one plan.
+    * Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val fixture = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+    val flat = TraceFrame.spansFromJaegerFile(spark, fixture)
+    TraceFrame.criticalSegments(flat).toDF()
+      .select(col("span.traceID").as("traceID"), col("span.spanID").as("spanID"),
+        col("span.service").as("service"), col("startTime"), col("duration"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Queries.oracle
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{SpanOps, TraceOps}
+import graft.sources.JaegerJsonSource
+
+/** Trace/span shaping over the synthetic fixture (tools/gen_fixture.py):
+  * covers T1 (summarize), T2-T4 (flatten + tag map), pivot, traceWithSpans,
+  * and the reference quirks: per-TAG error counting, spans[0] root fallback,
+  * empty-trace fallbacks, duplicate-tag-key last-wins. */
+class TraceShapingSpec extends SparkTestBase {
+
+  private lazy val raw = JaegerJsonSource.traces(spark, fixturePath).cache()
+  private lazy val traces = TraceOps.summarize(raw).cache()
+  private lazy val flat = SpanOps.flatten(raw).cache()
+
+  test("summarize: 40 traces, 8 columns, stable schema") {
+    assert(traces.count() === 40)
+    assert(traces.columns.toSeq === Seq("traceID", "traceName", "nspans",
+      "errspans", "duration", "startTime", "processes", "iserror"))
+  }
+
+  test("summarize: error TAGS counted (span with 2 error tags counts 2)") {
+    val errs = traces.select("traceID", "errspans").where(col("errspans") > 0)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(errs === Map(
+      "4f31115257dcdd56" -> 2, // one span carrying two error tags
+      "ea098322cd9109d1" -> 1,
+      "721e1c61c4bd0f72" -> 1,
+      "b687915f8686e111" -> 1))
+    assert(traces.where(col("iserror")).count() === 4)
+  }
+
+  test("summarize: empty trace falls back to traceID name, epoch 0, 0 duration") {
+    val r = traces.where(col("traceID") === "cc2883e37242fbb8")
+      .select("traceName", "nspans", "duration", "startTime").head()
+    assert(r.getString(0) === "cc2883e37242fbb8")
+    assert(r.getInt(1) === 0)
+    assert(r.getLong(2) === 0L)
+    assert(r.getTimestamp(3).getTime === 0L)
+  }
+
+  test("summarize: missing-root trace uses spans[0] (reference quirk)") {
+    val r = traces.where(col("traceID") === "c08fe0919e0def0c")
+      .select("traceName", "duration").head()
+    assert(r.getString(0) === "api: /v1/get")
+    assert(r.getLong(1) === 50000L)
+  }
+
+  test("summarize: sorted by startTime descending") {
+    val times = traces.select("startTime").collect().map(_.getTimestamp(0).getTime)
+    assert(times.toSeq === times.sortBy(-_).toSeq)
+  }
+
+  test("flatten: 331 spans, map-typed tags, service resolved, parent extracted") {
+    assert(flat.count() === 331)
+    assert(flat.where(col("service").isNull).count() === 0)
+    // roots have parent ""
+    val single = flat.where(col("traceID") === "073a675ee5118cde").head()
+    assert(single.getAs[String]("parent") === "")
+    assert(single.getAs[String]("service") === "web")
+  }
+
+  test("flatten: duplicate tag key keeps the LAST value (dict overwrite parity)") {
+    val tags = flat.where(col("spanID") === "df33d5e931f6da5f")
+      .select(try_element_at(col("tags"), lit("region"))).head().getString(0)
+    assert(tags === "ap-south")
+  }
+
+  test("pivotTags: 11 fixed + 9 tag-key columns") {
+    val wide = SpanOps.pivotTags(flat)
+    assert(wide.columns.length === 20)
+    assert(wide.count() === 331)
+    assert(wide.columns.contains("http.status_code"))
+    // absent tag -> null (ragged keys)
+    assert(wide.where(col("`sampler.type`").isNull).count() > 0)
+  }
+
+  test("traceWithSpans: nested single-trace row with deduped spans") {
+    val nested = SpanOps.traceWithSpans(traces, flat.union(flat), "073a675ee5118cde")
+    val row = nested.head()
+    assert(nested.count() === 1)
+    assert(row.getAs[Seq[Any]]("spans").size === 1) // dupes removed
+  }
+
+  test("traceWithSpans: unknown traceID yields empty result") {
+    assert(SpanOps.traceWithSpans(traces, flat, "nope").count() === 0)
+  }
+}
