@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.JaegerJsonSource
 
@@ -11,32 +12,385 @@ import graft.sources.JaegerJsonSource
   *
   * Conventions for oracle hash-parity:
   *   - every computed column is aliased identically in Spark and SQL;
-  *   - float aggregates are `round(..., n)`-ed on both sides;
-  *   - every query has a total ORDER BY so row order is deterministic.
+  *   - float aggregates are `round(..., n)`-ed on both sides; DuckDB integer
+  *     sums are CAST to BIGINT (DuckDB widens to HUGEINT, Spark to LONG);
+  *   - every query has a total ORDER BY so row order is deterministic;
+  *   - no NULLs in output sort keys (Spark sorts nulls first, DuckDB last).
   */
 object Queries {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
+    * normalize to a µs TimestampType — identical truncation to DuckDB's
+    * `epoch_us`, so oracle comparisons stay integer-exact. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div`, not `/`: long `/` is double division, and ns-since-epoch
+    // exceeds 2^53 — the rounding costs ±1µs.
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  // ==========================================================================
+  // Relational core (SURVEY.md §2.3: T5-T12 filter/sort/limit/distinct/
+  // group/union/join + §2.2 aggregation kernels re-expressed on TPC-H-ish data)
+  // ==========================================================================
+
+  /** T1-analog aggregation: TPC-H Q1-style pricing summary. Single shuffle,
+    * map-side partial aggregation; filter pushed to parquet row groups. */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1998-09-03").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** T5 filter + projection; predicates and column pruning reach the scan. */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 49 &&
+        col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** T7 top-k: planned as TakeOrderedAndProject (no global sort at scale). */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** T12 joins: dims broadcast (nation 25 rows, customer small vs orders);
+    * no shuffle on the fact side until the final aggregation. */
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("n_name"))
+
+  /** T8 distinct (hash aggregate). */
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** T8 deterministic dedup: window-rank keep-first (the distributed
+    * replacement for pandas drop_duplicates row-order dependence). */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** T10 argmin: orderBy+limit → TakeOrderedAndProject, not a global sort. */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_acctbal"), col("s_suppkey"))
+      .limit(1)
+
+  /** T11 union (unionByName) + aggregate. */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_totalprice") > 400000)
+      .unionByName(o.filter(col("o_orderpriority") === "1-URGENT"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Semi join (EXISTS): customers having any 300k+ order. */
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Anti join (NOT EXISTS): customers with no orders at all. */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("c_nationkey"))
+
+  /** Conditional aggregation (CASE WHEN inside agg). */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(sum(when(col("l_returnflag") === "R", col("l_quantity"))
+          .otherwise(lit(0.0))), 2).as("returned_qty"),
+        count(when(col("l_returnflag") === "R", lit(1))).as("returned_rows"),
+        count(lit(1)).as("total_rows"))
+      .orderBy(col("l_linestatus"))
+
+  /** GROUP BY ... HAVING. */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"),
+        round(avg(col("p_retailprice")), 4).as("avg_price"))
+      .filter(col("cnt") > 40)
+      .orderBy(col("p_brand"))
+
+  /** ROLLUP with grouping id (multi-level aggregate in one pass). */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ==========================================================================
+  // Event-stream analytics (§2.6 extensions: windowed analytics over `events`)
+  // ==========================================================================
+
+  /** Window rank: top-3 events per user by value. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Window lag: inter-event gap per user in µs. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Tumbling window: hourly counts and value sums per event type. */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour_ts"), col("event_type"))
+
+  /** Sessionization (30-min inactivity gap): lag → new-session flag →
+    * running sum. Same shape a streaming session_window would produce;
+    * expressed with ANSI windows so DuckDB can oracle it. */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_s")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Pivot (dynamic columns from values — the relational analog of the
+    * reference's tag pivot, SURVEY.md §2.3 T2). */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** JSON extraction from the props payload column. */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
+  // ==========================================================================
+  // Registry
+  // ==========================================================================
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_topk" -> (q03 _),
+    "q04_join_agg" -> (q04 _),
+    "q05_distinct" -> (q05 _),
+    "q06_dedup_first" -> (q06 _),
+    "q07_argmin" -> (q07 _),
+    "q08_union_agg" -> (q08 _),
+    "q09_semi_join" -> (q09 _),
+    "q10_anti_join" -> (q10 _),
+    "q11_case_agg" -> (q11 _),
+    "q12_having" -> (q12 _),
+    "q13_rollup" -> (q13 _),
+    "q14_window_rank" -> (q14 _),
+    "q15_window_lag" -> (q15 _),
+    "q16_tumbling_window" -> (q16 _),
+    "q17_sessionize" -> (q17 _),
+    "q18_pivot" -> (q18 _),
+    "q19_json_extract" -> (q19 _),
     // --- trace engine (non-ANSI surface: rows-only driver check) ----------
-    "t01_trace_summary" -> ((s, _) => {
+    "t01_trace_summary" -> ((s: SparkSession, _: String) => {
       val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
       TraceFrame.tracesFromJaegerFile(s, fx).drop("processes")
     }),
-    "t02_span_flatten" -> ((s, _) => {
+    "t02_span_flatten" -> ((s: SparkSession, _: String) => {
       val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
       TraceFrame.spansFromJaegerFile(s, fx)
         .select(col("traceID"), col("spanID"), col("operationName"),
           col("startTime"), col("duration"), col("processID"),
-          col("service"), col("parent"),
-          map_entries(col("tags")).as("tags"))
-        .orderBy("traceID", "spanID")
+          col("service"), col("parent"), map_entries(col("tags")).as("tags"))
+        .orderBy(col("traceID"), col("spanID"))
     }),
-    "t03_critical_path" -> ((s, _) => SparkEntry.entry(s)
-      .orderBy("traceID", "startTime")),
+    "t03_critical_path" -> ((s: SparkSession, _: String) =>
+      SparkEntry.entry(s).orderBy(col("traceID"), col("startTime"))),
   )
 
-  val oracle: Map[String, String] = Map()
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity >= 49 AND l_shipdate >= TIMESTAMP '1998-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q04_join_agg" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q05_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q06_dedup_first" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q07_argmin" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |ORDER BY s_acctbal, s_suppkey LIMIT 1""".stripMargin,
+    "q08_union_agg" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM (
+        |  SELECT * FROM orders WHERE o_totalprice > 400000
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q09_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_cust FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q10_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q11_case_agg" ->
+      """SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity
+        |    ELSE 0.0 END), 2) AS returned_qty,
+        |  count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS returned_rows,
+        |  count(*) AS total_rows
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q12_having" ->
+      """SELECT p_brand, count(*) AS cnt,
+        |  round(avg(p_retailprice), 4) AS avg_price
+        |FROM part GROUP BY p_brand HAVING count(*) > 40
+        |ORDER BY p_brand""".stripMargin,
+    "q13_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q14_window_rank" ->
+      """SELECT user_id, rn, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "q15_window_lag" ->
+      """SELECT event_id, user_id, epoch_us(ts) - prev_us AS gap_us FROM (
+        |  SELECT event_id, user_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events) WHERE prev_us IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "q16_tumbling_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    "q17_sessionize" ->
+      """SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT user_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q18_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q19_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  ).map { case (k, v) => k -> v.replace('\n', ' ') }
 }
