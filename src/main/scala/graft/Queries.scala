@@ -241,6 +241,138 @@ object Queries {
       .orderBy(col("event_type"))
 
   // ==========================================================================
+  // Text analysis / dedup / similarity / multimodal (100-TB pipeline ops)
+  // ==========================================================================
+
+  import graft.functions.TextFunctions
+  import graft.operators.{Dedup, Multimodal, Similarity}
+
+  /** Token statistics per document (tokenizer + HOF aggregation). */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        round(aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / size(toks).cast("double"), 6)
+          .as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic language ID (lexicon-hit argmax). */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring components per document. */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.qualityStruct(col("text")).as("q"))
+      .select(col("doc_id"),
+        col("q.n_chars").cast("long").as("n_chars"),
+        col("q.n_tokens").cast("long").as("n_tokens"),
+        col("q.punct_ratio").as("punct_ratio"),
+        col("q.stop_ratio").as("stop_ratio"),
+        col("q.avg_token_len").as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  /** Exact dedup by content hash (+ fingerprint demo on normalized text). */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("text_md5"))
+
+  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join). */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .withColumn("inter", col("inter").cast("long"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** MinHash + banded LSH candidate pairs (16 perms, 4 bands × 4 rows). */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** 32-bit SimHash signature per document. */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Brute-force cosine top-3 neighbors for query vectors (vec_id < 10). */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 3)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Exact embedding near-dup pairs (cosine ≥ 0.45). */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.45)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Multimodal payload fingerprint (binary column plumbing, sha256). */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Multimodal.fingerprint(
+      Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "text")
+        .toDF().withColumnRenamed("id", "doc_id"),
+      "doc_id", "bytes")
+      .orderBy(col("doc_id"))
+
+  // --- oracle SQL builders for the hash-heavy queries ----------------------
+
+  /** DuckDB equivalent of TextFunctions.hash60. */
+  private val H = "CAST(('0x' || substr(md5(%s),1,15)) AS BIGINT)"
+  private val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
+  private val shinglesSql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+       | sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+       |   generate_series(1, greatest(len(t)-2, 0)),
+       |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tk)"""
+      .stripMargin
+
+  private def minhashOracle: String = {
+    val sig = (0 until 16).map(i =>
+      s"min((h*${Dedup.permA(i)}+${Dedup.permB(i)})%${Dedup.P}) AS mh$i")
+      .mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws('_', " +
+        (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ") +
+        ") AS key FROM sig").mkString(" UNION ALL ")
+    s"""$shinglesSql,
+       | hh AS (SELECT doc_id, ${H.format("s")} % ${Dedup.P} AS h FROM sh),
+       | sig AS (SELECT doc_id, $sig FROM hh GROUP BY doc_id),
+       | bands AS ($bands)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val bitSums = (0 until 32).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val combine = (0 until 32).map(i =>
+      s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, unnest($toksSql) AS tk
+       |   FROM documents),
+       | h AS (SELECT doc_id, ${H.format("tk")} AS h FROM tok),
+       | b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM b
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val cosSql =
+    """round(list_dot_product(%s, %s) /
+      | (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s))),
+      | 6)""".stripMargin
+
+  // ==========================================================================
   // Registry
   // ==========================================================================
 
@@ -264,6 +396,33 @@ object Queries {
     "q17_sessionize" -> (q17 _),
     "q18_pivot" -> (q18 _),
     "q19_json_extract" -> (q19 _),
+    "q20_token_stats" -> (q20 _),
+    "q21_lang_id" -> (q21 _),
+    "q22_quality_score" -> (q22 _),
+    "q23_dedup_exact" -> (q23 _),
+    "q24_ngram_jaccard" -> (q24 _),
+    "q25_minhash_lsh" -> (q25 _),
+    "q26_simhash" -> (q26 _),
+    "q27_embed_topk" -> (q27 _),
+    "q28_embed_neardup" -> (q28 _),
+    "q29_media_fingerprint" -> (q29 _),
+    // --- approximate / stubbed operators (rows-only driver check) ---------
+    "t04_media_features" -> ((s: SparkSession, dir: String) =>
+      Multimodal.decodeAndFeaturize(
+        Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "text"))
+        .toDF().orderBy(col("id"))),
+    "t05_frame_sample" -> ((s: SparkSession, dir: String) =>
+      Multimodal.sampleFrames(
+        Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "text"),
+        stride = 64)
+        .select(col("id"), col("frame_no"), col("frame_bytes"))
+        .orderBy(col("id"), col("frame_no"))),
+    "t06_similarity_lsh" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // --- trace engine (non-ANSI surface: rows-only driver check) ----------
     "t01_trace_summary" -> ((s: SparkSession, _: String) => {
       val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
@@ -392,5 +551,96 @@ object Queries {
         |    AS BIGINT) AS sum_k,
         |  count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q20_token_stats" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+         |  round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+         |    / CAST(len(t) AS DOUBLE), 6) AS avg_token_len
+         |FROM tk ORDER BY doc_id""".stripMargin,
+    "q21_lang_id" -> {
+      val lex = TextFunctions.langLexicons.map { case (lang, ws) =>
+        lang -> ws.map(w => s"'$w'").mkString("(", ", ", ")")
+      }
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | sc AS (SELECT doc_id,
+         |   ${lex.map { case (l, in) =>
+        s"len(list_filter(t, x -> x IN $in)) AS s_$l" }.mkString(", ")}
+         | FROM tk)
+         |SELECT doc_id, CASE
+         |  WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+         |  WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+         |  WHEN s_de > 0 THEN 'de'
+         |  ELSE 'und' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+    "q22_quality_score" -> {
+      val stopIn = TextFunctions.langLexicons.flatMap(_._2)
+        .map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH tk AS (SELECT doc_id, text, $toksSql AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  round(CAST(length(text) -
+         |      length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+         |    AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+         |  round(CAST(len(list_filter(t, x -> x IN $stopIn)) AS DOUBLE)
+         |    / CAST(CASE WHEN len(t) > 0 THEN len(t) ELSE 1 END AS DOUBLE),
+         |    6) AS stop_ratio,
+         |  round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+         |    / CAST(len(t) AS DOUBLE), 6) AS avg_token_len
+         |FROM tk ORDER BY doc_id""".stripMargin
+    },
+    "q23_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+        |  count(*) AS dup_cnt
+        |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
+    "q24_ngram_jaccard" ->
+      s"""$shinglesSql,
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |     count(*) AS inter
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |   GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+         |  round(CAST(inter AS DOUBLE) /
+         |    CAST(za.n_sh + zb.n_sh - inter AS DOUBLE), 6) AS jaccard
+         |FROM inter
+         |JOIN sz za ON doc_a = za.doc_id
+         |JOIN sz zb ON doc_b = zb.doc_id
+         |WHERE CAST(inter AS DOUBLE) /
+         |  CAST(za.n_sh + zb.n_sh - inter AS DOUBLE) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q25_minhash_lsh" -> minhashOracle,
+    "q26_simhash" -> simhashOracle,
+    "q27_embed_topk" ->
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |  FROM embeddings),
+         | q AS (SELECT * FROM v WHERE vec_id < 10),
+         | s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |     ${cosSql.format("q.ve", "c.ve", "q.ve", "q.ve", "c.ve", "c.ve")}
+         |       AS cos_sim
+         |   FROM q JOIN v c ON q.vec_id <> c.vec_id),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos_sim DESC, neighbor_id) AS "rank" FROM s)
+         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id,
+         |  cos_sim
+         |FROM r WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
+    "q28_embed_neardup" ->
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |  FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${cosSql.format("a.ve", "b.ve", "a.ve", "a.ve", "b.ve", "b.ve")}
+         |    AS cos_sim
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql.format("a.ve", "b.ve", "a.ve", "a.ve", "b.ve", "b.ve")}
+         |  >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q29_media_fingerprint" ->
+      """SELECT doc_id, sha256(text) AS sha256_hex,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
   ).map { case (k, v) => k -> v.replace('\n', ' ') }
 }

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column combinators for large-scale corpus pipelines
+  * (SURVEY.md §2.6 extensions; north star in BASELINE.json).
+  *
+  * Everything here is a composition of built-in codegen'd expressions —
+  * no UDFs — so whole-stage codegen spans survive and the same math is
+  * expressible in ANSI SQL for the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (empty input → empty array, not [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]`; fewer than n tokens →
+    * empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, as a positive long.
+    * Chosen because DuckDB computes the identical value via
+    * `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)` — the foundation for
+    * engine-independent MinHash/SimHash verification. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Token count (BPE-ish proxy: whitespace words; subword splitting would
+    * slot in here as an extra `transform`). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Deterministic document fingerprint: md5 of the normalized text
+    * (lowercase, punctuation stripped, whitespace collapsed). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(
+      regexp_replace(lower(trim(text)), "[^a-z0-9 ]", ""),
+      " +", " "))
+
+  /** Lexicon hit count: how many tokens fall in `lexicon`. */
+  def lexiconHits(text: Column, lexicon: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(lexicon: _*)))
+
+  /** Marker lexicons for the heuristic language/domain classifier. Kept tiny
+    * and deterministic; a production system would ship char-n-gram profiles
+    * per language — same plan shape, bigger lexicons. */
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "y", "de", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  /** Heuristic language ID: argmax of lexicon hits with deterministic
+    * priority tie-break (first lexicon wins ties); all-zero → "und". */
+  def langId(text: Column): Column = {
+    val scores = langLexicons.map { case (lang, lex) =>
+      lang -> size(filter(tokens(text), t => t.isin(lex: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality-score components: character/token counts, punctuation ratio,
+    * stopword ratio, mean token length. Composite = weighted blend. */
+  def qualityStruct(text: Column): Column = {
+    val nChars = length(text)
+    val toks = tokens(text)
+    val nToks = size(toks)
+    val punct = nChars - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    val stops = size(filter(toks,
+      t => t.isin(langLexicons.flatMap(_._2): _*)))
+    val avgLen = when(nToks > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / nToks.cast("double"))
+      .otherwise(lit(0.0))
+    struct(
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      round(punct.cast("double") / nChars.cast("double"), 6)
+        .as("punct_ratio"),
+      round(stops.cast("double") /
+        when(nToks > 0, nToks).otherwise(lit(1)).cast("double"), 6)
+        .as("stop_ratio"),
+      round(avgLen, 6).as("avg_token_len"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.6): media travels as an opaque
+  * `binary` column plus a typed metadata struct; decode / feature-extraction
+  * runs partition-parallel over the binary payloads.
+  *
+  * The decode kernels themselves are STUBS — this container ships no
+  * image/audio codecs — but deliberately deterministic ones, so the
+  * Spark-side contract (schema, batching, partition parallelism, null
+  * handling) is real and testable. Swapping in a real codec changes only
+  * the function body marked STUB below.
+  *
+  * Scale notes: binary payloads never enter a shuffle here — decode is a
+  * narrow `mapPartitions`; only the small extracted features flow onward.
+  * At 100 TB the payloads would live in parquet binary columns read with
+  * `spark.sql.parquet.enableVectorizedReader` + large
+  * `maxPartitionBytes`, or as object-store paths resolved inside the
+  * partition (same operator shape).
+  */
+object Multimodal {
+
+  /** A media item: id + kind + raw bytes + source metadata. */
+  case class MediaRow(id: Long, kind: String, bytes: Array[Byte],
+      meta: Map[String, String])
+
+  /** Extracted features per media item. */
+  case class MediaFeatures(id: Long, kind: String, width: Int, height: Int,
+      nBytes: Long, features: Array[Float])
+
+  /** Wrap any table with a string payload column into media rows (utf-8
+    * bytes) — the test-path producer; real pipelines read binary parquet. */
+  def fromText(df: DataFrame, idCol: String, textCol: String,
+      kind: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), lit(kind).as("kind"),
+      col(textCol).cast("binary").as("bytes"),
+      map(lit("src"), lit("text")).as("meta")).as[MediaRow]
+  }
+
+  /** STUB image decode: a real implementation would parse the container
+    * format (JPEG/PNG) here. The stub derives deterministic pseudo
+    * dimensions and an 8-dim feature vector from the byte content, so
+    * tests exercise schema/partitioning/batch shape end-to-end. */
+  def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        // STUB: stand-in for codec decode — deterministic in the bytes
+        val h = m.bytes.foldLeft(1469598103934665603L)((a, b) =>
+          (a ^ (b & 0xff)) * 1099511628211L)
+        val w = 64 + math.floorMod(h, 512).toInt
+        val ht = 64 + math.floorMod(h >> 16, 512).toInt
+        val feats = Array.tabulate(8)(i =>
+          math.floorMod(h >> (i * 7), 1000).toFloat / 1000f)
+        MediaFeatures(m.id, m.kind, w, ht, m.bytes.length.toLong, feats)
+      }
+    }
+  }
+
+  /** STUB frame sampling: every `stride`-th chunk of the payload becomes a
+    * "frame" (a real video path would demux + decode keyframes). One input
+    * row → many frame rows: the UDTF-ish explode shape. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      m.bytes.grouped(math.max(stride, 1)).zipWithIndex.map {
+        case (chunk, i) => (m.id, i, chunk.length, chunk)
+      }
+    }.toDF("id", "frame_no", "frame_bytes", "payload")
+  }
+
+  /** Content fingerprint over the binary payload — pure SQL, oracle-able:
+    * sha256 hex + byte length. */
+  def fingerprint(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol),
+      sha2(col(binCol), 256).as("sha256_hex"),
+      length(col(binCol)).cast("long").as("n_bytes"))
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Operator-level tests for the 100-TB pipeline extensions: text functions,
+  * dedup family, similarity search, multimodal plumbing. Uses sf0.001
+  * driver testdata (read-only) plus handcrafted micro-fixtures. */
+class PipelineOpsSpec extends SparkTestBase {
+  import SparkTestBase.session.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+
+  test("hash60 matches the DuckDB-portable md5 value") {
+    val v = spark.range(1).select(TextFunctions.hash60(lit("hello")))
+      .head().getLong(0)
+    // DuckDB: SELECT CAST(('0x' || substr(md5('hello'),1,15)) AS BIGINT)
+    assert(v === 419982666956583591L)
+  }
+
+  test("tokens/shingles edge cases") {
+    val df = Seq("", "  ", "one", "a b c d").toDF("text")
+    val got = df.select(
+      size(TextFunctions.tokens(col("text"))).as("n"),
+      TextFunctions.shingles(col("text"), 3).as("sh")).collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(0, 0, 1, 4))
+    assert(got(3).getSeq[String](1) === Seq("a b c", "b c d"))
+    assert(got(2).getSeq[String](1) === Seq())
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val df = Seq(("Hello,  World!", "hello world")).toDF("a", "b")
+    val r = df.select(
+      (TextFunctions.fingerprint(col("a")) ===
+        TextFunctions.fingerprint(col("b"))).as("eq")).head()
+    assert(r.getBoolean(0))
+  }
+
+  test("ngramJaccard computes the exact set similarity") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(df, "doc_id", "text", 3, 0.4).collect()
+    assert(pairs.length === 1)
+    val p = pairs.head
+    // shingles: {abc,bcd,cde} vs {abc,bcd,cdf}: inter 2, union 4
+    assert((p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"),
+      p.getAs[Long]("inter"), p.getAs[Double]("jaccard")) === (1L, 2L, 2L, 0.5))
+  }
+
+  test("minHashLsh candidates cover all true near-duplicates (recall=1 here)") {
+    val truth = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minHashLsh(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    assert(truth.subsetOf(cands),
+      s"LSH missed ${truth -- cands} of ${truth.size} true pairs")
+    // banding keeps the candidate volume tiny vs the 125k all-pairs space
+    assert(cands.size < 500)
+  }
+
+  test("simHash: identical docs collide, near-dups are close in Hamming") {
+    val df = Seq((1L, "spark window join table scan merge sort"),
+      (2L, "spark window join table scan merge sort"),
+      (3L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val hs = Dedup.simHash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) === hs(2L))
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 4)
+    val nd = Dedup.simHashNearDups(df, "doc_id", "text", maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.toSeq === Seq((1L, 2L)))
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic tie-break") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)),
+      (2L, Array(0.5f, 0.5f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs,
+      vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.toSeq === Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("lshTopK returns bucket-consistent, at-most-k neighbors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 10)
+    val lsh = Similarity.lshTopK(emb, qs, "vec_id", "embedding", 3)
+    val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3)
+    val lshBest = lsh.filter(col("rank") === 1)
+      .select("query_id", "cos_sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bruteBest = brute.filter(col("rank") === 1)
+      .select("query_id", "cos_sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // approximate: never better than exact, grouped per query, ≤ k rows
+    lshBest.foreach { case (q, c) => assert(c <= bruteBest(q) + 1e-9) }
+    val counts = lsh.groupBy("query_id").count().collect()
+    assert(counts.forall(_.getLong(1) <= 3))
+  }
+
+  test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
+    val media = Multimodal.fromText(docs, "doc_id", "text", "text")
+    val f1 = Multimodal.decodeAndFeaturize(media).collect()
+      .sortBy(_.id)
+    val f2 = Multimodal.decodeAndFeaturize(media).collect().sortBy(_.id)
+    assert(f1.length === 500)
+    assert(f1.map(_.width).toSeq === f2.map(_.width).toSeq)
+    assert(f1.forall(f => f.width >= 64 && f.width < 576))
+    assert(f1.forall(_.features.length === 8))
+
+    val one = media.filter(col("id") === 0)
+    val frames = Multimodal.sampleFrames(one, 16)
+      .orderBy("frame_no").collect()
+    val rebuilt = frames.flatMap(_.getAs[Array[Byte]]("payload"))
+    val orig = docs.filter(col("doc_id") === 0).head().getAs[String]("text")
+    assert(new String(rebuilt, "UTF-8") === orig)
+  }
+}
