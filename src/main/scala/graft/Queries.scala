@@ -22,6 +22,19 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Driver testdata ships one row group per table, so Spark scans with a
+    * single task; the text/embedding pipelines do heavy per-row compute
+    * (shingling, hashing, dot products) BEFORE their first shuffle and
+    * would run it single-threaded. Spreading the (small) corpus across the
+    * cluster first costs one cheap shuffle and parallelizes everything
+    * downstream. At 100 TB the input is already many splits and this
+    * becomes a no-op choice at the ingest layer, not the operators'. */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
+
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
     * refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
     * normalize to a µs TimestampType — identical truncation to DuckDB's
@@ -250,7 +263,7 @@ object Queries {
   /** Token statistics per document (tokenizer + HOF aggregation). */
   private def q20(s: SparkSession, dir: String): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
-    t(s, dir, "documents")
+    docs(s, dir)
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_uniq"),
@@ -262,13 +275,13 @@ object Queries {
 
   /** Heuristic language ID (lexicon-hit argmax). */
   private def q21(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    docs(s, dir)
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
   /** Quality scoring components per document. */
   private def q22(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    docs(s, dir)
       .select(col("doc_id"), TextFunctions.qualityStruct(col("text")).as("q"))
       .select(col("doc_id"),
         col("q.n_chars").cast("long").as("n_chars"),
@@ -280,30 +293,30 @@ object Queries {
 
   /** Exact dedup by content hash (+ fingerprint demo on normalized text). */
   private def q23(s: SparkSession, dir: String): DataFrame =
-    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.exact(docs(s, dir), "doc_id", "text")
       .orderBy(col("text_md5"))
 
   /** Exact 3-gram Jaccard near-dup pairs (inverted-index join). */
   private def q24(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+    Dedup.ngramJaccard(docs(s, dir), "doc_id", "text",
       n = 3, threshold = 0.8)
       .withColumn("inter", col("inter").cast("long"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** MinHash + banded LSH candidate pairs (16 perms, 4 bands × 4 rows). */
   private def q25(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.minHashLsh(docs(s, dir), "doc_id", "text")
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** 32-bit SimHash signature per document. */
   private def q26(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.simHash(docs(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** Brute-force cosine top-3 neighbors for query vectors (vec_id < 10). */
   private def q27(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+    val e = emb(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 3)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("query_id"), col("rank"))
@@ -311,14 +324,14 @@ object Queries {
 
   /** Exact embedding near-dup pairs (cosine ≥ 0.45). */
   private def q28(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+    Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding",
       threshold = 0.45)
       .orderBy(col("vec_a"), col("vec_b"))
 
   /** Multimodal payload fingerprint (binary column plumbing, sha256). */
   private def q29(s: SparkSession, dir: String): DataFrame =
     Multimodal.fingerprint(
-      Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "text")
+      Multimodal.fromText(docs(s, dir), "doc_id", "text", "text")
         .toDF().withColumnRenamed("id", "doc_id"),
       "doc_id", "bytes")
       .orderBy(col("doc_id"))
@@ -328,9 +341,11 @@ object Queries {
   /** DuckDB equivalent of TextFunctions.hash60. */
   private val H = "CAST(('0x' || substr(md5(%s),1,15)) AS BIGINT)"
   private val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
+  /** Raw (non-distinct) 3-gram shingles; consumers hash-then-distinct to
+    * mirror the Spark operators. */
   private val shinglesSql =
     s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
-       | sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+       | shr AS (SELECT doc_id, unnest(list_transform(
        |   generate_series(1, greatest(len(t)-2, 0)),
        |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tk)"""
       .stripMargin
@@ -344,7 +359,8 @@ object Queries {
         (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ") +
         ") AS key FROM sig").mkString(" UNION ALL ")
     s"""$shinglesSql,
-       | hh AS (SELECT doc_id, ${H.format("s")} % ${Dedup.P} AS h FROM sh),
+       | hh AS (SELECT DISTINCT doc_id, ${H.format("s")} % ${Dedup.P} AS h
+       |   FROM shr),
        | sig AS (SELECT doc_id, $sig FROM hh GROUP BY doc_id),
        | bands AS ($bands)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
@@ -367,10 +383,14 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  private val cosSql =
-    """round(list_dot_product(%s, %s) /
-      | (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s))),
-      | 6)""".stripMargin
+  /** Matches Similarity.l2Normalize + DotProduct: normalize each vector
+    * once, then a single ordered dot per pair. */
+  private val normVecSql =
+    """SELECT vec_id, list_transform(ve, x ->
+      | x / sqrt(list_dot_product(ve, ve))) AS nv
+      |FROM (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings)""".stripMargin
 
   // ==========================================================================
   // Registry
@@ -409,17 +429,17 @@ object Queries {
     // --- approximate / stubbed operators (rows-only driver check) ---------
     "t04_media_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.decodeAndFeaturize(
-        Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "text"))
+        Multimodal.fromText(docs(s, dir), "doc_id", "text", "text"))
         .toDF().orderBy(col("id"))),
     "t05_frame_sample" -> ((s: SparkSession, dir: String) =>
       Multimodal.sampleFrames(
-        Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "text"),
+        Multimodal.fromText(docs(s, dir), "doc_id", "text", "text"),
         stride = 64)
         .select(col("id"), col("frame_no"), col("frame_bytes"))
         .orderBy(col("id"), col("frame_no"))),
     "t06_similarity_lsh" -> ((s: SparkSession, dir: String) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+      val e = emb(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -597,6 +617,7 @@ object Queries {
         |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
     "q24_ngram_jaccard" ->
       s"""$shinglesSql,
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
          | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |     count(*) AS inter
@@ -614,13 +635,10 @@ object Queries {
     "q25_minhash_lsh" -> minhashOracle,
     "q26_simhash" -> simhashOracle,
     "q27_embed_topk" ->
-      s"""WITH v AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-         |  FROM embeddings),
+      s"""WITH v AS ($normVecSql),
          | q AS (SELECT * FROM v WHERE vec_id < 10),
          | s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |     ${cosSql.format("q.ve", "c.ve", "q.ve", "q.ve", "c.ve", "c.ve")}
-         |       AS cos_sim
+         |     round(list_dot_product(q.nv, c.nv), 6) AS cos_sim
          |   FROM q JOIN v c ON q.vec_id <> c.vec_id),
          | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |     ORDER BY cos_sim DESC, neighbor_id) AS "rank" FROM s)
@@ -628,15 +646,11 @@ object Queries {
          |  cos_sim
          |FROM r WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
     "q28_embed_neardup" ->
-      s"""WITH v AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-         |  FROM embeddings)
+      s"""WITH v AS ($normVecSql)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  ${cosSql.format("a.ve", "b.ve", "a.ve", "a.ve", "b.ve", "b.ve")}
-         |    AS cos_sim
+         |  round(list_dot_product(a.nv, b.nv), 6) AS cos_sim
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
-         |WHERE ${cosSql.format("a.ve", "b.ve", "a.ve", "a.ve", "b.ve", "b.ve")}
-         |  >= 0.45
+         |WHERE round(list_dot_product(a.nv, b.nv), 6) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
     "q29_media_fingerprint" ->
       """SELECT doc_id, sha256(text) AS sha256_hex,

@@ -19,15 +19,24 @@ object TextFunctions {
 
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
-  /** Word n-gram shingles: `["a b c", "b c d", ...]`; fewer than n tokens →
-    * empty array. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles over a PRE-TOKENIZED array column.
+    *
+    * Callers must materialize the token array in its own projection first
+    * (`df.select(tokens(text).as("toks"))`) and pass `col("toks")`: Spark
+    * evaluates higher-order-function lambda bodies interpreted, per element —
+    * if the argument were the full `split(...)` subtree it would re-tokenize
+    * once per shingle (observed: quadratic blowup, 2.2 s for 5k docs).
+    * Referencing a bound attribute is O(1) per element. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word n-gram shingles from raw text — convenience form for single-pass
+    * use; hot paths should tokenize once and use [[shinglesFromTokens]]. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Portable 60-bit hash: first 15 hex chars of md5, as a positive long.
     * Chosen because DuckDB computes the identical value via
