@@ -78,6 +78,43 @@ object SpanOps {
     flatSpans.select(fixed ++ pivoted: _*)
   }
 
+  /** Inverse of [[flatten]]: reassemble nested trace rows from a flat spans
+    * frame — the shape of the reference's ES ingestion (`traces_from_es`,
+    * `traceframe.py:268-317`), which groups raw span documents into traces
+    * before summarizing. The reference hand-rolls a sort-based group-by
+    * (sort by traceID + adjacency scan); the Spark shape is a plain hash
+    * aggregation — one shuffle on traceID, no global sort (SURVEY.md §2.1 S9).
+    *
+    * Reconstructs the raw trace schema (references from `parent`, tag list
+    * from the tag map with string types, processes map from per-span
+    * service) so [[TraceOps.summarize]] runs on the result unchanged. */
+  def assembleTraces(flatSpans: DataFrame): DataFrame = {
+    val spanStruct = struct(
+      col("traceID"), col("spanID"), col("flags"), col("operationName"),
+      when(col("parent") === "",
+        array().cast("array<struct<refType:string,traceID:string,spanID:string>>"))
+        .otherwise(array(struct(
+          lit("CHILD_OF").as("refType"),
+          col("traceID").as("traceID"),
+          col("parent").as("spanID")))).as("references"),
+      col("startTime"), col("duration"),
+      transform(map_entries(col("tags")),
+        e => struct(e.getField("key").as("key"),
+          lit("string").as("type"),
+          e.getField("value").as("value"))).as("tags"),
+      col("logs"), col("processID"), col("warnings"))
+    flatSpans
+      .groupBy(col("traceID"))
+      .agg(
+        collect_list(spanStruct).as("spans"),
+        map_from_entries(array_distinct(collect_list(
+          struct(col("processID"),
+            struct(col("service").as("serviceName"),
+              array().cast("array<struct<key:string,type:string,value:string>>")
+                .as("tags")))))).as("processes"))
+      .withColumn("warnings", lit(null).cast("array<string>"))
+  }
+
   /** T13 `traceWithSpans` (`traceframe.py:620-632`): point-lookup join of the
     * traces frame with its (deduplicated) spans, as a single nested row.
     * Dedup keeps the first span per spanID **deterministically** (window rank

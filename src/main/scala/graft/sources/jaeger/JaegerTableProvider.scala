@@ -1,0 +1,179 @@
+package graft.sources.jaeger
+
+import java.util
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.InternalRow
+
+/** DataSource V2 "jaeger" format (SURVEY.md §4.2): distributed ingest from
+  * the Jaeger HTTP API.
+  *
+  * The reference fetches sequentially and, on hitting the server's
+  * 1500-trace cap, recursively bisects the time range — one synchronous
+  * round trip per bisection (`/root/reference/traceframe/traceframe.py:55-136`).
+  * Here the lookback window is pre-split into `partitions` sub-ranges, one
+  * Spark input partition each, so executors fetch concurrently; *within* a
+  * partition the reader still bisects adaptively when a response comes back
+  * clipped, preserving the reference's completeness guarantee without its
+  * serial latency.
+  *
+  * Pushdown: `SupportsPushDownLimit` caps the per-request `limit` the API is
+  * asked for (the reference's limit forwarding, `traceframe.py:79-81`);
+  * Spark re-applies the exact Limit above the scan. Service/time selection
+  * travels as read options rather than filter pushdown because they are API
+  * query parameters, not columns of the emitted schema (the raw trace
+  * schema has no top-level `service`/time column to push a predicate on).
+  *
+  * Each emitted row is one raw API response body (`json` string column);
+  * [[JaegerSource]] parses it with `from_json` + explode into typed trace
+  * rows. Parsing happens executor-side either way; keeping the scan schema
+  * to a single string column keeps this connector on stable public APIs.
+  *
+  * Options: `endpoint` (required), `service`, `limit`, `start`/`end`
+  * (µs since epoch; default = 14-day lookback, reference
+  * `traceframe.py:19-21`), `partitions` (default 8), `client`
+  * (implementation class, default [[HttpJaegerClient]]).
+  */
+class JaegerTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "jaeger"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JaegerTableProvider.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new JaegerTable(properties.asScala.toMap)
+}
+
+object JaegerTableProvider {
+  val schema: StructType = StructType(Seq(StructField("json", StringType)))
+  /** Jaeger's Badger-backend response cap (reference `traceframe.py:15-17`):
+    * a response with this many traces must be assumed clipped. */
+  val MaxTracesReturnable = 1500
+  val DefaultLookbackMicros: Long = 14L * 24 * 3600 * 1000000 // 14 days
+}
+
+class JaegerTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String =
+    s"jaeger:${props.getOrElse("endpoint", "?")}"
+  override def schema(): StructType = JaegerTableProvider.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JaegerScanBuilder(props ++ options.asScala)
+}
+
+class JaegerScanBuilder(rawOpts: Map[String, String])
+    extends ScanBuilder with SupportsPushDownLimit {
+  private val opts = rawOpts.map { case (k, v) => k.toLowerCase -> v }
+  private var pushedLimit: Option[Int] = opts.get("limit").map(_.toInt)
+
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(pushedLimit.fold(limit)(math.min(_, limit)))
+    true // partial: the API's keep-last semantics aren't exact, Spark re-limits
+  }
+
+  override def build(): Scan = {
+    val end = opts.get("end").map(_.toLong)
+      .getOrElse(System.currentTimeMillis() * 1000)
+    val start = opts.get("start").map(_.toLong)
+      .getOrElse(end - JaegerTableProvider.DefaultLookbackMicros)
+    new JaegerScan(JaegerScanConfig(
+      endpoint = opts.getOrElse("endpoint",
+        throw new IllegalArgumentException("jaeger source needs 'endpoint'")),
+      clientClass = opts.getOrElse("client",
+        classOf[HttpJaegerClient].getName),
+      service = opts.get("service"),
+      start = start,
+      end = end,
+      limit = pushedLimit,
+      partitions = opts.getOrElse("partitions", "8").toInt,
+      maxReturnable = opts.getOrElse("maxreturnable",
+        JaegerTableProvider.MaxTracesReturnable.toString).toInt))
+  }
+}
+
+case class JaegerScanConfig(endpoint: String, clientClass: String,
+    service: Option[String], start: Long, end: Long, limit: Option[Int],
+    partitions: Int,
+    /** server response cap; overridable so tests can exercise bisection */
+    maxReturnable: Int = JaegerTableProvider.MaxTracesReturnable)
+
+case class JaegerInputPartition(rangeStart: Long, rangeEnd: Long)
+  extends InputPartition
+
+class JaegerScan(conf: JaegerScanConfig) extends Scan with Batch {
+  override def readSchema(): StructType = JaegerTableProvider.schema
+  override def toBatch: Batch = this
+
+  /** One partition per time sub-range — the parallel form of the
+    * reference's sequential bisection. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, conf.partitions)
+    val width = math.max(1L, (conf.end - conf.start) / n)
+    (0 until n).map { i =>
+      val s = conf.start + i * width
+      val e = if (i == n - 1) conf.end else s + width
+      JaegerInputPartition(s, e)
+    }.filter(p => p.rangeEnd > p.rangeStart).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JaegerPartitionReaderFactory(conf)
+}
+
+class JaegerPartitionReaderFactory(conf: JaegerScanConfig)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new JaegerPartitionReader(conf, partition.asInstanceOf[JaegerInputPartition])
+}
+
+/** Executor-side reader: fetches its time sub-range, adaptively bisecting
+  * (discard-and-split, like `traceframe.py:98-136`) whenever a response is
+  * clipped at the server cap. Emits one row per final (unclipped) response
+  * body. */
+class JaegerPartitionReader(conf: JaegerScanConfig, part: JaegerInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private lazy val client = JaegerClient.forName(conf.clientClass, conf.endpoint)
+  private lazy val bodies: Iterator[String] =
+    fetch(part.rangeStart, part.rangeEnd, depth = 0).iterator
+  private var current: String = _
+
+  private def fetch(start: Long, end: Long, depth: Int): List[String] = {
+    val params = Map(
+      "start" -> start.toString,
+      "end" -> end.toString,
+      "limit" -> conf.limit.getOrElse(conf.maxReturnable).toString) ++
+      conf.service.map("service" -> _)
+    val body = client.get("/api/traces", params)
+    val nTraces = {
+      val root = mapper.readTree(body)
+      val data = root.get("data")
+      if (data == null || data.isNull) 0 else data.size()
+    }
+    val clipped = nTraces >= conf.maxReturnable &&
+      conf.limit.forall(_ > nTraces)
+    if (clipped && depth < 20 && end - start > 1) {
+      val mid = start + (end - start) / 2
+      fetch(start, mid, depth + 1) ::: fetch(mid, end, depth + 1)
+    } else if (nTraces == 0) Nil
+    else List(body)
+  }
+
+  override def next(): Boolean =
+    if (bodies.hasNext) { current = bodies.next(); true } else false
+
+  override def get(): InternalRow =
+    InternalRow(UTF8String.fromString(current))
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,135 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import graft.operators.SpanOps
+import graft.sources.JaegerJsonSource
+import graft.sources.jaeger.JaegerSource
+
+/** Offline tests of the Jaeger DSv2 connector against a fixture-backed fake
+  * client that emulates the server's 1500-trace response cap (forcing the
+  * reader's adaptive bisection) and records every API call. */
+class JaegerSourceSpec extends SparkTestBase {
+
+  private def opts(cap: Int, partitions: Int = 4) = Map(
+    "client" -> classOf[FixtureJaegerClient].getName,
+    "partitions" -> partitions.toString,
+    // fixture trace starts span 1700000000s..1700000280s (µs)
+    "start" -> "1700000000000000",
+    "end" -> "1700000300000000",
+    "maxReturnable" -> cap.toString)
+
+  test("DSv2 scan: all fixture traces arrive via partitioned fetch") {
+    FixtureJaegerClient.reset(cap = 1500)
+    val raw = JaegerSource.rawTraces(spark, "fake://jaeger", opts(1500))
+    assert(raw.count() === 40)
+    // partition-parallel: at least `partitions` API calls were made
+    assert(FixtureJaegerClient.calls.size() >= 4)
+  }
+
+  test("DSv2 scan matches the file source end-to-end (summarize parity)") {
+    FixtureJaegerClient.reset(cap = 1500)
+    val viaApi = graft.operators.TraceOps.summarize(
+      JaegerSource.rawTraces(spark, "fake://jaeger", opts(1500)))
+      .drop("processes").collect().map(_.toString).sorted
+    val viaFile = graft.operators.TraceOps.summarize(
+      JaegerJsonSource.traces(spark, fixturePath))
+      .drop("processes").collect().map(_.toString).sorted
+    assert(viaApi.toSeq === viaFile.toSeq)
+  }
+
+  test("clipped responses trigger adaptive bisection but lose no traces") {
+    // cap far below the per-partition trace count: every partition must
+    // bisect repeatedly to drain its range
+    FixtureJaegerClient.reset(cap = 3)
+    val raw = JaegerSource.rawTraces(spark, "fake://jaeger",
+      opts(cap = 3, partitions = 2))
+    assert(raw.count() === 40)
+    assert(FixtureJaegerClient.calls.size() > 10) // many bisected fetches
+  }
+
+  test("limit pushdown reaches the API request") {
+    FixtureJaegerClient.reset(cap = 1500)
+    val limited = JaegerSource.rawTraces(spark, "fake://jaeger",
+      opts(1500) + ("limit" -> "5"))
+    assert(limited.count() <= 5 * 4) // ≤ limit per partition
+    import scala.jdk.CollectionConverters._
+    assert(FixtureJaegerClient.calls.asScala.forall(_.contains("limit=5")))
+  }
+
+  test("spansForServices unions per-service fetches (no dedup, quirk parity)") {
+    FixtureJaegerClient.reset(cap = 1500)
+    val spans = JaegerSource.spansForServices(spark, "fake://jaeger",
+      Seq("web", "api"), opts(1500))
+    val all = SpanOps.flatten(
+      JaegerSource.rawTraces(spark, "fake://jaeger", opts(1500)))
+    // fake ignores the service param (returns everything), so two services
+    // → exactly 2× the rows: the reference's documented duplication
+    assert(spans.count() === 2 * all.count())
+  }
+
+  test("knownServices parses the catalog listing") {
+    FixtureJaegerClient.reset(cap = 1500)
+    val svcs = JaegerSource.knownServices("fake://jaeger",
+      classOf[FixtureJaegerClient].getName)
+    assert(svcs.contains("web") && svcs.contains("db"))
+  }
+}
+
+/** Serves the bundled fixture over the JaegerClient interface. Filters by
+  * the requested [start, end) µs range (on root/first span startTime),
+  * clips to the configured cap (latest-first like a real server's recency
+  * bias), and records every call. */
+class FixtureJaegerClient extends graft.sources.jaeger.JaegerClient {
+  import FixtureJaegerClient._
+
+  override def get(path: String, params: Map[String, String]): String = {
+    calls.add(path + "?" + params.toSeq.sorted.map(p => s"${p._1}=${p._2}")
+      .mkString("&"))
+    if (path.endsWith("/services")) {
+      """{"data": ["web", "api", "auth", "db", "cache", "queue", "search", "billing"]}"""
+    } else {
+      val start = params("start").toLong
+      val end = params("end").toLong
+      val limit = math.min(params.get("limit").fold(Int.MaxValue)(_.toInt), cap)
+      val mapper = new ObjectMapper()
+      val all = fixtureTraces(mapper)
+      val inRange = all.filter { t =>
+        val spans = t.get("spans")
+        spans.size() > 0 && {
+          val st = spans.get(0).get("startTime").asLong()
+          st >= start && st < end
+        } || (spans.size() == 0 && start == 1700000000000000L)
+      }
+      def startOf(t: com.fasterxml.jackson.databind.JsonNode): Long = {
+        val spans = t.get("spans")
+        if (spans.size() == 0) Long.MinValue
+        else spans.get(0).get("startTime").asLong()
+      }
+      val clipped = inRange.sortBy(startOf)(Ordering[Long].reverse).take(limit)
+      val arr = mapper.createArrayNode()
+      clipped.foreach(arr.add)
+      val root = mapper.createObjectNode()
+      root.set[com.fasterxml.jackson.databind.JsonNode]("data", arr)
+      mapper.writeValueAsString(root)
+    }
+  }
+}
+
+object FixtureJaegerClient {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  @volatile var cap: Int = 1500
+  def reset(cap: Int): Unit = { calls.clear(); this.cap = cap }
+
+  private var cached: List[com.fasterxml.jackson.databind.JsonNode] = _
+  def fixtureTraces(mapper: ObjectMapper): List[com.fasterxml.jackson.databind.JsonNode] =
+    synchronized {
+      if (cached == null) {
+        val in = getClass.getResourceAsStream("/jaeger_fixture.json")
+        val root = mapper.readTree(in)
+        in.close()
+        cached = (0 until root.size()).map(root.get).toList
+      }
+      cached
+    }
+}
