@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.{CritSeg, JaegerModel, SpanLite}
+import graft.analysis.CriticalPath
+
+/** Structured Streaming extension (SURVEY.md §7.1.9 — not a port
+  * requirement: the reference is batch-pull only, but trace data is
+  * naturally append-only with late-arriving spans, which maps directly onto
+  * watermarks + stateful grouping).
+  *
+  * Input model: a stream of RAW SPAN records (JSONL files in a directory —
+  * swap for Kafka by changing `readStream.format`), each span carrying its
+  * traceID, the shape produced by [[graft.operators.SpanOps.flatten]] minus
+  * the map/array columns: `traceID, spanID, operationName, startTime (µs),
+  * duration, processID, parent, service`.
+  */
+object TraceStreams {
+
+  val spanStreamSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("traceID",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("spanID",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("operationName",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("startTime",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("duration",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("processID",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("parent",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("service",
+      org.apache.spark.sql.types.StringType)))
+
+  /** JSONL span file stream. */
+  def spanFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(spanStreamSchema).json(dir)
+      .withColumn("eventTime", timestamp_micros(col("startTime")))
+
+  /** Per-service tumbling-window span metrics with a watermark for state
+    * eviction: counts + duration stats per (window, service). */
+  def serviceWindowStats(spans: DataFrame,
+      window_ : String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    spans
+      .withWatermark("eventTime", watermark)
+      .groupBy(window(col("eventTime"), window_), col("service"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("duration")).as("sum_dur_us"),
+        max(col("duration")).as("max_dur_us"))
+
+  /** Session-windowed span activity per service: spans separated by less
+    * than `gap` merge into one session (the streaming analog of the batch
+    * sessionize query). */
+  def serviceSessions(spans: DataFrame, gap: String = "30 seconds",
+      watermark: String = "2 minutes"): DataFrame =
+    spans
+      .withWatermark("eventTime", watermark)
+      .groupBy(session_window(col("eventTime"), gap), col("service"))
+      .agg(count(lit(1)).as("n_spans"))
+
+  /** A trace still being assembled in state. */
+  case class TraceBuffer(spans: List[SpanLite], lastSeenMs: Long)
+
+  /** Incremental trace assembly + critical-path emission: spans of one
+    * trace arrive out of order across batches; state buffers them per
+    * traceID until the trace goes quiet for `quietMs` of processing time,
+    * then the buffered trace is run through the batch critical-path kernel
+    * and its segments are emitted. `flatMapGroupsWithState` here is the
+    * streaming twin of the batch `groupByKey.flatMapGroups` operator
+    * (identical kernel, SURVEY.md A1/A2). */
+  def criticalPathStream(spans: Dataset[SpanLite], quietMs: Long = 2000)
+      : Dataset[CritSeg] = {
+    import spans.sparkSession.implicits._
+    spans.groupByKey(_.traceID)
+      .flatMapGroupsWithState[TraceBuffer, CritSeg](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (traceID: String, newSpans: Iterator[SpanLite],
+            state: GroupState[TraceBuffer]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            if (buf.spans.nonEmpty) CriticalPath.compute(buf.spans).iterator
+            else Iterator.empty
+          } else {
+            val buf = state.getOption.getOrElse(TraceBuffer(Nil, 0L))
+            val merged = TraceBuffer(buf.spans ++ newSpans.toList,
+              System.currentTimeMillis())
+            state.update(merged)
+            state.setTimeoutDuration(quietMs)
+            Iterator.empty
+          }
+      }
+  }
+}
