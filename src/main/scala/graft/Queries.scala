@@ -336,6 +336,132 @@ object Queries {
       "doc_id", "bytes")
       .orderBy(col("doc_id"))
 
+  // ==========================================================================
+  // Deeper relational coverage: multi-way joins, subqueries, scalar function
+  // families, percentiles, outer joins, SQL-registered custom expression
+  // ==========================================================================
+
+  /** TPC-H Q3-shaped shipping-priority query (3-way join + agg + top-k). */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5-shaped local-supplier volume (5-way join, same-nation
+    * customer+supplier). */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("n_name"))
+
+  /** String function family over part names. */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").filter(col("p_partkey") < 200)
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        regexp_replace(col("p_type"), " ", "_").as("type_u"),
+        length(col("p_name")).cast("long").as("name_len"),
+        lpad(col("p_size").cast("string"), 3, "0").as("size_pad"),
+        when(col("p_name").contains("green"), lit(1L)).otherwise(lit(0L))
+          .as("is_green"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time function family over order dates. */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_95"))
+      .orderBy(col("o_orderkey"))
+
+  /** Exact interpolated percentiles per group. */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** Scalar subquery: suppliers above the global average balance (computed
+    * as a broadcast cross join, not a driver collect). */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val avgBal = sup.agg(avg(col("s_acctbal")).as("avg_bal"))
+    sup.crossJoin(broadcast(avgBal))
+      .filter(col("s_acctbal") > col("avg_bal"))
+      .select(col("s_suppkey"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** IN-subquery (semi join): brands of parts ever shipped in quantity ≥ 50. */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 50)
+        .select(col("l_partkey")).distinct(),
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("p_brand"))
+
+  /** Array aggregation: sorted distinct sets rendered stably as strings. */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("l_linestatus"))))
+          .as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_status"))
+      .orderBy(col("l_returnflag"))
+
+  /** Full outer join of per-nation customer/supplier counts. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("k"))
+      .agg(count(lit(1)).as("nc"))
+    val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("k"))
+      .agg(count(lit(1)).as("ns"))
+    c.join(sup, Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("nc"), lit(0L)).as("nc"),
+        coalesce(col("ns"), lit(0L)).as("ns"))
+      .orderBy(col("k"))
+  }
+
+  /** The custom DotProduct expression registered and used through SQL —
+    * proving the Catalyst extension surfaces in plain `spark.sql`. */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.DotProduct.register(s)
+    emb(s, dir).createOrReplaceTempView("emb_v")
+    s.sql(
+      """SELECT vec_id,
+        |  round(graft_dot(transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                  transform(embedding, x -> CAST(x AS DOUBLE))), 4)
+        |    AS norm2
+        |FROM emb_v WHERE vec_id < 50 ORDER BY vec_id""".stripMargin)
+  }
+
   // --- oracle SQL builders for the hash-heavy queries ----------------------
 
   /** DuckDB equivalent of TextFunctions.hash60. */
@@ -426,6 +552,16 @@ object Queries {
     "q27_embed_topk" -> (q27 _),
     "q28_embed_neardup" -> (q28 _),
     "q29_media_fingerprint" -> (q29 _),
+    "q30_shipping_priority" -> (q30 _),
+    "q31_local_supplier_volume" -> (q31 _),
+    "q32_string_funcs" -> (q32 _),
+    "q33_date_funcs" -> (q33 _),
+    "q34_percentiles" -> (q34 _),
+    "q35_scalar_subquery" -> (q35 _),
+    "q36_in_subquery" -> (q36 _),
+    "q37_array_agg" -> (q37 _),
+    "q38_full_outer" -> (q38 _),
+    "q39_custom_expr_sql" -> (q39 _),
     // --- approximate / stubbed operators (rows-only driver check) ---------
     "t04_media_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.decodeAndFeaturize(
@@ -656,5 +792,78 @@ object Queries {
       """SELECT doc_id, sha256(text) AS sha256_hex,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q31_local_supplier_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q32_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  substr(p_name, 1, 8) AS name8,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS type_u,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+        |  CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS is_green
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
+    "q33_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |    AS BIGINT) AS days_since_95
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+    "q34_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q35_scalar_subquery" ->
+      """SELECT s_suppkey, s_acctbal FROM supplier
+        |WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q36_in_subquery" ->
+      """SELECT p_brand, count(*) AS cnt FROM part
+        |WHERE p_partkey IN
+        |  (SELECT l_partkey FROM lineitem WHERE l_quantity >= 50)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q37_array_agg" ->
+      """SELECT l_returnflag,
+        |  list_aggregate(list_sort(list(DISTINCT l_linestatus)),
+        |    'string_agg', ',') AS statuses,
+        |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q38_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS k, count(*) AS nc FROM customer
+        |    GROUP BY 1),
+        |  s AS (SELECT s_nationkey AS k, count(*) AS ns FROM supplier
+        |    GROUP BY 1)
+        |SELECT coalesce(c.k, s.k) AS k, coalesce(nc, 0) AS nc,
+        |  coalesce(ns, 0) AS ns
+        |FROM c FULL OUTER JOIN s ON c.k = s.k ORDER BY k""".stripMargin,
+    "q39_custom_expr_sql" ->
+      """SELECT vec_id,
+        |  round(list_dot_product(
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS norm2
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
   ).map { case (k, v) => k -> v.replace('\n', ' ') }
 }

@@ -86,4 +86,19 @@ class TraceShapingSpec extends SparkTestBase {
   test("traceWithSpans: unknown traceID yields empty result") {
     assert(SpanOps.traceWithSpans(traces, flat, "nope").count() === 0)
   }
+
+  test("typed tag accessors: str/int/bool with null-safe misses") {
+    import graft.functions.TagFunctions._
+    val http = flat.where(col("spanID") === "073a675ee5118cde").select(
+      tagStr(col("tags"), "http.method").as("m"),
+      tagInt(col("tags"), "http.status_code").as("code"),
+      tagBool(col("tags"), "sampler.param").as("sampled"),
+      tagInt(col("tags"), "component").as("not_a_number"),
+      tagStr(col("tags"), "absent").as("missing")).head()
+    assert(Set("GET", "POST").contains(http.getAs[String]("m")))
+    assert(http.getAs[Long]("code") === 200L)
+    assert(http.getAs[Boolean]("sampled"))
+    assert(http.isNullAt(3)) // non-numeric value -> null, no ANSI throw
+    assert(http.isNullAt(4)) // absent key -> null
+  }
 }
