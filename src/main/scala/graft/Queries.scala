@@ -462,6 +462,42 @@ object Queries {
         |FROM emb_v WHERE vec_id < 50 ORDER BY vec_id""".stripMargin)
   }
 
+  /** TF-IDF: top-3 scoring terms per document (doc_id < 50). tf = in-doc
+    * term count, idf = ln(N/df); deterministic tie-break by term. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val total = d.count() // corpus size: one cheap count (metadata at scale)
+    val tok = d
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df_), Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(total.toDouble) / col("df")), 6))
+      .filter(col("doc_id") < 50)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"),
+        col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Bigram frequency table: top 20 corpus-wide word bigrams. */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(TextFunctions.tokens(col("text")).as("toks"))
+      .select(explode(TextFunctions.shinglesFromTokens(col("toks"), 2))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+
   // --- oracle SQL builders for the hash-heavy queries ----------------------
 
   /** DuckDB equivalent of TextFunctions.hash60. */
@@ -562,7 +598,15 @@ object Queries {
     "q37_array_agg" -> (q37 _),
     "q38_full_outer" -> (q38 _),
     "q39_custom_expr_sql" -> (q39 _),
-    // --- approximate / stubbed operators (rows-only driver check) ---------
+    "q40_tfidf" -> (q40 _),
+    "q41_bigram_freq" -> (q41 _),
+    // --- approximate / sketch / stubbed ops (rows-only driver check) ------
+    "t07_approx_sketches" -> ((s: SparkSession, dir: String) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"))
+        .orderBy(col("l_returnflag"))),
     "t04_media_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.decodeAndFeaturize(
         Multimodal.fromText(docs(s, dir), "doc_id", "text", "text"))
@@ -865,5 +909,26 @@ object Queries {
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
         |    list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS norm2
         |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
+    "q40_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         | dfreq AS (SELECT term, count(*) AS df FROM
+         |   (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+         | n AS (SELECT count(*) AS total FROM documents),
+         | scored AS (SELECT doc_id, term,
+         |     round(tf * ln(CAST(total AS DOUBLE) / df), 6) AS tfidf
+         |   FROM tf JOIN dfreq USING (term) CROSS JOIN n
+         |   WHERE doc_id < 50),
+         | ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |     ORDER BY tfidf DESC, term) AS rnk FROM scored)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tfidf
+         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q41_bigram_freq" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | bg AS (SELECT unnest(list_transform(
+         |     generate_series(1, greatest(len(t)-1, 0)),
+         |     i -> t[i] || ' ' || t[i+1])) AS bigram FROM tk)
+         |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+         |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
   ).map { case (k, v) => k -> v.replace('\n', ' ') }
 }
