@@ -498,6 +498,14 @@ object Queries {
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(20)
 
+  /** End-to-end near-dup dedup: LSH candidates → exact verify → drop set.
+    * Oracle = drop set from ALL-pairs exact Jaccard: equal because banded
+    * LSH has recall 1 on this corpus (verified; the operator itself would
+    * be rows-only if recall dropped below 1 on a future corpus). */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupDrops(docs(s, dir), "doc_id", "text")
+      .orderBy(col("dropped"))
+
   // --- oracle SQL builders for the hash-heavy queries ----------------------
 
   /** DuckDB equivalent of TextFunctions.hash60. */
@@ -600,7 +608,23 @@ object Queries {
     "q39_custom_expr_sql" -> (q39 _),
     "q40_tfidf" -> (q40 _),
     "q41_bigram_freq" -> (q41 _),
+    "q42_neardup_pipeline" -> (q42 _),
     // --- approximate / sketch / stubbed ops (rows-only driver check) ------
+    "t08_similarity_ivf" -> ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q43_session_window_batch" -> ((s: SparkSession, dir: String) =>
+      // native session_window in batch mode (streaming twin: TraceStreams);
+      // window start = first event's ts, so the lag+cumsum oracle matches
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("session_window.start")).as("sess_start_us"),
+          col("user_id"), col("n_events"))
+        .orderBy(col("user_id"), col("sess_start_us"))),
     "t07_approx_sketches" -> ((s: SparkSession, dir: String) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -930,5 +954,33 @@ object Queries {
          |     i -> t[i] || ' ' || t[i+1])) AS bigram FROM tk)
          |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
          |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    "q42_neardup_pipeline" ->
+      s"""$shinglesSql,
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |     count(*) AS inter
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |   GROUP BY 1, 2)
+         |SELECT DISTINCT doc_b AS dropped FROM inter
+         |JOIN sz za ON doc_a = za.doc_id
+         |JOIN sz zb ON doc_b = zb.doc_id
+         |WHERE CAST(inter AS DOUBLE) /
+         |  CAST(za.n_sh + zb.n_sh - inter AS DOUBLE) >= 0.8
+         |ORDER BY dropped""".stripMargin,
+    "q43_session_window_batch" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        | sess AS (SELECT user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT min(us) AS sess_start_us, user_id, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_us""".stripMargin,
   ).map { case (k, v) => k -> v.replace('\n', ' ') }
 }

@@ -128,6 +128,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** The production near-dup shape: LSH candidates → exact Jaccard verify
+    * restricted to candidate docs → the doc_ids to DROP (the larger id of
+    * each verified pair; keep-smallest policy). At 100 TB only the
+    * candidate-involved slice of the shingle index is recomputed — the
+    * verify join is semi-joined down to candidate docs before the
+    * inverted-index pass. */
+  def nearDupDrops(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rows: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val cands = minHashLsh(df, idCol, textCol, n, bands, rows)
+      .select(col("doc_a"), col("doc_b"))
+    val involved = broadcast(
+      cands.select(col("doc_a").as("doc"))
+        .union(cands.select(col("doc_b").as("doc"))).distinct())
+    val restricted = df.join(involved,
+      col(idCol) === col("doc"), "left_semi")
+    ngramJaccard(restricted, idCol, textCol, n, threshold)
+      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+      .select(col("doc_b").as("dropped")).distinct()
+  }
+
   /** Exact n-gram Jaccard similarity ≥ `threshold` via inverted-index join:
     * explode distinct shingles, self-join on shingle (the inverted index),
     * count intersections, derive |A ∪ B| = |A| + |B| − |A ∩ B|. */

@@ -75,6 +75,41 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
+  /** IVF (inverted-file) ANN: corpus is partitioned into coarse cells by
+    * nearest centroid; queries probe only their `nProbe` nearest cells.
+    * Centroids here are the `nCentroids` lowest-id corpus vectors — a
+    * deterministic stand-in for a k-means training step (same plan shape:
+    * swap the centroid DataFrame for trained means and nothing else moves).
+    * Cost: corpus×centroids assignment (centroids broadcast) + per-cell
+    * candidate scoring ≈ corpus²·nProbe/nCentroids. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 2)
+      : DataFrame = {
+    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), l2Normalize(col(vecCol)).as("centv")))
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("cent_sim").desc, col("cent_id"))
+      df.crossJoin(cents)
+        .withColumn("cent_sim", dotCol(col(v), col("centv")))
+        .withColumn("cent_rank", row_number().over(w))
+        .filter(col("cent_rank") <= keep)
+        .select(col(id), col(v), col("cent_id").as("cell"))
+    }
+    val c = assign(corpus.select(col(idCol).as("neighbor_id"),
+      l2Normalize(col(vecCol)).as("cv")), "neighbor_id", "cv", keep = 1)
+    val q = assign(queries.select(col(idCol).as("query_id"),
+      l2Normalize(col(vecCol)).as("qv")), "query_id", "qv", keep = nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(dotCol(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** Sign-bucket LSH: bucket id = sign bits of the first `planes` components
     * (a fixed, data-independent hyperplane set — deterministic and cheap;
     * production would rotate with seeded random planes, same plan shape).

@@ -105,6 +105,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(counts.forall(_.getLong(1) <= 3))
   }
 
+  test("nearDupDrops pipeline: drops exactly the verified near-duplicates") {
+    val truthDrops = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_b").distinct().collect().map(_.getLong(0)).toSet
+    val got = Dedup.nearDupDrops(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === truthDrops) // LSH recall 1 on this corpus
+    assert(got.nonEmpty)
+  }
+
+  test("ivfTopK probes cells and never beats exact top-1") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = e.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(e, qs, "vec_id", "embedding", 3)
+    val brute = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", 3)
+    val ivfBest = ivf.filter(col("rank") === 1)
+      .select("query_id", "cos_sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bruteBest = brute.filter(col("rank") === 1)
+      .select("query_id", "cos_sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivfBest.nonEmpty)
+    ivfBest.foreach { case (q, c) => assert(c <= bruteBest(q) + 1e-9) }
+    assert(ivf.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) <= 3))
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val f1 = Multimodal.decodeAndFeaturize(media).collect()
