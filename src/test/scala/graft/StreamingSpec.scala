@@ -75,5 +75,17 @@ class StreamingSpec extends SparkTestBase {
     }
     q.stop()
     assert(n === 546) // same segment count as the batch operator
+    // value equality, not just count: identical segments to the batch path
+    val streamed = spark.table("crit_stream")
+      .selectExpr("startTime", "duration", "span.spanID")
+      .collect().map(_.toString).sorted
+    val batch = graft.analysis.CriticalPath.segmentsFromFlat(flat.toDF())
+      .toDF().selectExpr("startTime", "duration", "span.spanID")
+      .collect().map(_.toString).sorted
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("driver smoke parity: SparkEntry.entry returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 }
