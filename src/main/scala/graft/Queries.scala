@@ -506,6 +506,38 @@ object Queries {
     Dedup.nearDupDrops(docs(s, dir), "doc_id", "text")
       .orderBy(col("dropped"))
 
+  /** As-of join composed from window functions (preference (a) of the
+    * custom-operator ladder: no custom plan needed): each purchase event
+    * joined to the same user's most recent PRIOR click. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", unix_micros(col("ts"))))
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"), col("last_click_us"))
+      .filter(col("last_click_us").isNotNull)
+      .orderBy(col("event_id"))
+  }
+
+  /** Histogram binning: 10 equal-width value buckets (global min/max via a
+    * broadcast scalar aggregate, not a driver collect). */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val bounds = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    e.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(floor((col("value") - col("lo")) * 10.0 /
+          (col("hi") - col("lo"))), lit(9L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v"))
+      .orderBy(col("bin"))
+  }
+
   // --- oracle SQL builders for the hash-heavy queries ----------------------
 
   /** DuckDB equivalent of TextFunctions.hash60. */
@@ -609,6 +641,8 @@ object Queries {
     "q40_tfidf" -> (q40 _),
     "q41_bigram_freq" -> (q41 _),
     "q42_neardup_pipeline" -> (q42 _),
+    "q44_asof_join" -> (q44 _),
+    "q45_histogram" -> (q45 _),
     // --- approximate / sketch / stubbed ops (rows-only driver check) ------
     "t08_similarity_ivf" -> ((s: SparkSession, dir: String) => {
       val e = emb(s, dir)
@@ -982,5 +1016,22 @@ object Queries {
         |SELECT min(us) AS sess_start_us, user_id, count(*) AS n_events
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, sess_start_us""".stripMargin,
+    "q44_asof_join" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS purchase_us, last_click_us
+        |FROM (SELECT *,
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_click_us
+        |  FROM events)
+        |WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "q45_histogram" ->
+      """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+        |SELECT CAST(least(floor((value - lo) * 10.0 / (hi - lo)), 9)
+        |    AS BIGINT) AS bin,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_v
+        |FROM events CROSS JOIN b
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
   ).map { case (k, v) => k -> v.replace('\n', ' ') }
 }

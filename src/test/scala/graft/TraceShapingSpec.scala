@@ -87,6 +87,37 @@ class TraceShapingSpec extends SparkTestBase {
     assert(SpanOps.traceWithSpans(traces, flat, "nope").count() === 0)
   }
 
+  test("pivotTags: key-cardinality guard refuses hostile key counts") {
+    intercept[IllegalArgumentException](
+      SpanOps.pivotTags(flat, maxKeys = 3))
+  }
+
+  test("API-response and JSONL readers produce the same traces") {
+    // wrap the fixture array into the /api/traces response shape
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.readTree(new java.io.File(fixturePath))
+    val wrapped = mapper.createObjectNode()
+    wrapped.set[com.fasterxml.jackson.databind.JsonNode]("data", arr)
+    val f = java.io.File.createTempFile("graft_api", ".json")
+    f.deleteOnExit()
+    mapper.writeValue(f, wrapped)
+    val viaApi = graft.sources.JaegerJsonSource
+      .tracesFromApiResponse(spark, f.getAbsolutePath)
+    assert(viaApi.count() === 40)
+    // JSONL: one trace per line
+    val jl = java.io.File.createTempFile("graft_jsonl", ".json")
+    jl.deleteOnExit()
+    val w = new java.io.PrintWriter(jl)
+    (0 until arr.size()).foreach(i => w.println(mapper.writeValueAsString(arr.get(i))))
+    w.close()
+    val viaJsonl = graft.sources.JaegerJsonSource
+      .tracesJsonl(spark, jl.getAbsolutePath)
+    assert(viaJsonl.count() === 40)
+    assert(TraceOps.summarize(viaJsonl).drop("processes")
+      .collect().map(_.toString).sorted.toSeq ===
+      traces.drop("processes").collect().map(_.toString).sorted.toSeq)
+  }
+
   test("typed tag accessors: str/int/bool with null-safe misses") {
     import graft.functions.TagFunctions._
     val http = flat.where(col("spanID") === "073a675ee5118cde").select(
