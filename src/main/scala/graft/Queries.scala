@@ -538,6 +538,86 @@ object Queries {
       .orderBy(col("bin"))
   }
 
+  // --- trace-pipeline oracle over the raw fixture export -------------------
+  // (see FixtureOracle: raw_* parquet is pure posexplode — all trace
+  // semantics below are re-derived in SQL, independent of the operators)
+
+  private def fixP(name: String): String =
+    s"read_parquet('${FixtureOracle.dir}/$name.parquet/*.parquet')"
+
+  /** DuckDB re-derivation of `process_traces` (reference
+    * `traceframe.py:209-230`): root = first span with zero references,
+    * fallback spans[0]; traceName = "{service}: {operation}" of the root
+    * (NULL-propagating concat → traceID fallback); errspans counts `error`
+    * TAGS (per-tag, not per-span); duration/startTime from the root only;
+    * empty-spans traces anchor on raw_traces with 0/0/0 fallbacks. */
+  private def t01Oracle: String =
+    s"""WITH tr AS (SELECT * FROM ${fixP("raw_traces")}),
+       | s AS (SELECT * FROM ${fixP("raw_spans")}),
+       | p AS (SELECT * FROM ${fixP("raw_processes")}),
+       | tg AS (SELECT * FROM ${fixP("raw_tags")}),
+       | root AS (SELECT traceID,
+       |     coalesce(min(CASE WHEN n_refs = 0 THEN span_idx END),
+       |              min(span_idx)) AS ri
+       |   FROM s GROUP BY traceID),
+       | r AS (SELECT root.traceID, s.operationName, s.startTime, s.duration,
+       |     s.processID
+       |   FROM root JOIN s ON s.traceID = root.traceID
+       |     AND s.span_idx = root.ri),
+       | nsp AS (SELECT traceID, count(*) AS nspans FROM s GROUP BY traceID),
+       | err AS (SELECT traceID, count(*) AS errspans FROM tg
+       |   WHERE tag_key = 'error' GROUP BY traceID)
+       |SELECT tr.traceID,
+       |  coalesce(p.serviceName || ': ' || r.operationName, tr.traceID)
+       |    AS traceName,
+       |  CAST(coalesce(nsp.nspans, 0) AS BIGINT) AS nspans,
+       |  CAST(coalesce(err.errspans, 0) AS BIGINT) AS errspans,
+       |  coalesce(r.duration, 0) AS duration_us,
+       |  coalesce(r.startTime, 0) AS start_us,
+       |  CAST(CASE WHEN coalesce(err.errspans, 0) > 0 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS iserror
+       |FROM tr
+       |LEFT JOIN r ON r.traceID = tr.traceID
+       |LEFT JOIN nsp ON nsp.traceID = tr.traceID
+       |LEFT JOIN err ON err.traceID = tr.traceID
+       |LEFT JOIN p ON p.traceID = tr.traceID AND p.processID = r.processID
+       |ORDER BY tr.traceID""".stripMargin
+
+  /** DuckDB re-derivation of the span flatten (`traceframe.py:455-495`):
+    * service via processes lookup, parent = first CHILD_OF reference else '',
+    * tags deduped last-key-wins then rendered as sorted `k=v|...` — the same
+    * canonical string the Spark entry emits. */
+  private def t02Oracle: String =
+    s"""WITH s AS (SELECT * FROM ${fixP("raw_spans")}),
+       | p AS (SELECT * FROM ${fixP("raw_processes")}),
+       | tg AS (SELECT * FROM ${fixP("raw_tags")}),
+       | rf AS (SELECT * FROM ${fixP("raw_refs")}),
+       | par AS (SELECT traceID, span_idx, refSpanID FROM (
+       |     SELECT traceID, span_idx, refSpanID,
+       |       row_number() OVER (PARTITION BY traceID, span_idx
+       |         ORDER BY ref_idx) AS rn
+       |     FROM rf WHERE refType = 'CHILD_OF') WHERE rn = 1),
+       | lw AS (SELECT traceID, span_idx, tag_key, tag_value FROM (
+       |     SELECT traceID, span_idx, tag_key, tag_value,
+       |       row_number() OVER (PARTITION BY traceID, span_idx, tag_key
+       |         ORDER BY tag_idx DESC) AS rn
+       |     FROM tg) WHERE rn = 1),
+       | ts AS (SELECT traceID, span_idx,
+       |     list_aggregate(list_sort(list(tag_key || '=' || tag_value)),
+       |       'string_agg', '|') AS tags_str
+       |   FROM lw GROUP BY traceID, span_idx)
+       |SELECT s.traceID, s.spanID, s.flags, s.operationName,
+       |  s.startTime AS start_us, s.duration AS duration_us, s.processID,
+       |  p.serviceName AS service,
+       |  coalesce(par.refSpanID, '') AS parent,
+       |  coalesce(ts.tags_str, '') AS tags_str
+       |FROM s
+       |LEFT JOIN p ON p.traceID = s.traceID AND p.processID = s.processID
+       |LEFT JOIN par ON par.traceID = s.traceID
+       |  AND par.span_idx = s.span_idx
+       |LEFT JOIN ts ON ts.traceID = s.traceID AND ts.span_idx = s.span_idx
+       |ORDER BY s.traceID, s.spanID""".stripMargin
+
   // --- oracle SQL builders for the hash-heavy queries ----------------------
 
   /** DuckDB equivalent of TextFunctions.hash60. */
@@ -666,9 +746,13 @@ object Queries {
           expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"))
         .orderBy(col("l_returnflag"))),
     "t04_media_features" -> ((s: SparkSession, dir: String) =>
+      // `features` rendered as a JSON string: the driver's row comparator
+      // sorts on every column and cannot sort raw arrays
       Multimodal.decodeAndFeaturize(
         Multimodal.fromText(docs(s, dir), "doc_id", "text", "text"))
-        .toDF().orderBy(col("id"))),
+        .toDF()
+        .withColumn("features", to_json(col("features")))
+        .orderBy(col("id"))),
     "t05_frame_sample" -> ((s: SparkSession, dir: String) =>
       Multimodal.sampleFrames(
         Multimodal.fromText(docs(s, dir), "doc_id", "text", "text"),
@@ -681,17 +765,35 @@ object Queries {
         "vec_id", "embedding", k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
-    // --- trace engine (non-ANSI surface: rows-only driver check) ----------
+    // --- trace engine: oracled via the raw-structure fixture export -------
+    // (FixtureOracle writes pure-posexplode parquet; the DuckDB SQL below
+    // re-derives summarize/flatten semantics independently → hash-equality
+    // on the engine's core domain, not just rows>0)
     "t01_trace_summary" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
       val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
-      TraceFrame.tracesFromJaegerFile(s, fx).drop("processes")
+      TraceFrame.tracesFromJaegerFile(s, fx)
+        .select(col("traceID"), col("traceName"),
+          col("nspans").cast("long").as("nspans"),
+          col("errspans").cast("long").as("errspans"),
+          col("duration").as("duration_us"),
+          unix_micros(col("startTime")).as("start_us"),
+          col("iserror").cast("long").as("iserror"))
+        .orderBy(col("traceID"))
     }),
     "t02_span_flatten" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
       val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
       TraceFrame.spansFromJaegerFile(s, fx)
-        .select(col("traceID"), col("spanID"), col("operationName"),
-          col("startTime"), col("duration"), col("processID"),
-          col("service"), col("parent"), map_entries(col("tags")).as("tags"))
+        .select(col("traceID"), col("spanID"), col("flags"),
+          col("operationName"),
+          col("startTime").as("start_us"), col("duration").as("duration_us"),
+          col("processID"), col("service"), col("parent"),
+          // canonical scalar rendering of the tag map (sorted k=v pairs):
+          // array columns crash the driver's row comparator
+          concat_ws("|", array_sort(transform(map_entries(col("tags")),
+            e => concat(e.getField("key"), lit("="), e.getField("value")))))
+            .as("tags_str"))
         .orderBy(col("traceID"), col("spanID"))
     }),
     "t03_critical_path" -> ((s: SparkSession, _: String) =>
@@ -1033,5 +1135,7 @@ object Queries {
         |  count(*) AS cnt, round(sum(value), 2) AS sum_v
         |FROM events CROSS JOIN b
         |GROUP BY 1 ORDER BY bin""".stripMargin,
+    "t01_trace_summary" -> t01Oracle,
+    "t02_span_flatten" -> t02Oracle,
   ).map { case (k, v) => k -> v.replace('\n', ' ') }
 }

@@ -24,19 +24,41 @@ object SpanOps {
         .getField("spanID"),
       lit(""))
 
+  /** T4 `taglist_to_tags` (`traceframe.py:261-265`): tag entry array → map
+    * with duplicate keys resolved LAST-wins, like the reference's dict
+    * overwrite — expressed directly in the plan (keep each key's final
+    * occurrence, then `map_from_entries` over now-unique keys), so no
+    * session-global `spark.sql.mapKeyDedupPolicy` mutation is needed and
+    * the operator composes under any session config. Tag lists are tiny
+    * (≤ tens of entries) so the quadratic last-occurrence scan is noise. */
+  def lastWinMap(entries: Column, valueField: String): Column = {
+    val withIdx = transform(entries, (t, i) =>
+      struct(t.getField("key").as("key"),
+        t.getField(valueField).as("value"), i.as("i")))
+    val kept = filter(withIdx, e =>
+      !exists(withIdx, o =>
+        o.getField("key") === e.getField("key") &&
+          o.getField("i") > e.getField("i")))
+    map_from_entries(transform(kept, e =>
+      struct(e.getField("key").as("key"), e.getField("value").as("value"))))
+  }
+
+  private val emptyTags =
+    array().cast("array<struct<key:string,type:string,value:string>>")
+
   /** T2 span flatten (`traceframe.py:455-471,485-495`): explode `spans`, add
     * `service` (processes-map lookup — a co-located map access, not a join)
     * and `parent`, fold the tag list into a map (T4 `taglist_to_tags`,
-    * last-key-wins like the reference's dict overwrite).
+    * last-key-wins like the reference's dict overwrite). `tagTypes` keeps
+    * the per-key Jaeger type discriminator (string/bool/int64/float64) so
+    * [[pivotTags]] can emit typed columns like the reference's wide frame.
     *
     * Output: traceID, spanID, flags, operationName, startTime, duration,
-    * logs, processID, warnings, service, parent, tags(map).
+    * logs, processID, warnings, service, parent, tags(map), tagTypes(map).
     * Narrow transformation — zero shuffles; nested-column pruning drops
     * untouched span fields at the parquet/JSON scan.
     */
-  def flatten(rawTraces: DataFrame): DataFrame = {
-    // reference semantics: duplicate tag keys silently overwrite (last wins)
-    rawTraces.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+  def flatten(rawTraces: DataFrame): DataFrame =
     rawTraces
       .select(col("processes"), explode(col("spans")).as("s"))
       .select(
@@ -52,29 +74,57 @@ object SpanOps {
         try_element_at(col("processes"), col("s.processID"))
           .getField("serviceName").as("service"),
         parentExpr(col("s")).as("parent"),
-        map_from_entries(
-          transform(coalesce(col("s.tags"), array().cast("array<struct<key:string,type:string,value:string>>")),
-            t => struct(t.getField("key").as("key"), t.getField("value").as("value"))))
-          .as("tags"))
-  }
+        lastWinMap(coalesce(col("s.tags"), emptyTags), "value").as("tags"),
+        lastWinMap(coalesce(col("s.tags"), emptyTags), "type").as("tagTypes"))
 
-  /** Wide tag pivot: one column per tag key (the reference's spans-frame
-    * shape). Two jobs, same shape as Spark's own `Pivot`: job 1 collects the
-    * distinct key set to the driver (skipped when `keys` is given), job 2 is a
-    * pure projection. `maxKeys` guards against hostile key cardinality at
-    * scale (analogous to `spark.sql.pivotMaxValues`). */
+  /** Spark type per Jaeger tag-type discriminator. A key observed with
+    * conflicting discriminators degrades to string (pandas' `object` analog). */
+  private def sparkTypeFor(jaegerTypes: Set[String]): String =
+    if (jaegerTypes.size != 1) "string"
+    else jaegerTypes.head match {
+      case "bool" => "boolean"
+      case "int64" => "long"
+      case "float64" => "double"
+      case _ => "string"
+    }
+
+  /** Wide tag pivot: one column per tag key, TYPED by the Jaeger tag `type`
+    * discriminator (bool/int64/float64/string) so the frame matches the
+    * reference's per-key dtypes (`traceframe.py:466`, README.md:29-60) —
+    * `df.filter($"http.status_code" > 400)` compares numerically, not
+    * lexically. Two jobs, same shape as Spark's own `Pivot`: job 1 collects
+    * the distinct (key, type) set to the driver (skipped when `keys` is
+    * given), job 2 is a pure projection with `try_cast` per key. `maxKeys`
+    * guards against hostile key cardinality at scale (analogous to
+    * `spark.sql.pivotMaxValues`). */
   def pivotTags(flatSpans: DataFrame, keys: Option[Seq[String]] = None,
       maxKeys: Int = 10000): DataFrame = {
-    val tagKeys: Seq[String] = keys.getOrElse {
-      flatSpans.select(explode(map_keys(col("tags"))).as("k"))
-        .distinct().orderBy("k").limit(maxKeys + 1)
-        .collect().map(_.getString(0)).toSeq
+    val hasTypes = flatSpans.columns.contains("tagTypes")
+    val keyTypes: Seq[(String, String)] = keys match {
+      case Some(ks) => ks.map(_ -> "string")
+      case None if hasTypes =>
+        flatSpans
+          .select(explode(map_entries(col("tagTypes"))).as("e"))
+          .select(col("e.key").as("k"), col("e.value").as("t"))
+          .distinct().limit(10 * maxKeys + 1)
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+          .groupBy(_._1).view
+          .mapValues(ts => sparkTypeFor(ts.map(_._2).toSet))
+          .toSeq.sortBy(_._1)
+      case None =>
+        flatSpans.select(explode(map_keys(col("tags"))).as("k"))
+          .distinct().orderBy("k").limit(maxKeys + 1)
+          .collect().map(_.getString(0) -> "string").toSeq
     }
-    require(tagKeys.size <= maxKeys,
-      s"tag pivot would create ${tagKeys.size} columns (> $maxKeys); " +
+    require(keyTypes.size <= maxKeys,
+      s"tag pivot would create ${keyTypes.size} columns (> $maxKeys); " +
         "pass an explicit key list or use the map-typed core schema")
-    val fixed = flatSpans.columns.filterNot(_ == "tags").map(col).toSeq
-    val pivoted = tagKeys.map(k => try_element_at(col("tags"), lit(k)).as(k))
+    val fixed = flatSpans.columns
+      .filterNot(c => c == "tags" || c == "tagTypes").map(col).toSeq
+    val pivoted = keyTypes.map { case (k, t) =>
+      val v = try_element_at(col("tags"), lit(k))
+      (if (t == "string") v else v.try_cast(t)).as(k)
+    }
     flatSpans.select(fixed ++ pivoted: _*)
   }
 

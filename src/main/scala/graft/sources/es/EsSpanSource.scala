@@ -210,7 +210,6 @@ object EsSpanOps {
     * process `hostname` tag (reference PROCESS_NAME_KEY quirk,
     * `traceframe.py:280,298-301`), service from the embedded process. */
   def flatSpans(raw: DataFrame): DataFrame = {
-    raw.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     raw
       .select(from_json(col("json"), esSpanSchema).as("s"))
       .select(
@@ -226,11 +225,11 @@ object EsSpanOps {
         lit(null).cast("array<string>").as("warnings"),
         col("s.process.serviceName").as("service"),
         SpanOps.parentExpr(col("s")).as("parent"),
-        map_from_entries(transform(
+        // last-win duplicate-key fold, conf-free (see SpanOps.lastWinMap)
+        SpanOps.lastWinMap(
           coalesce(col("s.tags"),
             array().cast("array<struct<key:string,type:string,value:string>>")),
-          t => struct(t.getField("key").as("key"),
-            t.getField("value").as("value")))).as("tags"))
+          "value").as("tags"))
   }
 
   /** S9 `traces_from_es`: ES scan → spans → assembled traces → summary. */
