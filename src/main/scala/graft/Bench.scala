@@ -27,6 +27,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the default 100-entry codegen cache thrashes on the wider plans
+      // (q42 alone has ~100 codegen units): with eviction, EVERY rep paid
+      // 10+ s of janino recompilation — measured 14.7 s → 3.2 s on q42
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

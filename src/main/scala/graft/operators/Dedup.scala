@@ -11,15 +11,27 @@ import graft.functions.TextFunctions._
   *     the raw text (shuffling full documents at 100 TB is the anti-pattern).
   *   - [[minHashLsh]]: shingle → MinHash signature → banded LSH join. The
   *     only joins are on (band, bandKey) buckets; candidate volume is
-  *     controlled by band geometry, not corpus size O(n²).
+  *     controlled by band geometry, not corpus size O(n²). Oversized
+  *     buckets (adversarial near-identical floods) are routed through a
+  *     skew-tolerant shuffle join instead of single-task pair expansion.
   *   - [[simHash]]: 32-bit SimHash per document; near-dup = small Hamming
   *     distance. Signature computation is a single aggregation pass.
   *   - [[ngramJaccard]]: exact n-gram Jaccard via inverted-index self-join —
   *     the verification stage behind the LSH candidates (and an oracle-able
   *     ground truth at test scale).
+  *   - [[nearDupDrops]]: the production pipeline — exact-dedup first (the
+  *     strongest mega-bucket guard: 10⁶ identical docs become ONE
+  *     representative before any signature work), LSH candidates over the
+  *     representatives, exact-Jaccard verify, drop set out.
   *
   * All hashing goes through [[TextFunctions.hash60]] (md5-based) so DuckDB
   * reproduces every signature bit-for-bit for the correctness oracle.
+  *
+  * The shingle work shares one subtree: [[shingleIndex]] ends in a
+  * `distinct()` Exchange, so a plan that consumes it in several branches
+  * (LSH signatures + Jaccard verify inside [[nearDupDrops]]) computes the
+  * index once and re-reads it via Spark's exchange reuse — no manual
+  * `.persist()` lifecycle to leak.
   */
 object Dedup {
 
@@ -35,30 +47,41 @@ object Dedup {
   def permA(i: Int): Long = (2654435761L * (i + 1)) % P
   def permB(i: Int): Long = (40503L * (i + 1) * (i + 1) + 1234567L) % P
 
-  /** Per-document MinHash signature as `numPerms` columns `mh0..mhN`.
-    * One explode + one aggregation — map-side partial min means the shuffle
-    * carries only (doc, numPerms longs) per distinct shingle partition. */
-  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numPerms: Int = 16): DataFrame = {
-    // plain explode (not _outer): a doc with < n tokens has no signature,
-    // matching SQL `unnest` semantics in the oracle; tokenization is
-    // materialized in its own projection (see shinglesFromTokens scaladoc)
-    val sh = df
-      .select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), explode(shinglesFromTokens(col("toks"), n)).as("sh"))
-      .select(col(idCol), (hash60(col("sh")) % P).as("h"))
+  /** Distinct (doc, h) inverted shingle index — the shared foundation of
+    * MinHash, LSH and Jaccard. 8-byte hashes, never shingle strings, cross
+    * the shuffle (~60% less volume; the oracle hashes identically so all
+    * counts agree by construction). Tokenization is materialized in its own
+    * projection first (HOF lambdas re-evaluate non-attribute arguments per
+    * element — see TextFunctions.shinglesFromTokens). */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), explode(shinglesFromTokens(col("toks"), n)).as("sh"))
+      .select(col("doc"), hash60(col("sh")).as("h"))
       .distinct()
+
+  /** Per-document MinHash signature columns `mh0..mhN` from a shingle
+    * index. Map-side partial min keeps the shuffle at (doc, numPerms longs).
+    * Duplicate h values cannot change a min, so operating on distinct-h is
+    * exactly the oracle's `SELECT DISTINCT ... % P` formulation. */
+  def minHashSignaturesFromIndex(idx: DataFrame,
+      numPerms: Int = 16): DataFrame = {
     val mins = (0 until numPerms).map(i =>
-      min((col("h") * permA(i) + permB(i)) % P).as(s"mh$i"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      min(((col("h") % P) * permA(i) + permB(i)) % P).as(s"mh$i"))
+    idx.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
   }
+
+  /** Per-document MinHash signature (public id-column-preserving form). */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 16): DataFrame =
+    minHashSignaturesFromIndex(shingleIndex(df, idCol, textCol, n), numPerms)
+      .withColumnRenamed("doc", idCol)
 
   /** All ordered pairs (a < b) from bucketed id arrays, as a compiled typed
     * flatMap: Catalyst higher-order lambdas evaluate interpreted per element
     * (measured 2-3x slower on 1M+ pair expansions), and a self-join would
     * recompute the whole upstream subtree per side. Safe when buckets are
-    * small by construction (LSH bands); skewed buckets should use the
-    * join-based inverted index instead. */
+    * small by construction — callers must cap bucket size. */
   private def expandPairs(buckets: DataFrame, idsCol: String): DataFrame = {
     val spark = buckets.sparkSession
     import spark.implicits._
@@ -69,30 +92,59 @@ object Dedup {
     }.toDF("doc_a", "doc_b")
   }
 
-  /** Banded LSH candidate pairs: signature split into `bands` bands of
-    * `rows` permutations; docs sharing any full band become a candidate.
-    * Output: (doc_a, doc_b, n_bands) with doc_a < doc_b.
+  /** Banded LSH candidate pairs from a shingle index: signature split into
+    * `bands` bands of `rows` permutations; docs sharing any full band become
+    * a candidate. Output: (doc_a, doc_b, n_bands) with doc_a < doc_b.
     *
-    * Shape: one shuffle to bucket by (band, key), pair expansion inside the
-    * bucket (bounded by design — banding exists to keep buckets small), one
-    * shuffle to count bands per pair. */
-  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 4, rows: Int = 4): DataFrame = {
-    val sig = minHashSignatures(df, idCol, textCol, n, bands * rows)
+    * Scale shape: buckets with ≤ `maxBucket` members take the compiled
+    * collect_list + pair-expansion path (one row per bucket — cheap, and
+    * banding keeps buckets small on non-adversarial data). Buckets BEYOND
+    * `maxBucket` (a flood of near-identical docs that survived exact dedup)
+    * never materialize as a single row: their members are self-joined on
+    * (band, key), a shuffle join AQE can skew-split across tasks, instead
+    * of one O(n²) straggler task. Both paths emit one row per shared band,
+    * so the per-pair band counts are path-independent. */
+  def lshCandidatesFromIndex(idx: DataFrame, bands: Int = 4, rows: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val sig = minHashSignaturesFromIndex(idx, bands * rows)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
           .as("key"))
     }
+    // ONE (band,key) shuffle; both guard branches below re-read this same
+    // aggregation via exchange reuse, so the guard adds no shuffle in the
+    // common (no-flood) case
     val buckets = sig
-      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
-      .groupBy(col("bk.band"), col("bk.key"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1)
-    expandPairs(buckets, "ids")
+      .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .agg(collect_list(col("doc")).as("ids"))
+    val smallPairs = expandPairs(
+      buckets.filter(size(col("ids")).between(2, maxBucket)), "ids")
+    // an overflowing bucket (near-identical flood that survived exact
+    // dedup) is never pair-expanded in one task: its members are exploded
+    // back to rows and pair up via a shuffle join that AQE can skew-split.
+    // (The collect_list row itself is O(bucket) memory — bounded by the
+    // upstream exact-dedup stage; the fatal O(bucket²) single-task
+    // expansion is what this routes around.)
+    val big = buckets.filter(size(col("ids")) > maxBucket)
+      .select(col("band"), col("key"), explode(col("ids")).as("doc"))
+    val bigPairs = big.select(col("band"), col("key"), col("doc").as("doc_a"))
+      .join(big.select(col("band"), col("key"), col("doc").as("doc_b")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    smallPairs.unionByName(bigPairs)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
   }
+
+  /** Banded LSH candidate pairs (public text-column form). */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rows: Int = 4,
+      maxBucket: Int = 10000): DataFrame =
+    lshCandidatesFromIndex(shingleIndex(df, idCol, textCol, n), bands, rows,
+      maxBucket)
 
   /** 32-bit SimHash over distinct tokens: bit i is set when the count of
     * token-hashes with bit i set exceeds those without. Single explode +
@@ -128,56 +180,98 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** The production near-dup shape: LSH candidates → exact Jaccard verify
-    * restricted to candidate docs → the doc_ids to DROP (the larger id of
-    * each verified pair; keep-smallest policy). At 100 TB only the
-    * candidate-involved slice of the shingle index is recomputed — the
-    * verify join is semi-joined down to candidate docs before the
-    * inverted-index pass. */
+  /** The production near-dup pipeline: exact dedup → LSH candidates over
+    * representatives → exact Jaccard verify → the doc_ids to DROP
+    * (keep-smallest policy).
+    *
+    * Stage 0 (exact): identical texts collapse to their min-id
+    * representative; the non-representatives are dropped outright (their
+    * pair similarity is 1 ≥ any threshold) and never enter signature
+    * computation. Besides being how every production pipeline sequences
+    * dedup, this is the strongest mega-bucket guard: a pathological corpus
+    * of 10⁶ identical documents becomes ONE doc before LSH. (Divergence
+    * note: identical docs too short to shingle are still dropped here,
+    * while a shingle-only formulation has no pair for them.)
+    *
+    * The LSH and verify stages consume the SAME [[shingleIndex]] subtree,
+    * so its distinct-Exchange is computed once and re-read (exchange
+    * reuse) — the round-1 shape computed the shingling twice. The verify
+    * stage is restricted to candidate-involved docs by plain semi-joins
+    * (no broadcast hint: the candidate set is unbounded at 100 TB with a
+    * high dup rate — AQE picks broadcast at runtime when it fits). */
   def nearDupDrops(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rows: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
-    val cands = minHashLsh(df, idCol, textCol, n, bands, rows)
+      threshold: Double = 0.8, maxBucket: Int = 10000): DataFrame = {
+    // exact stage shuffles (digest, id) pairs only — never the text; the
+    // (k, doc) Exchange under `reps` is identical to the join's left side,
+    // so exchange reuse makes exactDropped nearly free
+    val keyedIds = df.select(md5(col(textCol)).as("k"), col(idCol).as("doc"))
+    val reps = keyedIds.groupBy(col("k")).agg(min(col("doc")).as("rep"))
+    val exactDropped = keyedIds.join(reps, Seq("k"))
+      .filter(col("doc") =!= col("rep"))
+      .select(col("doc").as("dropped"))
+    // representatives carry their text forward via a semi join on id (AQE
+    // broadcasts the rep-id side when it fits; at full scale this is the
+    // pipeline's one unavoidable text movement)
+    val repDocs = df.select(col(idCol).as("doc"), col(textCol).as("text"))
+      .join(reps.select(col("rep").as("doc")), Seq("doc"), "left_semi")
+
+    val idx = shingleIndex(repDocs, "doc", "text", n)
+    val cands = lshCandidatesFromIndex(idx, bands, rows, maxBucket)
       .select(col("doc_a"), col("doc_b"))
-    val involved = broadcast(
-      cands.select(col("doc_a").as("doc"))
-        .union(cands.select(col("doc_b").as("doc"))).distinct())
-    val restricted = df.join(involved,
-      col(idCol) === col("doc"), "left_semi")
-    ngramJaccard(restricted, idCol, textCol, n, threshold)
-      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
-      .select(col("doc_b").as("dropped")).distinct()
+    // verify = exact Jaccard per CANDIDATE PAIR: join each pair to the two
+    // docs' sorted shingle-hash arrays and intersect. The per-doc array
+    // aggregation groups by `doc` over the same index subtree as the
+    // signatures, so exchange reuse serves both from one shuffle. (The
+    // inverted-index self-join in [[jaccardFromIndex]] stays the right
+    // shape for UNrestricted all-pairs search; per-pair verify replicates
+    // each doc's array once per candidate pair — bounded by LSH band
+    // geometry — instead of joining the whole index against itself.)
+    val docArrays = idx.groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val nearDropped = cands
+      .join(docArrays.select(col("doc").as("doc_a"), col("hs").as("hs_a")),
+        Seq("doc_a"))
+      .join(docArrays.select(col("doc").as("doc_b"), col("hs").as("hs_b")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter"))
+            .cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_b").as("dropped"))
+    exactDropped.unionByName(nearDropped).distinct()
   }
 
-  /** Exact n-gram Jaccard similarity ≥ `threshold` via inverted-index join:
-    * explode distinct shingles, self-join on shingle (the inverted index),
+  /** Exact n-gram Jaccard pairs ≥ `threshold` from a shingle index:
+    * inverted-index self-join on the 8-byte hash (skew-tolerant: a hot
+    * shingle's pairs spread across tasks, unlike bucket-local expansion),
     * count intersections, derive |A ∪ B| = |A| + |B| − |A ∩ B|. */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // dedup on the 60-bit shingle hash, not the string: ~60% less shuffle
-    // volume; the oracle hashes identically so counts agree by construction
-    val sh = df
-      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
-      .select(col("doc"), explode(shinglesFromTokens(col("toks"), n)).as("sh"))
-      .select(col("doc"), hash60(col("sh")).as("sh"))
-      .distinct()
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    // inverted-index self-join on the 8-byte hash: skew-tolerant (a hot
-    // shingle's pairs spread across tasks, unlike bucket-local expansion)
-    val inter = sh.select(col("doc").as("doc_a"), col("sh"))
-      .join(sh.select(col("doc").as("doc_b"), col("sh")), Seq("sh"))
+  def jaccardFromIndex(idx: DataFrame, threshold: Double): DataFrame = {
+    val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val inter = idx.select(col("doc").as("doc_a"), col("h"))
+      .join(idx.select(col("doc").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // no broadcast hints: the per-doc size table is unbounded at corpus
+    // scale; AQE picks broadcast at runtime when it actually fits
     inter
-      .join(broadcast(sizes.select(col("doc").as("doc_a"),
-        col("n_sh").as("n_a"))), Seq("doc_a"))
-      .join(broadcast(sizes.select(col("doc").as("doc_b"),
-        col("n_sh").as("n_b"))), Seq("doc_b"))
+      .join(sizes.select(col("doc").as("doc_a"),
+        col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"),
+        col("n_sh").as("n_b")), Seq("doc_b"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
+
+  /** Exact n-gram Jaccard similarity (public text-column form). */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame =
+    jaccardFromIndex(shingleIndex(df, idCol, textCol, n), threshold)
 }

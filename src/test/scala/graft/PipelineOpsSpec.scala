@@ -114,6 +114,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("minHashLsh: join-routed oversized buckets emit the same pairs") {
+    // maxBucket=1 forces EVERY bucket through the skew-tolerant join path;
+    // the pair set and per-pair band counts must match the compiled
+    // collect_list path bit for bit
+    val viaExpand = Dedup.minHashLsh(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaJoin = Dedup.minHashLsh(docs, "doc_id", "text", maxBucket = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaExpand.nonEmpty)
+    assert(viaJoin === viaExpand)
+  }
+
+  test("nearDupDrops: a 50k identical-doc flood collapses before LSH") {
+    // round-1 verdict scale caveat: a mega-bucket of identical docs must
+    // not become one O(n^2) straggler task. The exact pre-dedup stage
+    // collapses the flood to one representative before any signature work.
+    val flood = spark.range(50000)
+      .select(col("id").as("doc_id"),
+        lit("the same document text repeated across the flood").as("text"))
+    val distinctDocs = Seq(
+      (90001L, "completely different content about query engines"),
+      (90002L, "unrelated text concerning shuffle partitioning strategies"))
+      .toDF("doc_id", "text")
+    val dropped = Dedup.nearDupDrops(flood.unionByName(distinctDocs),
+      "doc_id", "text").collect().map(_.getLong(0)).toSet
+    assert(dropped === (1L until 50000L).toSet) // everything but the rep
+    assert(!dropped.contains(0L) && !dropped.contains(90001L))
+  }
+
   test("ivfTopK probes cells and never beats exact top-1") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val qs = e.filter(col("vec_id") < 10)

@@ -87,6 +87,23 @@ class TraceShapingSpec extends SparkTestBase {
     assert(SpanOps.traceWithSpans(traces, flat, "nope").count() === 0)
   }
 
+  test("pivotTags: columns are typed by the tag discriminator") {
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+    val wide = SpanOps.pivotTags(flat)
+    val types = wide.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("sampler.param") === BooleanType)
+    assert(types("http.status_code") === LongType)
+    assert(types("http.url") === StringType)
+    // the fixture's `error` key appears with BOTH bool and string
+    // discriminators (the two-error-tag span) → degrades to string, the
+    // honest analog of pandas' mixed-type object column
+    assert(types("error") === StringType)
+    // typed columns compare natively, as the reference's wide frame does
+    // (numeric comparison — "200" >= 100 lexically would be false)
+    assert(wide.where(col("`http.status_code`") >= 100).count() > 0)
+    assert(wide.where(col("`sampler.param`")).count() > 0)
+  }
+
   test("pivotTags: key-cardinality guard refuses hostile key counts") {
     intercept[IllegalArgumentException](
       SpanOps.pivotTags(flat, maxKeys = 3))
