@@ -75,18 +75,73 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
+  /** Spherical k-means over a bounded, deterministically-chosen sample,
+    * run driver-side (the sample is ≤ `sampleSize` rows by construction —
+    * this is NOT a driver-side pass over the corpus). Sampling uses
+    * `xxhash64(id) % stride == 0`, which is stable across partitionings
+    * and engines; init takes the first k sample vectors by id; `iters`
+    * Lloyd steps assign by max dot product (≡ cosine on normalized
+    * vectors) and re-normalize the means. Empty clusters keep their
+    * previous centroid. Returns (cent_id, centv) rows to broadcast. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 4, sampleSize: Int = 2048): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val stride = math.max(1L, n / math.max(nCentroids, sampleSize))
+    val sample: Array[Array[Double]] = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .select(col(idCol).cast("long").as("id"),
+        l2Normalize(col(vecCol)).as("v"))
+      .orderBy(col("id")).limit(math.max(nCentroids, sampleSize))
+      .as[(Long, Array[Double])].collect().map(_._2)
+    require(sample.length >= nCentroids,
+      s"sample ${sample.length} smaller than nCentroids=$nCentroids")
+    var cents: Array[Array[Double]] = sample.take(nCentroids).map(_.clone())
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(nCentroids)(new Array[Double](cents(0).length))
+      val counts = new Array[Long](nCentroids)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MinValue
+        var c = 0
+        while (c < nCentroids) {
+          val d = dot(v, cents(c)); if (d > bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else {
+          val m = sums(c).map(_ / counts(c))
+          val norm = math.sqrt(dot(m, m))
+          if (norm > 0) m.map(_ / norm) else old
+        }
+      }
+    }
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("cent_id", "centv")
+  }
+
   /** IVF (inverted-file) ANN: corpus is partitioned into coarse cells by
     * nearest centroid; queries probe only their `nProbe` nearest cells.
-    * Centroids here are the `nCentroids` lowest-id corpus vectors — a
-    * deterministic stand-in for a k-means training step (same plan shape:
-    * swap the centroid DataFrame for trained means and nothing else moves).
+    * Centroids come from [[trainCentroids]] (seeded sampled k-means) and
+    * travel as a broadcast; only the cell assignment and the per-cell
+    * scoring are distributed.
     * Cost: corpus×centroids assignment (centroids broadcast) + per-cell
     * candidate scoring ≈ corpus²·nProbe/nCentroids. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 2)
-      : DataFrame = {
-    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), l2Normalize(col(vecCol)).as("centv")))
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 2,
+      kmeansIters: Int = 4): DataFrame = {
+    val cents = broadcast(
+      trainCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters))
     def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id))
         .orderBy(col("cent_sim").desc, col("cent_id"))

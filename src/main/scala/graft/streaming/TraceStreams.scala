@@ -64,23 +64,39 @@ object TraceStreams {
       .groupBy(session_window(col("eventTime"), gap), col("service"))
       .agg(count(lit(1)).as("n_spans"))
 
-  /** A trace still being assembled in state. */
-  case class TraceBuffer(spans: List[SpanLite], lastSeenMs: Long)
+  /** A trace still being assembled in state; `maxEndMs` is the latest span
+    * end (event time, ms) seen so far. */
+  case class TraceBuffer(spans: List[SpanLite], maxEndMs: Long)
 
-  /** Incremental trace assembly + critical-path emission: spans of one
-    * trace arrive out of order across batches; state buffers them per
-    * traceID until the trace goes quiet for `quietMs` of processing time,
-    * then the buffered trace is run through the batch critical-path kernel
-    * and its segments are emitted. `flatMapGroupsWithState` here is the
-    * streaming twin of the batch `groupByKey.flatMapGroups` operator
-    * (identical kernel, SURVEY.md A1/A2). */
-  def criticalPathStream(spans: Dataset[SpanLite], quietMs: Long = 2000)
-      : Dataset[CritSeg] = {
+  /** [[SpanLite]] plus the event-time column the watermark tracks. */
+  case class TimedSpan(traceID: String, spanID: String, operationName: String,
+      startTime: Long, duration: Long, processID: String, parent: String,
+      service: String, eventTime: java.sql.Timestamp)
+
+  /** Incremental trace assembly + critical-path emission on EVENT TIME:
+    * spans of one trace arrive out of order across batches; state buffers
+    * them per traceID, and the trace is emitted once the stream's
+    * watermark passes (latest span end + `gapMs`) — completeness is
+    * defined by the data's own clock, so a replay/backfill emits exactly
+    * what a live run would (a processing-time quiet period would flush on
+    * wall-clock pauses instead, emitting partial traces mid-backfill).
+    * Spans arriving later than `watermarkDelay` after the observed max
+    * event time are dropped by the watermark, never merged into an
+    * already-emitted trace. `flatMapGroupsWithState` is the streaming twin
+    * of the batch `groupByKey.flatMapGroups` operator (identical kernel,
+    * SURVEY.md A1/A2). */
+  def criticalPathStream(spans: Dataset[SpanLite], gapMs: Long = 5000,
+      watermarkDelay: String = "10 minutes"): Dataset[CritSeg] = {
     import spans.sparkSession.implicits._
-    spans.groupByKey(_.traceID)
+    val timed = spans
+      .withColumn("eventTime",
+        timestamp_micros(col("startTime") + col("duration")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[TimedSpan]
+    timed.groupByKey(_.traceID)
       .flatMapGroupsWithState[TraceBuffer, CritSeg](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (traceID: String, newSpans: Iterator[SpanLite],
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (traceID: String, newSpans: Iterator[TimedSpan],
             state: GroupState[TraceBuffer]) =>
           if (state.hasTimedOut) {
             val buf = state.get
@@ -88,11 +104,18 @@ object TraceStreams {
             if (buf.spans.nonEmpty) CriticalPath.compute(buf.spans).iterator
             else Iterator.empty
           } else {
+            val incoming = newSpans.map(t => SpanLite(t.traceID, t.spanID,
+              t.operationName, t.startTime, t.duration, t.processID,
+              t.parent, t.service)).toList
             val buf = state.getOption.getOrElse(TraceBuffer(Nil, 0L))
-            val merged = TraceBuffer(buf.spans ++ newSpans.toList,
-              System.currentTimeMillis())
-            state.update(merged)
-            state.setTimeoutDuration(quietMs)
+            val merged = buf.spans ++ incoming
+            val maxEndMs = math.max(buf.maxEndMs,
+              incoming.map(s => (s.startTime + s.duration) / 1000L).max)
+            state.update(TraceBuffer(merged, maxEndMs))
+            // fire when the watermark (data clock) passes last-end + gap;
+            // never set a timeout at-or-before the current watermark
+            state.setTimeoutTimestamp(math.max(maxEndMs + gapMs,
+              state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

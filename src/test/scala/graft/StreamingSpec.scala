@@ -49,40 +49,89 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.select("session_window.start").head() != null)
   }
 
-  test("stateful critical-path stream emits segments after trace quiescence") {
+  test("event-time critical-path stream: late spans merge, watermark flushes") {
     import SparkTestBase.session.implicits._
     val flat = SpanOps.flatten(JaegerJsonSource.traces(spark, fixturePath))
       .select(col("traceID"), col("spanID"), col("operationName"),
         col("startTime"), col("duration"), col("processID"), col("parent"),
-        col("service")).as[SpanLite]
-    val dir = Files.createTempDirectory("graft_stream_cp").toString
-    flat.toDF().coalesce(1).write.mode("overwrite").json(dir)
+        col("service")).as[SpanLite].collect()
 
-    val streamSpans = TraceStreams.spanFileStream(spark, dir)
-      .drop("eventTime").as[SpanLite]
-    val segs = TraceStreams.criticalPathStream(streamSpans, quietMs = 1)
+    // batch 1: half of every trace's spans; batch 2: the LATE other half
+    // (out of order but inside the watermark delay); batches 3+4: sentinel
+    // spans far in the future — 3 advances the watermark past every
+    // trace's (end + gap), 4 triggers the batch in which timeouts fire.
+    val dir = Files.createTempDirectory("graft_stream_cp").toString
+    val (half1, half2) = flat.zipWithIndex.partition(_._2 % 2 == 0)
+    val maxEnd = flat.map(s => s.startTime + s.duration).max
+    def sentinel(id: String, at: Long) = SpanLite("sentinel_trace", id,
+      "noop", at, 1000L, "p1", "", "sentinel")
+    def write(name: String, spans: Seq[SpanLite]): Unit =
+      spark.createDataset(spans).toDF().coalesce(1)
+        .write.mode("overwrite").json(s"$dir/$name")
+    write("b1", half1.map(_._1).toSeq)
+    write("b2", half2.map(_._1).toSeq)
+    write("b3", Seq(sentinel("s1", maxEnd + 3600L * 1000000)))
+    write("b4", Seq(sentinel("s2", maxEnd + 3601L * 1000000)))
+
+    val streamSpans = spark.readStream
+      .schema(TraceStreams.spanStreamSchema)
+      .option("maxFilesPerTrigger", 1)   // one file per micro-batch
+      .json(s"$dir/*")
+      .as[SpanLite]
+    val segs = TraceStreams.criticalPathStream(streamSpans,
+      gapMs = 5000, watermarkDelay = "30 minutes")
     val q = segs.toDF().writeStream.outputMode("append")
       .format("memory").queryName("crit_stream")
-      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
-    // first batch buffers state; the processing-time trigger then fires
-    // timeout batches that flush quiesced traces — poll, don't
-    // processAllAvailable (it never settles while timeout batches recur)
-    val deadline = System.currentTimeMillis() + 60000
-    var n = 0L
-    while (n < 546 && System.currentTimeMillis() < deadline) {
-      Thread.sleep(500)
-      n = spark.table("crit_stream").count()
-    }
-    q.stop()
-    assert(n === 546) // same segment count as the batch operator
-    // value equality, not just count: identical segments to the batch path
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
     val streamed = spark.table("crit_stream")
+      .where(col("span.traceID") =!= "sentinel_trace")
       .selectExpr("startTime", "duration", "span.spanID")
       .collect().map(_.toString).sorted
-    val batch = graft.analysis.CriticalPath.segmentsFromFlat(flat.toDF())
+    // value equality with the batch operator: the split/late delivery must
+    // reassemble every trace exactly
+    val batch = graft.analysis.CriticalPath.segmentsFromFlat(
+      spark.createDataset(flat.toSeq).toDF())
       .toDF().selectExpr("startTime", "duration", "span.spanID")
       .collect().map(_.toString).sorted
+    assert(streamed.length === 546)
     assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("event-time critical path: too-late spans are dropped, not merged") {
+    import SparkTestBase.session.implicits._
+    val base = 1700000000000000L
+    def sp(tid: String, sid: String, parent: String, start: Long,
+        dur: Long) = SpanLite(tid, sid, "op", start, dur, "p1", parent, "svc")
+    val dir = Files.createTempDirectory("graft_stream_late").toString
+    def write(name: String, spans: Seq[SpanLite]): Unit =
+      spark.createDataset(spans).toDF().coalesce(1)
+        .write.mode("overwrite").json(s"$dir/$name")
+    // trace t1 completes in batch 1; batch 2's sentinel pushes the
+    // watermark far past it; batch 3 carries a WAY-too-late extra child of
+    // t1 (beyond the 1-minute delay) plus a trigger sentinel; batch 4
+    // triggers timeout processing
+    write("b1", Seq(sp("t1", "root", "", base, 100000L),
+      sp("t1", "child", "root", base + 10000L, 50000L)))
+    write("b2", Seq(sp("s", "s1", "", base + 7200L * 1000000, 1000L)))
+    write("b3", Seq(sp("t1", "late", "root", base + 20000L, 1000L),
+      sp("s", "s2", "", base + 7201L * 1000000, 1000L)))
+    write("b4", Seq(sp("s", "s3", "", base + 7202L * 1000000, 1000L)))
+    val streamSpans = spark.readStream
+      .schema(TraceStreams.spanStreamSchema)
+      .option("maxFilesPerTrigger", 1).json(s"$dir/*").as[SpanLite]
+    val segs = TraceStreams.criticalPathStream(streamSpans,
+      gapMs = 1000, watermarkDelay = "1 minute")
+    val q = segs.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("crit_late")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val t1 = spark.table("crit_late")
+      .where(col("span.traceID") === "t1")
+      .select("span.spanID").collect().map(_.getString(0)).toSet
+    // t1 flushed from batches 1-2 only; the too-late span never appears
+    assert(t1 === Set("root", "child"))
   }
 
   test("driver smoke parity: SparkEntry.entry returns rows") {
