@@ -33,10 +33,11 @@ object TraceFrame {
   def spansFromJaegerFileWide(spark: SparkSession, path: String): DataFrame =
     SpanOps.pivotTags(spansFromJaegerFile(spark, path))
 
-  /** Single nested trace: summary row + deduplicated spans array. */
+  /** Single nested trace: summary row + deduplicated spans array; raises
+    * on an unknown traceID like the reference (`strict = false` opts out). */
   def traceWithSpans(traces: DataFrame, flatSpans: DataFrame,
-      traceID: String): DataFrame =
-    SpanOps.traceWithSpans(traces, flatSpans, traceID)
+      traceID: String, strict: Boolean = true): DataFrame =
+    SpanOps.traceWithSpans(traces, flatSpans, traceID, strict)
 
   /** Critical-path segments for every trace in the spans frame. */
   def criticalSegments(flatSpans: DataFrame): Dataset[CritSeg] =

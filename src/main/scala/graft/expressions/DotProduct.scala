@@ -1,10 +1,11 @@
 package graft.expressions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native dot product over two `array<double>` columns.
   *
@@ -18,9 +19,27 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Mirrors the reference's only numeric kernel style (SURVEY.md §2.6
   * similarity extension); registered SQL name: `graft_dot`.
+  *
+  * Typing: `checkInputDataTypes` makes `graft_dot('a', 1)` fail analysis
+  * with a proper AnalysisException instead of a runtime ClassCastException
+  * or codegen compile error. Length mismatch is DEFINED as truncation to
+  * the shorter array (all engine call sites produce equal-length vectors;
+  * DuckDB's `list_dot_product` errors instead, so don't lean on the
+  * oracle for ragged inputs).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = Seq(left, right).map(_.dataType).exists {
+      case ArrayType(DoubleType, _) => false
+      case _ => true
+    }
+    if (bad) TypeCheckResult.TypeCheckFailure(
+      "graft_dot expects (array<double>, array<double>), got (" +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def dataType: DataType = DoubleType
 

@@ -169,10 +169,16 @@ object SpanOps {
     * traces frame with its (deduplicated) spans, as a single nested row.
     * Dedup keeps the first span per spanID **deterministically** (window rank
     * by startTime, spanID-hash) — pandas' `drop_duplicates` keep-first is
-    * row-order-dependent, which has no stable distributed analog. */
+    * row-order-dependent, which has no stable distributed analog.
+    * Reference parity: raises when the traceID is absent
+    * (`traceframe.py:625` — the reference is eager, so `strict` costs one
+    * point-lookup job; pass `strict = false` for a lazy empty result). */
   def traceWithSpans(traces: DataFrame, flatSpans: DataFrame,
-      traceID: String): DataFrame = {
+      traceID: String, strict: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    if (strict && traces.filter(col("traceID") === traceID).isEmpty)
+      throw new NoSuchElementException(
+        s"No trace with traceID=$traceID") // traceframe.py:625 raises
     val w = Window.partitionBy(col("spanID"))
       .orderBy(col("startTime"), col("duration"))
     val spansAgg = flatSpans

@@ -37,6 +37,10 @@ trait EsClient extends Serializable {
       pageSize: Int): (Seq[String], String)
   /** Continue a scroll; empty page ends it. */
   def scroll(token: String): (Seq[String], String)
+  /** Release a server-side scroll context early (readers that stop at a
+    * limit would otherwise pin contexts until the keep-alive expires and
+    * can exhaust ES `max_open_scroll_context`). */
+  def clearScroll(token: String): Unit = ()
 }
 
 object EsClient {
@@ -115,12 +119,14 @@ case class EsSliceReaderFactory(conf: EsScanConfig)
     new EsSliceReader(conf, p.asInstanceOf[EsSlicePartition])
 }
 
-/** Sequential scroll within one slice; stops early at the per-slice share
-  * of a pushed limit. */
+/** Sequential scroll within one slice. Each slice is capped at the FULL
+  * pushed limit, not limit/slices: ES slices are hash-based and can skew,
+  * so a per-slice share under-delivers (a LIMIT n query would silently
+  * return < n rows even though more exist). Spark retains the Limit above
+  * a partially-pushed scan and trims the ≤ slices×limit excess exactly. */
 class EsSliceReader(conf: EsScanConfig, part: EsSlicePartition)
     extends PartitionReader[InternalRow] {
-  private val sliceLimit =
-    conf.limit.map(l => math.max(1, l / part.maxSlices))
+  private val sliceLimit = conf.limit
   private val pageSize = math.min(EsSpanTableProvider.MaxPageSize,
     sliceLimit.getOrElse(EsSpanTableProvider.MaxPageSize))
   private lazy val client = EsClient.forName(conf.clientClass, conf.endpoint)
@@ -140,7 +146,10 @@ class EsSliceReader(conf: EsScanConfig, part: EsSlicePartition)
     if (it.hasNext) { current = it.next(); emitted += 1; true } else false
   }
   override def get(): InternalRow = InternalRow(UTF8String.fromString(current))
-  override def close(): Unit = ()
+  /** A reader that stopped early (limit) leaves a live scroll context —
+    * release it instead of waiting out the 15 s keep-alive. */
+  override def close(): Unit =
+    if (token != null && token.nonEmpty) client.clearScroll(token)
 }
 
 /** Production ES transport (POST _search with slice + scroll). Untestable
@@ -186,6 +195,16 @@ class HttpEsClient(endpoint: String) extends EsClient {
   override def scroll(token: String): (Seq[String], String) =
     parse(post("/_search/scroll",
       s"""{"scroll": "15s", "scroll_id": "$token"}"""))
+
+  override def clearScroll(token: String): Unit = {
+    val req = HttpRequest.newBuilder(URI.create(s"$endpoint/_search/scroll"))
+      .header("Content-Type", "application/json")
+      .timeout(Duration.ofSeconds(5))
+      .method("DELETE", HttpRequest.BodyPublishers.ofString(
+        s"""{"scroll_id": "$token"}""")).build()
+    try http.send(req, HttpResponse.BodyHandlers.discarding())
+    catch { case _: Exception => () } // best-effort cleanup
+  }
 }
 
 /** Shaping for ES span documents (reference `traces_from_es`,

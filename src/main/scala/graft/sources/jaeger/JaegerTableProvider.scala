@@ -38,8 +38,12 @@ import org.apache.spark.sql.catalyst.InternalRow
   *
   * Options: `endpoint` (required), `service`, `limit`, `start`/`end`
   * (µs since epoch; default = 14-day lookback, reference
-  * `traceframe.py:19-21`), `partitions` (default 8), `client`
-  * (implementation class, default [[HttpJaegerClient]]).
+  * `traceframe.py:19-21`), `operation`, `mindur`/`maxdur` (Jaeger
+  * duration strings, e.g. "100ms"), `tags` (JSON object string) — the
+  * params the reference DECLARES but raises UNIMPLEMENTED on
+  * (`traceframe.py:60-73`), here forwarded natively as API query
+  * parameters — `partitions` (default 8), `client` (implementation
+  * class, default [[HttpJaegerClient]]).
   */
 class JaegerTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "jaeger"
@@ -91,6 +95,10 @@ class JaegerScanBuilder(rawOpts: Map[String, String])
       clientClass = opts.getOrElse("client",
         classOf[HttpJaegerClient].getName),
       service = opts.get("service"),
+      operation = opts.get("operation"),
+      minDuration = opts.get("mindur"),
+      maxDuration = opts.get("maxdur"),
+      tags = opts.get("tags"),
       start = start,
       end = end,
       limit = pushedLimit,
@@ -104,7 +112,12 @@ case class JaegerScanConfig(endpoint: String, clientClass: String,
     service: Option[String], start: Long, end: Long, limit: Option[Int],
     partitions: Int,
     /** server response cap; overridable so tests can exercise bisection */
-    maxReturnable: Int = JaegerTableProvider.MaxTracesReturnable)
+    maxReturnable: Int = JaegerTableProvider.MaxTracesReturnable,
+    operation: Option[String] = None,
+    minDuration: Option[String] = None,
+    maxDuration: Option[String] = None,
+    /** JSON object string, forwarded verbatim as the `tags` API param */
+    tags: Option[String] = None)
 
 case class JaegerInputPartition(rangeStart: Long, rangeEnd: Long)
   extends InputPartition
@@ -153,7 +166,11 @@ class JaegerPartitionReader(conf: JaegerScanConfig, part: JaegerInputPartition)
       "start" -> start.toString,
       "end" -> end.toString,
       "limit" -> conf.limit.getOrElse(conf.maxReturnable).toString) ++
-      conf.service.map("service" -> _)
+      conf.service.map("service" -> _) ++
+      conf.operation.map("operation" -> _) ++
+      conf.minDuration.map("minDuration" -> _) ++
+      conf.maxDuration.map("maxDuration" -> _) ++
+      conf.tags.map("tags" -> _)
     val body = client.get("/api/traces", params)
     val nTraces = {
       val root = mapper.readTree(body)
@@ -165,8 +182,17 @@ class JaegerPartitionReader(conf: JaegerScanConfig, part: JaegerInputPartition)
     if (clipped && depth < 20 && end - start > 1) {
       val mid = start + (end - start) / 2
       fetch(start, mid, depth + 1) ::: fetch(mid, end, depth + 1)
-    } else if (nTraces == 0) Nil
-    else List(body)
+    } else {
+      if (clipped)
+        // the reference's bisection preserves completeness; if we hit the
+        // recursion/width floor still clipped, the truncation must not be
+        // invisible to the caller
+        System.err.println(
+          s"[jaeger] WARNING: response still clipped at $nTraces traces " +
+            s"for range [$start,$end] at bisection floor (depth=$depth); " +
+            "traces beyond the server cap are dropped")
+      if (nTraces == 0) Nil else List(body)
+    }
   }
 
   override def next(): Boolean =

@@ -103,6 +103,47 @@ class CriticalPathSpec extends SparkTestBase {
     buf.toSeq
   }
 
+  test("property: tied timestamps — deterministic under input permutation") {
+    // The reference's tie behavior is an artifact of Python's stable sort
+    // over insertion order (traceframe.py:571); distributed inputs have no
+    // insertion order, so the ENGINE'S DEFINED SEMANTICS are the canonical
+    // order in CriticalPath.compute: spans by (startTime, spanID), then
+    // per-span (call, return) events stably by timestamp. This pins it:
+    // trees with deliberately tied start/end times must produce byte-equal
+    // output for EVERY input permutation, and still tile the root.
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { i =>
+      val base = 1700000000000000L
+      // children tie with parent start, with each other, and end exactly
+      // at sibling starts / parent end
+      val nKids = 1 + rnd.nextInt(4)
+      val rootDur = 1000L
+      val root = SpanLite("t", "root", "op", base, rootDur, "p", "", "svc")
+      val kids = (0 until nKids).map { k =>
+        val tieStart = rnd.nextBoolean()
+        val start = if (tieStart) base else base + k * (rootDur / (nKids + 1))
+        val end0 = base + (k + 1) * (rootDur / (nKids + 1))
+        SpanLite("t", s"k$k", "op", start, math.max(1, end0 - start), "p",
+          "root", "svc")
+      }
+      // grandchildren tying exactly with their parent's full interval
+      val gks = kids.zipWithIndex.collect {
+        case (kid, j) if j % 2 == 0 =>
+          SpanLite("t", s"g$j", "op", kid.startTime, kid.duration, "p",
+            kid.spanID, "svc")
+      }
+      val spans = root +: (kids ++ gks)
+      val ref = CriticalPath.compute(spans)
+      checkInvariants(s"tied-$i", ref)
+      assert(ref.map(_.duration).sum === rootDur, s"tied-$i: sum")
+      (1 to 5).foreach { p =>
+        val perm = rnd.shuffle(spans)
+        assert(CriticalPath.compute(perm) === ref,
+          s"tied-$i perm $p: output depends on input order")
+      }
+    }
+  }
+
   test("property: tiling invariants on 300 random well-nested span trees") {
     val seeds = new scala.util.Random(42)
     (1 to 300).foreach { i =>

@@ -39,13 +39,18 @@ class EsSourceSpec extends SparkTestBase {
     assert(viaEs.toSeq === viaFileNonEmpty.toSeq)
   }
 
-  test("limit pushdown caps the scan per slice") {
+  test("limit pushdown: full delivery despite slice skew, scrolls cleared") {
     FixtureEsClient.reset()
     val raw = spark.read.format("es-spans")
       .option("endpoint", "fake://es").options(opts)
       .option("limit", "40").load()
+    // each slice caps at the FULL limit (per-slice shares under-deliver on
+    // skewed slices); the retained Spark Limit trims to exactly n
+    assert(raw.limit(40).count() === 40)
     val n = raw.count()
-    assert(n <= 40 && n > 0)
+    assert(n > 0 && n <= 40 * 4)
+    // early-stopping readers release their server-side scroll contexts
+    assert(FixtureEsClient.clearCalls.get() > 0)
   }
 }
 
@@ -64,6 +69,10 @@ class FixtureEsClient extends EsClient {
     pageFor(s, m, off, ps)
   }
 
+  override def clearScroll(token: String): Unit = {
+    clearCalls.incrementAndGet()
+  }
+
   private def pageFor(slice: Int, maxSlices: Int, offset: Int,
       pageSize: Int): (Seq[String], String) = {
     val mine = docs.zipWithIndex
@@ -78,7 +87,8 @@ class FixtureEsClient extends EsClient {
 
 object FixtureEsClient {
   val scrollCalls = new java.util.concurrent.atomic.AtomicInteger(0)
-  def reset(): Unit = scrollCalls.set(0)
+  val clearCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { scrollCalls.set(0); clearCalls.set(0) }
 
   /** Fixture spans re-rendered as ES `_source` docs (span + embedded
     * process, hostname tag drives the synthesized processID). */

@@ -48,6 +48,21 @@ class JaegerSourceSpec extends SparkTestBase {
     assert(FixtureJaegerClient.calls.size() > 10) // many bisected fetches
   }
 
+  test("operation/mindur/maxdur/tags filters forward as API params") {
+    // the reference DECLARES these params but raises UNIMPLEMENTED
+    // (traceframe.py:60-73); the engine forwards them natively
+    FixtureJaegerClient.reset(cap = 1500)
+    JaegerSource.rawTraces(spark, "fake://jaeger",
+      opts(1500) ++ Map("operation" -> "/checkout", "mindur" -> "100ms",
+        "maxdur" -> "2s", "tags" -> """{"error":"true"}""")).count()
+    import scala.jdk.CollectionConverters._
+    val calls = FixtureJaegerClient.calls.asScala.filter(_.contains("/api/traces"))
+    assert(calls.nonEmpty)
+    assert(calls.forall(c => c.contains("operation=/checkout") &&
+      c.contains("minDuration=100ms") && c.contains("maxDuration=2s") &&
+      c.contains("""tags={"error":"true"}""")))
+  }
+
   test("limit pushdown reaches the API request") {
     FixtureJaegerClient.reset(cap = 1500)
     val limited = JaegerSource.rawTraces(spark, "fake://jaeger",

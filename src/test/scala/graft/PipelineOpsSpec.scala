@@ -77,6 +77,16 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(nd.toSeq === Seq((1L, 2L)))
   }
 
+  test("graft_dot rejects non-array arguments at analysis time") {
+    graft.expressions.DotProduct.register(spark)
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_dot('a', 1)").collect())
+    // well-typed call still works through SQL
+    val ok = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").head()
+    assert(ok.getDouble(0) === 11.0)
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic tie-break") {
     val vecs = Seq(
       (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)),

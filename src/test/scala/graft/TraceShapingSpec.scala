@@ -83,8 +83,12 @@ class TraceShapingSpec extends SparkTestBase {
     assert(row.getAs[Seq[Any]]("spans").size === 1) // dupes removed
   }
 
-  test("traceWithSpans: unknown traceID yields empty result") {
-    assert(SpanOps.traceWithSpans(traces, flat, "nope").count() === 0)
+  test("traceWithSpans: unknown traceID raises (reference parity)") {
+    intercept[NoSuchElementException](
+      SpanOps.traceWithSpans(traces, flat, "nope"))
+    // non-strict opt-out yields a lazy empty frame
+    assert(SpanOps.traceWithSpans(traces, flat, "nope", strict = false)
+      .count() === 0)
   }
 
   test("pivotTags: columns are typed by the tag discriminator") {
