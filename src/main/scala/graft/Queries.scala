@@ -1137,5 +1137,17 @@ object Queries {
         |GROUP BY 1 ORDER BY bin""".stripMargin,
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,
+    // frame sampling is pure arithmetic over byte lengths (stride 64), so
+    // the UDTF-ish one-row→many-frames explode shape is oracle-able too
+    "t05_frame_sample" ->
+      """WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n
+        |    FROM documents),
+        | e AS (SELECT doc_id, n,
+        |   unnest(generate_series(1, CAST(ceil(n / 64.0) AS BIGINT))) AS i
+        |   FROM d)
+        |SELECT doc_id AS id, CAST(i - 1 AS INTEGER) AS frame_no,
+        |  CAST(CASE WHEN i * 64 <= n THEN 64 ELSE n - (i-1)*64 END
+        |    AS INTEGER) AS frame_bytes
+        |FROM e ORDER BY id, frame_no""".stripMargin,
   ).map { case (k, v) => k -> v.replace('\n', ' ') }
 }
