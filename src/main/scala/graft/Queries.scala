@@ -524,6 +524,41 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** BPE-ish token statistics: subword-piece counts (the cheap proxy for
+    * LLM token budgets) vs whitespace words. The synthetic corpus is pure
+    * lowercase words, so a punct/number-bearing marker (`doc-<id>.v2!`,
+    * identical on the oracle side) is appended to exercise real subword
+    * splitting: one whitespace word → 7 BPE pieces. */
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" doc-"), col("doc_id").cast("string"),
+          lit(".v2!")).as("aug"))
+      .select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("aug")).cast("long").as("n_bpe"),
+        TextFunctions.tokenCount(col("aug")).cast("long").as("n_ws"))
+      .withColumn("bpe_ratio",
+        round(col("n_bpe").cast("double") /
+          greatest(col("n_ws"), lit(1L)).cast("double"), 6))
+      .orderBy(col("doc_id"))
+
+  /** Winnowing (rolling-hash) document fingerprints: count of selected
+    * window-min hashes + a scalar digest of the sorted fingerprint set.
+    * Staged projections keep each HOF input a bound attribute (see
+    * TextFunctions.charGramHashes scaladoc). */
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextFunctions.normText(col("text")).as("norm"))
+      .select(col("doc_id"),
+        TextFunctions.charGramHashes(col("norm"), 5).as("grams"))
+      .select(col("doc_id"), TextFunctions.windowMins(col("grams"), 4).as("fp"))
+      .select(col("doc_id"),
+        size(col("fp")).cast("long").as("n_fp"),
+        TextFunctions.hash60(
+          concat_ws(",", transform(col("fp"), _.cast("string"))))
+          .as("fp_hash"))
+      .orderBy(col("doc_id"))
+
   /** Histogram binning: 10 equal-width value buckets (global min/max via a
     * broadcast scalar aggregate, not a driver collect). */
   private def q45(s: SparkSession, dir: String): DataFrame = {
@@ -723,6 +758,8 @@ object Queries {
     "q42_neardup_pipeline" -> (q42 _),
     "q44_asof_join" -> (q44 _),
     "q45_histogram" -> (q45 _),
+    "q46_bpe_tokens" -> (q46 _),
+    "q47_winnowing_fp" -> (q47 _),
     // --- approximate / sketch / stubbed ops (rows-only driver check) ------
     "t08_similarity_ivf" -> ((s: SparkSession, dir: String) => {
       val e = emb(s, dir)
@@ -1135,6 +1172,37 @@ object Queries {
         |  count(*) AS cnt, round(sum(value), 2) AS sum_v
         |FROM events CROSS JOIN b
         |GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q46_bpe_tokens" -> {
+      val pat = graft.functions.TextFunctions.bpePattern.replace("'", "''")
+      s"""WITH tk AS (SELECT doc_id,
+         |    text || ' doc-' || CAST(doc_id AS VARCHAR) || '.v2!' AS aug
+         |  FROM documents),
+         | c AS (SELECT doc_id,
+         |   CAST(len(regexp_extract_all(aug, '$pat')) AS BIGINT) AS n_bpe,
+         |   CAST(len(regexp_split_to_array(trim(aug), '\\s+')) AS BIGINT)
+         |     AS n_ws
+         | FROM tk)
+         |SELECT doc_id, n_bpe, n_ws,
+         |  round(CAST(n_bpe AS DOUBLE) / CAST(greatest(n_ws, 1) AS DOUBLE),
+         |    6) AS bpe_ratio
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "q47_winnowing_fp" ->
+      s"""WITH nrm AS (SELECT doc_id,
+         |    regexp_replace(regexp_replace(lower(trim(text)),
+         |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS norm
+         |  FROM documents),
+         | g AS (SELECT doc_id, list_transform(
+         |     generate_series(1, greatest(length(norm) - 4, 0)),
+         |     i -> ${H.format("substr(norm, i, 5)")}) AS grams FROM nrm),
+         | m AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+         |     generate_series(1, greatest(len(grams) - 3, 0)),
+         |     j -> list_min(list_slice(grams, j, j + 3))))) AS fp FROM g)
+         |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+         |  ${H.format("coalesce(list_aggregate(list_transform(fp, " +
+               "x -> CAST(x AS VARCHAR)), 'string_agg', ','), '')")}
+         |    AS fp_hash
+         |FROM m ORDER BY doc_id""".stripMargin,
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,
     // frame sampling is pure arithmetic over byte lengths (stride 64), so

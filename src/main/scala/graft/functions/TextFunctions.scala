@@ -45,9 +45,54 @@ object TextFunctions {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Token count (BPE-ish proxy: whitespace words; subword splitting would
-    * slot in here as an extra `transform`). */
+  /** Token count (whitespace words). */
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** GPT-2-style pre-tokenizer regex, restricted to constructs RE2
+    * (DuckDB) and java.util.regex evaluate identically: contractions,
+    * letter runs, digit runs, single non-space symbols. A real BPE would
+    * merge these pieces against a vocab; the PIECE COUNT is the standard
+    * cheap proxy for "LLM tokens" in corpus statistics. */
+  val bpePattern = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** BPE-ish subword pieces (see [[bpePattern]]). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  /** BPE-ish token count — the whitespace count underestimates LLM token
+    * budgets on punctuation/number-heavy text; this tracks them. */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Canonical normalization shared by [[fingerprint]] and the winnowing
+    * pipeline: lowercase, punctuation stripped, whitespace collapsed. */
+  def normText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(trim(text)), "[^a-z0-9 ]", ""), " +", " ")
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken rolling-hash
+    * document fingerprinting), staged for Spark's interpreted HOF
+    * lambdas: each stage's input MUST be a materialized column attribute
+    * or the lambda re-evaluates the whole upstream subtree per element
+    * (windowing over an unmaterialized gram array would re-hash every
+    * gram per window — O(n²) md5 calls). Use as:
+    * {{{
+    * df.select(id, normText(text).as("norm"))
+    *   .select(id, charGramHashes(col("norm"), 5).as("grams"))
+    *   .select(id, windowMins(col("grams"), 4).as("fp"))
+    * }}}
+    * Two documents sharing long character runs share fingerprint mins,
+    * robust to edits outside the run — the classic local-similarity
+    * sketch (MOSS). All built-in expressions, DuckDB-reproducible. */
+  def charGramHashes(norm: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(norm) - (k - 1), lit(0))),
+      i => hash60(substring(norm, i, lit(k))))
+
+  /** Sorted distinct window-minimum hashes (see [[charGramHashes]]). */
+  def windowMins(grams: Column, w: Int): Column =
+    array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(size(grams) - (w - 1), lit(0))),
+      j => array_min(slice(grams, j, lit(w))))))
 
   /** Deterministic document fingerprint: md5 of the normalized text
     * (lowercase, punctuation stripped, whitespace collapsed). */

@@ -30,6 +30,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(2).getSeq[String](1) === Seq())
   }
 
+  test("bpeTokens splits subword pieces; winnowing shares mins on runs") {
+    val pieces = Seq("It's worth $3.50, isn't it?").toDF("text")
+      .select(TextFunctions.bpeTokens(col("text"))).head().getSeq[String](0)
+    assert(pieces === Seq("It", "'s", "worth", "$", "3", ".", "50", ",",
+      "isn", "'t", "it", "?"))
+
+    def fp(text: String): Set[Long] = {
+      Seq(text).toDF("text")
+        .select(TextFunctions.normText(col("text")).as("norm"))
+        .select(TextFunctions.charGramHashes(col("norm"), 5).as("grams"))
+        .select(TextFunctions.windowMins(col("grams"), 4).as("fp"))
+        .head().getSeq[Long](0).toSet
+    }
+    val run = "the quick brown fox jumps over the lazy dog"
+    val a = fp(run)
+    val b = fp("completely different prefix material " + run)
+    val c = fp("unrelated corpus text about shuffle partitioning at scale")
+    // local-similarity property: a shared character run shares mins...
+    assert((a intersect b).size >= 3)
+    // ...and dominates the overlap with an unrelated document
+    assert((a intersect b).size > (a intersect c).size)
+  }
+
   test("fingerprint is normalization-invariant") {
     val df = Seq(("Hello,  World!", "hello world")).toDF("a", "b")
     val r = df.select(
