@@ -686,7 +686,8 @@ object Queries {
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  private def simhashOracle: String = {
+  /** SimHash-per-doc SELECT (no ORDER BY) — shared by q26 and q48. */
+  private def simhashSelect: String = {
     val bitSums = (0 until 32).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
       .mkString(", ")
@@ -696,9 +697,20 @@ object Queries {
        |   FROM documents),
        | h AS (SELECT doc_id, ${H.format("tk")} AS h FROM tok),
        | b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM b
-       |ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM b""".stripMargin
   }
+
+  private def simhashOracle: String = simhashSelect + " ORDER BY doc_id"
+
+  /** Oracle for the BANDED SimHash search: the all-pairs ground truth —
+    * valid because pigeonhole banding has recall 1 by construction. */
+  private def simhashBandedOracle: String =
+    s"""WITH sh AS ($simhashSelect)
+       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh c ON a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.simhash, c.simhash)) <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Matches Similarity.l2Normalize + DotProduct: normalize each vector
     * once, then a single ordered dot per pair. */
@@ -760,6 +772,13 @@ object Queries {
     "q45_histogram" -> (q45 _),
     "q46_bpe_tokens" -> (q46 _),
     "q47_winnowing_fp" -> (q47 _),
+    "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
+      // the banded (production) search; oracle = all-pairs ground truth,
+      // equal by pigeonhole recall 1 + exact hamming verify
+      Dedup.simHashNearDupsBanded(docs(s, dir), "doc_id", "text",
+        maxDist = 1)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("doc_a"), col("doc_b"))),
     // --- approximate / sketch / stubbed ops (rows-only driver check) ------
     "t08_similarity_ivf" -> ((s: SparkSession, dir: String) => {
       val e = emb(s, dir)
@@ -1011,6 +1030,7 @@ object Queries {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q25_minhash_lsh" -> minhashOracle,
     "q26_simhash" -> simhashOracle,
+    "q48_simhash_neardup" -> simhashBandedOracle,
     "q27_embed_topk" ->
       s"""WITH v AS ($normVecSql),
          | q AS (SELECT * FROM v WHERE vec_id < 10),

@@ -166,8 +166,9 @@ object Dedup {
     agg.select(col(idCol), hashExpr.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist (verification over
-    * LSH-candidates in production; all-pairs only at test scale). */
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist — exact
+    * all-pairs form (ground truth at test scale; production uses
+    * [[simHashNearDupsBanded]]). */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     val sh = simHash(df, idCol, textCol)
@@ -178,6 +179,43 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** The 100-TB SimHash search: pigeonhole banding. Split the `bits`-bit
+    * signature into `maxDist + 1` disjoint bands — two signatures within
+    * Hamming distance maxDist MUST agree exactly on at least one band
+    * (pigeonhole), so candidates are pairs sharing a (band, bandBits)
+    * bucket: an equi-join like MinHash-LSH with guaranteed recall 1, no
+    * all-pairs anywhere; exact bit_count verification then trims false
+    * positives. Identical output to [[simHashNearDups]] by construction
+    * (asserted in the suite). At corpus scale use wider signatures
+    * (`bits = 60`) so each band carries enough entropy to keep buckets
+    * small; 32/4 matches the oracle-verified q26 signature. */
+  def simHashNearDupsBanded(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, bits: Int = 32): DataFrame = {
+    val sh = simHash(df, idCol, textCol, bits)
+    val nBands = maxDist + 1
+    val width = bits / nBands
+    val bandCols = (0 until nBands).map { b =>
+      val w = if (b == nBands - 1) bits - b * width else width
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << w) - 1)).as("key"))
+    }
+    val bucketed = sh.select(col(idCol).as("doc"), col("simhash"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bucketed
+      .select(col("band"), col("key"), col("doc").as("doc_a"),
+        col("simhash").as("sh_a"))
+      .join(bucketed.select(col("band"), col("key"), col("doc").as("doc_b"),
+        col("simhash").as("sh_b")), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** The production near-dup pipeline: exact dedup → LSH candidates over

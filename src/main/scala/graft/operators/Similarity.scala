@@ -165,16 +165,22 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** Sign-bucket LSH: bucket id = sign bits of the first `planes` components
-    * (a fixed, data-independent hyperplane set — deterministic and cheap;
-    * production would rotate with seeded random planes, same plan shape).
-    * Candidates = corpus rows in the query's bucket; then exact cosine +
-    * top-k within the bucket. Approximate: recall < 1, cost ÷ 2^planes. */
+  /** Sign-bucket LSH: bucket id = sign bits of `planes` SEEDED random
+    * hyperplane projections (classic SimHash-style random projection —
+    * deterministic for a given seed, so bucketing is reproducible across
+    * runs/engines; each projection is one codegen'd [[DotProduct]] against
+    * a literal plane vector). Candidates = corpus rows in the query's
+    * bucket; then exact cosine + top-k within the bucket. Approximate:
+    * recall < 1, cost ÷ 2^planes. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 4): DataFrame = {
+      vecCol: String, k: Int, planes: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planeVecs = Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
     def bucket(v: Column): Column =
       (0 until planes).map { i =>
-        when(get(v, lit(i)) >= 0, lit(1L << i)).otherwise(lit(0L)): Column
+        when(dotCol(v, typedLit(planeVecs(i).toSeq)) >= 0, lit(1L << i))
+          .otherwise(lit(0L)): Column
       }.reduce(_ + _)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       l2Normalize(col(vecCol)).as("qv"))

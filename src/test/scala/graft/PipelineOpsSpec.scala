@@ -110,6 +110,18 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(ok.getDouble(0) === 11.0)
   }
 
+  test("simHashNearDupsBanded equals the all-pairs form (pigeonhole recall 1)") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    val allPairs = pairSet(
+      Dedup.simHashNearDups(docs, "doc_id", "text", maxDist = 6))
+    val banded = pairSet(
+      Dedup.simHashNearDupsBanded(docs, "doc_id", "text", maxDist = 6))
+    assert(allPairs.nonEmpty)
+    assert(banded === allPairs)
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic tie-break") {
     val vecs = Seq(
       (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)),
