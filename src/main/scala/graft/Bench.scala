@@ -43,15 +43,22 @@ object Bench {
       SparkEntry.queries("q14_window_rank")(spark,
         sfDir.replace("sf0.1", "sf0.001")).count()
     } catch { case _: Throwable => () }
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def timeOnce(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        // a crashing query must not masquerade as a fast timing
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        name -> (1 to math.max(1, reps)).map(_ => timeOnce(fn)).min
+        name -> (1 to math.max(1, reps)).map(_ => timeOnce(name, fn)).min
     }
     // Adaptive outlier re-timing: a multi-second contention burst (GC,
     // noisy neighbor) can cover BOTH reps of one query and masquerade as
@@ -61,14 +68,15 @@ object Bench {
     val results = firstPass.map { case (name, t) =>
       if (t > math.max(1.0, 3 * median))
         name -> math.min(t,
-          (1 to 2).map(_ => timeOnce(SparkEntry.queries(name))).min)
+          (1 to 2).map(_ => timeOnce(name, SparkEntry.queries(name))).min)
       else name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
     spark.stop()
     // the very last stdout line, after Spark's shutdown logging

@@ -84,22 +84,24 @@ object TextFunctions {
     * robust to edits outside the run — the classic local-similarity
     * sketch (MOSS). All built-in expressions, DuckDB-reproducible. */
   def charGramHashes(norm: Column, k: Int): Column =
-    transform(
-      sequence(lit(1), greatest(length(norm) - (k - 1), lit(0))),
-      i => hash60(substring(norm, i, lit(k))))
+    // guard BEFORE sequence: Spark's sequence(1, 0) is the DESCENDING
+    // range [1, 0], not empty — an unguarded short doc would emit bogus
+    // grams (and crash slice() downstream)
+    when(length(norm) >= k,
+      transform(sequence(lit(1), length(norm) - (k - 1)),
+        i => hash60(substring(norm, i, lit(k)))))
+      .otherwise(array().cast("array<long>"))
 
   /** Sorted distinct window-minimum hashes (see [[charGramHashes]]). */
   def windowMins(grams: Column, w: Int): Column =
-    array_sort(array_distinct(transform(
-      sequence(lit(1), greatest(size(grams) - (w - 1), lit(0))),
-      j => array_min(slice(grams, j, lit(w))))))
+    when(size(grams) >= w,
+      array_sort(array_distinct(transform(
+        sequence(lit(1), size(grams) - (w - 1)),
+        j => array_min(slice(grams, j, lit(w)))))))
+      .otherwise(array().cast("array<long>"))
 
-  /** Deterministic document fingerprint: md5 of the normalized text
-    * (lowercase, punctuation stripped, whitespace collapsed). */
-  def fingerprint(text: Column): Column =
-    md5(regexp_replace(
-      regexp_replace(lower(trim(text)), "[^a-z0-9 ]", ""),
-      " +", " "))
+  /** Deterministic document fingerprint: md5 of [[normText]]. */
+  def fingerprint(text: Column): Column = md5(normText(text))
 
   /** Lexicon hit count: how many tokens fall in `lexicon`. */
   def lexiconHits(text: Column, lexicon: Seq[String]): Column =

@@ -103,14 +103,22 @@ object SpanOps {
     val keyTypes: Seq[(String, String)] = keys match {
       case Some(ks) => ks.map(_ -> "string")
       case None if hasTypes =>
+        // aggregate per KEY (not per (key,type) pair) so the cardinality
+        // guard counts keys deterministically: orderBy + limit over keys,
+        // conflicting discriminators detected via countDistinct — a
+        // hostile corpus can overflow the key limit (require below fires)
+        // but can never silently mistype or drop a surviving key
         flatSpans
           .select(explode(map_entries(col("tagTypes"))).as("e"))
           .select(col("e.key").as("k"), col("e.value").as("t"))
-          .distinct().limit(10 * maxKeys + 1)
-          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-          .groupBy(_._1).view
-          .mapValues(ts => sparkTypeFor(ts.map(_._2).toSet))
-          .toSeq.sortBy(_._1)
+          .groupBy(col("k"))
+          .agg(countDistinct(col("t")).as("nt"), min(col("t")).as("t"))
+          .orderBy(col("k")).limit(maxKeys + 1)
+          .collect()
+          .map(r => (r.getString(0),
+            if (r.getLong(1) > 1) "string"
+            else sparkTypeFor(Set(r.getString(2)))))
+          .toSeq
       case None =>
         flatSpans.select(explode(map_keys(col("tags"))).as("k"))
           .distinct().orderBy("k").limit(maxKeys + 1)

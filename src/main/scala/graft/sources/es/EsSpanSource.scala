@@ -81,6 +81,10 @@ class EsSpanTable(props: Map[String, String]) extends Table with SupportsRead {
     new EsScanBuilder(props ++ options.asScala)
 }
 
+/** The `limit` OPTION is a per-slice upper bound only (slices cannot
+  * coordinate a global cutoff); an exact total cap needs `df.limit(n)`,
+  * which pushes down AND retains the trimming Limit — the [[EsSpanOps]]
+  * facade does this for the reference's total-limit semantics. */
 class EsScanBuilder(rawOpts: Map[String, String])
     extends ScanBuilder with SupportsPushDownLimit {
   private val opts = rawOpts.map { case (k, v) => k.toLowerCase -> v }
@@ -251,13 +255,19 @@ object EsSpanOps {
           "value").as("tags"))
   }
 
-  /** S9 `traces_from_es`: ES scan → spans → assembled traces → summary. */
+  /** S9 `traces_from_es`: ES scan → spans → assembled traces → summary.
+    * The reference's `limit` is a TOTAL span cap (`traceframe.py:352`);
+    * the scan-level option alone is only a per-slice upper bound (slices
+    * can't coordinate), so the facade applies an explicit `.limit(n)` —
+    * which Spark also pushes into the scan and then trims exactly. */
   def traces(spark: SparkSession, endpoint: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     val raw = options.foldLeft(
       spark.read.format("es-spans").option("endpoint", endpoint)) {
       case (r, (k, v)) => r.option(k, v)
     }.load()
-    TraceOps.summarize(SpanOps.assembleTraces(flatSpans(raw)))
+    val capped = options.get("limit").map(l => raw.limit(l.toInt))
+      .getOrElse(raw)
+    TraceOps.summarize(SpanOps.assembleTraces(flatSpans(capped)))
   }
 }

@@ -65,8 +65,13 @@ object TraceStreams {
       .agg(count(lit(1)).as("n_spans"))
 
   /** A trace still being assembled in state; `maxEndMs` is the latest span
-    * end (event time, ms) seen so far. */
-  case class TraceBuffer(spans: List[SpanLite], maxEndMs: Long)
+    * end (event time, ms) seen so far. After emission the buffer lives on
+    * briefly as an empty TOMBSTONE (`emitted = true`) so stragglers that
+    * beat the watermark but lose the race with the trace's timeout are
+    * DROPPED rather than re-opening the trace and emitting a second,
+    * overlapping partial critical path. */
+  case class TraceBuffer(spans: List[SpanLite], maxEndMs: Long,
+      emitted: Boolean = false)
 
   /** [[SpanLite]] plus the event-time column the watermark tracks. */
   case class TimedSpan(traceID: String, spanID: String, operationName: String,
@@ -86,7 +91,8 @@ object TraceStreams {
     * of the batch `groupByKey.flatMapGroups` operator (identical kernel,
     * SURVEY.md A1/A2). */
   def criticalPathStream(spans: Dataset[SpanLite], gapMs: Long = 5000,
-      watermarkDelay: String = "10 minutes"): Dataset[CritSeg] = {
+      watermarkDelay: String = "10 minutes",
+      tombstoneMs: Long = 600000L): Dataset[CritSeg] = {
     import spans.sparkSession.implicits._
     val timed = spans
       .withColumn("eventTime",
@@ -100,23 +106,39 @@ object TraceStreams {
             state: GroupState[TraceBuffer]) =>
           if (state.hasTimedOut) {
             val buf = state.get
-            state.remove()
-            if (buf.spans.nonEmpty) CriticalPath.compute(buf.spans).iterator
-            else Iterator.empty
+            if (buf.emitted) { // tombstone expired: final cleanup
+              state.remove()
+              Iterator.empty
+            } else {
+              // emit, then tombstone for `tombstoneMs` of watermark time:
+              // a straggler that is inside the watermark delay but behind
+              // the trace's timeout must not re-open the trace
+              state.update(TraceBuffer(Nil, buf.maxEndMs, emitted = true))
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + math.max(1L, tombstoneMs))
+              if (buf.spans.nonEmpty) CriticalPath.compute(buf.spans).iterator
+              else Iterator.empty
+            }
           } else {
-            val incoming = newSpans.map(t => SpanLite(t.traceID, t.spanID,
-              t.operationName, t.startTime, t.duration, t.processID,
-              t.parent, t.service)).toList
             val buf = state.getOption.getOrElse(TraceBuffer(Nil, 0L))
-            val merged = buf.spans ++ incoming
-            val maxEndMs = math.max(buf.maxEndMs,
-              incoming.map(s => (s.startTime + s.duration) / 1000L).max)
-            state.update(TraceBuffer(merged, maxEndMs))
-            // fire when the watermark (data clock) passes last-end + gap;
-            // never set a timeout at-or-before the current watermark
-            state.setTimeoutTimestamp(math.max(maxEndMs + gapMs,
-              state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+            if (buf.emitted) {
+              // post-emission stragglers: dropped, never merged into (or
+              // re-emitted after) an already-emitted trace
+              Iterator.empty
+            } else {
+              val incoming = newSpans.map(t => SpanLite(t.traceID, t.spanID,
+                t.operationName, t.startTime, t.duration, t.processID,
+                t.parent, t.service)).toList
+              val merged = buf.spans ++ incoming
+              val maxEndMs = math.max(buf.maxEndMs,
+                incoming.map(s => (s.startTime + s.duration) / 1000L).max)
+              state.update(TraceBuffer(merged, maxEndMs))
+              // fire when the watermark (data clock) passes last-end + gap;
+              // never set a timeout at-or-before the current watermark
+              state.setTimeoutTimestamp(math.max(maxEndMs + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
           }
       }
   }

@@ -43,6 +43,14 @@ class PipelineOpsSpec extends SparkTestBase {
         .select(TextFunctions.windowMins(col("grams"), 4).as("fp"))
         .head().getSeq[Long](0).toSet
     }
+    // short-doc edges: sequence(1,0) in Spark is [1,0], NOT empty — the
+    // guards must yield empty fingerprints, not bogus grams or a slice()
+    // crash (q47 on a short/punctuation-only doc)
+    assert(fp("Hi!") === Set.empty)
+    assert(fp("") === Set.empty)
+    assert(fp("abcdefg") === Set.empty) // 3 grams < window of 4
+    assert(fp("abcdefgh").size === 1)   // exactly one window
+
     val run = "the quick brown fox jumps over the lazy dog"
     val a = fp(run)
     val b = fp("completely different prefix material " + run)

@@ -134,6 +134,47 @@ class StreamingSpec extends SparkTestBase {
     assert(t1 === Set("root", "child"))
   }
 
+  test("event-time critical path: straggler behind the timeout is tombstoned") {
+    import SparkTestBase.session.implicits._
+    val base = 1700000000000000L
+    def sp(tid: String, sid: String, parent: String, start: Long,
+        dur: Long) = SpanLite(tid, sid, "op", start, dur, "p1", parent, "svc")
+    val dir = Files.createTempDirectory("graft_stream_ts").toString
+    def write(name: String, spans: Seq[SpanLite]): Unit =
+      spark.createDataset(spans).toDF().coalesce(1)
+        .write.mode("overwrite").json(s"$dir/$name")
+    // b1: t1's child spans only (end base+65s); b2: sentinel A lifts the
+    // watermark to base+70s (> end+gap); b3: sentinel B triggers the batch
+    // where t1 times out and emits its child-only partial path (tombstone
+    // set for 30s of watermark time); b4: t1's ROOT — a straggler above
+    // the watermark but behind the emission — plus sentinel C; b5:
+    // sentinel D lifts the watermark past the tombstone so cleanup runs;
+    // a buggy re-open would emit a second root-only path here.
+    write("b1", Seq(sp("t1", "c1", "root", base, 60000000L),
+      sp("t1", "c2", "root", base + 60000000L, 5000000L)))
+    write("b2", Seq(sp("s", "sA", "", base + 129000000L, 1000000L)))
+    write("b3", Seq(sp("s", "sB", "", base + 130000000L, 1000000L)))
+    write("b4", Seq(sp("t1", "root", "", base, 80000000L),
+      sp("s", "sC", "", base + 131000000L, 1000000L)))
+    write("b5", Seq(sp("s", "sD", "", base + 200000000L, 1000000L)))
+    val streamSpans = spark.readStream
+      .schema(TraceStreams.spanStreamSchema)
+      .option("maxFilesPerTrigger", 1).json(s"$dir/*").as[SpanLite]
+    val segs = TraceStreams.criticalPathStream(streamSpans,
+      gapMs = 1000, watermarkDelay = "1 minute", tombstoneMs = 30000L)
+    val q = segs.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("crit_tomb")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val t1Spans = spark.table("crit_tomb")
+      .where(col("span.traceID") === "t1")
+      .select("span.spanID").collect().map(_.getString(0))
+    // exactly ONE emission (the child-only partial path): the late root
+    // never re-opens the trace as a second overlapping decomposition
+    assert(t1Spans.nonEmpty)
+    assert(!t1Spans.contains("root"))
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
