@@ -27,11 +27,11 @@ import graft.functions.TextFunctions._
   * All hashing goes through [[TextFunctions.hash60]] (md5-based) so DuckDB
   * reproduces every signature bit-for-bit for the correctness oracle.
   *
-  * The shingle work shares one subtree: [[shingleIndex]] ends in a
-  * `distinct()` Exchange, so a plan that consumes it in several branches
-  * (LSH signatures + Jaccard verify inside [[nearDupDrops]]) computes the
-  * index once and re-reads it via Spark's exchange reuse — no manual
-  * `.persist()` lifecycle to leak.
+  * The shingle work shares one subtree: [[shingleIndex]] feeds a single
+  * per-doc array aggregation inside [[nearDupDrops]] from which both the
+  * LSH signatures (via a partition-preserving explode — no extra
+  * exchange) and the Jaccard verify derive; a long-lived pipeline would
+  * persist that array index once and fan out from it.
   */
 object Dedup {
 
@@ -105,16 +105,22 @@ object Dedup {
     * of one O(n²) straggler task. Both paths emit one row per shared band,
     * so the per-pair band counts are path-independent. */
   def lshCandidatesFromIndex(idx: DataFrame, bands: Int = 4, rows: Int = 4,
-      maxBucket: Int = 10000): DataFrame = {
-    val sig = minHashSignaturesFromIndex(idx, bands * rows)
+      maxBucket: Int = 10000): DataFrame =
+    lshCandidatesFromSignatures(
+      minHashSignaturesFromIndex(idx, bands * rows), bands, rows, maxBucket)
+
+  /** Banding over an existing signature frame (doc, mh0..mhN). */
+  def lshCandidatesFromSignatures(sig: DataFrame, bands: Int = 4,
+      rows: Int = 4, maxBucket: Int = 10000): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
           .as("key"))
     }
-    // ONE (band,key) shuffle; both guard branches below re-read this same
-    // aggregation via exchange reuse, so the guard adds no shuffle in the
-    // common (no-flood) case
+    // ONE (band,key) aggregation shape feeds both guard branches (the
+    // collect_list exchange itself is not Spark-reusable — collect_list
+    // is non-deterministic — but the big branch's recompute only matters
+    // when a flood actually overflows a bucket)
     val buckets = sig
       .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
@@ -254,19 +260,28 @@ object Dedup {
     val repDocs = df.select(col(idCol).as("doc"), col(textCol).as("text"))
       .join(reps.select(col("rep").as("doc")), Seq("doc"), "left_semi")
 
+    // ONE shuffle shape materializes the per-doc sorted shingle-hash
+    // arrays; everything downstream derives from it. The MinHash
+    // signatures come from exploding `hs` back out — Generate preserves
+    // the hash partitioning on `doc`, so the signature aggregation adds
+    // NO second exchange. (Spark cannot re-serve the docArrays shuffle
+    // across its consumers: collect_list is non-deterministic, which
+    // disables exchange reuse — at real scale the one-liner fix is to
+    // persist docArrays to disk, the standard shape for a dedup index
+    // consumed by several stages.)
+    // Verify = exact Jaccard per CANDIDATE PAIR: join each pair to the
+    // two docs' arrays and intersect. (The inverted-index self-join in
+    // [[jaccardFromIndex]] stays the right shape for UNrestricted
+    // all-pairs search; per-pair verify replicates each doc's array once
+    // per candidate pair — bounded by LSH band geometry — instead of
+    // joining the whole index against itself.)
     val idx = shingleIndex(repDocs, "doc", "text", n)
-    val cands = lshCandidatesFromIndex(idx, bands, rows, maxBucket)
-      .select(col("doc_a"), col("doc_b"))
-    // verify = exact Jaccard per CANDIDATE PAIR: join each pair to the two
-    // docs' sorted shingle-hash arrays and intersect. The per-doc array
-    // aggregation groups by `doc` over the same index subtree as the
-    // signatures, so exchange reuse serves both from one shuffle. (The
-    // inverted-index self-join in [[jaccardFromIndex]] stays the right
-    // shape for UNrestricted all-pairs search; per-pair verify replicates
-    // each doc's array once per candidate pair — bounded by LSH band
-    // geometry — instead of joining the whole index against itself.)
     val docArrays = idx.groupBy(col("doc"))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val sig = minHashSignaturesFromIndex(
+      docArrays.select(col("doc"), explode(col("hs")).as("h")), bands * rows)
+    val cands = lshCandidatesFromSignatures(sig, bands, rows, maxBucket)
+      .select(col("doc_a"), col("doc_b"))
     val nearDropped = cands
       .join(docArrays.select(col("doc").as("doc_a"), col("hs").as("hs_a")),
         Seq("doc_a"))

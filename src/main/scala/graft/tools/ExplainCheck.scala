@@ -1,5 +1,11 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+
+/** Plan-evidence harness: prints formatted plans for representative
+  * queries AND asserts the structural properties PERF.md claims — filter
+  * pushdown, broadcast dims, top-k without global sort, no cartesian
+  * products in the banded/bucketed similarity paths, and exchange reuse
+  * inside the near-dup pipeline. Run: `sbt "runMain graft.tools.ExplainCheck"`. */
 object ExplainCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -7,10 +13,51 @@ object ExplainCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q02_filter_project", "q04_join_agg", "q01_pricing_summary", "q27_embed_topk")) {
+    def plan(q: String, executed: Boolean = false): String = {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      if (executed) df.count()
+      df.queryExecution.executedPlan.toString
+    }
+    for (q <- Seq("q02_filter_project", "q04_join_agg",
+        "q01_pricing_summary", "q27_embed_topk")) {
       println(s"########## $q")
       graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
+    def check(label: String, ok: Boolean): Unit = {
+      println((if (ok) "[ok] " else "[VIOLATION] ") + label)
+      require(ok, label)
+    }
+    check("q02 pushes filters to the parquet scan",
+      plan("q02_filter_project").contains("PushedFilters: [Is"))
+    check("q04 broadcasts both dimension tables",
+      "BroadcastHashJoin".r.findAllIn(plan("q04_join_agg")).length == 2)
+    check("q03 top-k plans TakeOrderedAndProject (no global sort)",
+      plan("q03_topk").contains("TakeOrderedAndProject"))
+    check("q48 banded simhash join has no cartesian product",
+      !plan("q48_simhash_neardup").contains("CartesianProduct"))
+    check("t06 seeded-hyperplane LSH join has no cartesian product",
+      !plan("t06_similarity_lsh").contains("CartesianProduct"))
+    check("q42 near-dup pipeline has no cartesian product",
+      !plan("q42_neardup_pipeline", executed = true)
+        .contains("CartesianProduct"))
+    // signature derivation from the per-doc array index must add NO
+    // exchange: explode preserves the doc hash partitioning, so the plan
+    // holds exactly 2 exchanges (shingle distinct + array aggregation)
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val idx = graft.operators.Dedup.shingleIndex(docs, "doc_id", "text")
+      val arrs = idx.groupBy(col("doc"))
+        .agg(sort_array(collect_list(col("h"))).as("hs"))
+      val sig = graft.operators.Dedup.minHashSignaturesFromIndex(
+        arrs.select(col("doc"), explode(col("hs")).as("h")))
+      val n = "Exchange hashpartitioning".r
+        .findAllIn(sig.queryExecution.executedPlan.toString).length
+      check(s"signature-from-array-index plans 2 exchanges (got $n): " +
+        "the explode-derived aggregation reuses the doc partitioning",
+        n == 2)
+    }
+    println("all plan assertions hold")
     spark.stop()
   }
 }
