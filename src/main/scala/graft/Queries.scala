@@ -573,6 +573,125 @@ object Queries {
       .orderBy(col("bin"))
   }
 
+  /** CUBE aggregation (all grouping-set combinations; q13's rollup sibling).
+    * Same single-shuffle Expand-based plan as rollup — no per-set rescan. */
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("cnt"), col("sum_price"))
+      .orderBy(col("prio"), col("status"))
+
+  /** Sliding window frame: 4-event moving average per user. The frame is
+    * evaluated inside one window pass per partition — no self-join. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        round(avg(col("value")).over(w), 6).as("mavg"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Distribution ranks: ntile/percent_rank/cume_dist over a global order.
+    * A single unpartitioned window is a deliberate serial point — at scale
+    * the same statistics come from approx_percentile or a two-pass
+    * rank-by-range-partition; this query pins the exact-window semantics. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cum_dist"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Disjunctive multi-clause predicate over a fact×dim join (TPC-H Q19
+    * shape). The OR-of-ANDs can't push below the join as a whole, but each
+    * side's derivable disjunction (brand IN ..., quantity range union) does
+    * prune the scans; the join stays a single broadcast hash join. */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) &&
+          col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20) &&
+          col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) &&
+          col("p_size").between(1, 15)))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("cnt"))
+
+  /** Multiple exact count-distincts in one aggregation (Expand-based
+    * single-pass plan, not one scan per distinct). */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus"))
+
+  /** max_by/min_by argmax aggregates (q07's argmin done as a single
+    * aggregation instead of sort+limit). Ties on price are broken
+    * deterministically by embedding the key into a zero-padded sortable
+    * string — the same total order DuckDB's max_by sees. */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val key = format_string("%020.4f|%010d",
+      col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(max_by(col("o_orderkey"), key).as("max_price_order"),
+        min_by(col("o_orderkey"), key).as("min_price_order"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Statistical aggregates: stddev/correlation/covariance per group. */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 8)
+          .as("cov_qd"))
+      .orderBy(col("l_returnflag"))
+
+  /** Regex extraction/replacement family (patterns restricted to the
+    * class both java.util.regex and RE2 evaluate identically). */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]*e"), lit(0)))
+          .cast("long").as("n_e_words"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
+          .as("n_non_vowel"))
+      .orderBy(col("doc_id"))
+
+  /** posexplode: lateral expansion with ordinality (first 3 tokens per
+    * doc). The generator runs inside the scan stage — no shuffle. */
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        slice(TextFunctions.tokens(col("text")), 1, 3).as("t3"))
+      .select(col("doc_id"), posexplode(col("t3")))
+      .toDF("doc_id", "pos", "token")
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** Token-distribution entropy (TextFunctions.tokenEntropy): the
+    * repetition/boilerplate quality signal. */
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    TextFunctions.tokenEntropy(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // --- trace-pipeline oracle over the raw fixture export -------------------
   // (see FixtureOracle: raw_* parquet is pure posexplode — all trace
   // semantics below are re-derived in SQL, independent of the operators)
@@ -772,6 +891,16 @@ object Queries {
     "q45_histogram" -> (q45 _),
     "q46_bpe_tokens" -> (q46 _),
     "q47_winnowing_fp" -> (q47 _),
+    "q49_cube" -> (q49 _),
+    "q50_moving_avg" -> (q50 _),
+    "q51_dist_ranks" -> (q51 _),
+    "q52_disjunctive_join" -> (q52 _),
+    "q53_multi_count_distinct" -> (q53 _),
+    "q54_argmax_agg" -> (q54 _),
+    "q55_stat_aggs" -> (q55 _),
+    "q56_regex_funcs" -> (q56 _),
+    "q57_posexplode" -> (q57 _),
+    "q58_token_entropy" -> (q58 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -1223,6 +1352,70 @@ object Queries {
                "x -> CAST(x AS VARCHAR)), 'string_agg', ','), '')")}
          |    AS fp_hash
          |FROM m ORDER BY doc_id""".stripMargin,
+    "q49_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+        |  coalesce(o_orderstatus, 'ALL') AS status, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY prio, status""".stripMargin,
+    "q50_moving_avg" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q51_dist_ranks" ->
+      """SELECT c_custkey, CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cum_dist
+        |FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q52_disjunctive_join" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+        |    AND p_size BETWEEN 1 AND 5)
+        |  OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+        |    AND p_size BETWEEN 1 AND 10)
+        |  OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+        |    AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q53_multi_count_distinct" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q54_argmax_agg" ->
+      """SELECT o_orderstatus,
+        |  max_by(o_orderkey, printf('%020.4f|%010d', o_totalprice,
+        |    o_orderkey)) AS max_price_order,
+        |  min_by(o_orderkey, printf('%020.4f|%010d', o_totalprice,
+        |    o_orderkey)) AS min_price_order,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q55_stat_aggs" ->
+      """SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_discount), 8) AS cov_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q56_regex_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]*e')) AS BIGINT)
+        |    AS n_e_words,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+        |    AS n_non_vowel
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q57_posexplode" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents)
+         |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, t[i] AS token
+         |FROM tk, unnest(generate_series(1, least(len(t), 3))) s(i)
+         |ORDER BY doc_id, pos""".stripMargin,
+    "q58_token_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tk FROM documents),
+         | c AS (SELECT doc_id, tk, count(*) AS n FROM tok GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,
     // frame sampling is pure arithmetic over byte lengths (stride 64), so

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column combinators for large-scale corpus pipelines
@@ -149,5 +149,26 @@ object TextFunctions {
         when(nToks > 0, nToks).otherwise(lit(1)).cast("double"), 6)
         .as("stop_ratio"),
       round(avgLen, 6).as("avg_token_len"))
+  }
+
+  /** Token-distribution Shannon entropy per document — the standard
+    * repetition/boilerplate signal for training-data quality filtering
+    * (low entropy = a few tokens dominate = likely spam or template).
+    *
+    * Distributed shape: explode → one (id, token) count shuffle → per-doc
+    * combine. The token-count frame is tiny relative to the corpus (bounded
+    * by vocabulary per doc), so the second aggregation is cheap; payload
+    * text never shuffles. Emits `(idCol, n_tokens, entropy)`. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cnt = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    cnt.groupBy(col(idCol))
+      .agg(sum(col("n")).as("t"),
+        sum(col("n") * log(col("n"))).as("nlogn"))
+      // H = -Σ (n/t)·ln(n/t) = ln t − (Σ n·ln n)/t : one pass, no join
+      .select(col(idCol), col("t").cast("long").as("n_tokens"),
+        round(log(col("t")) - col("nlogn") / col("t"), 6).as("entropy"))
   }
 }

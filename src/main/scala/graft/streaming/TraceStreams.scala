@@ -64,6 +64,41 @@ object TraceStreams {
       .groupBy(session_window(col("eventTime"), gap), col("service"))
       .agg(count(lit(1)).as("n_spans"))
 
+  /** Streaming exact-dedup on arbitrary key columns (the ingestion-time
+    * twin of `Dedup.exactDedup` — e.g. dedup a document firehose on its
+    * content digest before it ever lands). State holds only the key
+    * columns and is evicted at the watermark, so memory is bounded by
+    * (distinct keys per watermark window), not stream length. Duplicates
+    * that arrive later than the watermark re-emit — the batch dedup is the
+    * at-rest backstop, same contract as the critical-path pair. */
+  def dedupStream(records: DataFrame, keyCols: Seq[String],
+      eventTimeCol: String = "eventTime",
+      watermark: String = "2 minutes"): DataFrame =
+    records
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Stream-stream inner join: enrich every span with its trace's ROOT
+    * span (parent = "") arriving on the same stream possibly out of order.
+    * Both sides carry watermarks and the join is time-bounded (children
+    * start within `horizon` after their root), so Spark can evict
+    * matched/expired state instead of buffering both streams forever. */
+  def enrichWithRoot(spans: DataFrame, watermark: String = "2 minutes",
+      horizon: String = "1 minute"): DataFrame = {
+    val children = spans.withWatermark("eventTime", watermark)
+    val roots = spans.filter(col("parent") === "")
+      .select(col("traceID").as("rootTraceID"),
+        col("service").as("rootService"),
+        col("operationName").as("rootOperation"),
+        col("eventTime").as("rootTime"))
+      .withWatermark("rootTime", watermark)
+    children.join(roots,
+      col("traceID") === col("rootTraceID") &&
+        col("eventTime") >= col("rootTime") &&
+        col("eventTime") <= col("rootTime") + expr(s"INTERVAL $horizon"))
+      .drop("rootTraceID")
+  }
+
   /** A trace still being assembled in state; `maxEndMs` is the latest span
     * end (event time, ms) seen so far. After emission the buffer lives on
     * briefly as an empty TOMBSTONE (`emitted = true`) so stragglers that

@@ -175,6 +175,53 @@ class StreamingSpec extends SparkTestBase {
     assert(!t1Spans.contains("root"))
   }
 
+  test("streaming dedup drops in-watermark duplicates (batch-twin parity)") {
+    val dir = writeSpanJsonl()
+    // duplicate the whole feed: same rows written twice into the stream dir
+    val flat = spark.read.json(dir)
+    flat.coalesce(1).write.mode("append").json(dir)
+    val deduped = TraceStreams.dedupStream(
+      TraceStreams.spanFileStream(spark, dir),
+      keyCols = Seq("traceID", "spanID"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_stream")
+    assert(got.count() === 331) // one copy per span, not two
+    // value equality with the batch twin on the same doubled input
+    val batch = spark.read.schema(TraceStreams.spanStreamSchema).json(dir)
+      .dropDuplicates("traceID", "spanID")
+    assert(got.select("traceID", "spanID").except(
+      batch.select("traceID", "spanID")).isEmpty)
+  }
+
+  test("stream-stream join enriches spans with their root (batch parity)") {
+    val dir = writeSpanJsonl()
+    val enriched = TraceStreams.enrichWithRoot(
+      TraceStreams.spanFileStream(spark, dir))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("root_join")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("root_join")
+      .select("traceID", "spanID", "rootService", "rootOperation")
+    // batch twin: plain inner join with the same time-bound predicate
+    val spans = spark.read.schema(TraceStreams.spanStreamSchema).json(dir)
+      .withColumn("eventTime", timestamp_micros(col("startTime")))
+    val roots = spans.filter(col("parent") === "")
+      .select(col("traceID").as("rtid"), col("service").as("rootService"),
+        col("operationName").as("rootOperation"),
+        col("eventTime").as("rootTime"))
+    val batch = spans.join(roots,
+      col("traceID") === col("rtid") &&
+        col("eventTime") >= col("rootTime") &&
+        col("eventTime") <= col("rootTime") + expr("INTERVAL 1 minute"))
+      .select("traceID", "spanID", "rootService", "rootOperation")
+    assert(got.count() > 0)
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
