@@ -692,6 +692,34 @@ object Queries {
     TextFunctions.tokenEntropy(docs(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  import graft.operators.Curation
+
+  /** Deterministic hash sampling + mixture weighting (Curation.hashSample /
+    * sampleBySource): even sources keep 30%, odd sources 10%. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val rates = (0 until 20)
+      .map(i => s"src$i" -> (if (i % 2 == 0) 3000 else 1000)).toMap
+    Curation.sampleBySource(docs(s, dir), "doc_id", "source", rates)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"))
+  }
+
+  /** Train/val/test split assignment (Curation.assignSplit 80/10/10). */
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    Curation.assignSplit(docs(s, dir), "doc_id", trainBp = 8000, valBp = 1000)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"))
+
+  /** Token-budget packing (Curation.packTokens, 4096-token bins per
+    * source): per-bin document and token totals. */
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    Curation.packTokens(docs(s, dir), "doc_id", "source", "text", 4096)
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy(col("source"), col("bin"))
+
   // --- trace-pipeline oracle over the raw fixture export -------------------
   // (see FixtureOracle: raw_* parquet is pure posexplode — all trace
   // semantics below are re-derived in SQL, independent of the operators)
@@ -901,6 +929,9 @@ object Queries {
     "q56_regex_funcs" -> (q56 _),
     "q57_posexplode" -> (q57 _),
     "q58_token_entropy" -> (q58 _),
+    "q59_hash_sample" -> (q59 _),
+    "q60_split_assign" -> (q60 _),
+    "q61_token_packing" -> (q61 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -1416,6 +1447,32 @@ object Queries {
          |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
          |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q59_hash_sample" ->
+      s"""SELECT source, count(*) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM documents
+         |WHERE ${H.format("'s1' || CAST(doc_id AS VARCHAR)")} % 10000 <
+         |  CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+         |    THEN 3000 ELSE 1000 END
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q60_split_assign" ->
+      s"""WITH b AS (SELECT n_chars,
+         |  ${H.format("'split1' || CAST(doc_id AS VARCHAR)")} % 10000 AS bk
+         |  FROM documents)
+         |SELECT CASE WHEN bk < 8000 THEN 'train'
+         |  WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    "q61_token_packing" ->
+      s"""WITH tk AS (SELECT doc_id, source,
+         |   CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         | c AS (SELECT source, n, CAST(floor((sum(n) OVER (
+         |     PARTITION BY source ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+         |   / 4096.0) AS BIGINT) AS bin FROM tk)
+         |SELECT source, bin, count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS bin_tokens
+         |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,
     // frame sampling is pure arithmetic over byte lengths (stride 64), so

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * sampling, split assignment, and token-budget packing.
+  *
+  * Everything is keyed on a salted content-independent hash of the document
+  * id ([[TextFunctions.hash60]]) rather than `rand()`: at 100 TB a sample
+  * must be (a) reproducible across reruns and engines, (b) stable under
+  * repartitioning, and (c) consistent between pipeline stages that sample
+  * independently (the same doc lands in the same split everywhere). Seeded
+  * `rand()` gives none of these — it depends on partition layout.
+  *
+  * All three ops are narrow (no shuffle) except packing, whose one window
+  * shuffle is inherent to its sequential-fill semantics.
+  */
+object Curation {
+
+  /** Salted uniform hash bucket in [0, 10000): the sampling/splitting
+    * primitive. Same value in DuckDB via
+    * `CAST(('0x'||substr(md5(salt||CAST(id AS VARCHAR)),1,15)) AS BIGINT) % 10000`. */
+  def hashBucket(id: Column, salt: String): Column =
+    TextFunctions.hash60(concat(lit(salt), id.cast("string"))) % 10000
+
+  /** Deterministic corpus sample: keep `pct` (basis points, 0-10000) of
+    * rows. A filter — fully pushable, no shuffle, stable across reruns. */
+  def hashSample(df: DataFrame, idCol: String, pctBp: Int,
+      salt: String = "s1"): DataFrame =
+    df.filter(hashBucket(col(idCol), salt) < pctBp)
+
+  /** Per-source sampling rates (mixture weighting): each source keeps its
+    * own fraction — the standard knob for re-weighting a source mix.
+    * Unlisted sources are dropped (rate 0). */
+  def sampleBySource(df: DataFrame, idCol: String, sourceCol: String,
+      ratesBp: Map[String, Int], salt: String = "s1"): DataFrame = {
+    val rate = ratesBp.foldLeft(lit(0)) { case (acc, (src, bp)) =>
+      when(col(sourceCol) === src, lit(bp)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), salt) < rate)
+  }
+
+  /** Train/val/test assignment from disjoint hash ranges: adds a `split`
+    * column. Basis points: [0,trainBp) → train, [trainBp,trainBp+valBp) →
+    * val, rest → test. Content-independent, so near-duplicate leakage
+    * between splits must be handled upstream (Dedup.*) — by design, the
+    * split itself never moves a doc between reruns. */
+  def assignSplit(df: DataFrame, idCol: String, trainBp: Int, valBp: Int,
+      salt: String = "split1"): DataFrame = {
+    val b = hashBucket(col(idCol), salt)
+    df.withColumn("split",
+      when(b < trainBp, "train")
+        .when(b < trainBp + valBp, "val")
+        .otherwise("test"))
+  }
+
+  /** Token-budget packing: assign each document to a sequence-batch bin of
+    * ~`budget` tokens, filling bins in `idCol` order within each
+    * `groupCol` partition (bin = floor(tokens-before-me / budget) — the
+    * deterministic contiguous-fill approximation of greedy packing; a doc
+    * straddling a boundary starts the next bin's count but stays in its
+    * floor bin, so bins can overflow by < one doc, never underfill).
+    *
+    * One window shuffle on `groupCol`; the running sum is computed inside
+    * the sorted partition. At 100 TB the group key (source / shard) keeps
+    * individual partitions bounded; packing across an UNPARTITIONED corpus
+    * is a sequential operation by definition and should be sharded first. */
+  def packTokens(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(groupCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
+          lit(budget.toLong)))
+  }
+}
