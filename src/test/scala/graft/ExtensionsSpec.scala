@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cluster-install path: GraftExtensions must register the engine's
+  * SQL surface at session build with no Scala-side register call. The
+  * `spark.sql.extensions=graft.GraftExtensions` string conf is read from
+  * the SparkContext's static conf, which a shared test context can't
+  * change after launch — so this exercises the same injection through
+  * `builder.withExtensions` over a second session, then restores the
+  * default session for the other suites. */
+class ExtensionsSpec extends AnyFunSuite {
+  test("GraftExtensions installs graft_dot at session build") {
+    val base = SparkTestBase.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      assert(s2 ne base) // a genuinely new session, not the cached one
+      val v = s2
+        .sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0)
+      assert(v === 11.0)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity}
 
 /** Operator-level tests for the 100-TB pipeline extensions: text functions,
   * dedup family, similarity search, multimodal plumbing. Uses sf0.001
@@ -18,6 +18,40 @@ class PipelineOpsSpec extends SparkTestBase {
       .head().getLong(0)
     // DuckDB: SELECT CAST(('0x' || substr(md5('hello'),1,15)) AS BIGINT)
     assert(v === 419982666956583591L)
+  }
+
+  test("curation: sampling/splits are stable under repartition, exhaustive") {
+    // the property rand()-based sampling lacks: identical membership no
+    // matter how the data is laid out
+    val a = Curation.hashSample(docs, "doc_id", 3000)
+      .select("doc_id")
+    val b = Curation.hashSample(docs.repartition(7), "doc_id", 3000)
+      .select("doc_id")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assert(a.count() > 0 && a.count() < docs.count())
+
+    val split = Curation.assignSplit(docs, "doc_id", 8000, 1000)
+    assert(split.count() === docs.count()) // exhaustive
+    assert(split.select("split").distinct().count() === 3)
+    // same doc -> same split on a re-run over different layout
+    val split2 = Curation.assignSplit(docs.repartition(5), "doc_id",
+      8000, 1000)
+    assert(split.select("doc_id", "split")
+      .except(split2.select("doc_id", "split")).isEmpty)
+  }
+
+  test("curation: packTokens fills bins contiguously within budget+1 doc") {
+    val packed = Curation.packTokens(docs, "doc_id", "source", "text", 256)
+      .cache()
+    val bins = packed.groupBy("source", "bin")
+      .agg(sum("n_tokens").as("tok"), max("n_tokens").as("mx"))
+    // contiguous fill: a bin exceeds the budget by less than its last doc
+    assert(bins.filter(col("tok") >= col("mx") + 256).count() === 0)
+    // bins are dense per source: 0..max with no gaps
+    val perSrc = packed.groupBy("source")
+      .agg(countDistinct("bin").as("n"), max("bin").as("mx"))
+    assert(perSrc.filter(col("n") =!= col("mx") + 1).count() === 0)
+    packed.unpersist()
   }
 
   test("tokens/shingles edge cases") {
