@@ -720,6 +720,29 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
       .orderBy(col("source"), col("bin"))
 
+  /** Range join: orders against quarter intervals (non-equi predicate →
+    * BroadcastNestedLoopJoin on the tiny broadcast range side — the right
+    * physical shape when one side is a handful of intervals; REGULAR
+    * intervals like these degenerate to an equi-join on a truncated key,
+    * and at 100 TB with many irregular ranges the scale path is binning
+    * both sides to overlapping buckets and equi-joining on bucket id). */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val quarters = s.range(1)
+      .select(explode(sequence(
+        lit("1995-01-01").cast("date"),
+        lit("2001-07-01").cast("date"),
+        expr("INTERVAL 3 MONTHS"))).as("q_start"))
+      .withColumn("q_end", add_months(col("q_start"), 3))
+    t(s, dir, "orders")
+      .join(broadcast(quarters),
+        col("o_orderdate") >= col("q_start").cast("timestamp") &&
+          col("o_orderdate") < col("q_end").cast("timestamp"))
+      .groupBy(col("q_start"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("q_start"))
+  }
+
   // --- trace-pipeline oracle over the raw fixture export -------------------
   // (see FixtureOracle: raw_* parquet is pure posexplode — all trace
   // semantics below are re-derived in SQL, independent of the operators)
@@ -932,6 +955,7 @@ object Queries {
     "q59_hash_sample" -> (q59 _),
     "q60_split_assign" -> (q60 _),
     "q61_token_packing" -> (q61 _),
+    "q62_range_join" -> (q62 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -1473,6 +1497,14 @@ object Queries {
          |SELECT source, bin, count(*) AS n_docs,
          |  CAST(sum(n) AS BIGINT) AS bin_tokens
          |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "q62_range_join" ->
+      """WITH q AS (SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+        |    DATE '2001-07-01', INTERVAL 3 MONTH)) AS DATE) AS q_start)
+        |SELECT q_start, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN q ON o_orderdate >= CAST(q_start AS TIMESTAMP)
+        |  AND o_orderdate < CAST(q_start + INTERVAL 3 MONTH AS TIMESTAMP)
+        |GROUP BY q_start ORDER BY q_start""".stripMargin,
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,
     // frame sampling is pure arithmetic over byte lengths (stride 64), so

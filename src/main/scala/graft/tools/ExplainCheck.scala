@@ -57,6 +57,22 @@ object ExplainCheck {
         "the explode-derived aggregation reuses the doc partitioning",
         n == 2)
     }
+    check("q62 range join broadcasts the interval side (BNLJ, no shuffle " +
+      "of the fact table before the join)",
+      plan("q62_range_join").contains("BroadcastNestedLoopJoin"))
+    check("q49 cube plans a single-scan Expand, not one scan per set",
+      plan("q49_cube").contains("Expand"))
+    check("q53 multi count-distinct plans Expand (one pass)",
+      plan("q53_multi_count_distinct").contains("Expand"))
+    // curation sampling is a pure filter: no exchange beyond the
+    // deliberate ingest repartition + the aggregation's own shuffle
+    // (the rangepartitioning exchange for the 20-row ORDER BY is excluded)
+    locally {
+      val n = "Exchange hashpartitioning".r
+        .findAllIn(plan("q59_hash_sample")).length
+      check(s"q59 hash-sample adds no extra hash shuffles (got $n: " +
+        "ingest repartition + final agg only)", n <= 2)
+    }
     println("all plan assertions hold")
     spark.stop()
   }
