@@ -743,6 +743,17 @@ object Queries {
       .orderBy(col("q_start"))
   }
 
+  /** Sub-document chunk dedup (Dedup.chunkDuplicates, 10-token chunks):
+    * per-doc duplicated-span ratio — the C4-style boilerplate signal. */
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDuplicates(docs(s, dir), "doc_id", "text")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        round(avg(when(col("is_dup"), 1.0).otherwise(0.0)), 6)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+
   // --- trace-pipeline oracle over the raw fixture export -------------------
   // (see FixtureOracle: raw_* parquet is pure posexplode — all trace
   // semantics below are re-derived in SQL, independent of the operators)
@@ -956,6 +967,7 @@ object Queries {
     "q60_split_assign" -> (q60 _),
     "q61_token_packing" -> (q61 _),
     "q62_range_join" -> (q62 _),
+    "q63_chunk_dedup" -> (q63 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -1505,6 +1517,21 @@ object Queries {
         |FROM orders JOIN q ON o_orderdate >= CAST(q_start AS TIMESTAMP)
         |  AND o_orderdate < CAST(q_start + INTERVAL 3 MONTH AS TIMESTAMP)
         |GROUP BY q_start ORDER BY q_start""".stripMargin,
+    "q63_chunk_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | ch AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         |   ${H.format("list_aggregate(list_slice(t, (i-1)*10 + 1, " +
+               "(i-1)*10 + 10), 'string_agg', ' ')")} AS h
+         |  FROM tk, unnest(generate_series(1,
+         |    CAST(floor((len(t) - 1) / 10.0) AS BIGINT) + 1)) s(i)
+         |  WHERE len(t) > 0),
+         | rk AS (SELECT doc_id, pos,
+         |   CASE WHEN row_number() OVER (PARTITION BY h
+         |     ORDER BY doc_id, pos) > 1 THEN 1 ELSE 0 END AS d FROM ch)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(d) AS BIGINT) AS n_dup,
+         |  round(avg(CAST(d AS DOUBLE)), 6) AS dup_ratio
+         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,
     // frame sampling is pure arithmetic over byte lengths (stride 64), so

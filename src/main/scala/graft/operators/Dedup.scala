@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -327,4 +328,33 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame =
     jaccardFromIndex(shingleIndex(df, idCol, textCol, n), threshold)
+
+  /** Sub-document (chunk-level) duplicate detection — the C4-style
+    * "remove duplicated spans" primitive: the corpus is cut into
+    * non-overlapping `chunkTokens`-token chunks and every chunk whose text
+    * was already seen earlier in corpus order (first occurrence by
+    * (id, pos)) is flagged. Emits `(id, pos, chunk_h, is_dup)`.
+    *
+    * Scale shape: only 8-byte chunk hashes shuffle (one window over
+    * chunk_h — equivalently a groupBy-min + self-join, but the window
+    * keeps it one pass); chunk text never leaves the map side. Intra-doc
+    * AND cross-doc duplicates are both flagged, which is the point —
+    * boilerplate repeats across documents. */
+  def chunkDuplicates(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10): DataFrame = {
+    val chunks = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        when(size(col("toks")) > 0,
+          transform(sequence(lit(0),
+            ((size(col("toks")) - 1) / chunkTokens).cast("int")),
+            i => array_join(
+              slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
+          .otherwise(array().cast("array<string>")).as("chunks"))
+      .select(col("id"), posexplode(col("chunks")))
+      .select(col("id"), col("pos"), hash60(col("col")).as("chunk_h"))
+    val w = Window.partitionBy(col("chunk_h"))
+      .orderBy(col("id"), col("pos"))
+    chunks.withColumn("is_dup", row_number().over(w) > 1)
+  }
 }

@@ -54,6 +54,19 @@ class PipelineOpsSpec extends SparkTestBase {
     packed.unpersist()
   }
 
+  test("chunkDuplicates flags repeated spans within and across docs") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j x y"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = Dedup.chunkDuplicates(d, "doc_id", "text")
+    // (1,1) repeats (1,0) intra-doc; (2,0) repeats it cross-doc;
+    // (2,1) is the unique tail chunk "x y"; empty doc 3 emits nothing
+    assert(got.count() === 4)
+    assert(got.filter(col("is_dup")).select("id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet === Set((1L, 1), (2L, 0)))
+  }
+
   test("tokens/shingles edge cases") {
     val df = Seq("", "  ", "one", "a b c d").toDF("text")
     val got = df.select(
