@@ -754,6 +754,14 @@ object Queries {
           .as("dup_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Near-dup cluster assignment (Dedup.connectedComponents over the
+    * exact-Jaccard pairs): cluster id = smallest reachable doc id. */
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.8))
+      .select(col("node").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy(col("doc_id"))
+
   // --- trace-pipeline oracle over the raw fixture export -------------------
   // (see FixtureOracle: raw_* parquet is pure posexplode — all trace
   // semantics below are re-derived in SQL, independent of the operators)
@@ -968,6 +976,7 @@ object Queries {
     "q61_token_packing" -> (q61 _),
     "q62_range_join" -> (q62 _),
     "q63_chunk_dedup" -> (q63 _),
+    "q64_dedup_clusters" -> (q64 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -1532,6 +1541,26 @@ object Queries {
          |  CAST(sum(d) AS BIGINT) AS n_dup,
          |  round(avg(CAST(d AS DOUBLE)), 6) AS dup_ratio
          |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q64_dedup_clusters" ->
+      s"""${shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |     count(*) AS inter
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |   GROUP BY 1, 2),
+         | p AS (SELECT doc_a, doc_b FROM inter
+         |   JOIN sz za ON doc_a = za.doc_id
+         |   JOIN sz zb ON doc_b = zb.doc_id
+         |   WHERE CAST(inter AS DOUBLE) /
+         |     CAST(za.n_sh + zb.n_sh - inter AS DOUBLE) >= 0.8),
+         | e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |   UNION SELECT doc_b, doc_a FROM p),
+         | r AS (SELECT a AS node, a AS reach FROM e
+         |   UNION
+         |   SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a)
+         |SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster
+         |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,
     // frame sampling is pure arithmetic over byte lengths (stride 64), so

@@ -329,6 +329,46 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8): DataFrame =
     jaccardFromIndex(shingleIndex(df, idCol, textCol, n), threshold)
 
+  /** Connected components over near-dup pairs: the clustering step of a
+    * dedup pipeline (near-duplication is transitive in effect — A~B and
+    * B~C should collapse to ONE representative even when A~C was never
+    * emitted as a pair). Iterative min-label propagation: every node
+    * adopts the smallest label among itself and its neighbors until a
+    * fixpoint; the label IS the cluster id (= smallest doc id reachable).
+    *
+    * Scale shape: each round is one join + one aggregation over the EDGE
+    * list (not the corpus); rounds needed = graph diameter, and near-dup
+    * clusters are shallow (dozens of docs, diameter ≲ 5). The per-round
+    * `count` action + `localCheckpoint` is the standard Spark iterative
+    * pattern — it truncates lineage so round N doesn't re-run rounds
+    * 1..N-1, and stops as soon as no label moves. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    var converged = labels.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, col("node") === col("src"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
+            .as("next_lbl"))
+        .localCheckpoint()
+      converged = next.filter(col("next_lbl") < col("lbl")).isEmpty
+      labels = next.select(col("node"), col("next_lbl").as("lbl"))
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter " +
+      "rounds — diameter exceeds the bound; raise maxIter")
+    labels
+  }
+
   /** Sub-document (chunk-level) duplicate detection — the C4-style
     * "remove duplicated spans" primitive: the corpus is cut into
     * non-overlapping `chunkTokens`-token chunks and every chunk whose text

@@ -67,6 +67,17 @@ class PipelineOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getInt(1))).toSet === Set((1L, 1), (2L, 0)))
   }
 
+  test("connectedComponents: chains and cliques collapse to min-id labels") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), // chain, mixed direction
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (20L, 21L)) // isolated pair
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("tokens/shingles edge cases") {
     val df = Seq("", "  ", "one", "a b c d").toDF("text")
     val got = df.select(
