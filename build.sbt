@@ -34,4 +34,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: at local[32] the driver JVM is also all 32 executors; an
   // 8g heap showed GC-pause outliers (4-8x) on the round-1 driver bench.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_GC_LOG")
+  .map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq

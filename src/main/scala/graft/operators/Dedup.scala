@@ -382,16 +382,23 @@ object Dedup {
     * boilerplate repeats across documents. */
   def chunkDuplicates(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 10): DataFrame = {
+    // The chunk-building HOF lives INSIDE the generator expression (the
+    // shingleIndex shape): its lambda then references the bound `toks`
+    // attribute from the child projection. Hosting it in its own Project
+    // instead lets CollapseProject merge the projections under the
+    // Generate, turning the lambda argument into the raw split(...)
+    // subtree — re-tokenized per element, interpreted (measured 536 s →
+    // 1.1 s at 200k docs for this exact plan).
+    def chunkExpr(toks: Column): Column =
+      when(size(toks) > 0,
+        transform(sequence(lit(0), ((size(toks) - 1) / chunkTokens)
+          .cast("int")),
+          i => array_join(slice(toks, i * chunkTokens + 1,
+            lit(chunkTokens)), " ")))
+        .otherwise(array().cast("array<string>"))
     val chunks = df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"),
-        when(size(col("toks")) > 0,
-          transform(sequence(lit(0),
-            ((size(col("toks")) - 1) / chunkTokens).cast("int")),
-            i => array_join(
-              slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
-          .otherwise(array().cast("array<string>")).as("chunks"))
-      .select(col("id"), posexplode(col("chunks")))
+      .select(col("id"), posexplode(chunkExpr(col("toks"))))
       .select(col("id"), col("pos"), hash60(col("col")).as("chunk_h"))
     val w = Window.partitionBy(col("chunk_h"))
       .orderBy(col("id"), col("pos"))

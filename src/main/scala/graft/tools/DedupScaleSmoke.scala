@@ -61,6 +61,37 @@ object DedupScaleSmoke {
       Dedup.minHashLsh(docs, "doc_id", "text").count())
     println(s"  candidate pairs: $cands (corpus all-pairs: " +
       s"${nDocs * (nDocs - 1) / 2})")
+
+    // planted structure: for i%100==0, {i, i+1 (near-dup), i+2 (exact)}
+    // form one 3-doc cluster through i. The exact link (i, i+2) has
+    // identical signatures so it always survives banding — the planted
+    // floor is ~nDocs/100 clusters. Random false-positive candidate pairs
+    // between unrelated docs ADD small clusters on top (measured: ~1% at
+    // 200k), so the bound allows a modest surplus, and a propagation bug
+    // (labels not converging) would blow past it.
+    println(s"== connectedComponents over the candidate pairs ==")
+    val labels = time("connectedComponents")(
+      Dedup.connectedComponents(
+        Dedup.minHashLsh(docs, "doc_id", "text")
+          .select(col("doc_a"), col("doc_b"))).cache())
+    val nClusters = labels.select(col("lbl")).distinct().count()
+    val expected = nDocs / 100
+    println(s"  clusters: $nClusters (planted: $expected of size 3)")
+    require(nClusters >= (expected * 9) / 10 &&
+      nClusters <= expected + expected / 10 + 10,
+      s"cluster count $nClusters vs planted $expected — propagation broken")
+    labels.unpersist()
+
+    // chunk-level: exact copies and near-dups each repeat their base's
+    // three 10-token chunks; the shared "tail variant" chunk adds more
+    println(s"== chunkDuplicates (10-token spans) ==")
+    val dupChunks = time("chunkDuplicates")(
+      Dedup.chunkDuplicates(docs, "doc_id", "text")
+        .filter(col("is_dup")).count())
+    val minExpected = 6 * (nDocs / 100)
+    println(s"  duplicated chunks: $dupChunks (≥ $minExpected planted)")
+    require(dupChunks >= minExpected,
+      s"dup chunks $dupChunks below planted floor $minExpected")
     spark.stop()
   }
 }
