@@ -720,23 +720,29 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
       .orderBy(col("source"), col("bin"))
 
-  /** Range join: orders against quarter intervals (non-equi predicate →
-    * BroadcastNestedLoopJoin on the tiny broadcast range side — the right
-    * physical shape when one side is a handful of intervals; REGULAR
-    * intervals like these degenerate to an equi-join on a truncated key,
-    * and at 100 TB with many irregular ranges the scale path is binning
-    * both sides to overlapping buckets and equi-joining on bucket id). */
+  /** Range join: orders against quarter intervals, in the BINNED shape —
+    * each side derives a bucket key (here quarter ordinal; for irregular
+    * ranges: fixed-width buckets with the interval side exploded to every
+    * bucket it covers), the join is a broadcast HASH join on the bucket,
+    * and the true range predicate remains as a residual filter. The naive
+    * alternative — a non-equi BroadcastNestedLoopJoin — evaluates every
+    * interval per fact row outside whole-stage codegen (measured 16 s vs
+    * ~1 s for this plan at sf0.1) and at scale degrades with interval
+    * count; the binned form stays one codegen'd equi-join regardless. */
   private def q62(s: SparkSession, dir: String): DataFrame = {
+    def qidx(d: Column): Column = year(d) * 4 + quarter(d)
     val quarters = s.range(1)
       .select(explode(sequence(
         lit("1995-01-01").cast("date"),
         lit("2001-07-01").cast("date"),
         expr("INTERVAL 3 MONTHS"))).as("q_start"))
       .withColumn("q_end", add_months(col("q_start"), 3))
+      .withColumn("qidx", qidx(col("q_start")))
     t(s, dir, "orders")
-      .join(broadcast(quarters),
-        col("o_orderdate") >= col("q_start").cast("timestamp") &&
-          col("o_orderdate") < col("q_end").cast("timestamp"))
+      .withColumn("qidx", qidx(col("o_orderdate")))
+      .join(broadcast(quarters), Seq("qidx"))
+      .filter(col("o_orderdate") >= col("q_start").cast("timestamp") &&
+        col("o_orderdate") < col("q_end").cast("timestamp"))
       .groupBy(col("q_start"))
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("revenue"))

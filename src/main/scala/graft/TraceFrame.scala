@@ -17,7 +17,12 @@ import graft.sources.JaegerJsonSource
   *   - `process_traces`           → [[operators.TraceOps.summarize]]
   *   - `traceWithSpans`           → [[traceWithSpans]]
   *   - `get_critical_segments`    → [[criticalSegments]] (distributed A2 form)
-  *   - HTTP/ES sources            → planned DSv2 connector (SURVEY.md §7.1.7)
+  *   - `traces_from_jaeger`       → [[tracesFromJaeger]] (DSv2 "jaeger")
+  *   - `spans_from_jaeger`        → [[spansFromJaeger]]
+  *   - `known_services`           → [[knownServices]]
+  *   - `internal_spans_from_es` / `spans_from_es` / `traces_from_es`
+  *                                → [[spansFromEs]] / [[tracesFromEs]]
+  *                                  (DSv2 "es-spans")
   */
 object TraceFrame {
 
@@ -42,4 +47,41 @@ object TraceFrame {
   /** Critical-path segments for every trace in the spans frame. */
   def criticalSegments(flatSpans: DataFrame): Dataset[CritSeg] =
     CriticalPath.segmentsFromFlat(flatSpans)
+
+  // --- HTTP / Elasticsearch entry points (DSv2 connectors) ----------------
+
+  /** `traces_from_jaeger`: summary frame off the Jaeger HTTP API
+    * (bisecting partitioned fetch; options: service, limit, start, end,
+    * operation, mindur, maxdur — see sources/jaeger). */
+  def tracesFromJaeger(spark: SparkSession, endpoint: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    graft.sources.jaeger.JaegerSource.traces(spark, endpoint, options)
+
+  /** `spans_from_jaeger`: flat spans for the given services (reference
+    * quirk preserved: no cross-service dedup). */
+  def spansFromJaeger(spark: SparkSession, endpoint: String,
+      services: Seq[String],
+      options: Map[String, String] = Map.empty): DataFrame =
+    graft.sources.jaeger.JaegerSource.spansForServices(
+      spark, endpoint, services, options)
+
+  /** `known_services`: the Jaeger service catalog (driver-side metadata
+    * call, like the reference). */
+  def knownServices(endpoint: String): Seq[String] =
+    graft.sources.jaeger.JaegerSource.knownServices(endpoint)
+
+  /** `spans_from_es` / `internal_spans_from_es`: flat spans off an
+    * Elasticsearch span index (slice-parallel scroll scan). */
+  def spansFromEs(spark: SparkSession, endpoint: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    graft.sources.es.EsSpanOps.flatSpans(
+      options.foldLeft(
+        spark.read.format("es-spans").option("endpoint", endpoint)) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load())
+
+  /** `traces_from_es`: summary frame re-assembled from ES span docs. */
+  def tracesFromEs(spark: SparkSession, endpoint: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    graft.sources.es.EsSpanOps.traces(spark, endpoint, options)
 }

@@ -344,10 +344,16 @@ object Dedup {
     * 1..N-1, and stops as soon as no label moves. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs
+    val edgesWide = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
+    // a small edge list (the usual case: dup pairs are rare relative to
+    // the corpus) iterates faster as one partition — each round is 3 jobs
+    // and per-task scheduling overhead dominates tiny shuffles
+    val edges = if (edgesWide.count() < 1000000)
+      edgesWide.repartition(1).localCheckpoint()
+    else edgesWide
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint()
     var converged = labels.isEmpty

@@ -57,9 +57,12 @@ object ExplainCheck {
         "the explode-derived aggregation reuses the doc partitioning",
         n == 2)
     }
-    check("q62 range join broadcasts the interval side (BNLJ, no shuffle " +
-      "of the fact table before the join)",
-      plan("q62_range_join").contains("BroadcastNestedLoopJoin"))
+    check("q62 binned range join is a codegen'd broadcast HASH join " +
+      "(no BroadcastNestedLoopJoin)", {
+      val p = plan("q62_range_join")
+      p.contains("BroadcastHashJoin") &&
+        !p.contains("BroadcastNestedLoopJoin")
+    })
     check("q49 cube plans a single-scan Expand, not one scan per set",
       plan("q49_cube").contains("Expand"))
     check("q53 multi count-distinct plans Expand (one pass)",
