@@ -768,6 +768,26 @@ object Queries {
       .select(col("node").as("doc_id"), col("lbl").as("cluster"))
       .orderBy(col("doc_id"))
 
+  /** End-to-end curation pipeline — the composition the individual ops
+    * exist for: language filter (q21's langId) → minimum-length quality
+    * gate → exact dedup keep-first → deterministic 50% hash sample →
+    * per-source corpus stats. Each stage is narrow or one shuffle; text
+    * never shuffles (dedup partitions on md5, sampling is a filter). */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val filtered = docs(s, dir)
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .withColumn("n_tokens",
+        TextFunctions.tokenCount(col("text")).cast("long"))
+      .filter(col("lang_pred") === "en" && col("n_tokens") >= 20)
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = filtered
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    Curation.hashSample(deduped, "doc_id", 5000)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("source"))
+  }
+
   // --- trace-pipeline oracle over the raw fixture export -------------------
   // (see FixtureOracle: raw_* parquet is pure posexplode — all trace
   // semantics below are re-derived in SQL, independent of the operators)
@@ -983,6 +1003,7 @@ object Queries {
     "q62_range_join" -> (q62 _),
     "q63_chunk_dedup" -> (q63 _),
     "q64_dedup_clusters" -> (q64 _),
+    "q65_curation_pipeline" -> (q65 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -1567,6 +1588,28 @@ object Queries {
          |   SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a)
          |SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster
          |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q65_curation_pipeline" -> {
+      val lex = TextFunctions.langLexicons.map { case (lang, ws) =>
+        lang -> ws.map(w => s"'$w'").mkString("(", ", ", ")")
+      }
+      s"""WITH tk AS (SELECT doc_id, source, text, $toksSql AS t
+         |   FROM documents),
+         | sc AS (SELECT doc_id, source, text,
+         |   CAST(len(t) AS BIGINT) AS n_tokens,
+         |   ${lex.map { case (l, in) =>
+        s"len(list_filter(t, x -> x IN $in)) AS s_$l" }.mkString(", ")}
+         |  FROM tk),
+         | en AS (SELECT * FROM sc WHERE s_en >= s_es AND s_en >= s_de
+         |   AND s_en > 0 AND n_tokens >= 20),
+         | dd AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |     PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM en)
+         |   WHERE rn = 1),
+         | sm AS (SELECT * FROM dd WHERE
+         |   ${H.format("'s1' || CAST(doc_id AS VARCHAR)")} % 10000 < 5000)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM sm GROUP BY source ORDER BY source""".stripMargin
+    },
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,
     // frame sampling is pure arithmetic over byte lengths (stride 64), so
