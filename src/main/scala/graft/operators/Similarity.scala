@@ -137,33 +137,74 @@ object Similarity {
     * scoring are distributed.
     * Cost: corpus×centroids assignment (centroids broadcast) + per-cell
     * candidate scoring ≈ corpus²·nProbe/nCentroids. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 2,
-      kmeansIters: Int = 4): DataFrame = {
-    val cents = broadcast(
-      trainCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters))
-    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("cent_sim").desc, col("cent_id"))
-      df.crossJoin(cents)
-        .withColumn("cent_sim", dotCol(col(v), col("centv")))
-        .withColumn("cent_rank", row_number().over(w))
-        .filter(col("cent_rank") <= keep)
-        .select(col(id), col(v), col("cent_id").as("cell"))
-    }
-    val c = assign(corpus.select(col(idCol).as("neighbor_id"),
-      l2Normalize(col(vecCol)).as("cv")), "neighbor_id", "cv", keep = 1)
-    val q = assign(queries.select(col(idCol).as("query_id"),
-      l2Normalize(col(vecCol)).as("qv")), "query_id", "qv", keep = nProbe)
+  /** Nearest-centroid assignment: keep the `keep` best cells per row. */
+  private def assignCells(df: DataFrame, cents: DataFrame, id: String,
+      v: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", dotCol(col(v), col("centv")))
+      .withColumn("cent_rank", row_number().over(w))
+      .filter(col("cent_rank") <= keep)
+      .select(col(id), col(v), col("cent_id").as("cell"))
+  }
+
+  /** Build the IVF index: trained centroids + the corpus assigned to its
+    * cells (normalized vectors). This is the expensive phase — persist it
+    * with [[saveIvfIndex]] and serve queries from the load, the standard
+    * build-once / query-many ANN deployment. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, kmeansIters: Int = 4): (DataFrame, DataFrame) = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nCentroids,
+      kmeansIters)
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("neighbor_id"),
+        l2Normalize(col(vecCol)).as("cv")),
+      cents, "neighbor_id", "cv", keep = 1)
+    (cents, assigned)
+  }
+
+  /** Persist an IVF index (two parquet datasets under `path`). The cell
+    * assignment is written partitioned BY CELL, so a probe of nProbe
+    * cells reads only those partitions (partition pruning at serve
+    * time) — at 100 TB the index read is proportional to cells probed,
+    * not corpus size. */
+  def saveIvfIndex(index: (DataFrame, DataFrame), path: String): Unit = {
+    index._1.write.mode("overwrite").parquet(s"$path/centroids")
+    index._2.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+  }
+
+  /** Load a persisted IVF index. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assigned"))
+
+  /** IVF top-k from a (possibly loaded) index. */
+  def ivfTopKFromIndex(index: (DataFrame, DataFrame), queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val (cents, assigned) = index
+    val q = assignCells(queries.select(col(idCol).as("query_id"),
+      l2Normalize(col(vecCol)).as("qv")), cents, "query_id", "qv",
+      keep = nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    c.join(q, Seq("cell"))
+    assigned.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(dotCol(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
   }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 2,
+      kmeansIters: Int = 4): DataFrame =
+    ivfTopKFromIndex(
+      buildIvfIndex(corpus, idCol, vecCol, nCentroids, kmeansIters),
+      queries, idCol, vecCol, k, nProbe)
 
   /** Sign-bucket LSH: bucket id = sign bits of `planes` SEEDED random
     * hyperplane projections (classic SimHash-style random projection —

@@ -78,6 +78,22 @@ class PipelineOpsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("IVF index save/load round-trip serves identical results") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val built = Similarity.buildIvfIndex(emb, "vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString
+    Similarity.saveIvfIndex(built, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val direct = Similarity.ivfTopKFromIndex(built, queries,
+      "vec_id", "embedding", k = 3)
+    val served = Similarity.ivfTopKFromIndex(loaded, queries,
+      "vec_id", "embedding", k = 3)
+    assert(served.count() === direct.count())
+    assert(served.except(direct).isEmpty && direct.except(served).isEmpty)
+  }
+
   test("tokens/shingles edge cases") {
     val df = Seq("", "  ", "one", "a b c d").toDF("text")
     val got = df.select(

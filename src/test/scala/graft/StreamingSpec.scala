@@ -222,6 +222,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
 
+  test("curation ops apply unchanged to streams (hash sample + split)") {
+    // hashSample/assignSplit are stateless narrow ops, so the SAME
+    // operator code runs on a stream — and, being hash-deterministic,
+    // selects exactly the rows the batch twin selects
+    val dir = writeSpanJsonl()
+    val stream = graft.operators.Curation.assignSplit(
+      graft.operators.Curation.hashSample(
+        TraceStreams.spanFileStream(spark, dir), "spanID", 5000),
+      "spanID", 8000, 1000)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("curation_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("curation_stream").select("spanID", "split")
+    val batch = graft.operators.Curation.assignSplit(
+      graft.operators.Curation.hashSample(
+        spark.read.schema(TraceStreams.spanStreamSchema).json(dir),
+        "spanID", 5000),
+      "spanID", 8000, 1000).select("spanID", "split")
+    assert(got.count() > 0 && got.count() < 331)
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
