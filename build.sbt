@@ -16,6 +16,10 @@ run / fork := true
 // line from stdout; with the logger strategy it read `[info] {...}` and
 // failed (BENCH_r01 "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The round driver parses the LAST stdout line as the bench metric. sbt's
+// `[success] Total time: ...` trailer prints after the forked main exits,
+// displacing the metric line (BENCH_r02/r03 "parsed": null). Suppress it.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

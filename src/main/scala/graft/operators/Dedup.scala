@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -118,14 +117,16 @@ object Dedup {
         concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
           .as("key"))
     }
-    // ONE (band,key) aggregation shape feeds both guard branches (the
-    // collect_list exchange itself is not Spark-reusable — collect_list
-    // is non-deterministic — but the big branch's recompute only matters
-    // when a flood actually overflows a bucket)
+    // ONE (band,key) aggregation feeds both guard branches. collect_list
+    // is non-deterministic, which disables Spark's exchange reuse, so the
+    // bucket aggregation is local-checkpointed (lazy): computed once on
+    // first use and re-read from block storage by the other branch,
+    // instead of re-running the whole signature subtree per branch.
     val buckets = sig
       .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
       .agg(collect_list(col("doc")).as("ids"))
+      .localCheckpoint(false)
     val smallPairs = expandPairs(
       buckets.filter(size(col("ids")).between(2, maxBucket)), "ids")
     // an overflowing bucket (near-identical flood that survived exact
@@ -265,11 +266,12 @@ object Dedup {
     // arrays; everything downstream derives from it. The MinHash
     // signatures come from exploding `hs` back out — Generate preserves
     // the hash partitioning on `doc`, so the signature aggregation adds
-    // NO second exchange. (Spark cannot re-serve the docArrays shuffle
-    // across its consumers: collect_list is non-deterministic, which
-    // disables exchange reuse — at real scale the one-liner fix is to
-    // persist docArrays to disk, the standard shape for a dedup index
-    // consumed by several stages.)
+    // NO second exchange. Spark cannot re-serve the docArrays shuffle
+    // across its consumers (collect_list is non-deterministic, which
+    // disables exchange reuse), so the array index is local-checkpointed
+    // (lazy): computed once, then re-read by the signature derivation and
+    // BOTH sides of the verify join — the standard persisted-dedup-index
+    // shape for a multi-consumer pipeline stage.
     // Verify = exact Jaccard per CANDIDATE PAIR: join each pair to the
     // two docs' arrays and intersect. (The inverted-index self-join in
     // [[jaccardFromIndex]] stays the right shape for UNrestricted
@@ -279,6 +281,7 @@ object Dedup {
     val idx = shingleIndex(repDocs, "doc", "text", n)
     val docArrays = idx.groupBy(col("doc"))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .localCheckpoint(false)
     val sig = minHashSignaturesFromIndex(
       docArrays.select(col("doc"), explode(col("hs")).as("h")), bands * rows)
     val cands = lshCandidatesFromSignatures(sig, bands, rows, maxBucket)
@@ -304,9 +307,14 @@ object Dedup {
     * shingle's pairs spread across tasks, unlike bucket-local expansion),
     * count intersections, derive |A ∪ B| = |A| + |B| − |A ∩ B|. */
   def jaccardFromIndex(idx: DataFrame, threshold: Double): DataFrame = {
-    val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    val inter = idx.select(col("doc").as("doc_a"), col("h"))
-      .join(idx.select(col("doc").as("doc_b"), col("h")), Seq("h"))
+    // the index feeds THREE consumers (per-doc sizes + both self-join
+    // sides) whose exchanges hash different keys, so nothing is reusable:
+    // checkpoint once (lazy), read three times — at 11 s driver-measured
+    // this tripled tokenize+distinct cost before the fix
+    val cached = idx.localCheckpoint(false)
+    val sizes = cached.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val inter = cached.select(col("doc").as("doc_a"), col("h"))
+      .join(cached.select(col("doc").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -381,11 +389,15 @@ object Dedup {
     * was already seen earlier in corpus order (first occurrence by
     * (id, pos)) is flagged. Emits `(id, pos, chunk_h, is_dup)`.
     *
-    * Scale shape: only 8-byte chunk hashes shuffle (one window over
-    * chunk_h — equivalently a groupBy-min + self-join, but the window
-    * keeps it one pass); chunk text never leaves the map side. Intra-doc
-    * AND cross-doc duplicates are both flagged, which is the point —
-    * boilerplate repeats across documents. */
+    * Scale shape: only 8-byte chunk hashes shuffle, and the first
+    * occurrence per chunk_h is found with a groupBy-min (map-side partial
+    * aggregation) joined back — NOT a `Window.partitionBy(chunk_h)`: a
+    * boilerplate chunk repeated 10⁹ times would funnel every occurrence
+    * into one task's sort under a window, while the partial agg collapses
+    * the hot key on the map side and AQE can skew-split the join. Chunk
+    * text never leaves the map side. Intra-doc AND cross-doc duplicates
+    * are both flagged, which is the point — boilerplate repeats across
+    * documents. */
   def chunkDuplicates(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 10): DataFrame = {
     // The chunk-building HOF lives INSIDE the generator expression (the
@@ -406,8 +418,13 @@ object Dedup {
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), posexplode(chunkExpr(col("toks"))))
       .select(col("id"), col("pos"), hash60(col("col")).as("chunk_h"))
-    val w = Window.partitionBy(col("chunk_h"))
-      .orderBy(col("id"), col("pos"))
-    chunks.withColumn("is_dup", row_number().over(w) > 1)
+    // struct ordering is lexicographic by field, so min(struct(id, pos))
+    // IS the first occurrence in (id, pos) corpus order
+    val firsts = chunks.groupBy(col("chunk_h"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    chunks.join(firsts, Seq("chunk_h"))
+      .withColumn("is_dup",
+        col("id") =!= col("first.id") || col("pos") =!= col("first.pos"))
+      .select(col("id"), col("pos"), col("chunk_h"), col("is_dup"))
   }
 }
