@@ -6,8 +6,8 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.InternalRow
@@ -26,10 +26,28 @@ import org.apache.spark.sql.catalyst.InternalRow
   *
   * Pushdown: `SupportsPushDownLimit` caps the per-request `limit` the API is
   * asked for (the reference's limit forwarding, `traceframe.py:79-81`);
-  * Spark re-applies the exact Limit above the scan. Service/time selection
-  * travels as read options rather than filter pushdown because they are API
-  * query parameters, not columns of the emitted schema (the raw trace
-  * schema has no top-level `service`/time column to push a predicate on).
+  * Spark re-applies the exact Limit above the scan.
+  *
+  * Catalyst filter pushdown (`SupportsPushDownFilters`): the schema carries
+  * four *query-echo* columns — `service`, `operation`, `start_us`,
+  * `duration_us` — whose DECLARED meaning is "the API query parameter this
+  * row was fetched under" (null = parameter unset), exactly like a file
+  * source's partition columns. Predicates on them translate to the API
+  * params the reference always pushes (`traceframe.py:79-85`):
+  *   - `service = 'x'` / `service IN (...)` → one fetch (partition set) per
+  *     service; a trace matching several requested services appears once
+  *     per service, the reference's own multi-service semantics
+  *     (`traceframe.py:446-468` does not dedupe either);
+  *   - `operation = 'x'` → the `operation` param;
+  *   - `start_us` &lt;/≤/&gt;/≥ bounds → narrow the fetch time range (each
+  *     row's echo value is its fetch sub-range start, so consumed bounds
+  *     hold on the emitted rows by construction);
+  *   - `duration_us` ≥/&gt; and ≤/&lt; bounds → `minDuration`/`maxDuration`.
+  * Accepted shapes are consumed (not re-evaluated by Spark); anything else
+  * (e.g. `service LIKE ...`) stays a residual filter evaluated over the
+  * echo values under their provenance semantics. Conflicting pushed
+  * equalities (`service = 'a'` after a `service` read option of 'b')
+  * produce an empty scan, not a broken query.
   *
   * Each emitted row is one raw API response body (`json` string column);
   * [[JaegerSource]] parses it with `from_json` + explode into typed trace
@@ -57,7 +75,14 @@ class JaegerTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object JaegerTableProvider {
-  val schema: StructType = StructType(Seq(StructField("json", StringType)))
+  /** `json` = one raw API response body; the rest are query-echo columns
+    * (the API parameter each row was fetched under — null when unset). */
+  val schema: StructType = StructType(Seq(
+    StructField("json", StringType),
+    StructField("service", StringType),
+    StructField("operation", StringType),
+    StructField("start_us", LongType),
+    StructField("duration_us", LongType)))
   /** Jaeger's Badger-backend response cap (reference `traceframe.py:15-17`):
     * a response with this many traces must be assumed clipped. */
   val MaxTracesReturnable = 1500
@@ -75,41 +100,112 @@ class JaegerTable(props: Map[String, String]) extends Table with SupportsRead {
 }
 
 class JaegerScanBuilder(rawOpts: Map[String, String])
-    extends ScanBuilder with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownLimit with SupportsPushDownFilters {
   private val opts = rawOpts.map { case (k, v) => k.toLowerCase -> v }
   private var pushedLimit: Option[Int] = opts.get("limit").map(_.toInt)
+
+  // pushdown state, merged with read options in build()
+  private var accepted: Array[Filter] = Array.empty
+  private var svcPushed: Option[Seq[String]] = None
+  private var opPushed: Option[String] = None
+  private var startLo: Option[Long] = None // inclusive
+  private var startHi: Option[Long] = None // exclusive
+  private var durLo: Option[Long] = None // inclusive µs
+  private var durHi: Option[Long] = None // inclusive µs
 
   override def pushLimit(limit: Int): Boolean = {
     pushedLimit = Some(pushedLimit.fold(limit)(math.min(_, limit)))
     true // partial: the API's keep-last semantics aren't exact, Spark re-limits
   }
 
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def narrow(cur: Option[Seq[String]], vs: Seq[String]) =
+      Some(cur.fold(vs)(_.intersect(vs)))
+    val residual = filters.filterNot {
+      case EqualTo("service", v: String) =>
+        svcPushed = narrow(svcPushed, Seq(v)); true
+      case In("service", vs) if vs.forall(_.isInstanceOf[String]) =>
+        svcPushed = narrow(svcPushed, vs.map(_.asInstanceOf[String]).toSeq)
+        true
+      case EqualTo("operation", v: String) =>
+        // two different pushed operations → impossible → empty service set
+        if (opPushed.exists(_ != v)) svcPushed = Some(Seq.empty)
+        opPushed = Some(v); true
+      case GreaterThanOrEqual("start_us", v: Long) =>
+        startLo = Some(startLo.fold(v)(math.max(_, v))); true
+      case GreaterThan("start_us", v: Long) =>
+        startLo = Some(startLo.fold(v + 1)(math.max(_, v + 1))); true
+      case LessThan("start_us", v: Long) =>
+        startHi = Some(startHi.fold(v)(math.min(_, v))); true
+      case LessThanOrEqual("start_us", v: Long) =>
+        startHi = Some(startHi.fold(v + 1)(math.min(_, v + 1))); true
+      case GreaterThanOrEqual("duration_us", v: Long) =>
+        durLo = Some(durLo.fold(v)(math.max(_, v))); true
+      case GreaterThan("duration_us", v: Long) =>
+        durLo = Some(durLo.fold(v + 1)(math.max(_, v + 1))); true
+      case LessThanOrEqual("duration_us", v: Long) =>
+        durHi = Some(durHi.fold(v)(math.min(_, v))); true
+      case LessThan("duration_us", v: Long) =>
+        durHi = Some(durHi.fold(v - 1)(math.min(_, v - 1))); true
+      case _ => false
+    }
+    accepted = filters.diff(residual)
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
   override def build(): Scan = {
-    val end = opts.get("end").map(_.toLong)
+    val end0 = opts.get("end").map(_.toLong)
       .getOrElse(System.currentTimeMillis() * 1000)
-    val start = opts.get("start").map(_.toLong)
-      .getOrElse(end - JaegerTableProvider.DefaultLookbackMicros)
+    val start0 = opts.get("start").map(_.toLong)
+      .getOrElse(end0 - JaegerTableProvider.DefaultLookbackMicros)
+    val start = startLo.fold(start0)(math.max(start0, _))
+    val end = startHi.fold(end0)(math.min(end0, _))
+    // services: read option ∩ pushed equalities; Seq(None) = unfiltered
+    // A pushed operation conflicting with the option operation can match
+    // nothing: plan an empty scan rather than issuing doomed fetches.
+    val opConflict = (opts.get("operation"), opPushed) match {
+      case (Some(a), Some(b)) => a != b
+      case _ => false
+    }
+    val services: Seq[Option[String]] =
+      if (opConflict) Seq.empty
+      else (opts.get("service"), svcPushed) match {
+        case (None, None) => Seq(None)
+        case (Some(s), None) => Seq(Some(s))
+        case (None, Some(vs)) => vs.distinct.map(Some(_))
+        case (Some(s), Some(vs)) =>
+          if (vs.contains(s)) Seq(Some(s)) else Seq.empty
+      }
+    val operation = opPushed.orElse(opts.get("operation"))
     new JaegerScan(JaegerScanConfig(
       endpoint = opts.getOrElse("endpoint",
         throw new IllegalArgumentException("jaeger source needs 'endpoint'")),
       clientClass = opts.getOrElse("client",
         classOf[HttpJaegerClient].getName),
-      service = opts.get("service"),
-      operation = opts.get("operation"),
-      minDuration = opts.get("mindur"),
-      maxDuration = opts.get("maxdur"),
+      services = services,
+      operation = operation,
+      // pushed duration bounds win over the option strings (the API takes
+      // one param each; a µs bound is exact where "100ms" needs parsing)
+      minDuration = durLo.map(v => s"${v}us").orElse(opts.get("mindur")),
+      maxDuration = durHi.map(v => s"${v}us").orElse(opts.get("maxdur")),
+      durationEcho = durLo.orElse(durHi),
       tags = opts.get("tags"),
       start = start,
       end = end,
       limit = pushedLimit,
       partitions = opts.getOrElse("partitions", "8").toInt,
       maxReturnable = opts.getOrElse("maxreturnable",
-        JaegerTableProvider.MaxTracesReturnable.toString).toInt))
+        JaegerTableProvider.MaxTracesReturnable.toString).toInt,
+      pushed = accepted.map(_.toString).toSeq))
   }
 }
 
 case class JaegerScanConfig(endpoint: String, clientClass: String,
-    service: Option[String], start: Long, end: Long, limit: Option[Int],
+    /** the per-fetch service params: Seq(None) = one unfiltered fetch set,
+      * Seq(Some(a), Some(b)) = one fetch set per service (pushed IN) */
+    services: Seq[Option[String]], start: Long, end: Long, limit: Option[Int],
     partitions: Int,
     /** server response cap; overridable so tests can exercise bisection */
     maxReturnable: Int = JaegerTableProvider.MaxTracesReturnable,
@@ -117,25 +213,38 @@ case class JaegerScanConfig(endpoint: String, clientClass: String,
     minDuration: Option[String] = None,
     maxDuration: Option[String] = None,
     /** JSON object string, forwarded verbatim as the `tags` API param */
-    tags: Option[String] = None)
+    tags: Option[String] = None,
+    /** value emitted in the duration_us echo column (pushed bound) */
+    durationEcho: Option[Long] = None,
+    /** accepted pushed filters, rendered for plan/test introspection */
+    pushed: Seq[String] = Nil)
 
-case class JaegerInputPartition(rangeStart: Long, rangeEnd: Long)
-  extends InputPartition
+case class JaegerInputPartition(service: Option[String], rangeStart: Long,
+    rangeEnd: Long) extends InputPartition
 
-class JaegerScan(conf: JaegerScanConfig) extends Scan with Batch {
+class JaegerScan(val conf: JaegerScanConfig) extends Scan with Batch {
   override def readSchema(): StructType = JaegerTableProvider.schema
   override def toBatch: Batch = this
+  override def description(): String =
+    s"JaegerScan endpoint=${conf.endpoint} " +
+      s"PushedFilters: [${conf.pushed.mkString(", ")}]"
 
-  /** One partition per time sub-range — the parallel form of the
-    * reference's sequential bisection. */
+  /** One partition per (service, time sub-range) — the parallel form of
+    * the reference's sequential bisection; an empty service set (provably
+    * empty result after pushdown) plans zero partitions. */
   override def planInputPartitions(): Array[InputPartition] = {
+    if (conf.services.isEmpty || conf.end <= conf.start)
+      return Array.empty
     val n = math.max(1, conf.partitions)
     val width = math.max(1L, (conf.end - conf.start) / n)
-    (0 until n).map { i =>
+    (for {
+      svc <- conf.services
+      i <- 0 until n
+    } yield {
       val s = conf.start + i * width
-      val e = if (i == n - 1) conf.end else s + width
-      JaegerInputPartition(s, e)
-    }.filter(p => p.rangeEnd > p.rangeStart).toArray[InputPartition]
+      val e = if (i == n - 1) conf.end else math.min(s + width, conf.end)
+      JaegerInputPartition(svc, s, e)
+    }).filter(p => p.rangeEnd > p.rangeStart).toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -166,7 +275,7 @@ class JaegerPartitionReader(conf: JaegerScanConfig, part: JaegerInputPartition)
       "start" -> start.toString,
       "end" -> end.toString,
       "limit" -> conf.limit.getOrElse(conf.maxReturnable).toString) ++
-      conf.service.map("service" -> _) ++
+      part.service.map("service" -> _) ++
       conf.operation.map("operation" -> _) ++
       conf.minDuration.map("minDuration" -> _) ++
       conf.maxDuration.map("maxDuration" -> _) ++
@@ -198,8 +307,16 @@ class JaegerPartitionReader(conf: JaegerScanConfig, part: JaegerInputPartition)
   override def next(): Boolean =
     if (bodies.hasNext) { current = bodies.next(); true } else false
 
+  /** Row = (json, query-echo columns): the echo values are the API params
+    * this row was fetched under, satisfying every consumed pushed filter
+    * by construction. */
   override def get(): InternalRow =
-    InternalRow(UTF8String.fromString(current))
+    InternalRow(
+      UTF8String.fromString(current),
+      part.service.map(UTF8String.fromString).orNull,
+      conf.operation.map(UTF8String.fromString).orNull,
+      java.lang.Long.valueOf(part.rangeStart),
+      conf.durationEcho.map(java.lang.Long.valueOf).orNull)
 
   override def close(): Unit = ()
 }

@@ -63,6 +63,88 @@ class JaegerSourceSpec extends SparkTestBase {
       c.contains("""tags={"error":"true"}""")))
   }
 
+  private def jaegerScanConf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[graft.sources.jaeger.JaegerScan].conf
+    }.get
+
+  test("Catalyst service filter pushes down to the API query") {
+    FixtureJaegerClient.reset(cap = 1500)
+    val df = JaegerSource.rawResponses(spark, "fake://jaeger", opts(1500))
+      .filter(col("service") === "web")
+    val conf = jaegerScanConf(df)
+    assert(conf.pushed.nonEmpty) // pushedFilters reached the scan
+    assert(conf.services === Seq(Some("web")))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("service") == "web"))
+    import scala.jdk.CollectionConverters._
+    val calls = FixtureJaegerClient.calls.asScala.filter(_.contains("/api/traces"))
+    assert(calls.nonEmpty && calls.forall(_.contains("service=web")))
+  }
+
+  test("Catalyst service IN pushes one fetch set per service (no dedup)") {
+    FixtureJaegerClient.reset(cap = 1500)
+    val df = JaegerSource.rawResponses(spark, "fake://jaeger", opts(1500))
+      .filter(col("service").isin("web", "api"))
+    val conf = jaegerScanConf(df)
+    assert(conf.services.toSet === Set(Some("web"), Some("api")))
+    val bySvc = df.collect().groupBy(_.getAs[String]("service"))
+    // fake ignores the service param, so both fetch sets return all data:
+    // the reference's documented per-service duplication semantics
+    assert(bySvc.keySet === Set("web", "api"))
+    import scala.jdk.CollectionConverters._
+    val calls = FixtureJaegerClient.calls.asScala.filter(_.contains("/api/traces"))
+    assert(calls.exists(_.contains("service=web")) &&
+      calls.exists(_.contains("service=api")))
+  }
+
+  test("Catalyst start_us range filter narrows the fetch window") {
+    FixtureJaegerClient.reset(cap = 1500)
+    val lo = 1700000100000000L
+    val hi = 1700000200000000L
+    val df = JaegerSource.rawResponses(spark, "fake://jaeger", opts(1500))
+      .filter(col("start_us") >= lo && col("start_us") < hi)
+    val conf = jaegerScanConf(df)
+    assert(conf.start === lo && conf.end === hi)
+    // fixture serves only traces inside the requested window: narrowing
+    // must cut the result strictly below the full 40
+    val traces = df.select(explode(from_json(col("json"),
+      graft.model.JaegerModel.apiResponseSchema).getField("data")).as("t"))
+    val n = traces.count()
+    assert(n > 0 && n < 40)
+    import scala.jdk.CollectionConverters._
+    val calls = FixtureJaegerClient.calls.asScala.filter(_.contains("/api/traces"))
+    assert(calls.forall { c =>
+      val s = "start=(\\d+)".r.findFirstMatchIn(c).get.group(1).toLong
+      val e = "end=(\\d+)".r.findFirstMatchIn(c).get.group(1).toLong
+      s >= lo && e <= hi
+    })
+  }
+
+  test("Catalyst duration filter becomes minDuration/maxDuration params") {
+    FixtureJaegerClient.reset(cap = 1500)
+    val df = JaegerSource.rawResponses(spark, "fake://jaeger", opts(1500))
+      .filter(col("duration_us") >= 100000L && col("duration_us") <= 2000000L)
+    assert(df.collect().nonEmpty)
+    import scala.jdk.CollectionConverters._
+    val calls = FixtureJaegerClient.calls.asScala.filter(_.contains("/api/traces"))
+    assert(calls.nonEmpty && calls.forall(c =>
+      c.contains("minDuration=100000us") && c.contains("maxDuration=2000000us")))
+  }
+
+  test("conflicting service option + pushed equality plans an empty scan") {
+    FixtureJaegerClient.reset(cap = 1500)
+    val df = JaegerSource.rawResponses(spark, "fake://jaeger",
+      opts(1500) + ("service" -> "db"))
+      .filter(col("service") === "web")
+    assert(df.count() === 0)
+    import scala.jdk.CollectionConverters._
+    // provably-empty: no API call should have been issued at all
+    assert(FixtureJaegerClient.calls.asScala.forall(!_.contains("/api/traces")))
+  }
+
   test("limit pushdown reaches the API request") {
     FixtureJaegerClient.reset(cap = 1500)
     val limited = JaegerSource.rawTraces(spark, "fake://jaeger",
