@@ -44,9 +44,31 @@ object Bench {
         sfDir.replace("sf0.1", "sf0.001")).count()
     } catch { case _: Throwable => () }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Per-query task-metric breakdown so a slow wall-clock is attributable
+    // (executor work vs GC vs scheduler/host noise) instead of argued from
+    // totals: one listener accumulates executorRunTime/jvmGcTime, snapshotted
+    // around each rep after draining the (async) listener bus.
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            runMs.addAndGet(m.executorRunTime)
+            gcMs.addAndGet(m.jvmGCTime)
+          }
+        }
+      })
+    // (wall, executorRunTime sec, gc sec) per rep; min-wall rep wins
+    val detail = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Double)]
     def timeOnce(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame): Double = {
+      org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      val (r0, g0) = (runMs.get, gcMs.get)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
@@ -54,7 +76,12 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      val (run, gc) = ((runMs.get - r0) / 1e3, (gcMs.get - g0) / 1e3)
+      if (!detail.get(name).exists(_._1 <= wall))
+        detail(name) = (wall, run, gc)
+      wall
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
@@ -75,8 +102,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def r3(d: Double) = math.rint(d * 1000) / 1000
+    val detailJson = results.map { case (k, _) =>
+      val (w, run, gc) = detail.getOrElse(k, (0.0, 0.0, 0.0))
+      s"""\"$k\":{"wall":${r3(w)},"run":${r3(run)},"gc":${r3(gc)}}"""
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"detail":$detailJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
     spark.stop()
     // the very last stdout line, after Spark's shutdown logging
