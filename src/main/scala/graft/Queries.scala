@@ -806,6 +806,96 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  // ==========================================================================
+  // Curation/quality extensions: repetition signals, benchmark
+  // decontamination, exact-k stratified sampling, curriculum buckets,
+  // per-stratum quality selection
+  // ==========================================================================
+
+  /** Gopher-style repetition quality signals: per doc, the mass fraction
+    * of the single most frequent token and the duplicate-bigram fraction.
+    * Top-token needs one (doc, token) aggregation (map-side partial
+    * combine); the bigram ratio is computed entirely inside the per-doc
+    * token array — narrow, no shuffle. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val top = tok.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_tf"), sum(col("c")).as("n_tokens"))
+    val bg = tok.select(col("doc_id"),
+      TextFunctions.shinglesFromTokens(col("toks"), 2).as("bgs"))
+      .select(col("doc_id"), size(col("bgs")).as("n_bg"),
+        size(array_distinct(col("bgs"))).as("n_uniq"))
+    top.join(bg, Seq("doc_id"))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("max_tf").cast("double") /
+          col("n_tokens").cast("double"), 6).as("top_token_ratio"),
+        round(when(col("n_bg") > 0,
+          lit(1.0) - col("n_uniq").cast("double") / col("n_bg").cast("double"))
+          .otherwise(lit(0.0)), 6).as("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: which training docs share any 4-gram with
+    * the "benchmark" slice (doc_id % 50 == 0 here), and how many distinct
+    * 4-grams they share — the standard pre-training contamination scan.
+    * Both sides derive from ONE shingle index subtree (deterministic, so
+    * its distinct-Exchange is planner-reused); only 8-byte gram hashes
+    * shuffle, and AQE broadcasts the benchmark gram side when it fits. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val idx = Dedup.shingleIndex(docs(s, dir), "doc_id", "text", n = 4)
+    val benchGrams = idx.filter(col("doc") % 50 === 0)
+      .select(col("h")).distinct()
+    idx.filter(col("doc") % 50 =!= 0)
+      .join(benchGrams, Seq("h"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc").as("doc_id"), col("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact-k stratified sample (Curation.stratifiedTakeK): exactly 5 docs
+    * per source, chosen in salted-hash order — reproducible eval carve-out. */
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedTakeK(docs(s, dir), "doc_id", "source", k = 5)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("source"), col("doc_id"))
+
+  /** Curriculum bucketing: global ntile(4) by document length. The single
+    * unpartitioned window is a deliberate serial point (like q51's global
+    * ranks); at corpus scale derive quartile edges with approx quantiles
+    * and bucket via broadcast instead. */
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("bucket",
+        ntile(4).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("bucket").cast("long").as("bucket"), col("n_docs"),
+        col("min_chars"), col("max_chars"))
+      .orderBy(col("bucket"))
+
+  /** Quality-gated selection: keep each source's top-quartile docs by
+    * token entropy (percent_rank ≥ 0.75 within the source) — the
+    * per-stratum window form of a quality threshold. Entropy is rounded
+    * to 6 places BEFORE ranking on both engines, so order and filter
+    * agree bit-for-bit. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val ent = TextFunctions.tokenEntropy(docs(s, dir), "doc_id", "text")
+      .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("entropy"), col("doc_id"))
+    ent.withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.75)
+      .select(col("doc_id"), col("source"), col("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- trace-pipeline oracle over the raw fixture export -------------------
   // (see FixtureOracle: raw_* parquet is pure posexplode — all trace
   // semantics below are re-derived in SQL, independent of the operators)
@@ -1022,6 +1112,11 @@ object Queries {
     "q63_chunk_dedup" -> (q63 _),
     "q64_dedup_clusters" -> (q64 _),
     "q65_curation_pipeline" -> (q65 _),
+    "q66_repetition_ratio" -> (q66 _),
+    "q67_decontamination" -> (q67 _),
+    "q68_stratified_k" -> (q68 _),
+    "q69_length_ntile" -> (q69 _),
+    "q70_quality_select" -> (q70 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -1638,6 +1733,62 @@ object Queries {
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM sm GROUP BY source ORDER BY source""".stripMargin
     },
+    "q66_repetition_ratio" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | tf AS (SELECT doc_id, tok, count(*) AS c
+         |   FROM (SELECT doc_id, unnest(t) AS tok FROM tk) GROUP BY 1, 2),
+         | top AS (SELECT doc_id, max(c) AS max_tf,
+         |     CAST(sum(c) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+         | bg AS (SELECT doc_id, len(b) AS n_bg,
+         |     len(list_distinct(b)) AS n_uniq
+         |   FROM (SELECT doc_id, list_transform(
+         |       generate_series(1, greatest(len(t)-1, 0)),
+         |       i -> t[i] || ' ' || t[i+1]) AS b FROM tk))
+         |SELECT doc_id, n_tokens,
+         |  round(CAST(max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |    AS top_token_ratio,
+         |  round(CASE WHEN n_bg > 0
+         |    THEN 1.0 - CAST(n_uniq AS DOUBLE) / CAST(n_bg AS DOUBLE)
+         |    ELSE 0.0 END, 6) AS dup_bigram_ratio
+         |FROM top JOIN bg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q67_decontamination" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | shr AS (SELECT doc_id, unnest(list_transform(
+         |     generate_series(1, greatest(len(t)-3, 0)),
+         |     i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])))
+         |   AS s FROM tk),
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS h FROM shr),
+         | bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM sh JOIN bench USING (h)
+         |WHERE doc_id % 50 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q68_stratified_k" ->
+      s"""WITH r AS (SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ${H.format("'strat1' || CAST(doc_id AS VARCHAR)")}
+         |      % 10000, doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, source FROM r WHERE rn <= 5
+         |ORDER BY source, doc_id""".stripMargin,
+    "q69_length_ntile" ->
+      """WITH b AS (SELECT n_chars,
+        |    ntile(4) OVER (ORDER BY n_chars, doc_id) AS bucket
+        |  FROM documents)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q70_quality_select" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tk FROM documents),
+         | c AS (SELECT doc_id, tk, count(*) AS n FROM tok GROUP BY 1, 2),
+         | e AS (SELECT doc_id,
+         |     round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+         |   FROM c GROUP BY doc_id),
+         | j AS (SELECT d.doc_id, d.source, e.entropy, percent_rank() OVER (
+         |     PARTITION BY d.source ORDER BY e.entropy, d.doc_id) AS pr
+         |   FROM documents d JOIN e ON d.doc_id = e.doc_id)
+         |SELECT doc_id, source, entropy FROM j WHERE pr >= 0.75
+         |ORDER BY doc_id""".stripMargin,
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,
     // frame sampling is pure arithmetic over byte lengths (stride 64), so

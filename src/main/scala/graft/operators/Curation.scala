@@ -57,6 +57,22 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Exact-k stratified sample: the first `k` rows per stratum in salted-
+    * hash order. Rate-based sampling ([[sampleBySource]]) keeps a FRACTION
+    * that wobbles with stratum size; this keeps exactly min(k, |stratum|)
+    * — the shape used for eval-set carve-outs. One window shuffle on the
+    * stratum key; hash order makes the pick reproducible and
+    * content-independent (ties broken by id). Strata are bounded
+    * (source/shard count), so the per-stratum sort is the intended
+    * parallelism — not for unbounded stratum keys. */
+  def stratifiedTakeK(df: DataFrame, idCol: String, strataCol: String,
+      k: Int, salt: String = "strat1"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** Token-budget packing: assign each document to a sequence-batch bin of
     * ~`budget` tokens, filling bins in `idCol` order within each
     * `groupCol` partition (bin = floor(tokens-before-me / budget) — the

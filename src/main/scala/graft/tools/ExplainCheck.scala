@@ -57,6 +57,23 @@ object ExplainCheck {
         "the explode-derived aggregation reuses the doc partitioning",
         n == 2)
     }
+    // TPC-H-shaped plans pinned, not assumed (round-2 verdict item 6):
+    // at these SF ratios the dimension sides are under the broadcast
+    // threshold, so the planner must choose BroadcastHashJoin — a silent
+    // fallback to sort-merge on a dim join is a plan regression
+    check("q30 broadcasts at least one dimension side (customer/orders)",
+      plan("q30_shipping_priority").contains("BroadcastHashJoin"))
+    check("q31 broadcasts supplier and nation",
+      "BroadcastHashJoin".r
+        .findAllIn(plan("q31_local_supplier_volume")).length >= 2)
+    // Catalyst pushes the slice predicates BELOW the shared shingle-index
+    // subtree (each side scans only its slice — better than reusing one
+    // full-corpus exchange), and the benchmark gram set broadcasts
+    check("q67 slices both scans on doc_id%50 and broadcasts bench grams", {
+      val p = plan("q67_decontamination")
+      "% 50\\) = 0\\)".r.findAllIn(p).length >= 2 &&
+        p.contains("BroadcastHashJoin")
+    })
     check("q62 binned range join is a codegen'd broadcast HASH join " +
       "(no BroadcastNestedLoopJoin)", {
       val p = plan("q62_range_join")

@@ -154,6 +154,24 @@ class PipelineOpsSpec extends SparkTestBase {
       p.getAs[Long]("inter"), p.getAs[Double]("jaccard")) === (1L, 2L, 2L, 0.5))
   }
 
+  test("prefix-filtered Jaccard equals the all-pairs inverted formulation") {
+    // the production prefix-filter path must be EXACT (recall 1 by the
+    // prefix-filtering theorem) — pin it against the naive ground truth
+    // at several thresholds, including one low enough to admit most pairs
+    val idx = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val fast = Dedup.jaccardFromIndex(idx, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val truth = Dedup.jaccardFromIndexAllPairs(idx, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(truth.nonEmpty, s"t=$t should admit pairs on this corpus")
+      assert(fast === truth, s"prefix filter diverged at t=$t: " +
+        s"missing=${truth -- fast} extra=${fast -- truth}")
+    }
+  }
+
   test("minHashLsh candidates cover all true near-duplicates (recall=1 here)") {
     val truth = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.9)
       .select("doc_a", "doc_b").collect()

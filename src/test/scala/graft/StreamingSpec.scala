@@ -245,6 +245,43 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
 
+  test("chunk dedup streams: first-occurrence parity with the batch twin") {
+    // chunkHashes is a stateless narrow transform, so the SAME operator
+    // code chunks a stream; first-occurrence keeping becomes streaming
+    // dropDuplicates state keyed by the 8-byte chunk hash. Arrival order
+    // inside a micro-batch is nondeterministic, so parity is on the
+    // chunk-hash SET (which chunk_h survive), not on which (id,pos) was
+    // kept — the batch op's (id,pos) tie-break has no streaming analog,
+    // which is exactly the divergence the scaladoc documents.
+    import SparkTestBase.session.implicits._
+    val dir = Files.createTempDirectory("graft_chunks").toString
+    val docsDf = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "a b c d e f g h i j z z z z z z z z z z"), // dup first chunk
+      (3L, "k l m n o p q r s t a b c d e f g h i j") // both chunks dups
+    ).toDF("doc_id", "text")
+    docsDf.coalesce(1).write.mode("overwrite").json(dir)
+    val schema = "doc_id BIGINT, text STRING"
+    val stream = graft.operators.Dedup.chunkHashes(
+      spark.readStream.schema(schema).json(dir), "doc_id", "text")
+      .dropDuplicates("chunk_h")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("chunk_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("chunk_stream").select("chunk_h").collect()
+      .map(_.getLong(0)).toSet
+    val batch = graft.operators.Dedup
+      .chunkDuplicates(spark.read.schema(schema).json(dir), "doc_id", "text")
+    val kept = batch.filter(!col("is_dup")).select("chunk_h").collect()
+      .map(_.getLong(0)).toSet
+    // one survivor per distinct chunk on both paths
+    assert(got === kept)
+    assert(spark.table("chunk_stream").count() === got.size)
+    // and the batch op really flagged the planted duplicates
+    assert(batch.filter(col("is_dup")).count() === 3)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
