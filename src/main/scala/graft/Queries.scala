@@ -489,8 +489,11 @@ object Queries {
       .select(col("doc_id"), explode(col("toks")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df_ = tok.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency DERIVES from tf (tf already holds one row per
+    // (doc, term)) instead of a second tokenize+explode+distinct over the
+    // corpus: the tokenize subtree runs once, and tf's (doc_id, term)
+    // exchange is planner-reused by both consumers (deterministic agg)
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(broadcast(df_), Seq("term"))
@@ -896,6 +899,26 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental ingest near-dedup: the "new batch" (doc_id ≥ 400 here)
+    * is admitted only where NO existing-corpus doc (doc_id < 400) is a
+    * near-duplicate (exact 3-gram Jaccard ≥ 0.8) — the daily-ingest gate.
+    * Cross-set prefix-filtered join (Dedup.jaccardAcross): at corpus
+    * scale the corpus-side prefix index is precomputed and reused across
+    * batches; only 8-byte hashes shuffle. */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val newBatch = d.filter(col("doc_id") >= 400)
+    val dup = Dedup.jaccardAcross(
+      Dedup.shingleIndex(newBatch, "doc_id", "text"),
+      Dedup.shingleIndex(d.filter(col("doc_id") < 400), "doc_id", "text"),
+      threshold = 0.8)
+      .select(col("doc_a").as("dup_id")).distinct()
+    newBatch
+      .join(dup, col("doc_id") === col("dup_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- trace-pipeline oracle over the raw fixture export -------------------
   // (see FixtureOracle: raw_* parquet is pure posexplode — all trace
   // semantics below are re-derived in SQL, independent of the operators)
@@ -1117,6 +1140,7 @@ object Queries {
     "q68_stratified_k" -> (q68 _),
     "q69_length_ntile" -> (q69 _),
     "q70_quality_select" -> (q70 _),
+    "q71_incremental_ingest" -> (q71 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -1788,6 +1812,21 @@ object Queries {
          |     PARTITION BY d.source ORDER BY e.entropy, d.doc_id) AS pr
          |   FROM documents d JOIN e ON d.doc_id = e.doc_id)
          |SELECT doc_id, source, entropy FROM j WHERE pr >= 0.75
+         |ORDER BY doc_id""".stripMargin,
+    "q71_incremental_ingest" ->
+      s"""$shinglesSql,
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS h FROM shr),
+         | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         | inter AS (SELECT b.doc_id AS dn, a.doc_id AS dc, count(*) AS i
+         |   FROM sh a JOIN sh b ON a.h = b.h
+         |     AND a.doc_id < 400 AND b.doc_id >= 400
+         |   GROUP BY 1, 2),
+         | dup AS (SELECT DISTINCT dn FROM inter
+         |   JOIN sz za ON dc = za.doc_id JOIN sz zb ON dn = zb.doc_id
+         |   WHERE round(CAST(i AS DOUBLE) /
+         |     CAST(za.n + zb.n - i AS DOUBLE), 6) >= 0.8)
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT dn FROM dup)
          |ORDER BY doc_id""".stripMargin,
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,

@@ -324,26 +324,7 @@ object Dedup {
     * pinned by a suite test. */
   def jaccardFromIndex(idx: DataFrame, threshold: Double): DataFrame = {
     val dfreq = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // ⌈t·n⌉ with an epsilon so float noise can only LENGTHEN the prefix
-    // (a one-short prefix silently loses recall; one-long only costs work)
-    def ceilT(n: Column): Column = ceil(lit(threshold) * n - lit(1e-9))
-    // one row per doc: hashes sorted rarest-first (lexicographic struct
-    // sort on (df, h) — deterministic), the plain sorted array for
-    // verification, and the prefix slice for candidate generation
-    val arr = idx.join(dfreq, Seq("h"))
-      .groupBy(col("doc"))
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("dfh"))
-      .withColumn("n_sh", size(col("dfh")))
-      .withColumn("hs", array_sort(transform(col("dfh"), _.getField("h"))))
-      .withColumn("pref",
-        transform(slice(col("dfh"), lit(1),
-          (col("n_sh") - ceilT(col("n_sh")) + 1).cast("int")),
-          _.getField("h")))
-      .drop("dfh")
-      // three consumers (two self-join sides + two verify sides) and
-      // collect_list is non-deterministic (no exchange reuse): checkpoint
-      // once (lazy), re-read from block storage
-      .localCheckpoint(false)
+    val arr = prefixArrays(idx, dfreq, threshold)
     val pref = arr.select(col("doc"), col("n_sh"),
       explode(col("pref")).as("h"))
     val cands = pref.select(col("h"), col("doc").as("doc_a"),
@@ -355,12 +336,42 @@ object Dedup {
           lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // no broadcast hints: the candidate set is unbounded at corpus scale;
-    // AQE picks broadcast at runtime when it actually fits
+    verifyPairs(cands, arr, arr, threshold)
+  }
+
+  /** One row per doc: hashes sorted rarest-first under the given global
+    * df order (lexicographic struct sort on (df, h) — deterministic), the
+    * plain sorted array for verification, and the prefix slice for
+    * candidate generation. Checkpointed: it feeds several consumers and
+    * collect_list is non-deterministic (no planner exchange reuse).
+    * ⌈t·n⌉ is computed with an epsilon so float noise can only LENGTHEN
+    * the prefix (a one-short prefix silently loses recall; one-long only
+    * costs work). */
+  private def prefixArrays(idx: DataFrame, dfreq: DataFrame,
+      threshold: Double): DataFrame = {
+    def ceilT(n: Column): Column = ceil(lit(threshold) * n - lit(1e-9))
+    idx.join(dfreq, Seq("h"))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("dfh"))
+      .withColumn("n_sh", size(col("dfh")))
+      .withColumn("hs", array_sort(transform(col("dfh"), _.getField("h"))))
+      .withColumn("pref",
+        transform(slice(col("dfh"), lit(1),
+          (col("n_sh") - ceilT(col("n_sh")) + 1).cast("int")),
+          _.getField("h")))
+      .drop("dfh")
+      .localCheckpoint(false)
+  }
+
+  /** Exact verify of candidate (doc_a, doc_b) pairs against the two
+    * sides' sorted hash arrays. No broadcast hints: the candidate set is
+    * unbounded at corpus scale; AQE picks broadcast when it fits. */
+  private def verifyPairs(cands: DataFrame, arrA: DataFrame,
+      arrB: DataFrame, threshold: Double): DataFrame =
     cands
-      .join(arr.select(col("doc").as("doc_a"), col("hs").as("hs_a")),
+      .join(arrA.select(col("doc").as("doc_a"), col("hs").as("hs_a")),
         Seq("doc_a"))
-      .join(arr.select(col("doc").as("doc_b"), col("hs").as("hs_b")),
+      .join(arrB.select(col("doc").as("doc_b"), col("hs").as("hs_b")),
         Seq("doc_b"))
       .withColumn("inter",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
@@ -370,6 +381,31 @@ object Dedup {
             .cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+
+  /** Cross-set exact Jaccard ≥ `threshold`: every (A-doc, B-doc) pair —
+    * the incremental-ingest verify (new batch vs existing corpus). The
+    * prefix theorem needs ONE global order shared by both sides, so the
+    * rarest-first order is computed over the UNION of the two indexes;
+    * after that it is the [[jaccardFromIndex]] shape with the self-join
+    * replaced by an A×B prefix join. Output: (doc_a ∈ A, doc_b ∈ B,
+    * inter, jaccard) with no ordering constraint between ids. */
+  def jaccardAcross(idxA: DataFrame, idxB: DataFrame,
+      threshold: Double): DataFrame = {
+    val dfreq = idxA.unionByName(idxB)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    val arrA = prefixArrays(idxA, dfreq, threshold)
+    val arrB = prefixArrays(idxB, dfreq, threshold)
+    def prefOf(arr: DataFrame, d: String, n: String) =
+      arr.select(col("doc").as(d), col("n_sh").as(n),
+        explode(col("pref")).as("h"))
+    val cands = prefOf(arrA, "doc_a", "n_a")
+      .join(prefOf(arrB, "doc_b", "n_b"), Seq("h"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    verifyPairs(cands, arrA, arrB, threshold)
   }
 
   /** The naive all-pairs inverted-index formulation — O(df²) on hot

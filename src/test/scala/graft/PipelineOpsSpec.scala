@@ -172,6 +172,27 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("jaccardAcross equals the cross-pair slice of the all-pairs truth") {
+    val lo = docs.filter(col("doc_id") < 250)
+    val hi = docs.filter(col("doc_id") >= 250)
+    val t = 0.5
+    val fast = Dedup.jaccardAcross(
+      Dedup.shingleIndex(lo, "doc_id", "text", 3),
+      Dedup.shingleIndex(hi, "doc_id", "text", 3), t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // ground truth: all-pairs over the full corpus, restricted to pairs
+    // straddling the split (all-pairs emits doc_a < doc_b, so the lo-side
+    // id is always doc_a here)
+    val truth = Dedup.jaccardFromIndexAllPairs(
+      Dedup.shingleIndex(docs, "doc_id", "text", 3), t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter { case (a, b, _, _) => a < 250 && b >= 250 }.toSet
+    assert(truth.nonEmpty, "split should straddle near-dup pairs")
+    assert(fast === truth, s"cross-set prefix filter diverged: " +
+      s"missing=${truth -- fast} extra=${fast -- truth}")
+  }
+
   test("minHashLsh candidates cover all true near-duplicates (recall=1 here)") {
     val truth = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.9)
       .select("doc_a", "doc_b").collect()
