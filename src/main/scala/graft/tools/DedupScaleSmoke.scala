@@ -82,6 +82,21 @@ object DedupScaleSmoke {
       s"cluster count $nClusters vs planted $expected — propagation broken")
     labels.unpersist()
 
+    // EXACT Jaccard via prefix filtering at 200k docs: each planted group
+    // {i, i+1 near, i+2 exact} yields exactly 3 pairs ≥ 0.8 ((i,i+1) and
+    // (i+1,i+2) at ≈0.87, (i,i+2) at 1.0); random 30-word docs over a
+    // 5000-word vocab cannot reach 0.8, so the count is exact — and the
+    // naive inverted self-join this replaced would be quadratic in the
+    // hot-shingle df here
+    println(s"== exact ngramJaccard (prefix-filtered, t=0.8) ==")
+    val pairs = time("ngramJaccard")(
+      Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8).count())
+    val expectedPairs = 3 * (nDocs / 100)
+    println(s"  pairs: $pairs (planted: $expectedPairs)")
+    require(pairs == expectedPairs,
+      s"pair count $pairs vs planted $expectedPairs — prefix filter " +
+        "lost recall or admitted false positives")
+
     // chunk-level: exact copies and near-dups each repeat their base's
     // three 10-token chunks; the shared "tail variant" chunk adds more
     println(s"== chunkDuplicates (10-token spans) ==")
