@@ -24,8 +24,13 @@ import graft.functions.TextFunctions._
   *     representative before any signature work), LSH candidates over the
   *     representatives, exact-Jaccard verify, drop set out.
   *
-  * All hashing goes through [[TextFunctions.hash60]] (md5-based) so DuckDB
-  * reproduces every signature bit-for-bit for the correctness oracle.
+  * All hashing defaults to [[TextFunctions.hash60]] (md5-based) so DuckDB
+  * reproduces every signature bit-for-bit for the correctness oracle. The
+  * hasher is PLUGGABLE ([[shingleIndex]]/[[nearDupDrops]] take a
+  * `hasher`): a production 100-TB run should pass `xxhash64(_)` — ~10×
+  * cheaper per shingle than md5, codegen'd, and every shape downstream
+  * (signatures, banding, verify) is hash-agnostic (pinned by a
+  * drop-set-equality test across hashers).
   *
   * The shingle work shares one subtree: [[shingleIndex]] feeds a single
   * per-doc array aggregation inside [[nearDupDrops]] from which both the
@@ -54,10 +59,10 @@ object Dedup {
     * projection first (HOF lambdas re-evaluate non-attribute arguments per
     * element — see TextFunctions.shinglesFromTokens). */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame =
+      n: Int = 3, hasher: Column => Column = hash60(_)): DataFrame =
     df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"), explode(shinglesFromTokens(col("toks"), n)).as("sh"))
-      .select(col("doc"), hash60(col("sh")).as("h"))
+      .select(col("doc"), hasher(col("sh")).as("h"))
       .distinct()
 
   /** Per-document MinHash signature columns `mh0..mhN` from a shingle
@@ -247,7 +252,8 @@ object Dedup {
     * high dup rate — AQE picks broadcast at runtime when it fits). */
   def nearDupDrops(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rows: Int = 4,
-      threshold: Double = 0.8, maxBucket: Int = 10000): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 10000,
+      hasher: Column => Column = hash60(_)): DataFrame = {
     // exact stage shuffles (digest, id) pairs only — never the text; the
     // (k, doc) Exchange under `reps` is identical to the join's left side,
     // so exchange reuse makes exactDropped nearly free
@@ -278,7 +284,7 @@ object Dedup {
     // all-pairs search; per-pair verify replicates each doc's array once
     // per candidate pair — bounded by LSH band geometry — instead of
     // joining the whole index against itself.)
-    val idx = shingleIndex(repDocs, "doc", "text", n)
+    val idx = shingleIndex(repDocs, "doc", "text", n, hasher)
     val docArrays = idx.groupBy(col("doc"))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
       .localCheckpoint(false)

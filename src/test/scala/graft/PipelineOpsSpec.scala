@@ -280,6 +280,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("nearDupDrops is hash-agnostic: xxhash64 drops the same docs") {
+    // the oracle pipeline hashes shingles with md5 (DuckDB-portable); a
+    // production run swaps in xxhash64 (codegen'd, ~10x cheaper). Every
+    // downstream shape — signatures mod P, banding, array verify — must
+    // not care which hash it rides on (negative xxhash64 values
+    // included); on this corpus both reach LSH recall 1, so the final
+    // drop sets are identical
+    val md5Drops = Dedup.nearDupDrops(docs, "doc_id", "text").collect()
+      .map(_.getLong(0)).toSet
+    val fastDrops = Dedup.nearDupDrops(docs, "doc_id", "text",
+      hasher = xxhash64(_)).collect()
+      .map(_.getLong(0)).toSet
+    assert(md5Drops.nonEmpty)
+    assert(fastDrops === md5Drops,
+      s"missing=${md5Drops -- fastDrops} extra=${fastDrops -- md5Drops}")
+  }
+
   test("minHashLsh: join-routed oversized buckets emit the same pairs") {
     // maxBucket=1 forces EVERY bucket through the skew-tolerant join path;
     // the pair set and per-pair band counts must match the compiled
