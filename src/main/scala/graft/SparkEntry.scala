@@ -8,8 +8,7 @@ import graft.sources.JaegerJsonSource
 object SparkEntry {
 
   /** Flagship query: the full trace pipeline — bundled Jaeger fixture →
-    * span flatten → distributed critical-path extraction — joined against
-    * the sf0.001 lineitem table to prove both ingest paths in one plan.
+    * span flatten → distributed critical-path extraction.
     * Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val fixture = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")

@@ -282,6 +282,40 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.filter(col("is_dup")).count() === 3)
   }
 
+  test("incremental ingest gate as a stream-static anti join") {
+    // q71's streaming shape: new docs arrive as a stream and are admitted
+    // only if their content digest is absent from the STATIC corpus digest
+    // table — Spark's stream-static join needs no state and re-reads the
+    // static side per micro-batch, which is exactly the daily-ingest gate
+    // run continuously. Parity with the batch anti join on the same data.
+    import SparkTestBase.session.implicits._
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val newDocs = Seq(
+      (10L, "fresh content one"), (11L, "known content alpha"),
+      (12L, "fresh content two"), (13L, "known content beta"))
+      .toDF("doc_id", "text")
+    newDocs.coalesce(1).write.mode("overwrite").json(dir)
+    val corpus = Seq((1L, "known content alpha"), (2L, "known content beta"),
+      (3L, "other corpus text")).toDF("doc_id", "text")
+    val corpusDigests = corpus.select(md5(col("text")).as("k")).distinct()
+    val schema = "doc_id BIGINT, text STRING"
+    val admitted = spark.readStream.schema(schema).json(dir)
+      .withColumn("k", md5(col("text")))
+      .join(corpusDigests, Seq("k"), "left_anti")
+    val q = admitted.writeStream.outputMode("append")
+      .format("memory").queryName("ingest_gate")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ingest_gate").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val batch = spark.read.schema(schema).json(dir)
+      .withColumn("k", md5(col("text")))
+      .join(corpusDigests, Seq("k"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(10L, 12L))
+    assert(got === batch)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
