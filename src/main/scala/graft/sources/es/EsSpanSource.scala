@@ -41,6 +41,14 @@ trait EsClient extends Serializable {
     * limit would otherwise pin contexts until the keep-alive expires and
     * can exhaust ES `max_open_scroll_context`). */
   def clearScroll(token: String): Unit = ()
+  /** Time-bounded scroll for the streaming source: spans with
+    * `startTime ∈ [fromUs, toUs)` only — the production transport issues
+    * a range query so only the window's documents leave the server. */
+  def openScrollRange(index: String, sliceId: Int, maxSlices: Int,
+      pageSize: Int, fromUs: Long, toUs: Long): (Seq[String], String)
+  /** Max span `startTime` currently in the index (µs), −1 when empty —
+    * drives [[EsSpanMicroBatchStream.latestOffset]] with one agg query. */
+  def maxStartTimeUs(index: String): Long
 }
 
 object EsClient {
@@ -76,7 +84,8 @@ class EsSpanTable(props: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"es-spans:${props.getOrElse("index", "?")}"
   override def schema(): StructType = EsSpanTableProvider.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EsScanBuilder(props ++ options.asScala)
 }
@@ -98,17 +107,21 @@ class EsScanBuilder(rawOpts: Map[String, String])
     clientClass = opts.getOrElse("client", classOf[HttpEsClient].getName),
     index = opts.getOrElse("index", "jaeger-span-*"),
     slices = opts.getOrElse("slices", "4").toInt,
-    limit = limit))
+    limit = limit,
+    streamFromUs = opts.getOrElse("streamfrom", "0").toLong))
 }
 
 case class EsScanConfig(endpoint: String, clientClass: String, index: String,
-    slices: Int, limit: Option[Int])
+    slices: Int, limit: Option[Int], streamFromUs: Long = 0L)
 
 case class EsSlicePartition(sliceId: Int, maxSlices: Int) extends InputPartition
 
 class EsScan(conf: EsScanConfig) extends Scan with Batch {
   override def readSchema(): StructType = EsSpanTableProvider.schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EsSpanMicroBatchStream(conf, conf.streamFromUs)
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, conf.slices)
     (0 until n).map(i => EsSlicePartition(i, n)).toArray[InputPartition]
@@ -199,6 +212,23 @@ class HttpEsClient(endpoint: String) extends EsClient {
   override def scroll(token: String): (Seq[String], String) =
     parse(post("/_search/scroll",
       s"""{"scroll": "15s", "scroll_id": "$token"}"""))
+
+  override def openScrollRange(index: String, sliceId: Int, maxSlices: Int,
+      pageSize: Int, fromUs: Long, toUs: Long): (Seq[String], String) = {
+    val slice =
+      if (maxSlices > 1) s""""slice": {"id": $sliceId, "max": $maxSlices},"""
+      else ""
+    parse(post(s"/$index/_search?scroll=15s",
+      s"""{$slice "size": $pageSize, "query": {"range": {"startTime":
+         | {"gte": $fromUs, "lt": $toUs}}}}""".stripMargin.replace("\n", "")))
+  }
+
+  override def maxStartTimeUs(index: String): Long = {
+    val body = post(s"/$index/_search",
+      """{"size": 0, "aggs": {"m": {"max": {"field": "startTime"}}}}""")
+    val v = mapper.readTree(body).path("aggregations").path("m").path("value")
+    if (v.isMissingNode || v.isNull) -1L else v.asDouble().toLong
+  }
 
   override def clearScroll(token: String): Unit = {
     val req = HttpRequest.newBuilder(URI.create(s"$endpoint/_search/scroll"))

@@ -39,6 +39,52 @@ class EsSourceSpec extends SparkTestBase {
     assert(viaEs.toSeq === viaFileNonEmpty.toSeq)
   }
 
+  test("micro-batch stream over the span index matches the batch scan") {
+    FixtureEsClient.reset()
+    val stream = spark.readStream.format("es-spans")
+      .option("endpoint", "fake://es").options(opts).load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("es_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("es_stream")
+    assert(got.count() === 331)
+    val batch = spark.read.format("es-spans")
+      .option("endpoint", "fake://es").options(opts).load()
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+  }
+
+  test("stream offsets window the index by startTime and slice in parallel") {
+    import graft.sources.es.{EsScanConfig, EsSpanMicroBatchStream, EsTimeOffset}
+    val conf = EsScanConfig("fake://es", classOf[FixtureEsClient].getName,
+      "jaeger-span-*", slices = 3, limit = None)
+    val s = new EsSpanMicroBatchStream(conf, startUs = 0L)
+    val latest = s.latestOffset().asInstanceOf[EsTimeOffset].us
+    assert(latest === FixtureEsClient.docsTs.map(_._1).max + 1)
+    // split the full range at the median span time: the two windows must
+    // partition the corpus exactly (each doc in exactly one window)
+    val mid = FixtureEsClient.docsTs.map(_._1).sorted
+      .apply(FixtureEsClient.docsTs.size / 2)
+    def readAll(from: Long, to: Long): Seq[String] = {
+      val parts = s.planInputPartitions(EsTimeOffset(from), EsTimeOffset(to))
+      assert(parts.length === (if (to > from) 3 else 0))
+      val fac = s.createReaderFactory()
+      parts.flatMap { p =>
+        val r = fac.createReader(p)
+        val buf = Seq.newBuilder[String]
+        while (r.next()) buf += r.get().getUTF8String(0).toString
+        r.close(); buf.result()
+      }.toSeq
+    }
+    val first = readAll(0L, mid)
+    val second = readAll(mid, latest)
+    assert(first.nonEmpty && second.nonEmpty)
+    assert(first.size + second.size === 331)
+    assert((first.toSet & second.toSet).isEmpty)
+    // empty window plans zero partitions
+    assert(readAll(latest, latest).isEmpty)
+  }
+
   test("limit pushdown: full delivery despite slice skew, scrolls cleared") {
     FixtureEsClient.reset()
     val raw = spark.read.format("es-spans")
@@ -65,22 +111,43 @@ class FixtureEsClient extends EsClient {
 
   override def scroll(token: String): (Seq[String], String) = {
     scrollCalls.incrementAndGet()
-    val Array(s, m, off, ps) = token.split(":").map(_.toInt)
-    pageFor(s, m, off, ps)
+    token.split(":").map(_.toLong) match {
+      case Array(s, m, off, ps) =>
+        pageFor(s.toInt, m.toInt, off.toInt, ps.toInt)
+      case Array(s, m, off, ps, f, t) =>
+        pageFor(s.toInt, m.toInt, off.toInt, ps.toInt, Some((f, t)))
+      case other => throw new IllegalArgumentException(
+        s"bad token arity ${other.length}")
+    }
   }
 
   override def clearScroll(token: String): Unit = {
     clearCalls.incrementAndGet()
   }
 
+  override def openScrollRange(index: String, sliceId: Int, maxSlices: Int,
+      pageSize: Int, fromUs: Long, toUs: Long): (Seq[String], String) =
+    pageFor(sliceId, maxSlices, 0, pageSize, Some((fromUs, toUs)))
+
+  override def maxStartTimeUs(index: String): Long =
+    if (docsTs.isEmpty) -1L else docsTs.map(_._1).max
+
   private def pageFor(slice: Int, maxSlices: Int, offset: Int,
-      pageSize: Int): (Seq[String], String) = {
-    val mine = docs.zipWithIndex
+      pageSize: Int, range: Option[(Long, Long)] = None)
+      : (Seq[String], String) = {
+    val pool = range match {
+      case Some((f, t)) =>
+        docsTs.filter { case (ts, _) => ts >= f && ts < t }.map(_._2)
+      case None => docs
+    }
+    val mine = pool.zipWithIndex
       .filter { case (_, i) => i % maxSlices == slice }.map(_._1)
     val page = mine.slice(offset, offset + math.min(pageSize, 25))
     val nextOff = offset + math.min(pageSize, 25)
+    val rangeTok = range.map { case (f, t) => s":$f:$t" }.getOrElse("")
     val token =
-      if (nextOff >= mine.size) "" else s"$slice:$maxSlices:$nextOff:$pageSize"
+      if (nextOff >= mine.size) ""
+      else s"$slice:$maxSlices:$nextOff:$pageSize$rangeTok"
     (page, token)
   }
 }
@@ -114,5 +181,11 @@ object FixtureEsClient {
       }
     }
     out.result()
+  }
+
+  /** (startTime µs, doc) pairs behind the streaming range queries. */
+  lazy val docsTs: Vector[(Long, String)] = {
+    val mapper = new ObjectMapper()
+    docs.map(d => (mapper.readTree(d).get("startTime").asLong(), d))
   }
 }
