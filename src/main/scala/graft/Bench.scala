@@ -83,8 +83,12 @@ object Bench {
         detail(name) = (wall, run, gc)
       wall
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
+    // optional arg: comma-separated query-name filter for iterating on one
+    // query without paying for the suite (contract runs pass no args)
+    val only = args.headOption.map(_.split(",").toSet)
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
         name -> (1 to math.max(1, reps)).map(_ => timeOnce(name, fn)).min
     }
     // Adaptive outlier re-timing: a multi-second contention burst (GC,

@@ -849,10 +849,18 @@ object Queries {
     * its distinct-Exchange is planner-reused); only 8-byte gram hashes
     * shuffle, and AQE broadcasts the benchmark gram side when it fits. */
   private def q67(s: SparkSession, dir: String): DataFrame = {
-    val idx = Dedup.shingleIndex(docs(s, dir), "doc_id", "text", n = 4)
-    val benchGrams = idx.filter(col("doc") % 50 === 0)
+    // Shingling is per-document, so the bench/train split commutes with
+    // it: filtering BEFORE the index means the corpus is tokenized and
+    // exploded exactly once across the two disjoint scans (a shared
+    // post-index filter recomputes the full explode per consumer — the
+    // measured cost was 2× CPU), and each `doc_id % 50` predicate
+    // reaches its parquet scan.
+    val d = docs(s, dir)
+    val benchGrams = Dedup.shingleIndex(
+        d.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 4)
       .select(col("h")).distinct()
-    idx.filter(col("doc") % 50 =!= 0)
+    Dedup.shingleIndex(
+        d.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", n = 4)
       .join(benchGrams, Seq("h"))
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_shared"))
