@@ -868,6 +868,22 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-pre-filtered decontamination ([[Dedup.decontaminationHits]]):
+    * same n-gram-overlap semantics as q67 on a different bench split, but
+    * the train-side gram stream passes a `might_contain` scalar-subquery
+    * bloom before the exact join — the shape that survives a bench set
+    * too large to broadcast-hash. The exact join kills bloom false
+    * positives, so the oracle is the plain-join SQL. */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.decontaminationHits(
+        corpus = d.filter(col("doc_id") % 23 =!= 0),
+        bench = d.filter(col("doc_id") % 23 === 0),
+        "doc_id", "text", n = 4)
+      .select(col("doc").as("doc_id"), col("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-k stratified sample (Curation.stratifiedTakeK): exactly 5 docs
     * per source, chosen in salted-hash order — reproducible eval carve-out. */
   private def q68(s: SparkSession, dir: String): DataFrame =
@@ -1149,6 +1165,7 @@ object Queries {
     "q69_length_ntile" -> (q69 _),
     "q70_quality_select" -> (q70 _),
     "q71_incremental_ingest" -> (q71 _),
+    "q72_bloom_decontaminate" -> (q72 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -1794,6 +1811,18 @@ object Queries {
          |SELECT doc_id, count(*) AS n_shared
          |FROM sh JOIN bench USING (h)
          |WHERE doc_id % 50 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q72_bloom_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | shr AS (SELECT doc_id, unnest(list_transform(
+         |     generate_series(1, greatest(len(t)-3, 0)),
+         |     i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])))
+         |   AS s FROM tk),
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS h FROM shr),
+         | bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 23 = 0)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM sh JOIN bench USING (h)
+         |WHERE doc_id % 23 <> 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q68_stratified_k" ->
       s"""WITH r AS (SELECT doc_id, source, row_number() OVER (

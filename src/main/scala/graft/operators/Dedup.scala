@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.expressions.BloomSketch
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for training-data pipelines, designed 100-TB-first
@@ -542,5 +543,40 @@ object Dedup {
       .withColumn("is_dup",
         col("id") =!= col("first.id") || col("pos") =!= col("first.pos"))
       .select(col("id"), col("pos"), col("chunk_h"), col("is_dup"))
+  }
+
+  /** Benchmark decontamination: per corpus document, the number of
+    * distinct word `n`-gram shingles it shares with a held-out benchmark
+    * set — the standard eval-contamination check run before training
+    * (n-gram overlap, as in the GPT-3/PaLM decontamination appendices).
+    *
+    * Scale shape: the train-side gram stream is pre-filtered with a Bloom
+    * filter built OVER the bench grams by [[expressions.BloomSketch]] —
+    * a distributed `bloom_filter_agg` whose single-row result reaches
+    * `might_contain` as a scalar subquery (never the driver). At 100 TB
+    * the bench-gram set can exceed the broadcast-hash-join threshold
+    * while its bloom BITS still broadcast (~1.2 MB per million grams at
+    * the default sizing), and the exact join that follows then shuffles
+    * only grams that pass the bloom: hits plus an `fpp` fraction of the
+    * corpus instead of every gram in the corpus. The exact join removes
+    * bloom false positives, so the result is EXACTLY the plain-join
+    * formulation (no false negatives by construction) and stays
+    * DuckDB-oracle-checkable.
+    *
+    * `expectedBenchGrams` sizes the filter; leave `numBits` 8× that for
+    * Spark's default ~3% fpp at capacity. */
+  def decontaminationHits(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 4,
+      expectedBenchGrams: Long = 1 << 20): DataFrame = {
+    val benchGrams = shingleIndex(bench, idCol, textCol, n)
+      .select(col("h")).distinct()
+    val bloom = benchGrams.agg(
+      BloomSketch.bloomAgg(col("h"), expectedBenchGrams,
+        expectedBenchGrams * 8).as("bf"))
+    shingleIndex(corpus, idCol, textCol, n)
+      .filter(BloomSketch.mightContain(BloomSketch.scalar(bloom), col("h")))
+      .join(benchGrams, Seq("h"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shared"))
   }
 }

@@ -74,6 +74,13 @@ object ExplainCheck {
       "% 50\\) = 0\\)".r.findAllIn(p).length >= 2 &&
         p.contains("BroadcastHashJoin")
     })
+    // the bloom must gate the gram stream BEFORE the exact join (a
+    // might_contain that lands after the join would be dead weight)
+    check("q72 bloom-filters grams via scalar subquery before the join", {
+      val p = plan("q72_bloom_decontaminate")
+      p.contains("might_contain") && p.contains("Subquery") &&
+        p.contains("BroadcastHashJoin")
+    })
     check("q62 binned range join is a codegen'd broadcast HASH join " +
       "(no BroadcastNestedLoopJoin)", {
       val p = plan("q62_range_join")

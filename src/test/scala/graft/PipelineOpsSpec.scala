@@ -207,6 +207,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(cands.size < 500)
   }
 
+  test("decontaminationHits: bloom pre-filter is exact vs the plain join") {
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val got = Dedup.decontaminationHits(corpus, bench, "doc_id", "text",
+      n = 4, expectedBenchGrams = 1 << 14)
+    // ground truth: same semantics with no bloom stage
+    val benchGrams = Dedup.shingleIndex(bench, "doc_id", "text", n = 4)
+      .select(col("h")).distinct()
+    val want = Dedup.shingleIndex(corpus, "doc_id", "text", n = 4)
+      .join(benchGrams, Seq("h"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_shared"))
+    assert(got.count() > 0)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // the bloom stage is really in the plan: a scalar subquery feeding
+    // might_contain, not a driver-side literal
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain") && plan.contains("scalar-subquery"))
+  }
+
   test("simHash: identical docs collide, near-dups are close in Hamming") {
     val df = Seq((1L, "spark window join table scan merge sort"),
       (2L, "spark window join table scan merge sort"),
