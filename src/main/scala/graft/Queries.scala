@@ -49,6 +49,19 @@ object Queries {
       (cents.localCheckpoint(), assigned.localCheckpoint())
     })
 
+  /** Session-cached PQ index per (context, sfDir) — same build-once /
+    * serve-many split as [[ivfIndex]]: t10 serves from this, t11 times
+    * the uncached build. */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.operators.Similarity.PqCodebooks, DataFrame)]
+  private def pqIndex(s: SparkSession, dir: String)
+      : (graft.operators.Similarity.PqCodebooks, DataFrame) =
+    pqCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val (cb, codes) = graft.operators.Similarity
+        .buildPqIndex(emb(s, dir), "vec_id", "embedding")
+      (cb, codes.localCheckpoint())
+    })
+
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
     * refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
     * normalize to a µs TimestampType — identical truncation to DuckDB's
@@ -1189,6 +1202,23 @@ object Queries {
         Similarity.buildIvfIndex(emb(s, dir), "vec_id", "embedding")
       assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
         .orderBy(col("cell"))
+    }),
+    "t10_pq_topk" -> ((s: SparkSession, dir: String) => {
+      // PQ serve: LUT-scored code-word scan + exact rerank of the top
+      // ADC candidates, from the session-cached encoded corpus
+      Similarity.pqTopKFromIndex(pqIndex(s, dir), emb(s, dir),
+        emb(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "t11_pq_build" -> ((s: SparkSession, dir: String) => {
+      // uncached codebook training + corpus encoding, reported as code
+      // histogram of the first subspace (deterministic, small)
+      val (_, codes) =
+        Similarity.buildPqIndex(emb(s, dir), "vec_id", "embedding")
+      codes.select(get(col("codes"), lit(0)).as("code0"))
+        .groupBy(col("code0")).agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("code0"))
     }),
     "q43_session_window_batch" -> ((s: SparkSession, dir: String) =>
       // native session_window in batch mode (streaming twin: TraceStreams);

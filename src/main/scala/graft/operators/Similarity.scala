@@ -206,6 +206,129 @@ object Similarity {
       buildIvfIndex(corpus, idCol, vecCol, nCentroids, kmeansIters),
       queries, idCol, vecCol, k, nProbe)
 
+  /** Trained PQ codebooks: `m` subspaces × `k` centroids × `dsub` dims,
+    * flat layout `flat[((mi*k)+ki)*dsub + j]`. */
+  case class PqCodebooks(m: Int, k: Int, dsub: Int, flat: Array[Double])
+
+  /** Train product-quantization codebooks: per subspace, plain-L2 Lloyd
+    * k-means over the same bounded deterministic sample discipline as
+    * [[trainCentroids]] (`xxhash64(id) % stride == 0`, first-k init) —
+    * the corpus is never collected, only the ≤`sampleSize` sample. */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 16, k: Int = 16, iters: Int = 4,
+      sampleSize: Int = 2048): PqCodebooks = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val stride = math.max(1L, n / math.max(k, sampleSize))
+    val sample: Array[Array[Double]] = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .select(col(idCol).cast("long").as("id"),
+        l2Normalize(col(vecCol)).as("v"))
+      .orderBy(col("id")).limit(math.max(k, sampleSize))
+      .as[(Long, Array[Double])].collect().map(_._2)
+    require(sample.length >= k,
+      s"sample ${sample.length} smaller than k=$k")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val flat = new Array[Double](m * k * dsub)
+    for (mi <- 0 until m) {
+      val sub = sample.map(_.slice(mi * dsub, (mi + 1) * dsub))
+      var cents = sub.take(k).map(_.clone())
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var j = 0
+        while (j < dsub) { val d = a(j) - b(j); s += d * d; j += 1 }
+        s
+      }
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Long](k)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            val d = d2(v, cents(c)); if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < dsub) { sums(best)(j) += v(j); j += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
+      }
+      for (ki <- 0 until k; j <- 0 until dsub)
+        flat(((mi * k) + ki) * dsub + j) = cents(ki)(j)
+    }
+    PqCodebooks(m, k, dsub, flat)
+  }
+
+  private def bridged(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Column = org.apache.spark.sql.GraftSqlBridge.column(e)
+  private def expr(c: Column) =
+    org.apache.spark.sql.GraftSqlBridge.expression(c)
+
+  def pqEncodeCol(v: Column, cb: PqCodebooks): Column =
+    bridged(graft.expressions.PqEncode(expr(v), cb.flat, cb.m, cb.k))
+  def pqLutCol(q: Column, cb: PqCodebooks): Column =
+    bridged(graft.expressions.PqLut(expr(q), cb.flat, cb.m, cb.k))
+  def pqAdcCol(codes: Column, lut: Column, cb: PqCodebooks): Column =
+    bridged(graft.expressions.PqAdc(expr(codes), expr(lut), cb.k))
+
+  /** Build the PQ index: codebooks + the corpus encoded to `m`-int code
+    * words — `m` ints instead of `dim` floats per vector (8× to 32×
+    * smaller scan at serve time; the full vectors are only touched again
+    * to rerank fetched candidates). */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 16, k: Int = 16, iters: Int = 4): (PqCodebooks, DataFrame) = {
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, k, iters)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      pqEncodeCol(l2Normalize(col(vecCol)), cb).as("codes"))
+    (cb, codes)
+  }
+
+  /** PQ top-k serve: queries broadcast with a precomputed per-query LUT
+    * ([[graft.expressions.PqLut]]); the code-word scan scores each pair
+    * with `m` table lookups ([[graft.expressions.PqAdc]]); the top
+    * `rerank` ADC candidates per query fetch their true vectors by id
+    * (broadcast-hash probe of the corpus — at 100 TB this is the
+    * candidates-only fetch that makes PQ's compressed scan pay) and
+    * rerank by exact cosine. With `rerank` ≥ corpus size the result
+    * equals [[bruteForceTopK]] exactly — the spec pins that. */
+  def pqTopKFromIndex(index: (PqCodebooks, DataFrame), corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      rerank: Int = 32): DataFrame = {
+    val (cb, codes) = index
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        l2Normalize(col(vecCol)).as("qv"))
+      .withColumn("lut", pqLutCol(col("qv"), cb)))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cand = codes.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", pqAdcCol(col("codes"), col("lut"), cb))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= rerank)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      l2Normalize(col(vecCol)).as("cv"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(vecs, Seq("neighbor_id"))
+      .withColumn("cos_sim", round(dotCol(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 16, kCent: Int = 16,
+      rerank: Int = 128): DataFrame =
+    pqTopKFromIndex(buildPqIndex(corpus, idCol, vecCol, m, kCent),
+      corpus, queries, idCol, vecCol, k, rerank)
+
   /** Sign-bucket LSH: bucket id = sign bits of `planes` SEEDED random
     * hyperplane projections (classic SimHash-style random projection —
     * deterministic for a given seed, so bucketing is reproducible across

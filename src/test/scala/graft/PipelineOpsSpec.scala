@@ -387,6 +387,59 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall >= 0.9)
   }
 
+  test("pqTopK with full rerank equals bruteForceTopK exactly") {
+    // ADC only ORDERS candidates; with rerank >= corpus size every
+    // neighbor reaches the exact-cosine rerank, so the output must be
+    // bit-identical to brute force — pins encode/LUT/ADC end to end
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = e.filter(col("vec_id") < 10)
+    val n = e.count().toInt
+    val pq = Similarity.pqTopK(e, qs, "vec_id", "embedding", 3, rerank = n)
+    val brute = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", 3)
+    assert(pq.except(brute).isEmpty && brute.except(pq).isEmpty)
+    assert(pq.count() === brute.count())
+  }
+
+  test("pq interpreted eval matches codegen output") {
+    // same guarantee DotProduct documents: nullSafeEval mirrors doGenCode.
+    // Forcing interpreted evaluation via codegen-off must not change codes.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (cb, _) = Similarity.buildPqIndex(e, "vec_id", "embedding")
+    def codesWith(mode: String): Array[(Long, Seq[Int])] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try e.select(col("vec_id"),
+          Similarity.pqEncodeCol(
+            Similarity.l2Normalize(col("embedding")), cb).as("codes"))
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1)))
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(codesWith("CODEGEN_ONLY").toSeq === codesWith("NO_CODEGEN").toSeq)
+  }
+
+  test("pqTopK: default rerank reaches recall@3 >= 0.9 vs brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val qs = e.filter(col("vec_id") < 30)
+    def neighborSets(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // near-random embeddings are PQ's hard case (no cluster structure to
+    // exploit): default 16 subspaces × 16 centroids (64 bits/vector) with
+    // rerank=128 (2.6% of the corpus) measured 0.967 on the parameter
+    // sweep; m=8 at the same rerank measured 0.72 — the assert pins the
+    // chosen default with margin
+    val pq = neighborSets(
+      Similarity.pqTopK(e, qs, "vec_id", "embedding", 3))
+    val brute = neighborSets(
+      Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", 3))
+    val recall = brute.map { case (q, truth) =>
+      (truth intersect pq.getOrElse(q, Set.empty)).size.toDouble / truth.size
+    }.sum / brute.size
+    info(f"recall@3 = $recall%.3f")
+    assert(recall >= 0.9)
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val f1 = Multimodal.decodeAndFeaturize(media).collect()
