@@ -897,6 +897,78 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer-vocabulary build: global token frequencies, top-V with
+    * dense ids. The id-assigning window is a deliberate serial point over
+    * ONLY the top-V rows (V=512 here) — the corpus-wide count is fully
+    * distributed and V is a constant, so the shape holds at 100 TB (same
+    * argument as q51's documented global window). */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(512)
+    val w = Window.orderBy(col("n").desc, col("token"))
+    counts.withColumn("token_id", row_number().over(w).cast("long"))
+      .orderBy(col("token_id"))
+  }
+
+  /** PII redaction ([[TextFunctions.redactPii]]): the synthetic corpus
+    * ships no PII, so the patterns are exercised on a deterministic
+    * contact blob derived from customer keys — the point of the oracle
+    * row is pinning Spark↔DuckDB REGEX REPLACE semantics (global 'g'
+    * replace, \b boundaries, class escapes) for the exact patterns the
+    * redactor ships. */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val key = col("c_custkey").cast("string")
+    val blob = concat_ws(" ", col("c_name"),
+      concat(lit("user"), key, lit("@mail.example.org")),
+      concat(lit("https://ex.org/u/"), key),
+      concat(lit("10."), col("c_nationkey").cast("string"), lit(".0."),
+        pmod(col("c_custkey"), lit(250)).cast("string")))
+    t(s, dir, "customer")
+      .filter(col("c_custkey") < 200)
+      .select(col("c_custkey"), blob.as("blob"))
+      .select(col("c_custkey"),
+        TextFunctions.redactPii(col("blob")).as("redacted"),
+        TextFunctions.piiCount(col("blob"), "url")
+          .cast("long").as("n_urls"),
+        TextFunctions.piiCount(col("blob"), "email")
+          .cast("long").as("n_emails"),
+        TextFunctions.piiCount(col("blob"), "ip")
+          .cast("long").as("n_ips"),
+        TextFunctions.piiCount(col("blob"), "num")
+          .cast("long").as("n_nums"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** PMI collocations: pointwise mutual information of adjacent token
+    * pairs — ln(p(ab) / (p(a)·p(b))). Unigram and bigram totals fold in
+    * as broadcast scalar aggregates (q35/q40 pattern, one plan); the
+    * unigram vocabulary broadcasts to both component joins. */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val tk = docs(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val uniRows = tk.select(explode(col("toks")).as("w"))
+    val uni = uniRows.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val nTok = uniRows.agg(count(lit(1)).cast("double").as("n_tok"))
+    val bgRows = tk.select(explode(
+      TextFunctions.shinglesFromTokens(col("toks"), 2)).as("bigram"))
+    val bn = bgRows.groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+    val nBg = bgRows.agg(count(lit(1)).cast("double").as("n_bg"))
+    bn.filter(col("n_ab") >= 5)
+      .withColumn("a", get(split(col("bigram"), " "), lit(0)))
+      .withColumn("b", get(split(col("bigram"), " "), lit(1)))
+      .join(broadcast(uni.select(col("w").as("a"), col("n_w").as("n_a"))),
+        Seq("a"))
+      .join(broadcast(uni.select(col("w").as("b"), col("n_w").as("n_b"))),
+        Seq("b"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .withColumn("pmi", round(log((col("n_ab") / col("n_bg")) /
+        ((col("n_a") / col("n_tok")) * (col("n_b") / col("n_tok")))), 6))
+      .orderBy(col("pmi").desc, col("bigram")).limit(20)
+      .select(col("bigram"), col("n_ab"), col("pmi"))
+  }
+
   /** Exact-k stratified sample (Curation.stratifiedTakeK): exactly 5 docs
     * per source, chosen in salted-hash order — reproducible eval carve-out. */
   private def q68(s: SparkSession, dir: String): DataFrame =
@@ -1179,6 +1251,9 @@ object Queries {
     "q70_quality_select" -> (q70 _),
     "q71_incremental_ingest" -> (q71 _),
     "q72_bloom_decontaminate" -> (q72 _),
+    "q73_vocab_build" -> (q73 _),
+    "q74_pii_redaction" -> (q74 _),
+    "q75_pmi_bigrams" -> (q75 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -1854,6 +1929,52 @@ object Queries {
          |FROM sh JOIN bench USING (h)
          |WHERE doc_id % 23 <> 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q73_vocab_build" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+         | f AS (SELECT token, count(*) AS n FROM tok GROUP BY token
+         |   ORDER BY n DESC, token LIMIT 512)
+         |SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token)
+         |  AS BIGINT) AS token_id
+         |FROM f ORDER BY token_id""".stripMargin,
+    "q74_pii_redaction" ->
+      """WITH b AS (SELECT c_custkey, concat_ws(' ', c_name,
+        |    'user' || CAST(c_custkey AS VARCHAR) || '@mail.example.org',
+        |    'https://ex.org/u/' || CAST(c_custkey AS VARCHAR),
+        |    '10.' || CAST(c_nationkey AS VARCHAR) || '.0.' ||
+        |      CAST(c_custkey % 250 AS VARCHAR)) AS blob
+        |  FROM customer WHERE c_custkey < 200)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(blob,
+        |    'https?://\S+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\d{6,}', '<NUM>', 'g') AS redacted,
+        |  len(regexp_extract_all(blob, 'https?://\S+')) AS n_urls,
+        |  len(regexp_extract_all(blob,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(blob,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(blob, '\d{6,}')) AS n_nums
+        |FROM b ORDER BY c_custkey""".stripMargin,
+    "q75_pmi_bigrams" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | uni AS (SELECT unnest(t) AS w FROM tk),
+         | un AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+         | tt AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM uni),
+         | bg AS (SELECT unnest(list_transform(
+         |     generate_series(1, greatest(len(t)-1, 0)),
+         |     i -> t[i] || ' ' || t[i+1])) AS bigram FROM tk),
+         | bn AS (SELECT bigram, count(*) AS n_ab FROM bg GROUP BY bigram),
+         | bt AS (SELECT CAST(count(*) AS DOUBLE) AS n_bg FROM bg)
+         |SELECT bigram, n_ab,
+         |  round(ln((n_ab / n_bg) /
+         |    ((a.n_w / n_tok) * (b.n_w / n_tok))), 6) AS pmi
+         |FROM bn
+         |JOIN un a ON a.w = string_split(bigram, ' ')[1]
+         |JOIN un b ON b.w = string_split(bigram, ' ')[2]
+         |CROSS JOIN tt CROSS JOIN bt
+         |WHERE n_ab >= 5
+         |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
     "q68_stratified_k" ->
       s"""WITH r AS (SELECT doc_id, source, row_number() OVER (
          |    PARTITION BY source

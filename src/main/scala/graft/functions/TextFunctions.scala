@@ -69,6 +69,35 @@ object TextFunctions {
     regexp_replace(
       regexp_replace(lower(trim(text)), "[^a-z0-9 ]", ""), " +", " ")
 
+  /** PII scrubbing patterns, ordered: URLs first (they contain dots and
+    * digit runs that would otherwise half-match the later patterns), then
+    * emails, IPv4 addresses, long digit runs. Restricted to constructs
+    * RE2 (DuckDB, `'g'` flag) and java.util.regex replace identically —
+    * same discipline as [[bpePattern]] — so redacted corpora stay
+    * oracle-checkable. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://\\S+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("num", "\\d{6,}", "<NUM>"))
+
+  /** Replace every URL / email / IPv4 / long digit run with a typed
+    * placeholder — the standard pre-training scrub pass. Pure
+    * `regexp_replace` chain: codegen'd, streaming-safe, pushable. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, p, r)) =>
+      regexp_replace(c, p, r)
+    }
+
+  /** Number of matches of one [[piiPatterns]] kind in `text` (count
+    * BEFORE redacting: earlier patterns consume later ones' matches). */
+  def piiCount(text: Column, kind: String): Column =
+    size(regexp_extract_all(text,
+      lit(piiPatterns.find(_._1 == kind)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown pii kind $kind; know ${piiPatterns.map(_._1)}"))._2),
+      lit(0)))
+
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken rolling-hash
     * document fingerprinting), staged for Spark's interpreted HOF
     * lambdas: each stage's input MUST be a materialized column attribute

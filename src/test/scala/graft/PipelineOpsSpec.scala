@@ -135,6 +135,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert((a intersect b).size > (a intersect c).size)
   }
 
+  test("redactPii scrubs urls, emails, ips, digit runs; counts match") {
+    val df = Seq(
+      "mail me at jane.doe+x@corp.example.com or see https://ex.org/a?b=1",
+      "host 192.168.10.250 leaked key 123456789012",
+      "nothing sensitive here",
+      "").toDF("text")
+    val got = df.select(
+      TextFunctions.redactPii(col("text")).as("r"),
+      TextFunctions.piiCount(col("text"), "email").as("ne"),
+      TextFunctions.piiCount(col("text"), "url").as("nu"),
+      TextFunctions.piiCount(col("text"), "ip").as("ni"),
+      TextFunctions.piiCount(col("text"), "num").as("nn")).collect()
+    assert(got(0).getString(0) === "mail me at <EMAIL> or see <URL>")
+    assert((got(0).getInt(1), got(0).getInt(2)) === (1, 1))
+    assert(got(1).getString(0) === "host <IP> leaked key <NUM>")
+    assert((got(1).getInt(3), got(1).getInt(4)) === (1, 1))
+    assert(got(2).getString(0) === "nothing sensitive here")
+    assert(got(3).getString(0) === "")
+    // unknown kind fails fast, not silently zero
+    intercept[IllegalArgumentException] {
+      TextFunctions.piiCount(col("text"), "ssn")
+    }
+  }
+
   test("fingerprint is normalization-invariant") {
     val df = Seq(("Hello,  World!", "hello world")).toDF("a", "b")
     val r = df.select(
