@@ -948,13 +948,16 @@ object Queries {
   private def q75(s: SparkSession, dir: String): DataFrame = {
     val tk = docs(s, dir)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-    val uniRows = tk.select(explode(col("toks")).as("w"))
-    val uni = uniRows.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-    val nTok = uniRows.agg(count(lit(1)).cast("double").as("n_tok"))
-    val bgRows = tk.select(explode(
-      TextFunctions.shinglesFromTokens(col("toks"), 2)).as("bigram"))
-    val bn = bgRows.groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
-    val nBg = bgRows.agg(count(lit(1)).cast("double").as("n_bg"))
+    val uni = tk.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val bn = tk.select(explode(
+        TextFunctions.shinglesFromTokens(col("toks"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+    // totals derive from the AGGREGATES (q40's df-from-tf trick): summing
+    // n_w / n_ab over the tiny grouped sets equals counting the raw
+    // exploded rows, without a second tokenize+explode pass per total
+    val nTok = uni.agg(sum(col("n_w")).cast("double").as("n_tok"))
+    val nBg = bn.agg(sum(col("n_ab")).cast("double").as("n_bg"))
     bn.filter(col("n_ab") >= 5)
       .withColumn("a", get(split(col("bigram"), " "), lit(0)))
       .withColumn("b", get(split(col("bigram"), " "), lit(1)))

@@ -107,6 +107,53 @@ object DedupScaleSmoke {
     println(s"  duplicated chunks: $dupChunks (≥ $minExpected planted)")
     require(dupChunks >= minExpected,
       s"dup chunks $dupChunks below planted floor $minExpected")
+
+    // Bloom-gated decontamination: bench = every 1000th doc (all of them
+    // %100==0 base docs), so exactly its two planted copies (i+1 near,
+    // i+2 exact) share ≥ 20 of its 4-grams; unrelated 30-word docs over a
+    // 5000-word vocab cannot share 4 consecutive words, so the hit count
+    // is exact — recall 1 through the bloom (no false negatives by
+    // construction), false positives dead at the verify join
+    println(s"== decontaminationHits (bloom-gated, 4-grams) ==")
+    val hits = time("decontaminationHits")(
+      Dedup.decontaminationHits(
+        docs.filter(col("doc_id") % 1000 =!= 0),
+        docs.filter(col("doc_id") % 1000 === 0),
+        "doc_id", "text", n = 4)
+        .filter(col("n_shared") >= 10).count())
+    val expectedHits = 2 * (nDocs / 1000)
+    println(s"  contaminated docs: $hits (planted: $expectedHits)")
+    require(hits == expectedHits,
+      s"hits $hits vs planted $expectedHits — bloom lost recall or " +
+        "verify admitted false positives")
+
+    // PQ serve at scale: synthetic 64-d corpus with planted twin vectors
+    // (id and id+n/2 share a base), queries = 5 corpus vectors — after
+    // the ADC scan + rerank the twin MUST rank 1 at cosine 1.0
+    println(s"== pqTopK over $nDocs synthetic 64-d embeddings ==")
+    val half = nDocs / 2
+    // materialized once: pqTopK's consumers (count+sample, encode,
+    // rerank fetch) would otherwise re-run the 64-hash generator + HOF
+    // lambdas per pass — at 100 TB the corpus is a parquet read, so the
+    // serve-path timing should not charge for synthetic regeneration
+    val vecs = time("materialize synthetic corpus")(
+      spark.range(nDocs)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), k =>
+            (pmod(xxhash64(pmod(col("id"), lit(half)), k), lit(2001))
+              .cast("double") - 1000.0) / 1000.0).as("embedding"))
+        .localCheckpoint())
+    val top = time("pqTopK (train+encode+serve)")(
+      graft.operators.Similarity.pqTopK(vecs,
+        vecs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+        .filter(col("rank") === 1).collect())
+    top.foreach { r =>
+      val (q, n, c) = (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))
+      require(n == q + half && c == 1.0,
+        s"query $q: top-1 $n at $c — planted twin ${q + half} not found")
+    }
+    println(s"  all 5 planted twins surfaced at rank 1, cos 1.0")
     spark.stop()
   }
 }

@@ -245,6 +245,49 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
 
+  test("pii redaction + pq encoding are stream-safe (batch parity)") {
+    // both are stateless narrow ops (regexp chain; codegen'd expression
+    // with batch-trained codebooks), so the SAME operator code runs on a
+    // file stream and must produce exactly the batch outputs
+    import graft.functions.TextFunctions
+    import graft.operators.Similarity
+    def streamCopyOf(table: String): (String,
+        org.apache.spark.sql.types.StructType) = {
+      val src = s"/root/testdata/sf0.001/$table.parquet"
+      val dir = Files.createTempDirectory(s"graft_stream_$table")
+      Files.copy(java.nio.file.Paths.get(src),
+        dir.resolve(s"$table.parquet"))
+      (dir.toString, spark.read.parquet(src).schema)
+    }
+    val (ddir, dSchema) = streamCopyOf("documents")
+    val sd = spark.readStream.schema(dSchema).parquet(ddir)
+      .select(col("doc_id"), TextFunctions.redactPii(col("text")).as("r"))
+    val qd = sd.writeStream.outputMode("append").format("memory")
+      .queryName("redact_stream").trigger(Trigger.AvailableNow()).start()
+    qd.processAllAvailable(); qd.stop()
+    val batchD = spark.read.parquet(s"$ddir/documents.parquet")
+      .select(col("doc_id"), TextFunctions.redactPii(col("text")).as("r"))
+    val gotD = spark.table("redact_stream")
+    assert(gotD.count() === batchD.count())
+    assert(gotD.except(batchD).isEmpty && batchD.except(gotD).isEmpty)
+
+    val (edir, eSchema) = streamCopyOf("embeddings")
+    val emb = spark.read.parquet(s"$edir/embeddings.parquet")
+    val (cb, batchCodes) = Similarity.buildPqIndex(emb, "vec_id",
+      "embedding")
+    val se = spark.readStream.schema(eSchema).parquet(edir)
+      .select(col("vec_id").as("neighbor_id"),
+        Similarity.pqEncodeCol(
+          Similarity.l2Normalize(col("embedding")), cb).as("codes"))
+    val qe = se.writeStream.outputMode("append").format("memory")
+      .queryName("pq_stream").trigger(Trigger.AvailableNow()).start()
+    qe.processAllAvailable(); qe.stop()
+    val gotE = spark.table("pq_stream")
+    assert(gotE.count() === batchCodes.count())
+    assert(gotE.except(batchCodes).isEmpty &&
+      batchCodes.except(gotE).isEmpty)
+  }
+
   test("chunk dedup streams: first-occurrence parity with the batch twin") {
     // chunkHashes is a stateless narrow transform, so the SAME operator
     // code chunks a stream; first-occurrence keeping becomes streaming
