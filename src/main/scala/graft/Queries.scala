@@ -62,6 +62,19 @@ object Queries {
       (cb, codes.localCheckpoint())
     })
 
+  /** Session-cached IVF+PQ index (composed cells + codes): t12 serves
+    * from this. */
+  private val ivfPqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, graft.operators.Similarity.PqCodebooks, DataFrame)]
+  private def ivfPqIndex(s: SparkSession, dir: String)
+      : (DataFrame, graft.operators.Similarity.PqCodebooks, DataFrame) =
+    ivfPqCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir,
+      _ => {
+        val (cents, cb, codes) = graft.operators.Similarity
+          .buildIvfPqIndex(emb(s, dir), "vec_id", "embedding")
+        (cents.localCheckpoint(), cb, codes.localCheckpoint())
+      })
+
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
     * refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
     * normalize to a µs TimestampType — identical truncation to DuckDB's
@@ -1297,6 +1310,14 @@ object Queries {
       codes.select(get(col("codes"), lit(0)).as("code0"))
         .groupBy(col("code0")).agg(count(lit(1)).as("n_vecs"))
         .orderBy(col("code0"))
+    }),
+    "t12_ivfpq_topk" -> ((s: SparkSession, dir: String) => {
+      // composed IVF+PQ serve: cell equi-join bounds WHICH rows score,
+      // PQ codes bound the bytes each scoring touches; exact rerank last
+      Similarity.ivfPqTopKFromIndex(ivfPqIndex(s, dir), emb(s, dir),
+        emb(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3)
+        .orderBy(col("query_id"), col("rank"))
     }),
     "q43_session_window_batch" -> ((s: SparkSession, dir: String) =>
       // native session_window in batch mode (streaming twin: TraceStreams);

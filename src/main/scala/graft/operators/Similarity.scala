@@ -329,6 +329,90 @@ object Similarity {
     pqTopKFromIndex(buildPqIndex(corpus, idCol, vecCol, m, kCent),
       corpus, queries, idCol, vecCol, k, rerank)
 
+  /** IVF+PQ: the composed large-scale ANN index (coarse cells bound WHICH
+    * rows are scored, PQ codes bound the BYTES each scoring touches —
+    * the FAISS IVFPQ layout, re-expressed as DataFrames). The cell join
+    * at serve time is an EQUI-join on `cell`, so candidate generation is
+    * proportional to the probed cells, not the corpus; codes are PQ'd
+    * raw vectors (not residuals — keeps the exact-rerank contract and
+    * the full-probe ≡ brute-force property; residual encoding would buy
+    * finer quantization at the cost of both). */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, m: Int = 16, k: Int = 16)
+      : (DataFrame, PqCodebooks, DataFrame) = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nCells)
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, k)
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("neighbor_id"),
+        l2Normalize(col(vecCol)).as("cv")),
+      cents, "neighbor_id", "cv", keep = 1)
+      .select(col("neighbor_id"), col("cell"),
+        pqEncodeCol(col("cv"), cb).as("codes"))
+    (cents, cb, assigned)
+  }
+
+  /** Persist an IVF+PQ index: centroids + one-row codebook table +
+    * the code table partitioned BY CELL (probes read only the probed
+    * cells' partitions — and each partition holds m ints per vector,
+    * not the vectors). */
+  def saveIvfPqIndex(index: (DataFrame, PqCodebooks, DataFrame),
+      path: String): Unit = {
+    val (cents, cb, assigned) = index
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val spark = cents.sparkSession
+    import spark.implicits._
+    Seq((cb.m, cb.k, cb.dsub, cb.flat.toSeq))
+      .toDF("m", "k", "dsub", "flat")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+  }
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, PqCodebooks, DataFrame) = {
+    val r = spark.read.parquet(s"$path/codebooks").head()
+    val cb = PqCodebooks(r.getAs[Int]("m"), r.getAs[Int]("k"),
+      r.getAs[Int]("dsub"), r.getAs[Seq[Double]]("flat").toArray)
+    (spark.read.parquet(s"$path/centroids"), cb,
+      spark.read.parquet(s"$path/codes"))
+  }
+
+  def ivfPqTopKFromIndex(index: (DataFrame, PqCodebooks, DataFrame),
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 4,
+      rerank: Int = 128): DataFrame = {
+    val (cents, cb, assigned) = index
+    val q = broadcast(
+      assignCells(queries.select(col(idCol).as("query_id"),
+          l2Normalize(col(vecCol)).as("qv")),
+        cents, "query_id", "qv", keep = nProbe)
+        .withColumn("lut", pqLutCol(col("qv"), cb)))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cand = assigned.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", pqAdcCol(col("codes"), col("lut"), cb))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= rerank)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      l2Normalize(col(vecCol)).as("cv"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(vecs, Seq("neighbor_id"))
+      .withColumn("cos_sim", round(dotCol(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, m: Int = 16,
+      kCent: Int = 16, nProbe: Int = 4, rerank: Int = 128): DataFrame =
+    ivfPqTopKFromIndex(buildIvfPqIndex(corpus, idCol, vecCol, nCells, m,
+      kCent), corpus, queries, idCol, vecCol, k, nProbe, rerank)
+
   /** Sign-bucket LSH: bucket id = sign bits of `planes` SEEDED random
     * hyperplane projections (classic SimHash-style random projection —
     * deterministic for a given seed, so bucketing is reproducible across

@@ -464,6 +464,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall >= 0.9)
   }
 
+  test("ivfPq: full probe + full rerank equals brute force; save/load serves identically") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    val built = Similarity.buildIvfPqIndex(e, "vec_id", "embedding",
+      nCells = 8)
+    // probing every cell with rerank >= corpus makes the index a pure
+    // router: output must be bit-identical to brute force
+    val full = Similarity.ivfPqTopKFromIndex(built, e, qs, "vec_id",
+      "embedding", k = 3, nProbe = 8, rerank = n)
+    val brute = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", 3)
+    assert(full.except(brute).isEmpty && brute.except(full).isEmpty)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq").toString
+    Similarity.saveIvfPqIndex(built, dir)
+    val loaded = Similarity.loadIvfPqIndex(spark, dir)
+    // codebooks survive the round-trip (flat compared as Seq — the case
+    // class holds an Array, whose equals is reference identity)
+    assert((loaded._2.m, loaded._2.k, loaded._2.dsub) ===
+      ((built._2.m, built._2.k, built._2.dsub)))
+    assert(loaded._2.flat.toSeq === built._2.flat.toSeq)
+    val direct = Similarity.ivfPqTopKFromIndex(built, e, qs, "vec_id",
+      "embedding", k = 3)
+    val served = Similarity.ivfPqTopKFromIndex(loaded, e, qs, "vec_id",
+      "embedding", k = 3)
+    assert(served.count() === direct.count())
+    assert(served.except(direct).isEmpty && direct.except(served).isEmpty)
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val f1 = Multimodal.decodeAndFeaturize(media).collect()
