@@ -1311,6 +1311,18 @@ object Queries {
         .groupBy(col("code0")).agg(count(lit(1)).as("n_vecs"))
         .orderBy(col("code0"))
     }),
+    "t13_contamination_gate" -> ((s: SparkSession, dir: String) => {
+      // the streaming-shape ingest gate: literal-bloom per-row score
+      // (approximate, >= the exact count by construction — rows-only
+      // here; q72 is the exact batch confirm)
+      val d = docs(s, dir)
+      val bloom = Dedup.benchGramBloom(
+        d.filter(col("doc_id") % 23 === 0), "doc_id", "text", n = 4)
+      Dedup.contaminationScore(d.filter(col("doc_id") % 23 =!= 0),
+        "doc_id", "text", 4, bloom)
+        .filter(col("n_maybe_shared") > 0)
+        .orderBy(col("doc"))
+    }),
     "t12_ivfpq_topk" -> ((s: SparkSession, dir: String) => {
       // composed IVF+PQ serve: cell equi-join bounds WHICH rows score,
       // PQ codes bound the bytes each scoring touches; exact rerank last

@@ -579,4 +579,35 @@ object Dedup {
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** The bench-gram Bloom filter MATERIALIZED to bytes (driver-side,
+    * bounded: the serialized filter is `numBits/8` ≈ `expectedItems`
+    * bytes — megabytes for million-gram bench sets, never the corpus).
+    * Feed it to [[contaminationScore]] as a literal for plans where the
+    * scalar subquery can't run — streaming ingest gates foremost. */
+  def benchGramBloom(bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, expectedBenchGrams: Long = 1 << 20): Array[Byte] =
+    shingleIndex(bench, idCol, textCol, n)
+      .select(col("h")).distinct()
+      .agg(BloomSketch.bloomAgg(col("h"), expectedBenchGrams,
+        expectedBenchGrams * 8).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+  /** Stateless per-row contamination score: distinct `n`-grams of each
+    * document the bloom MAY contain. Array-local end to end (tokenize →
+    * shingle → distinct → filter-by-bloom, no explode, no join, no
+    * aggregation), so it applies UNCHANGED to a streaming DataFrame —
+    * the ingest-time gate in front of the exact batch verification.
+    * APPROXIMATE by design: false positives at the filter's fpp inflate
+    * the score, never deflate it (no false negatives), so a
+    * `score >= threshold` quarantine gate over-quarantines slightly and
+    * misses nothing; [[decontaminationHits]] is the exact confirm. */
+  def contaminationScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int, bloomBytes: Array[Byte]): DataFrame =
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"),
+        array_distinct(shinglesFromTokens(col("toks"), n)).as("sh"))
+      .select(col("doc"), size(filter(col("sh"),
+        x => BloomSketch.mightContain(lit(bloomBytes), hash60(x))))
+        .cast("long").as("n_maybe_shared"))
 }

