@@ -1311,6 +1311,17 @@ object Queries {
         .groupBy(col("code0")).agg(count(lit(1)).as("n_vecs"))
         .orderBy(col("code0"))
     }),
+    "t14_quantile_buckets" -> ((s: SparkSession, dir: String) => {
+      // q69's scale path: sketch-edged quantile bucketing (no global
+      // sort/window). Rows-only: the sketch's merge order isn't an ANSI
+      // SQL semantic to mirror; the spec pins it against exact ntile
+      Curation.quantileBuckets(docs(s, dir), "n_chars", 4)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("bucket"))
+    }),
     "t13_contamination_gate" -> ((s: SparkSession, dir: String) => {
       // the streaming-shape ingest gate: literal-bloom per-row score
       // (approximate, >= the exact count by construction — rows-only

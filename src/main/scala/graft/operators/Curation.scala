@@ -94,4 +94,28 @@ object Curation {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
           lit(budget.toLong)))
   }
+
+  /** Quantile bucketing via the distributed percentile sketch — the
+    * 100-TB path q69's exact global `ntile` can't take (a single ordered
+    * window over the corpus). Edges come from ONE `percentile_approx`
+    * aggregate (mergeable sketch, map-side partial) and ride a broadcast
+    * scalar row; each document then buckets array-locally by counting
+    * edges below its value — no global sort, no window, one plan.
+    * Boundary semantics: `value > edge` advances the bucket, so a value
+    * equal to an edge lands in the lower bucket; with `accuracy` at
+    * Spark's 10000 default the sketch is EXACT when a partition's
+    * distinct-value count is below the accuracy (the test corpus is). */
+  def quantileBuckets(df: DataFrame, valueCol: String, nBuckets: Int,
+      accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets needs >= 2")
+    val probs = array((1 until nBuckets)
+      .map(i => lit(i.toDouble / nBuckets)): _*)
+    val edges = df.agg(percentile_approx(col(valueCol).cast("double"),
+      probs, lit(accuracy)).as("edges"))
+    df.crossJoin(broadcast(edges))
+      .withColumn("bucket",
+        (size(filter(col("edges"),
+          e => col(valueCol).cast("double") > e)) + 1).cast("long"))
+      .drop("edges")
+  }
 }

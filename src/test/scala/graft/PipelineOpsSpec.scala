@@ -54,6 +54,30 @@ class PipelineOpsSpec extends SparkTestBase {
     packed.unpersist()
   }
 
+  test("quantileBuckets: sketch edges reproduce exact quartiles at test scale") {
+    val n = docs.count()
+    val got = Curation.quantileBuckets(docs, "n_chars", 4).cache()
+    assert(got.count() === n) // exhaustive, no row lost to bucketing
+    val stats = got.groupBy("bucket")
+      .agg(count(lit(1)).as("c"), min("n_chars").as("lo"),
+        max("n_chars").as("hi"))
+      .orderBy("bucket").collect()
+    assert(stats.map(_.getAs[Long]("bucket")).toSeq === Seq(1L, 2L, 3L, 4L))
+    // buckets are ordered ranges: bucket i's max <= bucket i+1's min
+    // (equality only possible across a tie boundary, and n_chars ties at
+    // an edge all land in the LOWER bucket by the > semantics)
+    stats.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"))
+    }
+    // with the sketch exact at this scale, sizes match exact quartile
+    // bucketing up to edge ties: each within [n/8, n/2]
+    stats.foreach { r =>
+      val c = r.getAs[Long]("c")
+      assert(c >= n / 8 && c <= n / 2, s"bucket size $c of $n skewed")
+    }
+    got.unpersist()
+  }
+
   test("chunkDuplicates flags repeated spans within and across docs") {
     val d = Seq(
       (1L, "a b c d e f g h i j a b c d e f g h i j"),
