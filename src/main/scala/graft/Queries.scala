@@ -767,6 +767,26 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
       .orderBy(col("source"), col("bin"))
 
+  /** Packed training sequences: q61 assigns token-budget bins; this
+    * materializes each (source, bin) into ONE training sequence — docs
+    * EOS-joined in doc_id order. `collect_list` is per-bin (bounded by
+    * the token budget, never the corpus) and wrapped in `sort_array`
+    * over (doc_id, text) structs for a deterministic concat order that
+    * DuckDB's `string_agg(... ORDER BY doc_id)` mirrors exactly. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val packed = Curation.packTokens(docs(s, dir), "doc_id", "source",
+      "text", 4096)
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .join(packed, Seq("doc_id"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), " <eos> ").as("seq_text"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   /** Range join: orders against quarter intervals, in the BINNED shape —
     * each side derives a bucket key (here quarter ordinal; for irregular
     * ranges: fixed-width buckets with the interval side exploded to every
@@ -1270,6 +1290,7 @@ object Queries {
     "q73_vocab_build" -> (q73 _),
     "q74_pii_redaction" -> (q74 _),
     "q75_pmi_bigrams" -> (q75 _),
+    "q76_pack_sequences" -> (q76 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -1868,6 +1889,17 @@ object Queries {
          |   / 4096.0) AS BIGINT) AS bin FROM tk)
          |SELECT source, bin, count(*) AS n_docs,
          |  CAST(sum(n) AS BIGINT) AS bin_tokens
+         |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "q76_pack_sequences" ->
+      s"""WITH tk AS (SELECT doc_id, source, text,
+         |   CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         | c AS (SELECT doc_id, source, text, n, CAST(floor((sum(n) OVER (
+         |     PARTITION BY source ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+         |   / 4096.0) AS BIGINT) AS bin FROM tk)
+         |SELECT source, bin, count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS bin_tokens,
+         |  string_agg(text, ' <eos> ' ORDER BY doc_id) AS seq_text
          |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
     "q62_range_join" ->
       """WITH q AS (SELECT CAST(unnest(generate_series(DATE '1995-01-01',
