@@ -586,8 +586,9 @@ object Dedup {
     * Feed it to [[contaminationScore]] as a literal for plans where the
     * scalar subquery can't run — streaming ingest gates foremost. */
   def benchGramBloom(bench: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, expectedBenchGrams: Long = 1 << 20): Array[Byte] =
-    shingleIndex(bench, idCol, textCol, n)
+      n: Int = 4, expectedBenchGrams: Long = 1 << 20,
+      hasher: Column => Column = xxhash64(_)): Array[Byte] =
+    shingleIndex(bench, idCol, textCol, n, hasher)
       .select(col("h")).distinct()
       .agg(BloomSketch.bloomAgg(col("h"), expectedBenchGrams,
         expectedBenchGrams * 8).as("bf"))
@@ -601,13 +602,20 @@ object Dedup {
     * APPROXIMATE by design: false positives at the filter's fpp inflate
     * the score, never deflate it (no false negatives), so a
     * `score >= threshold` quarantine gate over-quarantines slightly and
-    * misses nothing; [[decontaminationHits]] is the exact confirm. */
+    * misses nothing; [[decontaminationHits]] is the exact confirm.
+    * Hash default is `xxhash64`, not the md5-portable [[hash60]]: no
+    * oracle replays this path, so there is nothing to buy with the md5
+    * portability tax. (Measured at sf0.1 the two are within noise of
+    * each other — the interpreted per-element lambda machinery, not the
+    * hash, dominates the gate's ~1 ms/doc; the bloom build shares the
+    * default so gate and filter always agree.) */
   def contaminationScore(df: DataFrame, idCol: String, textCol: String,
-      n: Int, bloomBytes: Array[Byte]): DataFrame =
+      n: Int, bloomBytes: Array[Byte],
+      hasher: Column => Column = xxhash64(_)): DataFrame =
     df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"),
         array_distinct(shinglesFromTokens(col("toks"), n)).as("sh"))
       .select(col("doc"), size(filter(col("sh"),
-        x => BloomSketch.mightContain(lit(bloomBytes), hash60(x))))
+        x => BloomSketch.mightContain(lit(bloomBytes), hasher(x))))
         .cast("long").as("n_maybe_shared"))
 }
