@@ -81,6 +81,12 @@ object ExplainCheck {
       p.contains("might_contain") && p.contains("Subquery") &&
         p.contains("BroadcastHashJoin")
     })
+    // IVF+PQ serve: candidate generation must be the cell EQUI-join
+    // (broadcast probed query cells), never an all-pairs scan
+    check("t12 ivf+pq serve joins on cell, no cartesian product", {
+      val p = plan("t12_ivfpq_topk")
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+    })
     check("q62 binned range join is a codegen'd broadcast HASH join " +
       "(no BroadcastNestedLoopJoin)", {
       val p = plan("q62_range_join")
