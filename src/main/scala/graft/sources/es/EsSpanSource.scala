@@ -187,9 +187,17 @@ class HttpEsClient(endpoint: String) extends EsClient {
       .POST(HttpRequest.BodyPublishers.ofString(body)).build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)
-      throw new RuntimeException(s"ES ${resp.statusCode()}: ${resp.body().take(200)}")
+      throw new graft.sources.HttpStatusException(resp.statusCode(),
+        s"ES ${resp.statusCode()}: ${resp.body().take(200)}")
     resp.body()
   }
+
+  /** Idempotent search/agg calls retry on transient failures; scroll
+    * CONTINUATIONS must not (see [[graft.sources.HttpRetry]]: a lost
+    * response already advanced the server cursor — retrying skips a
+    * page; recovery is the task re-running its slice). */
+  private def postRetrying(path: String, body: String): String =
+    graft.sources.HttpRetry.withRetries()(post(path, body))
 
   private def parse(body: String): (Seq[String], String) = {
     val root = mapper.readTree(body)
@@ -205,7 +213,7 @@ class HttpEsClient(endpoint: String) extends EsClient {
     val slice =
       if (maxSlices > 1) s""""slice": {"id": $sliceId, "max": $maxSlices},"""
       else ""
-    parse(post(s"/$index/_search?scroll=15s",
+    parse(postRetrying(s"/$index/_search?scroll=15s",
       s"""{$slice "size": $pageSize, "query": {"match_all": {}}}"""))
   }
 
@@ -218,13 +226,13 @@ class HttpEsClient(endpoint: String) extends EsClient {
     val slice =
       if (maxSlices > 1) s""""slice": {"id": $sliceId, "max": $maxSlices},"""
       else ""
-    parse(post(s"/$index/_search?scroll=15s",
+    parse(postRetrying(s"/$index/_search?scroll=15s",
       s"""{$slice "size": $pageSize, "query": {"range": {"startTime":
          | {"gte": $fromUs, "lt": $toUs}}}}""".stripMargin.replace("\n", "")))
   }
 
   override def maxStartTimeUs(index: String): Long = {
-    val body = post(s"/$index/_search",
+    val body = postRetrying(s"/$index/_search",
       """{"size": 0, "aggs": {"m": {"max": {"field": "startTime"}}}}""")
     val v = mapper.readTree(body).path("aggregations").path("m").path("value")
     if (v.isMissingNode || v.isNull) -1L else v.asDouble().toLong

@@ -24,6 +24,8 @@ class HttpJaegerClient(endpoint: String) extends JaegerClient {
   @transient private lazy val http = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10)).build()
 
+  // GETs are idempotent — transient failures (429/5xx, connect-phase
+  // I/O) retry with deterministic backoff (graft.sources.HttpRetry)
   override def get(path: String, params: Map[String, String]): String = {
     val q = params.map { case (k, v) =>
       s"${URLEncoder.encode(k, StandardCharsets.UTF_8)}=" +
@@ -34,16 +36,18 @@ class HttpJaegerClient(endpoint: String) extends JaegerClient {
       if (path.endsWith("/services")) Duration.ofSeconds(45)
       else Duration.ofSeconds(30)
     val req = HttpRequest.newBuilder(URI.create(url)).timeout(timeout).build()
-    val t0 = System.nanoTime()
-    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    // reference logs calls slower than 1 s (`traceframe.py:34-36`)
-    if (elapsed > 1.0)
-      System.err.println(f"[jaeger] slow call ($elapsed%.1f s): $url")
-    if (resp.statusCode() != 200)
-      throw new RuntimeException(
-        s"Jaeger API ${resp.statusCode()} for $url: ${resp.body().take(200)}")
-    resp.body()
+    graft.sources.HttpRetry.withRetries() {
+      val t0 = System.nanoTime()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // reference logs calls slower than 1 s (`traceframe.py:34-36`)
+      if (elapsed > 1.0)
+        System.err.println(f"[jaeger] slow call ($elapsed%.1f s): $url")
+      if (resp.statusCode() != 200)
+        throw new graft.sources.HttpStatusException(resp.statusCode(),
+          s"Jaeger API ${resp.statusCode()} for $url: ${resp.body().take(200)}")
+      resp.body()
+    }
   }
 }
 

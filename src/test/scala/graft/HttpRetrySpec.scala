@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{HttpRetry, HttpStatusException}
+
+/** Pure-JVM tests for the transport retry discipline (no SparkSession —
+  * the production HTTP clients themselves are untestable in the
+  * zero-egress environment; the retry logic is where the behavior
+  * lives). */
+class HttpRetrySpec extends AnyFunSuite {
+
+  private def flaky[T](failures: Int, t: => Throwable)(result: T): () => T = {
+    var n = 0
+    () => { if (n < failures) { n += 1; throw t } else result }
+  }
+
+  test("transient statuses retry up to the attempt budget, then succeed") {
+    val slept = Seq.newBuilder[Long]
+    val f = flaky(2, new HttpStatusException(503, "unavailable"))("ok")
+    val got = HttpRetry.withRetries(attempts = 3, baseDelayMs = 100,
+      sleep = slept += _)(f())
+    assert(got === "ok")
+    assert(slept.result() === Seq(100L, 200L)) // deterministic backoff
+  }
+
+  test("exhausted attempts rethrow the transient failure") {
+    val f = flaky(5, new HttpStatusException(429, "throttled"))("unreached")
+    val e = intercept[HttpStatusException] {
+      HttpRetry.withRetries(attempts = 3, sleep = _ => ())(f())
+    }
+    assert(e.status === 429)
+  }
+
+  test("non-transient statuses fail immediately, no retry") {
+    var calls = 0
+    intercept[HttpStatusException] {
+      HttpRetry.withRetries(attempts = 3, sleep = _ => ()) {
+        calls += 1; throw new HttpStatusException(404, "absent")
+      }
+    }
+    assert(calls === 1)
+  }
+
+  test("connect-phase I/O failures are transient; other throwables are not") {
+    assert(HttpRetry.isTransient(new java.net.ConnectException("refused")))
+    assert(!HttpRetry.isTransient(new IllegalStateException("bug")))
+    assert(!HttpRetry.isTransient(new HttpStatusException(400, "bad")))
+    assert(HttpRetry.isTransient(new HttpStatusException(502, "gateway")))
+  }
+}
