@@ -515,6 +515,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall >= 0.9)
   }
 
+  test("pq codebooks encode new batches incrementally (append == rebuild)") {
+    // the incremental-ingest story for ANN: codebooks are FROZEN at build
+    // time, so a new embedding batch encodes with the existing codebooks
+    // and its codes union onto the stored index — identical to encoding
+    // the combined corpus with those same codebooks (pqEncode is per-row)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val old = e.filter(col("vec_id") % 5 =!= 0)
+    val fresh = e.filter(col("vec_id") % 5 === 0)
+    val (cb, oldCodes) = Similarity.buildPqIndex(old, "vec_id", "embedding")
+    val freshCodes = fresh.select(col("vec_id").as("neighbor_id"),
+      Similarity.pqEncodeCol(
+        Similarity.l2Normalize(col("embedding")), cb).as("codes"))
+    val unioned = oldCodes.union(freshCodes)
+    val rebuilt = e.select(col("vec_id").as("neighbor_id"),
+      Similarity.pqEncodeCol(
+        Similarity.l2Normalize(col("embedding")), cb).as("codes"))
+    assert(unioned.count() === e.count())
+    assert(unioned.except(rebuilt).isEmpty && rebuilt.except(unioned).isEmpty)
+  }
+
   test("ivfPq: full probe + full rerank equals brute force; save/load serves identically") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val qs = e.filter(col("vec_id") < 5)
