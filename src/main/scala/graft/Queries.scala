@@ -772,6 +772,24 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
       .orderBy(col("source"), col("bin"))
 
+  /** Decontaminated-corpus composition: the bloom-gated EXACT hit list
+    * (q72's operator) drives a left-anti drop of contaminated documents,
+    * then per-source survivor counts — the decontamination step as it
+    * sits inside a real curation pipeline, one composed plan. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.filter(col("doc_id") % 50 =!= 0)
+    val contaminated = Dedup.decontaminationHits(
+        corpus, d.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        n = 4)
+      .filter(col("n_shared") >= 5)
+      .select(col("doc").as("doc_id"))
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Packed training sequences: q61 assigns token-budget bins; this
     * materializes each (source, bin) into ONE training sequence — docs
     * EOS-joined in doc_id order. `collect_list` is per-bin (bounded by
@@ -1296,6 +1314,7 @@ object Queries {
     "q74_pii_redaction" -> (q74 _),
     "q75_pmi_bigrams" -> (q75 _),
     "q76_pack_sequences" -> (q76 _),
+    "q77_decontaminated_corpus" -> (q77 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -2017,6 +2036,20 @@ object Queries {
          |FROM sh JOIN bench USING (h)
          |WHERE doc_id % 23 <> 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q77_decontaminated_corpus" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | shr AS (SELECT doc_id, unnest(list_transform(
+         |     generate_series(1, greatest(len(t)-3, 0)),
+         |     i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])))
+         |   AS s FROM tk),
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS h FROM shr),
+         | bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+         | hits AS (SELECT doc_id FROM sh JOIN bench USING (h)
+         |   WHERE doc_id % 50 <> 0 GROUP BY doc_id HAVING count(*) >= 5)
+         |SELECT source, count(*) AS n_kept FROM documents
+         |WHERE doc_id % 50 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM hits)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q73_vocab_build" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
          | f AS (SELECT token, count(*) AS n FROM tok GROUP BY token
