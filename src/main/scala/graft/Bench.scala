@@ -111,11 +111,35 @@ object Bench {
       val (w, run, gc) = detail.getOrElse(k, (0.0, 0.0, 0.0))
       s"""\"$k\":{"wall":${r3(w)},"run":${r3(run)},"gc":${r3(gc)}}"""
     }.mkString("{", ",", "}")
+    // Parallelism gate: a query whose min-wall rep did > 1 s of executor
+    // work at < 2× run/wall is effectively SERIAL on this many-core host
+    // — exactly how r4's t13 (wall 4.61 s ≈ run 4.68 s) hid behind a
+    // green total. Violators land in bench.json ("serial") on every run;
+    // SPARK_GRAFT_BENCH_STRICT=1 (local iteration) makes them rc != 0 so
+    // a reintroduced serial plan fails loudly. The driver's contract run
+    // stays non-strict: one noisy-host rep must not flip the bench gate.
+    val serial = if (cpus.toInt < 4) Seq.empty[String] else
+      results.collect { case (name, _)
+        if {
+          val (w, run, _) = detail.getOrElse(name, (0.0, 0.0, 0.0))
+          run > 1.0 && run < 2.0 * w
+        } => name }
+    val serialJson = serial.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"detail":$detailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"serial":$serialJson,"detail":$detailJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
+    if (serial.nonEmpty)
+      System.err.println(s"[bench] SERIAL queries (run > 1 s, run/wall < 2x): " +
+        serial.mkString(", "))
     spark.stop()
-    // the very last stdout line, after Spark's shutdown logging
+    // Full detail goes to bench.json; stdout gets it too (for humans),
+    // followed by a COMPACT final line. The driver's capture keeps only a
+    // ~2,000-char TAIL of stdout, and the full line (~6 KB for 91
+    // queries) got its head — `{"metric":...` — truncated away in r4,
+    // parsing as null. The compact line fits any truncated capture.
     println(line)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson}""")
+    if (serial.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
+      sys.exit(1)
   }
 }

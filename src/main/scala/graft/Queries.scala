@@ -1378,9 +1378,15 @@ object Queries {
         s.sparkContext.applicationId + "|" + dir,
         _ => Dedup.benchGramBloom(
           d.filter(col("doc_id") % 23 === 0), "doc_id", "text", n = 4))
+      // no_pushdown fence: this predicate costs a full tokenize+shingle+
+      // probe per row — pushed below the repartition it lands in the
+      // (single-split) scan stage and the whole gate runs on ONE task
+      // (round-4 driver detail: wall 4.61 s ≈ run 4.68 s). Fenced, the
+      // score evaluates once, post-shuffle, 32-way parallel.
       Dedup.contaminationScore(d.filter(col("doc_id") % 23 =!= 0),
         "doc_id", "text", 4, bloom)
-        .filter(col("n_maybe_shared") > 0)
+        .filter(graft.expressions.NoPushdown.noPushdown(
+          col("n_maybe_shared") > 0))
         .orderBy(col("doc"))
     }),
     "t12_ivfpq_topk" -> ((s: SparkSession, dir: String) => {

@@ -596,26 +596,28 @@ object Dedup {
 
   /** Stateless per-row contamination score: distinct `n`-grams of each
     * document the bloom MAY contain. Array-local end to end (tokenize →
-    * shingle → distinct → filter-by-bloom, no explode, no join, no
+    * shingle → distinct → count-in-bloom, no explode, no join, no
     * aggregation), so it applies UNCHANGED to a streaming DataFrame —
     * the ingest-time gate in front of the exact batch verification.
     * APPROXIMATE by design: false positives at the filter's fpp inflate
     * the score, never deflate it (no false negatives), so a
     * `score >= threshold` quarantine gate over-quarantines slightly and
     * misses nothing; [[decontaminationHits]] is the exact confirm.
-    * Hash default is `xxhash64`, not the md5-portable [[hash60]]: no
-    * oracle replays this path, so there is nothing to buy with the md5
-    * portability tax. (Measured at sf0.1 the two are within noise of
-    * each other — the interpreted per-element lambda machinery, not the
-    * hash, dominates the gate's ~1 ms/doc; the bloom build shares the
-    * default so gate and filter always agree.) */
+    * The whole gate is the fused codegen'd
+    * [[graft.expressions.ShingleBloomCount]] kernel: one generated loop
+    * per row assembles each shingle (`UTF8String.concatWs`, identical
+    * bytes to the `array_join` form), hashes it with Spark's own
+    * `xxhash64` arithmetic, sort-deduplicates the hashes, and probes the
+    * once-deserialized filter. The round-4 HOF formulation
+    * (`size(filter(array_distinct(shingles), x => might_contain(...))))`)
+    * paid an interpreted-lambda round-trip per shingle — ~1 ms/doc with
+    * the shingle CONSTRUCTION, not the probe, as the dominant cost. The
+    * hash is `xxhash64`, not the md5-portable [[hash60]]: no oracle
+    * replays this path, and the bloom build shares the default so gate
+    * and filter always agree. */
   def contaminationScore(df: DataFrame, idCol: String, textCol: String,
-      n: Int, bloomBytes: Array[Byte],
-      hasher: Column => Column = xxhash64(_)): DataFrame =
-    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
-      .select(col("doc"),
-        array_distinct(shinglesFromTokens(col("toks"), n)).as("sh"))
-      .select(col("doc"), size(filter(col("sh"),
-        x => BloomSketch.mightContain(lit(bloomBytes), hasher(x))))
-        .cast("long").as("n_maybe_shared"))
+      n: Int, bloomBytes: Array[Byte]): DataFrame =
+    df.select(col(idCol).as("doc"),
+      BloomSketch.shingleCount(tokens(col(textCol)), n, bloomBytes)
+        .as("n_maybe_shared"))
 }

@@ -301,6 +301,107 @@ class PipelineOpsSpec extends SparkTestBase {
       s"$surplus docs over-counted — bloom fpp far above sizing")
   }
 
+  test("bloom_count_contained: codegen'd gate ≡ HOF formulation, " +
+      "interpreted ≡ generated, nulls never count") {
+    import graft.expressions.BloomSketch
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val bloom = Dedup.benchGramBloom(bench, "doc_id", "text",
+      n = 4, expectedBenchGrams = 1 << 14)
+    val sh = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), array_distinct(
+        graft.functions.TextFunctions.shinglesFromTokens(
+          graft.functions.TextFunctions.tokens(col("text")), 4)).as("sh"))
+    // the kernel computes exactly what the round-4 HOF gate computed:
+    // size(filter(sh, x => might_contain(bloom, xxhash64(x))))
+    val hof = sh.select(col("doc_id"), size(filter(col("sh"),
+        x => BloomSketch.mightContain(lit(bloom), xxhash64(x))))
+      .cast("long").as("n")).collect().map(r => r.getLong(0) -> r.getLong(1))
+    def kernelWith(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try sh.select(col("doc_id"),
+          BloomSketch.countContained(col("sh"), bloom).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(kernelWith("CODEGEN_ONLY").sorted.toSeq === hof.sorted.toSeq)
+    assert(kernelWith("NO_CODEGEN").sorted.toSeq === hof.sorted.toSeq)
+    // null elements are skipped, never counted (and never NPE); null
+    // array yields null like the HOF form
+    val edge = Seq((1L, Seq[String]("a b c d", null)), (2L, null))
+      .toDF("id", "sh")
+      .select(col("id"), BloomSketch.countContained(col("sh"), bloom))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(edge.toSeq.sorted === Seq((1L, 0L), (2L, -1L)))
+  }
+
+  test("shingle_bloom_count: fused kernel ≡ string-built shingles + " +
+      "generic kernel, interpreted ≡ generated") {
+    import graft.expressions.BloomSketch
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val bloom = Dedup.benchGramBloom(bench, "doc_id", "text",
+      n = 4, expectedBenchGrams = 1 << 14)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    // reference: build shingle STRINGS (HOF), distinct, count via the
+    // generic element-membership kernel
+    val viaStrings = corpus
+      .select(col("doc_id"), array_distinct(
+        graft.functions.TextFunctions.shinglesFromTokens(
+          graft.functions.TextFunctions.tokens(col("text")), 4)).as("sh"))
+      .select(col("doc_id"),
+        BloomSketch.countContained(col("sh"), bloom).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    def fusedWith(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try corpus.select(col("doc_id"), BloomSketch.shingleCount(
+          graft.functions.TextFunctions.tokens(col("text")), 4, bloom)
+        .as("n")).collect().map(r => r.getLong(0) -> r.getLong(1))
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(fusedWith("CODEGEN_ONLY").sorted.toSeq === viaStrings.sorted.toSeq)
+    assert(fusedWith("NO_CODEGEN").sorted.toSeq === viaStrings.sorted.toSeq)
+    // short docs (< n tokens) score 0, not crash; null text → null
+    val edge = Seq((1L, "a b c"), (2L, null))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), BloomSketch.shingleCount(
+        graft.functions.TextFunctions.tokens(col("text")), 4, bloom))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(edge.toSeq.sorted === Seq((1L, 0L), (2L, -1L)))
+    // the operator path really plans the fused kernel, not the lambda
+    val plan = Dedup.contaminationScore(docs.limit(5), "doc_id", "text",
+      4, bloom).queryExecution.optimizedPlan.toString
+    assert(plan.contains("shingle_bloom_count"))
+  }
+
+  test("no_pushdown fence keeps an expensive predicate above the user " +
+      "repartition") {
+    import graft.expressions.NoPushdown.noPushdown
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val bloom = Dedup.benchGramBloom(bench, "doc_id", "text",
+      n = 4, expectedBenchGrams = 1 << 14)
+    val base = docs.repartition(8)
+    def sparkPlan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    // unfenced: PushDownPredicates substitutes the gate expression into
+    // the predicate and pushes it below the repartition — the scan-stage
+    // FileScan carries the gate in its DataFilters
+    val unfenced = Dedup.contaminationScore(base, "doc_id", "text", 4, bloom)
+      .filter(col("n_maybe_shared") > 0)
+    assert(sparkPlan(unfenced).split("Exchange", 2).last
+      .contains("shingle_bloom_count"),
+      "expected the unfenced predicate below the exchange")
+    // fenced: the predicate stays above the exchange; the scan side is
+    // gate-free
+    val fenced = Dedup.contaminationScore(base, "doc_id", "text", 4, bloom)
+      .filter(noPushdown(col("n_maybe_shared") > 0))
+    assert(!sparkPlan(fenced).split("Exchange", 2).last
+      .contains("shingle_bloom_count"),
+      "fenced predicate leaked below the exchange")
+    // and the fence is semantics-free: same rows either way
+    assert(fenced.collect().sortBy(_.getLong(0)).toSeq ===
+      unfenced.collect().sortBy(_.getLong(0)).toSeq)
+  }
+
   test("simHash: identical docs collide, near-dups are close in Hamming") {
     val df = Seq((1L, "spark window join table scan merge sort"),
       (2L, "spark window join table scan merge sort"),

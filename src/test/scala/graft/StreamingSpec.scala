@@ -304,6 +304,11 @@ class StreamingSpec extends SparkTestBase {
     val stream = Dedup.contaminationScore(
       spark.readStream.schema(batchDocs.schema).parquet(dir.toString)
         .filter(col("doc_id") % 7 =!= 0), "doc_id", "text", 4, bloom)
+    // the gate that streams is the fused CODEGEN'D kernel (bloom bytes
+    // travel inside the expression — no scalar subquery, no state), not
+    // an interpreted lambda chain
+    assert(stream.queryExecution.analyzed.toString
+      .contains("shingle_bloom_count"))
     val q = stream.writeStream.outputMode("append").format("memory")
       .queryName("decon_stream").trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
