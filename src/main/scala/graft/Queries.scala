@@ -539,16 +539,49 @@ object Queries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
-  /** Bigram frequency table: top 20 corpus-wide word bigrams. */
-  private def q41(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(TextFunctions.tokens(col("text")).as("toks"))
-      .select(explode(TextFunctions.shinglesFromTokens(col("toks"), 2))
-        .as("bigram"))
-      .groupBy(col("bigram"))
-      .agg(count(lit(1)).as("cnt"))
+  /** Bigram frequency table: top 20 corpus-wide word bigrams.
+    *
+    * Hashes-not-strings discipline (the same one `Dedup.shingleIndex`
+    * uses): the GLOBAL count groups on `xxhash64(bigram)` — the shuffle
+    * and aggregation hash tables carry 8-byte longs, not bigram strings
+    * (the round-4 string-keyed formulation spent 45% of executor time in
+    * GC). Strings are recovered afterwards for only the rows that can
+    * appear in the answer: the threshold = the 20th-largest count (a
+    * broadcast scalar — well-defined under ties), every hash at-or-above
+    * it joins back to its string in a second corpus pass, and the final
+    * (cnt desc, bigram) sort keeps the oracle's tie-break exact. The
+    * hash-keyed counts materialize once (`localCheckpoint`) for both the
+    * threshold and candidate branches. A 64-bit collision merging two
+    * distinct bigrams is the usual ~2⁻⁶⁴ non-event. */
+  /** Exploded corpus bigrams, built CODEGEN-FIRST: `posexplode` the
+    * token array and pair each token with its successor via one
+    * `get(toks, pos+1)` — every operator is a codegen'd builtin. The
+    * `explode(shinglesFromTokens(toks, 2))` spelling is semantically
+    * identical but materializes the shingle array through an interpreted
+    * HOF lambda (~20 s of executor time per corpus pass at sf0.1 —
+    * measured when q41/q75 started paying it twice). */
+  private def bigrams(tk: DataFrame): DataFrame = tk
+    .select(col("toks"), posexplode(col("toks")))
+    .filter(col("pos") < size(col("toks")) - 1)
+    .select(concat_ws(" ",
+      col("col"), get(col("toks"), col("pos") + 1)).as("bigram"))
+
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val bg = bigrams(docs(s, dir)
+      .select(TextFunctions.tokens(col("text")).as("toks")))
+    val counts = bg.select(xxhash64(col("bigram")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val thr = counts.orderBy(col("cnt").desc).limit(20)
+      .agg(min(col("cnt")).as("thr"))
+    val cands = counts.crossJoin(broadcast(thr))
+      .filter(col("cnt") >= col("thr"))
+      .select(col("h"), col("cnt"))
+    bg.join(broadcast(cands), xxhash64(col("bigram")) === col("h"))
+      .select(col("bigram"), col("cnt")).distinct()
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(20)
+  }
 
   /** End-to-end near-dup dedup: LSH candidates → exact verify → drop set.
     * Oracle = drop set from ALL-pairs exact Jaccard: equal because banded
@@ -999,28 +1032,42 @@ object Queries {
 
   /** PMI collocations: pointwise mutual information of adjacent token
     * pairs — ln(p(ab) / (p(a)·p(b))). Unigram and bigram totals fold in
-    * as broadcast scalar aggregates (q35/q40 pattern, one plan); the
-    * unigram vocabulary broadcasts to both component joins. */
+    * as broadcast scalar aggregates (q35/q40 pattern, one plan).
+    *
+    * Hashes-not-strings discipline (q41's): BOTH global counts group on
+    * `xxhash64` — the unigram table never needs its strings at all
+    * (components re-hash at join time: `xxhash64(a) = hw`), and bigram
+    * strings are recovered in a second corpus pass for only the `n_ab
+    * >= 5` candidates. Each hash-keyed count materializes once
+    * (`localCheckpoint`): the unigram table feeds its total and two
+    * broadcast component joins; the bigram table feeds its total and
+    * the candidate filter. */
   private def q75(s: SparkSession, dir: String): DataFrame = {
     val tk = docs(s, dir)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(TextFunctions.tokens(col("text")).as("toks"))
     val uni = tk.select(explode(col("toks")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-    val bn = tk.select(explode(
-        TextFunctions.shinglesFromTokens(col("toks"), 2)).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+      .select(xxhash64(col("w")).as("hw"))
+      .groupBy(col("hw")).agg(count(lit(1)).as("n_w"))
+      .localCheckpoint()
+    val bgOcc = bigrams(tk)
+    val bn = bgOcc.select(xxhash64(col("bigram")).as("hb"))
+      .groupBy(col("hb")).agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint()
     // totals derive from the AGGREGATES (q40's df-from-tf trick): summing
-    // n_w / n_ab over the tiny grouped sets equals counting the raw
-    // exploded rows, without a second tokenize+explode pass per total
+    // n_w / n_ab over the grouped sets equals counting the raw exploded
+    // rows, without another tokenize+explode pass per total
     val nTok = uni.agg(sum(col("n_w")).cast("double").as("n_tok"))
     val nBg = bn.agg(sum(col("n_ab")).cast("double").as("n_bg"))
-    bn.filter(col("n_ab") >= 5)
+    bgOcc
+      .join(broadcast(bn.filter(col("n_ab") >= 5)),
+        xxhash64(col("bigram")) === col("hb"))
+      .select(col("bigram"), col("n_ab")).distinct()
       .withColumn("a", get(split(col("bigram"), " "), lit(0)))
       .withColumn("b", get(split(col("bigram"), " "), lit(1)))
-      .join(broadcast(uni.select(col("w").as("a"), col("n_w").as("n_a"))),
-        Seq("a"))
-      .join(broadcast(uni.select(col("w").as("b"), col("n_w").as("n_b"))),
-        Seq("b"))
+      .join(broadcast(uni.select(col("hw").as("ha"), col("n_w").as("n_a"))),
+        xxhash64(col("a")) === col("ha"))
+      .join(broadcast(uni.select(col("hw").as("hb2"), col("n_w").as("n_b"))),
+        xxhash64(col("b")) === col("hb2"))
       .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
       .withColumn("pmi", round(log((col("n_ab") / col("n_bg")) /
         ((col("n_a") / col("n_tok")) * (col("n_b") / col("n_tok")))), 6))

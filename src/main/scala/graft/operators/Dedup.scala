@@ -56,14 +56,23 @@ object Dedup {
   /** Distinct (doc, h) inverted shingle index — the shared foundation of
     * MinHash, LSH and Jaccard. 8-byte hashes, never shingle strings, cross
     * the shuffle (~60% less volume; the oracle hashes identically so all
-    * counts agree by construction). Tokenization is materialized in its own
-    * projection first (HOF lambdas re-evaluate non-attribute arguments per
-    * element — see TextFunctions.shinglesFromTokens). */
+    * counts agree by construction).
+    *
+    * Built CODEGEN-FIRST: `posexplode` the token array and assemble each
+    * shingle per exploded row with `concat_ws` over `n` positional
+    * `get`s — every operator a codegen'd builtin, identical strings (and
+    * therefore identical hashes) to the
+    * `explode(shinglesFromTokens(toks, n))` spelling, which pays an
+    * interpreted HOF lambda per shingle (~20 s of executor time per
+    * corpus pass at sf0.1 — the cost that made q41/q75 GC-bound and t13
+    * serial before their codegen rewrites). */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, hasher: Column => Column = hash60(_)): DataFrame =
     df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
-      .select(col("doc"), explode(shinglesFromTokens(col("toks"), n)).as("sh"))
-      .select(col("doc"), hasher(col("sh")).as("h"))
+      .select(col("doc"), col("toks"), posexplode(col("toks")))
+      .filter(col("pos") <= size(col("toks")) - n)
+      .select(col("doc"), hasher(concat_ws(" ",
+        (0 until n).map(j => get(col("toks"), col("pos") + j)): _*)).as("h"))
       .distinct()
 
   /** Per-document MinHash signature columns `mh0..mhN` from a shingle
