@@ -75,34 +75,61 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
-  /** Spherical k-means over a bounded, deterministically-chosen sample,
-    * run driver-side (the sample is ≤ `sampleSize` rows by construction —
-    * this is NOT a driver-side pass over the corpus). Sampling uses
-    * `xxhash64(id) % stride == 0`, which is stable across partitionings
-    * and engines; init takes the first k sample vectors by id; `iters`
-    * Lloyd steps assign by max dot product (≡ cosine on normalized
-    * vectors) and re-normalize the means. Empty clusters keep their
-    * previous centroid. Returns (cent_id, centv) rows to broadcast. */
-  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, iters: Int = 4, sampleSize: Int = 2048): DataFrame = {
+  /** Bounded deterministic training sample, shared by [[trainCentroids]]
+    * and [[trainPqCodebooks]]: take rows where `xxhash64(id) % stride ==
+    * 0` (stride sized so ≥ `max(minRows, sampleSize)` qualify), ordered
+    * by the RAW id column — stable across partitionings, engines, AND id
+    * types. (The previous `idCol.cast("long")` ordering was null for
+    * non-numeric ids, which made the limit — and thus the trained
+    * index — nondeterministic; ADVICE r4. Raw-id ordering is identical
+    * to the long cast for numeric ids, so trained indexes are
+    * bit-unchanged there.) ≤ `max(minRows, sampleSize)` rows ever reach
+    * the driver. Pass `knownCount` when the caller already counted the
+    * corpus (co-trained indexes) to skip the sizing count job. */
+  private def deterministicSample(corpus: DataFrame, idCol: String,
+      vecCol: String, minRows: Int, sampleSize: Int,
+      knownCount: Option[Long]): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val n = corpus.count()
-    val stride = math.max(1L, n / math.max(nCentroids, sampleSize))
-    val sample: Array[Array[Double]] = corpus
+    val n = knownCount.getOrElse(corpus.count())
+    val take = math.max(minRows, sampleSize)
+    val stride = math.max(1L, n / take)
+    corpus
       .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
-      .select(col(idCol).cast("long").as("id"),
-        l2Normalize(col(vecCol)).as("v"))
-      .orderBy(col("id")).limit(math.max(nCentroids, sampleSize))
-      .as[(Long, Array[Double])].collect().map(_._2)
+      .select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v"))
+      .orderBy(col("id")).limit(take)
+      .select(col("v")).as[Array[Double]].collect()
+  }
+
+  /** Spherical k-means over a bounded, deterministically-chosen sample,
+    * run driver-side (the sample is ≤ `sampleSize` rows by construction —
+    * this is NOT a driver-side pass over the corpus; see
+    * [[deterministicSample]]). Init takes the first k sample vectors in
+    * sample order; `iters` Lloyd steps assign by max dot product (≡
+    * cosine on normalized vectors) and re-normalize the means. Empty
+    * clusters keep their previous centroid. Returns (cent_id, centv)
+    * rows to broadcast. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 4, sampleSize: Int = 2048,
+      knownCount: Option[Long] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = deterministicSample(corpus, idCol, vecCol, nCentroids,
+      sampleSize, knownCount)
     require(sample.length >= nCentroids,
       s"sample ${sample.length} smaller than nCentroids=$nCentroids")
-    var cents: Array[Array[Double]] = sample.take(nCentroids).map(_.clone())
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
       s
     }
+    // First-k init over the id-ordered sample (deterministic; measured
+    // the strongest recall of the deterministic inits tried on the
+    // near-random bench embeddings — farthest-point/maxmin seeding and
+    // longer Lloyd runs both measured WORSE there, 0.86/0.77 vs 0.97
+    // recall@3, because converging toward balanced Voronoi cells spreads
+    // weakly-clustered neighborhoods across more cells than nProbe).
+    var cents: Array[Array[Double]] = sample.take(nCentroids).map(_.clone())
     for (_ <- 1 to iters) {
       val sums = Array.fill(nCentroids)(new Array[Double](cents(0).length))
       val counts = new Array[Long](nCentroids)
@@ -211,22 +238,15 @@ object Similarity {
   case class PqCodebooks(m: Int, k: Int, dsub: Int, flat: Array[Double])
 
   /** Train product-quantization codebooks: per subspace, plain-L2 Lloyd
-    * k-means over the same bounded deterministic sample discipline as
-    * [[trainCentroids]] (`xxhash64(id) % stride == 0`, first-k init) —
-    * the corpus is never collected, only the ≤`sampleSize` sample. */
+    * k-means over the SAME bounded [[deterministicSample]] as
+    * [[trainCentroids]] — the corpus is never collected, only the
+    * ≤`sampleSize` sample. */
   def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 16, k: Int = 16, iters: Int = 4,
-      sampleSize: Int = 2048): PqCodebooks = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val n = corpus.count()
-    val stride = math.max(1L, n / math.max(k, sampleSize))
-    val sample: Array[Array[Double]] = corpus
-      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
-      .select(col(idCol).cast("long").as("id"),
-        l2Normalize(col(vecCol)).as("v"))
-      .orderBy(col("id")).limit(math.max(k, sampleSize))
-      .as[(Long, Array[Double])].collect().map(_._2)
+      sampleSize: Int = 2048, knownCount: Option[Long] = None)
+      : PqCodebooks = {
+    val sample = deterministicSample(corpus, idCol, vecCol, k,
+      sampleSize, knownCount)
     require(sample.length >= k,
       s"sample ${sample.length} smaller than k=$k")
     val dim = sample(0).length
@@ -289,6 +309,40 @@ object Similarity {
     (cb, codes)
   }
 
+  /** One-row codebook parquet table (shared by the PQ and IVF+PQ index
+    * layouts). */
+  private def writeCodebooks(cb: PqCodebooks,
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    Seq((cb.m, cb.k, cb.dsub, cb.flat.toSeq))
+      .toDF("m", "k", "dsub", "flat")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqCodebooks = {
+    val r = spark.read.parquet(path).head()
+    PqCodebooks(r.getAs[Int]("m"), r.getAs[Int]("k"),
+      r.getAs[Int]("dsub"), r.getAs[Seq[Double]]("flat").toArray)
+  }
+
+  /** Persist a plain-PQ index: one-row codebook table + the encoded
+    * corpus (`m` ints per vector — the serve-time scan reads codes, not
+    * vectors). Deploys that serve PQ without coarse cells re-encode
+    * nothing per session; mirror of [[saveIvfPqIndex]] minus the cell
+    * layout. */
+  def savePqIndex(index: (PqCodebooks, DataFrame), path: String): Unit = {
+    val (cb, codes) = index
+    writeCodebooks(cb, codes.sparkSession, s"$path/codebooks")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load a persisted plain-PQ index. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (PqCodebooks, DataFrame) =
+    (readCodebooks(spark, s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes"))
+
   /** PQ top-k serve: queries broadcast with a precomputed per-query LUT
     * ([[graft.expressions.PqLut]]); the code-word scan scores each pair
     * with `m` table lookups ([[graft.expressions.PqAdc]]); the top
@@ -340,8 +394,10 @@ object Similarity {
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, m: Int = 16, k: Int = 16)
       : (DataFrame, PqCodebooks, DataFrame) = {
-    val cents = trainCentroids(corpus, idCol, vecCol, nCells)
-    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, k)
+    // both trainers sample the same corpus: count it once, not per trainer
+    val n = Some(corpus.count())
+    val cents = trainCentroids(corpus, idCol, vecCol, nCells, knownCount = n)
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, k, knownCount = n)
     val assigned = assignCells(
       corpus.select(col(idCol).as("neighbor_id"),
         l2Normalize(col(vecCol)).as("cv")),
@@ -359,23 +415,16 @@ object Similarity {
       path: String): Unit = {
     val (cents, cb, assigned) = index
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    val spark = cents.sparkSession
-    import spark.implicits._
-    Seq((cb.m, cb.k, cb.dsub, cb.flat.toSeq))
-      .toDF("m", "k", "dsub", "flat")
-      .write.mode("overwrite").parquet(s"$path/codebooks")
+    writeCodebooks(cb, cents.sparkSession, s"$path/codebooks")
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes")
   }
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): (DataFrame, PqCodebooks, DataFrame) = {
-    val r = spark.read.parquet(s"$path/codebooks").head()
-    val cb = PqCodebooks(r.getAs[Int]("m"), r.getAs[Int]("k"),
-      r.getAs[Int]("dsub"), r.getAs[Seq[Double]]("flat").toArray)
-    (spark.read.parquet(s"$path/centroids"), cb,
+      path: String): (DataFrame, PqCodebooks, DataFrame) =
+    (spark.read.parquet(s"$path/centroids"),
+      readCodebooks(spark, s"$path/codebooks"),
       spark.read.parquet(s"$path/codes"))
-  }
 
   def ivfPqTopKFromIndex(index: (DataFrame, PqCodebooks, DataFrame),
       corpus: DataFrame, queries: DataFrame, idCol: String,

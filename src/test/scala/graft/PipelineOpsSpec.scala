@@ -636,6 +636,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(unioned.except(rebuilt).isEmpty && rebuilt.except(unioned).isEmpty)
   }
 
+  test("pq index save/load round-trip serves identically to the build") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = e.filter(col("vec_id") < 5)
+    val built = Similarity.buildPqIndex(e, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Similarity.savePqIndex(built, dir)
+    val loaded = Similarity.loadPqIndex(spark, dir)
+    assert((loaded._1.m, loaded._1.k, loaded._1.dsub) ===
+      ((built._1.m, built._1.k, built._1.dsub)))
+    assert(loaded._1.flat.toSeq === built._1.flat.toSeq)
+    val direct = Similarity.pqTopKFromIndex(built, e, qs, "vec_id",
+      "embedding", k = 3)
+    val served = Similarity.pqTopKFromIndex(loaded, e, qs, "vec_id",
+      "embedding", k = 3)
+    assert(served.count() === direct.count())
+    assert(served.except(direct).isEmpty && direct.except(served).isEmpty)
+  }
+
   test("ivfPq: full probe + full rerank equals brute force; save/load serves identically") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val qs = e.filter(col("vec_id") < 5)
