@@ -1446,7 +1446,14 @@ object Queries {
     }),
     "q43_session_window_batch" -> ((s: SparkSession, dir: String) =>
       // native session_window in batch mode (streaming twin: TraceStreams);
-      // window start = first event's ts, so the lag+cumsum oracle matches
+      // window start = first event's ts, so the lag+cumsum oracle matches.
+      // The ~1.3 s partial session merge runs in the scan stage — ONE
+      // task locally because events is a single parquet split. That is
+      // the scale-correct plan (partial agg before the shuffle cuts
+      // 100k rows to ~9.5k; at 100 TB the scan stage has a task per
+      // split); pre-partitioning by user_id was measured SLOWER here
+      // (1.75 s vs 1.27 s) because it ships raw rows to buy parallelism
+      // the corpus is too small to repay
       events(s, dir)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))

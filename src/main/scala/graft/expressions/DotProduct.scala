@@ -43,15 +43,39 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Null-element discipline (shared by the Pq kernels): when either
+    * input TYPE admits null elements, each read is null-checked and a
+    * null element contributes 0.0 — the value `UnsafeArrayData` stores
+    * in a null slot anyway, so interpreted and generated evaluation
+    * agree for EVERY ArrayData implementation (a `GenericArrayData`
+    * null would otherwise NPE on unboxing — ADVICE r4). When both types
+    * say `containsNull=false` the tight unchecked loop is kept — the
+    * check is type-driven, so hot paths that declare non-null arrays
+    * pay nothing. */
+  @transient private lazy val elemsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var sum = 0.0
     var i = 0
-    while (i < n) {
-      sum += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    if (elemsNullable) {
+      while (i < n) {
+        val xv = if (x.isNullAt(i)) 0.0 else x.getDouble(i)
+        val yv = if (y.isNullAt(i)) 0.0 else y.getDouble(i)
+        sum += xv * yv
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        sum += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
     }
     sum
   }
@@ -61,11 +85,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      val term =
+        if (elemsNullable)
+          s"($a.isNullAt($i) ? 0.0 : $a.getDouble($i))" +
+            s" * ($b.isNullAt($i) ? 0.0 : $b.getDouble($i))"
+        else s"$a.getDouble($i) * $b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  $sum += $term;
          |}
          |${ev.value} = $sum;
        """.stripMargin

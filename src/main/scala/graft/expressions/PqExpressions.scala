@@ -25,6 +25,12 @@ import org.apache.spark.sql.types._
 case class PqEncode(child: Expression, flat: Array[Double], m: Int, k: Int)
     extends UnaryExpression {
   private val dsub = flat.length / (m * k)
+  // null elements read as 0.0, only checked when the input TYPE admits
+  // them — see DotProduct.elemsNullable for the shared discipline
+  @transient private lazy val elemsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
   // ||c||² per centroid: argmin_c ||x−c||² = argmin_c (||c||² − 2·x·c)
   private lazy val cn2: Array[Double] = Array.tabulate(m * k) { c =>
     var s = 0.0; var j = 0
@@ -52,7 +58,10 @@ case class PqEncode(child: Expression, flat: Array[Double], m: Int, k: Int)
         var d = cn2(c)
         var j = 0
         while (j < dsub) {
-          d -= 2.0 * v.getDouble(mi * dsub + j) * flat(c * dsub + j)
+          val idx = mi * dsub + j
+          val xv =
+            if (elemsNullable && v.isNullAt(idx)) 0.0 else v.getDouble(idx)
+          d -= 2.0 * xv * flat(c * dsub + j)
           j += 1
         }
         if (d < bestD) { bestD = d; best = ki }
@@ -72,6 +81,10 @@ case class PqEncode(child: Expression, flat: Array[Double], m: Int, k: Int)
     val (mi, ki, j, c, d, best, bestD) = (ctx.freshName("mi"),
       ctx.freshName("ki"), ctx.freshName("j"), ctx.freshName("c"),
       ctx.freshName("d"), ctx.freshName("best"), ctx.freshName("bestD"))
+    val xv =
+      if (elemsNullable)
+        s"($v.isNullAt($mi * $dsub + $j) ? 0.0 : $v.getDouble($mi * $dsub + $j))"
+      else s"$v.getDouble($mi * $dsub + $j)"
     s"""
        |int[] $codes = new int[$m];
        |for (int $mi = 0; $mi < $m; $mi++) {
@@ -80,7 +93,7 @@ case class PqEncode(child: Expression, flat: Array[Double], m: Int, k: Int)
        |    int $c = $mi * $k + $ki;
        |    double $d = $cns[$c];
        |    for (int $j = 0; $j < $dsub; $j++) {
-       |      $d -= 2.0 * $v.getDouble($mi * $dsub + $j)
+       |      $d -= 2.0 * $xv
        |        * $fl[$c * $dsub + $j];
        |    }
        |    if ($d < $bestD) { $bestD = $d; $best = $ki; }
@@ -101,6 +114,10 @@ case class PqEncode(child: Expression, flat: Array[Double], m: Int, k: Int)
 case class PqLut(child: Expression, flat: Array[Double], m: Int, k: Int)
     extends UnaryExpression {
   private val dsub = flat.length / (m * k)
+  @transient private lazy val elemsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -118,7 +135,10 @@ case class PqLut(child: Expression, flat: Array[Double], m: Int, k: Int)
       val mi = c / k
       var s = 0.0; var j = 0
       while (j < dsub) {
-        s += v.getDouble(mi * dsub + j) * flat(c * dsub + j)
+        val idx = mi * dsub + j
+        val xv =
+          if (elemsNullable && v.isNullAt(idx)) 0.0 else v.getDouble(idx)
+        s += xv * flat(c * dsub + j)
         j += 1
       }
       lut(c) = s
@@ -133,13 +153,17 @@ case class PqLut(child: Expression, flat: Array[Double], m: Int, k: Int)
     val lut = ctx.freshName("lut")
     val (c, mi, j, s) = (ctx.freshName("c"), ctx.freshName("mi"),
       ctx.freshName("j"), ctx.freshName("s"))
+    val xv =
+      if (elemsNullable)
+        s"($v.isNullAt($mi * $dsub + $j) ? 0.0 : $v.getDouble($mi * $dsub + $j))"
+      else s"$v.getDouble($mi * $dsub + $j)"
     s"""
        |double[] $lut = new double[$m * $k];
        |for (int $c = 0; $c < $m * $k; $c++) {
        |  int $mi = $c / $k;
        |  double $s = 0.0;
        |  for (int $j = 0; $j < $dsub; $j++) {
-       |    $s += $v.getDouble($mi * $dsub + $j) * $fl[$c * $dsub + $j];
+       |    $s += $xv * $fl[$c * $dsub + $j];
        |  }
        |  $lut[$c] = $s;
        |}
@@ -154,9 +178,17 @@ case class PqLut(child: Expression, flat: Array[Double], m: Int, k: Int)
 
 /** Asymmetric distance: `Σ_mi lut[mi*k + codes[mi]]` ≈ q · reconstruct(c)
   * — the approximate cosine for normalized inputs, `m` array reads per
-  * scored pair. */
+  * scored pair. A null code-word element contributes 0 to the sum (only
+  * checked when the codes TYPE admits nulls; [[PqEncode]] emits
+  * `containsNull=false`, so the engine's own serve path pays no check). */
 case class PqAdc(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
+
+  @transient private lazy val elemsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -174,7 +206,17 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
     val lut = b.asInstanceOf[ArrayData]
     var s = 0.0; var mi = 0
     val m = codes.numElements()
-    while (mi < m) { s += lut.getDouble(mi * k + codes.getInt(mi)); mi += 1 }
+    if (elemsNullable) {
+      while (mi < m) {
+        if (!codes.isNullAt(mi)) {
+          val idx = mi * k + codes.getInt(mi)
+          if (!lut.isNullAt(idx)) s += lut.getDouble(idx)
+        }
+        mi += 1
+      }
+    } else {
+      while (mi < m) { s += lut.getDouble(mi * k + codes.getInt(mi)); mi += 1 }
+    }
     s
   }
 
@@ -182,11 +224,18 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
       ev: ExprCode): ExprCode = nullSafeCodeGen(ctx, ev, (a, b) => {
     val (mi, n, s) = (ctx.freshName("mi"), ctx.freshName("n"),
       ctx.freshName("s"))
+    val body =
+      if (elemsNullable)
+        s"""if (!$a.isNullAt($mi)) {
+           |    int _idx = $mi * $k + $a.getInt($mi);
+           |    if (!$b.isNullAt(_idx)) $s += $b.getDouble(_idx);
+           |  }""".stripMargin
+      else s"$s += $b.getDouble($mi * $k + $a.getInt($mi));"
     s"""
        |int $n = $a.numElements();
        |double $s = 0.0;
        |for (int $mi = 0; $mi < $n; $mi++) {
-       |  $s += $b.getDouble($mi * $k + $a.getInt($mi));
+       |  $body
        |}
        |${ev.value} = $s;
      """.stripMargin

@@ -104,7 +104,15 @@ object Curation {
     * Boundary semantics: `value > edge` advances the bucket, so a value
     * equal to an edge lands in the lower bucket; with `accuracy` at
     * Spark's 10000 default the sketch is EXACT when a partition's
-    * distinct-value count is below the accuracy (the test corpus is). */
+    * distinct-value count is below the accuracy (the test corpus is).
+    *
+    * Null/NaN placement (ADVICE r4): the `ntile`-equivalence this is
+    * q69's scale path for is scoped to NON-NULL, NON-NaN values. A NULL
+    * value fails every `> edge` comparison and lands in bucket 1 (ntile
+    * would rank nulls FIRST into bucket 1 too, but the sketch also
+    * ignores them when placing edges, so bucket 1 overfills); a NaN
+    * passes every comparison and lands in the top bucket (matching
+    * Spark's NaN-greatest sort order). Pre-filter if either matters. */
   def quantileBuckets(df: DataFrame, valueCol: String, nBuckets: Int,
       accuracy: Int = 10000): DataFrame = {
     require(nBuckets >= 2, s"nBuckets=$nBuckets needs >= 2")

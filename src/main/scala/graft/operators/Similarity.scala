@@ -34,11 +34,22 @@ object Similarity {
         org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
   /** Cast a float vector to double and L2-normalize it (null-safe: zero
-    * vectors normalize to zeros, not NaN/±Inf). */
+    * vectors normalize to zeros, not NaN/±Inf; a null ELEMENT reads as
+    * 0.0 — the `coalesce` makes the lambda non-nullable, so the output
+    * type is `array<double> containsNull=false` and every downstream
+    * kernel (DotProduct, PqEncode/PqLut/PqAdc) keeps its unchecked
+    * tight loop; parquet float arrays arrive `containsNull=true` even
+    * when no element ever is). */
   def l2Normalize(v: Column): Column = {
-    val dv = transform(v, x => x.cast("double"))
-    val norm = sqrt(dotCol(dv, dv))
-    when(norm > 0, transform(dv, x => x / norm)).otherwise(dv)
+    val dv = transform(v, x => coalesce(x.cast("double"), lit(0.0)))
+    // the coalesces keep every lambda statically non-nullable (Divide is
+    // unconditionally nullable in Catalyst, and a nullable `norm` would
+    // poison it too) so the output type is containsNull=false; a null
+    // ROW still nulls the whole result via the outer `when`. The inner
+    // coalesce never actually fires: norm > 0 guards the division
+    val norm = coalesce(sqrt(dotCol(dv, dv)), lit(0.0))
+    when(norm > 0, transform(dv, x => coalesce(x / norm, lit(0.0))))
+      .otherwise(dv)
   }
 
   /** Exact brute-force top-k: for each query vector, the k nearest corpus

@@ -120,8 +120,17 @@ class EsScan(conf: EsScanConfig) extends Scan with Batch {
   override def readSchema(): StructType = EsSpanTableProvider.schema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // fail fast rather than diverge: the batch scan pushes `limit` down
+    // per slice, but a micro-batch stream is unbounded by construction —
+    // silently returning every row would make the same option mean two
+    // different things on the two read paths (ADVICE r4)
+    require(conf.limit.isEmpty,
+      "the 'limit' option applies only to batch reads; a streaming read " +
+        "is unbounded — drop the option (bound the stream with " +
+        "trigger/watermark policy instead)")
     new EsSpanMicroBatchStream(conf, conf.streamFromUs)
+  }
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, conf.slices)
     (0 until n).map(i => EsSlicePartition(i, n)).toArray[InputPartition]
@@ -195,7 +204,15 @@ class HttpEsClient(endpoint: String) extends EsClient {
   /** Idempotent search/agg calls retry on transient failures; scroll
     * CONTINUATIONS must not (see [[graft.sources.HttpRetry]]: a lost
     * response already advanced the server cursor — retrying skips a
-    * page; recovery is the task re-running its slice). */
+    * page; recovery is the task re-running its slice).
+    *
+    * Scroll OPENS do retry, which carries a bounded leak: if the server
+    * opened a context but the response was lost, its scroll id was in
+    * the lost body — unclearable by construction — and the retry opens a
+    * second context. The orphan expires with the 15 s keep-alive, so
+    * the worst case is (retries × concurrent tasks) extra contexts for
+    * 15 s, which is why keep-alive stays short and retries few (the
+    * `max_open_scroll_context` budget the class doc worries about). */
   private def postRetrying(path: String, body: String): String =
     graft.sources.HttpRetry.withRetries()(post(path, body))
 

@@ -54,6 +54,27 @@ class EsSourceSpec extends SparkTestBase {
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
 
+  test("streaming read rejects the batch-only 'limit' option") {
+    // the batch scan pushes `limit` down per slice; a micro-batch stream
+    // is unbounded, so the same option silently meaning "no limit" on
+    // the stream path would be a divergence — it fails fast instead
+    FixtureEsClient.reset()
+    val stream = spark.readStream.format("es-spans")
+      .option("endpoint", "fake://es").option("limit", "5").options(opts)
+      .load()
+    val ex = intercept[Exception] {
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName("es_stream_limited")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => t.getMessage != null &&
+      t.getMessage.contains("'limit' option applies only to batch")))
+  }
+
   test("stream offsets window the index by startTime and slice in parallel") {
     import graft.sources.es.{EsScanConfig, EsSpanMicroBatchStream, EsTimeOffset}
     val conf = EsScanConfig("fake://es", classOf[FixtureEsClient].getName,

@@ -416,6 +416,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(nd.toSeq === Seq((1L, 2L)))
   }
 
+  test("graft_dot reads null elements as zero on every ArrayData path") {
+    // schema says containsNull=true and the data carries REAL nulls: the
+    // interpreted path sees a GenericArrayData whose null slot previously
+    // NPE'd on unboxing; UnsafeArrayData stores 0.0 in null slots. The
+    // type-driven null discipline makes both read 0.0 (ADVICE r4).
+    val df = Seq((1L, Seq(Option(1.0), None, Option(3.0)),
+        Seq(Option(2.0), Option(5.0), None)))
+      .toDF("id", "a", "b")
+    def dotWith(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(Similarity.dotCol(col("a"), col("b")).as("d"))
+        .head().getDouble(0)
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(dotWith("CODEGEN_ONLY") === 2.0) // 1·2 + 0·5 + 3·0
+    assert(dotWith("NO_CODEGEN") === 2.0)
+  }
+
   test("graft_dot rejects non-array arguments at analysis time") {
     graft.expressions.DotProduct.register(spark)
     intercept[org.apache.spark.sql.AnalysisException](
