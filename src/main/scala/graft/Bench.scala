@@ -50,6 +50,7 @@ object Bench {
     // around each rep after draining the (async) listener bus.
     val runMs = new java.util.concurrent.atomic.AtomicLong
     val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -58,17 +59,20 @@ object Bench {
           if (m != null) {
             runMs.addAndGet(m.executorRunTime)
             gcMs.addAndGet(m.jvmGCTime)
+            maxTaskMs.accumulateAndGet(m.executorRunTime, Math.max(_, _))
           }
         }
       })
-    // (wall, executorRunTime sec, gc sec) per rep; min-wall rep wins
+    // (wall, executorRunTime sec, gc sec, max single-task sec) per rep;
+    // min-wall rep wins
     val detail = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Double, Double, Double)]
+      .empty[String, (Double, Double, Double, Double)]
     def timeOnce(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame): Double = {
       org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
       val (r0, g0) = (runMs.get, gcMs.get)
+      maxTaskMs.set(0L) // bus drained: nothing in flight belongs elsewhere
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
@@ -80,7 +84,7 @@ object Bench {
       org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
       val (run, gc) = ((runMs.get - r0) / 1e3, (gcMs.get - g0) / 1e3)
       if (!detail.get(name).exists(_._1 <= wall))
-        detail(name) = (wall, run, gc)
+        detail(name) = (wall, run, gc, maxTaskMs.get / 1e3)
       wall
     }
     // optional arg: comma-separated query-name filter for iterating on one
@@ -108,32 +112,36 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def r3(d: Double) = math.rint(d * 1000) / 1000
     val detailJson = results.map { case (k, _) =>
-      val (w, run, gc) = detail.getOrElse(k, (0.0, 0.0, 0.0))
-      s"""\"$k\":{"wall":${r3(w)},"run":${r3(run)},"gc":${r3(gc)}}"""
+      val (w, run, gc, mt) = detail.getOrElse(k, (0.0, 0.0, 0.0, 0.0))
+      s"""\"$k\":{"wall":${r3(w)},"run":${r3(run)},"gc":${r3(gc)},"maxTask":${r3(mt)}}"""
     }.mkString("{", ",", "}")
-    // Parallelism gate: a query whose min-wall rep did > 2 s of executor
-    // work at < 2× run/wall is effectively SERIAL on this many-core host
-    // — exactly how r4's t13 (wall 4.61 s ≈ run 4.68 s) hid behind a
-    // green total. The 2 s floor keeps single-split scan-stage artifacts
-    // out (q43's ~1.3 s partial session agg runs in the one-task scan of
-    // a one-file local input — a plan that is right at scale, where the
-    // scan has a task per split). Violators land in bench.json
-    // ("serial") on every run; SPARK_GRAFT_BENCH_STRICT=1 (local
-    // iteration) makes them rc != 0 so a reintroduced serial plan fails
-    // loudly. The driver's contract run stays non-strict: one noisy-host
-    // rep must not flip the bench gate.
+    // Parallelism gate: a query with > 2 s of executor work where ONE
+    // task did > 60% of it is effectively SERIAL on this many-core host
+    // — exactly how r4's t13 (one 4.68 s task) hid behind a green total.
+    // Gating on max-task SHARE (not run/wall, the r5 form) keeps two
+    // false-positive classes out: driver-heavy queries whose wall dwarfs
+    // a well-parallelized run, and small well-spread queries where
+    // per-task overhead keeps run/wall low (at the data-proportionate
+    // 8-way ingest, healthy q24 sits at run 3 s / wall 2.2 s). The 2 s
+    // floor keeps single-split scan-stage artifacts out (q43's ~1.3 s
+    // partial session agg runs in the one-task scan of a one-file local
+    // input — a plan that is right at scale, where the scan has a task
+    // per split). Violators land in bench.json ("serial") on every run;
+    // SPARK_GRAFT_BENCH_STRICT=1 (local iteration) makes them rc != 0 so
+    // a reintroduced serial plan fails loudly. The driver's contract run
+    // stays non-strict: one noisy-host rep must not flip the bench gate.
     val serial = if (cpus.toInt < 4) Seq.empty[String] else
       results.collect { case (name, _)
         if {
-          val (w, run, _) = detail.getOrElse(name, (0.0, 0.0, 0.0))
-          run > 2.0 && run < 2.0 * w
+          val (_, run, _, mt) = detail.getOrElse(name, (0.0, 0.0, 0.0, 0.0))
+          run > 2.0 && mt > 0.6 * run
         } => name }
     val serialJson = serial.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"serial":$serialJson,"detail":$detailJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
     if (serial.nonEmpty)
-      System.err.println(s"[bench] SERIAL queries (run > 1 s, run/wall < 2x): " +
+      System.err.println(s"[bench] SERIAL queries (run > 2 s, one task > 60% of run): " +
         serial.mkString(", "))
     spark.stop()
     // Full detail goes to bench.json; stdout gets it too (for humans),

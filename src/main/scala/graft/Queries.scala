@@ -25,15 +25,27 @@ object Queries {
   /** Driver testdata ships one row group per table, so Spark scans with a
     * single task; the text/embedding pipelines do heavy per-row compute
     * (shingling, hashing, dot products) BEFORE their first shuffle and
-    * would run it single-threaded. Spreading the (small) corpus across the
-    * cluster first costs one cheap shuffle and parallelizes everything
-    * downstream. At 100 TB the input is already many splits and this
-    * becomes a no-op choice at the ingest layer, not the operators'. */
+    * would run it single-threaded. Spreading the (small) corpus across
+    * the cluster first costs one cheap shuffle and parallelizes
+    * everything downstream.
+    *
+    * The spread is DATA-PROPORTIONATE (8 ways for the ~5k-row bench
+    * corpus), not core-count-wide: repartitioning 5k rows 32 ways left
+    * every downstream stage paying 32 tasks of per-task setup + a 32×32
+    * shuffle fan-out per pass, and the multi-consumer dedup subtrees pay
+    * that ×3 — measured on q71 (in-JVM interleaved A/B, min over 4
+    * rounds): 32-way wall 2.45 s / 25.8 s task-time vs 8-way 2.07 s /
+    * 5.1 s, and under host contention the 32-way median task-time blew
+    * up 7× worse (42.6 s vs 5.8 s — the r5 driver-host q71 "regression"
+    * was exactly this amplification). At 100 TB the input is already
+    * many splits and this shim disappears at the ingest layer — the
+    * lesson that survives scale is parallelism ∝ data volume, not
+    * executor count. */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    t(s, dir, "documents").repartition(8)
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
+    t(s, dir, "embeddings").repartition(8)
 
   /** Session-cached IVF index per (context, sfDir) — the build-once /
     * query-many ANN deployment ([[operators.Similarity.buildIvfIndex]]):
@@ -539,20 +551,6 @@ object Queries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
-  /** Bigram frequency table: top 20 corpus-wide word bigrams.
-    *
-    * Hashes-not-strings discipline (the same one `Dedup.shingleIndex`
-    * uses): the GLOBAL count groups on `xxhash64(bigram)` — the shuffle
-    * and aggregation hash tables carry 8-byte longs, not bigram strings
-    * (the round-4 string-keyed formulation spent 45% of executor time in
-    * GC). Strings are recovered afterwards for only the rows that can
-    * appear in the answer: the threshold = the 20th-largest count (a
-    * broadcast scalar — well-defined under ties), every hash at-or-above
-    * it joins back to its string in a second corpus pass, and the final
-    * (cnt desc, bigram) sort keeps the oracle's tie-break exact. The
-    * hash-keyed counts materialize once (`localCheckpoint`) for both the
-    * threshold and candidate branches. A 64-bit collision merging two
-    * distinct bigrams is the usual ~2⁻⁶⁴ non-event. */
   /** Exploded corpus bigrams, built CODEGEN-FIRST: `posexplode` the
     * token array and pair each token with its successor via one
     * `get(toks, pos+1)` — every operator is a codegen'd builtin. The
@@ -566,6 +564,34 @@ object Queries {
     .select(concat_ws(" ",
       col("col"), get(col("toks"), col("pos") + 1)).as("bigram"))
 
+  /** A count-threshold candidate set is UNBOUNDED on a flat or tie-heavy
+    * count distribution (threshold collapses to 1 → every distinct key
+    * qualifies), so broadcasting it unconditionally is an OOM at scale.
+    * Counting the candidates first is cheap — every caller's candidate
+    * frame derives from an already-localCheckpointed count table — and
+    * buys the right join: broadcast when small, shuffle hash join (same
+    * results, no driver/executor materialization) when not. */
+  private def joinCandidates(big: DataFrame, cands: DataFrame,
+      joinExpr: Column, maxBroadcast: Long = 1000000): DataFrame =
+    if (cands.count() <= maxBroadcast) big.join(broadcast(cands), joinExpr)
+    else big.join(cands.hint("shuffle_hash"), joinExpr)
+
+  /** Bigram frequency table: top 20 corpus-wide word bigrams.
+    *
+    * Hashes-not-strings discipline (the same one `Dedup.shingleIndex`
+    * uses): the GLOBAL count groups on `xxhash64(bigram)` — the shuffle
+    * and aggregation hash tables carry 8-byte longs, not bigram strings
+    * (the round-4 string-keyed formulation spent 45% of executor time in
+    * GC). Strings are recovered afterwards for only the rows that can
+    * appear in the answer: the threshold = the 20th-largest count (a
+    * broadcast scalar — well-defined under ties), every hash at-or-above
+    * it joins back to its string in a second corpus pass (guarded by
+    * [[joinCandidates]] — ties can make the candidate set the whole
+    * table), and the final (cnt desc, bigram) sort keeps the oracle's
+    * tie-break exact. The hash-keyed counts materialize once
+    * (`localCheckpoint`) for both the threshold and candidate branches.
+    * A 64-bit collision merging two distinct bigrams is the usual ~2⁻⁶⁴
+    * non-event. */
   private def q41(s: SparkSession, dir: String): DataFrame = {
     val bg = bigrams(docs(s, dir)
       .select(TextFunctions.tokens(col("text")).as("toks")))
@@ -577,7 +603,7 @@ object Queries {
     val cands = counts.crossJoin(broadcast(thr))
       .filter(col("cnt") >= col("thr"))
       .select(col("h"), col("cnt"))
-    bg.join(broadcast(cands), xxhash64(col("bigram")) === col("h"))
+    joinCandidates(bg, cands, xxhash64(col("bigram")) === col("h"))
       .select(col("bigram"), col("cnt")).distinct()
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(20)
@@ -1058,8 +1084,9 @@ object Queries {
     // rows, without another tokenize+explode pass per total
     val nTok = uni.agg(sum(col("n_w")).cast("double").as("n_tok"))
     val nBg = bn.agg(sum(col("n_ab")).cast("double").as("n_bg"))
-    bgOcc
-      .join(broadcast(bn.filter(col("n_ab") >= 5)),
+    // candidate-set broadcast guarded: `n_ab >= 5` usually prunes hard,
+    // but nothing bounds it on a repetitive corpus (see joinCandidates)
+    joinCandidates(bgOcc, bn.filter(col("n_ab") >= 5),
         xxhash64(col("bigram")) === col("hb"))
       .select(col("bigram"), col("n_ab")).distinct()
       .withColumn("a", get(split(col("bigram"), " "), lit(0)))

@@ -123,6 +123,18 @@ case class BloomCountContained(child: Expression, bloomBytes: Array[Byte])
      """.stripMargin
   })
 
+  // VALUE equality over the byte payload (case-class equality compares
+  // Array by reference — two semantically identical gates would never
+  // compare equal, defeating canonicalization, subexpression elimination
+  // and exchange reuse; Spark's own Literal overrides the same way)
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomCountContained =>
+      child == o.child && java.util.Arrays.equals(bloomBytes, o.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
 }
@@ -228,6 +240,15 @@ case class ShingleBloomCount(child: Expression, n: Int,
        |${ev.value} = $cnt;
      """.stripMargin
   })
+
+  // value equality over the byte payload — see BloomCountContained
+  override def equals(other: Any): Boolean = other match {
+    case o: ShingleBloomCount => child == o.child && n == o.n &&
+      java.util.Arrays.equals(bloomBytes, o.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int = (31 * child.hashCode() + n) * 31 +
+    java.util.Arrays.hashCode(bloomBytes)
 
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)

@@ -105,6 +105,17 @@ case class PqEncode(child: Expression, flat: Array[Double], m: Int, k: Int)
      """.stripMargin
   })
 
+  // value equality over the codebook (case-class equality compares Array
+  // by reference, defeating canonicalization/CSE/exchange reuse — same
+  // fix as BloomCountContained)
+  override def equals(other: Any): Boolean = other match {
+    case o: PqEncode => child == o.child && m == o.m && k == o.k &&
+      java.util.Arrays.equals(flat, o.flat)
+    case _ => false
+  }
+  override def hashCode(): Int = ((31 * child.hashCode() + m) * 31 + k) *
+    31 + java.util.Arrays.hashCode(flat)
+
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
 }
@@ -171,6 +182,15 @@ case class PqLut(child: Expression, flat: Array[Double], m: Int, k: Int)
        |  new org.apache.spark.sql.catalyst.util.GenericArrayData($lut);
      """.stripMargin
   })
+
+  // value equality over the codebook — see PqEncode
+  override def equals(other: Any): Boolean = other match {
+    case o: PqLut => child == o.child && m == o.m && k == o.k &&
+      java.util.Arrays.equals(flat, o.flat)
+    case _ => false
+  }
+  override def hashCode(): Int = ((31 * child.hashCode() + m) * 31 + k) *
+    31 + java.util.Arrays.hashCode(flat)
 
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)

@@ -68,12 +68,28 @@ object Dedup {
     * serial before their codegen rewrites). */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, hasher: Column => Column = hash60(_)): DataFrame =
-    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
-      .select(col("doc"), col("toks"), posexplode(col("toks")))
-      .filter(col("pos") <= size(col("toks")) - n)
-      .select(col("doc"), hasher(concat_ws(" ",
-        (0 until n).map(j => get(col("toks"), col("pos") + j)): _*)).as("h"))
-      .distinct()
+    shingleIndexForm(df, idCol, textCol, n, hasher, hof = false)
+
+  /** Both spellings of the index, A/B-able in one session (see
+    * tools.ShingleAb): `hof = false` is the codegen posexplode form
+    * (the default — measured marginally cheaper and never worse),
+    * `hof = true` the explode-over-HOF-array form. Identical strings and
+    * hashes either way. */
+  private[graft] def shingleIndexForm(df: DataFrame, idCol: String,
+      textCol: String, n: Int, hasher: Column => Column,
+      hof: Boolean): DataFrame =
+    if (hof)
+      df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+        .select(col("doc"), explode(shinglesFromTokens(col("toks"), n)).as("sh"))
+        .select(col("doc"), hasher(col("sh")).as("h"))
+        .distinct()
+    else
+      df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+        .select(col("doc"), col("toks"), posexplode(col("toks")))
+        .filter(col("pos") <= size(col("toks")) - n)
+        .select(col("doc"), hasher(concat_ws(" ",
+          (0 until n).map(j => get(col("toks"), col("pos") + j)): _*)).as("h"))
+        .distinct()
 
   /** Per-document MinHash signature columns `mh0..mhN` from a shingle
     * index. Map-side partial min keeps the shuffle at (doc, numPerms longs).
@@ -593,11 +609,17 @@ object Dedup {
     * bounded: the serialized filter is `numBits/8` ≈ `expectedItems`
     * bytes — megabytes for million-gram bench sets, never the corpus).
     * Feed it to [[contaminationScore]] as a literal for plans where the
-    * scalar subquery can't run — streaming ingest gates foremost. */
+    * scalar subquery can't run — streaming ingest gates foremost.
+    *
+    * HASH-FIXED to `xxhash64`: [[contaminationScore]]'s fused
+    * [[graft.expressions.ShingleBloomCount]] kernel hardcodes XXH64
+    * seed 42, so the build side must hash identically — a pluggable
+    * hasher here would let build and probe silently diverge (every
+    * probe missing → score 0 for every doc, a false-negative trap in a
+    * gate whose contract is "misses nothing"). */
   def benchGramBloom(bench: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, expectedBenchGrams: Long = 1 << 20,
-      hasher: Column => Column = xxhash64(_)): Array[Byte] =
-    shingleIndex(bench, idCol, textCol, n, hasher)
+      n: Int = 4, expectedBenchGrams: Long = 1 << 20): Array[Byte] =
+    shingleIndex(bench, idCol, textCol, n, xxhash64(_))
       .select(col("h")).distinct()
       .agg(BloomSketch.bloomAgg(col("h"), expectedBenchGrams,
         expectedBenchGrams * 8).as("bf"))

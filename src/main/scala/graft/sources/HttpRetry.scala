@@ -30,13 +30,19 @@ object HttpRetry {
     case _ => false
   }
 
+  /** `onRetry` fires between a transient failure and the next attempt —
+    * the hook for best-effort cleanup/diagnostics on calls whose failure
+    * may have left server-side state (ES scroll opens foremost). It must
+    * not throw; callers pass side-effect-only probes. */
   def withRetries[T](attempts: Int = 3, baseDelayMs: Long = 200,
-      sleep: Long => Unit = Thread.sleep)(f: => T): T = {
+      sleep: Long => Unit = Thread.sleep,
+      onRetry: Throwable => Unit = _ => ())(f: => T): T = {
     var attempt = 0
     while (true) {
       try return f
       catch {
         case t: Throwable if isTransient(t) && attempt < attempts - 1 =>
+          onRetry(t)
           sleep(baseDelayMs << attempt)
           attempt += 1
       }

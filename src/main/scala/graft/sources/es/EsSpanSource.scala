@@ -178,6 +178,31 @@ class EsSliceReader(conf: EsScanConfig, part: EsSlicePartition)
     if (token != null && token.nonEmpty) client.clearScroll(token)
 }
 
+/** Server-side scroll-context budget probe for the retried-open path.
+  * Parsing and thresholding are pure (spec-pinned); the transport feeds
+  * it `GET /_nodes/stats/indices/search` output best-effort. */
+object EsScrollPressure {
+  /** ES default `search.max_open_scroll_context`. */
+  val DefaultCap = 500
+  private val OpenContexts =
+    """"open_scroll_contexts"\s*:\s*(\d+)|"open_contexts"\s*:\s*(\d+)""".r
+  /** Total open scroll contexts across nodes from a node-stats body, or
+    * None when the field is absent (older ES / restricted stats). */
+  def openContexts(nodeStatsJson: String): Option[Long] = {
+    val counts = OpenContexts.findAllMatchIn(nodeStatsJson).map(m =>
+      Option(m.group(1)).getOrElse(m.group(2)).toLong).toSeq
+    if (counts.isEmpty) None else Some(counts.sum)
+  }
+  /** Warning to log before a retried scroll open lands on a
+    * near-exhausted context budget (>= 80% of cap). */
+  def check(nodeStatsJson: String, cap: Int = DefaultCap): Option[String] =
+    openContexts(nodeStatsJson).filter(_ >= (cap * 8L) / 10).map(n =>
+      s"retrying a scroll open with $n open scroll contexts on the " +
+        s"server (cap ~$cap): orphaned contexts from lost responses " +
+        "expire with the 15 s keep-alive, but a retry storm this close " +
+        "to max_open_scroll_context can exhaust the budget")
+}
+
 /** Production ES transport (POST _search with slice + scroll). Untestable
   * in this zero-egress environment; kept minimal and mirrored by the
   * fixture fake in tests. */
@@ -208,13 +233,38 @@ class HttpEsClient(endpoint: String) extends EsClient {
     *
     * Scroll OPENS do retry, which carries a bounded leak: if the server
     * opened a context but the response was lost, its scroll id was in
-    * the lost body — unclearable by construction — and the retry opens a
-    * second context. The orphan expires with the 15 s keep-alive, so
-    * the worst case is (retries × concurrent tasks) extra contexts for
-    * 15 s, which is why keep-alive stays short and retries few (the
-    * `max_open_scroll_context` budget the class doc worries about). */
+    * the lost body — unclearable by construction (and `DELETE
+    * /_search/scroll/_all` would kill sibling slices' LIVE scrolls, so
+    * no blanket clear either). The orphan expires with the 15 s
+    * keep-alive, so the worst case is (retries × concurrent tasks) extra
+    * contexts for 15 s, which is why keep-alive stays short and retries
+    * few. What the retry path CAN do — and does, via `onRetry` — is
+    * check the server-side budget before piling on: a best-effort node
+    * stats probe compares open scroll contexts against
+    * `max_open_scroll_context` (ES default 500) and logs a loud warning
+    * when a retried open is about to land on a near-exhausted budget
+    * ([[EsScrollPressure]], pinned by spec). */
   private def postRetrying(path: String, body: String): String =
     graft.sources.HttpRetry.withRetries()(post(path, body))
+
+  /** Scroll opens: same retry discipline plus the pressure probe. */
+  private def postScrollOpen(path: String, body: String): String =
+    graft.sources.HttpRetry.withRetries(onRetry = _ =>
+      try {
+        EsScrollPressure.check(get("/_nodes/stats/indices/search"))
+          .foreach(w => System.err.println(s"[es-spans] $w"))
+      } catch { case _: Exception => () } // best-effort, never fail a retry
+    )(post(path, body))
+
+  private def get(path: String): String = {
+    val req = HttpRequest.newBuilder(URI.create(s"$endpoint$path"))
+      .timeout(Duration.ofSeconds(5)).GET().build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new graft.sources.HttpStatusException(resp.statusCode(),
+        s"ES ${resp.statusCode()}")
+    resp.body()
+  }
 
   private def parse(body: String): (Seq[String], String) = {
     val root = mapper.readTree(body)
@@ -230,7 +280,7 @@ class HttpEsClient(endpoint: String) extends EsClient {
     val slice =
       if (maxSlices > 1) s""""slice": {"id": $sliceId, "max": $maxSlices},"""
       else ""
-    parse(postRetrying(s"/$index/_search?scroll=15s",
+    parse(postScrollOpen(s"/$index/_search?scroll=15s",
       s"""{$slice "size": $pageSize, "query": {"match_all": {}}}"""))
   }
 
@@ -243,7 +293,7 @@ class HttpEsClient(endpoint: String) extends EsClient {
     val slice =
       if (maxSlices > 1) s""""slice": {"id": $sliceId, "max": $maxSlices},"""
       else ""
-    parse(postRetrying(s"/$index/_search?scroll=15s",
+    parse(postScrollOpen(s"/$index/_search?scroll=15s",
       s"""{$slice "size": $pageSize, "query": {"range": {"startTime":
          | {"gte": $fromUs, "lt": $toUs}}}}""".stripMargin.replace("\n", "")))
   }

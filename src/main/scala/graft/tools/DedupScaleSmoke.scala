@@ -97,6 +97,33 @@ object DedupScaleSmoke {
       s"pair count $pairs vs planted $expectedPairs — prefix filter " +
         "lost recall or admitted false positives")
 
+    // Incremental-ingest gate (q71 family) at 200k: "batch" = the planted
+    // near-dup variants (i%100==1), "corpus" = everything else. Each batch
+    // doc i has EXACTLY two corpus partners at >= 0.8: its base i-1
+    // (jaccard ~0.87) and the base's exact copy i+1 (same text as i-1);
+    // random 30-word docs over a 5000-word vocab cannot reach 0.8, so both
+    // the pair count and the per-batch-doc recall are exact
+    println(s"== jaccardAcross (incremental ingest, t=0.8) ==")
+    val batch = docs.filter(col("doc_id") % 100 === 1)
+    val corpus = docs.filter(col("doc_id") % 100 =!= 1)
+    val across = time("jaccardAcross batch-vs-corpus")(
+      Dedup.jaccardAcross(
+        Dedup.shingleIndex(batch, "doc_id", "text"),
+        Dedup.shingleIndex(corpus, "doc_id", "text"), 0.8)
+        .localCheckpoint())
+    val acrossPairs = across.count()
+    val flagged = across.select(col("doc_a")).distinct().count()
+    val expectedBatch = nDocs / 100
+    println(s"  pairs: $acrossPairs (planted: ${2 * expectedBatch}); " +
+      s"flagged batch docs: $flagged / $expectedBatch (recall " +
+      f"${flagged.toDouble / expectedBatch}%.3f)")
+    require(acrossPairs == 2 * expectedBatch,
+      s"cross-set pairs $acrossPairs vs planted ${2 * expectedBatch} — " +
+        "prefix filter lost recall across sets or admitted false positives")
+    require(flagged == expectedBatch,
+      s"flagged $flagged of $expectedBatch planted ingest dups — recall " +
+        "must be 1.0")
+
     // chunk-level: exact copies and near-dups each repeat their base's
     // three 10-token chunks; the shared "tail variant" chunk adds more
     println(s"== chunkDuplicates (10-token spans) ==")

@@ -119,6 +119,27 @@ class EsSourceSpec extends SparkTestBase {
     // early-stopping readers release their server-side scroll contexts
     assert(FixtureEsClient.clearCalls.get() > 0)
   }
+
+  test("scroll-open retry path checks the server scroll-context budget") {
+    import graft.sources.es.EsScrollPressure
+    // parses both node-stats spellings, summing across nodes
+    val newStats = """{"nodes":{"a":{"indices":{"search":
+      {"open_scroll_contexts":300}}},"b":{"indices":{"search":
+      {"open_scroll_contexts":150}}}}}""".replace("\n", "")
+    assert(EsScrollPressure.openContexts(newStats) === Some(450L))
+    val oldStats = """{"nodes":{"a":{"indices":{"search":
+      {"open_contexts":120}}}}}""".replace("\n", "")
+    assert(EsScrollPressure.openContexts(oldStats) === Some(120L))
+    // >= 80% of the cap warns; below stays quiet; absent field stays quiet
+    assert(EsScrollPressure.check(newStats).isDefined)      // 450/500
+    assert(EsScrollPressure.check(oldStats).isEmpty)        // 120/500
+    assert(EsScrollPressure.check(newStats, cap = 1000).isEmpty)
+    assert(EsScrollPressure.openContexts("""{"nodes":{}}""").isEmpty)
+    assert(EsScrollPressure.check("""{"nodes":{}}""").isEmpty)
+    // the warning names the pressure and the cap it is measured against
+    val w = EsScrollPressure.check(newStats).get
+    assert(w.contains("450") && w.contains("500"))
+  }
 }
 
 /** Serves fixture spans as ES documents: deterministic slice partitioning

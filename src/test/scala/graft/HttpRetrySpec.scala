@@ -47,4 +47,22 @@ class HttpRetrySpec extends AnyFunSuite {
     assert(!HttpRetry.isTransient(new HttpStatusException(400, "bad")))
     assert(HttpRetry.isTransient(new HttpStatusException(502, "gateway")))
   }
+
+  test("onRetry fires once per retried attempt, never on success/give-up") {
+    val seen = Seq.newBuilder[Int]
+    val f = flaky(2, new HttpStatusException(503, "unavailable"))("ok")
+    val got = HttpRetry.withRetries(attempts = 3, sleep = _ => (),
+      onRetry = t => seen +=
+        t.asInstanceOf[HttpStatusException].status)(f())
+    assert(got === "ok")
+    assert(seen.result() === Seq(503, 503)) // 2 failures -> 2 hook calls
+    var calls = 0
+    intercept[HttpStatusException] { // non-transient: no hook
+      HttpRetry.withRetries(attempts = 3, sleep = _ => (),
+        onRetry = _ => calls += 1) {
+        throw new HttpStatusException(404, "absent")
+      }
+    }
+    assert(calls === 0)
+  }
 }
