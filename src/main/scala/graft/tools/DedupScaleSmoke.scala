@@ -36,6 +36,14 @@ object DedupScaleSmoke {
     val words = (0 until 30).map(k =>
       concat(lit("w"), pmod(xxhash64(concat(col("base"), lit(s"_$k"))),
         lit(5000))))
+    // materialized once: with text left as an EXPRESSION OF doc_id,
+    // Catalyst's InferFiltersFromGenerate constraint (size(tokens) > 0,
+    // inserted under every shingle posexplode) propagates across the
+    // dedup equi-joins by substituting the whole 30-word generator onto
+    // the pair ids — a single generated filter method that blows janino's
+    // 64 KB limit and drops the stage to interpreted execution. A parquet
+    // corpus (the production shape) cannot express text as f(id), so the
+    // checkpoint both fixes the smoke and restores the plan under test.
     val docs = spark.range(nDocs)
       .withColumn("base", base)
       .select(col("id").as("doc_id"),
@@ -43,6 +51,7 @@ object DedupScaleSmoke {
           concat_ws(" ", words: _*),
           when(col("id") % 100 === 1, lit("tail variant")).otherwise(lit("")))
           .as("text"))
+      .localCheckpoint()
 
     println(s"== nearDupDrops over $nDocs docs (~30 words each) ==")
     val dropped = time("nearDupDrops end-to-end")(
