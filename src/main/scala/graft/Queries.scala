@@ -849,6 +849,30 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Gopher-style composite quality gate (Rae et al. 2021 heuristics,
+    * [[graft.functions.TextFunctions.gopherStruct]]): per-document rule
+    * metrics plus the `keep` conjunction. The whole rule set is HOF and
+    * regex compositions over a tokenize-once array — ONE codegen'd map
+    * stage, no shuffle, so at 100 TB it runs at scan speed and the
+    * `keep` predicate pushes into the corpus side of any downstream
+    * pipeline (this is the standard first gate before dedup). */
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextFunctions.gopherStruct(col("text"), col("toks")).as("g"))
+      .select(col("doc_id"),
+        col("g.n_tokens").as("n_tokens"),
+        col("g.mean_word_len").as("mean_word_len"),
+        col("g.symbol_ratio").as("symbol_ratio"),
+        col("g.bullet_frac").as("bullet_frac"),
+        col("g.ellipsis_frac").as("ellipsis_frac"),
+        col("g.alpha_frac").as("alpha_frac"),
+        col("g.n_stop").as("n_stop"),
+        col("g.keep").as("keep"))
+      .orderBy(col("doc_id"))
+
   /** Packed training sequences: q61 assigns token-budget bins; this
     * materializes each (source, bin) into ONE training sequence — docs
     * EOS-joined in doc_id order. `collect_list` is per-bin (bounded by
@@ -1389,6 +1413,7 @@ object Queries {
     "q75_pmi_bigrams" -> (q75 _),
     "q76_pack_sequences" -> (q76 _),
     "q77_decontaminated_corpus" -> (q77 _),
+    "q78_gopher_rules" -> (q78 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -1512,6 +1537,15 @@ object Queries {
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 3)
         .orderBy(col("query_id"), col("rank"))
+    }),
+    // SemDeDup (cluster-bucketed embedding near-dup): k-means cells bound
+    // the candidate pairs, assignment is a map-only literal argmax (no
+    // oracle: the trained clustering is not ANSI-expressible; correctness
+    // is pinned by the nCentroids=1 ≡ brute-force and planted-twin specs)
+    "t15_semantic_dedup" -> ((s: SparkSession, dir: String) => {
+      Similarity.semanticNearDupPairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.35, nCentroids = 16)
+        .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
     }),
     // --- trace engine: oracled via the raw-structure fixture export -------
     // (FixtureOracle writes pure-posexplode parquet; the DuckDB SQL below
@@ -2137,6 +2171,43 @@ object Queries {
          |WHERE doc_id % 50 <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM hits)
          |GROUP BY source ORDER BY source""".stripMargin,
+    "q78_gopher_rules" -> {
+      val stopIn = graft.functions.TextFunctions.gopherStops
+        .map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH tk AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+         | m AS (SELECT doc_id,
+         |   len(t) AS n_tokens,
+         |   CASE WHEN len(t) > 0 THEN
+         |     CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+         |       / len(t) ELSE 0.0 END AS mwl,
+         |   CASE WHEN len(t) > 0 THEN
+         |     CAST(length(text) - length(replace(text, '#', ''))
+         |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |       / len(t) ELSE 0.0 END AS sym,
+         |   CAST(len(list_filter(string_split(text, chr(10)),
+         |       l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+         |     / len(string_split(text, chr(10))) AS bullet,
+         |   CAST(len(list_filter(string_split(text, chr(10)),
+         |       l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+         |     AS DOUBLE) / len(string_split(text, chr(10))) AS ell,
+         |   CASE WHEN len(t) > 0 THEN
+         |     CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+         |       AS DOUBLE) / len(t) ELSE 0.0 END AS alpha,
+         |   len(list_filter(t, x -> x IN $stopIn)) AS n_stop
+         | FROM tk)
+         |SELECT doc_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round(mwl, 6) AS mean_word_len,
+         |  round(sym, 6) AS symbol_ratio,
+         |  round(bullet, 6) AS bullet_frac,
+         |  round(ell, 6) AS ellipsis_frac,
+         |  round(alpha, 6) AS alpha_frac,
+         |  CAST(n_stop AS BIGINT) AS n_stop,
+         |  (n_tokens BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
+         |    AND sym <= 0.1 AND bullet <= 0.9 AND ell <= 0.3
+         |    AND alpha >= 0.8 AND n_stop >= 2) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
     "q73_vocab_build" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
          | f AS (SELECT token, count(*) AS n FROM tok GROUP BY token

@@ -180,6 +180,73 @@ object TextFunctions {
       round(avgLen, 6).as("avg_token_len"))
   }
 
+  /** Required-stopword list for [[gopherStruct]]'s rule 7 (Rae et al.
+    * 2021, appendix A1.1 — public). Occurrence-counted: a document
+    * passes when its tokens include at least `minStops` hits from this
+    * list, repeats included (the paper's phrasing admits either reading;
+    * occurrence counting is pinned here and in the oracle SQL). */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document-quality rule set (Rae et al. 2021, appendix
+    * A1.1 — public heuristics), as one codegen'd struct column:
+    *
+    *   1. `n_tokens` in [`minWords`, `maxWords`]
+    *   2. mean word length in [3, 10]
+    *   3. symbol-to-word ratio (`#` chars + `...` runs) ≤ 0.1
+    *   4. ≤ 90% of lines start with a bullet (`-`, `*`, `•`)
+    *   5. ≤ 30% of lines end with an ellipsis (`...` or `…`)
+    *   6. ≥ 80% of words contain an alphabetic character
+    *   7. ≥ `minStops` occurrences of [[gopherStops]]
+    *
+    * `keep` is the conjunction. Pure built-in expressions (HOF filters
+    * over a pre-tokenized array, `endswith`/`substr` line tests), so the
+    * whole rule set stays inside whole-stage codegen and is expressible
+    * verbatim in ANSI SQL for the oracle. Empty documents define every
+    * ratio as 0 (and fail rules 1 and 7). Pass a MATERIALIZED token
+    * array column (see [[shinglesFromTokens]] for why): lambdas
+    * re-evaluate unmaterialized argument subtrees per element. */
+  def gopherStruct(text: Column, toks: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStops: Int = 2): Column = {
+    val nToks = size(toks)
+    val nToksD = nToks.cast("double")
+    val meanLen = when(nToks > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / nToksD).otherwise(lit(0.0))
+    val hashCnt = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipsisCnt = size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))
+    val symbolRatio = when(nToks > 0,
+      (hashCnt + ellipsisCnt).cast("double") / nToksD).otherwise(lit(0.0))
+    val lines = split(text, "\n")
+    val nLinesD = size(lines).cast("double")
+    val bulletFrac =
+      size(filter(lines, l =>
+        substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("double") /
+        nLinesD
+    val ellipsisFrac =
+      size(filter(lines, l =>
+        endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+        .cast("double") / nLinesD
+    val alphaFrac = when(nToks > 0,
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nToksD)
+      .otherwise(lit(0.0))
+    val nStop = size(filter(toks, t => t.isin(gopherStops: _*)))
+    val keep = nToks.between(minWords, maxWords) &&
+      meanLen.between(3.0, 10.0) && symbolRatio <= 0.1 &&
+      bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      alphaFrac >= 0.8 && nStop >= minStops
+    struct(
+      nToks.cast("long").as("n_tokens"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_frac"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      nStop.cast("long").as("n_stop"),
+      keep.as("keep"))
+  }
+
   /** Token-distribution Shannon entropy per document — the standard
     * repetition/boilerplate signal for training-data quality filtering
     * (low entropy = a few tokens dominate = likely spam or template).

@@ -485,6 +485,69 @@ object Similarity {
     ivfPqTopKFromIndex(buildIvfPqIndex(corpus, idCol, vecCol, nCells, m,
       kCent), corpus, queries, idCol, vecCol, k, nProbe, rerank)
 
+  /** Map-only nearest-centroid id: the (bounded, driver-resident)
+    * centroid array folds into ONE literal argmax expression — a pure
+    * projection with no crossJoin, no window, no shuffle. Tie-break:
+    * lowest cent_id (encoded as the negated id so the lexicographic
+    * struct max picks it). For very large centroid counts (≫10³) prefer
+    * the broadcast-join [[assignCells]]; a literal that big bloats the
+    * plan. */
+  private def nearestCellExpr(cents: Array[Array[Double]],
+      v: Column): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(dotCol(v, typedLit(c.toSeq)).as("s"),
+        lit(-i.toLong).as("neg_id"))
+    }
+    -array_max(array(scored: _*)).getField("neg_id")
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * public): cluster the embedding space with the deterministic
+    * spherical k-means trainer ([[trainCentroids]]), then compare
+    * vectors ONLY within their cluster cell — cells bound the candidate
+    * set the way LSH bands do for text, turning the O(n²) cosine search
+    * into Σ|cell|² with a map-only assignment stage
+    * ([[nearestCellExpr]]: centroids fold into a literal argmax — the
+    * corpus never shuffles for assignment, only the within-cell
+    * equi-join shuffles, on an 8-byte cell key, and AQE can skew-split
+    * a hot cell). At 100 TB size `nCentroids` ∝ √corpus so cells stay
+    * bounded, and train once / reuse across batches.
+    *
+    * Exactness: identical vectors always share a cell (same argmax), so
+    * EXACT duplicates have recall 1; near-dup recall follows SemDeDup's
+    * premise that semantic duplicates cluster together. `nCentroids=1`
+    * degenerates to the exact all-pairs search (pinned by a test).
+    * Emits (vec_a, vec_b, cell, cos_sim), vec_a < vec_b. */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int = 16, kmeansIters: Int = 4,
+      knownCount: Option[Long] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(df, idCol, vecCol, nCentroids, kmeansIters,
+      knownCount = knownCount)
+      .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val assigned = df.select(col(idCol).as("id"),
+        l2Normalize(col(vecCol)).as("nv"))
+      .withColumn("cell", nearestCellExpr(cents, col("nv")))
+    val l = assigned.select(col("cell"), col("id").as("vec_a"),
+      col("nv").as("va"))
+    val r = assigned.select(col("cell"), col("id").as("vec_b"),
+      col("nv").as("vb"))
+    l.join(r, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(dotCol(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cell"), col("cos_sim"))
+  }
+
+  /** Ids to DROP under [[semanticNearDupPairs]] with the keep-lowest-id
+    * policy (the SemDeDup dedup step: one survivor per semantic
+    * duplicate pair). */
+  def semanticDrops(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int = 16): DataFrame =
+    semanticNearDupPairs(df, idCol, vecCol, threshold, nCentroids)
+      .select(col("vec_b").as("dropped")).distinct()
+
   /** Sign-bucket LSH: bucket id = sign bits of `planes` SEEDED random
     * hyperplane projections (classic SimHash-style random projection —
     * deterministic for a given seed, so bucketing is reproducible across

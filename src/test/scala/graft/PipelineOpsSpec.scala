@@ -183,6 +183,85 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("gopherStruct: each quality rule trips on its own pathology") {
+    def g(text: String, minWords: Int = 5): org.apache.spark.sql.Row = {
+      Seq(text).toDF("text")
+        .select(col("text"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(TextFunctions.gopherStruct(col("text"), col("toks"),
+          minWords = minWords).as("g"))
+        .select("g.*").head()
+    }
+    // clean doc: passes everything (stop words 'the' ×2)
+    val ok = g("the quick brown fox jumps over the lazy dog today")
+    assert(ok.getAs[Boolean]("keep"))
+    assert(ok.getAs[Long]("n_tokens") === 10L)
+    assert(ok.getAs[Long]("n_stop") === 2L)
+    // rule 1: too short
+    assert(!g("the of and", minWords = 5).getAs[Boolean]("keep"))
+    // rule 2: mean word length out of [3, 10]
+    val shortWords = g("a b c d e f g h the of")
+    assert(shortWords.getAs[Double]("mean_word_len") < 3.0 &&
+      !shortWords.getAs[Boolean]("keep"))
+    // rule 3: symbol soup — '#' chars and '...' runs vs 6 words
+    val sym = g("the # tag # and # more ... stuff ... here the with")
+    assert(sym.getAs[Double]("symbol_ratio") > 0.1 &&
+      !sym.getAs[Boolean]("keep"))
+    // rule 4: all lines bulleted
+    val bullets = g("- the first item\n* the second item\n• the third one")
+    assert(bullets.getAs[Double]("bullet_frac") === 1.0 &&
+      !bullets.getAs[Boolean]("keep"))
+    // rule 5: every line trails off...
+    val ell = g("the start of it...\nthe middle of it…\nthe end of it...")
+    assert(ell.getAs[Double]("ellipsis_frac") === 1.0 &&
+      !ell.getAs[Boolean]("keep"))
+    // rule 6: digit-dominated tokens
+    val nums = g("111 222 333 444 555 666 777 888 the of")
+    assert(nums.getAs[Double]("alpha_frac") === 0.2 &&
+      !nums.getAs[Boolean]("keep"))
+    // rule 7: no required stop words at all
+    val noStop = g("quick brown foxes jump over lazy dogs every single day")
+    assert(noStop.getAs[Long]("n_stop") === 0L &&
+      !noStop.getAs[Boolean]("keep"))
+    // empty text: ratios defined as 0, rules 1 and 7 fail, no NaN/null
+    val empty = g("")
+    assert(empty.getAs[Long]("n_tokens") === 0L &&
+      empty.getAs[Double]("mean_word_len") === 0.0 &&
+      empty.getAs[Double]("alpha_frac") === 0.0 &&
+      !empty.getAs[Boolean]("keep"))
+  }
+
+  test("semanticNearDupPairs: cells bound candidates; nCentroids=1 is exact") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val brute = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.4)
+      .cache()
+    assert(brute.count() > 0) // threshold chosen non-vacuous for this data
+    // one cell → the within-cell search IS the exact all-pairs search
+    val one = Similarity.semanticNearDupPairs(vecs, "vec_id", "embedding",
+        0.4, nCentroids = 1)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+    assert(one.except(brute).isEmpty && brute.except(one).isEmpty)
+    // soundness at real cell counts: every reported pair is a true pair
+    // with the exact brute-force score (subset; recall is the clustering's)
+    val sem = Similarity.semanticNearDupPairs(vecs, "vec_id", "embedding",
+        0.4, nCentroids = 8)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+    assert(sem.except(brute).isEmpty)
+    // planted exact twins share an argmax cell by construction → recall 1
+    val twins = vecs.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val planted = vecs.select("vec_id", "embedding").unionByName(twins)
+    val found = Similarity.semanticNearDupPairs(planted, "vec_id",
+        "embedding", 0.999, nCentroids = 8)
+      .filter(col("vec_b") === col("vec_a") + 100000L && col("vec_a") < 5)
+    assert(found.count() === 5)
+    // drop policy: the higher id of each twin pair is dropped, never both
+    val drops = Similarity.semanticDrops(planted, "vec_id", "embedding",
+      0.999, nCentroids = 8).as[Long].collect().toSet
+    assert((0L until 5L).forall(i => drops.contains(i + 100000L)
+      && !drops.contains(i)))
+    brute.unpersist()
+  }
+
   test("fingerprint is normalization-invariant") {
     val df = Seq(("Hello,  World!", "hello world")).toDF("a", "b")
     val r = df.select(
