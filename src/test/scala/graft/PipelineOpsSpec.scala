@@ -230,6 +230,54 @@ class PipelineOpsSpec extends SparkTestBase {
       !empty.getAs[Boolean]("keep"))
   }
 
+  test("l2_normalize kernel ≡ HOF form bit-exact; interpreted ≡ generated") {
+    import org.apache.spark.sql.Column
+    // the pre-kernel HOF spelling, verbatim — the oracle hashes were
+    // verified against THIS, so the kernel must match it bit-for-bit
+    def hofNorm(v: Column): Column = {
+      val dv = transform(v, x => coalesce(x.cast("double"), lit(0.0)))
+      val norm = coalesce(sqrt(Similarity.dotCol(dv, dv)), lit(0.0))
+      when(norm > 0, transform(dv, x => coalesce(x / norm, lit(0.0))))
+        .otherwise(dv)
+    }
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ref = vecs.orderBy("vec_id")
+      .select(hofNorm(col("embedding")).as("nv"))
+      .collect().map(_.getSeq[Double](0))
+    def kernelWith(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try vecs.orderBy("vec_id")
+        .select(Similarity.l2Normalize(col("embedding")).as("nv"))
+        .collect().map(_.getSeq[Double](0))
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(kernelWith("CODEGEN_ONLY").toSeq === ref.toSeq)
+    assert(kernelWith("NO_CODEGEN").toSeq === ref.toSeq)
+    // edges: zero vector passes through as zeros (no NaN), null element
+    // reads as 0.0, null row stays null, double input skips the cast
+    val edge = Seq(
+      (1L, Seq(0.0f, 0.0f)),
+      (2L, Seq(3.0f, 4.0f)),
+      (3L, null.asInstanceOf[Seq[Float]])).toDF("id", "v")
+      .select(col("id"), Similarity.l2Normalize(col("v")).as("nv"))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Double](1)))
+      .toMap
+    assert(edge(1L) === Seq(0.0, 0.0))
+    assert(edge(2L) === Seq(0.6, 0.8))
+    assert(edge(3L) === null)
+    val withNullElem = Seq((1L, Seq[java.lang.Double](1.0, null, 0.0)))
+      .toDF("id", "v")
+      .select(Similarity.l2Normalize(col("v")).as("nv"))
+      .head().getSeq[Double](0)
+    assert(withNullElem === Seq(1.0, 0.0, 0.0))
+    // type discipline: downstream kernels rely on containsNull=false
+    assert(vecs.select(Similarity.l2Normalize(col("embedding")).as("nv"))
+      .schema("nv").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false))
+  }
+
   test("semanticNearDupPairs: cells bound candidates; nCentroids=1 is exact") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
     val brute = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.4)
