@@ -873,6 +873,82 @@ object Queries {
         col("g.keep").as("keep"))
       .orderBy(col("doc_id"))
 
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): rank raw
+    * documents by how much likelier their unigrams are under a
+    * target-domain LM (here: the `src0` source) than under the
+    * raw-corpus LM — the standard domain-reweighting score for training
+    * mixtures. Hashes-not-strings discipline (q41's): tf, the weight
+    * table, and every shuffle key on `xxhash64(term)` 8-byte longs;
+    * term strings never outlive the tokenizer projection and never
+    * appear in the output. BOTH ±0.5-smoothed LMs derive from the ONE
+    * tf pass (q40's exchange-reuse pattern — target counts are a
+    * conditional sum over the same rows), and the three corpus totals
+    * fold in as ONE broadcast scalar row. At 100 TB the weight table is
+    * vocabulary-sized and stays distributed; only the scalar row is
+    * driver-resident. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tf = d
+      .select(col("doc_id"), (col("source") === "src0").as("is_tgt"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("is_tgt"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), col("is_tgt"), xxhash64(col("term")).as("h"))
+      .groupBy(col("doc_id"), col("is_tgt"), col("h"))
+      .agg(count(lit(1)).as("tf"))
+    val w = tf.groupBy(col("h"))
+      .agg(sum(col("tf")).as("raw_cnt"),
+        sum(when(col("is_tgt"), col("tf")).otherwise(lit(0L))).as("tgt_cnt"))
+    val totals = w.agg(
+      sum(col("raw_cnt")).cast("double").as("raw_tot"),
+      sum(col("tgt_cnt")).cast("double").as("tgt_tot"),
+      count(lit(1)).cast("double").as("vocab"))
+    tf.join(w, Seq("h"))
+      .crossJoin(broadcast(totals))
+      .withColumn("llr",
+        log((col("tgt_cnt") + 0.5) / (col("tgt_tot") + 0.5 * col("vocab"))) -
+        log((col("raw_cnt") + 0.5) / (col("raw_tot") + 0.5 * col("vocab"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("tf") * col("llr")), 6).as("importance"))
+      .orderBy(col("importance").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  /** CCNet-style unigram-LM filter (Wenzek et al., LREC 2020 — their
+    * KenLM perplexity gate, collapsed to the unigram case): score every
+    * document by its cross-entropy under a reference LM estimated from
+    * the `lang='en'` slice, keep the best-scoring head. Same skeleton as
+    * [[q79]] — one hashed tf pass feeds both the LM counts (conditional
+    * sum) and the per-doc probe, totals ride ONE broadcast scalar row,
+    * shuffles carry 8-byte hashes. Output is the 20 lowest-cross-entropy
+    * docs; cross-entropy (not exp'd perplexity) keeps the compared
+    * values in a numerically tame range. */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tf = d
+      .select(col("doc_id"), (col("lang") === "en").as("is_ref"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("is_ref"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), col("is_ref"), xxhash64(col("term")).as("h"))
+      .groupBy(col("doc_id"), col("is_ref"), col("h"))
+      .agg(count(lit(1)).as("tf"))
+    val lm = tf.groupBy(col("h"))
+      .agg(sum(when(col("is_ref"), col("tf")).otherwise(lit(0L)))
+        .as("ref_cnt"))
+    val totals = lm.agg(
+      sum(col("ref_cnt")).cast("double").as("ref_tot"),
+      count(lit(1)).cast("double").as("vocab"))
+    tf.join(lm, Seq("h"))
+      .crossJoin(broadcast(totals))
+      .withColumn("logp",
+        log((col("ref_cnt") + 0.5) / (col("ref_tot") + 0.5 * col("vocab"))))
+      .groupBy(col("doc_id"))
+      .agg((-sum(col("tf") * col("logp")) / sum(col("tf"))).as("ce"))
+      .select(col("doc_id"), round(col("ce"), 6).as("cross_entropy"))
+      .orderBy(col("cross_entropy"), col("doc_id"))
+      .limit(20)
+  }
+
   /** Packed training sequences: q61 assigns token-budget bins; this
     * materializes each (source, bin) into ONE training sequence — docs
     * EOS-joined in doc_id order. `collect_list` is per-bin (bounded by
@@ -1414,6 +1490,8 @@ object Queries {
     "q76_pack_sequences" -> (q76 _),
     "q77_decontaminated_corpus" -> (q77 _),
     "q78_gopher_rules" -> (q78 _),
+    "q79_importance_weights" -> (q79 _),
+    "q80_lm_cross_entropy" -> (q80 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -2208,6 +2286,40 @@ object Queries {
          |    AND alpha >= 0.8 AND n_stop >= 2) AS keep
          |FROM m ORDER BY doc_id""".stripMargin
     },
+    "q79_importance_weights" ->
+      s"""WITH tok AS (SELECT doc_id, source = 'src0' AS is_tgt,
+         |     unnest($toksSql) AS term FROM documents),
+         | tf AS (SELECT doc_id, is_tgt, term, count(*) AS tf
+         |   FROM tok GROUP BY 1, 2, 3),
+         | w AS (SELECT term, sum(tf) AS raw_cnt,
+         |     sum(CASE WHEN is_tgt THEN tf ELSE 0 END) AS tgt_cnt
+         |   FROM tf GROUP BY term),
+         | tot AS (SELECT CAST(sum(raw_cnt) AS DOUBLE) AS raw_tot,
+         |     CAST(sum(tgt_cnt) AS DOUBLE) AS tgt_tot,
+         |     CAST(count(*) AS DOUBLE) AS vocab FROM w)
+         |SELECT doc_id, round(sum(tf * (
+         |    ln((tgt_cnt + 0.5) / (tgt_tot + 0.5 * vocab)) -
+         |    ln((raw_cnt + 0.5) / (raw_tot + 0.5 * vocab)))), 6)
+         |  AS importance
+         |FROM tf JOIN w USING (term) CROSS JOIN tot
+         |GROUP BY doc_id
+         |ORDER BY importance DESC, doc_id LIMIT 25""".stripMargin,
+    "q80_lm_cross_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_ref,
+         |     unnest($toksSql) AS term FROM documents),
+         | tf AS (SELECT doc_id, is_ref, term, count(*) AS tf
+         |   FROM tok GROUP BY 1, 2, 3),
+         | lm AS (SELECT term,
+         |     sum(CASE WHEN is_ref THEN tf ELSE 0 END) AS ref_cnt
+         |   FROM tf GROUP BY term),
+         | tot AS (SELECT CAST(sum(ref_cnt) AS DOUBLE) AS ref_tot,
+         |     CAST(count(*) AS DOUBLE) AS vocab FROM lm)
+         |SELECT doc_id, round(
+         |    -sum(tf * ln((ref_cnt + 0.5) / (ref_tot + 0.5 * vocab)))
+         |      / sum(tf), 6) AS cross_entropy
+         |FROM tf JOIN lm USING (term) CROSS JOIN tot
+         |GROUP BY doc_id
+         |ORDER BY cross_entropy, doc_id LIMIT 20""".stripMargin,
     "q73_vocab_build" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
          | f AS (SELECT token, count(*) AS n FROM tok GROUP BY token
