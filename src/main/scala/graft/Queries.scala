@@ -906,8 +906,8 @@ object Queries {
     tf.join(w, Seq("h"))
       .crossJoin(broadcast(totals))
       .withColumn("llr",
-        log((col("tgt_cnt") + 0.5) / (col("tgt_tot") + 0.5 * col("vocab"))) -
-        log((col("raw_cnt") + 0.5) / (col("raw_tot") + 0.5 * col("vocab"))))
+        log((col("tgt_cnt") + 0.5) / (col("tgt_tot") + lit(0.5) * col("vocab"))) -
+        log((col("raw_cnt") + 0.5) / (col("raw_tot") + lit(0.5) * col("vocab"))))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("tf") * col("llr")), 6).as("importance"))
       .orderBy(col("importance").desc, col("doc_id"))
@@ -941,7 +941,7 @@ object Queries {
     tf.join(lm, Seq("h"))
       .crossJoin(broadcast(totals))
       .withColumn("logp",
-        log((col("ref_cnt") + 0.5) / (col("ref_tot") + 0.5 * col("vocab"))))
+        log((col("ref_cnt") + 0.5) / (col("ref_tot") + lit(0.5) * col("vocab"))))
       .groupBy(col("doc_id"))
       .agg((-sum(col("tf") * col("logp")) / sum(col("tf"))).as("ce"))
       .select(col("doc_id"), round(col("ce"), 6).as("cross_entropy"))
