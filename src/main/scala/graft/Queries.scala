@@ -29,23 +29,35 @@ object Queries {
     * the cluster first costs one cheap shuffle and parallelizes
     * everything downstream.
     *
-    * The spread is DATA-PROPORTIONATE (8 ways for the ~5k-row bench
-    * corpus), not core-count-wide: repartitioning 5k rows 32 ways left
-    * every downstream stage paying 32 tasks of per-task setup + a 32×32
-    * shuffle fan-out per pass, and the multi-consumer dedup subtrees pay
-    * that ×3 — measured on q71 (in-JVM interleaved A/B, min over 4
-    * rounds): 32-way wall 2.45 s / 25.8 s task-time vs 8-way 2.07 s /
-    * 5.1 s, and under host contention the 32-way median task-time blew
-    * up 7× worse (42.6 s vs 5.8 s — the r5 driver-host q71 "regression"
-    * was exactly this amplification). At 100 TB the input is already
-    * many splits and this shim disappears at the ingest layer — the
-    * lesson that survives scale is parallelism ∝ data volume, not
-    * executor count. */
+    * The spread is DATA-PROPORTIONATE, not core-count-wide:
+    * repartitioning 5k rows 32 ways left every downstream stage paying
+    * 32 tasks of per-task setup + a 32×32 shuffle fan-out per pass, and
+    * the multi-consumer dedup subtrees pay that ×3 — measured on q71
+    * (in-JVM interleaved A/B, min over 4 rounds): 32-way wall 2.45 s /
+    * 25.8 s task-time vs 8-way 2.07 s / 5.1 s, and under host contention
+    * the 32-way median task-time blew up 7× worse (42.6 s vs 5.8 s — the
+    * r5 driver-host q71 "regression" was exactly this amplification).
+    *
+    * Width derives from the scan's size estimate (Catalyst plan stats —
+    * no job): one slice per MiB of input, clamped to [8 (the floor the
+    * bench measured), defaultParallelism]. The ~600 KB bench corpus
+    * lands on the floor; a bigger SPARK_GRAFT_SF_DIR widens with the
+    * data instead of funneling through a constant. At 100 TB the input
+    * is already many splits and this shim disappears at the ingest
+    * layer — the lesson that survives scale is parallelism ∝ data
+    * volume, not executor count. */
+  private def spread(df: DataFrame): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val width = ((bytes / (1L << 20)) + 1).min(BigInt(par)).max(8).toInt
+    df.repartition(width)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").repartition(8)
+    spread(t(s, dir, "documents"))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").repartition(8)
+    spread(t(s, dir, "embeddings"))
 
   /** Session-cached IVF index per (context, sfDir) — the build-once /
     * query-many ANN deployment ([[operators.Similarity.buildIvfIndex]]):
@@ -92,16 +104,23 @@ object Queries {
         (cents.localCheckpoint(), cb, codes.localCheckpoint())
       })
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    * normalize to a µs TimestampType — identical truncation to DuckDB's
-    * `epoch_us`, so oracle comparisons stay integer-exact. */
+  /** The events table has shipped `ts` both as parquet TIMESTAMP(NANOS)
+    * (which Spark refuses by default — PARQUET_TYPE_ILLEGAL — so it is
+    * read as a nanos long and truncated to µs, matching DuckDB's
+    * `epoch_us`) and as plain TIMESTAMP(MICROS) (read natively as
+    * TIMESTAMP_NTZ). Both normalize to a µs TimestampType under the
+    * UTC session, so every downstream query and oracle comparison sees
+    * one schema, integer-exact. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div`, not `/`: long `/` is double division, and ns-since-epoch
-    // exceeds 2^53 — the rounding costs ±1µs.
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // `div`, not `/`: long `/` is double division, and ns-since-epoch
+        // exceeds 2^53 — the rounding costs ±1µs.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   // ==========================================================================
@@ -567,14 +586,20 @@ object Queries {
   /** A count-threshold candidate set is UNBOUNDED on a flat or tie-heavy
     * count distribution (threshold collapses to 1 → every distinct key
     * qualifies), so broadcasting it unconditionally is an OOM at scale.
-    * Counting the candidates first is cheap — every caller's candidate
-    * frame derives from an already-localCheckpointed count table — and
-    * buys the right join: broadcast when small, shuffle hash join (same
-    * results, no driver/executor materialization) when not. */
+    * Probing the candidate cardinality first is cheap — every caller's
+    * candidate frame derives from an already-localCheckpointed count
+    * table, and the probe is BOUNDED (`limit(max+1).count()` can stop
+    * scanning once max+1 rows exist, where an exact `count()` would do
+    * unbounded work just to compare against the cap) — and buys the
+    * right join: broadcast when small, shuffle hash join (same results,
+    * no driver/executor materialization) when not. NOTE: building the
+    * returned DataFrame therefore triggers one (bounded) Spark job. */
   private def joinCandidates(big: DataFrame, cands: DataFrame,
-      joinExpr: Column, maxBroadcast: Long = 1000000): DataFrame =
-    if (cands.count() <= maxBroadcast) big.join(broadcast(cands), joinExpr)
+      joinExpr: Column, maxBroadcast: Long = 1000000): DataFrame = {
+    val probe = cands.limit((maxBroadcast + 1).toInt).count()
+    if (probe <= maxBroadcast) big.join(broadcast(cands), joinExpr)
     else big.join(cands.hint("shuffle_hash"), joinExpr)
+  }
 
   /** Bigram frequency table: top 20 corpus-wide word bigrams.
     *

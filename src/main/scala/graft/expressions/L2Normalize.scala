@@ -71,8 +71,8 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
       ss += v * v
       i += 1
     }
-    if (java.lang.Math.sqrt(ss) > 0) {
-      val norm = java.lang.Math.sqrt(ss)
+    val norm = java.lang.Math.sqrt(ss)
+    if (norm > 0) {
       var j = 0
       while (j < n) { out(j) = out(j) / norm; j += 1 }
     }

@@ -106,18 +106,36 @@ object Similarity {
     val n = knownCount.getOrElse(corpus.count())
     val take = math.max(minRows, sampleSize)
     val stride = math.max(1L, n / take)
+    // The driver-side re-sort must reproduce the RAW column's order, so
+    // the tie-break key is gated on the id's Catalyst type: integral ids
+    // re-parse from their decimal string (exact — no double rounding for
+    // longs past 2^53), fractional/decimal ids sort by double value, and
+    // string-typed ids keep PURE lexical order (a numeric-looking string
+    // id must NOT silently switch to numeric order).
+    import org.apache.spark.sql.types.{
+      ByteType, ShortType, IntegerType, LongType, NumericType}
+    val idType = corpus.schema(idCol).dataType
+    val fractional = idType match {
+      case ByteType | ShortType | IntegerType | LongType => false
+      case _: NumericType => true
+      case _ => false
+    }
+    val idn =
+      if (fractional) col(idCol).cast("double")
+      else lit(null).cast("double")
     val rows = corpus
       .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
-      .select(col(idCol).cast("string").as("id"),
-        // typed tie-break key: numeric ids must sort numerically driver-
-        // side (as the raw-column orderBy did), string ids lexically
-        col(idCol).cast("double").as("idn"),
+      .select(col(idCol).cast("string").as("id"), idn.as("idn"),
         l2Normalize(col(vecCol)).as("v"))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(take)
       .as[(String, Option[Double], Array[Double])].collect()
-    val sorted =
-      if (rows.forall(_._2.isDefined)) rows.sortBy(r => (r._2.get, r._1))
-      else rows.sortBy(_._1)
+    val sorted = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        rows.sortBy(r => (r._1.toLong, r._1))
+      case _: NumericType if rows.forall(_._2.isDefined) =>
+        rows.sortBy(r => (r._2.get, r._1))
+      case _ => rows.sortBy(_._1)
+    }
     sorted.map(_._3)
   }
 

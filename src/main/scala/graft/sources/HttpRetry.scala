@@ -32,8 +32,9 @@ object HttpRetry {
 
   /** `onRetry` fires between a transient failure and the next attempt —
     * the hook for best-effort cleanup/diagnostics on calls whose failure
-    * may have left server-side state (ES scroll opens foremost). It must
-    * not throw; callers pass side-effect-only probes. */
+    * may have left server-side state (ES scroll opens foremost). A hook
+    * that itself throws is swallowed here: retry semantics must never
+    * depend on a diagnostics side-channel behaving. */
   def withRetries[T](attempts: Int = 3, baseDelayMs: Long = 200,
       sleep: Long => Unit = Thread.sleep,
       onRetry: Throwable => Unit = _ => ())(f: => T): T = {
@@ -42,7 +43,7 @@ object HttpRetry {
       try return f
       catch {
         case t: Throwable if isTransient(t) && attempt < attempts - 1 =>
-          onRetry(t)
+          try onRetry(t) catch { case _: Throwable => () }
           sleep(baseDelayMs << attempt)
           attempt += 1
       }

@@ -65,4 +65,11 @@ class HttpRetrySpec extends AnyFunSuite {
     }
     assert(calls === 0)
   }
+
+  test("a throwing onRetry hook cannot break the retry loop") {
+    val f = flaky(2, new HttpStatusException(503, "unavailable"))("ok")
+    val got = HttpRetry.withRetries(attempts = 3, sleep = _ => (),
+      onRetry = _ => throw new RuntimeException("faulty hook"))(f())
+    assert(got === "ok") // the transient failure still retried to success
+  }
 }

@@ -594,6 +594,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(top.toSeq === Seq((1, 1L), (2, 2L), (3, 3L)))
   }
 
+  test("trainer sample order is type-faithful: string ids stay lexical, " +
+      "numeric ids numeric") {
+    // iters=0 makes centroids exactly the first-k sample vectors, so the
+    // centroid rows expose the sample ordering directly.
+    def centsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Double]] =
+      Similarity.trainCentroids(df, "id", "v", 2, iters = 0)
+        .orderBy("cent_id").collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
+    val stringIds = Seq( // numeric-LOOKING strings: lexical "1","10","2"
+      ("2", Array(0f, 0f, 1f)), ("10", Array(0f, 1f, 0f)),
+      ("1", Array(1f, 0f, 0f))).toDF("id", "v")
+    assert(centsOf(stringIds) ===
+      Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))) // "1" then "10"
+    val longIds = Seq( // same values as longs: numeric 1,2,10
+      (2L, Array(0f, 0f, 1f)), (10L, Array(0f, 1f, 0f)),
+      (1L, Array(1f, 0f, 0f))).toDF("id", "v")
+    assert(centsOf(longIds) ===
+      Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0))) // 1 then 2
+  }
+
   test("lshTopK returns bucket-consistent, at-most-k neighbors") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val qs = emb.filter(col("vec_id") < 10)
