@@ -974,6 +974,105 @@ object Queries {
       .limit(20)
   }
 
+  /** BM25 keyword retrieval (Robertson/Spärck Jones; the Lucene-form
+    * +1-inside-the-log IDF so scores stay positive): top-15 documents
+    * for a fixed 3-term query. The inverted-index shape, Spark-first:
+    * the term filter lands BEFORE the first shuffle (only postings for
+    * query terms ever leave the scan), per-term document frequencies are
+    * a 3-row broadcast, and corpus stats (N, avgdl) ride ONE broadcast
+    * scalar row. Per-doc length joins on doc_id — at 100 TB that is the
+    * only corpus-wide shuffle, and it carries (doc_id, one double). */
+  private val bm25Query = Seq("spark", "join", "vector")
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val tok = docs(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val len = tok.select(col("doc_id"),
+      size(col("toks")).cast("double").as("dl"))
+    val tf = tok
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(bm25Query: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = len.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(len, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("sc", col("idf") * col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("sc")), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  /** Duplicated-span extraction (the distributed approximation of Lee et
+    * al. 2022's suffix-array substring dedup): positions whose 5-gram
+    * shingle occurs in ≥2 distinct documents, collapsed into maximal
+    * consecutive runs by the gaps-and-islands trick (pos − row_number is
+    * constant within a run). Shuffles carry (doc_id, pos, 60-bit shingle
+    * hash) — never text; the run window partitions BY DOCUMENT, so state
+    * is bounded by one doc's length at any corpus size. Output: the 25
+    * docs with the longest cross-doc duplicated token span. */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val sp = docs(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(
+        TextFunctions.shinglesFromTokens(col("toks"), 5)))
+      .select(col("doc_id"), col("pos"),
+        TextFunctions.hash60(col("col")).as("h"))
+    val shared = sp.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("h"))
+    val marked = sp.join(shared, Seq("h"))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val runs = marked.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        (max(col("run_len")) + 4).as("longest_tokens"),
+        sum(col("run_len")).as("dup_ngrams"))
+      .orderBy(col("longest_tokens").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  /** Source-overlap matrix: vocabulary Jaccard between every pair of
+    * sources — the standard "how much do my mixture components share"
+    * diagnostic when composing a training mixture. The per-source
+    * vocabulary is a distinct (source, term-hash) set, so the self-join
+    * is an equi-join on the 60-bit hash whose per-key fan-out is bounded
+    * by #sources² (a universal term meets ≤ S sources — never the
+    * corpus), and set sizes fold in as a broadcast. Top-20 pairs. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val sv = docs(s, dir)
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .select(col("source"), TextFunctions.hash60(col("term")).as("h"))
+      .distinct()
+    val sizes = sv.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("nv"))
+    sv.as("a").join(sv.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .join(broadcast(sizes).as("sa"), col("src_a") === col("sa.source"))
+      .join(broadcast(sizes).as("sb"), col("src_b") === col("sb.source"))
+      .select(col("src_a"), col("src_b"),
+        round(col("inter") /
+          (col("sa.nv") + col("sb.nv") - col("inter")), 6)
+          .as("vocab_jaccard"))
+      .orderBy(col("vocab_jaccard").desc, col("src_a"), col("src_b"))
+      .limit(20)
+  }
+
   /** Packed training sequences: q61 assigns token-budget bins; this
     * materializes each (source, bin) into ONE training sequence — docs
     * EOS-joined in doc_id order. `collect_list` is per-bin (bounded by
@@ -1517,6 +1616,9 @@ object Queries {
     "q78_gopher_rules" -> (q78 _),
     "q79_importance_weights" -> (q79 _),
     "q80_lm_cross_entropy" -> (q80 _),
+    "q81_bm25_topk" -> (q81 _),
+    "q82_dup_spans" -> (q82 _),
+    "q83_source_overlap" -> (q83 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -1649,6 +1751,13 @@ object Queries {
       Similarity.semanticNearDupPairs(emb(s, dir), "vec_id", "embedding",
         threshold = 0.35, nCentroids = 16)
         .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+    }),
+    // cluster-balanced subsample (no oracle: the trained clustering is
+    // not ANSI-expressible; determinism + balance pinned by spec tests)
+    "t16_cluster_sample" -> ((s: SparkSession, dir: String) => {
+      Similarity.clusterBalancedSample(emb(s, dir), "vec_id", "embedding",
+        nClusters = 8, perCluster = 16)
+        .orderBy(col("cluster"), col("pick"))
     }),
     // --- trace engine: oracled via the raw-structure fixture export -------
     // (FixtureOracle writes pure-posexplode parquet; the DuckDB SQL below
@@ -2345,6 +2454,63 @@ object Queries {
          |FROM tf JOIN lm USING (term) CROSS JOIN tot
          |GROUP BY doc_id
          |ORDER BY cross_entropy, doc_id LIMIT 20""".stripMargin,
+    "q81_bm25_topk" -> {
+      val terms = bm25Query.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term
+         |     FROM documents),
+         | len AS (SELECT doc_id, CAST(len($toksSql) AS DOUBLE) AS dl
+         |   FROM documents),
+         | tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |   FROM tok WHERE term IN $terms GROUP BY 1, 2),
+         | dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |   FROM tf GROUP BY term),
+         | st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+         |   FROM len)
+         |SELECT doc_id, round(sum(
+         |    ln((n - df + 0.5) / (df + 0.5) + 1) * tf * 2.2 /
+         |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25,
+         |  CAST(count(*) AS BIGINT) AS n_terms
+         |FROM tf JOIN dfq USING (term) JOIN len USING (doc_id)
+         |  CROSS JOIN st
+         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+    },
+    "q82_dup_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | sp AS (SELECT doc_id,
+         |     unnest(generate_series(0, len(t) - 5)) AS pos,
+         |     unnest(list_transform(generate_series(1, len(t) - 4),
+         |       i -> ${H.format(
+                  "concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])")}))
+         |       AS h
+         |   FROM tk WHERE len(t) >= 5),
+         | shared AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sp)
+         |   GROUP BY h HAVING count(*) >= 2),
+         | marked AS (SELECT doc_id, pos,
+         |     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |       AS grp
+         |   FROM sp JOIN shared USING (h)),
+         | runs AS (SELECT doc_id, grp, count(*) AS run_len
+         |   FROM marked GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+         |  CAST(max(run_len) + 4 AS BIGINT) AS longest_tokens,
+         |  CAST(sum(run_len) AS BIGINT) AS dup_ngrams
+         |FROM runs GROUP BY doc_id
+         |ORDER BY longest_tokens DESC, doc_id LIMIT 25""".stripMargin,
+    "q83_source_overlap" ->
+      s"""WITH sv AS (SELECT DISTINCT source, ${H.format("term")} AS h
+         |     FROM (SELECT source, unnest($toksSql) AS term
+         |       FROM documents)),
+         | sz AS (SELECT source, CAST(count(*) AS DOUBLE) AS nv
+         |   FROM sv GROUP BY source),
+         | ov AS (SELECT a.source AS src_a, b.source AS src_b,
+         |     CAST(count(*) AS DOUBLE) AS inter
+         |   FROM sv a JOIN sv b ON a.h = b.h AND a.source < b.source
+         |   GROUP BY 1, 2)
+         |SELECT src_a, src_b,
+         |  round(inter / (sa.nv + sb.nv - inter), 6) AS vocab_jaccard
+         |FROM ov JOIN sz sa ON sa.source = ov.src_a
+         |  JOIN sz sb ON sb.source = ov.src_b
+         |ORDER BY vocab_jaccard DESC, src_a, src_b LIMIT 20""".stripMargin,
     "q73_vocab_build" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
          | f AS (SELECT token, count(*) AS n FROM tok GROUP BY token

@@ -214,6 +214,31 @@ object Similarity {
       .select(col(id), col(v), col("cent_id").as("cell"))
   }
 
+  /** Cluster-balanced sampling: assign every vector to its nearest
+    * trained centroid, then keep the `perCluster` hash-smallest ids per
+    * cluster — the topic-flattening subsample (the selection step of
+    * cluster-based data curation à la SemDeDup §4 / DoReMi-style domain
+    * balancing) that stops a dominant cluster from dominating the
+    * sample. Assignment is the map-only broadcast argmax; the pick is a
+    * per-cluster window top-k, so state is bounded by `perCluster` per
+    * cluster at any corpus size, and the hash order makes the sample
+    * content-deterministic (re-runs and re-partitions agree). */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String,
+      vecCol: String, nClusters: Int = 8, perCluster: Int = 16)
+      : DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nClusters)
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("sid"),
+        l2Normalize(col(vecCol)).as("cv")),
+      cents, "sid", "cv", keep = 1)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(xxhash64(col("sid")), col("sid"))
+    assigned
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= perCluster)
+      .select(col("sid").as(idCol), col("cell").as("cluster"), col("pick"))
+  }
+
   /** Build the IVF index: trained centroids + the corpus assigned to its
     * cells (normalized vectors). This is the expensive phase — persist it
     * with [[saveIvfIndex]] and serve queries from the load, the standard

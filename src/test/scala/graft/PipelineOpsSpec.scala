@@ -614,6 +614,94 @@ class PipelineOpsSpec extends SparkTestBase {
       Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0))) // 1 then 2
   }
 
+  // Planted-documents harness for the retrieval/span/overlap queries:
+  // writes a documents.parquet under a temp dir and runs the registered
+  // query against it, exercising the same path the driver verifies.
+  private def withDocs[T](rows: Seq[(Long, String, String)])(
+      run: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs")
+      .toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    run(dir)
+  }
+
+  test("q81 BM25 scores match the closed-form formula on planted docs") {
+    val corpus = Seq(
+      (1L, "spark join spark", "s0"),          // both rare terms, short
+      (2L, "spark filler filler filler", "s0"),
+      (3L, "join vector filler filler", "s0"),
+      (4L, "filler filler filler filler", "s0")) // no query terms
+    withDocs(corpus) { dir =>
+      val got = SparkEntry.queries("q81_bm25_topk")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      // closed form: N=4, avgdl=3.75; df(spark)=2, df(join)=2, df(vector)=1
+      def idf(df: Double) = math.log((4 - df + 0.5) / (df + 0.5) + 1)
+      def sc(tf: Double, df: Double, dl: Double) =
+        idf(df) * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.75))
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expect = Map(
+        1L -> r6(sc(2, 2, 3) + sc(1, 2, 3)),         // spark×2 + join
+        2L -> r6(sc(1, 2, 4)),                        // spark
+        3L -> r6(sc(1, 2, 4) + sc(1, 1, 4)))          // join + vector
+      assert(got.map(r => r._1 -> r._2).toMap === expect)
+      assert(got.map(r => r._1 -> r._3).toMap ===
+        Map(1L -> 2L, 2L -> 1L, 3L -> 2L)) // distinct matched terms
+      assert(!got.exists(_._1 == 4L)) // no-term doc never scored
+      // ranking: sorted by score desc then doc_id
+      assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+    }
+  }
+
+  test("q82 collapses shared shingle positions into maximal runs") {
+    val shared = (1 to 7).map(i => s"w$i").mkString(" ") // 7 shared tokens
+    val corpus = Seq(
+      (1L, s"$shared a1 a2 a3", "s0"),  // shared prefix → 3 shared 5-grams
+      (2L, s"$shared b1 b2 b3", "s0"),  // same prefix, different tail
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10", "s0")) // nothing shared
+    withDocs(corpus) { dir =>
+      val got = SparkEntry.queries("q82_dup_spans")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // docs 1,2 share 5-gram positions 0,1,2 → ONE run of 3 shingles =
+      // a 7-token duplicated span; doc 3 is absent
+      assert(got.toSeq === Seq((1L, 1L, 7L, 3L), (2L, 1L, 7L, 3L)))
+    }
+  }
+
+  test("q83 vocabulary Jaccard: hand-checked pair, no-overlap pairs absent") {
+    val corpus = Seq(
+      (1L, "a b c", "A"), (2L, "b c d", "B"), (3L, "x y", "C"))
+    withDocs(corpus) { dir =>
+      val got = SparkEntry.queries("q83_source_overlap")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      // |A∩B| = {b,c} = 2, |A∪B| = 4 → 0.5; C shares nothing → no row
+      assert(got.toSeq === Seq(("A", "B", 0.5)))
+    }
+  }
+
+  test("clusterBalancedSample caps every cluster and is deterministic") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val s1 = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      nClusters = 4, perCluster = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val perCluster = s1.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perCluster.values.forall(_ <= 5))
+    assert(perCluster.keySet.subsetOf((0L until 4L).toSet))
+    // picks are contiguous ranks from 1 within each cluster
+    s1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+    // content-deterministic: an independent second build agrees exactly
+    val s2 = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      nClusters = 4, perCluster = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(s1.sortBy(r => (r._2, r._3)).toSeq ===
+      s2.sortBy(r => (r._2, r._3)).toSeq)
+  }
+
   test("lshTopK returns bucket-consistent, at-most-k neighbors") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val qs = emb.filter(col("vec_id") < 10)
