@@ -106,6 +106,26 @@ object ExplainCheck {
       check(s"q59 hash-sample adds no extra hash shuffles (got $n: " +
         "ingest repartition + final agg only)", n <= 2)
     }
+    // BM25: the 3-row df table and the scalar stats row must both ride
+    // broadcasts (df as a hash join, stats as a broadcast nested-loop on
+    // a single row); the only corpus-wide shuffle is the doc-length join
+    check("q81 broadcasts df and corpus stats, no cartesian product", {
+      val p = plan("q81_bm25_topk")
+      p.contains("BroadcastHashJoin") &&
+        p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct")
+    })
+    check("q82 shared-shingle join is an equi-join, no cartesian product", {
+      val p = plan("q82_dup_spans")
+      p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin")
+    } && !plan("q82_dup_spans").contains("CartesianProduct"))
+    check("q83 vocab overlap equi-joins on the term hash and broadcasts " +
+      "set sizes", {
+      val p = plan("q83_source_overlap")
+      !p.contains("CartesianProduct") &&
+        "BroadcastHashJoin".r.findAllIn(p).length >= 2
+    })
     println("all plan assertions hold")
     spark.stop()
   }
