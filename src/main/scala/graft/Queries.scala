@@ -1044,6 +1044,54 @@ object Queries {
       .limit(25)
   }
 
+  /** Canonical-representative selection: the keep-BEST-of-cluster dedup
+    * policy (vs q06/q65's keep-first) — near-dup clusters from q64's
+    * exact-Jaccard connected components, representative = the
+    * highest-token-entropy member (ties → lowest doc_id), the standard
+    * "retain the least-templated copy" rule. Cluster membership joins
+    * the per-doc entropy on doc_id; the argmax is a per-cluster window
+    * whose state is bounded by cluster size. Only multi-doc clusters
+    * appear (singletons are trivially their own representative). */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.8))
+      .select(col("node").as("doc_id"), col("lbl").as("cluster"))
+    val ent = TextFunctions.tokenEntropy(d, "doc_id", "text")
+    clusters.join(ent, Seq("doc_id"))
+      .withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("entropy").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("n_docs"),
+        col("doc_id").as("rep_doc"), col("entropy").as("rep_entropy"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Temperature-reweighted mixture sizing (the multilingual/multi-source
+    * rebalance from the GPT-3/PaLM data recipes: sampling weight
+    * ∝ p_s^τ, τ=0.7 < 1 upweights small sources): per-source token
+    * counts → w_s = n_s^τ / Σ n^τ → token budget per source for a fixed
+    * 10^9-token draw. One groupBy; the normalizer folds in as a
+    * broadcast scalar row — source cardinality, not corpus size, bounds
+    * everything after the first aggregation. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.7
+    val per = docs(s, dir)
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("tokens"))
+    val z = per.agg(
+      sum(pow(col("tokens").cast("double"), tau)).as("z"))
+    per.crossJoin(broadcast(z))
+      .withColumn("w", pow(col("tokens").cast("double"), tau) / col("z"))
+      .select(col("source"), col("tokens"),
+        round(col("w"), 6).as("weight"),
+        round(lit(1e9) * col("w"), 0).cast("long").as("budget_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Source-overlap matrix: vocabulary Jaccard between every pair of
     * sources — the standard "how much do my mixture components share"
     * diagnostic when composing a training mixture. The per-source
@@ -1619,6 +1667,8 @@ object Queries {
     "q81_bm25_topk" -> (q81 _),
     "q82_dup_spans" -> (q82 _),
     "q83_source_overlap" -> (q83 _),
+    "q84_cluster_reps" -> (q84 _),
+    "q85_temperature_mix" -> (q85 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -2496,6 +2546,50 @@ object Queries {
          |  CAST(sum(run_len) AS BIGINT) AS dup_ngrams
          |FROM runs GROUP BY doc_id
          |ORDER BY longest_tokens DESC, doc_id LIMIT 25""".stripMargin,
+    "q84_cluster_reps" ->
+      s"""${shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |     count(*) AS inter
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |   GROUP BY 1, 2),
+         | p AS (SELECT doc_a, doc_b FROM inter
+         |   JOIN sz za ON doc_a = za.doc_id
+         |   JOIN sz zb ON doc_b = zb.doc_id
+         |   WHERE CAST(inter AS DOUBLE) /
+         |     CAST(za.n_sh + zb.n_sh - inter AS DOUBLE) >= 0.8),
+         | e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |   UNION SELECT doc_b, doc_a FROM p),
+         | r AS (SELECT a AS node, a AS reach FROM e
+         |   UNION
+         |   SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+         | cl AS (SELECT node AS doc_id, CAST(min(reach) AS BIGINT)
+         |     AS cluster FROM r GROUP BY node),
+         | tok AS (SELECT doc_id, unnest($toksSql) AS tk FROM documents),
+         | tc AS (SELECT doc_id, tk, count(*) AS n FROM tok GROUP BY 1, 2),
+         | ent AS (SELECT doc_id,
+         |     round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+         |   FROM tc GROUP BY doc_id),
+         | j AS (SELECT cl.cluster, cl.doc_id, ent.entropy,
+         |     count(*) OVER (PARTITION BY cl.cluster) AS nd,
+         |     row_number() OVER (PARTITION BY cl.cluster
+         |       ORDER BY ent.entropy DESC, cl.doc_id) AS rn
+         |   FROM cl JOIN ent USING (doc_id))
+         |SELECT cluster, CAST(nd AS BIGINT) AS n_docs,
+         |  doc_id AS rep_doc, entropy AS rep_entropy
+         |FROM j WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "q85_temperature_mix" ->
+      s"""WITH per AS (SELECT source,
+         |     CAST(sum(len($toksSql)) AS BIGINT) AS tokens
+         |   FROM documents GROUP BY source),
+         | z AS (SELECT sum(pow(CAST(tokens AS DOUBLE), 0.7)) AS z
+         |   FROM per)
+         |SELECT source, tokens,
+         |  round(pow(CAST(tokens AS DOUBLE), 0.7) / z, 6) AS weight,
+         |  CAST(round(1e9 * pow(CAST(tokens AS DOUBLE), 0.7) / z, 0)
+         |    AS BIGINT) AS budget_tokens
+         |FROM per CROSS JOIN z ORDER BY source""".stripMargin,
     "q83_source_overlap" ->
       s"""WITH sv AS (SELECT DISTINCT source, ${H.format("term")} AS h
          |     FROM (SELECT source, unnest($toksSql) AS term

@@ -682,6 +682,47 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q84 keeps the highest-entropy member of each near-dup cluster") {
+    val w16 = (1 to 16).map(i => s"w$i").mkString(" ")
+    val w15rep = ((1 to 15).map(i => s"w$i") :+ "w1").mkString(" ")
+    val corpus = Seq(
+      (1L, "a b c d e f", "s0"),  // exact pair {1,2}: tie → lowest id
+      (2L, "a b c d e f", "s0"),
+      (3L, w16, "s0"),            // near-dup pair {3,4}, J = 13/15
+      (4L, w15rep, "s0"),         // repeated w1 → strictly lower entropy
+      (5L, "lone doc with nothing shared here at all", "s0"))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    withDocs(corpus) { dir =>
+      val got = SparkEntry.queries("q84_cluster_reps")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq === Seq(
+        (1L, 2L, 1L, r6(math.log(6))),    // 6 distinct tokens, tie → doc 1
+        (3L, 2L, 3L, r6(math.log(16))))) // doc 3 beats the repeat in doc 4
+    }
+  }
+
+  test("q85 temperature weights follow n^tau / sum(n^tau)") {
+    val corpus = Seq(
+      (1L, "t t t t t t t t", "A"), // 8 tokens
+      (2L, "u", "B"))               // 1 token
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    withDocs(corpus) { dir =>
+      val got = SparkEntry.queries("q85_temperature_mix")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val z = math.pow(8, 0.7) + 1.0
+      val wA = math.pow(8, 0.7) / z
+      assert(got.toSeq === Seq(
+        ("A", 8L, r6(wA), math.round(1e9 * wA)),
+        ("B", 1L, r6(1.0 / z), math.round(1e9 / z))))
+      // temperature < 1 upweights the small source above its raw share
+      assert(1.0 / z > 1.0 / 9.0)
+    }
+  }
+
   test("clusterBalancedSample caps every cluster and is deterministic") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val s1 = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
