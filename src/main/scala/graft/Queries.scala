@@ -1044,6 +1044,53 @@ object Queries {
       .limit(25)
   }
 
+  /** Stupid-Backoff bigram LM scoring (Brants et al. 2007 — the
+    * smoothing-free LM built exactly because it scales on MapReduce-style
+    * engines): score every document by its mean log-score under a bigram
+    * LM estimated from the `lang='en'` reference slice, backing off to
+    * α=0.4 times the (+0.5-smoothed) unigram when a bigram is unseen.
+    * The occurrence stream and both LM tables key on 60-bit token
+    * hashes, so every shuffle carries hashes and counts — token strings
+    * die in the tokenizer projection. The unigram table is
+    * localCheckpointed once for its three consumers (n_a, n_b, totals);
+    * totals ride ONE broadcast scalar row. At 100 TB the LM tables are
+    * vocabulary-sized, the big side streams through two hash joins. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val tk = docs(s, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("is_ref"),
+        TextFunctions.tokens(col("text")).as("toks"))
+    val occ = tk
+      .select(col("doc_id"), col("is_ref"), col("toks"),
+        posexplode(col("toks")))
+      .filter(col("pos") < size(col("toks")) - 1)
+      .select(col("doc_id"), col("is_ref"),
+        TextFunctions.hash60(col("col")).as("ha"),
+        TextFunctions.hash60(get(col("toks"), col("pos") + 1)).as("hb"))
+    val bg = occ.filter(col("is_ref")).groupBy(col("ha"), col("hb"))
+      .agg(count(lit(1)).cast("double").as("n_ab"))
+    val uni = tk.filter(col("is_ref"))
+      .select(explode(col("toks")).as("w"))
+      .select(TextFunctions.hash60(col("w")).as("hw"))
+      .groupBy(col("hw")).agg(count(lit(1)).cast("double").as("n_w"))
+      .localCheckpoint()
+    val tot = uni.agg(sum(col("n_w")).as("n"),
+      count(lit(1)).cast("double").as("v"))
+    occ.join(bg, Seq("ha", "hb"), "left")
+      .join(uni.select(col("hw").as("ha"), col("n_w").as("n_a")),
+        Seq("ha"), "left")
+      .join(uni.select(col("hw").as("hb"), col("n_w").as("n_b")),
+        Seq("hb"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("sc",
+        when(col("n_ab").isNotNull, col("n_ab") / col("n_a"))
+          .otherwise(lit(0.4) * (coalesce(col("n_b"), lit(0.0)) + 0.5) /
+            (col("n") + lit(0.5) * col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("sc"))), 6).as("avg_logp"))
+      .orderBy(col("avg_logp").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Canonical-representative selection: the keep-BEST-of-cluster dedup
     * policy (vs q06/q65's keep-first) — near-dup clusters from q64's
     * exact-Jaccard connected components, representative = the
@@ -1669,6 +1716,7 @@ object Queries {
     "q83_source_overlap" -> (q83 _),
     "q84_cluster_reps" -> (q84 _),
     "q85_temperature_mix" -> (q85 _),
+    "q86_stupid_backoff" -> (q86 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -2546,6 +2594,35 @@ object Queries {
          |  CAST(sum(run_len) AS BIGINT) AS dup_ngrams
          |FROM runs GROUP BY doc_id
          |ORDER BY longest_tokens DESC, doc_id LIMIT 25""".stripMargin,
+    "q86_stupid_backoff" ->
+      s"""WITH tk AS (SELECT doc_id, lang = 'en' AS is_ref, $toksSql AS t
+         |     FROM documents),
+         | occ AS (SELECT doc_id, is_ref,
+         |     unnest(list_transform(generate_series(1, len(t) - 1),
+         |       i -> ${H.format("t[i]")})) AS ha,
+         |     unnest(list_transform(generate_series(1, len(t) - 1),
+         |       i -> ${H.format("t[i+1]")})) AS hb
+         |   FROM tk WHERE len(t) >= 2),
+         | bg AS (SELECT ha, hb, CAST(count(*) AS DOUBLE) AS n_ab
+         |   FROM occ WHERE is_ref GROUP BY 1, 2),
+         | uni AS (SELECT ${H.format("w")} AS hw,
+         |     CAST(count(*) AS DOUBLE) AS n_w
+         |   FROM (SELECT unnest(t) AS w FROM tk WHERE is_ref)
+         |   GROUP BY 1),
+         | tot AS (SELECT sum(n_w) AS n, CAST(count(*) AS DOUBLE) AS v
+         |   FROM uni),
+         | sc AS (SELECT occ.doc_id,
+         |     CASE WHEN bg.n_ab IS NOT NULL THEN bg.n_ab / na.n_w
+         |       ELSE 0.4 * (coalesce(nb.n_w, 0) + 0.5) / (n + 0.5 * v)
+         |     END AS s
+         |   FROM occ
+         |   LEFT JOIN bg ON occ.ha = bg.ha AND occ.hb = bg.hb
+         |   LEFT JOIN uni na ON occ.ha = na.hw
+         |   LEFT JOIN uni nb ON occ.hb = nb.hw
+         |   CROSS JOIN tot)
+         |SELECT doc_id, round(avg(ln(s)), 6) AS avg_logp
+         |FROM sc GROUP BY doc_id
+         |ORDER BY avg_logp DESC, doc_id LIMIT 20""".stripMargin,
     "q84_cluster_reps" ->
       s"""${shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
          | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),

@@ -288,6 +288,32 @@ class StreamingSpec extends SparkTestBase {
       batchCodes.except(gotE).isEmpty)
   }
 
+  test("gopher quality gate streams: stateless rules have batch parity") {
+    // the whole rule battery is narrow column math (HOF filters over a
+    // materialized token array) — no join, agg, or state — so the SAME
+    // operator code gates an ingest stream and must match the batch run
+    import graft.functions.TextFunctions
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val dir = Files.createTempDirectory("graft_stream_gopher")
+    Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("documents.parquet"))
+    def gated(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("text"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextFunctions.gopherStruct(
+        col("text"), col("toks"), minWords = 20).as("g"))
+      .select(col("doc_id"), col("g.n_tokens"), col("g.keep"))
+    val sq = gated(spark.readStream
+        .schema(spark.read.parquet(src).schema).parquet(dir.toString))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gopher_stream").trigger(Trigger.AvailableNow()).start()
+    sq.processAllAvailable(); sq.stop()
+    val batch = gated(spark.read.parquet(s"$dir/documents.parquet"))
+    val got = spark.table("gopher_stream")
+    assert(got.count() === batch.count() && batch.count() > 0)
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+  }
+
   test("contamination gate streams: literal-bloom score has batch parity") {
     // the scalar-subquery bloom of the batch path can't run in a
     // streaming plan; the literal-bloom score is array-local and
