@@ -1021,28 +1021,10 @@ object Queries {
     * hash) — never text; the run window partitions BY DOCUMENT, so state
     * is bounded by one doc's length at any corpus size. Output: the 25
     * docs with the longest cross-doc duplicated token span. */
-  private def q82(s: SparkSession, dir: String): DataFrame = {
-    val sp = docs(s, dir)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), posexplode(
-        TextFunctions.shinglesFromTokens(col("toks"), 5)))
-      .select(col("doc_id"), col("pos"),
-        TextFunctions.hash60(col("col")).as("h"))
-    val shared = sp.select(col("doc_id"), col("h")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") >= 2).select(col("h"))
-    val marked = sp.join(shared, Seq("h"))
-      .withColumn("grp", col("pos") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-    val runs = marked.groupBy(col("doc_id"), col("grp"))
-      .agg(count(lit(1)).as("run_len"))
-    runs.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_runs"),
-        (max(col("run_len")) + 4).as("longest_tokens"),
-        sum(col("run_len")).as("dup_ngrams"))
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(docs(s, dir), "doc_id", "text", n = 5)
       .orderBy(col("longest_tokens").desc, col("doc_id"))
       .limit(25)
-  }
 
   /** Stupid-Backoff bigram LM scoring (Brants et al. 2007 — the
     * smoothing-free LM built exactly because it scales on MapReduce-style
@@ -1089,6 +1071,42 @@ object Queries {
       .agg(round(avg(log(col("sc"))), 6).as("avg_logp"))
       .orderBy(col("avg_logp").desc, col("doc_id"))
       .limit(20)
+  }
+
+  /** Cross-split leakage audit: after a hash split (q60's assignment),
+    * does any val/test document share enough distinct 4-grams with the
+    * TRAIN slice to constitute leakage? The post-split hygiene check
+    * every training pipeline should run — same machinery as q67's
+    * decontamination but gating the pipeline's own split boundary. The
+    * gram join is an equi-join on 60-bit hashes (the train side is
+    * corpus-sized at 100 TB — it shuffles hashes, never broadcast, never
+    * text); the output is split-cardinality bounded. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val d = Curation.assignSplit(docs(s, dir), "doc_id", 8000, 1000)
+    val sh = d
+      .select(col("doc_id"), col("split"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("split"),
+        explode(TextFunctions.shinglesFromTokens(col("toks"), 4)).as("g"))
+      .select(col("doc_id"), col("split"),
+        TextFunctions.hash60(col("g")).as("h"))
+      .distinct()
+    val trainG = sh.filter(col("split") === "train")
+      .select(col("h")).distinct()
+    val hits = sh.filter(col("split") =!= "train")
+      .join(trainG, Seq("h"))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_shared"))
+    d.filter(col("split") =!= "train")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(hits.groupBy(col("split")).agg(
+          sum(when(col("n_shared") >= 5, 1L).otherwise(0L)).as("lk"),
+          max(col("n_shared")).as("mx")),
+        Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("lk"), lit(0L)).as("n_leaky"),
+        coalesce(col("mx"), lit(0L)).as("max_shared"))
+      .orderBy(col("split"))
   }
 
   /** Canonical-representative selection: the keep-BEST-of-cluster dedup
@@ -1717,6 +1735,7 @@ object Queries {
     "q84_cluster_reps" -> (q84 _),
     "q85_temperature_mix" -> (q85 _),
     "q86_stupid_backoff" -> (q86 _),
+    "q87_split_leakage" -> (q87 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -2594,6 +2613,36 @@ object Queries {
          |  CAST(sum(run_len) AS BIGINT) AS dup_ngrams
          |FROM runs GROUP BY doc_id
          |ORDER BY longest_tokens DESC, doc_id LIMIT 25""".stripMargin,
+    "q87_split_leakage" ->
+      s"""WITH sp AS (SELECT doc_id, text,
+         |     CASE WHEN ${H.format("'split1' || CAST(doc_id AS VARCHAR)")}
+         |         % 10000 < 8000 THEN 'train'
+         |       WHEN ${H.format("'split1' || CAST(doc_id AS VARCHAR)")}
+         |         % 10000 < 9000 THEN 'val' ELSE 'test' END AS split
+         |   FROM documents),
+         | tk AS (SELECT doc_id, split, $toksSql AS t FROM sp),
+         | shr AS (SELECT doc_id, split, unnest(list_transform(
+         |     generate_series(1, greatest(len(t) - 3, 0)),
+         |     i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]))) AS s
+         |   FROM tk),
+         | sh AS (SELECT DISTINCT doc_id, split, ${H.format("s")} AS h
+         |   FROM shr),
+         | tg AS (SELECT DISTINCT h FROM sh WHERE split = 'train'),
+         | hits AS (SELECT doc_id, split, count(*) AS n_shared
+         |   FROM sh JOIN tg USING (h) WHERE split <> 'train'
+         |   GROUP BY 1, 2),
+         | ev AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+         |   FROM sp WHERE split <> 'train' GROUP BY split),
+         | ag AS (SELECT split,
+         |     CAST(sum(CASE WHEN n_shared >= 5 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_leaky,
+         |     CAST(max(n_shared) AS BIGINT) AS max_shared
+         |   FROM hits GROUP BY split)
+         |SELECT ev.split AS split, ev.n_docs,
+         |  coalesce(ag.n_leaky, 0) AS n_leaky,
+         |  coalesce(ag.max_shared, 0) AS max_shared
+         |FROM ev LEFT JOIN ag ON ev.split = ag.split
+         |ORDER BY ev.split""".stripMargin,
     "q86_stupid_backoff" ->
       s"""WITH tk AS (SELECT doc_id, lang = 'en' AS is_ref, $toksSql AS t
          |     FROM documents),

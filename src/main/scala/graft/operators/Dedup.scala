@@ -557,6 +557,41 @@ object Dedup {
       .select(col("id"), col("pos"), hash60(col("col")).as("chunk_h"))
   }
 
+  /** Duplicated-span extraction — the distributed approximation of Lee
+    * et al. 2022's suffix-array substring dedup ("Deduplicating Training
+    * Data Makes Language Models Better", §4): positions whose word
+    * `n`-gram shingle occurs in ≥2 distinct documents, collapsed into
+    * maximal consecutive runs by the gaps-and-islands trick (pos −
+    * row_number is constant within a run). A run of `r` shingles is a
+    * duplicated span of `r + n − 1` tokens.
+    *
+    * Scale shape: shuffles carry (id, pos, 60-bit shingle hash) — never
+    * text; the shared-shingle set is a distinct+count aggregation on the
+    * hash; the islands window partitions BY DOCUMENT, so window state is
+    * bounded by one document's length at any corpus size. Returns one
+    * row per document that has at least one cross-document duplicated
+    * span: (idCol, n_runs, longest_tokens, dup_ngrams). */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val sp = df
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), posexplode(shinglesFromTokens(col("toks"), n)))
+      .select(col(idCol), col("pos"), hash60(col("col")).as("h"))
+    val shared = sp.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("h"))
+    val marked = sp.join(shared, Seq("h"))
+      .withColumn("grp", col("pos") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("pos"))))
+    marked.groupBy(col(idCol), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_runs"),
+        (max(col("run_len")) + (n - 1)).as("longest_tokens"),
+        sum(col("run_len")).as("dup_ngrams"))
+  }
+
   def chunkDuplicates(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 10): DataFrame = {
     val chunks = chunkHashes(df, idCol, textCol, chunkTokens)

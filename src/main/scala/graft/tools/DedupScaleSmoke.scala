@@ -163,6 +163,76 @@ object DedupScaleSmoke {
       s"hits $hits vs planted $expectedHits — bloom lost recall or " +
         "verify admitted false positives")
 
+    // Duplicated-span extraction (q82 family) at 200k docs. Planted
+    // ground truth is EXACT: each group {i base, i+1 near, i+2 exact}
+    // shares precisely its base's 26 5-gram positions (the near-dup's
+    // two tail shingles are base-unique), so every group member reports
+    // one whole-base run — 26 shingles = a 30-token span — and no other
+    // doc appears (disjoint hash vocabularies across bases).
+    println(s"== dupSpans (duplicated-span extraction, 5-grams) ==")
+    val spans = time("dupSpans")(
+      Dedup.dupSpans(docs, "doc_id", "text").localCheckpoint())
+    val nSpanDocs = spans.count()
+    val wholeBase = spans.filter(col("n_runs") === 1 &&
+      col("longest_tokens") === 30 && col("dup_ngrams") === 26).count()
+    val expectSpanDocs = 3 * (nDocs / 100)
+    println(s"  span docs: $nSpanDocs (planted: $expectSpanDocs), " +
+      s"whole-base runs: $wholeBase")
+    require(nSpanDocs == expectSpanDocs,
+      s"span docs $nSpanDocs vs planted $expectSpanDocs — shared-shingle " +
+        "set lost recall or admitted false positives")
+    require(wholeBase == nSpanDocs,
+      s"only $wholeBase of $nSpanDocs docs report the exact whole-base " +
+        "run — islands collapse broken")
+
+    // Bigram-LM scoring (q86 family) at 200k docs: LM estimated from the
+    // even-id half, EVERY doc scored through the occ→bg→uni×2→totals join
+    // pipeline. Docs are same-process word streams, so the ground truth
+    // is structural: every doc gets exactly one finite score (backoff
+    // keeps every per-position score > 0, so a NaN/-Inf or a lost doc
+    // means the join shape broke at 40× bench scale).
+    println(s"== stupid-backoff bigram LM over $nDocs docs ==")
+    val tk2 = docs.select(col("doc_id"),
+      (col("doc_id") % 2 === 0).as("is_ref"),
+      graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val occ = tk2
+      .select(col("doc_id"), col("is_ref"), col("toks"),
+        posexplode(col("toks")))
+      .filter(col("pos") < size(col("toks")) - 1)
+      .select(col("doc_id"), col("is_ref"), xxhash64(col("col")).as("ha"),
+        xxhash64(get(col("toks"), col("pos") + 1)).as("hb"))
+    val bgLm = occ.filter(col("is_ref")).groupBy(col("ha"), col("hb"))
+      .agg(count(lit(1)).cast("double").as("n_ab"))
+    val uniLm = tk2.filter(col("is_ref"))
+      .select(explode(col("toks")).as("w"))
+      .select(xxhash64(col("w")).as("hw"))
+      .groupBy(col("hw")).agg(count(lit(1)).cast("double").as("n_w"))
+      .localCheckpoint()
+    val totLm = uniLm.agg(sum(col("n_w")).as("n"),
+      count(lit(1)).cast("double").as("v"))
+    val scored = time("bigram LM score (occ→bg→uni→totals)")(
+      occ.join(bgLm, Seq("ha", "hb"), "left")
+        .join(uniLm.select(col("hw").as("ha"), col("n_w").as("n_a")),
+          Seq("ha"), "left")
+        .join(uniLm.select(col("hw").as("hb"), col("n_w").as("n_b")),
+          Seq("hb"), "left")
+        .crossJoin(broadcast(totLm))
+        .withColumn("sc",
+          when(col("n_ab").isNotNull, col("n_ab") / col("n_a"))
+            .otherwise(lit(0.4) * (coalesce(col("n_b"), lit(0.0)) + 0.5) /
+              (col("n") + lit(0.5) * col("v"))))
+        .groupBy(col("doc_id")).agg(avg(log(col("sc"))).as("lp"))
+        .localCheckpoint())
+    val nScored = scored.count()
+    val badScores = scored.filter(col("lp").isNull || isnan(col("lp")) ||
+      col("lp") < Double.MinValue).count()
+    println(s"  scored: $nScored docs (corpus: $nDocs), non-finite: " +
+      s"$badScores")
+    require(nScored == nDocs,
+      s"scored $nScored of $nDocs docs — LM join pipeline lost documents")
+    require(badScores == 0,
+      s"$badScores non-finite scores — backoff floor broken")
+
     // PQ serve at scale: synthetic 64-d corpus with planted twin vectors
     // (id and id+n/2 share a base), queries = 5 corpus vectors — after
     // the ADC scan + rerank the twin MUST rank 1 at cosine 1.0

@@ -126,6 +126,16 @@ object ExplainCheck {
       !p.contains("CartesianProduct") &&
         "BroadcastHashJoin".r.findAllIn(p).length >= 2
     })
+    // LM scoring: the occurrence stream must reach its LM tables through
+    // hash equi-joins (never cartesian), and the totals row must ride a
+    // broadcast (single-row nested-loop is the expected physical form)
+    check("q86 LM joins are equi-joins with broadcast totals", {
+      val p = plan("q86_stupid_backoff")
+      !p.contains("CartesianProduct") &&
+        p.contains("BroadcastNestedLoopJoin")
+    })
+    check("q87 split-leakage gram join is an equi-join, no cartesian",
+      !plan("q87_split_leakage").contains("CartesianProduct"))
     println("all plan assertions hold")
     spark.stop()
   }
