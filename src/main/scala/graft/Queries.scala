@@ -983,7 +983,9 @@ object Queries {
     * scalar row. Per-doc length joins on doc_id — at 100 TB that is the
     * only corpus-wide shuffle, and it carries (doc_id, one double). */
   private val bm25Query = Seq("spark", "join", "vector")
-  private def q81(s: SparkSession, dir: String): DataFrame = {
+  /** Full BM25 score table for [[bm25Query]] — shared by q81 (plain
+    * top-k) and q88 (rank fusion). */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val tok = docs(s, dir)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
@@ -1009,9 +1011,11 @@ object Queries {
       .groupBy(col("doc_id"))
       .agg(round(sum(col("sc")), 6).as("bm25"),
         count(lit(1)).as("n_terms"))
+  }
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(15)
-  }
 
   /** Duplicated-span extraction (the distributed approximation of Lee et
     * al. 2022's suffix-array substring dedup): positions whose 5-gram
@@ -1071,6 +1075,37 @@ object Queries {
       .agg(round(avg(log(col("sc"))), 6).as("avg_logp"))
       .orderBy(col("avg_logp").desc, col("doc_id"))
       .limit(20)
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    * the lexical (BM25, q81) and semantic (brute-force cosine vs the
+    * vec_id=0 query embedding) top-50 rankings fuse as
+    * Σ 1/(60 + rank) over the shared id space — the standard
+    * score-scale-free way to combine retrievers. Each side's ranking is
+    * a top-k (`orderBy.limit` → TakeOrderedAndProject, never a global
+    * sort); the rank window then runs over ≤50 rows, so the one
+    * single-partition window is k-bounded, not corpus-bounded. Absent
+    * ranks contribute 0 and surface as -1. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val lexW = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val lex = bm25Scores(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      .withColumn("r_lex", row_number().over(lexW))
+      .select(col("doc_id").as("id"), col("r_lex"))
+    val e = emb(s, dir)
+    val sem = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+      .select(col("neighbor_id").as("id"), col("rank").as("r_sem"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("r_sem")), lit(0.0)), 6))
+      .select(col("id").as("doc_id"),
+        coalesce(col("r_lex"), lit(-1)).cast("long").as("r_lex"),
+        coalesce(col("r_sem"), lit(-1)).cast("long").as("r_sem"),
+        col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(15)
   }
 
   /** Cross-split leakage audit: after a hash split (q60's assignment),
@@ -1736,6 +1771,7 @@ object Queries {
     "q85_temperature_mix" -> (q85 _),
     "q86_stupid_backoff" -> (q86 _),
     "q87_split_leakage" -> (q87 _),
+    "q88_rank_fusion" -> (q88 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -2613,6 +2649,43 @@ object Queries {
          |  CAST(sum(run_len) AS BIGINT) AS dup_ngrams
          |FROM runs GROUP BY doc_id
          |ORDER BY longest_tokens DESC, doc_id LIMIT 25""".stripMargin,
+    "q88_rank_fusion" -> {
+      val terms = bm25Query.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term
+         |     FROM documents),
+         | len AS (SELECT doc_id, CAST(len($toksSql) AS DOUBLE) AS dl
+         |   FROM documents),
+         | tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |   FROM tok WHERE term IN $terms GROUP BY 1, 2),
+         | dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |   FROM tf GROUP BY term),
+         | st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+         |   FROM len),
+         | bmall AS (SELECT doc_id, round(sum(
+         |     ln((n - df + 0.5) / (df + 0.5) + 1) * tf * 2.2 /
+         |     (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+         |   FROM tf JOIN dfq USING (term) JOIN len USING (doc_id)
+         |     CROSS JOIN st GROUP BY doc_id),
+         | bmtop AS (SELECT doc_id, row_number() OVER (
+         |     ORDER BY bm25 DESC, doc_id) AS r_lex
+         |   FROM (SELECT * FROM bmall ORDER BY bm25 DESC, doc_id
+         |     LIMIT 50)),
+         | v AS ($normVecSql),
+         | sem AS (SELECT c.vec_id AS id,
+         |     round(list_dot_product(q.nv, c.nv), 6) AS cs
+         |   FROM v c, (SELECT nv FROM v WHERE vec_id = 0) q
+         |   WHERE c.vec_id <> 0),
+         | semtop AS (SELECT id, row_number() OVER (
+         |     ORDER BY cs DESC, id) AS r_sem
+         |   FROM (SELECT * FROM sem ORDER BY cs DESC, id LIMIT 50))
+         |SELECT coalesce(b.doc_id, s.id) AS doc_id,
+         |  CAST(coalesce(b.r_lex, -1) AS BIGINT) AS r_lex,
+         |  CAST(coalesce(s.r_sem, -1) AS BIGINT) AS r_sem,
+         |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + b.r_lex), 0) +
+         |    coalesce(CAST(1.0 AS DOUBLE) / (60 + s.r_sem), 0), 6) AS rrf
+         |FROM bmtop b FULL OUTER JOIN semtop s ON b.doc_id = s.id
+         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin
+    },
     "q87_split_leakage" ->
       s"""WITH sp AS (SELECT doc_id, text,
          |     CASE WHEN ${H.format("'split1' || CAST(doc_id AS VARCHAR)")}

@@ -136,6 +136,11 @@ object ExplainCheck {
     })
     check("q87 split-leakage gram join is an equi-join, no cartesian",
       !plan("q87_split_leakage").contains("CartesianProduct"))
+    // rank fusion: both retriever sides must plan top-k
+    // (TakeOrderedAndProject), never a corpus-wide global sort
+    check("q88 rank-fusion sides plan TakeOrderedAndProject",
+      "TakeOrderedAndProject".r
+        .findAllIn(plan("q88_rank_fusion")).length >= 2)
     println("all plan assertions hold")
     spark.stop()
   }
