@@ -1108,6 +1108,22 @@ object Queries {
       .limit(15)
   }
 
+  /** Per-source duplication diagnostics: which mixture components carry
+    * the duplicated mass — for every source, the fraction of its
+    * documents that sit in a near-dup cluster (the report a curation
+    * team reads before deciding per-source dedup policy). Reuses the
+    * session-cached cluster table ([[dupClusters]]); the left join is
+    * doc_id-equi, the output source-cardinality bounded. */
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).join(dupClusters(s, dir), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster").isNotNull, 1L).otherwise(0L))
+          .as("n_dup"),
+        round(sum(when(col("cluster").isNotNull, 1.0).otherwise(0.0)) /
+          count(lit(1)), 6).as("dup_rate"))
+      .orderBy(col("source"))
+
   /** Cross-split leakage audit: after a hash split (q60's assignment),
     * does any val/test document share enough distinct 4-grams with the
     * TRAIN slice to constitute leakage? The post-split hygiene check
@@ -1783,6 +1799,7 @@ object Queries {
     "q86_stupid_backoff" -> (q86 _),
     "q87_split_leakage" -> (q87 _),
     "q88_rank_fusion" -> (q88 _),
+    "q89_source_dup_rates" -> (q89 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -2671,6 +2688,32 @@ object Queries {
          |  CAST(sum(run_len) AS BIGINT) AS dup_ngrams
          |FROM runs GROUP BY doc_id
          |ORDER BY longest_tokens DESC, doc_id LIMIT 25""".stripMargin,
+    "q89_source_dup_rates" ->
+      s"""${shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |     count(*) AS inter
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |   GROUP BY 1, 2),
+         | p AS (SELECT doc_a, doc_b FROM inter
+         |   JOIN sz za ON doc_a = za.doc_id
+         |   JOIN sz zb ON doc_b = zb.doc_id
+         |   WHERE CAST(inter AS DOUBLE) /
+         |     CAST(za.n_sh + zb.n_sh - inter AS DOUBLE) >= 0.8),
+         | e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |   UNION SELECT doc_b, doc_a FROM p),
+         | r AS (SELECT a AS node, a AS reach FROM e
+         |   UNION
+         |   SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+         | cl AS (SELECT node AS doc_id FROM r GROUP BY node)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup,
+         |  round(sum(CASE WHEN cl.doc_id IS NOT NULL THEN 1.0 ELSE 0.0
+         |    END) / count(*), 6) AS dup_rate
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q88_rank_fusion" -> {
       val terms = bm25Query.map(t => s"'$t'").mkString("(", ", ", ")")
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term

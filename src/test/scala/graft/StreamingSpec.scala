@@ -314,6 +314,56 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
 
+  test("bigram LM gate streams: stream-static LM joins have batch parity") {
+    // the LM tables (bigram + unigram over the reference slice) are
+    // BATCH artifacts; scoring incoming docs is a stream — posexplode is
+    // narrow, LM lookups are stream-static left equi-joins, and the two
+    // corpus totals fold in as plan literals (collected once, one row).
+    // Per-doc aggregation runs in complete mode for the memory sink.
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.DataFrame
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val dir = Files.createTempDirectory("graft_stream_lm")
+    Files.copy(java.nio.file.Paths.get(src), dir.resolve("documents.parquet"))
+    val batchDocs = spark.read.parquet(src)
+    def occOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+      .filter(col("pos") < size(col("toks")) - 1)
+      .select(col("doc_id"), xxhash64(col("col")).as("ha"),
+        xxhash64(get(col("toks"), col("pos") + 1)).as("hb"))
+    val bg = occOf(batchDocs.filter(col("lang") === "en"))
+      .groupBy(col("ha"), col("hb"))
+      .agg(count(lit(1)).cast("double").as("n_ab")).localCheckpoint()
+    val uni = batchDocs.filter(col("lang") === "en")
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .select(xxhash64(col("w")).as("hw"))
+      .groupBy(col("hw")).agg(count(lit(1)).cast("double").as("n_w"))
+      .localCheckpoint()
+    val totRow = uni.agg(sum(col("n_w")), count(lit(1)).cast("double")).head
+    val backoffDenom = totRow.getDouble(0) + 0.5 * totRow.getDouble(1)
+    def score(occ: DataFrame): DataFrame = occ
+      .join(bg, Seq("ha", "hb"), "left")
+      .join(uni.select(col("hw").as("ha"), col("n_w").as("n_a")),
+        Seq("ha"), "left")
+      .join(uni.select(col("hw").as("hb"), col("n_w").as("n_b")),
+        Seq("hb"), "left")
+      .withColumn("sc",
+        when(col("n_ab").isNotNull, col("n_ab") / col("n_a"))
+          .otherwise(lit(0.4) * (coalesce(col("n_b"), lit(0.0)) + 0.5) /
+            lit(backoffDenom)))
+      .groupBy(col("doc_id")).agg(round(avg(log(col("sc"))), 6).as("lp"))
+    val sq = score(occOf(spark.readStream.schema(batchDocs.schema)
+        .parquet(dir.toString)))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("lm_stream").trigger(Trigger.AvailableNow()).start()
+    sq.processAllAvailable(); sq.stop()
+    val batch = score(occOf(spark.read.parquet(s"$dir/documents.parquet")))
+    val got = spark.table("lm_stream")
+    assert(got.count() === batch.count() && batch.count() > 0)
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+  }
+
   test("contamination gate streams: literal-bloom score has batch parity") {
     // the scalar-subquery bloom of the batch path can't run in a
     // streaming plan; the literal-bloom score is array-local and
