@@ -671,6 +671,17 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dupSpans is partition-invariant (1-way ≡ 7-way layout)") {
+    // the islands window + shared-shingle join must not depend on the
+    // physical layout of the input — a distributed-correctness property
+    // that catches accidental reliance on intra-partition ordering
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def runs(parts: Int) =
+      Dedup.dupSpans(docs.repartition(parts), "doc_id", "text")
+        .orderBy(col("doc_id")).collect().toSeq
+    assert(runs(1) === runs(7))
+  }
+
   test("q83 vocabulary Jaccard: hand-checked pair, no-overlap pairs absent") {
     val corpus = Seq(
       (1L, "a b c", "A"), (2L, "b c d", "B"), (3L, "x y", "C"))
