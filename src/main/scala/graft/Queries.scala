@@ -1426,6 +1426,40 @@ object Queries {
       .orderBy(col("token_id"))
   }
 
+  /** Corpus tokenization against the trained vocabulary — the step that
+    * turns text into model-ready id sequences (q73 BUILDS the top-512
+    * vocab; this APPLIES it): every token joins its dense id through a
+    * broadcast of the vocabulary (V-bounded, never corpus-bounded),
+    * out-of-vocab tokens map to UNK=0, and each document re-assembles
+    * its id sequence in position order via a per-doc `sort_array
+    * (collect_list(struct(pos,id)))` — bounded by one document's
+    * length, the same shape q76 uses. The doc_id<40 output bound pushes
+    * into the tokenize branch only; the vocab branch keeps its own
+    * full-corpus scan (verified: separate scans per branch, q67's
+    * pattern). Ids render as a space-joined string because the driver's
+    * row comparator rejects array columns. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("token"))
+    val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(512)
+    val vocab = counts.withColumn("token_id",
+      row_number().over(Window.orderBy(col("n").desc, col("token")))
+        .cast("long"))
+    tok.filter(col("doc_id") < 40)
+      .join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .withColumn("tid", coalesce(col("token_id"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_unk"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tid")))),
+          x => x.getField("tid").cast("string")), " ").as("ids"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII redaction ([[TextFunctions.redactPii]]): the synthetic corpus
     * ships no PII, so the patterns are exercised on a deterministic
     * contact blob derived from customer keys — the point of the oracle
@@ -1800,6 +1834,7 @@ object Queries {
     "q87_split_leakage" -> (q87 _),
     "q88_rank_fusion" -> (q88 _),
     "q89_source_dup_rates" -> (q89 _),
+    "q90_tokenize_ids" -> (q90 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -2688,6 +2723,23 @@ object Queries {
          |  CAST(sum(run_len) AS BIGINT) AS dup_ngrams
          |FROM runs GROUP BY doc_id
          |ORDER BY longest_tokens DESC, doc_id LIMIT 25""".stripMargin,
+    "q90_tokenize_ids" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | tok AS (SELECT doc_id,
+         |     unnest(generate_series(1, len(t))) AS pos,
+         |     unnest(t) AS token
+         |   FROM tk),
+         | f AS (SELECT token, count(*) AS n FROM tok GROUP BY token
+         |   ORDER BY n DESC, token LIMIT 512),
+         | v AS (SELECT token, CAST(row_number() OVER (
+         |     ORDER BY n DESC, token) AS BIGINT) AS token_id FROM f),
+         | ids AS (SELECT doc_id, pos, coalesce(v.token_id, 0) AS tid
+         |   FROM tok LEFT JOIN v USING (token) WHERE doc_id < 40)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unk,
+         |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
+         |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q89_source_dup_rates" ->
       s"""${shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
          | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),

@@ -671,6 +671,34 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q90 maps tokens to dense vocab ids with UNK=0 for overflow") {
+    // 603 distinct tokens > the 512-entry vocab, so the lexicographic
+    // tail of the n=1 tie group must fall out as UNK — the expectation
+    // is computed by independently re-deriving the (count desc, token)
+    // ranking in plain Scala
+    val extra = (1 to 600).map(i => s"u$i")
+    val corpus = Seq(
+      (1L, "b a b", "s0"),
+      (2L, "a c b", "s0"),
+      (3L, extra.mkString(" "), "s0"))
+    withDocs(corpus) { dir =>
+      val rows = SparkEntry.queries("q90_tokenize_ids")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      val counts = ("b" -> 3L) :: ("a" -> 2L) :: ("c" -> 1L) ::
+        extra.map(_ -> 1L).toList
+      val vocab = counts.sortBy { case (t, n) => (-n, t) }.take(512)
+        .zipWithIndex.map { case ((t, _), i) => t -> (i + 1L) }.toMap
+      def ids(toks: Seq[String]) = toks.map(t => vocab.getOrElse(t, 0L))
+      val d3 = ids(extra)
+      assert(d3.contains(0L)) // the overflow really happens
+      assert(rows.toSeq === Seq(
+        (1L, 3L, 0L, "1 2 1"),
+        (2L, 3L, 0L, "2 3 1"),
+        (3L, 600L, d3.count(_ == 0L).toLong, d3.mkString(" "))))
+    }
+  }
+
   test("dupSpans is partition-invariant (1-way ≡ 7-way layout)") {
     // the islands window + shared-shingle join must not depend on the
     // physical layout of the input — a distributed-correctness property
