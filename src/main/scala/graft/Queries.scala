@@ -1939,6 +1939,30 @@ object Queries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"))
         .orderBy(col("l_returnflag"))),
+    // MERGEABLE distinct-count sketches (DataSketches HLL): per-(source,
+    // lang) slice sketches union-merge to exactly the direct per-source
+    // sketch — HLL register updates are order-independent maxes, so
+    // incremental/per-shard corpus monitoring at 100 TB needs no
+    // full-corpus re-scan, only a sketch-merge. The equality flag is the
+    // point: merge ≡ direct, deterministically (pinned by spec).
+    "t18_sketch_merge" -> ((s: SparkSession, dir: String) => {
+      val tok = docs(s, dir).select(col("source"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      val merged = tok.groupBy(col("source"), col("lang"))
+        .agg(expr("hll_sketch_agg(w)").as("sk"))
+        .groupBy(col("source"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .as("merged_distinct"))
+      val direct = tok.groupBy(col("source"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(w))")
+          .as("direct_distinct"))
+      merged.join(direct, Seq("source"))
+        .select(col("source"), col("merged_distinct"),
+          col("direct_distinct"),
+          (col("merged_distinct") === col("direct_distinct"))
+            .as("merge_exact"))
+        .orderBy(col("source"))
+    }),
     "t04_media_features" -> ((s: SparkSession, dir: String) =>
       // `features` rendered as a JSON string: the driver's row comparator
       // sorts on every column and cannot sort raw arrays

@@ -699,6 +699,16 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("t18: slice sketches union-merge exactly to the direct sketch") {
+    val rows = SparkEntry.queries("t18_sketch_merge")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("merge_exact"),
+        s"source ${r.getString(0)}: merged ${r.get(1)} != direct ${r.get(2)}")
+    }
+  }
+
   test("dupSpans is partition-invariant (1-way ≡ 7-way layout)") {
     // the islands window + shared-shingle join must not depend on the
     // physical layout of the input — a distributed-correctness property
