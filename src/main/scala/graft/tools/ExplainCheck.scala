@@ -141,6 +141,15 @@ object ExplainCheck {
     check("q88 rank-fusion sides plan TakeOrderedAndProject",
       "TakeOrderedAndProject".r
         .findAllIn(plan("q88_rank_fusion")).length >= 2)
+    // vocab-apply: the doc_id<40 output bound must reach the tokenize
+    // branch's parquet scan while the vocab branch keeps an unfiltered
+    // full-corpus scan (a bound leaking into the vocab branch would
+    // silently train the vocabulary on a slice)
+    check("q90 bounds only the tokenize branch (filtered + full scans)", {
+      val p = plan("q90_tokenize_ids")
+      p.contains("LessThan(doc_id,40)") &&
+        "PushedFilters: \\[\\]".r.findAllIn(p).length >= 1
+    })
     println("all plan assertions hold")
     spark.stop()
   }
