@@ -948,7 +948,10 @@ object Queries {
     * shuffles carry 8-byte hashes. Output is the 20 lowest-cross-entropy
     * docs; cross-entropy (not exp'd perplexity) keeps the compared
     * values in a numerically tame range. */
-  private def q80(s: SparkSession, dir: String): DataFrame = {
+  /** Full per-doc unigram cross-entropy table (q80's score) — shared by
+    * q80 (plain top-k) and q91 (multi-signal selection). */
+  private def crossEntropyScores(s: SparkSession, dir: String)
+      : DataFrame = {
     val d = docs(s, dir)
     val tf = d
       .select(col("doc_id"), (col("lang") === "en").as("is_ref"),
@@ -970,9 +973,11 @@ object Queries {
       .groupBy(col("doc_id"))
       .agg((-sum(col("tf") * col("logp")) / sum(col("tf"))).as("ce"))
       .select(col("doc_id"), round(col("ce"), 6).as("cross_entropy"))
+  }
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    crossEntropyScores(s, dir)
       .orderBy(col("cross_entropy"), col("doc_id"))
       .limit(20)
-  }
 
   /** BM25 keyword retrieval (Robertson/Spärck Jones; the Lucene-form
     * +1-inside-the-log IDF so scores stay positive): top-15 documents
@@ -1460,6 +1465,35 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-signal quality selection: token-distribution entropy (higher
+    * = less templated) and reference-LM cross-entropy (lower = more
+    * natural) blend into one composite via PER-SOURCE `percent_rank`
+    * normalization — the scale-free way to combine signals with
+    * incomparable units (the poor-man's model-based data selection).
+    * Windows partition by source (parallelism = source count, q70's
+    * pattern — never one global sort); output = top-3 per source. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val ent = TextFunctions.tokenEntropy(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("entropy"))
+    val j = docs(s, dir).select(col("doc_id"), col("source"))
+      .join(ent, Seq("doc_id"))
+      .join(crossEntropyScores(s, dir), Seq("doc_id"))
+    val scored = j
+      .withColumn("pr_ent", percent_rank().over(
+        Window.partitionBy(col("source")).orderBy(col("entropy"))))
+      .withColumn("pr_ce", percent_rank().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("cross_entropy").desc)))
+      .withColumn("quality",
+        round((col("pr_ent") + col("pr_ce")) / 2, 6))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("source"), col("doc_id"), col("quality"))
+      .orderBy(col("source"), col("quality").desc, col("doc_id"))
+  }
+
   /** PII redaction ([[TextFunctions.redactPii]]): the synthetic corpus
     * ships no PII, so the patterns are exercised on a deterministic
     * contact blob derived from customer keys — the point of the oracle
@@ -1835,6 +1869,7 @@ object Queries {
     "q88_rank_fusion" -> (q88 _),
     "q89_source_dup_rates" -> (q89 _),
     "q90_tokenize_ids" -> (q90 _),
+    "q91_quality_blend" -> (q91 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -2747,6 +2782,41 @@ object Queries {
          |  CAST(sum(run_len) AS BIGINT) AS dup_ngrams
          |FROM runs GROUP BY doc_id
          |ORDER BY longest_tokens DESC, doc_id LIMIT 25""".stripMargin,
+    "q91_quality_blend" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tk
+         |     FROM documents),
+         | c AS (SELECT doc_id, tk, count(*) AS n FROM tok GROUP BY 1, 2),
+         | ent AS (SELECT doc_id,
+         |     round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+         |   FROM c GROUP BY doc_id),
+         | tk80 AS (SELECT doc_id, lang = 'en' AS is_ref,
+         |     unnest($toksSql) AS term FROM documents),
+         | tf AS (SELECT doc_id, is_ref, term, count(*) AS tf
+         |   FROM tk80 GROUP BY 1, 2, 3),
+         | lm AS (SELECT term,
+         |     sum(CASE WHEN is_ref THEN tf ELSE 0 END) AS ref_cnt
+         |   FROM tf GROUP BY term),
+         | tot AS (SELECT CAST(sum(ref_cnt) AS DOUBLE) AS ref_tot,
+         |     CAST(count(*) AS DOUBLE) AS vocab FROM lm),
+         | ce AS (SELECT doc_id, round(
+         |     -sum(tf * ln((ref_cnt + 0.5) / (ref_tot + 0.5 * vocab)))
+         |       / sum(tf), 6) AS cross_entropy
+         |   FROM tf JOIN lm USING (term) CROSS JOIN tot GROUP BY doc_id),
+         | j AS (SELECT d.source, d.doc_id, ent.entropy, ce.cross_entropy
+         |   FROM documents d JOIN ent USING (doc_id) JOIN ce
+         |     USING (doc_id)),
+         | pr AS (SELECT source, doc_id,
+         |     percent_rank() OVER (PARTITION BY source ORDER BY entropy)
+         |       AS pr_ent,
+         |     percent_rank() OVER (PARTITION BY source
+         |       ORDER BY cross_entropy DESC) AS pr_ce
+         |   FROM j),
+         | q AS (SELECT source, doc_id,
+         |     round((pr_ent + pr_ce) / 2, 6) AS quality FROM pr),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |     ORDER BY quality DESC, doc_id) AS rn FROM q)
+         |SELECT source, doc_id, quality FROM r WHERE rn <= 3
+         |ORDER BY source, quality DESC, doc_id""".stripMargin,
     "q90_tokenize_ids" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
          | tok AS (SELECT doc_id,
