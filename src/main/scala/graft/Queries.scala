@@ -2034,6 +2034,67 @@ object Queries {
         nClusters = 8, perCluster = 16)
         .orderBy(col("cluster"), col("pick"))
     }),
+    // The complete curation DAG in ONE composed plan — the pipeline the
+    // individual operators exist for: Gopher quality gate → exact dedup
+    // keep-first → LSH near-dup drop → bloom-gated decontamination vs
+    // the doc_id%50==0 bench slice → hash split → train-split token
+    // packing. Output = per-source survivor counts at every stage (rows
+    // only; each constituent is separately hash-equal-oracled — q78,
+    // q65's dedup window, q42, q67/q72/q77, q60, q61 — and the spec
+    // pins per-source monotone shrinkage across stages).
+    "t19_curation_dag" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      def stage(df: DataFrame, name: String): DataFrame = df
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("stage", lit(name))
+      // each stage boundary is localCheckpointed: the survivor-count
+      // report reads every stage (6 union branches), and downstream
+      // stages are derived from upstream ones — without materialization
+      // the quality gate would re-run per branch and the LSH drop per
+      // consumer (measured: wall 5.5 s → 3.4 s at sf0.1). This is
+      // exactly where a production DAG writes its stage tables.
+      val g = d
+        .select(col("doc_id"), col("source"), col("text"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("gs", TextFunctions.gopherStruct(
+          col("text"), col("toks"), minWords = 20))
+        .filter(col("gs.keep"))
+        .select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint()
+      val ex = g.withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+        .localCheckpoint()
+      val nd = ex.join(
+        Dedup.nearDupDrops(ex.select(col("doc_id"), col("text")),
+          "doc_id", "text")
+          .select(col("dropped").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val train0 = nd.filter(col("doc_id") % 50 =!= 0)
+      val hits = Dedup.decontaminationHits(
+          train0.select(col("doc_id"), col("text")),
+          d.filter(col("doc_id") % 50 === 0)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .filter(col("n_shared") >= 5).select(col("doc").as("doc_id"))
+      val clean = train0.join(hits, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val sp = Curation.assignSplit(clean, "doc_id", 8000, 1000)
+      val packed = Curation.packTokens(
+        sp.filter(col("split") === "train"), "doc_id", "source",
+        "text", 4096)
+      stage(d, "0_raw")
+        .unionByName(stage(g, "1_quality"))
+        .unionByName(stage(ex, "2_exact"))
+        .unionByName(stage(nd, "3_neardup"))
+        .unionByName(stage(clean, "4_decontam"))
+        .unionByName(packed.groupBy(col("source"))
+          .agg((max(col("bin")) + 1).as("n"))
+          .withColumn("stage", lit("5_train_bins")))
+        .select(col("stage"), col("source"), col("n"))
+        .orderBy(col("stage"), col("source"))
+    }),
     // the UNCACHED near-dup clustering build (q64/q84 serve from the
     // session cache — same build-vs-serve split as t09/t11 vs t08/t10;
     // this entry keeps the iterative label propagation's true cost an

@@ -709,6 +709,22 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("t19 curation DAG: per-source counts shrink monotonically") {
+    val rows = SparkEntry.queries("t19_curation_dag")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_._2)
+    bySource.foreach { case (src, rs) =>
+      val m = rs.map(r => r._1 -> r._3).toMap
+      val chain = Seq("0_raw", "1_quality", "2_exact", "3_neardup",
+        "4_decontam").flatMap(m.get)
+      assert(chain.zip(chain.tail).forall { case (a, b) => b <= a },
+        s"source $src: stage counts $chain grew")
+      assert(m("0_raw") > 0)
+    }
+  }
+
   test("dupSpans is partition-invariant (1-way ≡ 7-way layout)") {
     // the islands window + shared-shingle join must not depend on the
     // physical layout of the input — a distributed-correctness property
