@@ -123,7 +123,10 @@ object Similarity {
     val idn =
       if (fractional) col(idCol).cast("double")
       else lit(null).cast("double")
+    // Null ids are excluded up front: a null can't carry a deterministic
+    // sample identity (and would NPE the integral re-parse below).
     val rows = corpus
+      .filter(col(idCol).isNotNull)
       .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
       .select(col(idCol).cast("string").as("id"), idn.as("idn"),
         l2Normalize(col(vecCol)).as("v"))

@@ -33,8 +33,11 @@ object HttpRetry {
   /** `onRetry` fires between a transient failure and the next attempt —
     * the hook for best-effort cleanup/diagnostics on calls whose failure
     * may have left server-side state (ES scroll opens foremost). A hook
-    * that itself throws is swallowed here: retry semantics must never
-    * depend on a diagnostics side-channel behaving. */
+    * that throws a non-fatal error is swallowed here: retry semantics
+    * must never depend on a diagnostics side-channel behaving. Fatal
+    * errors (OOM, etc.) propagate, and an InterruptedException restores
+    * the thread's interrupt status so the caller's cancellation isn't
+    * silently eaten by the retry loop. */
   def withRetries[T](attempts: Int = 3, baseDelayMs: Long = 200,
       sleep: Long => Unit = Thread.sleep,
       onRetry: Throwable => Unit = _ => ())(f: => T): T = {
@@ -43,7 +46,11 @@ object HttpRetry {
       try return f
       catch {
         case t: Throwable if isTransient(t) && attempt < attempts - 1 =>
-          try onRetry(t) catch { case _: Throwable => () }
+          try onRetry(t) catch {
+            case _: InterruptedException =>
+              Thread.currentThread().interrupt()
+            case scala.util.control.NonFatal(_) => ()
+          }
           sleep(baseDelayMs << attempt)
           attempt += 1
       }
