@@ -560,10 +560,23 @@ object Similarity {
     * EXACT duplicates have recall 1; near-dup recall follows SemDeDup's
     * premise that semantic duplicates cluster together. `nCentroids=1`
     * degenerates to the exact all-pairs search (pinned by a test).
-    * Emits (vec_a, vec_b, cell, cos_sim), vec_a < vec_b. */
+    * Emits (vec_a, vec_b, cell, cos_sim), vec_a < vec_b.
+    *
+    * Hot-cell overflow guard (the MinHash mega-bucket pattern,
+    * [[Dedup.lshCandidatesFromSignatures]]'s big-bucket route, applied
+    * here): a semantically-degenerate corpus (everything identical) makes
+    * ONE cell the whole corpus and the within-cell self-join a single
+    * O(n²) join key. A cell census (≤ nCentroids rows to the driver)
+    * splits routing: cells ≤ `maxCell` take the plain equi-join; cells
+    * over it are SALTED — the left side splits into ceil(n/maxCell)
+    * deterministic salt groups, the right side replicates across them, so
+    * no task's probe side exceeds ~`maxCell` rows regardless of AQE skew
+    * thresholds. Both routes emit identical pairs with identical rounding
+    * (pinned by the adversarial spec), so the guard changes the PLAN,
+    * never the result. The census adds one narrow aggregation pass. */
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCentroids: Int = 16, kmeansIters: Int = 4,
-      knownCount: Option[Long] = None): DataFrame = {
+      knownCount: Option[Long] = None, maxCell: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val cents = trainCentroids(df, idCol, vecCol, nCentroids, kmeansIters,
@@ -576,19 +589,45 @@ object Similarity {
       col("nv").as("va"))
     val r = assigned.select(col("cell"), col("id").as("vec_b"),
       col("nv").as("vb"))
-    l.join(r, Seq("cell"))
+    def scored(joined: DataFrame): DataFrame = joined
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim", round(dotCol(col("va"), col("vb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cell"), col("cos_sim"))
+    // Cell census: nCentroids-bounded — never corpus-sized driver state.
+    val hot = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().filter(_._2 > maxCell)
+    if (hot.isEmpty) scored(l.join(r, Seq("cell")))
+    else {
+      val hotIds: Seq[Any] = hot.map(_._1).toSeq
+      val smallPairs = scored(
+        l.filter(!col("cell").isin(hotIds: _*))
+          .join(r.filter(!col("cell").isin(hotIds: _*)), Seq("cell")))
+      // salt widths: one tiny broadcast row per hot cell
+      val widths = broadcast(hot.toSeq
+        .map { case (c, n) => (c, ((n + maxCell - 1) / maxCell).toInt) }
+        .toDF("cell", "nsalt"))
+      val lh = l.filter(col("cell").isin(hotIds: _*))
+        .join(widths, Seq("cell"))
+        .withColumn("salt",
+          pmod(xxhash64(col("vec_a")), col("nsalt")).cast("int"))
+        .drop("nsalt")
+      val rh = r.filter(col("cell").isin(hotIds: _*))
+        .join(widths, Seq("cell"))
+        .withColumn("salt", explode(sequence(lit(0), col("nsalt") - 1)))
+        .drop("nsalt")
+      smallPairs.unionByName(scored(lh.join(rh, Seq("cell", "salt"))))
+    }
   }
 
   /** Ids to DROP under [[semanticNearDupPairs]] with the keep-lowest-id
     * policy (the SemDeDup dedup step: one survivor per semantic
     * duplicate pair). */
   def semanticDrops(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nCentroids: Int = 16): DataFrame =
-    semanticNearDupPairs(df, idCol, vecCol, threshold, nCentroids)
+      threshold: Double, nCentroids: Int = 16,
+      maxCell: Int = 100000): DataFrame =
+    semanticNearDupPairs(df, idCol, vecCol, threshold, nCentroids,
+      maxCell = maxCell)
       .select(col("vec_b").as("dropped")).distinct()
 
   /** Sign-bucket LSH: bucket id = sign bits of `planes` SEEDED random

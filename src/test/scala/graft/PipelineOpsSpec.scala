@@ -310,6 +310,29 @@ class PipelineOpsSpec extends SparkTestBase {
     brute.unpersist()
   }
 
+  test("semanticNearDupPairs: hot-cell salt guard is result-identical") {
+    // Adversarial corpus: EVERY vector identical → one cell absorbs the
+    // corpus. The guard must route it through the salted join and still
+    // produce exactly the brute-force pair set.
+    val n = 200
+    val ident = (0L until n).map(i => (i, Seq.fill(8)(0.5f))).toDF(
+      "vec_id", "embedding")
+    val guarded = Similarity.semanticNearDupPairs(ident, "vec_id",
+      "embedding", 0.9, nCentroids = 4, maxCell = 25)
+    // the salted route is actually in the plan (not the plain equi-join)
+    assert(guarded.queryExecution.analyzed.toString.contains("salt"))
+    assert(guarded.count() === n.toLong * (n - 1) / 2)
+    assert(guarded.filter(col("cos_sim") =!= 1.0).isEmpty)
+    // mixed real data: guarded (every cell forced hot) ≡ unguarded
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val unguarded = Similarity.semanticNearDupPairs(vecs, "vec_id",
+      "embedding", 0.4, nCentroids = 8, maxCell = Int.MaxValue)
+    val forced = Similarity.semanticNearDupPairs(vecs, "vec_id",
+      "embedding", 0.4, nCentroids = 8, maxCell = 10)
+    assert(forced.except(unguarded).isEmpty
+      && unguarded.except(forced).isEmpty)
+  }
+
   test("fingerprint is normalization-invariant") {
     val df = Seq(("Hello,  World!", "hello world")).toDF("a", "b")
     val r = df.select(
