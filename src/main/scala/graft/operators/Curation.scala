@@ -95,6 +95,89 @@ object Curation {
           lit(budget.toLong)))
   }
 
+  /** Persisted, RESTARTABLE curation DAG — the production shape of the
+    * composed pipeline (the in-session t19 twin in `Queries`): every
+    * stage writes its survivor table to `path/<stage>/` as parquet
+    * partitioned by source, and a rerun RESUMES from the last completed
+    * stage (completion = the parquet committer's `_SUCCESS` marker)
+    * instead of recomputing the prefix. Stage tables are the restart
+    * unit a 100-TB DAG needs: a mid-pipeline failure costs one stage,
+    * not the pipeline, and every downstream stage consumes the PERSISTED
+    * bytes — so a first run and a resumed run execute identical
+    * per-stage plans and produce identical tables (pinned by the
+    * kill-after-stage-3 restart spec). A torn write (dir without
+    * `_SUCCESS`) is overwritten, never trusted.
+    *
+    * Stages mirror t19: raw → Gopher quality gate → exact dedup
+    * keep-first → near-dup LSH drop → decontamination vs the held-out
+    * eval shard → train-split token packing. Returns the per-stage
+    * per-source survivor report (t19's exact shape). */
+  def runDag(d: DataFrame, path: String, minWords: Int = 20,
+      holdoutMod: Int = 50, minShared: Int = 5, trainBp: Int = 8000,
+      valBp: Int = 1000, budget: Int = 4096): DataFrame = {
+    val spark = d.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def stage(name: String)(build: => DataFrame): DataFrame = {
+      val p = s"$path/$name"
+      val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      if (!marker.getFileSystem(hconf).exists(marker))
+        build.write.mode("overwrite").partitionBy("source").parquet(p)
+      spark.read.parquet(p)
+    }
+    val raw = stage("0_raw")(
+      d.select(col("doc_id"), col("source"), col("text")))
+    val g = stage("1_quality") {
+      raw.select(col("doc_id"), col("source"), col("text"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("gs", TextFunctions.gopherStruct(
+          col("text"), col("toks"), minWords = minWords))
+        .filter(col("gs.keep"))
+        .select(col("doc_id"), col("source"), col("text"))
+    }
+    val ex = stage("2_exact") {
+      g.withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    val nd = stage("3_neardup") {
+      ex.join(
+        Dedup.nearDupDrops(ex.select(col("doc_id"), col("text")),
+          "doc_id", "text")
+          .select(col("dropped").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+    }
+    val clean = stage("4_decontam") {
+      val train0 = nd.filter(col("doc_id") % holdoutMod =!= 0)
+      val hits = Dedup.decontaminationHits(
+          train0.select(col("doc_id"), col("text")),
+          raw.filter(col("doc_id") % holdoutMod === 0)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .filter(col("n_shared") >= minShared)
+        .select(col("doc").as("doc_id"))
+      train0.join(hits, Seq("doc_id"), "left_anti")
+    }
+    val packed = stage("5_train_bins") {
+      packTokens(
+        assignSplit(clean, "doc_id", trainBp, valBp)
+          .filter(col("split") === "train"),
+        "doc_id", "source", "text", budget)
+    }
+    def report(df: DataFrame, name: String): DataFrame = df
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("stage", lit(name))
+    report(raw, "0_raw")
+      .unionByName(report(g, "1_quality"))
+      .unionByName(report(ex, "2_exact"))
+      .unionByName(report(nd, "3_neardup"))
+      .unionByName(report(clean, "4_decontam"))
+      .unionByName(packed.groupBy(col("source"))
+        .agg((max(col("bin")) + 1).as("n"))
+        .withColumn("stage", lit("5_train_bins")))
+      .select(col("stage"), col("source"), col("n"))
+      .orderBy(col("stage"), col("source"))
+  }
+
   /** Quantile bucketing via the distributed percentile sketch — the
     * 100-TB path q69's exact global `ntile` can't take (a single ordered
     * window over the corpus). Edges come from ONE `percentile_approx`

@@ -748,6 +748,43 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("runDag persists stage tables and resumes after a mid-DAG kill") {
+    def rmrf(dir: String): Unit = {
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_dag").toString
+    try {
+      val r1 = Curation.runDag(docs, out).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      // the persisted DAG reports exactly what the in-session t19 twin does
+      val t19 = SparkEntry.queries("t19_curation_dag")(spark, sf).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(r1 === t19)
+      // every stage table committed (parquet _SUCCESS marker)
+      val stages = Seq("0_raw", "1_quality", "2_exact", "3_neardup",
+        "4_decontam", "5_train_bins")
+      stages.foreach(st =>
+        assert(new java.io.File(s"$out/$st/_SUCCESS").exists(), st))
+      // kill after stage 3: stages 4+5 lost, restart must resume from the
+      // persisted prefix — the poisoned (empty) input proves stages 0-3
+      // are READ BACK, not recomputed, or the report would collapse to 0s
+      rmrf(s"$out/4_decontam"); rmrf(s"$out/5_train_bins")
+      val r2 = Curation.runDag(docs.filter(lit(false)), out).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(r2 === r1)
+      // a torn write (directory present, no marker) is rebuilt, not trusted
+      rmrf(s"$out/5_train_bins/_SUCCESS")
+      val r3 = Curation.runDag(docs, out).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(r3 === r1)
+    } finally rmrf(out)
+  }
+
   test("dupSpans is partition-invariant (1-way ≡ 7-way layout)") {
     // the islands window + shared-shingle join must not depend on the
     // physical layout of the input — a distributed-correctness property
