@@ -2038,12 +2038,19 @@ object Queries {
         .orderBy(col("source"))
     }),
     "t04_media_features" -> ((s: SparkSession, dir: String) =>
-      // `features` rendered as a JSON string: the driver's row comparator
-      // sorts on every column and cannot sort raw arrays
+      // `features` rendered as a bracketed integer-thousandths string:
+      // the driver's row comparator sorts on every column and cannot
+      // sort raw arrays, and integers render identically in Spark and
+      // DuckDB where float JSON would not — this is what lets t04 carry
+      // a full hash oracle (the stub features are exact k/1000 values,
+      // so round(f*1000) recovers k losslessly)
       Multimodal.decodeAndFeaturize(
         Multimodal.fromText(docs(s, dir), "doc_id", "text", "text"))
         .toDF()
-        .withColumn("features", to_json(col("features")))
+        .withColumn("features", concat(lit("["),
+          array_join(transform(col("features"),
+            f => round(f * 1000).cast("int").cast("string")), ","),
+          lit("]")))
         .orderBy(col("id"))),
     "t05_frame_sample" -> ((s: SparkSession, dir: String) =>
       Multimodal.sampleFrames(
@@ -3204,6 +3211,26 @@ object Queries {
          |ORDER BY doc_id""".stripMargin,
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,
+    // the decode stub derives everything from a 60-bit md5 prefix of the
+    // payload (TextFunctions.hash60's DuckDB-portable form), so the full
+    // typed mapPartitions kernel is oracle-able end to end
+    "t04_media_features" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id AS id, 'text' AS kind,
+        |  CAST(64 + (h % 512) AS INTEGER) AS width,
+        |  CAST(64 + ((h >> 16) % 512) AS INTEGER) AS height,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS "nBytes",
+        |  '[' || CAST(h % 1000 AS VARCHAR) ||
+        |  ',' || CAST((h >> 7) % 1000 AS VARCHAR) ||
+        |  ',' || CAST((h >> 14) % 1000 AS VARCHAR) ||
+        |  ',' || CAST((h >> 21) % 1000 AS VARCHAR) ||
+        |  ',' || CAST((h >> 28) % 1000 AS VARCHAR) ||
+        |  ',' || CAST((h >> 35) % 1000 AS VARCHAR) ||
+        |  ',' || CAST((h >> 42) % 1000 AS VARCHAR) ||
+        |  ',' || CAST((h >> 49) % 1000 AS VARCHAR) || ']' AS features
+        |FROM d ORDER BY id""".stripMargin,
     // frame sampling is pure arithmetic over byte lengths (stride 64), so
     // the UDTF-ish one-row→many-frames explode shape is oracle-able too
     "t05_frame_sample" ->

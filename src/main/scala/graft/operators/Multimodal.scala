@@ -43,18 +43,28 @@ object Multimodal {
   /** STUB image decode: a real implementation would parse the container
     * format (JPEG/PNG) here. The stub derives deterministic pseudo
     * dimensions and an 8-dim feature vector from the byte content, so
-    * tests exercise schema/partitioning/batch shape end-to-end. */
+    * tests exercise schema/partitioning/batch shape end-to-end.
+    *
+    * The derivation hashes the payload with md5 and keeps the top 60
+    * bits — the same DuckDB-portable form as
+    * [[graft.functions.TextFunctions.hash60]] — which makes the whole
+    * stub ANSI-expressible and lets t04 carry a full DuckDB oracle
+    * instead of a rows-only check (the real-codec swap point is
+    * unchanged: only this body). */
   def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      // MessageDigest is not thread-safe: one instance per partition
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
         // STUB: stand-in for codec decode — deterministic in the bytes
-        val h = m.bytes.foldLeft(1469598103934665603L)((a, b) =>
-          (a ^ (b & 0xff)) * 1099511628211L)
-        val w = 64 + math.floorMod(h, 512).toInt
-        val ht = 64 + math.floorMod(h >> 16, 512).toInt
+        md.reset()
+        val hex = md.digest(m.bytes).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        val w = 64 + (h % 512).toInt
+        val ht = 64 + ((h >> 16) % 512).toInt
         val feats = Array.tabulate(8)(i =>
-          math.floorMod(h >> (i * 7), 1000).toFloat / 1000f)
+          ((h >> (i * 7)) % 1000).toFloat / 1000f)
         MediaFeatures(m.id, m.kind, w, ht, m.bytes.length.toLong, feats)
       }
     }
