@@ -57,11 +57,33 @@ object Queries {
     df.repartition(width)
   }
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    spread(t(s, dir, "documents"))
+  /** Normalize a scanned table onto the canonical engine schema. The
+    * driver has re-encoded physical types between rounds (events `ts`
+    * shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)); a reader that
+    * assumes one encoding breaks on the next. Casting on the SCANNED
+    * Catalyst type is free when types already match (SimplifyCasts
+    * elides the no-op) and value-exact for every re-encoding accepted
+    * here (int32→int64, float32→float64). Columns absent from the scan
+    * pass through untouched. */
+  private def conform(df: DataFrame, types: (String, String)*): DataFrame =
+    types.foldLeft(df) { case (d, (c, ty)) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(ty)) else d
+    }
 
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    spread(conform(t(s, dir, "documents"),
+      "doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+      "source" -> "string", "n_chars" -> "bigint"))
+
+  /** Embedding elements conform to double: float32→double is value-exact,
+    * every similarity kernel computes in double anyway (l2Normalize casts
+    * internally), and DuckDB's oracle arithmetic is double — so results
+    * are encoding-independent whether the driver ships float32 or
+    * float64 vectors. */
   private def emb(s: SparkSession, dir: String): DataFrame =
-    spread(t(s, dir, "embeddings"))
+    spread(conform(t(s, dir, "embeddings"),
+      "vec_id" -> "bigint", "embedding" -> "array<double>",
+      "label" -> "int"))
 
   /** All session caches below (IVF/PQ/bloom/cluster). Keys come from
     * [[ckey]] only, so every entry is prefixed `applicationId + "|"` and
@@ -154,13 +176,15 @@ object Queries {
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(spark, dir, "events")
-    raw.schema("ts").dataType match {
+    val tsNorm = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // `div`, not `/`: long `/` is double division, and ns-since-epoch
         // exceeds 2^53 — the rounding costs ±1µs.
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
+    conform(tsNorm, "event_id" -> "bigint", "user_id" -> "bigint",
+      "event_type" -> "string", "value" -> "double", "props" -> "string")
   }
 
   // ==========================================================================

@@ -1102,6 +1102,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(served.except(direct).isEmpty && direct.except(served).isEmpty)
   }
 
+  test("readers conform re-encoded physical schemas to the engine schema") {
+    // the driver has re-encoded physical types between rounds (events ts:
+    // TIMESTAMP NANOS → MICROS). Queries must be encoding-independent for
+    // every value-exact re-encoding: int32 ids, float32→float64 vectors.
+    val out = java.nio.file.Files.createTempDirectory("graft_enc").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("doc_id", col("doc_id").cast("int"))
+      .withColumn("n_chars", col("n_chars").cast("int"))
+      .write.parquet(s"$out/documents.parquet")
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id").cast("int"))
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.parquet(s"$out/embeddings.parquet")
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("event_id", col("event_id").cast("int"))
+      .withColumn("user_id", col("user_id").cast("int"))
+      .write.parquet(s"$out/events.parquet")
+    // one query per extension table: documents, embeddings, events
+    for (q <- Seq("q23_dedup_exact", "q27_embed_topk", "q14_window_rank")) {
+      val canonical = SparkEntry.queries(q)(spark, sf).collect().toSeq
+      val reencoded = SparkEntry.queries(q)(spark, out).collect().toSeq
+      assert(reencoded === canonical, q)
+    }
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val f1 = Multimodal.decodeAndFeaturize(media).collect()
