@@ -2061,6 +2061,18 @@ object Queries {
             .as("merge_exact"))
         .orderBy(col("source"))
     }),
+    // q83's diagnostic at the 100-TB scale: the exact distinct self-join
+    // shuffles a vocabulary-sized table per source pair; this form
+    // reduces each source to ONE HLL sketch row (mergeable, map-side
+    // partial) and estimates pairwise Jaccard by inclusion-exclusion —
+    // |A∩B| ≈ |A|+|B|−|A∪B| with the union estimated from hll_union of
+    // the two sketches. The pair join is over the source-bounded sketch
+    // table (broadcast both sides), never the corpus. lgConfigK=16 holds
+    // the relative error near 0.4% (error-bound spec pins the estimates
+    // against q83's exact numbers); q83 stays the oracled exact baseline.
+    "t20_overlap_sketch" -> ((s: SparkSession, dir: String) =>
+      Dedup.vocabOverlapSketch(docs(s, dir), "source", "text")
+        .orderBy(col("src_a"), col("src_b"))),
     "t04_media_features" -> ((s: SparkSession, dir: String) =>
       // `features` rendered as a bracketed integer-thousandths string:
       // the driver's row comparator sorts on every column and cannot

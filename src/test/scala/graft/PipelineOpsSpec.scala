@@ -1127,6 +1127,48 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("t20 sketch overlap tracks the exact vocabulary Jaccard") {
+    val est = SparkEntry.queries("t20_overlap_sketch")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // full exact pair table (q83's formulation WITHOUT its top-20 limit —
+    // 20 sources make 190 pairs)
+    val sv = docs.select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .select(col("source"), TextFunctions.hash60(col("term")).as("h"))
+      .distinct().cache()
+    val sizes = sv.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = sv.as("a").join(sv.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("inter")).collect()
+      .map { r =>
+        val (sa, sb, i) = (r.getString(0), r.getString(1), r.getLong(2))
+        (sa, sb) -> i.toDouble / (sizes(sa) + sizes(sb) - i)
+      }.toMap
+    sv.unpersist()
+    assert(exact.size === 190 && est.size === 190)
+    // lgConfigK=16 error bound: estimates within 0.02 absolute of exact
+    exact.foreach { case (pair, j) =>
+      assert(math.abs(est(pair) - j) <= 0.02,
+        s"$pair est=${est(pair)} exact=$j")
+    }
+    // pairs with no exact overlap (if any) estimate to ~0
+    (est.keySet -- exact.keySet).foreach(p => assert(est(p) <= 0.02, p))
+    // planted controlled overlaps: the real-corpus vocabularies are all
+    // near-identical (J ≈ 0.97-1.0), which could hide a self-join
+    // mis-resolution (hll_union(a,a) also reads ~1). Distinct planted
+    // Jaccards pin the pairwise wiring: A∩B = 500/1500, A∩C = 0.
+    val planted = ((0 until 1000).map(i => ("A", s"w$i"))
+      ++ (500 until 1500).map(i => ("B", s"w$i"))
+      ++ (0 until 1000).map(i => ("C", s"x$i")))
+      .toDF("source", "text")
+    val p = Dedup.vocabOverlapSketch(planted, "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(p(("A", "B")) - 500.0 / 1500) <= 0.02)
+    assert(p(("A", "C")) <= 0.02 && p(("B", "C")) <= 0.02)
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val f1 = Multimodal.decodeAndFeaturize(media).collect()
