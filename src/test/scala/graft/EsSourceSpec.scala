@@ -120,6 +120,51 @@ class EsSourceSpec extends SparkTestBase {
     assert(FixtureEsClient.clearCalls.get() > 0)
   }
 
+  test("mid-stream scroll death: slice re-run recovers with no dup/loss") {
+    // A scroll continuation that dies between pages of a micro-batch
+    // window is deliberately NOT retried at the transport (the server
+    // cursor advances while producing a response — re-issuing could skip
+    // a page, HttpRetry scaladoc); the recovery unit is the Spark task
+    // re-run, which re-opens the slice from scratch and discards the
+    // failed attempt's output. Emulate exactly that contract: attempt 1
+    // dies mid-scroll (output discarded), attempt 2 re-creates the
+    // reader on the same partition. The window must arrive exactly —
+    // nothing lost, nothing duplicated — and the dead attempt must
+    // still release its server-side scroll context on close().
+    import graft.sources.es.{EsScanConfig, EsSpanMicroBatchStream, EsTimeOffset}
+    FixtureEsClient.reset()
+    FailingEsClient.reset()
+    val conf = EsScanConfig("fake://es", classOf[FailingEsClient].getName,
+      "jaeger-span-*", slices = 2, limit = None)
+    val s = new EsSpanMicroBatchStream(conf, startUs = 0L)
+    val latest = s.latestOffset().asInstanceOf[EsTimeOffset].us
+    val parts = s.planInputPartitions(EsTimeOffset(0L), EsTimeOffset(latest))
+    val fac = s.createReaderFactory()
+    FailingEsClient.failAtScroll.set(2) // die on the 2nd continuation
+    var retried = 0
+    val collected = Seq.newBuilder[String]
+    parts.foreach { p =>
+      def attempt(): Seq[String] = {
+        val r = fac.createReader(p)
+        try {
+          val buf = Seq.newBuilder[String]
+          while (r.next()) buf += r.get().getUTF8String(0).toString
+          buf.result()
+        } finally r.close()
+      }
+      collected ++= (try attempt() catch {
+        case e: RuntimeException if e.getMessage.contains("died") =>
+          retried += 1; attempt() // the task re-run
+      })
+    }
+    val got = collected.result()
+    assert(retried === 1) // the injected death actually hit a read path
+    assert(got.size === 331 && got.toSet.size === 331)
+    assert(got.toSet === FixtureEsClient.docs.toSet)
+    // the failed attempt held a live scroll token and close() cleared it
+    assert(FixtureEsClient.clearCalls.get() > 0)
+  }
+
   test("scroll-open retry path checks the server scroll-context budget") {
     import graft.sources.es.EsScrollPressure
     // parses both node-stats spellings, summing across nodes
@@ -192,6 +237,22 @@ class FixtureEsClient extends EsClient {
       else s"$slice:$maxSlices:$nextOff:$pageSize$rangeTok"
     (page, token)
   }
+}
+
+/** FixtureEsClient that kills the server on the Nth scroll continuation
+  * (once): the mid-stream fault the task-retry recovery spec injects. */
+class FailingEsClient extends FixtureEsClient {
+  override def scroll(token: String): (Seq[String], String) = {
+    if (FailingEsClient.failAtScroll.decrementAndGet() == 0)
+      throw new RuntimeException("es node died mid-scroll")
+    super.scroll(token)
+  }
+}
+
+object FailingEsClient {
+  val failAtScroll =
+    new java.util.concurrent.atomic.AtomicInteger(Int.MaxValue)
+  def reset(): Unit = failAtScroll.set(Int.MaxValue)
 }
 
 object FixtureEsClient {
