@@ -1558,6 +1558,130 @@ object Queries {
       .orderBy(col("source"), col("quality").desc, col("doc_id"))
   }
 
+  /** Cross-document boilerplate removal ([[Dedup.removeBoilerplate]]):
+    * segments repeated in ≥2 documents are stripped everywhere and the
+    * documents reassembled; the md5 of each cleaned text pins exact
+    * reassembly against the oracle. */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeBoilerplate(docs(s, dir), "doc_id", "text",
+        segTokens = 10, minDf = 2)
+      .orderBy(col("doc_id"))
+
+  /** Token-budget selection: within each source, admit documents in
+    * quality order (stop_ratio desc, doc_id tiebreak) until the running
+    * token total exceeds the per-source budget — the "fill the mixture
+    * to N tokens, best first" curation step.
+    *
+    * Scale shape: the only state is a running sum over ONE source's
+    * partition (window partitioned by source, ROWS frame — never a
+    * global sort). At 100 TB with few huge sources the same selection
+    * runs as t14-style quantile pre-bucketing (sketch the quality
+    * threshold whose expected token mass ≈ budget, exact-cumsum only the
+    * boundary bucket); the window form is the exact-semantics anchor. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val budget = 800L
+    val scored = docs(s, dir).select(col("doc_id"), col("source"),
+        TextFunctions.qualityStruct(col("text")).as("q"))
+      .select(col("doc_id"), col("source"),
+        col("q.n_tokens").cast("long").as("n_tokens"),
+        col("q.stop_ratio").as("stop_ratio"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("stop_ratio").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"), col("stop_ratio"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
+  /** Char-weighted repetition fractions — the half of the Gopher
+    * repetition suite (Rae et al. 2021, A1.2) that q66's count-ratios
+    * don't cover: the character MASS of the most frequent word 2-/3-gram
+    * and of all duplicated 5-grams, as a fraction of the document's
+    * token characters. `keep` applies the published thresholds
+    * (0.20 / 0.18 / 0.15).
+    *
+    * Scale shape: grams shuffle as (doc_id, 60-bit hash, char length) —
+    * the length is computed map-side so gram STRINGS never hit the wire;
+    * each n-gram order is one per-doc count aggregation (map-side
+    * partial) and the three join back on doc_id. The fraction needs only
+    * max/sum of count×length, so no argmax tie-break exists to pin. */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val tot = tok.select(col("doc_id"),
+      length(array_join(col("toks"), " ")).cast("double").as("tot"))
+    def gramMass(n: Int): DataFrame = tok
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesFromTokens(col("toks"), n)).as("g"))
+      .select(col("doc_id"), TextFunctions.hash60(col("g")).as("h"),
+        length(col("g")).as("len"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("c"), max(col("len")).as("len"))
+    val top2 = gramMass(2).groupBy(col("doc_id"))
+      .agg(max(col("c") * col("len")).as("m2"))
+    val top3 = gramMass(3).groupBy(col("doc_id"))
+      .agg(max(col("c") * col("len")).as("m3"))
+    val dup5 = gramMass(5).filter(col("c") >= 2).groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("len")).as("m5"))
+    tot.join(top2, Seq("doc_id"), "left")
+      .join(top3, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("m2"), lit(0L)).cast("double") / col("tot"), 6)
+          .as("top2_char_frac"),
+        round(coalesce(col("m3"), lit(0L)).cast("double") / col("tot"), 6)
+          .as("top3_char_frac"),
+        round(coalesce(col("m5"), lit(0L)).cast("double") / col("tot"), 6)
+          .as("dup5_char_frac"))
+      .withColumn("keep",
+        col("top2_char_frac") <= 0.20 && col("top3_char_frac") <= 0.18 &&
+          col("dup5_char_frac") <= 0.15)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Epoch-capped mixture allocation — the data-constrained variant of
+    * q85's temperature mixture (Muennighoff et al. 2023: repeating data
+    * beyond ~4 epochs stops helping): temperature-weighted token
+    * requests are capped at `maxEpochs` passes over each source, and the
+    * freed budget is redistributed pro-rata to the unsaturated sources
+    * in one waterfall round (then re-capped).
+    *
+    * Scale shape: everything after the per-source token count (one
+    * map-side-combined aggregation) operates on a #sources-row table;
+    * the corpus-independent scalars (Z, excess) fold in as broadcast
+    * single-row crossJoins, the q85 pattern. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.5; val budgetMult = 2.0; val maxEpochs = 4.0
+    val per = docs(s, dir)
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("tokens"))
+    val z = per.agg(
+      sum(pow(col("tokens").cast("double"), tau)).as("z"),
+      (sum(col("tokens")).cast("double") * budgetMult).as("budget"))
+    val g1 = per.crossJoin(broadcast(z))
+      .withColumn("wt", pow(col("tokens").cast("double"), tau))
+      .withColumn("req", col("budget") * col("wt") / col("z"))
+      .withColumn("cap", col("tokens").cast("double") * maxEpochs)
+      .withColumn("grant1", least(col("req"), col("cap")))
+    val agg1 = g1.agg(
+      (max(col("budget")) - sum(col("grant1"))).as("excess"),
+      sum(when(col("grant1") < col("cap"), col("wt"))
+        .otherwise(lit(0.0))).as("zu"))
+    g1.crossJoin(broadcast(agg1))
+      .withColumn("granted", least(col("cap"),
+        col("grant1") + when(col("grant1") < col("cap") && col("zu") > 0,
+          col("excess") * col("wt") / col("zu")).otherwise(lit(0.0))))
+      .select(col("source"), col("tokens"),
+        round(col("req"), 2).as("requested_tokens"),
+        round(col("granted"), 2).as("granted_tokens"),
+        round(col("granted") / col("tokens").cast("double"), 6)
+          .as("epochs"))
+      .orderBy(col("source"))
+  }
+
   /** PII redaction ([[TextFunctions.redactPii]]): the synthetic corpus
     * ships no PII, so the patterns are exercised on a deterministic
     * contact blob derived from customer keys — the point of the oracle
@@ -1934,6 +2058,10 @@ object Queries {
     "q89_source_dup_rates" -> (q89 _),
     "q90_tokenize_ids" -> (q90 _),
     "q91_quality_blend" -> (q91 _),
+    "q92_boilerplate_strip" -> (q92 _),
+    "q93_budget_select" -> (q93 _),
+    "q94_char_repetition" -> (q94 _),
+    "q95_epoch_mix" -> (q95 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -2960,6 +3088,104 @@ object Queries {
          |     ORDER BY quality DESC, doc_id) AS rn FROM q)
          |SELECT source, doc_id, quality FROM r WHERE rn <= 3
          |ORDER BY source, quality DESC, doc_id""".stripMargin,
+    "q92_boilerplate_strip" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | ch AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         |   list_aggregate(list_slice(t, (i-1)*10 + 1, (i-1)*10 + 10),
+         |     'string_agg', ' ') AS seg
+         |  FROM tk, unnest(generate_series(1,
+         |    CAST(floor((len(t) - 1) / 10.0) AS BIGINT) + 1)) s(i)
+         |  WHERE len(t) > 0),
+         | hot AS (SELECT seg FROM (SELECT seg,
+         |     count(DISTINCT doc_id) AS df FROM ch GROUP BY seg)
+         |   WHERE df >= 2),
+         | mk AS (SELECT c.doc_id, c.pos, c.seg,
+         |     (h.seg IS NOT NULL) AS dropped
+         |   FROM ch c LEFT JOIN hot h ON c.seg = h.seg)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  CAST(length(coalesce(string_agg(seg, ' ' ORDER BY pos)
+         |    FILTER (WHERE NOT dropped), '')) AS BIGINT) AS clean_chars,
+         |  md5(coalesce(string_agg(seg, ' ' ORDER BY pos)
+         |    FILTER (WHERE NOT dropped), '')) AS clean_md5
+         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q93_budget_select" -> {
+      val stopIn = TextFunctions.langLexicons.flatMap(_._2)
+        .map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH tk AS (SELECT doc_id, source, $toksSql AS t
+         |     FROM documents),
+         | sc AS (SELECT doc_id, source,
+         |   CAST(len(t) AS BIGINT) AS n_tokens,
+         |   round(CAST(len(list_filter(t, x -> x IN $stopIn)) AS DOUBLE)
+         |     / CAST(CASE WHEN len(t) > 0 THEN len(t) ELSE 1 END
+         |       AS DOUBLE), 6) AS stop_ratio
+         |  FROM tk),
+         | c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |     ORDER BY stop_ratio DESC, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS BIGINT) AS cum_tokens FROM sc)
+         |SELECT source, doc_id, n_tokens, cum_tokens, stop_ratio FROM c
+         |WHERE cum_tokens <= 800 ORDER BY source, cum_tokens""".stripMargin
+    },
+    "q94_char_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | tot AS (SELECT doc_id, CAST(length(list_aggregate(t,
+         |     'string_agg', ' ')) AS DOUBLE) AS tot FROM tk),
+         | g2 AS (SELECT doc_id, unnest(list_transform(
+         |     generate_series(1, greatest(len(t) - 1, 0)),
+         |     i -> t[i] || ' ' || t[i+1])) AS g FROM tk),
+         | c2 AS (SELECT doc_id, max(cnt * length(g)) AS m2 FROM
+         |   (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+         |   GROUP BY doc_id),
+         | g3 AS (SELECT doc_id, unnest(list_transform(
+         |     generate_series(1, greatest(len(t) - 2, 0)),
+         |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM tk),
+         | c3 AS (SELECT doc_id, max(cnt * length(g)) AS m3 FROM
+         |   (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2)
+         |   GROUP BY doc_id),
+         | g5 AS (SELECT doc_id, unnest(list_transform(
+         |     generate_series(1, greatest(len(t) - 4, 0)),
+         |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+         |       t[i+3] || ' ' || t[i+4])) AS g FROM tk),
+         | c5 AS (SELECT doc_id, sum(cnt * length(g)) AS m5 FROM
+         |   (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2)
+         |   WHERE cnt >= 2 GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  round(CAST(coalesce(m2, 0) AS DOUBLE) / tot, 6)
+         |    AS top2_char_frac,
+         |  round(CAST(coalesce(m3, 0) AS DOUBLE) / tot, 6)
+         |    AS top3_char_frac,
+         |  round(CAST(coalesce(m5, 0) AS DOUBLE) / tot, 6)
+         |    AS dup5_char_frac,
+         |  (round(CAST(coalesce(m2, 0) AS DOUBLE) / tot, 6) <= 0.20 AND
+         |   round(CAST(coalesce(m3, 0) AS DOUBLE) / tot, 6) <= 0.18 AND
+         |   round(CAST(coalesce(m5, 0) AS DOUBLE) / tot, 6) <= 0.15)
+         |    AS keep
+         |FROM tot t LEFT JOIN c2 USING (doc_id)
+         |  LEFT JOIN c3 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+    "q95_epoch_mix" ->
+      s"""WITH per AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT)
+         |     AS tokens FROM documents GROUP BY source),
+         | z AS (SELECT sum(pow(CAST(tokens AS DOUBLE), 0.5)) AS z,
+         |     CAST(sum(tokens) AS DOUBLE) * 2.0 AS budget FROM per),
+         | g1 AS (SELECT source, tokens,
+         |     pow(CAST(tokens AS DOUBLE), 0.5) AS wt,
+         |     budget * pow(CAST(tokens AS DOUBLE), 0.5) / z AS req,
+         |     CAST(tokens AS DOUBLE) * 4.0 AS cap, budget
+         |   FROM per CROSS JOIN z),
+         | g1b AS (SELECT *, least(req, cap) AS grant1 FROM g1),
+         | a1 AS (SELECT max(budget) - sum(grant1) AS excess,
+         |     sum(CASE WHEN grant1 < cap THEN wt ELSE 0 END) AS zu
+         |   FROM g1b)
+         |SELECT source, tokens, round(req, 2) AS requested_tokens,
+         |  round(least(cap, grant1 + CASE WHEN grant1 < cap AND zu > 0
+         |    THEN excess * wt / zu ELSE 0 END), 2) AS granted_tokens,
+         |  round(least(cap, grant1 + CASE WHEN grant1 < cap AND zu > 0
+         |    THEN excess * wt / zu ELSE 0 END)
+         |    / CAST(tokens AS DOUBLE), 6) AS epochs
+         |FROM g1b CROSS JOIN a1 ORDER BY source""".stripMargin,
     "q90_tokenize_ids" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
          | tok AS (SELECT doc_id,

@@ -717,4 +717,63 @@ object Dedup {
         round(greatest(lit(0.0), col("nv_a") + col("nv_b") - col("nu"))
           / col("nu"), 6).as("vocab_jaccard_est"))
   }
+
+  /** Cross-document boilerplate removal — the RefinedWeb/CCNet line-dedup
+    * primitive (Penedo et al. 2023 §3.3 "line-wise corrections"; the
+    * corpus here has no newlines, so the unit is the same non-overlapping
+    * `segTokens`-token segment [[chunkHashes]] uses): any segment whose
+    * DOCUMENT frequency reaches `minDf` is treated as boilerplate
+    * (headers, nav bars, license blurbs) and stripped from EVERY document
+    * it appears in — unlike [[chunkDuplicates]], which keeps the first
+    * occurrence. Documents are then REASSEMBLED from their surviving
+    * segments in position order.
+    *
+    * Scale shape, in order of the three jobs:
+    *   1. segment df: only (id, 60-bit segment hash) shuffles (distinct +
+    *      count), never segment text; map-side partial aggregation
+    *      collapses a 10⁹-repeated segment before the wire.
+    *   2. per-doc drop positions: hot hashes (df ≥ minDf — the
+    *      boilerplate tail, tiny vs corpus) join back to the hash-only
+    *      segment stream, then collect_set(pos) per doc — state bounded
+    *      by one document's segment count.
+    *   3. rebuild: documents left-join the (id, drop positions) table on
+    *      id — the ONE unavoidable text shuffle (the op rewrites the
+    *      corpus, so output ≈ input volume is the floor) — and the kept
+    *      segments are re-derived NARROW from the text and re-joined
+    *      with a single space (whitespace-normalizing, as tokens() is).
+    *      No window over segment hashes: a boilerplate segment in 10⁹
+    *      docs never funnels into one task.
+    *
+    * Emits one row per document: (idCol, n_segs, n_removed, clean_chars,
+    * clean_md5) — the md5 pins exact reassembly for the DuckDB oracle. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10, minDf: Int = 2): DataFrame = {
+    val segs = chunkHashes(df, idCol, textCol, segTokens)
+    val hot = segs.select(col("id"), col("chunk_h")).distinct()
+      .groupBy(col("chunk_h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("chunk_h"))
+    val dropPos = segs.join(hot, Seq("chunk_h"))
+      .groupBy(col("id")).agg(collect_set(col("pos")).as("drop_pos"))
+    def segArr(toks: Column): Column =
+      when(size(toks) > 0,
+        transform(sequence(lit(0), ((size(toks) - 1) / segTokens)
+          .cast("int")),
+          i => array_join(slice(toks, i * segTokens + 1,
+            lit(segTokens)), " ")))
+        .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .join(dropPos, Seq("id"), "left")
+      .select(col("id"), segArr(col("toks")).as("segs"),
+        coalesce(col("drop_pos"), array().cast("array<int>"))
+          .as("drop_pos"))
+      .select(col("id").as(idCol),
+        size(col("segs")).cast("long").as("n_segs"),
+        size(col("drop_pos")).cast("long").as("n_removed"),
+        array_join(filter(col("segs"),
+          (seg, i) => !array_contains(col("drop_pos"), i)), " ")
+          .as("clean"))
+      .select(col(idCol), col("n_segs"), col("n_removed"),
+        length(col("clean")).cast("long").as("clean_chars"),
+        md5(col("clean")).as("clean_md5"))
+  }
 }

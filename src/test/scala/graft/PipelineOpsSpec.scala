@@ -1169,6 +1169,64 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(p(("A", "C")) <= 0.02 && p(("B", "C")) <= 0.02)
   }
 
+  test("removeBoilerplate strips planted cross-doc segments, keeps order") {
+    // seg0 "a b c d e f g h i j" planted in docs 1,2,3 (df=3 -> hot);
+    // every other 10-token segment is unique (df=1 -> kept).
+    val boiler = "a b c d e f g h i j"
+    def uniq(d: Int, s: Int) = (0 until 10).map(i => s"u$d-$s-$i")
+      .mkString(" ")
+    val corpus = Seq(
+      (1L, s"${uniq(1, 0)} $boiler ${uniq(1, 1)}", "s0"),
+      (2L, s"$boiler ${uniq(2, 0)}", "s0"),
+      (3L, s"${uniq(3, 0)} $boiler", "s0"),
+      (4L, uniq(4, 0), "s0"))
+    val df = corpus.toDF("doc_id", "text", "source")
+    val out = Dedup.removeBoilerplate(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq((1L, 3L, 1L), (2L, 2L, 1L), (3L, 2L, 1L),
+        (4L, 1L, 0L)))
+    // doc 1's cleaned text is its two unique segments, in position order
+    val md5_1 = out(0).getAs[String]("clean_md5")
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${uniq(1, 0)} ${uniq(1, 1)}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(md5_1 === want)
+    // doc 4 untouched: cleaned text == original
+    assert(out(3).getAs[Long]("clean_chars") === uniq(4, 0).length)
+  }
+
+  test("removeBoilerplate is partition-invariant and a no-op at minDf=3") {
+    val a = Dedup.removeBoilerplate(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.removeBoilerplate(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // with the df threshold above any planted repetition in sf0.001,
+    // nothing is removed and every cleaned doc is its normalized self
+    val none = Dedup.removeBoilerplate(docs, "doc_id", "text",
+      minDf = 1000000)
+    assert(none.agg(sum("n_removed")).head().getLong(0) === 0L)
+  }
+
+  test("q95 epoch allocation: grants never exceed the cap, budget is " +
+      "conserved when any source stays unsaturated") {
+    val out = SparkEntry.queries("q95_epoch_mix")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val eps = 1e-6
+    out.foreach { r =>
+      val epochs = r.getAs[Double]("epochs")
+      assert(epochs <= 4.0 + eps && epochs > 0.0)
+      assert(r.getAs[Double]("granted_tokens") >= 0.0)
+    }
+    // budget_mult=2 < cap=4: nothing can saturate under one waterfall
+    // round unless weights are very skewed; either way the TOTAL granted
+    // never exceeds the budget (2 x corpus tokens)
+    val totTokens = out.map(_.getAs[Long]("tokens")).sum.toDouble
+    val granted = out.map(_.getAs[Double]("granted_tokens")).sum
+    assert(granted <= 2.0 * totTokens + 1.0)
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val f1 = Multimodal.decodeAndFeaturize(media).collect()
