@@ -2201,6 +2201,53 @@ object Queries {
     "t20_overlap_sketch" -> ((s: SparkSession, dir: String) =>
       Dedup.vocabOverlapSketch(docs(s, dir), "source", "text")
         .orderBy(col("src_a"), col("src_b"))),
+    // Heavy-hitter monitoring with count-min sketches: each source folds
+    // its token stream into ONE fixed-width CMS row (mergeable, map-side
+    // partial — Spark's codegen'd count_min_sketch aggregate), and the
+    // merged sketch answers point-frequency queries for the corpus-wide
+    // exact top-k. At 100 TB this is the only way to track token
+    // frequencies incrementally: per-partition/per-day sketches merge by
+    // counter addition (exactly — the spec pins merged ≡ single-pass),
+    // and the one-sided CMS error (est ≥ exact, est ≤ exact + ε·N) is
+    // asserted per row. The exact top-k here is the test-scale baseline;
+    // in production the candidate set comes from per-partition top-k
+    // unioned (a superset of any true heavy hitter by pigeonhole).
+    "t21_heavy_hitters" -> ((s: SparkSession, dir: String) => {
+      val eps = 0.0001; val conf = 0.99; val seed = 42
+      val tok = docs(s, dir)
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+      val perSrc = tok.groupBy(col("source"))
+        .agg(expr(s"count_min_sketch(w, ${eps}d, ${conf}d, $seed)")
+          .as("sk"))
+        .select(col("sk")).collect()
+      val merged = perSrc.map(r =>
+          org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sk"))))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
+      val n = merged.totalCount()
+      val exact = tok.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("w")).limit(20).collect()
+      import s.implicits._
+      exact.toSeq.map { r =>
+        val w = r.getString(0); val c = r.getLong(1)
+        val est = merged.estimateCount(w)
+        (w, c, est, est >= c && est <= c + (eps * n).toLong + 1)
+      }.toDF("token", "exact_cnt", "est_cnt", "bound_ok")
+        .orderBy(col("exact_cnt").desc, col("token"))
+    }),
+    // Real BPE tokenizer training ([[BpeTrainer]]): the corpus collapses
+    // to its word-frequency table in ONE pass, then every merge
+    // iteration runs on that vocabulary-bounded table — pair counting is
+    // a map-side-combined groupBy-sum, the argmax is one collected row,
+    // the merge application a narrow HOF fold. Iterative like t17's
+    // cluster build; no ANSI-SQL oracle exists for a trainer loop, so
+    // correctness pins to the planted-corpus spec (hand-derived merge
+    // sequence from the Sennrich et al. worked example) plus the encode
+    // round-trip property.
+    "t22_bpe_train" -> ((s: SparkSession, dir: String) =>
+      graft.functions.BpeTrainer.train(docs(s, dir), "text", 30)
+        .orderBy(col("rank"))),
     "t04_media_features" -> ((s: SparkSession, dir: String) =>
       // `features` rendered as a bracketed integer-thousandths string:
       // the driver's row comparator sorts on every column and cannot

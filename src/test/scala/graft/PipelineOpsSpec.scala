@@ -1227,6 +1227,49 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(granted <= 2.0 * totTokens + 1.0)
   }
 
+  test("t21 heavy hitters: merged CMS ≡ single-pass sketch, one-sided " +
+      "error bound holds for every top token") {
+    val out = SparkEntry.queries("t21_heavy_hitters")(spark, sf).collect()
+    assert(out.length === 20)
+    assert(out.forall(_.getAs[Boolean]("bound_ok")))
+    // merged per-source sketches answer EXACTLY like one corpus-wide
+    // sketch: counter arrays add, so the estimates must be identical
+    import org.apache.spark.util.sketch.CountMinSketch
+    val tok = docs.select(explode(TextFunctions.tokens(col("text")))
+      .as("w"))
+    val whole = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(
+      tok.agg(expr("count_min_sketch(w, 0.0001d, 0.99d, 42)").as("sk"))
+        .head().getAs[Array[Byte]]("sk")))
+    out.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") ===
+        whole.estimateCount(r.getAs[String]("token")))
+    }
+  }
+
+  test("t22 BPE training reproduces the hand-derived merge sequence") {
+    import graft.functions.BpeTrainer
+    // Sennrich et al. 2016 worked example (freqs low:5 lower:2 newest:6
+    // widest:3); ties break (count desc, left asc, right asc).
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w, "s0") }
+    val df = corpus.toDF("doc_id", "text", "source")
+    val merges = BpeTrainer.train(df, "text", 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[Long]("pair_freq")))
+    assert(merges.toSeq === Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)))
+    // encode applies the trained merges greedily: the unseen word
+    // "lowest" segments into the learned units low + est</w>
+    val table = merges.map { case (l, r, _) => (l, r) }.toSeq
+    val pieces = spark.range(1).select(
+      BpeTrainer.encodeWord(lit("lowest"), table).as("p"))
+      .head().getSeq[String](0)
+    assert(pieces === Seq("low", "est</w>"))
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val f1 = Multimodal.decodeAndFeaturize(media).collect()
