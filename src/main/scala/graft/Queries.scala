@@ -1682,6 +1682,22 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Deterministic weighted sampling without replacement
+    * ([[Curation.weightedSample]], Efraimidis-Spirakis): 50 docs drawn
+    * with probability proportional to token count, stable across reruns
+    * and partition layouts because the uniform derives from the salted
+    * content hash — which is also what lets DuckDB replay the exact
+    * draw. Top-k plans TakeOrderedAndProject (ExplainCheck-pinned). */
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tokens")),
+        "doc_id", col("n_tokens").cast("double"), k = 50)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("sample_key"), 6).as("sample_key"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+
   /** PII redaction ([[TextFunctions.redactPii]]): the synthetic corpus
     * ships no PII, so the patterns are exercised on a deterministic
     * contact blob derived from customer keys — the point of the oracle
@@ -2062,6 +2078,7 @@ object Queries {
     "q93_budget_select" -> (q93 _),
     "q94_char_repetition" -> (q94 _),
     "q95_epoch_mix" -> (q95 _),
+    "q96_weighted_sample" -> (q96 _),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -3233,6 +3250,17 @@ object Queries {
          |    THEN excess * wt / zu ELSE 0 END)
          |    / CAST(tokens AS DOUBLE), 6) AS epochs
          |FROM g1b CROSS JOIN a1 ORDER BY source""".stripMargin,
+    "q96_weighted_sample" ->
+      s"""WITH tk AS (SELECT doc_id, source,
+         |     CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         | keyed AS (SELECT doc_id, source, n_tokens,
+         |   pow((CAST(${H.format(
+                  "CAST(doc_id AS VARCHAR) || 'ws1'")} AS DOUBLE) + 1.0)
+         |       / 1152921504606846977.0,
+         |     1.0 / CAST(n_tokens AS DOUBLE)) AS k FROM tk),
+         | top AS (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 50)
+         |SELECT doc_id, source, n_tokens, round(k, 6) AS sample_key
+         |FROM top ORDER BY round(k, 6) DESC, doc_id""".stripMargin,
     "q90_tokenize_ids" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
          | tok AS (SELECT doc_id,

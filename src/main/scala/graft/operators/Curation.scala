@@ -32,6 +32,27 @@ object Curation {
       salt: String = "s1"): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < pctBp)
 
+  /** Weighted sampling WITHOUT replacement, k items, deterministic —
+    * Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    * reservoir"): each row draws u ∈ (0,1) and competes with key
+    * u^(1/w); the global top-k by key is a bona-fide weighted sample.
+    * The uniform comes from the salted 60-bit content hash, so the
+    * sample is content-stable across reruns AND partition layouts (the
+    * property `rand()` lacks) and the DuckDB oracle replays it exactly.
+    *
+    * Scale shape: key computation is narrow; the top-k plans
+    * TakeOrderedAndProject (per-partition heap + driver merge of k rows
+    * per partition), never a global sort — the same shape as q03. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, salt: String = "ws1"): DataFrame = {
+    // (hash60 + 1) / (2^60 + 1) ∈ (0, 1): never 0 or 1, so ln/pow stay
+    // finite for every weight
+    val u = (TextFunctions.hash60(concat(col(idCol).cast("string"),
+      lit(salt))).cast("double") + 1.0) / lit((1L << 60).toDouble + 1.0)
+    df.withColumn("sample_key", pow(u, lit(1.0) / weightCol))
+      .orderBy(col("sample_key").desc, col(idCol)).limit(k)
+  }
+
   /** Per-source sampling rates (mixture weighting): each source keeps its
     * own fraction — the standard knob for re-weighting a source mix.
     * Unlisted sources are dropped (rate 0). */

@@ -746,6 +746,18 @@ object Dedup {
     *
     * Emits one row per document: (idCol, n_segs, n_removed, clean_chars,
     * clean_md5) — the md5 pins exact reassembly for the DuckDB oracle. */
+  /** Non-overlapping `segTokens`-token segment texts of a token array
+    * (the [[chunkHashes]] unit, as strings). Callers must bind this to a
+    * MATERIALIZED token-array column — see the lambda-placement note on
+    * [[chunkHashes]]. */
+  private def segTexts(toks: Column, segTokens: Int): Column =
+    when(size(toks) > 0,
+      transform(sequence(lit(0), ((size(toks) - 1) / segTokens)
+        .cast("int")),
+        i => array_join(slice(toks, i * segTokens + 1,
+          lit(segTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int = 10, minDf: Int = 2): DataFrame = {
     val segs = chunkHashes(df, idCol, textCol, segTokens)
@@ -754,13 +766,7 @@ object Dedup {
       .filter(col("df") >= minDf).select(col("chunk_h"))
     val dropPos = segs.join(hot, Seq("chunk_h"))
       .groupBy(col("id")).agg(collect_set(col("pos")).as("drop_pos"))
-    def segArr(toks: Column): Column =
-      when(size(toks) > 0,
-        transform(sequence(lit(0), ((size(toks) - 1) / segTokens)
-          .cast("int")),
-          i => array_join(slice(toks, i * segTokens + 1,
-            lit(segTokens)), " ")))
-        .otherwise(array().cast("array<string>"))
+    def segArr(toks: Column): Column = segTexts(toks, segTokens)
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .join(dropPos, Seq("id"), "left")
       .select(col("id"), segArr(col("toks")).as("segs"),
@@ -775,5 +781,36 @@ object Dedup {
       .select(col(idCol), col("n_segs"), col("n_removed"),
         length(col("clean")).cast("long").as("clean_chars"),
         md5(col("clean")).as("clean_md5"))
+  }
+
+  /** The STREAMING-ingest form of [[removeBoilerplate]]'s rebuild: the
+    * hot-segment set is precomputed by a batch job over the existing
+    * corpus (the df-count stage of [[removeBoilerplate]]), folded in as
+    * a literal, and every arriving document cleans itself in one NARROW
+    * pass — no state, no shuffle, no watermark, so it applies unchanged
+    * to a streaming DataFrame (parity with the batch op is pinned in
+    * StreamingSpec). Same output schema as [[removeBoilerplate]].
+    *
+    * The literal-array probe is the exact-semantics twin for a hot set
+    * that fits a task binary (boilerplate tails typically do); at a hot
+    * set too large to inline, the same narrow shape runs with the
+    * [[graft.expressions.BloomSketch]] gate (t13's
+    * ingest-contamination pattern) — FP-tolerant drop, or bloom +
+    * stream-static verify join for exactness. */
+  def cleanAgainstHotSet(df: DataFrame, idCol: String, textCol: String,
+      hotHashes: Seq[Long], segTokens: Int = 10): DataFrame = {
+    val hot = typedlit(hotHashes)
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), segTexts(col("toks"), segTokens).as("segs"))
+      .select(col(idCol), col("segs"),
+        filter(col("segs"),
+          s => !array_contains(hot, hash60(s))).as("kept"))
+      .select(col(idCol),
+        size(col("segs")).cast("long").as("n_segs"),
+        (size(col("segs")) - size(col("kept"))).cast("long")
+          .as("n_removed"),
+        length(array_join(col("kept"), " ")).cast("long")
+          .as("clean_chars"),
+        md5(array_join(col("kept"), " ")).as("clean_md5"))
   }
 }

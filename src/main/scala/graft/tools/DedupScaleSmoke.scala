@@ -309,6 +309,56 @@ object DedupScaleSmoke {
     require(ivfRecall >= 0.5 && ivfPqRecall >= 0.5,
       f"recall collapsed at scale: IVF $ivfRecall%.3f / " +
         f"IVF+PQ $ivfPqRecall%.3f (floor 0.5)")
+
+    // Boilerplate strip (q92 family) at 200k docs. Planted ground truth
+    // is exact: each %100 group {base, near, exact} shares the base's
+    // three 10-token segments (df=3 each), AND every near-dup's 4th
+    // segment is the same literal "tail variant" — a 2000-doc
+    // boilerplate string, which is precisely what this op exists to
+    // catch. At minDf=2 all three group docs are fully emptied (10
+    // segment occurrences per group: 3+3+4); non-group docs' segments
+    // are df=1 and untouched.
+    println(s"== removeBoilerplate (10-token segments, df>=2) ==")
+    val cleaned = time("removeBoilerplate")(
+      Dedup.removeBoilerplate(docs, "doc_id", "text")
+        .localCheckpoint())
+    val groups = nDocs / 100
+    val touched = cleaned.filter(col("n_removed") > 0).count()
+    val removed = cleaned.agg(sum(col("n_removed"))).head().getLong(0)
+    val emptied = cleaned.filter(col("clean_chars") === 0).count()
+    println(s"  touched docs: $touched (planted: ${3 * groups}), " +
+      s"segments removed: $removed (planted: ${10 * groups}), " +
+      s"emptied: $emptied (planted: ${3 * groups})")
+    require(touched == 3 * groups && removed == 10 * groups &&
+      emptied == 3 * groups,
+      "boilerplate strip diverged from planted ground truth")
+
+    // CMS heavy hitters (t21 family) at 200k docs / 6M tokens: 32
+    // slice-sketches merge by counter addition, and the merged estimate
+    // must hold the one-sided bound for the exact top-20 tokens.
+    println(s"== count-min heavy hitters over ${30 * nDocs} tokens ==")
+    val tokStream = docs.select(
+      (col("doc_id") % 32).as("slice"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+    val cmsBound = time("per-slice CMS build + merge + top-20 probe") {
+      val sks = tokStream.groupBy(col("slice"))
+        .agg(expr("count_min_sketch(w, 0.0001d, 0.99d, 42)").as("sk"))
+        .select(col("sk")).collect()
+      val merged = sks.map(r =>
+          org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sk"))))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
+      val topTok = tokStream.groupBy(col("w"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(20).collect()
+      val slack = (0.0001 * merged.totalCount()).toLong + 1
+      topTok.forall { r =>
+        val est = merged.estimateCount(r.getString(0))
+        est >= r.getLong(1) && est <= r.getLong(1) + slack
+      }
+    }
+    require(cmsBound, "CMS bound violated for a top-20 token at scale")
+    println("  one-sided error bound held for all top-20 tokens")
     spark.stop()
   }
 }

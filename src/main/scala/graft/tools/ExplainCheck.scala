@@ -150,6 +150,33 @@ object ExplainCheck {
       p.contains("LessThan(doc_id,40)") &&
         "PushedFilters: \\[\\]".r.findAllIn(p).length >= 1
     })
+    // boilerplate strip: the df-count and drop-position subtrees must
+    // never shuffle segment text — every pre-rebuild exchange carries
+    // only (id, hash, pos)-shaped rows; no window over segment hashes
+    // (a 10⁹-doc boilerplate segment would funnel into one task)
+    check("q92 plans no window and no cartesian product", {
+      val p = plan("q92_boilerplate_strip")
+      !p.contains("Window") && !p.contains("CartesianProduct")
+    })
+    // budget selection: exactly one window, partitioned by source (the
+    // running sum) — a global (empty-partition) window would serialize
+    // the corpus through one task
+    check("q93 cumsum window is partitioned by source", {
+      val p = plan("q93_budget_select")
+      val windows = "Window \\[".r.findAllIn(p).length
+      windows == 1 && p.contains("windowspecdefinition(source")
+    })
+    // char-repetition: gram strings must be hashed before the shuffle —
+    // every exchange key set is (doc_id, h)-shaped, never the gram text
+    check("q94 shuffles gram hashes, not gram strings", {
+      val p = plan("q94_char_repetition")
+      !"Exchange hashpartitioning\\([^)]*\\bg#".r.findFirstIn(p).isDefined &&
+        !p.contains("CartesianProduct")
+    })
+    // weighted sample: a global top-k by sample key must plan
+    // TakeOrderedAndProject (per-partition heaps), never a full sort
+    check("q96 weighted sample plans TakeOrderedAndProject",
+      plan("q96_weighted_sample").contains("TakeOrderedAndProject"))
     println("all plan assertions hold")
     spark.stop()
   }

@@ -1227,6 +1227,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(granted <= 2.0 * totTokens + 1.0)
   }
 
+  test("weightedSample: partition-invariant, weight-monotone in " +
+      "expectation, exactly k rows") {
+    val weighted = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("double").as("w"))
+    val a = Curation.weightedSample(weighted, "doc_id", col("w"), 40)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.weightedSample(weighted.repartition(7), "doc_id",
+      col("w"), 40).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b && a.size === 40)
+    // heavier docs must be over-represented: the sampled mean weight
+    // exceeds the corpus mean (Efraimidis-Spirakis selection bias)
+    val corpusMean = weighted.agg(avg("w")).head().getDouble(0)
+    val sampleMean = Curation.weightedSample(weighted, "doc_id",
+        col("w"), 40).agg(avg("w")).head().getDouble(0)
+    assert(sampleMean > corpusMean)
+  }
+
   test("t21 heavy hitters: merged CMS ≡ single-pass sketch, one-sided " +
       "error bound holds for every top token") {
     val out = SparkEntry.queries("t21_heavy_hitters")(spark, sf).collect()

@@ -468,6 +468,45 @@ class StreamingSpec extends SparkTestBase {
     assert(got === batch)
   }
 
+  test("boilerplate clean streams: narrow hot-set strip has batch parity") {
+    // Production shape: a batch job over the existing corpus computes
+    // the hot-segment set (removeBoilerplate's df stage); arriving docs
+    // then clean themselves statelessly against that set. Parity: the
+    // streamed cleanAgainstHotSet output must match removeBoilerplate's
+    // per-doc result on the same corpus (same hash basis, same rebuild).
+    import SparkTestBase.session.implicits._
+    import graft.operators.Dedup
+    import graft.functions.TextFunctions
+    val boiler = (0 until 10).map(i => s"b$i").mkString(" ")
+    def uniq(d: Int) = (0 until 10).map(i => s"u$d-$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$boiler ${uniq(1)}"), (2L, s"${uniq(2)} $boiler"),
+      (3L, uniq(3)), (4L, s"$boiler"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_boiler").toString
+    corpus.coalesce(1).write.mode("overwrite").json(dir)
+    // hot set from the batch df-count stage (df >= 2 over the corpus)
+    val hot = Dedup.chunkHashes(corpus, "doc_id", "text")
+      .select(col("id"), col("chunk_h")).distinct()
+      .groupBy("chunk_h").count().filter(col("count") >= 2)
+      .select("chunk_h").collect().map(_.getLong(0)).toSeq
+    val schema = "doc_id BIGINT, text STRING"
+    val stream = Dedup.cleanAgainstHotSet(
+      spark.readStream.schema(schema).json(dir), "doc_id", "text", hot)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("boiler_clean")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("boiler_clean")
+      .orderBy("doc_id").collect().toSeq
+    val batch = Dedup.removeBoilerplate(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(got === batch)
+    // and the strip did something: docs 1,2,4 lose the boilerplate
+    assert(got.map(_.getAs[Long]("n_removed")).toSeq ===
+      Seq(1L, 1L, 0L, 1L))
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
