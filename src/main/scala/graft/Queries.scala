@@ -1698,6 +1698,33 @@ object Queries {
         round(col("sample_key"), 6).as("sample_key"))
       .orderBy(col("sample_key").desc, col("doc_id"))
 
+  /** CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): docs
+    * tercile-split per source by LM cross-entropy — "head" is the
+    * cleanest third, the slice CCNet keeps for training. Shares q80's
+    * cross-entropy table; the ntile window is source-partitioned with a
+    * (ce, doc_id) tie-break so bucket edges are deterministic. Reports
+    * per (source, bucket): doc count, token mass, mean cross-entropy.
+    * Source-bounded window state; the output is 3×#sources rows. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val j = docs(s, dir).select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(crossEntropyScores(s, dir), Seq("doc_id"))
+    j.withColumn("nb", ntile(3).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("cross_entropy"), col("doc_id"))))
+      .withColumn("bucket", when(col("nb") === 1, "head")
+        .when(col("nb") === 2, "middle").otherwise("tail"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        // mean over exact micro-units: summing the already-6-rounded CE
+        // as longs is order-independent, where avg() over doubles can
+        // flip the 6th decimal with partial-aggregation order
+        round((sum(round(col("cross_entropy") * 1e6, 0).cast("long"))
+          .cast("double") / count(lit(1)) / 1e6), 6).as("mean_ce"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** PII redaction ([[TextFunctions.redactPii]]): the synthetic corpus
     * ships no PII, so the patterns are exercised on a deterministic
     * contact blob derived from customer keys — the point of the oracle
@@ -2079,6 +2106,17 @@ object Queries {
     "q94_char_repetition" -> (q94 _),
     "q95_epoch_mix" -> (q95 _),
     "q96_weighted_sample" -> (q96 _),
+    "q97_ccnet_buckets" -> (q97 _),
+    // Hard-negative mining (contrastive training data): top-5 non-dup
+    // neighbors for 10 deterministic query vectors; near-dups above
+    // cos 0.95 are excluded as disguised positives. Candidate
+    // generation composes with ivfTopK at corpus scale (same contract).
+    "t23_hard_negatives" -> ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") % 40 === 0),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("neg_rank"))
+    }),
     "q48_simhash_neardup" -> ((s: SparkSession, dir: String) =>
       // the banded (production) search; oracle = all-pairs ground truth,
       // equal by pigeonhole recall 1 + exact hamming verify
@@ -3250,6 +3288,32 @@ object Queries {
          |    THEN excess * wt / zu ELSE 0 END)
          |    / CAST(tokens AS DOUBLE), 6) AS epochs
          |FROM g1b CROSS JOIN a1 ORDER BY source""".stripMargin,
+    "q97_ccnet_buckets" ->
+      s"""WITH tk80 AS (SELECT doc_id, lang = 'en' AS is_ref,
+         |     unnest($toksSql) AS term FROM documents),
+         | tf AS (SELECT doc_id, is_ref, term, count(*) AS tf
+         |   FROM tk80 GROUP BY 1, 2, 3),
+         | lm AS (SELECT term,
+         |     sum(CASE WHEN is_ref THEN tf ELSE 0 END) AS ref_cnt
+         |   FROM tf GROUP BY term),
+         | tot AS (SELECT CAST(sum(ref_cnt) AS DOUBLE) AS ref_tot,
+         |     CAST(count(*) AS DOUBLE) AS vocab FROM lm),
+         | ce AS (SELECT doc_id, round(
+         |     -sum(tf * ln((ref_cnt + 0.5) / (ref_tot + 0.5 * vocab)))
+         |       / sum(tf), 6) AS cross_entropy
+         |   FROM tf JOIN lm USING (term) CROSS JOIN tot GROUP BY doc_id),
+         | j AS (SELECT d.source, d.doc_id,
+         |     CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |     ce.cross_entropy
+         |   FROM documents d JOIN ce USING (doc_id)),
+         | b AS (SELECT *, ntile(3) OVER (PARTITION BY source
+         |     ORDER BY cross_entropy, doc_id) AS nb FROM j)
+         |SELECT source, CASE nb WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         |  round(CAST(sum(CAST(round(cross_entropy * 1e6, 0) AS BIGINT))
+         |      AS DOUBLE) / count(*) / 1e6, 6) AS mean_ce
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q96_weighted_sample" ->
       s"""WITH tk AS (SELECT doc_id, source,
          |     CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),

@@ -69,6 +69,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Hard-negative mining for embedding-model training (the
+    * contrastive-learning data op — e.g. DPR, Karpukhin et al. 2020
+    * §4.2): for each query, the top-k most-similar corpus vectors that
+    * are NOT near-duplicates of it. High-cosine neighbors above
+    * `dupCos` are positives/duplicates in disguise (false negatives
+    * that poison the contrastive loss), so they are excluded and the
+    * ranking re-packed.
+    *
+    * Composition, not new machinery: candidate generation is
+    * [[bruteForceTopK]] with a `margin` head-room (swap in [[ivfTopK]]
+    * at corpus scale — same contract), the dup-exclusion is a filter,
+    * and the re-pack window is (k+margin)-bounded per query. If a query
+    * has more than `margin` near-dups the tail under-fills — mirroring
+    * production miners, which size the margin at the expected dup rate
+    * (the planted spec pins exactly this under-fill behavior). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dupCos: Double = 0.95,
+      margin: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    bruteForceTopK(corpus, queries, idCol, vecCol, k + margin)
+      .filter(col("cos_sim") < dupCos)
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col("neg_rank"), col("neighbor_id"),
+        col("cos_sim"))
+  }
+
   /** Exact near-dup pairs: all pairs with cosine ≥ threshold (test-scale
     * ground truth; at scale run it over LSH bucket candidates instead). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -1287,6 +1287,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pieces === Seq("low", "est</w>"))
   }
 
+  test("hardNegatives excludes planted twins, keeps the next neighbors") {
+    import graft.operators.Similarity
+    // 4-d corpus: id 0 (query) and id 1 are exact twins (cos 1.0);
+    // ids 2..9 fan out at distinct similarities below the dup bar
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.9f, 0.4f, 0f, 0f)), (3L, Array(0.8f, 0.6f, 0f, 0f)),
+      (4L, Array(0.5f, 0.8f, 0f, 0f)), (5L, Array(0f, 1f, 0f, 0f)),
+      (6L, Array(0f, 0f, 1f, 0f)), (7L, Array(-1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    val negs = Similarity.hardNegatives(vecs, q, "vec_id", "embedding",
+        k = 3).orderBy("neg_rank").collect()
+    val ids = negs.map(_.getAs[Long]("neighbor_id")).toSeq
+    // twin 1 (cos 1.0 >= 0.95) excluded; 2 (cos ~0.91), 3 (~0.8),
+    // 4 (~0.53) are the hard negatives, in similarity order
+    assert(ids === Seq(2L, 3L, 4L))
+    assert(negs.map(_.getAs[Int]("neg_rank")).toSeq === Seq(1, 2, 3))
+    assert(negs.forall(_.getAs[Double]("cos_sim") < 0.95))
+    // with every candidate a near-dup, the miner under-fills rather
+    // than leaking positives
+    val twins = Seq((0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val none = Similarity.hardNegatives(twins,
+      twins.filter(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+    assert(none.count() === 0)
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val f1 = Multimodal.decodeAndFeaturize(media).collect()
