@@ -302,6 +302,29 @@ object Similarity {
     (spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/assigned"))
 
+  /** Incremental index maintenance — the daily-embedding-ingest path:
+    * new vectors are assigned to the EXISTING centroids (no retrain;
+    * standard IVF practice until centroid drift warrants a rebuild —
+    * recall on appended data degrades gracefully with drift, never
+    * collapses, since assignment and probe share the same centroids)
+    * and appended to the cell-partitioned assignment store. The dynamic
+    * partition append writes only the cells the batch lands in, and
+    * serve-time partition pruning is untouched. Returns the appended
+    * count. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVecs: DataFrame, idCol: String,
+      vecCol: String): Long = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = assignCells(
+      newVecs.select(col(idCol).as("neighbor_id"),
+        l2Normalize(col(vecCol)).as("cv")),
+      cents, "neighbor_id", "cv", keep = 1)
+      .localCheckpoint()
+    assigned.write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    assigned.count()
+  }
+
   /** IVF top-k from a (possibly loaded) index. */
   def ivfTopKFromIndex(index: (DataFrame, DataFrame), queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {

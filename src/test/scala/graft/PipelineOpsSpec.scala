@@ -118,6 +118,36 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(served.except(direct).isEmpty && direct.except(served).isEmpty)
   }
 
+  test("IVF append: new vectors serve through the existing index, " +
+      "centroids untouched") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_app").toString
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding"), dir)
+    val centsBefore = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cent_id").collect().toSeq
+    // the appended batch plants an exact twin of query vec 3: it must
+    // land in the query's own cell (same centroids on both sides) and
+    // therefore surface at rank 1 / cos 1.0 with nProbe=1
+    val twin = emb.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val n = Similarity.appendToIvfIndex(spark, dir, twin,
+      "vec_id", "embedding")
+    assert(n === 1)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val top = Similarity.ivfTopKFromIndex(loaded,
+        emb.filter(col("vec_id") === 3), "vec_id", "embedding",
+        k = 3, nProbe = 1)
+      .filter(col("rank") === 1).head()
+    assert(top.getAs[Long]("neighbor_id") === 1000003L)
+    assert(top.getAs[Double]("cos_sim") === 1.0)
+    // append must not have rewritten the centroid table
+    val centsAfter = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cent_id").collect().toSeq
+    assert(centsAfter === centsBefore)
+  }
+
   test("tokens/shingles edge cases") {
     val df = Seq("", "  ", "one", "a b c d").toDF("text")
     val got = df.select(
