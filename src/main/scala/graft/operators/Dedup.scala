@@ -783,6 +783,43 @@ object Dedup {
         md5(col("clean")).as("clean_md5"))
   }
 
+  /** Persisted exact-dedup LEDGER — the production state behind a daily
+    * exact-dedup ingest (the durable twin of q71's in-memory cross-set
+    * gate and the streaming anti-join gate): a parquet store of content
+    * digests seen so far. [[ledgerAdmit]] anti-joins an arriving batch
+    * against the store (admitting only unseen content, first-in-batch
+    * per digest by min id — deterministic) and appends the admitted
+    * digests, so the next batch sees them.
+    *
+    * Scale shape: the ledger holds ONE 16-byte digest row per distinct
+    * document ever admitted — no text; the anti-join is a digest
+    * equi-join (AQE broadcasts the batch side when small, the common
+    * daily case is batch ≪ ledger and the ledger side is the build
+    * side of a shuffled hash join); the append writes only the batch's
+    * new digests. Digest-bucketing the store would co-locate the join
+    * at a fixed ledger layout — documented, not required for
+    * correctness. */
+  def ledgerAdmit(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val dir = new java.io.File(path)
+    val seen =
+      if (dir.exists() && dir.listFiles != null && dir.listFiles.nonEmpty)
+        spark.read.parquet(path)
+      else spark.emptyDataFrame
+        .select(lit("").as("text_md5")).limit(0)
+    val hashed = batch.withColumn("text_md5", md5(col(textCol)))
+    // first occurrence per digest WITHIN the batch (min id — the
+    // groupBy-min shape, no window hot-key risk), then minus the ledger
+    val firstInBatch = hashed
+      .groupBy(col("text_md5")).agg(min(col(idCol)).as(idCol))
+      .join(seen.select("text_md5"), Seq("text_md5"), "left_anti")
+    val admitted = hashed.join(
+        firstInBatch, Seq("text_md5", idCol)).localCheckpoint()
+    admitted.select(col("text_md5")).write.mode("append").parquet(path)
+    admitted
+  }
+
   /** The STREAMING-ingest form of [[removeBoilerplate]]'s rebuild: the
     * hot-segment set is precomputed by a batch job over the existing
     * corpus (the df-count stage of [[removeBoilerplate]]), folded in as

@@ -359,6 +359,40 @@ object DedupScaleSmoke {
     }
     require(cmsBound, "CMS bound violated for a top-20 token at scale")
     println("  one-sided error bound held for all top-20 tokens")
+
+    // BPE at scale (t22 family): train 10 merges on the full corpus'
+    // word-frequency table, then encode EVERY word occurrence with the
+    // trained table (10 nested HOF folds per word, codegen'd). Checks:
+    // no word is lost, every encoding is non-empty, and the learned
+    // merges actually compress (mean pieces strictly below mean chars).
+    println(s"== BPE train(10) + corpus-wide encode ==")
+    val mergeTable = time("BpeTrainer.train (10 merges)")(
+      graft.functions.BpeTrainer.train(docs, "text", 10)
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+        .toSeq)
+    require(mergeTable.length == 10, s"trained ${mergeTable.length}/10")
+    val wordStream = docs.select(
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+    val encStats = time("encode all word occurrences") {
+      wordStream.select(col("w"),
+          graft.functions.BpeTrainer.encodeWord(col("w"), mergeTable)
+            .as("pieces"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(size(col("pieces")) === 0, 1).otherwise(0)).as("empty"),
+          avg(size(col("pieces"))).as("mean_pieces"),
+          avg(length(col("w")) + 1).as("mean_syms")) // +1: the </w> mark
+        .head()
+    }
+    val nWords = wordStream.count()
+    println(s"  words: ${encStats.getAs[Long]("n")} (corpus: $nWords), " +
+      f"mean pieces ${encStats.getAs[Double]("mean_pieces")}%.2f vs " +
+      f"unmerged symbols ${encStats.getAs[Double]("mean_syms")}%.2f")
+    require(encStats.getAs[Long]("n") == nWords &&
+      encStats.getAs[Long]("empty") == 0L &&
+      encStats.getAs[Double]("mean_pieces") <
+        encStats.getAs[Double]("mean_syms"),
+      "BPE corpus encode lost words or failed to compress")
     spark.stop()
   }
 }

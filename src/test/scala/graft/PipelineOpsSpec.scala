@@ -1346,6 +1346,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(none.count() === 0)
   }
 
+  test("dedup ledger: admits unseen content once, persists across batches") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ledger").toString + "/ledger"
+    // batch 1: two distinct texts, one in-batch duplicate (id 3 of id 1)
+    val b1 = Seq((1L, "alpha content"), (2L, "beta content"),
+      (3L, "alpha content")).toDF("doc_id", "text")
+    val a1 = Dedup.ledgerAdmit(spark, dir, b1, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a1 === Set(1L, 2L)) // in-batch dup collapsed to min id
+    // batch 2: one repeat of batch 1, one new; the repeat must be barred
+    // by the PERSISTED ledger, not in-memory state
+    val b2 = Seq((10L, "beta content"), (11L, "gamma content"))
+      .toDF("doc_id", "text")
+    val a2 = Dedup.ledgerAdmit(spark, dir, b2, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a2 === Set(11L))
+    // ledger now holds exactly the three admitted digests
+    assert(spark.read.parquet(dir).distinct().count() === 3)
+    // batch 3: all repeats -> nothing admitted, ledger unchanged
+    val a3 = Dedup.ledgerAdmit(spark, dir,
+      Seq((20L, "alpha content"), (21L, "gamma content"))
+        .toDF("doc_id", "text"), "doc_id", "text").count()
+    assert(a3 === 0L)
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val f1 = Multimodal.decodeAndFeaturize(media).collect()
