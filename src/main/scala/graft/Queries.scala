@@ -398,7 +398,7 @@ object Queries {
   // ==========================================================================
 
   import graft.functions.TextFunctions
-  import graft.operators.{Dedup, Multimodal, Similarity}
+  import graft.operators.{Dedup, Multimodal, QualityModel, Similarity}
 
   /** Token statistics per document (tokenizer + HOF aggregation). */
   private def q20(s: SparkSession, dir: String): DataFrame = {
@@ -2290,6 +2290,23 @@ object Queries {
         (w, c, est, est >= c && est <= c + (eps * n).toLong + 1)
       }.toDF("token", "exact_cnt", "est_cnt", "bound_ok")
         .orderBy(col("exact_cnt").desc, col("token"))
+    }),
+    // Model-based quality filter (GPT-3-style reference-vs-crawl
+    // classifier): logistic regression on the narrow surface-quality
+    // features, label = lang=='en' (the reference slice, as q79/q80 use
+    // it), scored corpus-wide; top-20 by P(reference-like). Training is
+    // corpus-bounded here and sample-bounded at 100 TB; scoring is one
+    // narrow broadcast-coefficients pass. No ANSI oracle for the L-BFGS
+    // fit — pinned by the planted-separability + retrain-stability spec.
+    "t24_quality_model" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val feats = QualityModel.featurize(d, "doc_id", "text")
+      val labeled = feats.join(
+        d.select(col("doc_id"),
+          (col("lang") === "en").cast("double").as("label")), Seq("doc_id"))
+      val model = QualityModel.train(labeled, "label")
+      QualityModel.score(feats, model, "doc_id")
+        .orderBy(col("quality_prob").desc, col("doc_id")).limit(20)
     }),
     // Real BPE tokenizer training ([[BpeTrainer]]): the corpus collapses
     // to its word-frequency table in ONE pass, then every merge

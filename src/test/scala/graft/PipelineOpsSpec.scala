@@ -1372,6 +1372,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() === 3)
   }
 
+  test("quality model separates a planted corpus perfectly and retrains " +
+      "to identical coefficients") {
+    import graft.operators.QualityModel
+    // linearly separable on stop_ratio/alpha_frac: "reference" docs are
+    // stopword-rich prose, "crawl" docs are symbol soup
+    val ref = (0 until 30).map(i =>
+      (i.toLong, "the quick brown fox and the lazy dog ran of a it " +
+        s"is in word$i text here", 1.0))
+    val crawl = (30 until 60).map(i =>
+      (i.toLong, s"### $i ### ... %%% @@@ $i-$i-$i ... ###", 0.0))
+    val df = (ref ++ crawl).toDF("doc_id", "text", "label")
+    val feats = QualityModel.featurize(df, "doc_id", "text")
+      .join(df.select("doc_id", "label"), Seq("doc_id"))
+    val m1 = QualityModel.train(feats, "label")
+    val scored = QualityModel.score(
+      QualityModel.featurize(df, "doc_id", "text"), m1, "doc_id")
+      .join(df.select("doc_id", "label"), Seq("doc_id")).collect()
+    // perfect separation at the 0.5 boundary
+    assert(scored.forall { r =>
+      (r.getAs[Double]("quality_prob") > 0.5) ==
+        (r.getAs[Double]("label") == 1.0)
+    })
+    // deterministic retrain: identical coefficients
+    val m2 = QualityModel.train(feats, "label")
+    assert(m1.coefficients.toArray.zip(m2.coefficients.toArray)
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    assert(math.abs(m1.intercept - m2.intercept) < 1e-9)
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val f1 = Multimodal.decodeAndFeaturize(media).collect()
