@@ -1567,29 +1567,23 @@ object Queries {
         segTokens = 10, minDf = 2)
       .orderBy(col("doc_id"))
 
-  /** Token-budget selection: within each source, admit documents in
-    * quality order (stop_ratio desc, doc_id tiebreak) until the running
-    * token total exceeds the per-source budget — the "fill the mixture
-    * to N tokens, best first" curation step.
-    *
-    * Scale shape: the only state is a running sum over ONE source's
-    * partition (window partitioned by source, ROWS frame — never a
-    * global sort). At 100 TB with few huge sources the same selection
-    * runs as t14-style quantile pre-bucketing (sketch the quality
-    * threshold whose expected token mass ≈ budget, exact-cumsum only the
-    * boundary bucket); the window form is the exact-semantics anchor. */
+  /** Token-budget selection ([[Curation.budgetSelect]]): within each
+    * source, admit documents in quality order (stop_ratio desc, doc_id
+    * tiebreak) until the running token total exceeds the per-source
+    * budget — the "fill the mixture to N tokens, best first" curation
+    * step. This runs the PRODUCTION path — sketch-bucketed pre-filter,
+    * exact cumsum only over the budget-bounded survivor sliver — and
+    * the DuckDB oracle is the naive full-window form, so the round gate
+    * itself proves the two equivalent (the pre-filter is
+    * edge-placement-independent; see the operator scaladoc). */
   private def q93(s: SparkSession, dir: String): DataFrame = {
-    val budget = 800L
     val scored = docs(s, dir).select(col("doc_id"), col("source"),
         TextFunctions.qualityStruct(col("text")).as("q"))
       .select(col("doc_id"), col("source"),
         col("q.n_tokens").cast("long").as("n_tokens"),
         col("q.stop_ratio").as("stop_ratio"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("stop_ratio").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .filter(col("cum_tokens") <= budget)
+    Curation.budgetSelect(scored, "doc_id", "source", "n_tokens",
+        "stop_ratio", budget = 800L)
       .select(col("source"), col("doc_id"), col("n_tokens"),
         col("cum_tokens"), col("stop_ratio"))
       .orderBy(col("source"), col("cum_tokens"))

@@ -217,6 +217,61 @@ object Curation {
     * ignores them when placing edges, so bucket 1 overfills); a NaN
     * passes every comparison and lands in the top bucket (matching
     * Spark's NaN-greatest sort order). Pre-filter if either matters. */
+  /** Per-source token-budget selection at scale: admit documents in
+    * (quality desc, id) order until the running token total would pass
+    * `budget` — with the cumulative-sum window running over a
+    * BUDGET-BOUNDED sliver, not the corpus.
+    *
+    * Two phases:
+    *   1. Sketch pre-filter: per-source quality-quantile buckets
+    *      ([[quantileBuckets]]'s percentile_approx machinery, grouped by
+    *      source). Strict `>` bucketing puts equal qualities in one
+    *      bucket, so bucket order REFINES the admission order — any
+    *      bucket whose preceding cumulative mass already exceeds the
+    *      budget can only contain docs whose inclusive running sum
+    *      exceeds it too, and is dropped whole from per-bucket MASSES
+    *      alone (a #sources×#buckets-row table). Sketch error moves
+    *      bucket edges, never this conclusion, so the RESULT is
+    *      edge-placement-independent (the spec pins equality with the
+    *      naive full-corpus window).
+    *   2. Exact finish: the surviving sliver per source carries at most
+    *      budget-worth of tokens plus one boundary bucket, so the exact
+    *      (quality desc, id) running-sum window has bounded state at any
+    *      corpus size. Survivors are a PREFIX of the per-source
+    *      admission order, so their running sums equal the full-corpus
+    *      window's values exactly.
+    *
+    * Emits the admitted docs with their exact `cum_tokens`. */
+  def budgetSelect(df: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: String, qualityCol: String, budget: Long,
+      nBuckets: Int = 32, accuracy: Int = 10000): DataFrame = {
+    val probs = array((1 until nBuckets)
+      .map(i => lit(i.toDouble / nBuckets)): _*)
+    val edges = df.groupBy(col(sourceCol))
+      .agg(percentile_approx(col(qualityCol).cast("double"), probs,
+        lit(accuracy)).as("edges"))
+    val bucketed = df.join(broadcast(edges), Seq(sourceCol))
+      .withColumn("bq", size(filter(col("edges"),
+        e => col(qualityCol).cast("double") > e)))
+      .drop("edges")
+    val wCum = Window.partitionBy(col(sourceCol))
+      .orderBy(col("bq").desc)
+    val keepBuckets = bucketed
+      .groupBy(col(sourceCol), col("bq"))
+      .agg(sum(col(tokensCol)).as("mass"))
+      .withColumn("cum_before",
+        sum(col("mass")).over(wCum) - col("mass"))
+      .filter(col("cum_before") <= budget)
+      .select(col(sourceCol), col("bq"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(keepBuckets, Seq(sourceCol, "bq"))
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("bq")
+  }
+
   def quantileBuckets(df: DataFrame, valueCol: String, nBuckets: Int,
       accuracy: Int = 10000): DataFrame = {
     require(nBuckets >= 2, s"nBuckets=$nBuckets needs >= 2")

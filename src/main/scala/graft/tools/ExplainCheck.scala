@@ -158,13 +158,18 @@ object ExplainCheck {
       val p = plan("q92_boilerplate_strip")
       !p.contains("Window") && !p.contains("CartesianProduct")
     })
-    // budget selection: exactly one window, partitioned by source (the
-    // running sum) — a global (empty-partition) window would serialize
-    // the corpus through one task
-    check("q93 cumsum window is partitioned by source", {
+    // budget selection (production path): exactly two windows — the
+    // bucket-mass cumulative (a #sources×#buckets table) and the exact
+    // survivor cumsum (budget-bounded sliver) — and EVERY window spec
+    // partitions by source; a global (empty-partition) window would
+    // serialize the corpus through one task
+    check("q93 plans two source-partitioned windows (bucket masses + " +
+        "survivor cumsum)", {
       val p = plan("q93_budget_select")
       val windows = "Window \\[".r.findAllIn(p).length
-      windows == 1 && p.contains("windowspecdefinition(source")
+      val specs = "windowspecdefinition\\(source".r.findAllIn(p).length
+      windows == 2 && specs >= 2 &&
+        !"windowspecdefinition\\(\\)".r.findFirstIn(p).isDefined
     })
     // char-repetition: gram strings must be hashed before the shuffle —
     // every exchange key set is (doc_id, h)-shaped, never the gram text

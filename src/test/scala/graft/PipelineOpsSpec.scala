@@ -1274,6 +1274,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(sampleMean > corpusMean)
   }
 
+  test("budgetSelect ≡ naive full-corpus window for every budget and " +
+      "bucket count") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n"),
+      TextFunctions.qualityStruct(col("text")).getField("stop_ratio")
+        .as("sr"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("sr").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (budget <- Seq(100L, 800L, 100000L); nb <- Seq(2, 32)) {
+      val naive = scored.withColumn("cum_tokens", sum(col("n")).over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select("doc_id", "cum_tokens")
+      val scale = Curation.budgetSelect(scored, "doc_id", "source",
+          "n", "sr", budget, nBuckets = nb)
+        .select("doc_id", "cum_tokens")
+      assert(naive.except(scale).isEmpty && scale.except(naive).isEmpty,
+        s"divergence at budget=$budget nBuckets=$nb")
+    }
+  }
+
   test("t21 heavy hitters: merged CMS ≡ single-pass sketch, one-sided " +
       "error bound holds for every top token") {
     val out = SparkEntry.queries("t21_heavy_hitters")(spark, sf).collect()
