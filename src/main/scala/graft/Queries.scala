@@ -3202,7 +3202,14 @@ object Queries {
          |SELECT source, doc_id, quality FROM r WHERE rn <= 3
          |ORDER BY source, quality DESC, doc_id""".stripMargin,
     "q92_boilerplate_strip" ->
-      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+      // token-less docs need care the shared toksSql doesn't give: Spark
+      // tokenizes ''/NULL to [] where DuckDB's regexp_split_to_array
+      // yields [''] — the CASE mirrors Spark; and every document must
+      // emit a row (n_segs=0, md5('')) even with no segments, hence the
+      // LEFT JOIN from documents rather than grouping mk alone
+      s"""WITH tk AS (SELECT doc_id, CASE WHEN text IS NULL OR
+         |     trim(text) = '' THEN CAST([] AS VARCHAR[])
+         |     ELSE $toksSql END AS t FROM documents),
          | ch AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
          |   list_aggregate(list_slice(t, (i-1)*10 + 1, (i-1)*10 + 10),
          |     'string_agg', ' ') AS seg
@@ -3214,15 +3221,21 @@ object Queries {
          |   WHERE df >= 2),
          | mk AS (SELECT c.doc_id, c.pos, c.seg,
          |     (h.seg IS NOT NULL) AS dropped
-         |   FROM ch c LEFT JOIN hot h ON c.seg = h.seg)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
-         |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_removed,
-         |  CAST(length(coalesce(string_agg(seg, ' ' ORDER BY pos)
-         |    FILTER (WHERE NOT dropped), '')) AS BIGINT) AS clean_chars,
-         |  md5(coalesce(string_agg(seg, ' ' ORDER BY pos)
-         |    FILTER (WHERE NOT dropped), '')) AS clean_md5
-         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |   FROM ch c LEFT JOIN hot h ON c.seg = h.seg),
+         | agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |   CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_removed,
+         |   CAST(length(coalesce(string_agg(seg, ' ' ORDER BY pos)
+         |     FILTER (WHERE NOT dropped), '')) AS BIGINT) AS clean_chars,
+         |   md5(coalesce(string_agg(seg, ' ' ORDER BY pos)
+         |     FILTER (WHERE NOT dropped), '')) AS clean_md5
+         |  FROM mk GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_segs, 0) AS n_segs,
+         |  coalesce(a.n_removed, 0) AS n_removed,
+         |  coalesce(a.clean_chars, 0) AS clean_chars,
+         |  coalesce(a.clean_md5, md5('')) AS clean_md5
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q93_budget_select" -> {
       val stopIn = TextFunctions.langLexicons.flatMap(_._2)
         .map(w => s"'$w'").mkString("(", ", ", ")")

@@ -538,22 +538,17 @@ object Dedup {
     * without a watermark the dedup state is unbounded). */
   def chunkHashes(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 10): DataFrame = {
-    // The chunk-building HOF lives INSIDE the generator expression (the
-    // shingleIndex shape): its lambda then references the bound `toks`
-    // attribute from the child projection. Hosting it in its own Project
-    // instead lets CollapseProject merge the projections under the
-    // Generate, turning the lambda argument into the raw split(...)
-    // subtree — re-tokenized per element, interpreted (measured 536 s →
-    // 1.1 s at 200k docs for this exact plan).
-    def chunkExpr(toks: Column): Column =
-      when(size(toks) > 0,
-        transform(sequence(lit(0), ((size(toks) - 1) / chunkTokens)
-          .cast("int")),
-          i => array_join(slice(toks, i * chunkTokens + 1,
-            lit(chunkTokens)), " ")))
-        .otherwise(array().cast("array<string>"))
+    // The chunk-building HOF ([[segTexts]] — the ONE definition of the
+    // segmentation, shared with removeBoilerplate's rebuild so drop
+    // positions always index the same segment array) lives INSIDE the
+    // generator expression (the shingleIndex shape): its lambda then
+    // references the bound `toks` attribute from the child projection.
+    // Hosting it in its own Project instead lets CollapseProject merge
+    // the projections under the Generate, turning the lambda argument
+    // into the raw split(...) subtree — re-tokenized per element,
+    // interpreted (measured 536 s → 1.1 s at 200k docs for this plan).
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), posexplode(chunkExpr(col("toks"))))
+      .select(col("id"), posexplode(segTexts(col("toks"), chunkTokens)))
       .select(col("id"), col("pos"), hash60(col("col")).as("chunk_h"))
   }
 
@@ -766,10 +761,9 @@ object Dedup {
       .filter(col("df") >= minDf).select(col("chunk_h"))
     val dropPos = segs.join(hot, Seq("chunk_h"))
       .groupBy(col("id")).agg(collect_set(col("pos")).as("drop_pos"))
-    def segArr(toks: Column): Column = segTexts(toks, segTokens)
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .join(dropPos, Seq("id"), "left")
-      .select(col("id"), segArr(col("toks")).as("segs"),
+      .select(col("id"), segTexts(col("toks"), segTokens).as("segs"),
         coalesce(col("drop_pos"), array().cast("array<int>"))
           .as("drop_pos"))
       .select(col("id").as(idCol),
@@ -798,17 +792,32 @@ object Dedup {
     * side of a shuffled hash join); the append writes only the batch's
     * new digests. Digest-bucketing the store would co-locate the join
     * at a fixed ledger layout — documented, not required for
-    * correctness. */
+    * correctness.
+    *
+    * Recovery semantics: when `admittedOut` is given, the admitted
+    * documents are persisted BEFORE the digest append — the crash-safe
+    * order (a crash between the two re-runs the batch against an
+    * unchanged ledger, re-admits the same docs idempotently, and
+    * appends then). Without `admittedOut` a caller that crashes after
+    * this returns but before persisting the admitted docs must
+    * re-derive them as `batch ⋉ ledger` (their digests are already in
+    * the store), not re-admit; the transactional pairing belongs to a
+    * table format (Iceberg/Delta commit). Rows with a NULL `textCol`
+    * carry no content digest and are dropped up front (documented
+    * precondition — they would otherwise vanish from BOTH admitted and
+    * rejected through null-keyed joins). */
   def ledgerAdmit(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val dir = new java.io.File(path)
+      textCol: String, admittedOut: Option[String] = None): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val seen =
-      if (dir.exists() && dir.listFiles != null && dir.listFiles.nonEmpty)
+      if (fs.exists(hPath) && fs.listStatus(hPath).nonEmpty)
         spark.read.parquet(path)
       else spark.emptyDataFrame
         .select(lit("").as("text_md5")).limit(0)
-    val hashed = batch.withColumn("text_md5", md5(col(textCol)))
+    val hashed = batch.filter(col(textCol).isNotNull)
+      .withColumn("text_md5", md5(col(textCol)))
     // first occurrence per digest WITHIN the batch (min id — the
     // groupBy-min shape, no window hot-key risk), then minus the ledger
     val firstInBatch = hashed
@@ -816,6 +825,8 @@ object Dedup {
       .join(seen.select("text_md5"), Seq("text_md5"), "left_anti")
     val admitted = hashed.join(
         firstInBatch, Seq("text_md5", idCol)).localCheckpoint()
+    admittedOut.foreach(out =>
+      admitted.write.mode("overwrite").parquet(out))
     admitted.select(col("text_md5")).write.mode("append").parquet(path)
     admitted
   }

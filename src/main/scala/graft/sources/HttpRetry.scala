@@ -46,9 +46,15 @@ object HttpRetry {
       try return f
       catch {
         case t: Throwable if isTransient(t) && attempt < attempts - 1 =>
+          // A faulty hook must not break the loop (NonFatal swallowed),
+          // but cancellation must break it UNCONDITIONALLY — restoring
+          // the flag and falling through to sleep+retry would only
+          // honor the interrupt if the injected sleep happens to check
+          // it, so rethrow after restoring.
           try onRetry(t) catch {
-            case _: InterruptedException =>
+            case ie: InterruptedException =>
               Thread.currentThread().interrupt()
+              throw ie
             case scala.util.control.NonFatal(_) => ()
           }
           sleep(baseDelayMs << attempt)

@@ -72,4 +72,20 @@ class HttpRetrySpec extends AnyFunSuite {
       onRetry = _ => throw new RuntimeException("faulty hook"))(f())
     assert(got === "ok") // the transient failure still retried to success
   }
+
+  test("interruption in the hook aborts the loop and keeps the flag set") {
+    // cancellation must win over retrying: no further attempts, the
+    // InterruptedException propagates, and the interrupt status is
+    // restored for the caller
+    val f = flaky(2, new HttpStatusException(503, "unavailable"))("ok")
+    var attempts = 0
+    intercept[InterruptedException] {
+      HttpRetry.withRetries(attempts = 3, sleep = _ => (),
+        onRetry = _ => throw new InterruptedException("cancelled")) {
+        attempts += 1; f()
+      }
+    }
+    assert(attempts === 1) // the interrupted retry never re-ran the body
+    assert(Thread.interrupted()) // flag was set (and cleared for the suite)
+  }
 }

@@ -1209,13 +1209,14 @@ class PipelineOpsSpec extends SparkTestBase {
       (1L, s"${uniq(1, 0)} $boiler ${uniq(1, 1)}", "s0"),
       (2L, s"$boiler ${uniq(2, 0)}", "s0"),
       (3L, s"${uniq(3, 0)} $boiler", "s0"),
-      (4L, uniq(4, 0), "s0"))
+      (4L, uniq(4, 0), "s0"),
+      (5L, "", "s0"), (6L, "   ", "s0")) // token-less docs still emit rows
     val df = corpus.toDF("doc_id", "text", "source")
     val out = Dedup.removeBoilerplate(df, "doc_id", "text")
       .orderBy("doc_id").collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq === Seq((1L, 3L, 1L), (2L, 2L, 1L), (3L, 2L, 1L),
-        (4L, 1L, 0L)))
+        (4L, 1L, 0L), (5L, 0L, 0L), (6L, 0L, 0L)))
     // doc 1's cleaned text is its two unique segments, in position order
     val md5_1 = out(0).getAs[String]("clean_md5")
     val want = java.security.MessageDigest.getInstance("MD5")
@@ -1386,12 +1387,18 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(a2 === Set(11L))
     // ledger now holds exactly the three admitted digests
     assert(spark.read.parquet(dir).distinct().count() === 3)
-    // batch 3: all repeats -> nothing admitted, ledger unchanged
+    // batch 3: all repeats -> nothing admitted, ledger unchanged;
+    // null-text rows are dropped up front (documented precondition),
+    // and admittedOut persists the admitted docs BEFORE the append
+    val out3 = dir + "_out3"
     val a3 = Dedup.ledgerAdmit(spark, dir,
-      Seq((20L, "alpha content"), (21L, "gamma content"))
-        .toDF("doc_id", "text"), "doc_id", "text").count()
+      Seq((20L, "alpha content"), (21L, "gamma content"),
+        (22L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), "doc_id", "text",
+      admittedOut = Some(out3)).count()
     assert(a3 === 0L)
     assert(spark.read.parquet(dir).count() === 3)
+    assert(spark.read.parquet(out3).count() === 0)
   }
 
   test("quality model separates a planted corpus perfectly and retrains " +
