@@ -1719,6 +1719,80 @@ object Queries {
       .orderBy(col("source"), col("bucket"))
   }
 
+  /** Language-label audit ([[TextFunctions.langId]] vs the declared
+    * `lang` column): per-source mislabel diagnostics — the
+    * metadata-trust check a multilingual pipeline runs before routing
+    * documents to language-specific filters. Map-only lexicon scoring
+    * (no shuffle until the #sources-bounded final agg). */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val mis = col("pred") =!= "und" && col("pred") =!= col("lang")
+    docs(s, dir)
+      .select(col("source"), col("lang"),
+        TextFunctions.langId(col("text")).as("pred"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === "und", 1L).otherwise(0L))
+          .as("n_unknown"),
+        sum(when(mis, 1L).otherwise(0L)).as("n_mislabeled"))
+      .withColumn("mislabel_rate",
+        round(col("n_mislabeled").cast("double") /
+          col("n_docs").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** Deterministic balanced shard layout ([[Curation.shardAssign]]):
+    * per-shard counts, char mass, and an order digest (Σ doc_id·pos) —
+    * the digest pins the exact within-shard hash order, which is the
+    * property that makes re-runs produce byte-identical training
+    * shards. The only sort is per-shard (window), never global. */
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    Curation.shardAssign(docs(s, dir), "doc_id", nShards = 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id") * col("pos")).as("ord_digest"))
+      .orderBy(col("shard"))
+
+  /** Corpus snapshot diff ([[Dedup.snapshotDiff]]): yesterday's snapshot
+    * (salted buckets < 9500) vs today's (buckets ≥ 500, with buckets
+    * 4000-4499 re-crawled to new content — digest salted with 'v2'),
+    * classified added/removed/changed/unchanged per source. Only
+    * (doc_id, md5, source) shuffle — text never travels. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("bk", Curation.hashBucket(col("doc_id"), "snap"))
+    val oldSnap = d.filter(col("bk") < 9500)
+      .withColumn("digest", md5(col("text")))
+    val newSnap = d.filter(col("bk") >= 500)
+      .withColumn("digest", md5(
+        when(col("bk").between(4000, 4499), concat(col("text"), lit("v2")))
+          .otherwise(col("text"))))
+    Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "digest",
+        carryCols = Seq("source"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  /** Templated-content diagnostics ([[Dedup.gramNovelty]]): per-source
+    * gram-sharing mass (Σcommon/Σgrams — exact integer sums, so the
+    * ratio is partial-agg-order-proof) and the count of documents whose
+    * majority of distinct 3-grams is corpus-shared (2·common ≥ grams —
+    * an integer predicate, same reason). Only 8-byte gram hashes
+    * shuffle. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.gramNovelty(d, "doc_id", "text", n = 3, minDf = 3)
+      .join(d.select(col("doc_id").as("doc"), col("source")), Seq("doc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_common")).cast("double") /
+          sum(col("n_grams")).cast("double"), 6).as("common_frac"),
+        sum(when(col("n_common") * 2 >= col("n_grams"), 1L)
+          .otherwise(0L)).as("n_templated"))
+      .orderBy(col("source"))
+  }
+
   /** PII redaction ([[TextFunctions.redactPii]]): the synthetic corpus
     * ships no PII, so the patterns are exercised on a deterministic
     * contact blob derived from customer keys — the point of the oracle
@@ -2101,6 +2175,10 @@ object Queries {
     "q95_epoch_mix" -> (q95 _),
     "q96_weighted_sample" -> (q96 _),
     "q97_ccnet_buckets" -> (q97 _),
+    "q98_lang_mismatch" -> (q98 _),
+    "q99_shard_assign" -> (q99 _),
+    "q100_snapshot_diff" -> (q100 _),
+    "q101_gram_novelty" -> (q101 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -2350,6 +2428,42 @@ object Queries {
         threshold = 0.35, nCentroids = 16)
         .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
     }),
+    // Distributed Lloyd refinement of the sampled k-means seed — the
+    // 100-TB training path: per iteration one map-only literal-argmax
+    // assignment scan + one Summarizer partial-agg (partitions×k vector
+    // sums on the wire, never rows). Output: per-cell size, mean
+    // centroid similarity, and cosine(initial, refined) per centroid.
+    // No oracle (trained clustering is not ANSI-expressible);
+    // correctness pinned by the planted-cluster recovery, objective
+    // monotonicity, and partition-invariance specs.
+    "t25_kmeans_refine" -> ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val init = Similarity.trainCentroids(e, "vec_id", "embedding", 8)
+      val refined = Similarity.refineCentroids(e, init, "embedding",
+        iters = 3)
+      val shift = init.select(col("cent_id"), col("centv").as("iv"))
+        .join(refined.select(col("cent_id"), col("centv").as("rv")),
+          Seq("cent_id"))
+        .select(col("cent_id"),
+          // both sides unit-norm → dot IS the cosine drift of the
+          // centroid under full-corpus refinement
+          round(Similarity.dotCol(col("iv"), col("rv")), 4)
+            .as("init_sim"))
+      Similarity.assignWithSim(e, refined, "vec_id", "embedding")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("cent_sim")), 4).as("mean_sim"))
+        .join(broadcast(shift), col("cell") === col("cent_id"))
+        .select(col("cell"), col("n"), col("mean_sim"), col("init_sim"))
+        .orderBy(col("cell"))
+    }),
+    // Embedding-space outlier audit (mis-embedded / poisoned-document
+    // detector): per-cell z-score of own-centroid similarity, global
+    // topN via TakeOrderedAndProject. No oracle (trained clustering);
+    // pinned by the planted-outlier spec.
+    "t26_embed_outliers" -> ((s: SparkSession, dir: String) =>
+      Similarity.embeddingOutliers(emb(s, dir), "vec_id", "embedding",
+        nCentroids = 8, refineIters = 2, topN = 20)),
     // cluster-balanced subsample (no oracle: the trained clustering is
     // not ANSI-expressible; determinism + balance pinned by spec tests)
     "t16_cluster_sample" -> ((s: SparkSession, dir: String) => {
@@ -3349,6 +3463,76 @@ object Queries {
          | top AS (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 50)
          |SELECT doc_id, source, n_tokens, round(k, 6) AS sample_key
          |FROM top ORDER BY round(k, 6) DESC, doc_id""".stripMargin,
+    "q98_lang_mismatch" -> {
+      val lex = TextFunctions.langLexicons.map { case (lang, ws) =>
+        lang -> ws.map(w => s"'$w'").mkString("(", ", ", ")")
+      }
+      s"""WITH tk AS (SELECT source, lang, $toksSql AS t FROM documents),
+         | sc AS (SELECT source, lang,
+         |   ${lex.map { case (l, in) =>
+        s"len(list_filter(t, x -> x IN $in)) AS s_$l" }.mkString(", ")}
+         | FROM tk),
+         | p AS (SELECT source, lang, CASE
+         |   WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+         |   WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+         |   WHEN s_de > 0 THEN 'de' ELSE 'und' END AS pred FROM sc)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN pred = 'und' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unknown,
+         |  CAST(sum(CASE WHEN pred <> 'und' AND pred <> lang
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mislabeled,
+         |  round(CAST(sum(CASE WHEN pred <> 'und' AND pred <> lang
+         |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         |    AS mislabel_rate
+         |FROM p GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q99_shard_assign" ->
+      s"""WITH b AS (SELECT doc_id, n_chars,
+         |    ${H.format("'shard1' || CAST(doc_id AS VARCHAR)")} AS hk
+         |  FROM documents),
+         | a AS (SELECT doc_id, n_chars, hk % 16 AS shard,
+         |    row_number() OVER (PARTITION BY hk % 16
+         |      ORDER BY hk, doc_id) AS pos
+         |  FROM b)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id * pos) AS BIGINT) AS ord_digest
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    "q100_snapshot_diff" ->
+      s"""WITH d AS (SELECT doc_id, source, text,
+         |    ${H.format("'snap' || CAST(doc_id AS VARCHAR)")} % 10000
+         |      AS bk
+         |  FROM documents),
+         | o AS (SELECT doc_id, source, md5(text) AS dg FROM d
+         |  WHERE bk < 9500),
+         | n AS (SELECT doc_id, source,
+         |    md5(CASE WHEN bk BETWEEN 4000 AND 4499 THEN text || 'v2'
+         |      ELSE text END) AS dg
+         |  FROM d WHERE bk >= 500),
+         | j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |    coalesce(n.source, o.source) AS source,
+         |    CASE WHEN o.dg IS NULL THEN 'added'
+         |      WHEN n.dg IS NULL THEN 'removed'
+         |      WHEN o.dg = n.dg THEN 'unchanged'
+         |      ELSE 'changed' END AS status
+         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         |SELECT source, status, count(*) AS n,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q101_gram_novelty" ->
+      s"""$shinglesSql,
+         | g AS (SELECT DISTINCT doc_id, ${H.format("s")} AS h FROM shr),
+         | f AS (SELECT h, count(*) AS df FROM g GROUP BY h),
+         | d AS (SELECT doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS n_common
+         |  FROM g JOIN f USING (h) GROUP BY doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  round(CAST(sum(n_common) AS DOUBLE) /
+         |    CAST(sum(n_grams) AS DOUBLE), 6) AS common_frac,
+         |  CAST(sum(CASE WHEN 2 * n_common >= n_grams
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_templated
+         |FROM d JOIN documents USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q90_tokenize_ids" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
          | tok AS (SELECT doc_id,

@@ -94,6 +94,45 @@ object Curation {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** Deterministic balanced shard assignment — the training-set writer's
+    * layout step: shard = salted content hash mod `nShards` (uniform, so
+    * shards balance to ±O(√(n/S)) without measuring anything), position =
+    * rank in salted-hash order WITHIN the shard. The hash order is the
+    * deterministic global shuffle training wants (content-stable across
+    * reruns and partition layouts — re-runs produce byte-identical
+    * shards), and because position is per-shard, the only sort is a
+    * within-shard window: S independent sorts of n/S rows each, never a
+    * global order-by. At 100 TB write with
+    * `df.repartition(col("shard")).sortWithinPartitions("pos")` — one
+    * shuffle, one local sort, no driver involvement. */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shard1"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val hk = TextFunctions.hash60(concat(lit(salt),
+      col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shard_hk"), col(idCol))
+    df.withColumn("shard_hk", hk)
+      .withColumn("shard", col("shard_hk") % nShards)
+      .withColumn("pos", row_number().over(w))
+      .drop("shard_hk")
+  }
+
+  /** Materialize [[shardAssign]]'s layout as the physical training-set
+    * store: one parquet directory per shard (`shard=N/`), rows sorted by
+    * `pos` inside each shard file. Exactly the plan the scaladoc above
+    * promises — one shuffle (repartition on the shard key), one local
+    * sort, dynamic-partition write; no global sort, no driver data
+    * path. A trainer reads `path/shard=K` alone and gets its shard in
+    * deterministic hash order; re-running the writer reproduces the
+    * bytes. */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int,
+      path: String, salt: String = "shard1"): Unit =
+    shardAssign(df, idCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Token-budget packing: assign each document to a sequence-batch bin of
     * ~`budget` tokens, filling bins in `idCol` order within each
     * `groupCol` partition (bin = floor(tokens-before-me / budget) — the

@@ -861,4 +861,50 @@ object Dedup {
           .as("clean_chars"),
         md5(array_join(col("kept"), " ")).as("clean_md5"))
   }
+
+  /** Per-document n-gram novelty — the templated-content detector:
+    * how much of each document's distinct n-gram vocabulary is SHARED
+    * (document frequency ≥ `minDf`)? Boilerplate-heavy, machine-
+    * generated, and mirror-site content scores high; original prose
+    * scores low. Complements [[removeBoilerplate]] (which rewrites) as
+    * a scoring diagnostic (which routes to filters or human review).
+    *
+    * Scale shape: built on the shared [[shingleIndex]] — only 8-byte
+    * gram hashes shuffle (once for the df count, once for the
+    * doc-level re-aggregation); gram strings never travel. Returns
+    * (doc, n_grams, n_common). */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDf: Int = 3): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n)
+    val dfreq = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    idx.join(dfreq, Seq("h"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+  }
+
+  /** Snapshot diff — the incremental-ingest audit between two corpus
+    * snapshots (yesterday's crawl vs today's): classify every id as
+    * added / removed / changed / unchanged by comparing content digests
+    * in a full-outer id-equi join. Only (id, digest, carryCols) travel —
+    * never document text — so the diff of a 100-TB corpus shuffles
+    * ~24 bytes/doc. `carryCols` (e.g. source) are coalesced across the
+    * two sides so added AND removed rows keep their metadata. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      digestCol: String, carryCols: Seq[String] = Nil): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      df.select((col(idCol).as(s"${tag}_id") +:
+        col(digestCol).as(s"${tag}_digest") +:
+        carryCols.map(c => col(c).as(s"${tag}_$c"))): _*)
+    side(oldDf, "old")
+      .join(side(newDf, "new"),
+        col("old_id") === col("new_id"), "full_outer")
+      .select((coalesce(col("old_id"), col("new_id")).as(idCol) +:
+        when(col("old_digest").isNull, "added")
+          .when(col("new_digest").isNull, "removed")
+          .when(col("old_digest") === col("new_digest"), "unchanged")
+          .otherwise("changed").as("status") +:
+        carryCols.map(c =>
+          coalesce(col(s"new_$c"), col(s"old_$c")).as(c))): _*)
+  }
 }

@@ -587,12 +587,129 @@ object Similarity {
     * the broadcast-join [[assignCells]]; a literal that big bloats the
     * plan. */
   private def nearestCellExpr(cents: Array[Array[Double]],
+      v: Column): Column =
+    -nearestCellStruct(cents, v).getField("neg_id")
+
+  /** The (similarity, -cell) argmax struct behind [[nearestCellExpr]] —
+    * exposed as a struct so callers that also need the winning
+    * similarity (refinement, outlier audit) don't score twice. */
+  private def nearestCellStruct(cents: Array[Array[Double]],
       v: Column): Column = {
     val scored = cents.zipWithIndex.map { case (c, i) =>
       struct(dotCol(v, typedLit(c.toSeq)).as("s"),
         lit(-i.toLong).as("neg_id"))
     }
-    -array_max(array(scored: _*)).getField("neg_id")
+    array_max(array(scored: _*))
+  }
+
+  /** Collect a centroid frame (cent_id, centv) to a dense driver array,
+    * index == cent_id. K rows only — bounded by nCentroids, never the
+    * corpus. */
+  private def collectCents(cents: DataFrame): Array[Array[Double]] = {
+    val spark = cents.sparkSession
+    import spark.implicits._
+    val rows = cents.select(col("cent_id").cast("long"),
+        col("centv").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(rows.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "centroid ids must be dense 0..k-1 (trainCentroids produces this)")
+    rows.map(_._2)
+  }
+
+  /** Map-only nearest-centroid assignment that also returns the winning
+    * similarity: (idCol, cell, cent_sim). Centroids fold into a codegen
+    * literal argmax, so the corpus never shuffles — the 100-TB
+    * assignment pass is a narrow scan. */
+  def assignWithSim(corpus: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val centArr = collectCents(cents)
+    corpus.select(col(idCol), l2Normalize(col(vecCol)).as("cv"))
+      .withColumn("best", nearestCellStruct(centArr, col("cv")))
+      .select(col(idCol), (-col("best.neg_id")).as("cell"),
+        col("best.s").as("cent_sim"))
+  }
+
+  /** Distributed Lloyd refinement — the 100-TB complement to
+    * [[trainCentroids]]'s bounded-sample seeding. The sampled trainer
+    * sees ≤`sampleSize` rows, which is the right cost/quality point for
+    * IVF cells on weakly-clustered data (see the recall notes there),
+    * but when the corpus IS clustered, full-corpus Lloyd iterations
+    * recover the true cluster means the sample can only approximate.
+    *
+    * Each iteration is exactly two narrow steps:
+    *   1. assignment — centroids fold into a literal codegen argmax
+    *      ([[nearestCellStruct]]): a map-only scan, the corpus never
+    *      shuffles;
+    *   2. re-estimation — per-cell vector mean via MLlib `Summarizer`
+    *      (a partial-aggregating TypedImperativeAggregate: each task
+    *      contributes one k×d partial, so the shuffle carries
+    *      partitions×k vector sums, never rows).
+    * Driver state is k×d (the centroid table) per iteration. At 100 TB
+    * the caller caches/checkpoints `corpus` once; every iteration then
+    * reads the cached normalized projection. Empty cells keep their old
+    * centroid (standard Lloyd practice; no respawn heuristic — the
+    * deterministic seed makes death rare and reproducible). Means are
+    * re-normalized to the unit sphere (spherical k-means, matching the
+    * trainer and the dot-product assignment metric). */
+  def refineCentroids(corpus: DataFrame, cents: DataFrame,
+      vecCol: String, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val normed = corpus.select(l2Normalize(col(vecCol)).as("cv"))
+    var cur = collectCents(cents)
+    for (_ <- 1 to math.max(0, iters)) {
+      val byCell = normed
+        .withColumn("cell", nearestCellExpr(cur, col("cv")))
+        .groupBy(col("cell"))
+        .agg(Summarizer.mean(array_to_vector(col("cv"))).as("mv"))
+        .select(col("cell"), vector_to_array(col("mv")).as("mv"))
+        .as[(Long, Array[Double])].collect().toMap
+      cur = cur.zipWithIndex.map { case (old, c) =>
+        byCell.get(c.toLong) match {
+          case Some(m) =>
+            val norm = math.sqrt(m.map(x => x * x).sum)
+            if (norm > 0) m.map(_ / norm) else old
+          case None => old
+        }
+      }
+    }
+    cur.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("cent_id", "centv")
+  }
+
+  /** Embedding-space outlier audit — the data-poisoning / mis-embedded
+    * document detector: vectors whose similarity to their OWN cluster
+    * centroid sits far below the cluster's norm. Cluster with the
+    * deterministic trainer + distributed Lloyd refinement, assign with
+    * the map-only argmax, then z-score each vector against its cell's
+    * (mean, stddev) of centroid similarity and keep the global `topN`
+    * most anomalous.
+    *
+    * Scale shape: assignment is a narrow scan; the per-cell stats table
+    * is k rows (broadcast back); the final cut is a
+    * TakeOrderedAndProject — no global sort materializes. Cells with
+    * degenerate spread (stddev ≈ 0: singleton or all-identical cells)
+    * z-score to 0 rather than ±∞. */
+  def embeddingOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 8, refineIters: Int = 2, topN: Int = 20)
+      : DataFrame = {
+    val cents = refineCentroids(corpus,
+      trainCentroids(corpus, idCol, vecCol, nCentroids),
+      vecCol, refineIters)
+    val assigned = assignWithSim(corpus, cents, idCol, vecCol)
+    val stats = assigned.groupBy(col("cell"))
+      .agg(avg(col("cent_sim")).as("mu"),
+        stddev_samp(col("cent_sim")).as("sd"))
+    assigned.join(broadcast(stats), Seq("cell"))
+      .withColumn("z", when(col("sd") > 1e-12,
+        (col("mu") - col("cent_sim")) / col("sd")).otherwise(lit(0.0)))
+      .orderBy(col("z").desc, col(idCol))
+      .limit(topN)
+      .select(col(idCol), col("cell"),
+        round(col("cent_sim"), 6).as("cent_sim"),
+        round(col("z"), 4).as("z"))
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,

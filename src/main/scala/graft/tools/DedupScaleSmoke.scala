@@ -310,6 +310,29 @@ object DedupScaleSmoke {
       f"recall collapsed at scale: IVF $ivfRecall%.3f / " +
         f"IVF+PQ $ivfPqRecall%.3f (floor 0.5)")
 
+    // Distributed Lloyd refinement (t25 family) at 200k vectors: each
+    // iteration = one map-only literal-argmax scan + one Summarizer
+    // partial agg. The Lloyd objective (mean own-centroid similarity)
+    // must not regress — on random vectors the sampled seed is already
+    // near-stationary, so the check is monotonicity, not improvement.
+    println(s"== refineCentroids (distributed Lloyd) at $nDocs vectors ==")
+    val seed = time("trainCentroids (sampled seed)")(
+      graft.operators.Similarity.trainCentroids(vecs, "vec_id",
+        "embedding", 16))
+    def lloydObj(cs: org.apache.spark.sql.DataFrame): Double =
+      graft.operators.Similarity.assignWithSim(vecs, cs, "vec_id",
+          "embedding")
+        .agg(org.apache.spark.sql.functions.avg("cent_sim"))
+        .head().getDouble(0)
+    val objSeed = lloydObj(seed)
+    val refined = time("refineCentroids (2 full-corpus iterations)")(
+      graft.operators.Similarity.refineCentroids(vecs, seed,
+        "embedding", iters = 2))
+    val objRef = lloydObj(refined)
+    println(f"  objective: seed $objSeed%.4f -> refined $objRef%.4f")
+    require(objRef >= objSeed - 1e-9,
+      f"Lloyd objective regressed: $objSeed%.6f -> $objRef%.6f")
+
     // Boilerplate strip (q92 family) at 200k docs. Planted ground truth
     // is exact: each %100 group {base, near, exact} shares the base's
     // three 10-token segments (df=3 each), AND every near-dup's 4th

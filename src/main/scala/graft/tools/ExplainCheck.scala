@@ -182,6 +182,21 @@ object ExplainCheck {
     // TakeOrderedAndProject (per-partition heaps), never a full sort
     check("q96 weighted sample plans TakeOrderedAndProject",
       plan("q96_weighted_sample").contains("TakeOrderedAndProject"))
+    // shard layout: every window spec partitions by shard — the "global
+    // shuffle" is S independent per-shard sorts, never one global sort
+    // over the corpus (the final 16-row orderBy is the only global sort)
+    check("q99 shard positions run in shard-partitioned windows", {
+      val p = plan("q99_shard_assign")
+      "windowspecdefinition\\(shard".r.findAllIn(p).length >= 1 &&
+        !"windowspecdefinition\\(\\)".r.findFirstIn(p).isDefined
+    })
+    // snapshot diff: the full-outer id join must shuffle digests, never
+    // document text — no exchange key/row set mentions the text column
+    check("q100 snapshot diff shuffles digests, not text", {
+      val p = plan("q100_snapshot_diff")
+      !"Exchange hashpartitioning\\([^)]*\\btext#".r.findFirstIn(p)
+        .isDefined && p.contains("FullOuter")
+    })
     println("all plan assertions hold")
     spark.stop()
   }

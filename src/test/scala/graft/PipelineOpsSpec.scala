@@ -1430,6 +1430,125 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(m1.intercept - m2.intercept) < 1e-9)
   }
 
+  test("shardAssign: contiguous per-shard positions, stable under " +
+      "repartition") {
+    val a = Curation.shardAssign(docs, "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+    val b = Curation.shardAssign(docs.repartition(7), "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // positions are exactly 1..|shard| within every shard
+    val bad = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"), countDistinct(col("pos")).as("d"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 ||
+        col("d") =!= col("n"))
+    assert(bad.isEmpty)
+    // uniform hashing keeps shards balanced (500 docs / 8 shards)
+    val sizes = a.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length === 8 && sizes.min > 30 && sizes.max < 100)
+  }
+
+  test("writeShards materializes one sorted parquet dir per shard, " +
+      "reproducibly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards")
+      .toString
+    Curation.writeShards(docs, "doc_id", 8, dir)
+    // the partition column reads back via directory-name inference (int)
+    val back = spark.read.parquet(dir)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        col("pos"))
+    val expect = Curation.shardAssign(docs, "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+    assert(back.except(expect).isEmpty && expect.except(back).isEmpty)
+    // one directory per shard, one file per shard (repartitioned on the
+    // shard key before the dynamic-partition write)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length === 8)
+    shardDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1)
+    }
+    // a trainer reading ONE shard directory sees ascending positions in
+    // file order (single sorted file → stable parquet read order)
+    val one = spark.read.parquet(s"$dir/shard=3").select("pos")
+      .collect().map(_.getInt(0) /* pos is row_number → int */).toSeq
+    assert(one === one.sorted && one.head === 1)
+  }
+
+  test("snapshotDiff classifies planted add/remove/change/unchanged") {
+    val oldS = Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"))
+      .toDF("id", "digest", "source")
+    val newS = Seq((2L, "B", "s1"), (3L, "c", "s2"), (4L, "d", "s3"))
+      .toDF("id", "digest", "source")
+    val got = Dedup.snapshotDiff(oldS, newS, "id", "digest",
+        carryCols = Seq("source"))
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[String]("status"), r.getAs[String]("source"))).toSet
+    assert(got === Set((1L, "removed", "s1"), (2L, "changed", "s1"),
+      (3L, "unchanged", "s2"), (4L, "added", "s3")))
+  }
+
+  // ---- distributed Lloyd refinement + embedding outlier audit ----
+
+  /** 4 well-separated planted clusters on the unit sphere (dirs e0, e2,
+    * e4, e6 of R^8, small deterministic jitter on the odd axes). */
+  private def plantedClusters(perCluster: Int): Seq[(Long, Array[Double])] =
+    for {
+      c <- 0 until 4
+      i <- 0 until perCluster
+    } yield {
+      val v = new Array[Double](8)
+      v(2 * c) = 1.0
+      v(2 * c + 1) = 0.1 * ((i % 5) - 2) / 2.0
+      val n = math.sqrt(v.map(x => x * x).sum)
+      // ids interleave round-robin across clusters so the trainer's
+      // deterministic first-k seed starts one centroid per cluster
+      ((i * 4 + c).toLong, v.map(_ / n))
+    }
+
+  test("refineCentroids recovers planted cluster means; objective is " +
+      "monotone and partition-invariant") {
+    val corpus = plantedClusters(40).toDF("vec_id", "embedding")
+    val init = Similarity.trainCentroids(corpus, "vec_id", "embedding", 4)
+    val refined = Similarity.refineCentroids(corpus, init, "embedding", 5)
+    def cents(df: org.apache.spark.sql.DataFrame): Array[Array[Double]] =
+      df.orderBy("cent_id").collect()
+        .map(_.getAs[Seq[Double]]("centv").toArray)
+    val r = cents(refined)
+    // every planted direction is recovered by some refined centroid
+    (0 until 4).foreach { c =>
+      val best = r.map(v => v(2 * c)).max
+      assert(best > 0.995, s"cluster $c not recovered (best axis weight $best)")
+    }
+    // Lloyd objective (mean own-centroid similarity) must not regress
+    def objective(cs: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assignWithSim(corpus, cs, "vec_id", "embedding")
+        .agg(avg("cent_sim")).head().getDouble(0)
+    assert(objective(refined) >= objective(init) - 1e-9)
+    // partition layout must not change the result (well-separated data:
+    // assignments are stable; means differ only by float sum order)
+    val r7 = cents(Similarity.refineCentroids(
+      corpus.repartition(7), init, "embedding", 5))
+    r.zip(r7).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
+  test("embeddingOutliers ranks a planted alien vector first") {
+    val alien = {
+      val v = new Array[Double](8); v(7) = 1.0; (9999L, v)
+    }
+    val corpus = (plantedClusters(40) :+ alien)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingOutliers(corpus, "vec_id", "embedding",
+      nCentroids = 4, refineIters = 3, topN = 5).collect()
+    assert(out.length === 5)
+    assert(out.head.getAs[Long]("vec_id") === 9999L)
+    // the alien's z-score must dwarf the runner-up's
+    assert(out.head.getAs[Double]("z") > 2 * out(1).getAs[Double]("z"))
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val f1 = Multimodal.decodeAndFeaturize(media).collect()

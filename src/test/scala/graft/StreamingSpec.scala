@@ -507,6 +507,36 @@ class StreamingSpec extends SparkTestBase {
       Seq(1L, 1L, 0L, 1L))
   }
 
+  test("quality-model scoring streams: trained LR gates an ingest " +
+      "stream (batch parity)") {
+    // Production shape: the reference-vs-crawl classifier trains ONCE on
+    // the bounded labeled set (batch); the fitted model is a broadcast
+    // coefficient vector, so scoring an ingest stream is a stateless
+    // narrow pass — featurize + transform apply unchanged to streams.
+    import graft.operators.QualityModel
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val dir = Files.createTempDirectory("graft_stream_qm")
+    Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("documents.parquet"))
+    val batchDocs = spark.read.parquet(src)
+    val feats = QualityModel.featurize(batchDocs, "doc_id", "text")
+    val labeled = feats.join(batchDocs.select(col("doc_id"),
+      (col("lang") === "en").cast("double").as("label")), Seq("doc_id"))
+    val model = QualityModel.train(labeled, "label")
+    def scored(df: org.apache.spark.sql.DataFrame) =
+      QualityModel.score(
+        QualityModel.featurize(df, "doc_id", "text"), model, "doc_id")
+    val sq = scored(spark.readStream.schema(batchDocs.schema)
+        .parquet(dir.toString))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qm_stream").trigger(Trigger.AvailableNow()).start()
+    sq.processAllAvailable(); sq.stop()
+    val batch = scored(spark.read.parquet(s"$dir/documents.parquet"))
+    val got = spark.table("qm_stream")
+    assert(got.count() === batch.count() && batch.count() > 0)
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
