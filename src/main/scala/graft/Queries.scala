@@ -1793,6 +1793,82 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Per-label embedding centroid drift — the class-balance /
+    * embedding-health monitor: cosine between each label's centroid and
+    * the corpus centroid. A label whose centroid drifts far from the
+    * corpus mean signals a skewed or mis-embedded class.
+    *
+    * Exactness engineering (the q97 lesson applied to vectors): element
+    * values quantize to micro-units (round(v·1e6) — integral doubles,
+    * exact under double addition to 2^53), so the per-label vector sums
+    * are partial-agg-order-proof; cosine is scale-invariant so it is
+    * computed directly on the exact SUM vectors — no division ever
+    * enters the aggregation, and Spark and DuckDB fold the same exact
+    * integers in the same order.
+    *
+    * Scale shape: ONE corpus scan; `Summarizer.sum` partial-aggregates
+    * (k×d partials per task, rows never shuffle); the global centroid
+    * derives from the k label sums (k×d rows), then broadcasts. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val micro = emb(s, dir).select(col("label"),
+      array_to_vector(transform(col("embedding"),
+        v => round(v * 1e6, 0))).as("mv"))
+    // the k-row label-sum table feeds BOTH the global derivation and the
+    // final join; localCheckpoint materializes it once so the corpus is
+    // scanned exactly once (without it Catalyst plans the scan per
+    // consumer — ExplainCheck pins the single-scan shape)
+    val sums = micro.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        vector_to_array(Summarizer.sum(col("mv"))).as("a"))
+      .localCheckpoint()
+    val g = sums.select(posexplode(col("a")))
+      .groupBy(col("pos")).agg(sum(col("col")).as("gv"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        col("gv")))), x => x.getField("gv")).as("g"))
+    def dot(a: Column, b: Column) = Similarity.dotCol(a, b)
+    sums.crossJoin(broadcast(g))
+      .select(col("label"), col("n"),
+        round(dot(col("a"), col("g")) /
+          (sqrt(dot(col("a"), col("a"))) * sqrt(dot(col("g"), col("g")))),
+          6).as("drift_cos"))
+      .orderBy(col("label"))
+  }
+
+  /** Snapshot distribution drift — the corpus-composition monitor run
+    * between ingest batches: per-source total-variation distance
+    * between yesterday's and today's document-length histograms (64
+    * fixed 512-char bins). A drifting source signals a crawler change,
+    * an upstream format break, or contamination.
+    *
+    * Exactness engineering: TVD's Σ|p−q| is made partial-agg-order-
+    * proof by clearing denominators — the per-bin term
+    * |old_n·new_tot − new_n·old_tot| is an exact integer (summed as
+    * decimal(38,0) so a 10¹⁰-doc corpus cannot overflow; DuckDB's
+    * HUGEINT mirrors it), and the single division happens once at the
+    * end. Scale shape: map-only bucketing, (source×64)-bounded state. */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("bk", Curation.hashBucket(col("doc_id"), "snap"))
+      .withColumn("bin", least(floor(col("n_chars") / 512), lit(63L)))
+    val perBin = d.groupBy(col("source"), col("bin"))
+      .agg(sum(when(col("bk") < 9500, 1L).otherwise(0L)).as("old_n"),
+        sum(when(col("bk") >= 500, 1L).otherwise(0L)).as("new_n"))
+    val tot = perBin.groupBy(col("source"))
+      .agg(sum(col("old_n")).as("n_old"), sum(col("new_n")).as("n_new"))
+    perBin.join(tot, Seq("source"))
+      .groupBy(col("source"), col("n_old"), col("n_new"))
+      .agg(sum(abs(col("old_n") * col("n_new") -
+          col("new_n") * col("n_old")).cast("decimal(38,0)"))
+        .as("num"))
+      .select(col("source"), col("n_old"), col("n_new"),
+        round(col("num").cast("double") / 2.0 /
+          col("n_old").cast("double") / col("n_new").cast("double"), 6)
+          .as("tvd"))
+      .orderBy(col("source"))
+  }
+
   /** PII redaction ([[TextFunctions.redactPii]]): the synthetic corpus
     * ships no PII, so the patterns are exercised on a deterministic
     * contact blob derived from customer keys — the point of the oracle
@@ -2179,6 +2255,8 @@ object Queries {
     "q99_shard_assign" -> (q99 _),
     "q100_snapshot_diff" -> (q100 _),
     "q101_gram_novelty" -> (q101 _),
+    "q102_label_drift" -> (q102 _),
+    "q103_snapshot_drift" -> (q103 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -2464,6 +2542,55 @@ object Queries {
     "t26_embed_outliers" -> ((s: SparkSession, dir: String) =>
       Similarity.embeddingOutliers(emb(s, dir), "vec_id", "embedding",
         nCentroids = 8, refineIters = 2, topN = 20)),
+    // The per-source "corpus card" — the one-table daily report a data
+    // team reads: volume (docs, tokens, chars), language mix (langid
+    // en-fraction), surface quality (micro-exact mean punct/stop
+    // ratios), LM quality (micro-exact mean cross-entropy, q80's shared
+    // table), and near-dup rate (q89's cached cluster table). Pure
+    // composition of separately-ORACLED aggregates (q20/q21/q22, q80,
+    // q89) joined on the #sources-bounded key, so this entry is
+    // rows-only by design. Means use the q97 lesson (exact micro-unit
+    // long sums, order-independent). One text scan computes every
+    // surface signal.
+    "t27_corpus_card" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val surface = d.select(col("doc_id"), col("source"),
+          TextFunctions.langId(col("text")).as("pred"),
+          TextFunctions.qualityStruct(col("text")).as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("q.n_tokens").cast("long")).as("total_tokens"),
+          sum(col("q.n_chars").cast("long")).as("total_chars"),
+          sum(when(col("pred") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(round(col("q.punct_ratio") * 1e6, 0).cast("long"))
+            .as("punct_mu"),
+          sum(round(col("q.stop_ratio") * 1e6, 0).cast("long"))
+            .as("stop_mu"))
+      val ce = d.select(col("doc_id"), col("source"))
+        .join(crossEntropyScores(s, dir), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(round(col("cross_entropy") * 1e6, 0).cast("long"))
+          .as("ce_mu"), count(lit(1)).as("ce_n"))
+      val dup = d.select(col("doc_id"), col("source"))
+        .join(dupClusters(s, dir), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(sum(when(col("cluster").isNotNull, 1L).otherwise(0L))
+          .as("n_dup"))
+      surface.join(ce, Seq("source")).join(dup, Seq("source"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("total_chars"),
+          round(col("n_en").cast("double") / col("n_docs"), 6)
+            .as("en_frac"),
+          round(col("punct_mu").cast("double") / col("n_docs") / 1e6, 6)
+            .as("mean_punct_ratio"),
+          round(col("stop_mu").cast("double") / col("n_docs") / 1e6, 6)
+            .as("mean_stop_ratio"),
+          round(col("ce_mu").cast("double") / col("ce_n") / 1e6, 6)
+            .as("mean_ce"),
+          round(col("n_dup").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"))
+        .orderBy(col("source"))
+    }),
     // cluster-balanced subsample (no oracle: the trained clustering is
     // not ANSI-expressible; determinism + balance pinned by spec tests)
     "t16_cluster_sample" -> ((s: SparkSession, dir: String) => {
@@ -3533,6 +3660,45 @@ object Queries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_templated
          |FROM d JOIN documents USING (doc_id)
          |GROUP BY source ORDER BY source""".stripMargin,
+    "q102_label_drift" ->
+      s"""WITH x AS (SELECT label, i AS dim,
+         |    CAST(round(embedding[i] * 1e6, 0) AS BIGINT) AS mv
+         |  FROM embeddings,
+         |    unnest(generate_series(1, len(embedding))) s(i)),
+         | ls AS (SELECT label, dim, sum(mv) AS sv FROM x GROUP BY 1, 2),
+         | ln AS (SELECT label, count(*) AS n FROM embeddings
+         |  GROUP BY 1),
+         | gs AS (SELECT dim, sum(sv) AS gv FROM ls GROUP BY 1),
+         | la AS (SELECT label, list(CAST(sv AS DOUBLE) ORDER BY dim)
+         |    AS a FROM ls GROUP BY 1),
+         | ga AS (SELECT list(CAST(gv AS DOUBLE) ORDER BY dim) AS g
+         |  FROM gs)
+         |SELECT label, n,
+         |  round(list_dot_product(a, g) /
+         |    (sqrt(list_dot_product(a, a)) *
+         |     sqrt(list_dot_product(g, g))), 6) AS drift_cos
+         |FROM la JOIN ln USING (label), ga
+         |ORDER BY label""".stripMargin,
+    "q103_snapshot_drift" ->
+      s"""WITH d AS (SELECT source, n_chars,
+         |    ${H.format("'snap' || CAST(doc_id AS VARCHAR)")} % 10000
+         |      AS bk,
+         |    least(CAST(floor(n_chars / 512.0) AS BIGINT), 63) AS bin
+         |  FROM documents),
+         | pb AS (SELECT source, bin,
+         |    sum(CASE WHEN bk < 9500 THEN 1 ELSE 0 END) AS old_n,
+         |    sum(CASE WHEN bk >= 500 THEN 1 ELSE 0 END) AS new_n
+         |  FROM d GROUP BY 1, 2),
+         | t AS (SELECT source, sum(old_n) AS n_old, sum(new_n) AS n_new
+         |  FROM pb GROUP BY 1),
+         | nm AS (SELECT pb.source, t.n_old, t.n_new,
+         |    sum(abs(old_n * n_new - new_n * n_old)) AS num
+         |  FROM pb JOIN t ON pb.source = t.source GROUP BY 1, 2, 3)
+         |SELECT source, CAST(n_old AS BIGINT) AS n_old,
+         |  CAST(n_new AS BIGINT) AS n_new,
+         |  round(CAST(num AS DOUBLE) / 2.0 /
+         |    CAST(n_old AS DOUBLE) / CAST(n_new AS DOUBLE), 6) AS tvd
+         |FROM nm ORDER BY source""".stripMargin,
     "q90_tokenize_ids" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
          | tok AS (SELECT doc_id,

@@ -333,6 +333,29 @@ object DedupScaleSmoke {
     require(objRef >= objSeed - 1e-9,
       f"Lloyd objective regressed: $objSeed%.6f -> $objRef%.6f")
 
+    // Shard layout at 200k docs: the training-set writer's assignment.
+    // Uniform hashing must balance 64 shards to a few percent (binomial
+    // σ ≈ √(n·p) ≈ 56 at 3125/shard → ±5σ band), and the per-shard
+    // position windows must stay per-shard (max pos == shard size).
+    println(s"== shardAssign (64 shards) at $nDocs docs ==")
+    val shards = time("shardAssign + per-shard stats")(
+      graft.operators.Curation.shardAssign(docs, "doc_id", 64)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("sz"), max(col("pos")).as("mx"))
+        .collect())
+    require(shards.length == 64, s"expected 64 shards, got ${shards.length}")
+    val sizes = shards.map(_.getAs[Long]("sz"))
+    val mean = nDocs.toDouble / 64
+    println(f"  shard sizes: min ${sizes.min} / mean $mean%.0f / " +
+      s"max ${sizes.max}")
+    shards.foreach { r =>
+      require(r.getAs[Int]("mx").toLong == r.getAs[Long]("sz"),
+        "per-shard positions are not contiguous 1..size")
+    }
+    require(sizes.min > mean - 5 * math.sqrt(mean) &&
+      sizes.max < mean + 5 * math.sqrt(mean),
+      s"shard imbalance outside the 5-sigma band: ${sizes.min}..${sizes.max}")
+
     // Boilerplate strip (q92 family) at 200k docs. Planted ground truth
     // is exact: each %100 group {base, near, exact} shares the base's
     // three 10-token segments (df=3 each), AND every near-dup's 4th

@@ -197,6 +197,26 @@ object ExplainCheck {
       !"Exchange hashpartitioning\\([^)]*\\btext#".r.findFirstIn(p)
         .isDefined && p.contains("FullOuter")
     })
+    // gram novelty: built on the hash-only shingle index — no exchange
+    // partitions on a gram STRING, and no cartesian product
+    check("q101 gram novelty shuffles gram hashes, not strings", {
+      val p = plan("q101_gram_novelty")
+      !"Exchange hashpartitioning\\([^)]*concat_ws".r.findFirstIn(p)
+        .isDefined && !p.contains("CartesianProduct")
+    })
+    // label drift: exactly ONE embeddings scan (the global centroid
+    // derives from the k label sums, not a second corpus pass) and the
+    // corpus-level join is a broadcast of the single global-vector row
+    check("q102 label drift scans embeddings once (checkpointed label " +
+        "sums), broadcasts the global centroid", {
+      val p = plan("q102_label_drift")
+      "Scan parquet".r.findAllIn(p).isEmpty &&
+        p.contains("BroadcastNestedLoopJoin")
+    })
+    // snapshot drift: text never shuffles (counts-only monitor)
+    check("q103 snapshot drift never shuffles document text",
+      !"Exchange hashpartitioning\\([^)]*\\btext#".r
+        .findFirstIn(plan("q103_snapshot_drift")).isDefined)
     println("all plan assertions hold")
     spark.stop()
   }
