@@ -743,6 +743,25 @@ object Queries {
           greatest(col("n_ws"), lit(1L)).cast("double"), 6))
       .orderBy(col("doc_id"))
 
+  /** Tokenizer fertility per language ([[TextFunctions.bpeTokenCount]]):
+    * chars-per-token — the standard multilingual-tokenizer efficiency
+    * metric (a language whose fertility is much worse than the others
+    * pays more sequence budget per character and under-trains). Exact
+    * integer char/token sums; the one division happens on the
+    * #langs-bounded result. Map-only until the final agg. */
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), length(col("text")).cast("long").as("nc"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("nb"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("total_chars"),
+        sum(col("nb")).as("total_bpe"))
+      .withColumn("chars_per_token",
+        round(col("total_chars").cast("double") /
+          greatest(col("total_bpe"), lit(1L)).cast("double"), 6))
+      .orderBy(col("lang"))
+
   /** Winnowing (rolling-hash) document fingerprints: count of selected
     * window-min hashes + a scalar digest of the sorted fingerprint set.
     * Staged projections keep each HOF input a bound attribute (see
@@ -2257,6 +2276,7 @@ object Queries {
     "q101_gram_novelty" -> (q101 _),
     "q102_label_drift" -> (q102 _),
     "q103_snapshot_drift" -> (q103 _),
+    "q104_bpe_fertility" -> (q104 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -3699,6 +3719,18 @@ object Queries {
          |  round(CAST(num AS DOUBLE) / 2.0 /
          |    CAST(n_old AS DOUBLE) / CAST(n_new AS DOUBLE), 6) AS tvd
          |FROM nm ORDER BY source""".stripMargin,
+    "q104_bpe_fertility" -> {
+      val pat = graft.functions.TextFunctions.bpePattern.replace("'", "''")
+      s"""WITH c AS (SELECT lang, length(text) AS nc,
+         |    CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS nb
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(nc) AS BIGINT) AS total_chars,
+         |  CAST(sum(nb) AS BIGINT) AS total_bpe,
+         |  round(CAST(sum(nc) AS DOUBLE) /
+         |    CAST(greatest(sum(nb), 1) AS DOUBLE), 6) AS chars_per_token
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q90_tokenize_ids" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
          | tok AS (SELECT doc_id,

@@ -537,6 +537,34 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
 
+  test("snapshot drift monitor streams: per-bin histogram counts have " +
+      "batch parity") {
+    // Production shape of q103: yesterday's histogram is a static
+    // table; TODAY'S side is the live ingest stream, aggregated
+    // per-(source, bin) in complete mode — (sources×64)-bounded state.
+    // The TVD against the static side is driver math on that tiny
+    // table. Parity: streamed bin counts == batch bin counts.
+    import graft.operators.Curation
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val dir = Files.createTempDirectory("graft_stream_drift")
+    Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("documents.parquet"))
+    def binned(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("bk", Curation.hashBucket(col("doc_id"), "snap"))
+      .filter(col("bk") >= 500)
+      .withColumn("bin", least(floor(col("n_chars") / 512), lit(63L)))
+      .groupBy(col("source"), col("bin")).count()
+    val sq = binned(spark.readStream
+        .schema(spark.read.parquet(src).schema).parquet(dir.toString))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("drift_stream").trigger(Trigger.AvailableNow()).start()
+    sq.processAllAvailable(); sq.stop()
+    val batch = binned(spark.read.parquet(s"$dir/documents.parquet"))
+    val got = spark.table("drift_stream")
+    assert(got.count() === batch.count() && batch.count() > 0)
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
