@@ -275,9 +275,17 @@ object Similarity {
     * with [[saveIvfIndex]] and serve queries from the load, the standard
     * build-once / query-many ANN deployment. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int = 16, kmeansIters: Int = 4): (DataFrame, DataFrame) = {
-    val cents = trainCentroids(corpus, idCol, vecCol, nCentroids,
+      nCentroids: Int = 16, kmeansIters: Int = 4,
+      refineIters: Int = 0): (DataFrame, DataFrame) = {
+    val seed = trainCentroids(corpus, idCol, vecCol, nCentroids,
       kmeansIters)
+    // refineIters > 0 runs full-corpus Lloyd refinement on the sampled
+    // seed ([[refineCentroids]]) — the right call when the corpus is
+    // genuinely clustered and much larger than the training sample
+    val cents =
+      if (refineIters > 0) refineCentroids(corpus, seed, vecCol,
+        refineIters)
+      else seed
     val assigned = assignCells(
       corpus.select(col(idCol).as("neighbor_id"),
         l2Normalize(col(vecCol)).as("cv")),

@@ -1535,6 +1535,37 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("buildIvfIndex(refineIters): refined index equals the manual " +
+      "refine path and serves planted clusters exactly") {
+    val corpus = plantedClusters(40).toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") < 8)
+    val refined = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      nCentroids = 4, refineIters = 3)
+    // plumbing: same centroids as refining the sampled seed by hand
+    val manual = Similarity.refineCentroids(corpus,
+      Similarity.trainCentroids(corpus, "vec_id", "embedding", 4),
+      "embedding", 3)
+    val a = refined._1.select("cent_id", "centv").orderBy("cent_id")
+      .collect().map(_.getSeq[Double](1))
+    val b = manual.select("cent_id", "centv").orderBy("cent_id")
+      .collect().map(_.getSeq[Double](1))
+    a.zip(b).foreach { case (x, y) =>
+      x.zip(y).foreach { case (u, v) => assert(math.abs(u - v) < 1e-12) }
+    }
+    // serving: on well-separated clusters, nProbe=1 over the refined
+    // cells recovers the exact top-3 (all true neighbors share the cell)
+    val ivf = Similarity.ivfTopKFromIndex(refined, qs, "vec_id",
+      "embedding", k = 3, nProbe = 1)
+    val brute = Similarity.bruteForceTopK(corpus, qs, "vec_id",
+      "embedding", 3)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val (gi, gb) = (sets(ivf), sets(brute))
+    gb.foreach { case (q, truth) => assert(gi(q) === truth) }
+  }
+
   test("embeddingOutliers ranks a planted alien vector first") {
     val alien = {
       val v = new Array[Double](8); v(7) = 1.0; (9999L, v)
