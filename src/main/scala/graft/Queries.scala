@@ -1888,6 +1888,108 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Ordered event funnel (view → click → purchase): per-user strict
+    * event-time ordering enforced by chained min-timestamp joins — the
+    * classic product-analytics conversion query. Every stage is a
+    * user-keyed agg/join (shuffles on user_id only), so the shape holds
+    * at any user count; output is 4 stage rows. */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("event_type"),
+      col("ts"))
+    def firstAt(types: DataFrame, name: String) =
+      types.groupBy(col("user_id")).agg(min(col("ts")).as(name))
+    val v = firstAt(e.filter(col("event_type") === "view"), "tv")
+    val c = firstAt(e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("tv")), "tc")
+    val p = firstAt(e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("tc")), "tp")
+    def stageCount(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit(stage))
+    stageCount(e.select(col("user_id")).distinct(), "1_any_event")
+      .unionByName(stageCount(v, "2_view"))
+      .unionByName(stageCount(c, "3_click_after_view"))
+      .unionByName(stageCount(p, "4_purchase_after_click"))
+      .select(col("stage"), col("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  /** Daily retention cohorts: users grouped by first-seen day; for each
+    * cohort, distinct users active 1/7/14 days later. One user-keyed
+    * agg for cohort assignment, one join back, then a cohort-bounded
+    * conditional count-distinct — the standard cohort table,
+    * Spark-first (shuffles on user_id / cohort day only). */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("ts"))
+    val cohort = e.groupBy(col("user_id"))
+      .agg(min(col("ts")).cast("date").as("cd"))
+    e.join(cohort, Seq("user_id"))
+      .withColumn("k", datediff(col("ts").cast("date"), col("cd")))
+      .groupBy(col("cd").as("cohort_day"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("k") === 1, col("user_id"))).as("d1"),
+        countDistinct(when(col("k") === 7, col("user_id"))).as("d7"),
+        countDistinct(when(col("k") === 14, col("user_id"))).as("d14"))
+      .orderBy(col("cohort_day"))
+  }
+
+  /** Event transition matrix (path analysis): per-user consecutive
+    * event-type pairs in event-time order → global transition counts.
+    * The per-user sequence is a user-partitioned window (lag), so state
+    * is bounded by one user's events; output ≤ #types². */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** Event-rate anomaly detection: hourly event counts z-scored against
+    * the global hourly mean/stddev — the ops-side traffic monitor.
+    * Mean and variance derive from exact integer count sums (Σn, Σn²),
+    * so the z expression is deterministic; the stats ride one broadcast
+    * scalar row. Output: the 10 most anomalous hours. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.agg(count(lit(1)).as("h"),
+      sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"))
+    hourly.crossJoin(broadcast(stats))
+      .withColumn("mean", col("s1").cast("double") / col("h"))
+      .withColumn("sd", sqrt(col("s2").cast("double") / col("h") -
+        col("mean") * col("mean")))
+      .withColumn("z",
+        round((col("n").cast("double") - col("mean")) / col("sd"), 4))
+      .orderBy(abs(col("z")).desc, col("hour"))
+      .limit(10)
+      .select(col("hour"), col("n"), col("z"))
+  }
+
+  /** Cross-source duplication matrix: which source PAIRS share near-dup
+    * clusters (mirror-site / content-syndication detection). Reuses the
+    * session-cached cluster table (q64's connected components); the
+    * matrix is a self-join on the cluster id over the DISTINCT
+    * (cluster, source) projection — output ≤ #sources², state ≤
+    * cluster count. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val cs = dupClusters(s, dir)
+      .join(docs(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("cluster"), col("source")).distinct()
+    cs.as("a").join(cs.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** PII redaction ([[TextFunctions.redactPii]]): the synthetic corpus
     * ships no PII, so the patterns are exercised on a deterministic
     * contact blob derived from customer keys — the point of the oracle
@@ -2277,6 +2379,11 @@ object Queries {
     "q102_label_drift" -> (q102 _),
     "q103_snapshot_drift" -> (q103 _),
     "q104_bpe_fertility" -> (q104 _),
+    "q105_event_funnel" -> (q105 _),
+    "q106_retention_cohorts" -> (q106 _),
+    "q107_source_dup_matrix" -> (q107 _),
+    "q108_event_paths" -> (q108 _),
+    "q109_rate_anomalies" -> (q109 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -3731,6 +3838,83 @@ object Queries {
          |    CAST(greatest(sum(nb), 1) AS DOUBLE), 6) AS chars_per_token
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin
     },
+    "q105_event_funnel" ->
+      s"""WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         | c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+         |  JOIN v ON e.user_id = v.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+         | p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+         |  JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1)
+         |SELECT '1_any_event' AS stage,
+         |  count(DISTINCT user_id) AS n_users FROM events
+         |UNION ALL SELECT '2_view', count(*) FROM v
+         |UNION ALL SELECT '3_click_after_view', count(*) FROM c
+         |UNION ALL SELECT '4_purchase_after_click', count(*) FROM p
+         |ORDER BY stage""".stripMargin,
+    "q106_retention_cohorts" ->
+      s"""WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cd
+         |  FROM events GROUP BY 1),
+         | j AS (SELECT e.user_id, f.cd,
+         |    date_diff('day', f.cd, CAST(e.ts AS DATE)) AS k
+         |  FROM events e JOIN f ON e.user_id = f.user_id)
+         |SELECT cd AS cohort_day, count(DISTINCT user_id) AS n_users,
+         |  count(DISTINCT CASE WHEN k = 1 THEN user_id END) AS d1,
+         |  count(DISTINCT CASE WHEN k = 7 THEN user_id END) AS d7,
+         |  count(DISTINCT CASE WHEN k = 14 THEN user_id END) AS d14
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q107_source_dup_matrix" ->
+      s"""${shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |     count(*) AS inter
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |   GROUP BY 1, 2),
+         | p AS (SELECT doc_a, doc_b FROM inter
+         |   JOIN sz za ON doc_a = za.doc_id
+         |   JOIN sz zb ON doc_b = zb.doc_id
+         |   WHERE CAST(inter AS DOUBLE) /
+         |     CAST(za.n_sh + zb.n_sh - inter AS DOUBLE) >= 0.8),
+         | e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |   UNION SELECT doc_b, doc_a FROM p),
+         | r AS (SELECT a AS node, a AS reach FROM e
+         |   UNION
+         |   SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+         | cl AS (SELECT node AS doc_id, min(reach) AS cluster
+         |   FROM r GROUP BY node),
+         | cs AS (SELECT DISTINCT cluster, source
+         |   FROM cl JOIN documents USING (doc_id))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*) AS n_shared_clusters
+         |FROM cs a JOIN cs b
+         |  ON a.cluster = b.cluster AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q108_event_paths" ->
+      s"""WITH t AS (SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_type
+         |  FROM events)
+         |SELECT prev_type, event_type AS next_type, count(*) AS n
+         |FROM t WHERE prev_type IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q109_rate_anomalies" ->
+      s"""WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1),
+         | st AS (SELECT count(*) AS hh, sum(n) AS s1, sum(n * n) AS s2
+         |  FROM h),
+         | z AS (SELECT hour, n,
+         |    CAST(s1 AS DOUBLE) / hh AS mean,
+         |    sqrt(CAST(s2 AS DOUBLE) / hh -
+         |      (CAST(s1 AS DOUBLE) / hh) * (CAST(s1 AS DOUBLE) / hh))
+         |      AS sd
+         |  FROM h, st)
+         |SELECT hour, CAST(n AS BIGINT) AS n,
+         |  round((CAST(n AS DOUBLE) - mean) / sd, 4) AS z
+         |FROM z ORDER BY abs(round((CAST(n AS DOUBLE) - mean) / sd, 4))
+         |  DESC, hour LIMIT 10""".stripMargin,
     "q90_tokenize_ids" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
          | tok AS (SELECT doc_id,
