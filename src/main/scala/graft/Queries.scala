@@ -1933,6 +1933,15 @@ object Queries {
       .orderBy(col("cohort_day"))
   }
 
+  /** Asymmetric containment pairs ([[Dedup.containment]]): documents
+    * whose 3-gram set is ≥90% inside another document — the
+    * quote/excerpt detector Jaccard structurally misses. Prefix(A) ⋈
+    * full-index(B) candidates on 8-byte hashes, exact verify. */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    Dedup.containment(docs(s, dir), "doc_id", "text", n = 3,
+        threshold = 0.9)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Event transition matrix (path analysis): per-user consecutive
     * event-type pairs in event-time order → global transition counts.
     * The per-user sequence is a user-partitioned window (lag), so state
@@ -2384,6 +2393,7 @@ object Queries {
     "q107_source_dup_matrix" -> (q107 _),
     "q108_event_paths" -> (q108 _),
     "q109_rate_anomalies" -> (q109 _),
+    "q110_containment" -> (q110 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -3891,6 +3901,20 @@ object Queries {
          |FROM cs a JOIN cs b
          |  ON a.cluster = b.cluster AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q110_containment" ->
+      s"""$shinglesSql,
+         | g AS (SELECT DISTINCT doc_id, ${H.format("s")} AS h FROM shr),
+         | sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         | i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |     count(*) AS inter
+         |   FROM g a JOIN g b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |   GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+         |  round(CAST(inter AS DOUBLE) / CAST(za.n AS DOUBLE), 6)
+         |    AS containment
+         |FROM i JOIN sz za ON doc_a = za.doc_id
+         |WHERE CAST(inter AS DOUBLE) / CAST(za.n AS DOUBLE) >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q108_event_paths" ->
       s"""WITH t AS (SELECT user_id, event_type,
          |    lag(event_type) OVER (PARTITION BY user_id

@@ -862,6 +862,59 @@ object Dedup {
         md5(array_join(col("kept"), " ")).as("clean_md5"))
   }
 
+  /** Asymmetric containment join: pairs where ≥ `threshold` of doc_a's
+    * distinct n-gram set appears in doc_b (C(A,B) = |A∩B| / |A|) — the
+    * quote/excerpt/sub-document detector. Jaccard MISSES these pairs
+    * (a long container inflates the union), which is exactly why
+    * substring-dedup pipelines (Lee et al. 2022 §4) track containment
+    * separately; a spec pins a planted excerpt that containment finds
+    * and the Jaccard join rejects.
+    *
+    * Prefix filter: the pigeonhole bound needs only the PROBE side —
+    * if |A∩B| ≥ ⌈t·n_a⌉ then A's rarest (n_a − ⌈t·n_a⌉ + 1) grams
+    * ([[prefixArrays]], same ⌈⌉-epsilon discipline) must hit B, so
+    * candidates are prefix(A) ⋈ FULL index(B) on the 8-byte hash (the
+    * container side cannot be prefix-bounded — containment is
+    * asymmetric). Verify is exact on the sorted hash arrays. Both
+    * (a,b) and (b,a) can emit independently; only sides passing the
+    * threshold survive. */
+  def containmentFromIndexes(idxA: DataFrame, idxB: DataFrame,
+      threshold: Double): DataFrame = {
+    val dfreq = idxA.unionByName(idxB)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    val arrA = prefixArrays(idxA, dfreq, threshold)
+    val prefA = arrA.select(col("doc").as("doc_a"),
+      explode(col("pref")).as("h"))
+    val cands = prefA
+      .join(idxB.select(col("doc").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val arrB = idxB.groupBy(col("doc"))
+      .agg(array_sort(collect_list(col("h"))).as("hs"))
+      .localCheckpoint(false)
+    cands
+      .join(arrA.select(col("doc").as("doc_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(arrB.select(col("doc").as("doc_b"), col("hs").as("hs_b")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("raw",
+        col("inter").cast("double") / col("n_a").cast("double"))
+      .filter(col("raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("raw"), 6).as("containment"))
+  }
+
+  /** Self-containment over one corpus ([[containmentFromIndexes]] with
+    * both sides the shared shingle index). */
+  def containment(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n)
+    containmentFromIndexes(idx, idx, threshold)
+  }
+
   /** Per-document n-gram novelty — the templated-content detector:
     * how much of each document's distinct n-gram vocabulary is SHARED
     * (document frequency ≥ `minDf`)? Boilerplate-heavy, machine-

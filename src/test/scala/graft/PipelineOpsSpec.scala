@@ -1449,6 +1449,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(sizes.length === 8 && sizes.min > 30 && sizes.max < 100)
   }
 
+  test("containment finds a planted excerpt that Jaccard rejects") {
+    val long = (0 until 40).map(i => s"w$i").mkString(" ")
+    val shortDoc = (10 until 26).map(i => s"w$i").mkString(" ")
+    val other = (100 until 140).map(i => s"x$i").mkString(" ")
+    val corpus = Seq((1L, long), (2L, shortDoc), (3L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.containment(corpus, "doc_id", "text",
+        threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Double]("containment")))
+    // the excerpt is contained in its source — and ONLY that direction
+    assert(got.toSeq === Seq((2L, 1L, 1.0)))
+    // the symmetric Jaccard join structurally misses the pair: the
+    // container's 38 grams inflate the union (14/38 ≈ 0.37)
+    val jac = Dedup.ngramJaccard(corpus, "doc_id", "text",
+      threshold = 0.9)
+    assert(!jac.collect().exists(r =>
+      Set(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == Set(1L, 2L)))
+  }
+
   test("writeShards materializes one sorted parquet dir per shard, " +
       "reproducibly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards")
