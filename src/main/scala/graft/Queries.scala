@@ -1942,6 +1942,35 @@ object Queries {
         threshold = 0.9)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Sliding-window chunking ([[Curation.chunkWithStride]], window 32 /
+    * stride 24): one row per chunk with its token count and content
+    * digest — the embedding-ingestion splitter. Map-only chunk
+    * derivation; the digest pins exact window boundaries. */
+  private def q111(s: SparkSession, dir: String): DataFrame =
+    Curation.chunkWithStride(docs(s, dir), "doc_id", "text",
+        windowTokens = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Last-touch attribution: for each purchase, the nearest PRECEDING
+    * non-purchase event of the same user (IGNORE NULLS last_value over
+    * a preceding-rows frame — per-user window state only); output =
+    * purchases per attributed touch type. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("touch"))
+  }
+
   /** Event transition matrix (path analysis): per-user consecutive
     * event-type pairs in event-time order → global transition counts.
     * The per-user sequence is a user-partitioned window (lag), so state
@@ -2394,6 +2423,8 @@ object Queries {
     "q108_event_paths" -> (q108 _),
     "q109_rate_anomalies" -> (q109 _),
     "q110_containment" -> (q110 _),
+    "q111_chunk_stride" -> (q111 _),
+    "q112_attribution" -> (q112 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -3915,6 +3946,32 @@ object Queries {
          |FROM i JOIN sz za ON doc_a = za.doc_id
          |WHERE CAST(inter AS DOUBLE) / CAST(za.n AS DOUBLE) >= 0.9
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q111_chunk_stride" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | w AS (SELECT doc_id, t, unnest(generate_series(0,
+         |     CAST(floor((len(t) - 1) / 24.0) AS INT))) AS ci
+         |   FROM tk WHERE len(t) > 0),
+         | c AS (SELECT doc_id, ci AS chunk_idx,
+         |    array_to_string(list_slice(t, ci * 24 + 1, ci * 24 + 32),
+         |      ' ') AS chunk
+         |  FROM w)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(regexp_split_to_array(trim(chunk), '\\s+'))
+         |    AS BIGINT) AS n_tokens,
+         |  md5(chunk) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q112_attribution" ->
+      s"""WITH t AS (SELECT user_id, event_type,
+         |    last_value(CASE WHEN event_type <> 'purchase'
+         |        THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS touch
+         |  FROM events)
+         |SELECT coalesce(touch, 'none') AS touch,
+         |  count(*) AS n_purchases
+         |FROM t WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q108_event_paths" ->
       s"""WITH t AS (SELECT user_id, event_type,
          |    lag(event_type) OVER (PARTITION BY user_id

@@ -133,6 +133,32 @@ object Curation {
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Sliding-window chunking with stride — the embedding/RAG ingestion
+    * splitter: windows of `windowTokens` starting every `stride` tokens
+    * (overlap = window − stride keeps context across cuts; the final
+    * windows may be shorter). Map-only: chunks derive per row with
+    * HOFs, one output row per (doc, chunk) via posexplode — no shuffle
+    * at any corpus size; chunk count per doc = ⌊(n−1)/stride⌋ + 1. */
+  def chunkWithStride(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, stride: Int): DataFrame = {
+    require(windowTokens > 0 && stride > 0,
+      s"window/stride must be positive, got $windowTokens/$stride")
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((size(col("toks")) - 1).cast("double") / stride)
+              .cast("int")),
+          i => array_join(
+            slice(col("toks"), i * stride + 1, lit(windowTokens)), " "))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        col("col").as("chunk"))
+      .withColumn("n_tokens", size(TextFunctions.tokens(col("chunk")))
+        .cast("long"))
+  }
+
   /** Token-budget packing: assign each document to a sequence-batch bin of
     * ~`budget` tokens, filling bins in `idCol` order within each
     * `groupCol` partition (bin = floor(tokens-before-me / budget) — the
