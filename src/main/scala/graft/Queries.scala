@@ -2169,6 +2169,34 @@ object Queries {
   private def fixP(name: String): String =
     s"read_parquet('${FixtureOracle.dir}/$name.parquet/*.parquet')"
 
+  /** DuckDB re-derivation of per-service span self-time (t29): parent =
+    * first CHILD_OF reference (engine `SpanOps.parentExpr` semantics),
+    * self = duration − Σ direct-children durations, grouped by the
+    * processes-map service name. */
+  private def t29Oracle: String =
+    s"""WITH s AS (SELECT * FROM ${fixP("raw_spans")}),
+       | r AS (SELECT * FROM ${fixP("raw_refs")}),
+       | p AS (SELECT * FROM ${fixP("raw_processes")}),
+       | par AS (SELECT traceID, span_idx, refSpanID FROM (
+       |     SELECT *, row_number() OVER (PARTITION BY traceID, span_idx
+       |       ORDER BY ref_idx) AS rn
+       |     FROM r WHERE refType = 'CHILD_OF') WHERE rn = 1),
+       | sp2 AS (SELECT s.traceID, s.span_idx, s.spanID, s.duration,
+       |     s.processID, coalesce(par.refSpanID, '') AS parent
+       |   FROM s LEFT JOIN par USING (traceID, span_idx)),
+       | cs AS (SELECT traceID, parent AS spanID,
+       |     sum(duration) AS child_dur
+       |   FROM sp2 WHERE parent <> '' GROUP BY 1, 2),
+       | j AS (SELECT sp2.*, coalesce(cs.child_dur, 0) AS child_dur
+       |   FROM sp2 LEFT JOIN cs ON sp2.traceID = cs.traceID
+       |     AND sp2.spanID = cs.spanID)
+       |SELECT p.serviceName AS service, count(*) AS n_spans,
+       |  CAST(sum(j.duration) AS BIGINT) AS total_us,
+       |  CAST(sum(j.duration - j.child_dur) AS BIGINT) AS self_us
+       |FROM j JOIN p ON j.traceID = p.traceID
+       |  AND j.processID = p.processID
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DuckDB re-derivation of `process_traces` (reference
     * `traceframe.py:209-230`): root = first span with zero references,
     * fallback spans[0]; traceName = "{service}: {operation}" of the root
@@ -2871,6 +2899,41 @@ object Queries {
     }),
     "t03_critical_path" -> ((s: SparkSession, _: String) =>
       SparkEntry.entry(s).orderBy(col("traceID"), col("startTime"))),
+    // Per-service span SELF-time (exclusive time = duration − Σ direct
+    // children): the flame-graph metric trace UIs report. Fully oracled
+    // against the raw fixture export (parent via first CHILD_OF ref).
+    "t29_span_selftime" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
+      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+      val sp = TraceFrame.spansFromJaegerFile(s, fx)
+        .select(col("traceID"), col("spanID"), col("parent"),
+          col("service"), col("duration"))
+      val childSum = sp.filter(col("parent") =!= "")
+        .groupBy(col("traceID"), col("parent").as("spanID"))
+        .agg(sum(col("duration")).as("child_dur"))
+      sp.join(childSum, Seq("traceID", "spanID"), "left")
+        .withColumn("self_us",
+          col("duration") - coalesce(col("child_dur"), lit(0L)))
+        .groupBy(col("service"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("duration")).as("total_us"),
+          sum(col("self_us")).as("self_us"))
+        .orderBy(col("service"))
+    }),
+    // Service-dependency PageRank over the parent→child call graph —
+    // which services the system structurally leans on. Edge aggregation
+    // is the only corpus-scale stage (#services²-bounded output); the
+    // power iteration runs on the bounded graph. Rows-only (iterative
+    // fixpoint; pinned by a hand-checkable-graph spec + mass
+    // conservation).
+    "t28_service_pagerank" -> ((s: SparkSession, _: String) => {
+      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+      val sp = TraceFrame.spansFromJaegerFile(s, fx)
+      val edges = graft.analysis.ServiceGraph.dependencyEdges(sp)
+      graft.analysis.ServiceGraph.pageRank(edges, iters = 20)
+        .select(col("service"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("service"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4283,6 +4346,7 @@ object Queries {
          |ORDER BY doc_id""".stripMargin,
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,
+    "t29_span_selftime" -> t29Oracle,
     // the decode stub derives everything from a 60-bit md5 prefix of the
     // payload (TextFunctions.hash60's DuckDB-portable form), so the full
     // typed mapPartitions kernel is oracle-able end to end

@@ -153,4 +153,34 @@ class TraceShapingSpec extends SparkTestBase {
     assert(http.isNullAt(3)) // non-numeric value -> null, no ANSI throw
     assert(http.isNullAt(4)) // absent key -> null
   }
+
+  test("service PageRank: hand graph satisfies the fixpoint equations, " +
+      "mass conserved") {
+    import SparkTestBase.session.implicits._
+    import graft.analysis.ServiceGraph
+    // A→B (2 calls), A→C (1), B→C (1), C→A (1): weighted, no danglers
+    val edges = Seq(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L),
+      ("C", "A", 1L)).toDF("src", "dst", "calls")
+    val got = ServiceGraph.pageRank(edges, iters = 100).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    val (ra, rb, rc) = (got("A"), got("B"), got("C"))
+    // stationary equations with d = 0.85, (1-d)/3 = 0.05
+    assert(math.abs(ra - (0.05 + 0.85 * rc)) < 1e-5)
+    assert(math.abs(rb - (0.05 + 0.85 * (2.0 / 3 * ra))) < 1e-5)
+    assert(math.abs(rc - (0.05 + 0.85 * (1.0 / 3 * ra + rb))) < 1e-5)
+  }
+
+  test("dependencyEdges: total edge weight equals resolvable " +
+      "parent-child links") {
+    import graft.analysis.ServiceGraph
+    val edges = ServiceGraph.dependencyEdges(flat)
+    val rows = edges.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("calls") > 0))
+    val links = flat.filter(col("parent") =!= "").as("c")
+      .join(flat.as("p"), col("c.traceID") === col("p.traceID") &&
+        col("c.parent") === col("p.spanID"))
+      .count()
+    assert(rows.map(_.getAs[Long]("calls")).sum === links)
+  }
 }
