@@ -2920,6 +2920,34 @@ object Queries {
           sum(col("self_us")).as("self_us"))
         .orderBy(col("service"))
     }),
+    // Critical-path service attribution: which services own the
+    // system's latency — per-service share of distributed critical-path
+    // segments (composes the A1 automaton with a bounded agg).
+    // Rows-only: the automaton has no ANSI oracle; its segments are
+    // golden-pinned by t03 + tiling/permutation properties.
+    "t30_critpath_services" -> ((s: SparkSession, _: String) =>
+      SparkEntry.entry(s)
+        .groupBy(col("service"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("duration")).as("crit_us"))
+        .orderBy(col("service"))),
+    // Error-origin attribution: per trace, the FIRST error span (min
+    // startTime, spanID tie-break) — which service is where failures
+    // START, as opposed to where they surface. Fully oracled from the
+    // raw fixture export (error TAGS, reference errcount semantics).
+    "t31_error_origin" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
+      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+      val sp = TraceFrame.spansFromJaegerFile(s, fx)
+      val w = Window.partitionBy(col("traceID"))
+        .orderBy(col("startTime"), col("spanID"))
+      sp.filter(col("tags").getItem("error").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("service"))
+        .agg(count(lit(1)).as("n_traces_originated"))
+        .orderBy(col("service"))
+    }),
     // Service-dependency PageRank over the parent→child call graph —
     // which services the system structurally leans on. Edge aggregation
     // is the only corpus-scale stage (#services²-bounded output); the
@@ -4347,6 +4375,22 @@ object Queries {
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,
     "t29_span_selftime" -> t29Oracle,
+    "t31_error_origin" ->
+      s"""WITH s AS (SELECT * FROM ${fixP("raw_spans")}),
+         | tg AS (SELECT * FROM ${fixP("raw_tags")}),
+         | p AS (SELECT * FROM ${fixP("raw_processes")}),
+         | es AS (SELECT DISTINCT traceID, span_idx FROM tg
+         |  WHERE tag_key = 'error'),
+         | fe AS (SELECT s.traceID, s.span_idx, s.processID,
+         |    row_number() OVER (PARTITION BY s.traceID
+         |      ORDER BY s.startTime, s.spanID) AS rn
+         |  FROM s JOIN es ON s.traceID = es.traceID
+         |    AND s.span_idx = es.span_idx)
+         |SELECT p.serviceName AS service,
+         |  count(*) AS n_traces_originated
+         |FROM fe JOIN p ON fe.traceID = p.traceID
+         |  AND fe.processID = p.processID
+         |WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     // the decode stub derives everything from a 60-bit md5 prefix of the
     // payload (TextFunctions.hash60's DuckDB-portable form), so the full
     // typed mapPartitions kernel is oracle-able end to end

@@ -106,6 +106,27 @@ object DedupScaleSmoke {
       s"pair count $pairs vs planted $expectedPairs — prefix filter " +
         "lost recall or admitted false positives")
 
+    // Asymmetric containment (q110 family) at 200k: every planted exact
+    // pair {i, i+2} passes in BOTH directions at containment 1.0 (2
+    // pairs per group); the near-dup directions sit at ≈0.93 each (28
+    // of 30 words shared → ~26/28 grams of the probe side), adding 4
+    // more per group. Random docs cannot reach 0.9, so the floor is
+    // exact on the 2·groups identical pairs; the near-dup directions
+    // are checked as a band (gram overlap depends on suffix position).
+    println(s"== containment (prefix×full-index, t=0.9) ==")
+    val contPairs = time("containment")(
+      Dedup.containment(docs, "doc_id", "text", 3, 0.9)
+        .localCheckpoint())
+    val exactPairs = contPairs.filter(col("containment") >= 0.999).count()
+    val allPairs = contPairs.count()
+    val g = nDocs / 100
+    println(s"  pairs: $allPairs total, $exactPairs at 1.0 " +
+      s"(planted identical: ${2 * g})")
+    require(exactPairs >= 2 * g,
+      s"containment lost identical pairs: $exactPairs < ${2 * g}")
+    require(allPairs <= 8 * g,
+      s"containment admitted noise: $allPairs > ${8 * g}")
+
     // Incremental-ingest gate (q71 family) at 200k: "batch" = the planted
     // near-dup variants (i%100==1), "corpus" = everything else. Each batch
     // doc i has EXACTLY two corpus partners at >= 0.8: its base i-1
