@@ -1971,6 +1971,35 @@ object Queries {
       .orderBy(col("touch"))
   }
 
+  /** Feature-hashed embeddings ([[TextFunctions.hashedEmbedding]]):
+    * per-doc summary of the 64-d hashing-trick vector — nonzero count,
+    * L2 norm, and the dominant dimension. Every value derives from
+    * exact ±1 integer sums (signs/dims are pure integer hash bits), so
+    * the map-only fold and DuckDB's explode-and-regroup formulation
+    * agree bit-for-bit. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val acc = TextFunctions.hashedEmbedding(col("text"), 64)
+    docs(s, dir)
+      .select(col("doc_id"), acc.as("v"))
+      .select(col("doc_id"),
+        filter(transform(col("v"), (v, i) =>
+          struct(v.as("v"), i.as("i"))), e => e.getField("v") =!= 0.0)
+          .as("nz"))
+      .filter(size(col("nz")) > 0)
+      .select(col("doc_id"),
+        size(col("nz")).cast("long").as("nnz"),
+        round(sqrt(aggregate(col("nz"), lit(0.0),
+          (a, e) => a + e.getField("v") * e.getField("v"))), 6)
+          .as("norm"),
+        array_max(transform(col("nz"), e =>
+          struct(abs(e.getField("v")).as("a"),
+            (-e.getField("i")).as("ni"))))
+          .getField("ni").as("nni"))
+      .select(col("doc_id"), col("nnz"), col("norm"),
+        (-col("nni")).cast("long").as("top_dim"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Event transition matrix (path analysis): per-user consecutive
     * event-type pairs in event-time order → global transition counts.
     * The per-user sequence is a user-partitioned window (lag), so state
@@ -2453,6 +2482,7 @@ object Queries {
     "q110_containment" -> (q110 _),
     "q111_chunk_stride" -> (q111 _),
     "q112_attribution" -> (q112 _),
+    "q113_hashed_embedding" -> (q113 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -2919,6 +2949,18 @@ object Queries {
           sum(col("duration")).as("total_us"),
           sum(col("self_us")).as("self_us"))
         .orderBy(col("service"))
+    }),
+    // Self-contained text ANN: hashing-trick embeddings feed the
+    // trained-IVF search — semantic-ish retrieval with ZERO external
+    // models (the full pipeline a user gets out of the box). Rows-only
+    // (trained cells); the embedding itself is oracled as q113 and the
+    // twin-retrieval spec pins end-to-end correctness.
+    "t32_text_ann" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextFunctions.hashedEmbedding(col("text"), 64).as("embedding"))
+      Similarity.ivfTopK(d, d.filter(col("doc_id") < 5), "doc_id",
+          "embedding", k = 3, nCentroids = 8, nProbe = 3)
+        .orderBy(col("query_id"), col("rank"))
     }),
     // Critical-path service attribution: which services own the
     // system's latency — per-service share of distributed critical-path
@@ -4051,6 +4093,24 @@ object Queries {
          |    AS BIGINT) AS n_tokens,
          |  md5(chunk) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q113_hashed_embedding" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tk
+         |  FROM documents),
+         | hx AS (SELECT doc_id, ${H.format("tk")} AS h FROM tok),
+         | dm AS (SELECT doc_id, CAST(h % 64 AS INT) AS dim,
+         |    CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM hx),
+         | vv AS (SELECT doc_id, dim, CAST(sum(sgn) AS DOUBLE) AS v
+         |  FROM dm GROUP BY 1, 2),
+         | nz AS (SELECT * FROM vv WHERE v <> 0),
+         | tp AS (SELECT doc_id, dim AS top_dim, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY abs(v) DESC, dim) AS rn
+         |  FROM nz)
+         |SELECT nz.doc_id, count(*) AS nnz,
+         |  round(sqrt(sum(v * v)), 6) AS norm,
+         |  CAST(min(tp.top_dim) AS BIGINT) AS top_dim
+         |FROM nz JOIN tp ON nz.doc_id = tp.doc_id AND tp.rn = 1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q112_attribution" ->
       s"""WITH t AS (SELECT user_id, event_type,
          |    last_value(CASE WHEN event_type <> 'purchase'

@@ -1449,6 +1449,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(sizes.length === 8 && sizes.min > 30 && sizes.max < 100)
   }
 
+  test("hashedEmbedding: deterministic, twin texts retrieve each other " +
+      "at cos 1.0 through the full text-ANN pipeline") {
+    import graft.functions.TextFunctions
+    val texts = (0 until 60).map(i =>
+      (i.toLong, (0 until 12).map(j => s"tok${i}_$j").mkString(" ")))
+    // plant doc 100 as an exact text twin of doc 0
+    val corpus = (texts :+ (100L, texts.head._2))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.hashedEmbedding(col("text"), 64).as("embedding"))
+    // determinism across partition layouts
+    val a = corpus.orderBy("doc_id").collect().map(_.getSeq[Double](1))
+    val b = corpus.repartition(5).orderBy("doc_id").collect()
+      .map(_.getSeq[Double](1))
+    assert(a.toSeq === b.toSeq)
+    val top = Similarity.ivfTopK(corpus,
+        corpus.filter(col("doc_id") === 0), "doc_id", "embedding",
+        k = 1, nCentroids = 4, nProbe = 2)
+      .collect()
+    assert(top.length === 1)
+    assert(top.head.getAs[Long]("neighbor_id") === 100L)
+    assert(top.head.getAs[Double]("cos_sim") === 1.0)
+  }
+
   test("containment finds a planted excerpt that Jaccard rejects") {
     val long = (0 until 40).map(i => s"w$i").mkString(" ")
     val shortDoc = (10 until 26).map(i => s"w$i").mkString(" ")
