@@ -2000,6 +2000,19 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Binary media dedup ([[Multimodal.dedupByDigest]]): exact dedup of
+    * the media payload column by content digest — digests computed
+    * map-side, bytes never shuffle. Corpus-level summary row. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromText(docs(s, dir), "doc_id", "text",
+      "text").toDF()
+    Multimodal.dedupByDigest(media, "id", "bytes")
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("n_copies")).as("n_items"),
+        sum(col("n_copies") - 1).as("n_dropped"),
+        sum(col("keeper")).as("keeper_id_sum"))
+  }
+
   /** Event transition matrix (path analysis): per-user consecutive
     * event-type pairs in event-time order → global transition counts.
     * The per-user sequence is a user-partitioned window (lag), so state
@@ -2483,6 +2496,7 @@ object Queries {
     "q111_chunk_stride" -> (q111 _),
     "q112_attribution" -> (q112 _),
     "q113_hashed_embedding" -> (q113 _),
+    "q114_media_dedup" -> (q114 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -4093,6 +4107,14 @@ object Queries {
          |    AS BIGINT) AS n_tokens,
          |  md5(chunk) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q114_media_dedup" ->
+      s"""WITH f AS (SELECT doc_id, sha256(text) AS dg FROM documents),
+         | k AS (SELECT dg, min(doc_id) AS keeper, count(*) AS n
+         |  FROM f GROUP BY dg)
+         |SELECT count(*) AS n_unique, CAST(sum(n) AS BIGINT) AS n_items,
+         |  CAST(sum(n - 1) AS BIGINT) AS n_dropped,
+         |  CAST(sum(keeper) AS BIGINT) AS keeper_id_sum
+         |FROM k""".stripMargin,
     "q113_hashed_embedding" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tk
          |  FROM documents),

@@ -88,4 +88,19 @@ object Multimodal {
     df.select(col(idCol),
       sha2(col(binCol), 256).as("sha256_hex"),
       length(col(binCol)).cast("long").as("n_bytes"))
+
+  /** Exact media dedup by content digest — the image/video counterpart
+    * of text exact-dedup: keep the min-id copy of each distinct
+    * payload. The digest is computed MAP-SIDE from the binary column,
+    * so only (32-byte digest, id) ever shuffles — the media bytes stay
+    * where they were scanned, which is the property that makes this
+    * viable on a 100-TB binary corpus. Returns one row per distinct
+    * payload: (digest, keeper id, copy count). */
+  def dedupByDigest(df: DataFrame, idCol: String, binCol: String)
+      : DataFrame =
+    df.select(sha2(col(binCol), 256).as("digest"),
+        col(idCol).cast("long").as("id"))
+      .groupBy(col("digest"))
+      .agg(min(col("id")).as("keeper"),
+        count(lit(1)).as("n_copies"))
 }

@@ -565,6 +565,38 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
 
+  test("hashed-embedding cell assignment streams (batch parity)") {
+    // The live side of a semantic index: text → hashing-trick embedding
+    // (map-only) → literal-argmax cell assignment against batch-trained
+    // centroids. Stateless end to end, so the SAME operator code runs
+    // on the ingest stream and must match the batch pass.
+    import graft.functions.TextFunctions
+    import graft.operators.Similarity
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val dir = Files.createTempDirectory("graft_stream_embed")
+    Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("documents.parquet"))
+    val batchDocs = spark.read.parquet(src)
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        TextFunctions.hashedEmbedding(col("text"), 64).as("embedding"))
+    val cents = Similarity.trainCentroids(embed(batchDocs), "doc_id",
+      "embedding", 8)
+    def assigned(df: org.apache.spark.sql.DataFrame) =
+      Similarity.assignWithSim(embed(df), cents, "doc_id", "embedding")
+        .select(col("doc_id"), col("cell"),
+          round(col("cent_sim"), 6).as("cs"))
+    val sq = assigned(spark.readStream.schema(batchDocs.schema)
+        .parquet(dir.toString))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("embed_assign").trigger(Trigger.AvailableNow()).start()
+    sq.processAllAvailable(); sq.stop()
+    val batch = assigned(spark.read.parquet(s"$dir/documents.parquet"))
+    val got = spark.table("embed_assign")
+    assert(got.count() === batch.count() && batch.count() > 0)
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
