@@ -3004,6 +3004,24 @@ object Queries {
         .agg(count(lit(1)).as("n_traces_originated"))
         .orderBy(col("service"))
     }),
+    // Per-service latency percentiles — the SLO dashboard table (p50/
+    // p95/p99 span durations + error-tagged span rate). Exact
+    // interpolated percentiles pinned Spark↔DuckDB by q34's machinery;
+    // fully oracled against the raw fixture export.
+    "t33_service_latency" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
+      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+      TraceFrame.spansFromJaegerFile(s, fx)
+        .withColumn("is_err",
+          when(col("tags").getItem("error").isNotNull, 1L).otherwise(0L))
+        .groupBy(col("service"))
+        .agg(count(lit(1)).as("n_spans"),
+          round(expr("percentile(duration, 0.5)"), 4).as("p50_us"),
+          round(expr("percentile(duration, 0.95)"), 4).as("p95_us"),
+          round(expr("percentile(duration, 0.99)"), 4).as("p99_us"),
+          sum(col("is_err")).as("n_err_spans"))
+        .orderBy(col("service"))
+    }),
     // Service-dependency PageRank over the parent→child call graph —
     // which services the system structurally leans on. Edge aggregation
     // is the only corpus-scale stage (#services²-bounded output); the
@@ -4457,6 +4475,25 @@ object Queries {
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,
     "t29_span_selftime" -> t29Oracle,
+    "t33_service_latency" ->
+      s"""WITH s AS (SELECT * FROM ${fixP("raw_spans")}),
+         | tg AS (SELECT * FROM ${fixP("raw_tags")}),
+         | p AS (SELECT * FROM ${fixP("raw_processes")}),
+         | es AS (SELECT DISTINCT traceID, span_idx FROM tg
+         |  WHERE tag_key = 'error'),
+         | j AS (SELECT p.serviceName AS service, s.duration,
+         |    CASE WHEN es.span_idx IS NOT NULL THEN 1 ELSE 0 END
+         |      AS is_err
+         |  FROM s JOIN p ON s.traceID = p.traceID
+         |    AND s.processID = p.processID
+         |  LEFT JOIN es ON s.traceID = es.traceID
+         |    AND s.span_idx = es.span_idx)
+         |SELECT service, count(*) AS n_spans,
+         |  round(quantile_cont(duration, 0.5), 4) AS p50_us,
+         |  round(quantile_cont(duration, 0.95), 4) AS p95_us,
+         |  round(quantile_cont(duration, 0.99), 4) AS p99_us,
+         |  CAST(sum(is_err) AS BIGINT) AS n_err_spans
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "t31_error_origin" ->
       s"""WITH s AS (SELECT * FROM ${fixP("raw_spans")}),
          | tg AS (SELECT * FROM ${fixP("raw_tags")}),

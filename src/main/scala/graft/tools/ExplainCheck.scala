@@ -217,6 +217,19 @@ object ExplainCheck {
     check("q103 snapshot drift never shuffles document text",
       !"Exchange hashpartitioning\\([^)]*\\btext#".r
         .findFirstIn(plan("q103_snapshot_drift")).isDefined)
+    // feature hashing: the embedding fold is MAP-ONLY — the only
+    // exchange in the whole plan is the presentation sort's range
+    // partitioning, never a hash shuffle
+    check("q113 hashed embedding adds no hash shuffle (map-only fold)",
+      "Exchange hashpartitioning".r
+        .findAllIn(plan("q113_hashed_embedding")).isEmpty)
+    // media dedup: digests computed map-side — one digest-keyed
+    // aggregation exchange, media bytes never on the wire
+    check("q114 media dedup shuffles digests only", {
+      val p = plan("q114_media_dedup")
+      !"Exchange hashpartitioning\\([^)]*\\bbytes#".r.findFirstIn(p)
+        .isDefined && !p.contains("CartesianProduct")
+    })
     println("all plan assertions hold")
     spark.stop()
   }

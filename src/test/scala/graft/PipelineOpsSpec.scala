@@ -1449,6 +1449,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(sizes.length === 8 && sizes.min > 30 && sizes.max < 100)
   }
 
+  test("text operators degrade gracefully on null and empty text") {
+    // A production corpus WILL contain null/empty payloads; the narrow
+    // ops must drop or null them out, never throw.
+    val hostile = Seq((1L, "a normal little document here"),
+      (2L, null.asInstanceOf[String]), (3L, ""), (4L, "   "))
+      .toDF("doc_id", "text")
+    // gram/shingle family: null/short docs simply produce no grams —
+    // only the one real document (5 tokens → 3 grams) yields a row
+    val gn = Dedup.gramNovelty(hostile, "doc_id", "text").collect()
+    assert(gn.map(_.getAs[Long]("doc")).toSeq === Seq(1L))
+    assert(Dedup.containment(hostile, "doc_id", "text").count() === 0)
+    // chunker: null/empty docs drop, the real doc chunks
+    val chunks = Curation.chunkWithStride(hostile, "doc_id", "text",
+      windowTokens = 3, stride = 2).collect()
+    assert(chunks.forall(_.getAs[Long]("doc_id") != 2L))
+    assert(chunks.exists(_.getAs[Long]("doc_id") == 1L))
+    // hashing-trick embedding: null text → null vector, no throw
+    val emb = hostile.select(col("doc_id"),
+      graft.functions.TextFunctions.hashedEmbedding(col("text"), 64)
+        .as("v")).collect()
+    assert(emb.find(_.getLong(0) == 2L).exists(_.isNullAt(1)))
+    assert(emb.find(_.getLong(0) == 1L).exists(!_.isNullAt(1)))
+    // shard assignment works for every row (id-keyed, text-independent)
+    assert(Curation.shardAssign(hostile, "doc_id", 4).count() === 4)
+  }
+
   test("hashedEmbedding: deterministic, twin texts retrieve each other " +
       "at cos 1.0 through the full text-ANN pipeline") {
     import graft.functions.TextFunctions
