@@ -2013,6 +2013,55 @@ object Queries {
         sum(col("keeper")).as("keeper_id_sum"))
   }
 
+  /** Referential-integrity / constraint audit (the Deequ-style data
+    * validation pass a pipeline runs before trusting a batch): orphan
+    * FK rows via anti joins, range constraints via filters, cross-table
+    * ordering via one equi-join — each rule one bounded count row.
+    * Anti joins broadcast the smaller key side under AQE; nothing here
+    * materializes violations (counts only). */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    def cnt(df: DataFrame, rule: String) =
+      df.agg(count(lit(1)).as("n_violations"))
+        .withColumn("rule", lit(rule))
+    cnt(o.join(c, col("o_custkey") === col("c_custkey"), "left_anti"),
+        "orphan_order_custkey")
+      .unionByName(cnt(
+        l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti"),
+        "orphan_lineitem_orderkey"))
+      .unionByName(cnt(l.filter(col("l_quantity") <= 0),
+        "nonpositive_quantity"))
+      .unionByName(cnt(
+        l.filter(col("l_discount") < 0 || col("l_discount") > 1),
+        "discount_out_of_range"))
+      .unionByName(cnt(
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") < col("o_orderdate")),
+        "ship_before_order"))
+      .select(col("rule"), col("n_violations"))
+      .orderBy(col("rule"))
+  }
+
+  /** Column profiler (ANALYZE-style summary for a declared column
+    * list): non-null count, exact distinct, min/max/mean — one
+    * aggregation pass per column over the same scan. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    def prof(c: String) = l.agg(
+        count(col(c)).as("non_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        round(min(col(c)), 4).as("min_v"),
+        round(max(col(c)), 4).as("max_v"),
+        round(avg(col(c)), 4).as("mean_v"))
+      .withColumn("col_name", lit(c))
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(prof).reduce(_ unionByName _)
+      .select(col("col_name"), col("non_null"), col("n_distinct"),
+        col("min_v"), col("max_v"), col("mean_v"))
+      .orderBy(col("col_name"))
+  }
+
   /** Event transition matrix (path analysis): per-user consecutive
     * event-type pairs in event-time order → global transition counts.
     * The per-user sequence is a user-partitioned window (lag), so state
@@ -2497,6 +2546,8 @@ object Queries {
     "q112_attribution" -> (q112 _),
     "q113_hashed_embedding" -> (q113 _),
     "q114_media_dedup" -> (q114 _),
+    "q115_integrity_audit" -> (q115 _),
+    "q116_column_profile" -> (q116 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -4125,6 +4176,34 @@ object Queries {
          |    AS BIGINT) AS n_tokens,
          |  md5(chunk) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q115_integrity_audit" ->
+      s"""SELECT 'discount_out_of_range' AS rule, count(*) AS n_violations
+         |  FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+         |UNION ALL
+         |SELECT 'nonpositive_quantity', count(*) FROM lineitem
+         |  WHERE l_quantity <= 0
+         |UNION ALL
+         |SELECT 'orphan_lineitem_orderkey', count(*) FROM lineitem l
+         |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+         |    WHERE o.o_orderkey = l.l_orderkey)
+         |UNION ALL
+         |SELECT 'orphan_order_custkey', count(*) FROM orders o
+         |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+         |    WHERE c.c_custkey = o.o_custkey)
+         |UNION ALL
+         |SELECT 'ship_before_order', count(*) FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_shipdate < o.o_orderdate
+         |ORDER BY rule""".stripMargin,
+    "q116_column_profile" -> {
+      def prof(c: String) =
+        s"""SELECT '$c' AS col_name, count($c) AS non_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  round(min($c), 4) AS min_v, round(max($c), 4) AS max_v,
+           |  round(avg($c), 4) AS mean_v FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(prof).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q114_media_dedup" ->
       s"""WITH f AS (SELECT doc_id, sha256(text) AS dg FROM documents),
          | k AS (SELECT dg, min(doc_id) AS keeper, count(*) AS n
