@@ -597,6 +597,37 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
 
+  test("ledger gate streams: arriving docs anti-join the persisted " +
+      "digest store") {
+    // Daily-ingest shape: the durable ledger (Dedup.ledgerAdmit's
+    // parquet digest store) is batch-maintained; the LIVE gate is a
+    // stream-static left-anti join against it plus in-stream digest
+    // dedup — arriving docs admit exactly the never-seen content.
+    import SparkTestBase.session.implicits._
+    import graft.operators.Dedup
+    val ledgerDir = Files.createTempDirectory("graft_ledger_s").toString
+    val batch1 = (0 until 10).map(i => (i.toLong, s"doc content $i"))
+      .toDF("doc_id", "text")
+    Dedup.ledgerAdmit(spark, s"$ledgerDir/ledger", batch1, "doc_id",
+      "text")
+    val streamDir = Files.createTempDirectory("graft_ledger_in").toString
+    (5 until 15).map(i => (i.toLong, s"doc content $i"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").json(streamDir)
+    val ledger = spark.read.parquet(s"$ledgerDir/ledger")
+    val gated = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .json(streamDir)
+      .withColumn("text_md5", md5(col("text")))
+      .dropDuplicates("text_md5")
+      .join(ledger, Seq("text_md5"), "left_anti")
+    val sq = gated.writeStream.outputMode("append").format("memory")
+      .queryName("ledger_gate").trigger(Trigger.AvailableNow()).start()
+    sq.processAllAvailable(); sq.stop()
+    val got = spark.table("ledger_gate").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got === (10L until 15L))
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
