@@ -2062,6 +2062,48 @@ object Queries {
       .orderBy(col("col_name"))
   }
 
+  /** Mutual-kNN clusters over the embedding space — the density-based
+    * topic grouping for cluster-aware curation: an edge requires BOTH
+    * endpoints in each other's top-5 (hub kill), connected components
+    * label the groups, singletons keep their own id. Candidates are the
+    * exact kNN here (the oracle-able baseline — the DuckDB oracle
+    * re-derives the same graph brute-force + recursive CTE); swap in
+    * [[Similarity.ivfTopKFromIndex]] for candidate generation at corpus
+    * scale (same contract — see [[Similarity.mutualKnnClusters]]). Past
+    * candidates everything runs on the ≤ k·n two-id edge list. */
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    Similarity.mutualKnnClusters(emb(s, dir), "vec_id", "embedding", k = 5)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy(col("vec_id"))
+
+  /** Distinct-n lexical diversity per source (distinct-1/distinct-2,
+    * Li et al. 2016's diversity diagnostics): unique-gram share of all
+    * emitted grams. Gram shuffles carry (source, gram) only for the two
+    * distinct counts; all math is integer until two divisions on the
+    * #sources-bounded result. */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val tk = docs(s, dir)
+      .select(col("source"), TextFunctions.tokens(col("text")).as("toks"))
+    val u = tk.select(col("source"), explode(col("toks")).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_uni"), countDistinct(col("g")).as("d_uni"))
+    val b = tk.select(col("source"), col("toks"),
+        posexplode(col("toks")))
+      .filter(col("pos") < size(col("toks")) - 1)
+      .select(col("source"), concat_ws(" ",
+        col("col"), get(col("toks"), col("pos") + 1)).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bi"), countDistinct(col("g")).as("d_bi"))
+    u.join(b, Seq("source"))
+      .select(col("source"), col("n_uni"), col("d_uni"), col("n_bi"),
+        col("d_bi"),
+        round(col("d_uni").cast("double") / col("n_uni"), 6)
+          .as("distinct1"),
+        round(col("d_bi").cast("double") / col("n_bi"), 6)
+          .as("distinct2"))
+      .orderBy(col("source"))
+  }
+
   /** Event transition matrix (path analysis): per-user consecutive
     * event-type pairs in event-time order → global transition counts.
     * The per-user sequence is a user-partitioned window (lag), so state
@@ -2287,6 +2329,98 @@ object Queries {
        |FROM j JOIN p ON j.traceID = p.traceID
        |  AND j.processID = p.processID
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shared SQL prefix for the t34/t35/t36 oracles: spans with parent
+    * (first CHILD_OF reference, engine `SpanOps.parentExpr` semantics)
+    * and service (processes-map lookup) resolved — the raw-export
+    * re-derivation of `spansFromJaegerFile`'s flat view. */
+  private def svSpansSql: String =
+    s"""s AS (SELECT * FROM ${fixP("raw_spans")}),
+       | r AS (SELECT * FROM ${fixP("raw_refs")}),
+       | p AS (SELECT * FROM ${fixP("raw_processes")}),
+       | par AS (SELECT traceID, span_idx, refSpanID FROM (
+       |     SELECT *, row_number() OVER (PARTITION BY traceID, span_idx
+       |       ORDER BY ref_idx) AS rn
+       |     FROM r WHERE refType = 'CHILD_OF') WHERE rn = 1),
+       | sv AS (SELECT s.traceID, s.span_idx, s.spanID, s.operationName,
+       |     s.startTime, s.duration, p.serviceName AS service,
+       |     coalesce(par.refSpanID, '') AS parent
+       |   FROM s LEFT JOIN par USING (traceID, span_idx)
+       |   JOIN p ON s.traceID = p.traceID AND s.processID = p.processID)"""
+      .stripMargin
+
+  /** DuckDB re-derivation of the trace-shape fingerprint (t34): md5 of
+    * the '|'-joined SORTED call-edge multiset per trace, then shape
+    * census. */
+  private def t34Oracle: String =
+    s"""WITH $svSpansSql,
+       | pn AS (SELECT traceID AS tid, spanID AS pid,
+       |     service || ':' || operationName AS p_node FROM sv),
+       | ed AS (SELECT sv.traceID, coalesce(pn.p_node, 'ROOT') || '>' ||
+       |     sv.service || ':' || sv.operationName AS edge
+       |   FROM sv LEFT JOIN pn ON sv.traceID = pn.tid
+       |     AND sv.parent = pn.pid),
+       | sh AS (SELECT traceID,
+       |     md5(string_agg(edge, '|' ORDER BY edge)) AS shape
+       |   FROM ed GROUP BY traceID)
+       |SELECT shape, count(*) AS n_traces, min(traceID) AS exemplar
+       |FROM sh GROUP BY shape ORDER BY shape""".stripMargin
+
+  /** DuckDB re-derivation of span idle-gap analysis (t35): children
+    * clamped to the parent window, interval union via the running-max
+    * window, per-service idle/overlap totals — identical integer
+    * algebra to the Spark plan. */
+  private def t35Oracle: String =
+    s"""WITH $svSpansSql,
+       | pr AS (SELECT traceID AS tid, spanID AS pid,
+       |     service AS p_service, startTime AS ps,
+       |     startTime + duration AS pe, duration AS p_dur FROM sv),
+       | kd AS (SELECT traceID, parent, spanID AS cid,
+       |     startTime AS cs0, startTime + duration AS ce0
+       |   FROM sv WHERE parent <> ''),
+       | j AS (SELECT pr.tid, pr.pid, pr.p_service, pr.p_dur, kd.cid,
+       |     greatest(kd.cs0, pr.ps) AS cs, least(kd.ce0, pr.pe) AS ce
+       |   FROM kd JOIN pr ON kd.traceID = pr.tid AND kd.parent = pr.pid
+       |   WHERE least(kd.ce0, pr.pe) > greatest(kd.cs0, pr.ps)),
+       | c AS (SELECT *, max(ce) OVER (PARTITION BY tid, pid
+       |     ORDER BY cs, ce, cid
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |   FROM j),
+       | pp AS (SELECT tid, pid, p_service, p_dur,
+       |     sum(greatest(0, ce - greatest(cs, coalesce(pmax, cs))))
+       |       AS covered,
+       |     sum(ce - cs) AS child_clamped
+       |   FROM c GROUP BY 1, 2, 3, 4)
+       |SELECT p_service AS service, count(*) AS n_parent_spans,
+       |  CAST(sum(p_dur) AS BIGINT) AS parent_us,
+       |  CAST(sum(covered) AS BIGINT) AS covered_us,
+       |  CAST(sum(p_dur - covered) AS BIGINT) AS idle_us,
+       |  CAST(sum(child_clamped - covered) AS BIGINT) AS overlap_us
+       |FROM pp GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB re-derivation of median/MAD latency anomalies (t36):
+    * interpolated median via quantile_cont (the q34-pinned equivalence
+    * to Spark `percentile`); integer-µs durations make every med/MAD a
+    * .0/.5 value so all double comparisons are exact. */
+  private def t36Oracle: String =
+    s"""WITH $svSpansSql,
+       | md AS (SELECT service, operationName,
+       |     quantile_cont(duration, 0.5) AS med
+       |   FROM sv GROUP BY 1, 2),
+       | st AS (SELECT sv.service, sv.operationName,
+       |     count(*) AS n_spans, min(md.med) AS med,
+       |     quantile_cont(abs(sv.duration - md.med), 0.5) AS mad
+       |   FROM sv JOIN md USING (service, operationName)
+       |   GROUP BY 1, 2)
+       |SELECT sv.service, sv.operationName,
+       |  CAST(min(st.n_spans) AS BIGINT) AS n_spans,
+       |  round(min(st.med), 4) AS med_us,
+       |  round(min(st.mad), 4) AS mad_us,
+       |  CAST(sum(CASE WHEN st.mad > 0
+       |    AND abs(sv.duration - st.med) > 3.0 * st.mad
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+       |FROM sv JOIN st USING (service, operationName)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** DuckDB re-derivation of `process_traces` (reference
     * `traceframe.py:209-230`): root = first span with zero references,
@@ -2547,6 +2681,8 @@ object Queries {
     "q113_hashed_embedding" -> (q113 _),
     "q114_media_dedup" -> (q114 _),
     "q115_integrity_audit" -> (q115 _),
+    "q117_knn_clusters" -> (q117 _),
+    "q118_distinct_ngrams" -> (q118 _),
     "q116_column_profile" -> (q116 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
@@ -3086,6 +3222,126 @@ object Queries {
       graft.analysis.ServiceGraph.pageRank(edges, iters = 20)
         .select(col("service"), round(col("rank"), 6).as("rank"))
         .orderBy(col("service"))
+    }),
+    // Trace structural fingerprint: md5 over the SORTED multiset of
+    // "parent_node>child_node" call edges (node = service:operation;
+    // roots/orphans anchor on ROOT) — groups traces by request SHAPE,
+    // the primitive behind shape-aware trace sampling ("keep 3 per
+    // shape") and "new shape appeared" alerting. Per-trace state is one
+    // trace's edges; shapes output is shape-cardinality bounded. Fully
+    // oracled vs the raw fixture export.
+    "t34_trace_shape" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
+      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+      val sp = TraceFrame.spansFromJaegerFile(s, fx)
+        .select(col("traceID"), col("spanID"), col("parent"),
+          concat_ws(":", col("service"), col("operationName")).as("node"))
+      val par = sp.select(col("traceID").as("tid"),
+        col("spanID").as("pid"), col("node").as("p_node"))
+      val edges = sp.join(par, col("traceID") === col("tid") &&
+          col("parent") === col("pid"), "left")
+        .select(col("traceID"), concat_ws(">",
+          coalesce(col("p_node"), lit("ROOT")), col("node")).as("edge"))
+      edges.groupBy(col("traceID"))
+        .agg(md5(concat_ws("|", sort_array(collect_list(col("edge")))))
+          .as("shape"))
+        .groupBy(col("shape"))
+        .agg(count(lit(1)).as("n_traces"),
+          min(col("traceID")).as("exemplar"))
+        .orderBy(col("shape"))
+    }),
+    // Span idle-gap / child-parallelism analysis: per parent span, the
+    // interval UNION of its (parent-window-clamped) children separates
+    // self-blocking idle time (duration − covered) from concurrent
+    // child overlap (Σchild − covered) — are children serial or
+    // parallel, and where does waiting live. The union is the classic
+    // running-max window per (trace, parent) — state bounded by one
+    // parent's children; all math integer µs, so the oracle comparison
+    // is exact. Fully oracled vs the raw fixture export.
+    "t35_span_gaps" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
+      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+      val sp = TraceFrame.spansFromJaegerFile(s, fx)
+        .select(col("traceID"), col("spanID"), col("parent"),
+          col("service"), col("startTime"), col("duration"))
+      val par = sp.select(col("traceID").as("tid"),
+        col("spanID").as("pid"), col("service").as("p_service"),
+        col("startTime").as("ps"),
+        (col("startTime") + col("duration")).as("pe"),
+        col("duration").as("p_dur"))
+      val kids = sp.filter(col("parent") =!= "")
+        .select(col("traceID"), col("parent"), col("spanID").as("cid"),
+          col("startTime").as("cs0"),
+          (col("startTime") + col("duration")).as("ce0"))
+      val j = kids.join(par, col("traceID") === col("tid") &&
+          col("parent") === col("pid"))
+        .withColumn("cs", greatest(col("cs0"), col("ps")))
+        .withColumn("ce", least(col("ce0"), col("pe")))
+        .filter(col("ce") > col("cs"))
+      val w = Window.partitionBy(col("tid"), col("pid"))
+        .orderBy(col("cs"), col("ce"), col("cid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val perParent = j.withColumn("pmax", max(col("ce")).over(w))
+        .withColumn("inc", greatest(lit(0L),
+          col("ce") - greatest(col("cs"), coalesce(col("pmax"), col("cs")))))
+        .groupBy(col("tid"), col("pid"), col("p_service"), col("p_dur"))
+        .agg(sum(col("inc")).as("covered"),
+          sum(col("ce") - col("cs")).as("child_clamped"))
+      perParent.groupBy(col("p_service").as("service"))
+        .agg(count(lit(1)).as("n_parent_spans"),
+          sum(col("p_dur")).as("parent_us"),
+          sum(col("covered")).as("covered_us"),
+          sum(col("p_dur") - col("covered")).as("idle_us"),
+          sum(col("child_clamped") - col("covered")).as("overlap_us"))
+        .orderBy(col("service"))
+    }),
+    // Per-operation latency anomalies by median/MAD (robust z — the
+    // outlier detector that survives heavy-tailed latency where
+    // mean/stddev drowns): spans with |d − med| > 3·MAD, summarized per
+    // (service, operation). Durations are integer µs, so med/MAD land
+    // on .0/.5 and every comparison is EXACT double arithmetic — no FP
+    // boundary hazard vs the oracle. Two bounded passes (group stats
+    // are #operations-sized, broadcast back). Fully oracled.
+    "t36_op_anomalies" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
+      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+      val sp = TraceFrame.spansFromJaegerFile(s, fx)
+        .select(col("service"), col("operationName"), col("duration"))
+      val med = sp.groupBy(col("service"), col("operationName"))
+        .agg(expr("percentile(duration, 0.5)").as("med"))
+      val stats = sp.join(med, Seq("service", "operationName"))
+        .withColumn("adev",
+          abs(col("duration").cast("double") - col("med")))
+        .groupBy(col("service"), col("operationName"))
+        .agg(count(lit(1)).as("n_spans"), first(col("med")).as("med"),
+          expr("percentile(adev, 0.5)").as("mad"))
+      sp.join(stats, Seq("service", "operationName"))
+        .withColumn("is_anom", when(col("mad") > 0 &&
+          abs(col("duration").cast("double") - col("med")) >
+            lit(3.0) * col("mad"), 1L).otherwise(0L))
+        .groupBy(col("service"), col("operationName"))
+        .agg(first(col("n_spans")).as("n_spans"),
+          round(first(col("med")), 4).as("med_us"),
+          round(first(col("mad")), 4).as("mad_us"),
+          sum(col("is_anom")).as("n_anomalies"))
+        .orderBy(col("service"), col("operationName"))
+    }),
+    // MMR diversified selection (Carbonell & Goldstein 1998): top-10
+    // most-relevant-yet-diverse vectors for the vec_id=0 probe, λ=0.7.
+    // Rows-only: the greedy argmax sequence has no ANSI oracle; pinned
+    // by the planted-cluster spec (one pick per tight cluster before
+    // any second) + determinism. k narrow scans, k-bounded driver state.
+    "t37_mmr_select" -> ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val v0 = e.filter(col("vec_id") === 0)
+        .select(Similarity.l2Normalize(col("embedding")).as("nv"))
+        .head.getSeq[Double](0).toArray
+      val withRel = e.filter(col("vec_id") =!= 0)
+        .withColumn("rel", Similarity.dotCol(
+          Similarity.l2Normalize(col("embedding")), typedLit(v0.toSeq)))
+      Similarity.mmrSelect(withRel, "vec_id", "embedding", "rel",
+          k = 10, lambda = 0.7)
+        .orderBy(col("sel_rank"))
     }),
   )
 
@@ -4204,6 +4460,43 @@ object Queries {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(prof).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    "q117_knn_clusters" ->
+      s"""WITH RECURSIVE v AS ($normVecSql),
+         | s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |     round(list_dot_product(q.nv, c.nv), 6) AS cos_sim
+         |   FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+         | rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s),
+         | k AS (SELECT query_id, neighbor_id FROM rk WHERE rn <= 5),
+         | m AS (SELECT a.query_id AS a, a.neighbor_id AS b FROM k a
+         |   JOIN k b ON a.query_id = b.neighbor_id
+         |     AND a.neighbor_id = b.query_id
+         |   WHERE a.query_id < a.neighbor_id),
+         | e AS (SELECT a, b FROM m UNION SELECT b, a FROM m),
+         | rc AS (SELECT a AS node, a AS reach FROM e
+         |   UNION
+         |   SELECT rc.node, e.b FROM rc JOIN e ON rc.reach = e.a),
+         | lab AS (SELECT node, min(reach) AS cluster FROM rc
+         |   GROUP BY node)
+         |SELECT v.vec_id,
+         |  CAST(coalesce(lab.cluster, v.vec_id) AS BIGINT) AS cluster
+         |FROM v LEFT JOIN lab ON v.vec_id = lab.node
+         |ORDER BY v.vec_id""".stripMargin,
+    "q118_distinct_ngrams" ->
+      s"""WITH tk AS (SELECT source, $toksSql AS t FROM documents),
+         | u AS (SELECT source, count(*) AS n_uni,
+         |     count(DISTINCT g) AS d_uni
+         |   FROM (SELECT source, unnest(t) AS g FROM tk) GROUP BY source),
+         | b AS (SELECT source, count(*) AS n_bi,
+         |     count(DISTINCT g) AS d_bi
+         |   FROM (SELECT source, unnest(list_transform(
+         |       generate_series(1, greatest(len(t)-1, 0)),
+         |       i -> t[i] || ' ' || t[i+1])) AS g FROM tk)
+         |   GROUP BY source)
+         |SELECT source, n_uni, d_uni, n_bi, d_bi,
+         |  round(CAST(d_uni AS DOUBLE) / n_uni, 6) AS distinct1,
+         |  round(CAST(d_bi AS DOUBLE) / n_bi, 6) AS distinct2
+         |FROM u JOIN b USING (source) ORDER BY source""".stripMargin,
     "q114_media_dedup" ->
       s"""WITH f AS (SELECT doc_id, sha256(text) AS dg FROM documents),
          | k AS (SELECT dg, min(doc_id) AS keeper, count(*) AS n
@@ -4554,6 +4847,9 @@ object Queries {
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,
     "t29_span_selftime" -> t29Oracle,
+    "t34_trace_shape" -> t34Oracle,
+    "t35_span_gaps" -> t35Oracle,
+    "t36_op_anomalies" -> t36Oracle,
     "t33_service_latency" ->
       s"""WITH s AS (SELECT * FROM ${fixP("raw_spans")}),
          | tg AS (SELECT * FROM ${fixP("raw_tags")}),

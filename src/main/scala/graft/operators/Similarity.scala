@@ -806,6 +806,87 @@ object Similarity {
       maxCell = maxCell)
       .select(col("vec_b").as("dropped")).distinct()
 
+  /** Mutual-kNN graph clustering — the density-based grouping step for
+    * topic discovery and cluster-aware curation: an edge joins a and b
+    * iff EACH appears in the other's top-k neighbor list (the mutual
+    * filter kills hub vectors that would chain unrelated regions into
+    * one blob — the standard failure of plain kNN-graph clustering),
+    * then connected components label the groups. Vectors with no mutual
+    * edge stay singletons labeled by their own id.
+    *
+    * Candidate stage is exact [[bruteForceTopK]] (the oracle-able
+    * baseline); at corpus scale swap in [[ivfTopKFromIndex]] — same
+    * (query_id, rank, neighbor_id) contract, the mutual filter and the
+    * component rounds are unchanged (the [[hardNegatives]] precedent).
+    * Everything after candidate generation runs on the kNN EDGE list
+    * (≤ k·n rows of two ids, never vectors), and component depth is the
+    * cluster diameter in the mutual graph — shallow for the tight
+    * groups the mutual filter admits. */
+  def mutualKnnClusters(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val knn = bruteForceTopK(df, df, idCol, vecCol, k)
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+    val ab = knn.filter(col("a") < col("b"))
+    val ba = knn.filter(col("a") > col("b"))
+      .select(col("b").as("a"), col("a").as("b"))
+    val mutual = ab.join(ba, Seq("a", "b"), "left_semi")
+    val labels = Dedup.connectedComponents(mutual, "a", "b")
+      .withColumnRenamed("node", "__node")
+    df.select(col(idCol))
+      .join(labels, col(idCol) === col("__node"), "left")
+      .select(col(idCol),
+        coalesce(col("lbl"), col(idCol)).as("cluster"))
+  }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998,
+    * public): greedily pick k items maximizing
+    * λ·relevance − (1−λ)·max-cosine-to-selected — the diversity-aware
+    * subset selection that de-redundifies retrieval results or seeds a
+    * diverse demonstration set. Inherently sequential in k: each round
+    * is ONE distributed argmax (TakeOrderedAndProject over the corpus)
+    * with the selected vectors folded into the scoring expression as
+    * literals (k-bounded, the centroid-argmax pattern), so cost is
+    * k narrow scans and driver state is k vectors. For corpus-scale
+    * selection prefer [[clusterBalancedSample]]; MMR's niche is small k
+    * where per-pick optimality matters. Deterministic: score ties break
+    * on lowest id; the corpus projection is localCheckpointed once so
+    * the k scans don't recompute lineage. */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lambda: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+        l2Normalize(col(vecCol)).as("nv"),
+        col(relCol).cast("double").as("rel"))
+      .filter(col("id").isNotNull)
+      .localCheckpoint()
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Array[Double])]
+    var done = false
+    while (picked.size < k && !done) {
+      val already: Seq[Any] = picked.map(_._1).toSeq
+      val cand =
+        if (already.isEmpty) base else base.filter(!col("id").isin(already: _*))
+      val maxSim =
+        if (picked.isEmpty) lit(0.0)
+        else picked.map(p => dotCol(col("nv"), typedLit(p._3.toSeq)): Column)
+          .reduce((x, y) => greatest(x, y))
+      val top = cand
+        .withColumn("score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * maxSim)
+        .orderBy(col("score").desc, col("id"))
+        .limit(1)
+        .select(col("id"), col("score"), col("nv"))
+        .as[(Long, Double, Array[Double])]
+        .collect()
+      if (top.isEmpty) done = true else picked += top.head
+    }
+    picked.zipWithIndex
+      .map { case ((id, sc, _), i) =>
+        (i + 1L, id, math.rint(sc * 1e6) / 1e6) }
+      .toSeq.toDF("sel_rank", "vec_id", "mmr_score")
+  }
+
   /** Sign-bucket LSH: bucket id = sign bits of `planes` SEEDED random
     * hyperplane projections (classic SimHash-style random projection —
     * deterministic for a given seed, so bucketing is reproducible across
