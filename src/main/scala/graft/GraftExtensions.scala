@@ -21,5 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hashed_embedding"),
+      new ExpressionInfo(
+        classOf[graft.expressions.HashedEmbedding].getCanonicalName,
+        "graft_hashed_embedding"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.HashedEmbedding(exprs(0),
+          exprs(1).eval(null).asInstanceOf[Int])))
   }
 }

@@ -272,21 +272,23 @@ object TextFunctions {
     * Weinberger et al. 2009): each token lands in dimension
     * `hash60 & (d−1)` with sign from the next hash bit; per-occurrence
     * ±1 contributions sum per dimension. Deterministic, vocabulary-free,
-    * and MAP-ONLY — the fold runs inside the row (O(d) per token under
-    * codegen), so a 100-TB corpus embeds with zero shuffle. Inner
+    * and MAP-ONLY — so a 100-TB corpus embeds with zero shuffle. Inner
     * products approximate token-multiset similarity unbiasedly (the
     * signed trick cancels collision bias), which is what makes the
     * result a legitimate ANN/near-dup input where no trained embedding
-    * exists. `d` must be a power of two (hash bits → dimension). */
-  def hashedEmbedding(text: Column, d: Int = 64): Column = {
-    require(d > 0 && (d & (d - 1)) == 0, s"d must be a power of two: $d")
-    val bits = Integer.numberOfTrailingZeros(d)
-    aggregate(tokens(text), array_repeat(lit(0.0), d), (a, t) => {
-      val h = hash60(t)
-      val dim = (h.bitwiseAND(lit(d.toLong - 1))).cast("int")
-      val sign = when(shiftright(h, bits).bitwiseAND(lit(1L)) === 0, 1.0)
-        .otherwise(-1.0)
-      transform(a, (v, i) => v + when(i === dim, sign).otherwise(0.0))
-    })
-  }
+    * exists. `d` must be a power of two (hash bits → dimension).
+    *
+    * The kernel is the native codegen'd
+    * [[graft.expressions.HashedEmbedding]]: the former HOF fold
+    * (`aggregate(tokens, zeros(d), (a,t) => transform(a, ...))`) rebuilt
+    * the whole d-element accumulator per token — O(tokens × d)
+    * interpreted-lambda allocations per row, 14.0 s of the sf0.1 bench
+    * on q113 alone. The expression is one O(tokens + d) pass over a
+    * mutable accumulator, bit-identical (exact ±1 integer sums, same
+    * md5-derived 60-bit hash). Tokenization stays the Spark-side
+    * [[tokens]] so trim/split semantics cannot drift. */
+  def hashedEmbedding(text: Column, d: Int = 64): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.HashedEmbedding(
+        org.apache.spark.sql.GraftSqlBridge.expression(tokens(text)), d))
 }

@@ -217,12 +217,16 @@ object ExplainCheck {
     check("q103 snapshot drift never shuffles document text",
       !"Exchange hashpartitioning\\([^)]*\\btext#".r
         .findFirstIn(plan("q103_snapshot_drift")).isDefined)
-    // feature hashing: the embedding fold is MAP-ONLY — the only
+    // feature hashing: the embedding kernel is MAP-ONLY — the only
     // exchange in the whole plan is the presentation sort's range
-    // partitioning, never a hash shuffle
-    check("q113 hashed embedding adds no hash shuffle (map-only fold)",
-      "Exchange hashpartitioning".r
-        .findAllIn(plan("q113_hashed_embedding")).isEmpty)
+    // partitioning, never a hash shuffle — and it is the native codegen
+    // graft_hashed_embedding expression, not the O(tokens×d)
+    // interpreted-HOF fold it replaced (r8 perf-weak: 14 s driver wall)
+    check("q113 hashed embedding is the native kernel, no hash shuffle", {
+      val p = plan("q113_hashed_embedding")
+      "Exchange hashpartitioning".r.findAllIn(p).isEmpty &&
+        p.contains("graft_hashed_embedding")
+    })
     // media dedup: digests computed map-side — one digest-keyed
     // aggregation exchange, media bytes never on the wire
     check("q114 media dedup shuffles digests only", {

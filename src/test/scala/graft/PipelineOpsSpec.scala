@@ -1499,6 +1499,40 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(top.head.getAs[Double]("cos_sim") === 1.0)
   }
 
+  test("hashedEmbedding native kernel is bit-identical to the HOF fold " +
+      "(the formulation the q113 oracle hashes were pinned against)") {
+    import org.apache.spark.sql.Column
+    // the r8 interpreted-HOF formulation, kept here as the semantic spec
+    def hofEmbedding(text: Column, d: Int): Column = {
+      val bits = Integer.numberOfTrailingZeros(d)
+      aggregate(TextFunctions.tokens(text), array_repeat(lit(0.0), d),
+        (a, t) => {
+          val h = TextFunctions.hash60(t)
+          val dim = h.bitwiseAND(lit(d.toLong - 1)).cast("int")
+          val sign = when(
+            shiftright(h, bits).bitwiseAND(lit(1L)) === 0, 1.0)
+            .otherwise(-1.0)
+          transform(a, (v, i) => v + when(i === dim, sign).otherwise(0.0))
+        })
+    }
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 200).map { i =>
+      (i.toLong,
+        (0 until rnd.nextInt(30)).map(_ => s"w${rnd.nextInt(50)}")
+          .mkString(" "))
+    } ++ Seq( // tokenizer edges: trim is space-only, split is java-regex
+      (500L, "\ttab lead"), (501L, "trail tab\t"),
+      (502L, "  doubled  spaces  "), (503L, "dup dup dup dup"),
+      (504L, "unicode tøkens café 東京"))
+    val both = texts.toDF("doc_id", "text").select(col("doc_id"),
+      TextFunctions.hashedEmbedding(col("text"), 64).as("fast"),
+      hofEmbedding(col("text"), 64).as("slow")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Double](1) === r.getSeq[Double](2),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("containment finds a planted excerpt that Jaccard rejects") {
     val long = (0 until 40).map(i => s"w$i").mkString(" ")
     val shortDoc = (10 until 26).map(i => s"w$i").mkString(" ")
