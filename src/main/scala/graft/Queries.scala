@@ -2044,21 +2044,31 @@ object Queries {
   }
 
   /** Column profiler (ANALYZE-style summary for a declared column
-    * list): non-null count, exact distinct, min/max/mean — one
-    * aggregation pass per column over the same scan. */
+    * list): non-null count, exact distinct, min/max/mean — ALL columns
+    * in ONE aggregation over ONE table scan (Spark plans the multi
+    * `countDistinct` via a single scan + Expand), then the one wide row
+    * unpivots to a row per column. The r8 form ran one agg per column —
+    * four full scans; at 100 TB the single pass is the difference
+    * between one read of the table and #columns reads. */
   private def q116(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
-    def prof(c: String) = l.agg(
-        count(col(c)).as("non_null"),
-        countDistinct(col(c)).as("n_distinct"),
-        round(min(col(c)), 4).as("min_v"),
-        round(max(col(c)), 4).as("max_v"),
-        round(avg(col(c)), 4).as("mean_v"))
-      .withColumn("col_name", lit(c))
-    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      .map(prof).reduce(_ unionByName _)
-      .select(col("col_name"), col("non_null"), col("n_distinct"),
-        col("min_v"), col("max_v"), col("mean_v"))
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      round(min(col(c)), 4).as(s"mn_$c"),
+      round(max(col(c)), 4).as(s"mx_$c"),
+      round(avg(col(c)), 4).as(s"av_$c"))
+    }
+    l.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"nn_$c").as("non_null"),
+          col(s"nd_$c").as("n_distinct"),
+          col(s"mn_$c").as("min_v"),
+          col(s"mx_$c").as("max_v"),
+          col(s"av_$c").as("mean_v"))): _*)).as("p"))
+      .select(col("p.*"))
       .orderBy(col("col_name"))
   }
 
@@ -2067,9 +2077,10 @@ object Queries {
     * endpoints in each other's top-5 (hub kill), connected components
     * label the groups, singletons keep their own id. Candidates are the
     * exact kNN here (the oracle-able baseline — the DuckDB oracle
-    * re-derives the same graph brute-force + recursive CTE); swap in
-    * [[Similarity.ivfTopKFromIndex]] for candidate generation at corpus
-    * scale (same contract — see [[Similarity.mutualKnnClusters]]). Past
+    * re-derives the same graph brute-force + recursive CTE); at corpus
+    * scale call [[Similarity.mutualKnnClustersFromCandidates]] with
+    * [[Similarity.ivfTopKFromIndex]] output (same contract; the
+    * IVF-candidates ≡ brute-force spec pins the equivalence). Past
     * candidates everything runs on the ≤ k·n two-id edge list. */
   private def q117(s: SparkSession, dir: String): DataFrame =
     Similarity.mutualKnnClusters(emb(s, dir), "vec_id", "embedding", k = 5)
@@ -2080,7 +2091,11 @@ object Queries {
     * Li et al. 2016's diversity diagnostics): unique-gram share of all
     * emitted grams. Gram shuffles carry (source, gram) only for the two
     * distinct counts; all math is integer until two divisions on the
-    * #sources-bounded result. */
+    * #sources-bounded result. DEFINED behavior: the uni⋈bi inner join
+    * means a source whose documents yield zero bigrams (all docs empty
+    * or single-token) is OMITTED from the output entirely — the metric
+    * reports only sources where both diversities are defined (the
+    * DuckDB oracle joins identically). */
   private def q118(s: SparkSession, dir: String): DataFrame = {
     val tk = docs(s, dir)
       .select(col("source"), TextFunctions.tokens(col("text")).as("toks"))
@@ -2326,14 +2341,18 @@ object Queries {
        |SELECT p.serviceName AS service, count(*) AS n_spans,
        |  CAST(sum(j.duration) AS BIGINT) AS total_us,
        |  CAST(sum(j.duration - j.child_dur) AS BIGINT) AS self_us
-       |FROM j JOIN p ON j.traceID = p.traceID
+       |FROM j LEFT JOIN p ON j.traceID = p.traceID
        |  AND j.processID = p.processID
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Shared SQL prefix for the t34/t35/t36 oracles: spans with parent
     * (first CHILD_OF reference, engine `SpanOps.parentExpr` semantics)
     * and service (processes-map lookup) resolved — the raw-export
-    * re-derivation of `spansFromJaegerFile`'s flat view. */
+    * re-derivation of `spansFromJaegerFile`'s flat view. The processes
+    * lookup is a LEFT join: the engine's flatten uses `try_element_at`
+    * and KEEPS spans whose processID has no processes entry (service
+    * NULL), so the oracle must too — an inner join would silently drop
+    * them if the fixture ever gained an unresolved processID. */
   private def svSpansSql: String =
     s"""s AS (SELECT * FROM ${fixP("raw_spans")}),
        | r AS (SELECT * FROM ${fixP("raw_refs")}),
@@ -2346,7 +2365,8 @@ object Queries {
        |     s.startTime, s.duration, p.serviceName AS service,
        |     coalesce(par.refSpanID, '') AS parent
        |   FROM s LEFT JOIN par USING (traceID, span_idx)
-       |   JOIN p ON s.traceID = p.traceID AND s.processID = p.processID)"""
+       |   LEFT JOIN p ON s.traceID = p.traceID
+       |     AND s.processID = p.processID)"""
       .stripMargin
 
   /** DuckDB re-derivation of the trace-shape fingerprint (t34): md5 of
@@ -2355,9 +2375,10 @@ object Queries {
   private def t34Oracle: String =
     s"""WITH $svSpansSql,
        | pn AS (SELECT traceID AS tid, spanID AS pid,
-       |     service || ':' || operationName AS p_node FROM sv),
-       | ed AS (SELECT sv.traceID, coalesce(pn.p_node, 'ROOT') || '>' ||
-       |     sv.service || ':' || sv.operationName AS edge
+       |     concat_ws(':', service, operationName) AS p_node FROM sv),
+       | ed AS (SELECT sv.traceID, concat_ws('>',
+       |     coalesce(pn.p_node, 'ROOT'),
+       |     concat_ws(':', sv.service, sv.operationName)) AS edge
        |   FROM sv LEFT JOIN pn ON sv.traceID = pn.tid
        |     AND sv.parent = pn.pid),
        | sh AS (SELECT traceID,

@@ -50,10 +50,15 @@ object CriticalPath {
     val sorted = events.sortBy(e => (e.ts, e.seq))
 
     val critSegs = mutable.ArrayBuffer.empty[CritSeg]
-    // spanID -> active (outstanding) child spanIDs, in call order
-    val outstanding = mutable.Map.empty[String, mutable.ArrayBuffer[String]]
-    def out(id: String): mutable.ArrayBuffer[String] =
-      outstanding.getOrElseUpdate(id, mutable.ArrayBuffer.empty)
+    // spanID -> active (outstanding) child spanIDs, in call order. A
+    // LinkedHashSet preserves insertion (call) order for `.head` while
+    // making the per-return removal O(1) — the r8 ArrayBuffer's
+    // indexOf+remove was O(children) per return, O(n²) on a pathological
+    // flat 50k-child trace (spanIDs are unique per trace — `idToSpan`
+    // above already assumes so — so set semantics equal buffer semantics).
+    val outstanding = mutable.Map.empty[String, mutable.LinkedHashSet[String]]
+    def out(id: String): mutable.LinkedHashSet[String] =
+      outstanding.getOrElseUpdate(id, mutable.LinkedHashSet.empty)
     var leaderStack = List.empty[SpanLite]
     var leader = sorted.head.span
     var ts = leader.startTime
@@ -71,9 +76,7 @@ object CriticalPath {
         }
         out(parentId) += event.span.spanID
       } else {
-        val siblings = out(parentId)
-        val idx = siblings.indexOf(event.span.spanID)
-        if (idx >= 0) siblings.remove(idx)
+        out(parentId) -= event.span.spanID
         if (out(leader.spanID).isEmpty) {
           critSegs += CritSeg(ts, event.ts - ts, leader)
           ts = event.ts

@@ -77,19 +77,30 @@ object Similarity {
     * that poison the contrastive loss), so they are excluded and the
     * ranking re-packed.
     *
-    * Composition, not new machinery: candidate generation is
-    * [[bruteForceTopK]] with a `margin` head-room (swap in [[ivfTopK]]
-    * at corpus scale — same contract), the dup-exclusion is a filter,
-    * and the re-pack window is (k+margin)-bounded per query. If a query
-    * has more than `margin` near-dups the tail under-fills — mirroring
+    * Composition, not new machinery: candidate generation here is
+    * [[bruteForceTopK]] with a `margin` head-room; at corpus scale call
+    * [[hardNegativesFromCandidates]] with [[ivfTopKFromIndex]] output —
+    * the same (query_id, neighbor_id, cos_sim) candidate contract
+    * [[mutualKnnClustersFromCandidates]] consumes. If a query has more
+    * than `margin` near-dups the tail under-fills — mirroring
     * production miners, which size the margin at the expected dup rate
     * (the planted spec pins exactly this under-fill behavior). */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dupCos: Double = 0.95,
-      margin: Int = 8): DataFrame = {
+      margin: Int = 8): DataFrame =
+    hardNegativesFromCandidates(
+      bruteForceTopK(corpus, queries, idCol, vecCol, k + margin), k, dupCos)
+
+  /** [[hardNegatives]] over a caller-supplied candidate frame
+    * (query_id, neighbor_id, cos_sim) — the dup-exclusion filter plus
+    * the (k+margin)-bounded per-query re-pack window. Candidates should
+    * carry `k + margin` rows per query so the post-filter top-k
+    * under-fills only when near-dups exceed the margin. */
+  def hardNegativesFromCandidates(candidates: DataFrame, k: Int,
+      dupCos: Double = 0.95): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    bruteForceTopK(corpus, queries, idCol, vecCol, k + margin)
+    candidates
       .filter(col("cos_sim") < dupCos)
       .withColumn("neg_rank", row_number().over(w))
       .filter(col("neg_rank") <= k)
@@ -814,23 +825,39 @@ object Similarity {
     * then connected components label the groups. Vectors with no mutual
     * edge stay singletons labeled by their own id.
     *
-    * Candidate stage is exact [[bruteForceTopK]] (the oracle-able
-    * baseline); at corpus scale swap in [[ivfTopKFromIndex]] — same
-    * (query_id, rank, neighbor_id) contract, the mutual filter and the
-    * component rounds are unchanged (the [[hardNegatives]] precedent).
-    * Everything after candidate generation runs on the kNN EDGE list
-    * (≤ k·n rows of two ids, never vectors), and component depth is the
-    * cluster diameter in the mutual graph — shallow for the tight
-    * groups the mutual filter admits. */
+    * This entry point's candidate stage is exact [[bruteForceTopK]]
+    * (the oracle-able baseline — note it broadcasts the WHOLE corpus as
+    * the query set and scores n² pairs, so it is test/oracle scale
+    * only); at corpus scale call
+    * [[mutualKnnClustersFromCandidates]] with [[ivfTopKFromIndex]]
+    * output — same (query_id, rank, neighbor_id, cos_sim) contract, the
+    * mutual filter and the component rounds are unchanged (the
+    * [[hardNegativesFromCandidates]] precedent). `maxIter` bounds the
+    * label-propagation rounds = mutual-graph diameter; raise it for
+    * chain-shaped clusters deeper than the default 20
+    * ([[graft.operators.Dedup.connectedComponents]] raises rather than
+    * returning partial labels). */
   def mutualKnnClusters(df: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
-    val knn = bruteForceTopK(df, df, idCol, vecCol, k)
+      k: Int, maxIter: Int = 20): DataFrame =
+    mutualKnnClustersFromCandidates(df, idCol,
+      bruteForceTopK(df, df, idCol, vecCol, k), maxIter)
+
+  /** [[mutualKnnClusters]] over a caller-supplied kNN candidate frame —
+    * the corpus-scale path. `candidates` must hold each query's top-k
+    * list as (query_id, neighbor_id) rows ([[ivfTopKFromIndex]],
+    * [[lshTopK]] and [[bruteForceTopK]] all emit this contract).
+    * Everything here runs on the kNN EDGE list (≤ k·n rows of two ids,
+    * never vectors): the mutual filter is one self-semi-join, and each
+    * component round is a join + agg over surviving edges. */
+  def mutualKnnClustersFromCandidates(df: DataFrame, idCol: String,
+      candidates: DataFrame, maxIter: Int = 20): DataFrame = {
+    val knn = candidates
       .select(col("query_id").as("a"), col("neighbor_id").as("b"))
     val ab = knn.filter(col("a") < col("b"))
     val ba = knn.filter(col("a") > col("b"))
       .select(col("b").as("a"), col("a").as("b"))
     val mutual = ab.join(ba, Seq("a", "b"), "left_semi")
-    val labels = Dedup.connectedComponents(mutual, "a", "b")
+    val labels = Dedup.connectedComponents(mutual, "a", "b", maxIter)
       .withColumnRenamed("node", "__node")
     df.select(col(idCol))
       .join(labels, col(idCol) === col("__node"), "left")
@@ -882,8 +909,12 @@ object Similarity {
       if (top.isEmpty) done = true else picked += top.head
     }
     picked.zipWithIndex
+      // HALF_UP to 6 places — the repo-wide rounding convention (Spark
+      // round()); math.rint's half-even would render a .5e-6-boundary
+      // score differently from an equivalent plan-side round
       .map { case ((id, sc, _), i) =>
-        (i + 1L, id, math.rint(sc * 1e6) / 1e6) }
+        (i + 1L, id, BigDecimal(sc)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
       .toSeq.toDF("sel_rank", "vec_id", "mmr_score")
   }
 

@@ -227,6 +227,11 @@ object ExplainCheck {
       "Exchange hashpartitioning".r.findAllIn(p).isEmpty &&
         p.contains("graft_hashed_embedding")
     })
+    // column profiler: ONE lineitem scan for the whole column list (the
+    // multi-countDistinct plans via a single scan + Expand); the r8 form
+    // paid one scan per profiled column
+    check("q116 column profiler reads lineitem exactly once",
+      "Scan parquet".r.findAllIn(plan("q116_column_profile")).size == 1)
     // media dedup: digests computed map-side — one digest-keyed
     // aggregation exchange, media bytes never on the wire
     check("q114 media dedup shuffles digests only", {

@@ -56,6 +56,29 @@ class CriticalPathSpec extends SparkTestBase {
     intercept[IllegalArgumentException](CriticalPath.compute(Nil))
   }
 
+  test("50k-child flat trace stays near-linear (outstanding-children " +
+      "bookkeeping is O(1) per event, not O(children))") {
+    // Pathological fan-out: 50k DIRECT children of one root, all alive
+    // at once (child i = [i+1, end 2N-i], so returns drain in reverse
+    // call order — the worst case for the r8 ArrayBuffer indexOf+remove,
+    // which scanned ~n/2 ids per return: ~1.25e9 string compares. The
+    // LinkedHashSet bookkeeping keeps the whole trace O(n log n).
+    val n = 50000
+    val root = SpanLite("t", "root", "op", 0L, 2L * n + 10L, "p", "", "svc")
+    val kids = (0 until n).map { i =>
+      SpanLite("t", s"c$i", "op", i + 1L, (2L * n - i) - (i + 1L), "p",
+        "root", "svc")
+    }
+    val t0 = System.nanoTime()
+    val segs = CriticalPath.compute(root +: kids)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(segs.nonEmpty)
+    // segments still tile the root interval exactly
+    assert(segs.map(_.duration).sum === root.duration)
+    // generous wall bound: the quadratic form took minutes here
+    assert(secs < 10.0, s"took $secs s — bookkeeping regressed?")
+  }
+
   test("every fixture trace yields a non-empty, contiguous critical path") {
     val flat = SpanOps.flatten(JaegerJsonSource.traces(spark, fixturePath))
     val byTrace = CriticalPath.segmentsFromFlat(flat).collect()

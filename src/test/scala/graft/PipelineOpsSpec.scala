@@ -1369,6 +1369,74 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(none.count() === 0)
   }
 
+  test("mutual-kNN clusters: IVF candidates reproduce the brute-force " +
+      "clustering on planted tight clusters (the corpus-scale path)") {
+    import graft.operators.Similarity
+    // 4 tight clusters × 5 vectors in 8-d: cluster c sits on axis c with
+    // a small distinct perturbation per member, so within-cluster cosine
+    // ≫ cross-cluster and each vector's true top-4 are its cluster-mates
+    val rnd = new scala.util.Random(11)
+    val vecs = (for {
+      c <- 0 until 4; m <- 0 until 5
+    } yield {
+      val v = Array.fill(8)(rnd.nextFloat() * 0.05f)
+      v(c) = 1f
+      ((c * 100 + m).toLong, v)
+    }).toDF("vec_id", "embedding")
+    val brute = Similarity
+      .mutualKnnClusters(vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster")).toMap
+    // every planted cluster collapses to its lowest id
+    assert(brute.size === 20)
+    (0 until 4).foreach { c =>
+      (0 until 5).foreach { m =>
+        assert(brute((c * 100 + m).toLong) === c * 100L, s"cluster $c")
+      }
+    }
+    // the same clustering through the pluggable candidate contract, with
+    // IVF candidate generation (trained index, nProbe=2)
+    val idx = Similarity.buildIvfIndex(vecs, "vec_id", "embedding",
+      nCentroids = 4, kmeansIters = 4)
+    val ivfCands = Similarity.ivfTopKFromIndex(idx, vecs, "vec_id",
+      "embedding", k = 4, nProbe = 2)
+    val viaIvf = Similarity
+      .mutualKnnClustersFromCandidates(vecs, "vec_id", ivfCands)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster")).toMap
+    assert(viaIvf === brute)
+    // ...and hard negatives consume the SAME candidate contract: IVF
+    // candidates with all cells probed ≡ the brute-force miner
+    val q = vecs.filter(col("vec_id") === 0)
+    val bruteNegs = Similarity.hardNegatives(vecs, q, "vec_id",
+        "embedding", k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq.sorted
+    val ivfNegs = Similarity.hardNegativesFromCandidates(
+        Similarity.ivfTopKFromIndex(idx, q, "vec_id", "embedding",
+          k = 3 + 8, nProbe = 4), k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(ivfNegs === bruteNegs && bruteNegs.nonEmpty)
+  }
+
+  test("mutual-kNN maxIter bounds component rounds and is raisable for " +
+      "deep chain clusters") {
+    import graft.operators.Similarity
+    // a 30-node mutual path graph: min-label propagation needs ~29
+    // rounds to pull node 29's label down to 0
+    val n = 30
+    val ids = (0 until n).map(_.toLong).toDF("vec_id")
+    val cands = (0 until n - 1).flatMap(i =>
+        Seq((i.toLong, i + 1L), (i + 1L, i.toLong)))
+      .toDF("query_id", "neighbor_id")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mutualKnnClustersFromCandidates(ids, "vec_id", cands,
+        maxIter = 5).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+    val labels = Similarity.mutualKnnClustersFromCandidates(ids,
+        "vec_id", cands, maxIter = 40)
+      .collect().map(_.getAs[Long]("cluster")).toSet
+    assert(labels === Set(0L))
+  }
+
   test("dedup ledger: admits unseen content once, persists across batches") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ledger").toString + "/ledger"
