@@ -2119,6 +2119,41 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** The CMS side of t21 (spec-pinned — a trained sketch is not
+    * ANSI-expressible, so the driver oracle covers only the exact side):
+    * per-source `count_min_sketch` aggregates merged by counter addition
+    * into one corpus sketch, then each exact top-`topN` token is checked
+    * against the one-sided CMS error bound
+    * (exact ≤ est ≤ exact + ε·N). At 100 TB the per-source/per-day
+    * sketches are the incremental path: fixed-width rows merge exactly,
+    * and `collect` is #sources-bounded. Emits
+    * (token, exact_cnt, est_cnt, bound_ok). */
+  def heavyHitterBounds(s: SparkSession, dir: String,
+      topN: Int = 20): DataFrame = {
+    val eps = 0.0001; val conf = 0.99; val seed = 42
+    val tok = docs(s, dir)
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+    val perSrc = tok.groupBy(col("source"))
+      .agg(expr(s"count_min_sketch(w, ${eps}d, ${conf}d, $seed)")
+        .as("sk"))
+      .select(col("sk")).collect()
+    val merged = perSrc.map(r =>
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sk"))))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val n = merged.totalCount()
+    val exact = tok.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("w")).limit(topN).collect()
+    import s.implicits._
+    exact.toSeq.map { r =>
+      val w = r.getString(0); val c = r.getLong(1)
+      val est = merged.estimateCount(w)
+      (w, c, est, est >= c && est <= c + (eps * n).toLong + 1)
+    }.toDF("token", "exact_cnt", "est_cnt", "bound_ok")
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
   /** Event transition matrix (path analysis): per-user consecutive
     * event-type pairs in event-time order → global transition counts.
     * The per-user sequence is a user-partitioned window (lag), so state
@@ -2858,37 +2893,19 @@ object Queries {
     // its token stream into ONE fixed-width CMS row (mergeable, map-side
     // partial — Spark's codegen'd count_min_sketch aggregate), and the
     // merged sketch answers point-frequency queries for the corpus-wide
-    // exact top-k. At 100 TB this is the only way to track token
-    // frequencies incrementally: per-partition/per-day sketches merge by
-    // counter addition (exactly — the spec pins merged ≡ single-pass),
-    // and the one-sided CMS error (est ≥ exact, est ≤ exact + ε·N) is
-    // asserted per row. The exact top-k here is the test-scale baseline;
-    // in production the candidate set comes from per-partition top-k
-    // unioned (a superset of any true heavy hitter by pigeonhole).
-    "t21_heavy_hitters" -> ((s: SparkSession, dir: String) => {
-      val eps = 0.0001; val conf = 0.99; val seed = 42
-      val tok = docs(s, dir)
-        .select(col("source"),
-          explode(TextFunctions.tokens(col("text"))).as("w"))
-      val perSrc = tok.groupBy(col("source"))
-        .agg(expr(s"count_min_sketch(w, ${eps}d, ${conf}d, $seed)")
-          .as("sk"))
-        .select(col("sk")).collect()
-      val merged = perSrc.map(r =>
-          org.apache.spark.util.sketch.CountMinSketch.readFrom(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sk"))))
-        .reduce { (a, b) => a.mergeInPlace(b); a }
-      val n = merged.totalCount()
-      val exact = tok.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
-        .orderBy(col("exact_cnt").desc, col("w")).limit(20).collect()
-      import s.implicits._
-      exact.toSeq.map { r =>
-        val w = r.getString(0); val c = r.getLong(1)
-        val est = merged.estimateCount(w)
-        (w, c, est, est >= c && est <= c + (eps * n).toLong + 1)
-      }.toDF("token", "exact_cnt", "est_cnt", "bound_ok")
-        .orderBy(col("exact_cnt").desc, col("token"))
-    }),
+    // exact top-k. The query output is ONLY the oracle-able exact side
+    // (token, exact_cnt — hash-exact vs DuckDB); the CMS machinery —
+    // mergeable per-source sketches, merged ≡ single-pass, one-sided
+    // error bound per row — lives in [[heavyHitterBounds]] and is
+    // spec-pinned (it is not ANSI-expressible). In production the exact
+    // candidate set comes from per-partition top-k unioned (a superset
+    // of any true heavy hitter by pigeonhole) and the CMS tracks token
+    // frequencies incrementally across ingest batches.
+    "t21_heavy_hitters" -> ((s: SparkSession, dir: String) =>
+      docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token")).limit(20)),
     // Model-based quality filter (GPT-3-style reference-vs-crawl
     // classifier): logistic regression on the narrow surface-quality
     // features, label = lang=='en' (the reference slice, as q79/q80 use
@@ -4503,6 +4520,10 @@ object Queries {
          |  CAST(coalesce(lab.cluster, v.vec_id) AS BIGINT) AS cluster
          |FROM v LEFT JOIN lab ON v.vec_id = lab.node
          |ORDER BY v.vec_id""".stripMargin,
+    "t21_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents)
+         |SELECT token, count(*) AS exact_cnt FROM tok
+         |GROUP BY 1 ORDER BY exact_cnt DESC, token LIMIT 20""".stripMargin,
     "q118_distinct_ngrams" ->
       s"""WITH tk AS (SELECT source, $toksSql AS t FROM documents),
          | u AS (SELECT source, count(*) AS n_uni,

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Streaming twin of the batch event-analytics family (q105–q112): the
+  * `events` table is naturally an append-only clickstream, and the
+  * family's core primitive — per-user consecutive event pairs in
+  * event-time order (the q108 transition matrix, and the edge list
+  * funnels/paths derive from) — maps onto a watermarked
+  * `flatMapGroupsWithState` keyed by user.
+  *
+  * State per user is ONE record (the last event seen), evicted by
+  * event-time timeout after `idleMs` of user inactivity — memory is
+  * bounded by (active users within the idle horizon), not stream
+  * length. Late events inside the watermark still chain correctly when
+  * delivery is per-user ordered across batches (the micro-batch is
+  * sorted by (ts, event_id) before chaining, matching the batch
+  * window's ordering); an event older than the stored last event chains
+  * FORWARD from it rather than splicing into history — the documented
+  * divergence (same contract as [[TraceStreams.dedupStream]]): the
+  * batch q108 over the at-rest table is the exact backstop.
+  */
+object EventStreams {
+
+  /** JSONL wire schema for an event stream: µs epoch `ts_us` plus the
+    * three analytic columns (the parquet `events` projection). */
+  val eventStreamSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("ts_us", LongType)))
+
+  /** JSONL event file stream with the watermark clock attached. */
+  def eventFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventStreamSchema).json(dir)
+      .withColumn("eventTime", timestamp_micros(col("ts_us")))
+
+  private[streaming] case class EventRec(user_id: Long, event_id: Long,
+      event_type: String, ts_us: Long,
+      eventTime: java.sql.Timestamp)
+
+  /** The whole per-user state: the last event seen. */
+  case class UserLast(tsUs: Long, eventId: Long, eventType: String)
+
+  /** One emitted transition edge. */
+  case class Transition(user_id: Long, prev_type: String,
+      next_type: String, ts_us: Long)
+
+  /** Per-user consecutive (prev_type → next_type) transition pairs —
+    * the streaming form of q108's lag-window edge extraction. Append
+    * mode: each edge emits exactly once, in the micro-batch its later
+    * event arrives. Downstream, count edges per (prev, next) — windowed
+    * in a follow-on streaming agg, or at rest (the parity spec does the
+    * latter and matches the batch matrix exactly). */
+  def transitionPairs(events: DataFrame, watermark: String = "10 minutes",
+      idleMs: Long = 3600000L): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timed = events
+      .withWatermark("eventTime", watermark)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("ts_us").cast("long"), col("eventTime"))
+      .as[EventRec]
+    timed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserLast, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[EventRec],
+            state: GroupState[UserLast]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // batch-window ordering inside the micro-batch
+            val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val out = Seq.newBuilder[Transition]
+            var last = state.getOption
+            sorted.foreach { e =>
+              last.foreach(l =>
+                out += Transition(user, l.eventType, e.event_type, e.ts_us))
+              last = Some(UserLast(e.ts_us, e.event_id, e.event_type))
+            }
+            last.foreach { l =>
+              state.update(l)
+              // evict after `idleMs` of inactivity on the DATA clock;
+              // never set a timeout at-or-before the current watermark
+              state.setTimeoutTimestamp(math.max(
+                l.tsUs / 1000L + idleMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

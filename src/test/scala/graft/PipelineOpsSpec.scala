@@ -1299,9 +1299,16 @@ class PipelineOpsSpec extends SparkTestBase {
 
   test("t21 heavy hitters: merged CMS ≡ single-pass sketch, one-sided " +
       "error bound holds for every top token") {
-    val out = SparkEntry.queries("t21_heavy_hitters")(spark, sf).collect()
+    // the CMS side is spec-pinned here; the t21 QUERY ships only the
+    // exact side, which carries a full DuckDB hash oracle
+    val out = Queries.heavyHitterBounds(spark, sf).collect()
     assert(out.length === 20)
     assert(out.forall(_.getAs[Boolean]("bound_ok")))
+    // the exact side the query ships is the same top-20
+    val q = SparkEntry.queries("t21_heavy_hitters")(spark, sf).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("exact_cnt")))
+    assert(q.toSeq === out.map(r =>
+      (r.getAs[String]("token"), r.getAs[Long]("exact_cnt"))).toSeq)
     // merged per-source sketches answer EXACTLY like one corpus-wide
     // sketch: counter arrays add, so the estimates must be identical
     import org.apache.spark.util.sketch.CountMinSketch

@@ -628,6 +628,51 @@ class StreamingSpec extends SparkTestBase {
     assert(got === (10L until 15L))
   }
 
+  test("event transition matrix streams: per-user chained pairs across " +
+      "micro-batches match the batch q108 matrix exactly") {
+    import SparkTestBase.session.implicits._
+    import graft.streaming.EventStreams
+    val sf = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    // two micro-batches split at the global median ts: every b1 event
+    // precedes every b2 event, so per-user order holds across the batch
+    // boundary — users straddling the split exercise the state chaining
+    val cut = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    val dir = Files.createTempDirectory("graft_events").toString
+    ev.filter(col("ts_us") <= cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b1")
+    ev.filter(col("ts_us") > cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b2")
+    assert(spark.read.schema(EventStreams.eventStreamSchema)
+      .json(s"$dir/b1").count() > 0)
+    val src = spark.readStream.schema(EventStreams.eventStreamSchema)
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch
+      .json(s"$dir/*")
+      .withColumn("eventTime", timestamp_micros(col("ts_us")))
+    val pairs = EventStreams.transitionPairs(src)
+    val q = pairs.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("event_transitions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("event_transitions")
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q108_event_paths")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch && batch.nonEmpty)
+    // cross-batch chaining really happened: some users have events on
+    // both sides of the split, so a purely per-batch lag would miss
+    // their boundary edge and the totals would differ
+    val straddlers = ev.filter(col("ts_us") <= cut).select("user_id")
+      .intersect(ev.filter(col("ts_us") > cut).select("user_id")).count()
+    assert(straddlers > 0)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
