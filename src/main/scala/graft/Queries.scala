@@ -2119,6 +2119,72 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Inter-arrival cadence profile per event type: gaps between
+    * consecutive SAME-TYPE events of one user (user+type-keyed lag
+    * window — per-partition state is one user's events of one type),
+    * in exact integer µs, then median/p90 per type (interpolated
+    * percentiles; the t36-pinned `quantile_cont` ≡ `percentile`
+    * equivalence makes the oracle comparison exact). The
+    * "how often does a user do X" profile behind re-engagement
+    * triggers and bot-cadence detection. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)"), 4).as("med_gap_us"),
+        round(expr("percentile(gap_us, 0.9)"), 4).as("p90_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Distinctive terms per source — log-odds ratio with an informative
+    * Dirichlet prior, z-scored (Monroe et al. 2008, "Fightin' Words":
+    * the corpus-card diagnostic that surfaces WHAT a source is about,
+    * where raw TF-IDF surfaces rare noise). For term w in source i vs
+    * the rest of the corpus:
+    * δ = ln((y_iw+α_w)/(n_i+α₀−y_iw−α_w)) − ln(same for rest),
+    * z = δ/√(1/(y_iw+α_w) + 1/(y_rest+α_w)), α_w = α₀·y_w/N.
+    * Scale shape: one (source, term) count shuffle; term totals join on
+    * the term hash-key; per-source totals and the corpus total ride
+    * broadcasts; the top-5 window ranks the ROUNDED z (engine-stable
+    * ties). Output is #sources·5 rows. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val a0 = 1000.0
+    val tok = docs(s, dir).select(col("source"),
+      explode(TextFunctions.tokens(col("text"))).as("w"))
+    val yiw = tok.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("y"))
+    val yw = yiw.groupBy(col("w")).agg(sum(col("y")).as("y_all"))
+    val ni = yiw.groupBy(col("source")).agg(sum(col("y")).as("n_i"))
+    val nAll = yw.agg(sum(col("y_all")).as("n_all"))
+    val scored = yiw
+      .join(yw, Seq("w"))
+      .join(broadcast(ni), Seq("source"))
+      .crossJoin(broadcast(nAll))
+      .filter(col("y") >= 5) // noise floor: rare terms have no evidence
+      .withColumn("aw", lit(a0) * col("y_all") / col("n_all"))
+      .withColumn("y_rest", col("y_all") - col("y"))
+      .withColumn("n_rest", col("n_all") - col("n_i"))
+      .withColumn("z", round(
+        (log((col("y") + col("aw")) /
+          (col("n_i") + lit(a0) - col("y") - col("aw"))) -
+         log((col("y_rest") + col("aw")) /
+          (col("n_rest") + lit(a0) - col("y_rest") - col("aw")))) /
+        sqrt(lit(1.0) / (col("y") + col("aw")) +
+          lit(1.0) / (col("y_rest") + col("aw"))), 6))
+    val rw = Window.partitionBy(col("source"))
+      .orderBy(col("z").desc, col("w"))
+    scored.withColumn("rk", row_number().over(rw))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("w").as("term"), col("y").cast("long").as("y"), col("z"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** The CMS side of t21 (spec-pinned — a trained sketch is not
     * ANSI-expressible, so the driver oracle covers only the exact side):
     * per-source `count_min_sketch` aggregates merged by counter addition
@@ -2740,6 +2806,8 @@ object Queries {
     "q117_knn_clusters" -> (q117 _),
     "q118_distinct_ngrams" -> (q118 _),
     "q116_column_profile" -> (q116 _),
+    "q119_interevent_gaps" -> (q119 _),
+    "q120_source_terms" -> (q120 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -3363,6 +3431,37 @@ object Queries {
           round(first(col("mad")), 4).as("mad_us"),
           sum(col("is_anom")).as("n_anomalies"))
         .orderBy(col("service"), col("operationName"))
+    }),
+    // Per-trace call-depth census: max parent-chain depth + span count
+    // — the "how deep do our call stacks go" structural profile (pairs
+    // with t34's shape census; a depth-growth regression is a classic
+    // microservice smell). The per-trace depth walk is a kernel behind
+    // the same narrow groupByKey shuffle as A2; orphan parents anchor
+    // at depth 1 and a step cap breaks malformed cycles
+    // deterministically. Fully oracled: the DuckDB side re-derives
+    // depths with a recursive CTE over the raw fixture export.
+    "t38_trace_depth" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
+      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+      import s.implicits._
+      val sp = TraceFrame.spansFromJaegerFile(s, fx)
+        .select(col("traceID"), col("spanID"), col("parent"))
+        .as[(String, String, String)]
+      sp.groupByKey(_._1).mapGroups { (tid, it) =>
+        val spans = it.toSeq
+        val parent = spans.iterator.map(t => t._2 -> t._3).toMap
+        def depth(id0: String): Int = {
+          var id = id0; var d = 1; var steps = 0
+          var p = parent.getOrElse(id, "")
+          while (p.nonEmpty && parent.contains(p) && steps < spans.size) {
+            d += 1; steps += 1; id = p; p = parent.getOrElse(id, "")
+          }
+          d
+        }
+        (tid, spans.iterator.map(t => depth(t._2)).max.toLong,
+          spans.size.toLong)
+      }.toDF("traceID", "max_depth", "n_spans")
+        .orderBy(col("traceID"))
     }),
     // MMR diversified selection (Carbonell & Goldstein 1998): top-10
     // most-relevant-yet-diverse vectors for the vec_id=0 probe, λ=0.7.
@@ -4524,6 +4623,63 @@ object Queries {
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, count(*) AS exact_cnt FROM tok
          |GROUP BY 1 ORDER BY exact_cnt DESC, token LIMIT 20""".stripMargin,
+    "q119_interevent_gaps" ->
+      s"""WITH g AS (SELECT event_type,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |      PARTITION BY user_id, event_type
+         |      ORDER BY ts, event_id) AS gap_us
+         |  FROM events)
+         |SELECT event_type, count(*) AS n_gaps,
+         |  round(quantile_cont(gap_us, 0.5), 4) AS med_gap_us,
+         |  round(quantile_cont(gap_us, 0.9), 4) AS p90_gap_us
+         |FROM g WHERE gap_us IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q120_source_terms" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS w
+         |    FROM documents),
+         | yiw AS (SELECT source, w, count(*) AS y FROM tok GROUP BY 1, 2),
+         | yw AS (SELECT w, sum(y) AS y_all FROM yiw GROUP BY 1),
+         | ni AS (SELECT source, sum(y) AS n_i FROM yiw GROUP BY 1),
+         | na AS (SELECT sum(y_all) AS n_all FROM yw),
+         | sc AS (SELECT yiw.source, yiw.w, yiw.y,
+         |     1000.0 * yw.y_all / na.n_all AS aw,
+         |     yw.y_all - yiw.y AS y_rest,
+         |     na.n_all - ni.n_i AS n_rest, ni.n_i
+         |   FROM yiw JOIN yw USING (w) JOIN ni USING (source), na
+         |   WHERE yiw.y >= 5),
+         | zz AS (SELECT source, w, y,
+         |     round((ln((y + aw) / (n_i + 1000.0 - y - aw)) -
+         |        ln((y_rest + aw) / (n_rest + 1000.0 - y_rest - aw))) /
+         |       sqrt(1.0 / (y + aw) + 1.0 / (y_rest + aw)), 6) AS z
+         |   FROM sc),
+         | rk AS (SELECT source, w, y, z, row_number() OVER (
+         |     PARTITION BY source ORDER BY z DESC, w) AS rk FROM zz)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, w AS term,
+         |  CAST(y AS BIGINT) AS y, z
+         |FROM rk WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "t38_trace_depth" ->
+      s"""WITH RECURSIVE
+         | s AS (SELECT * FROM ${fixP("raw_spans")}),
+         | r AS (SELECT * FROM ${fixP("raw_refs")}),
+         | par AS (SELECT traceID, span_idx, refSpanID FROM (
+         |     SELECT *, row_number() OVER (PARTITION BY traceID, span_idx
+         |       ORDER BY ref_idx) AS rn
+         |     FROM r WHERE refType = 'CHILD_OF') WHERE rn = 1),
+         | sp AS (SELECT s.traceID, s.spanID,
+         |     coalesce(par.refSpanID, '') AS parent
+         |   FROM s LEFT JOIN par USING (traceID, span_idx)),
+         | d AS (
+         |   SELECT sp.traceID, sp.spanID, 1 AS depth
+         |   FROM sp LEFT JOIN sp pp ON sp.traceID = pp.traceID
+         |     AND sp.parent = pp.spanID
+         |   WHERE pp.spanID IS NULL
+         |   UNION ALL
+         |   SELECT c.traceID, c.spanID, d.depth + 1
+         |   FROM sp c JOIN d ON c.traceID = d.traceID
+         |     AND c.parent = d.spanID)
+         |SELECT traceID, CAST(max(depth) AS BIGINT) AS max_depth,
+         |  CAST(count(*) AS BIGINT) AS n_spans
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q118_distinct_ngrams" ->
       s"""WITH tk AS (SELECT source, $toksSql AS t FROM documents),
          | u AS (SELECT source, count(*) AS n_uni,
