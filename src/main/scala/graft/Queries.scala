@@ -2185,6 +2185,42 @@ object Queries {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Zipf rank-frequency slope per source (lexical-health diagnostic:
+    * natural text sits near −1; templated/boilerplate corpora flatten,
+    * spam steepens). Least-squares slope of ln(freq) on ln(rank) over
+    * the top-1000 non-singleton terms per source. Engine-exact
+    * aggregation: ln values land in integer MICRO-UNITS before any sum
+    * (the q102 trick — FP addition order can never differ between
+    * engines when the addends are integers), products stay ≤ 1e17 under
+    * the rank-1000 cap, and the closed-form slope is evaluated in
+    * identically-ordered double arithmetic on both sides. One
+    * (source, term) count shuffle + a per-source window. */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir).select(col("source"),
+      explode(TextFunctions.tokens(col("text"))).as("w"))
+    val yiw = tok.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("y"))
+    val rw = Window.partitionBy(col("source"))
+      .orderBy(col("y").desc, col("w"))
+    val ranked = yiw.withColumn("r", row_number().over(rw))
+      .filter(col("y") >= 2 && col("r") <= 1000)
+      .withColumn("x", round(log(col("r")) * 1e6).cast("long"))
+      .withColumn("ly", round(log(col("y")) * 1e6).cast("long"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("x") * col("ly")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_terms") >= 10)
+      .select(col("source"), col("n_terms"),
+        round((col("n_terms").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+         (col("n_terms").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
   /** The CMS side of t21 (spec-pinned — a trained sketch is not
     * ANSI-expressible, so the driver oracle covers only the exact side):
     * per-source `count_min_sketch` aggregates merged by counter addition
@@ -2808,6 +2844,7 @@ object Queries {
     "q116_column_profile" -> (q116 _),
     "q119_interevent_gaps" -> (q119 _),
     "q120_source_terms" -> (q120 _),
+    "q121_zipf_slope" -> (q121 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -3462,6 +3499,33 @@ object Queries {
           spans.size.toLong)
       }.toDF("traceID", "max_depth", "n_spans")
         .orderBy(col("traceID"))
+    }),
+    // Per-service PEAK span concurrency — the capacity-planning census
+    // ("how many spans does this service run at once at the worst
+    // moment"): classic sweep line as a per-service running sum over
+    // ±1 call/return events, returns ordered BEFORE calls at equal
+    // timestamps so back-to-back spans don't count as concurrent.
+    // Integer events, deterministic peak (order among equal (ts, ±1)
+    // rows cannot change any prefix maximum). Per-service window state;
+    // fully oracled via the identical SQL sweep on the raw export.
+    "t39_span_concurrency" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
+      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+      val sp = TraceFrame.spansFromJaegerFile(s, fx)
+        .select(col("service"), col("startTime"), col("duration"))
+      val ev = sp.select(col("service"), col("startTime").as("ts"),
+          lit(1L).as("d"))
+        .unionByName(sp.select(col("service"),
+          (col("startTime") + col("duration")).as("ts"),
+          lit(-1L).as("d")))
+      val w = Window.partitionBy(col("service"))
+        .orderBy(col("ts"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("conc", sum(col("d")).over(w))
+        .groupBy(col("service"))
+        .agg(max(col("conc")).as("peak_concurrency"),
+          (count(lit(1)) / 2).cast("long").as("n_spans"))
+        .orderBy(col("service"))
     }),
     // MMR diversified selection (Carbonell & Goldstein 1998): top-10
     // most-relevant-yet-diverse vectors for the vec_id=0 probe, λ=0.7.
@@ -4657,6 +4721,38 @@ object Queries {
          |SELECT source, CAST(rk AS BIGINT) AS rk, w AS term,
          |  CAST(y AS BIGINT) AS y, z
          |FROM rk WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "q121_zipf_slope" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS w
+         |    FROM documents),
+         | yiw AS (SELECT source, w, count(*) AS y FROM tok GROUP BY 1, 2),
+         | rk AS (SELECT source, w, y, row_number() OVER (
+         |     PARTITION BY source ORDER BY y DESC, w) AS r FROM yiw),
+         | xy AS (SELECT source,
+         |     CAST(round(ln(r) * 1e6) AS BIGINT) AS x,
+         |     CAST(round(ln(y) * 1e6) AS BIGINT) AS ly
+         |   FROM rk WHERE y >= 2 AND r <= 1000),
+         | ag AS (SELECT source, count(*) AS n_terms,
+         |     sum(x) AS sx, sum(ly) AS sy, sum(x * ly) AS sxy,
+         |     sum(x * x) AS sxx
+         |   FROM xy GROUP BY 1)
+         |SELECT source, n_terms,
+         |  round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+         |FROM ag WHERE n_terms >= 10 ORDER BY source""".stripMargin,
+    "t39_span_concurrency" ->
+      s"""WITH $svSpansSql,
+         | ev AS (SELECT service, startTime AS ts, 1 AS d FROM sv
+         |   UNION ALL
+         |   SELECT service, startTime + duration AS ts, -1 AS d FROM sv),
+         | c AS (SELECT service, sum(d) OVER (PARTITION BY service
+         |     ORDER BY ts, d
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+         |   FROM ev)
+         |SELECT service, CAST(max(conc) AS BIGINT) AS peak_concurrency,
+         |  CAST(count(*) / 2 AS BIGINT) AS n_spans
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "t38_trace_depth" ->
       s"""WITH RECURSIVE
          | s AS (SELECT * FROM ${fixP("raw_spans")}),

@@ -49,6 +49,76 @@ object EventStreams {
   case class Transition(user_id: Long, prev_type: String,
       next_type: String, ts_us: Long)
 
+  /** Per-user funnel progress; −1 = stage not reached yet. Monotone:
+    * each field is set once (the FIRST qualifying event, matching the
+    * batch query's min-ts semantics under per-user-ordered delivery). */
+  case class FunnelState(seenAny: Boolean, tv: Long, tc: Long, tp: Long)
+
+  /** One stage-advance emission (at most 4 per user, ever). */
+  case class StageAdvance(user_id: Long, stage: String, ts_us: Long)
+
+  /** Streaming funnel (q105 shape): emits one [[StageAdvance]] record
+    * the moment a user first reaches each stage — any event → first
+    * view → first click strictly after that view → first purchase
+    * strictly after that click. The live conversion counter: counting
+    * distinct users per emitted stage at rest reproduces the batch
+    * funnel exactly under per-user-ordered delivery (parity spec), and
+    * the advance events are exactly what a real-time funnel dashboard
+    * increments on. State per user is one 4-field record, evicted after
+    * `idleMs` of event-time inactivity. */
+  def funnelStages(events: DataFrame, watermark: String = "10 minutes",
+      idleMs: Long = 3600000L): Dataset[StageAdvance] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timed = events
+      .withWatermark("eventTime", watermark)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("ts_us").cast("long"), col("eventTime"))
+      .as[EventRec]
+    timed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageAdvance](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[EventRec],
+            state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var st = state.getOption
+              .getOrElse(FunnelState(seenAny = false, -1L, -1L, -1L))
+            val out = Seq.newBuilder[StageAdvance]
+            var lastTs = -1L
+            sorted.foreach { e =>
+              lastTs = e.ts_us
+              if (!st.seenAny) {
+                st = st.copy(seenAny = true)
+                out += StageAdvance(user, "1_any_event", e.ts_us)
+              }
+              e.event_type match {
+                case "view" if st.tv < 0 =>
+                  st = st.copy(tv = e.ts_us)
+                  out += StageAdvance(user, "2_view", e.ts_us)
+                case "click" if st.tc < 0 && st.tv >= 0 &&
+                    e.ts_us > st.tv =>
+                  st = st.copy(tc = e.ts_us)
+                  out += StageAdvance(user, "3_click_after_view", e.ts_us)
+                case "purchase" if st.tp < 0 && st.tc >= 0 &&
+                    e.ts_us > st.tc =>
+                  st = st.copy(tp = e.ts_us)
+                  out += StageAdvance(user, "4_purchase_after_click",
+                    e.ts_us)
+                case _ => ()
+              }
+            }
+            if (lastTs >= 0) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(lastTs / 1000L + idleMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Per-user consecutive (prev_type → next_type) transition pairs —
     * the streaming form of q108's lag-window edge extraction. Append
     * mode: each edge emits exactly once, in the micro-batch its later

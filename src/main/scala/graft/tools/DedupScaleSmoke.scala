@@ -331,6 +331,38 @@ object DedupScaleSmoke {
       f"recall collapsed at scale: IVF $ivfRecall%.3f / " +
         f"IVF+PQ $ivfPqRecall%.3f (floor 0.5)")
 
+    // Mutual-kNN clustering through the IVF candidate contract (q117's
+    // corpus-scale path) at 50k vectors: brute-force candidates would be
+    // n² = 2.5e9 scored pairs; IVF candidates bound the work by the cell
+    // geometry (Σ|cell|² ≈ 2e7 with 128 cells). Planted exact twins
+    // (i, i+25000) are mutual rank-1 by construction and MUST co-cluster
+    // — losing one means candidate routing or the mutual filter broke.
+    println(s"== mutualKnnClusters via IVF candidates at 50k vectors ==")
+    val mkN = 50000; val mkHalf = mkN / 2
+    val mkVecs = time("materialize 50k twin corpus")(
+      spark.range(mkN).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), k =>
+          (pmod(xxhash64(pmod(col("id"), lit(mkHalf)), k), lit(2001))
+            .cast("double") - 1000.0) / 1000.0).as("embedding"))
+        .localCheckpoint())
+    val mkIdx = time("buildIvfIndex (128 cells)")(
+      graft.operators.Similarity.buildIvfIndex(mkVecs, "vec_id",
+        "embedding", nCentroids = 128))
+    val mkCands = graft.operators.Similarity.ivfTopKFromIndex(mkIdx,
+      mkVecs, "vec_id", "embedding", k = 3, nProbe = 2)
+    val mkLabels = time("mutualKnnClustersFromCandidates")(
+      graft.operators.Similarity.mutualKnnClustersFromCandidates(
+        mkVecs, "vec_id", mkCands)
+        .filter(col("vec_id") < 50 ||
+          (col("vec_id") >= mkHalf && col("vec_id") < mkHalf + 50))
+        .collect())
+      .map(r => r.getLong(0) -> r.getAs[Long]("cluster")).toMap
+    (0 until 50).foreach { i =>
+      require(mkLabels(i.toLong) == mkLabels((i + mkHalf).toLong),
+        s"twin pair ($i, ${i + mkHalf}) split across clusters")
+    }
+    println("  all 50 sampled twin pairs co-cluster through IVF candidates")
+
     // Distributed Lloyd refinement (t25 family) at 200k vectors: each
     // iteration = one map-only literal-argmax scan + one Summarizer
     // partial agg. The Lloyd objective (mean own-centroid similarity)

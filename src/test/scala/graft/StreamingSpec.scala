@@ -673,6 +673,42 @@ class StreamingSpec extends SparkTestBase {
     assert(straddlers > 0)
   }
 
+  test("funnel stages stream: per-user stage advances across " +
+      "micro-batches match the batch q105 funnel exactly") {
+    import SparkTestBase.session.implicits._
+    import graft.streaming.EventStreams
+    val sf = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val cut = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    val dir = Files.createTempDirectory("graft_funnel").toString
+    ev.filter(col("ts_us") <= cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b1")
+    ev.filter(col("ts_us") > cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b2")
+    val src = spark.readStream.schema(EventStreams.eventStreamSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$dir/*")
+      .withColumn("eventTime", timestamp_micros(col("ts_us")))
+    val q = EventStreams.funnelStages(src).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("funnel_stream")
+      .groupBy(col("stage"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = SparkEntry.queries("q105_event_funnel")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed === batch)
+    // a stage advance emits exactly once per (user, stage)
+    assert(spark.table("funnel_stream").count() ===
+      spark.table("funnel_stream").select("user_id", "stage")
+        .distinct().count())
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
