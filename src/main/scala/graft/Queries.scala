@@ -2221,6 +2221,33 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Doc-length inequality per source — the Gini coefficient of the
+    * `n_chars` distribution (corpus-balance diagnostic: a source whose
+    * mass sits in a few huge documents behaves very differently under
+    * token-budget selection than its doc count suggests). Computed from
+    * the rank-weighted sum on ascending length order:
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx). All sums are pure integers
+    * (rank × chars), so aggregation is engine-exact; the final ratio is
+    * one identically-ordered double expression. One per-source window +
+    * integer agg. */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    docs(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("i") * col("n_chars")).as("sw"))
+      .select(col("source"), col("n_docs"),
+        round((lit(2.0) * col("sw").cast("double") -
+          (col("n_docs") + 1).cast("double") * col("sx").cast("double")) /
+          (col("n_docs").cast("double") * col("sx").cast("double")), 6)
+          .as("gini"))
+      .orderBy(col("source"))
+  }
+
   /** The CMS side of t21 (spec-pinned — a trained sketch is not
     * ANSI-expressible, so the driver oracle covers only the exact side):
     * per-source `count_min_sketch` aggregates merged by counter addition
@@ -2845,6 +2872,7 @@ object Queries {
     "q119_interevent_gaps" -> (q119 _),
     "q120_source_terms" -> (q120 _),
     "q121_zipf_slope" -> (q121 _),
+    "q122_length_gini" -> (q122 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -3526,6 +3554,33 @@ object Queries {
         .agg(max(col("conc")).as("peak_concurrency"),
           (count(lit(1)) / 2).cast("long").as("n_spans"))
         .orderBy(col("service"))
+    }),
+    // Error propagation along call edges: per (parent_service →
+    // child_service) edge, call volume, child-error count, and
+    // BOTH-erred count — separates "child fails and the parent absorbs
+    // it" from "child failure cascades upward", the first question of
+    // an incident review. One self-join on (traceID, parent) with
+    // error flags derived map-side from the tags map; output is
+    // #service²-bounded. Fully oracled vs the raw fixture export.
+    "t40_error_edges" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
+      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+      val sp = TraceFrame.spansFromJaegerFile(s, fx)
+        .select(col("traceID"), col("spanID"), col("parent"),
+          col("service"),
+          when(col("tags").getItem("error").isNotNull, 1L).otherwise(0L)
+            .as("err"))
+      val par = sp.select(col("traceID").as("tid"),
+        col("spanID").as("pid"), col("service").as("parent_service"),
+        col("err").as("p_err"))
+      sp.filter(col("parent") =!= "")
+        .join(par, col("traceID") === col("tid") &&
+          col("parent") === col("pid"))
+        .groupBy(col("parent_service"), col("service").as("child_service"))
+        .agg(count(lit(1)).as("n_calls"),
+          sum(col("err")).as("n_child_err"),
+          sum(col("err") * col("p_err")).as("n_both_err"))
+        .orderBy(col("parent_service"), col("child_service"))
     }),
     // MMR diversified selection (Carbonell & Goldstein 1998): top-10
     // most-relevant-yet-diverse vectors for the vec_id=0 probe, λ=0.7.
@@ -4741,6 +4796,47 @@ object Queries {
          |    (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) -
          |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
          |FROM ag WHERE n_terms >= 10 ORDER BY source""".stripMargin,
+    "q122_length_gini" ->
+      s"""WITH rk AS (SELECT source, n_chars, row_number() OVER (
+         |     PARTITION BY source ORDER BY n_chars, doc_id) AS i
+         |   FROM documents),
+         | ag AS (SELECT source, count(*) AS n_docs,
+         |     sum(n_chars) AS sx, sum(i * n_chars) AS sw
+         |   FROM rk GROUP BY 1)
+         |SELECT source, n_docs,
+         |  round((2.0 * CAST(sw AS DOUBLE) -
+         |     CAST(n_docs + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) /
+         |    (CAST(n_docs AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+         |FROM ag ORDER BY source""".stripMargin,
+    "t40_error_edges" ->
+      s"""WITH s AS (SELECT * FROM ${fixP("raw_spans")}),
+         | r AS (SELECT * FROM ${fixP("raw_refs")}),
+         | tg AS (SELECT * FROM ${fixP("raw_tags")}),
+         | p AS (SELECT * FROM ${fixP("raw_processes")}),
+         | par AS (SELECT traceID, span_idx, refSpanID FROM (
+         |     SELECT *, row_number() OVER (PARTITION BY traceID, span_idx
+         |       ORDER BY ref_idx) AS rn
+         |     FROM r WHERE refType = 'CHILD_OF') WHERE rn = 1),
+         | es AS (SELECT DISTINCT traceID, span_idx FROM tg
+         |   WHERE tag_key = 'error'),
+         | sp2 AS (SELECT s.traceID, s.spanID,
+         |     p.serviceName AS service,
+         |     coalesce(par.refSpanID, '') AS parent,
+         |     CASE WHEN es.span_idx IS NOT NULL THEN 1 ELSE 0 END AS err
+         |   FROM s LEFT JOIN par USING (traceID, span_idx)
+         |   LEFT JOIN p ON s.traceID = p.traceID
+         |     AND s.processID = p.processID
+         |   LEFT JOIN es ON s.traceID = es.traceID
+         |     AND s.span_idx = es.span_idx),
+         | pr AS (SELECT traceID AS tid, spanID AS pid,
+         |     service AS parent_service, err AS p_err FROM sp2)
+         |SELECT pr.parent_service, c.service AS child_service,
+         |  count(*) AS n_calls,
+         |  CAST(sum(c.err) AS BIGINT) AS n_child_err,
+         |  CAST(sum(c.err * pr.p_err) AS BIGINT) AS n_both_err
+         |FROM sp2 c JOIN pr ON c.traceID = pr.tid AND c.parent = pr.pid
+         |WHERE c.parent <> ''
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t39_span_concurrency" ->
       s"""WITH $svSpansSql,
          | ev AS (SELECT service, startTime AS ts, 1 AS d FROM sv

@@ -227,6 +227,19 @@ object ExplainCheck {
       "Exchange hashpartitioning".r.findAllIn(p).isEmpty &&
         p.contains("graft_hashed_embedding")
     })
+    // source log-odds: per-source totals and the corpus total ride
+    // BROADCASTS (scalar / #sources-bounded frames); the only hash
+    // exchanges carry (source, term) counts — and no cartesian product
+    check("q120 log-odds terms broadcast totals, no cartesian", {
+      val p = plan("q120_source_terms")
+      p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct")
+    })
+    // zipf slope: document text never shuffles — exchanges carry the
+    // (source, term) count frame and the integer micro-unit sums only
+    check("q121 zipf slope never shuffles document text",
+      !"Exchange hashpartitioning\\([^)]*\\btext#".r
+        .findFirstIn(plan("q121_zipf_slope")).isDefined)
     // column profiler: ONE lineitem scan for the whole column list (the
     // multi-countDistinct plans via a single scan + Expand); the r8 form
     // paid one scan per profiled column
