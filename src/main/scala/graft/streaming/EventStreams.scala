@@ -119,6 +119,74 @@ object EventStreams {
       }
   }
 
+  /** Per-user retention state: UTC epoch-day of the user's FIRST event
+    * (the cohort assignment) plus the three emitted-once flags. */
+  case class CohortState(cohortDay: Long, s1: Boolean, s7: Boolean,
+      s14: Boolean)
+
+  /** One retention emission: `mark` ∈ new_user | d1 | d7 | d14. */
+  case class CohortMark(cohort_day: Long, mark: String, user_id: Long,
+      ts_us: Long)
+
+  /** Streaming retention cohorts (q106 shape): each user's first event
+    * emits `new_user` for its UTC cohort day; the first activity
+    * exactly 1/7/14 days later emits `d1`/`d7`/`d14` once. Counting
+    * marks per (cohort_day, mark) at rest reproduces the batch cohort
+    * table exactly under per-user-ordered delivery (parity spec) — and
+    * the marks are the increments a live retention dashboard applies.
+    * State per user is one 4-field record; event-time idle eviction
+    * must outlive the retention horizon (default 15 days of DATA time —
+    * the state is 17 bytes, so even 10⁹ users fit an executor fleet). */
+  def retentionMarks(events: DataFrame, watermark: String = "10 minutes",
+      idleMs: Long = 15L * 86400000L): Dataset[CohortMark] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timed = events
+      .withWatermark("eventTime", watermark)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("ts_us").cast("long"), col("eventTime"))
+      .as[EventRec]
+    timed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortMark](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[EventRec],
+            state: GroupState[CohortState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val out = Seq.newBuilder[CohortMark]
+            var st = state.getOption.orNull
+            var lastTs = -1L
+            sorted.foreach { e =>
+              lastTs = e.ts_us
+              val day = Math.floorDiv(e.ts_us, 86400000000L)
+              if (st == null) {
+                st = CohortState(day, s1 = false, s7 = false, s14 = false)
+                out += CohortMark(day, "new_user", user, e.ts_us)
+              } else {
+                val k = day - st.cohortDay
+                if (k == 1 && !st.s1) {
+                  st = st.copy(s1 = true)
+                  out += CohortMark(st.cohortDay, "d1", user, e.ts_us)
+                } else if (k == 7 && !st.s7) {
+                  st = st.copy(s7 = true)
+                  out += CohortMark(st.cohortDay, "d7", user, e.ts_us)
+                } else if (k == 14 && !st.s14) {
+                  st = st.copy(s14 = true)
+                  out += CohortMark(st.cohortDay, "d14", user, e.ts_us)
+                }
+              }
+            }
+            if (lastTs >= 0) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(lastTs / 1000L + idleMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Per-user consecutive (prev_type → next_type) transition pairs —
     * the streaming form of q108's lag-window edge extraction. Append
     * mode: each edge emits exactly once, in the micro-batch its later

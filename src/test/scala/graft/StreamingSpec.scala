@@ -709,6 +709,48 @@ class StreamingSpec extends SparkTestBase {
         .distinct().count())
   }
 
+  test("retention marks stream: cohort assignments and d1/d7/d14 " +
+      "activity across micro-batches match the batch q106 cohorts") {
+    import SparkTestBase.session.implicits._
+    import graft.streaming.EventStreams
+    val sf = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val cut = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    val dir = Files.createTempDirectory("graft_retention").toString
+    ev.filter(col("ts_us") <= cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b1")
+    ev.filter(col("ts_us") > cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b2")
+    val src = spark.readStream.schema(EventStreams.eventStreamSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$dir/*")
+      .withColumn("eventTime", timestamp_micros(col("ts_us")))
+    val q = EventStreams.retentionMarks(src).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("retention_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // streamed marks → (cohort date, mark) distinct-user counts
+    val streamed = spark.table("retention_stream")
+      .withColumn("cohort_date",
+        to_date(timestamp_micros(col("cohort_day") * 86400000000L)))
+      .groupBy(col("cohort_date"), col("mark"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    // batch q106 reshaped to the same (cohort, mark, n) triples
+    val batch = SparkEntry.queries("q106_retention_cohorts")(spark, sf)
+      .collect().flatMap { r =>
+        val cd = r.getDate(0).toString
+        Seq((cd, "new_user", r.getLong(1)), (cd, "d1", r.getLong(2)),
+          (cd, "d7", r.getLong(3)), (cd, "d14", r.getLong(4)))
+      }.filter(_._3 > 0).toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
