@@ -3383,10 +3383,11 @@ object Queries {
     // Service-dependency PageRank over the parent→child call graph —
     // which services the system structurally leans on. Edge aggregation
     // is the only corpus-scale stage (#services²-bounded output); the
-    // power iteration runs on the bounded graph. Rows-only (iterative
-    // fixpoint; pinned by a hand-checkable-graph spec + mass
-    // conservation).
+    // power iteration runs on the bounded graph. Fully oracled: the
+    // DuckDB side unrolls the same 20 damped updates as chained CTEs
+    // (plus the hand-checkable-graph spec + mass conservation).
     "t28_service_pagerank" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
       val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
       val sp = TraceFrame.spansFromJaegerFile(s, fx)
       val edges = graft.analysis.ServiceGraph.dependencyEdges(sp)
@@ -5259,6 +5260,49 @@ object Queries {
          |  round(quantile_cont(duration, 0.99), 4) AS p99_us,
          |  CAST(sum(is_err) AS BIGINT) AS n_err_spans
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // PageRank oracle: the power iteration UNROLLED as 20 chained CTEs
+    // (standard SQL forbids aggregates in a recursive member), each
+    // computing the identical update expression in the identical
+    // association order as ServiceGraph.pageRank —
+    // (1−d)/n + d·(Σ rank·w/outw + dangling/n). Per-step sums are over
+    // ≤#services addends, so engine FP-summation-order differences stay
+    // ~1 ulp and the 6-decimal output rounding absorbs them. Every
+    // level is AS MATERIALIZED: each r_i references r_{i-1} twice, so
+    // DuckDB's default CTE inlining would expand the chain 2²⁰-fold
+    // (observed as an fd-exhaustion "No files found" at depth ≥10).
+    "t28_service_pagerank" -> {
+      val iterCtes = (1 to 20).map { i =>
+        s""",
+           | r$i AS MATERIALIZED (SELECT n.service,
+           |    (1 - 0.85) / cnt.nn + 0.85 * (coalesce(rv.s, 0.0) +
+           |      dg.dang / cnt.nn) AS rank
+           |  FROM nodes n CROSS JOIN cnt
+           |  CROSS JOIN (SELECT coalesce(sum(p.rank), 0.0) AS dang
+           |      FROM r${i - 1} p LEFT JOIN outw o ON p.service = o.src
+           |      WHERE o.src IS NULL) dg
+           |  LEFT JOIN (SELECT e.dst AS service,
+           |      sum(p.rank * e.w / o.ow) AS s
+           |    FROM e JOIN r${i - 1} p ON e.src = p.service
+           |    JOIN outw o ON e.src = o.src GROUP BY 1) rv
+           |    ON n.service = rv.service)""".stripMargin
+      }.mkString
+      s"""WITH $svSpansSql,
+         | e AS MATERIALIZED (SELECT p.service AS src,
+         |     c.service AS dst, CAST(count(*) AS DOUBLE) AS w
+         |   FROM sv c JOIN sv p ON c.traceID = p.traceID
+         |     AND c.parent = p.spanID
+         |   WHERE c.parent <> '' GROUP BY 1, 2),
+         | nodes AS MATERIALIZED (SELECT src AS service FROM e
+         |   UNION SELECT dst FROM e),
+         | outw AS MATERIALIZED (SELECT src, sum(w) AS ow
+         |   FROM e GROUP BY 1),
+         | cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn
+         |   FROM nodes),
+         | r0 AS MATERIALIZED (SELECT service, 1.0 / cnt.nn AS rank
+         |   FROM nodes, cnt)$iterCtes
+         |SELECT service, round(rank, 6) AS rank
+         |FROM r20 ORDER BY service""".stripMargin
+    },
     "t31_error_origin" ->
       s"""WITH s AS (SELECT * FROM ${fixP("raw_spans")}),
          | tg AS (SELECT * FROM ${fixP("raw_tags")}),
