@@ -3089,6 +3089,9 @@ object Queries {
         stride = 64)
         .select(col("id"), col("frame_no"), col("frame_bytes"))
         .orderBy(col("id"), col("frame_no"))),
+    // Sign-bucket LSH top-k — fully oracled: the seeded hyperplanes are
+    // reproducible, so the DuckDB side replays them as list literals
+    // (bucketing + in-bucket exact cosine in plain ANSI).
     "t06_similarity_lsh" -> ((s: SparkSession, dir: String) => {
       val e = emb(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
@@ -3585,9 +3588,11 @@ object Queries {
     }),
     // MMR diversified selection (Carbonell & Goldstein 1998): top-10
     // most-relevant-yet-diverse vectors for the vec_id=0 probe, λ=0.7.
-    // Rows-only: the greedy argmax sequence has no ANSI oracle; pinned
-    // by the planted-cluster spec (one pick per tight cluster before
-    // any second) + determinism. k narrow scans, k-bounded driver state.
+    // Fully oracled: the greedy argmax sequence unrolls as 10 chained
+    // LIMIT-1 CTEs on the DuckDB side (identical scoring expression);
+    // also pinned by the planted-cluster spec (one pick per tight
+    // cluster before any second) + determinism. k narrow scans,
+    // k-bounded driver state.
     "t37_mmr_select" -> ((s: SparkSession, dir: String) => {
       val e = emb(s, dir)
       val v0 = e.filter(col("vec_id") === 0)
@@ -3777,6 +3782,88 @@ object Queries {
     "q25_minhash_lsh" -> minhashOracle,
     "q26_simhash" -> simhashOracle,
     "q48_simhash_neardup" -> simhashBandedOracle,
+    // LSH oracle: the seeded hyperplanes are DETERMINISTIC (same
+    // scala.util.Random(42) draw order as Similarity.lshTopK), so the
+    // oracle embeds them as SQL list literals (Double.toString
+    // round-trips exactly) and replays sign-bucketing + in-bucket
+    // exact cosine in plain ANSI — the approximate op becomes fully
+    // checkable because its randomness is reproducible.
+    "t06_similarity_lsh" -> {
+      val rnd = new scala.util.Random(42L)
+      val planes = Array.fill(4)(Array.fill(64)(rnd.nextGaussian()))
+      val bucketExpr = (0 until 4).map { i =>
+        s"(CASE WHEN list_dot_product(nv, ${
+          planes(i).mkString("[", ", ", "]")}) >= 0 " +
+          s"THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH v AS ($normVecSql),
+         | b AS MATERIALIZED (SELECT vec_id, nv,
+         |     $bucketExpr AS bucket FROM v),
+         | q AS (SELECT * FROM b WHERE vec_id < 10),
+         | s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |     round(list_dot_product(q.nv, c.nv), 6) AS cos_sim
+         |   FROM q JOIN b c ON q.bucket = c.bucket
+         |     AND q.vec_id <> c.vec_id),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id,
+         |  cos_sim
+         |FROM r WHERE rnk <= 3 ORDER BY query_id, "rank"""".stripMargin
+    },
+    // hard negatives: brute-force candidates (k+margin=13), dup filter,
+    // per-query re-pack — all plain ANSI over the shared normalized-
+    // vector CTE (the q27 cosine machinery)
+    "t23_hard_negatives" ->
+      s"""WITH v AS ($normVecSql),
+         | q AS (SELECT * FROM v WHERE vec_id % 40 = 0),
+         | s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |     round(list_dot_product(q.nv, c.nv), 6) AS cos_sim
+         |   FROM q JOIN v c ON q.vec_id <> c.vec_id),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM s),
+         | cand AS (SELECT * FROM r WHERE rnk <= 13),
+         | negs AS (SELECT query_id, neighbor_id, cos_sim,
+         |     row_number() OVER (PARTITION BY query_id
+         |       ORDER BY cos_sim DESC, neighbor_id) AS neg_rank
+         |   FROM cand WHERE cos_sim < 0.95)
+         |SELECT query_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+         |  neighbor_id, cos_sim
+         |FROM negs WHERE neg_rank <= 5
+         |ORDER BY query_id, neg_rank""".stripMargin,
+    // MMR oracle: the greedy argmax sequence UNROLLED as 10 chained
+    // LIMIT-1 CTEs (each pick re-scores the remaining corpus with
+    // max-cosine-to-selected via cross joins to the 1-row pick tables;
+    // variadic greatest ≡ the engine's greatest-reduce for doubles).
+    // MATERIALIZED for the same inlining-explosion reason as t28.
+    "t37_mmr_select" -> {
+      val picks = (1 to 10).map { i =>
+        val prev = (1 until i).map(j => s"p$j")
+        val ms =
+          if (prev.isEmpty) "0.0"
+          else if (prev.size == 1) "list_dot_product(b.nv, p1.nv)"
+          else prev.map(p => s"list_dot_product(b.nv, $p.nv)")
+            .mkString("greatest(", ", ", ")")
+        val from = ("base b" +: prev).mkString(", ")
+        val notin = if (prev.isEmpty) "" else
+          s" WHERE b.id NOT IN (${prev.map(_ + ".id").mkString(", ")})"
+        s""",
+           | p$i AS MATERIALIZED (SELECT b.id, b.nv,
+           |    0.7 * b.rel - (1 - 0.7) * $ms AS score
+           |  FROM $from$notin
+           |  ORDER BY score DESC, b.id LIMIT 1)""".stripMargin
+      }.mkString
+      val sel = (1 to 10).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS sel_rank, id AS vec_id, " +
+          s"round(score, 6) AS mmr_score FROM p$i")
+        .mkString("", "\nUNION ALL ", "")
+      s"""WITH v AS ($normVecSql),
+         | v0 AS (SELECT nv FROM v WHERE vec_id = 0),
+         | base AS MATERIALIZED (SELECT v.vec_id AS id, v.nv,
+         |     list_dot_product(v.nv, v0.nv) AS rel
+         |   FROM v, v0 WHERE v.vec_id <> 0)$picks
+         |$sel
+         |ORDER BY sel_rank""".stripMargin
+    },
     "q27_embed_topk" ->
       s"""WITH v AS ($normVecSql),
          | q AS (SELECT * FROM v WHERE vec_id < 10),
