@@ -2150,7 +2150,11 @@ object Queries {
     * z = δ/√(1/(y_iw+α_w) + 1/(y_rest+α_w)), α_w = α₀·y_w/N.
     * Scale shape: one (source, term) count shuffle; term totals join on
     * the term hash-key; per-source totals and the corpus total ride
-    * broadcasts; the top-5 window ranks the ROUNDED z (engine-stable
+    * broadcasts; the top-5 selection is a SALTED two-phase window —
+    * local top-5 per (source, salt-of-term) then global top-5 over the
+    * ≤ 32·5 survivors per source — so no single task ever sorts a whole
+    * source's vocabulary (the result is identical: every true top-5
+    * term wins its salt bucket). Ranks use the ROUNDED z (engine-stable
     * ties). Output is #sources·5 rows. */
   private def q120(s: SparkSession, dir: String): DataFrame = {
     val a0 = 1000.0
@@ -2176,9 +2180,15 @@ object Queries {
           (col("n_rest") + lit(a0) - col("y_rest") - col("aw")))) /
         sqrt(lit(1.0) / (col("y") + col("aw")) +
           lit(1.0) / (col("y_rest") + col("aw"))), 6))
+    val wLocal = Window.partitionBy(col("source"),
+        pmod(xxhash64(col("w")), lit(32)))
+      .orderBy(col("z").desc, col("w"))
+    val survivors = scored
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= 5).drop("lrk")
     val rw = Window.partitionBy(col("source"))
       .orderBy(col("z").desc, col("w"))
-    scored.withColumn("rk", row_number().over(rw))
+    survivors.withColumn("rk", row_number().over(rw))
       .filter(col("rk") <= 5)
       .select(col("source"), col("rk").cast("long").as("rk"),
         col("w").as("term"), col("y").cast("long").as("y"), col("z"))
@@ -2194,15 +2204,25 @@ object Queries {
     * engines when the addends are integers), products stay ≤ 1e17 under
     * the rank-1000 cap, and the closed-form slope is evaluated in
     * identically-ordered double arithmetic on both sides. One
-    * (source, term) count shuffle + a per-source window. */
+    * (source, term) count shuffle; the top-1000 ranking is a SALTED
+    * two-phase window (local top-1000 per (source, salt-of-term), then
+    * true global ranks over the ≤ 32k survivors per source) so no task
+    * ever sorts a whole source's vocabulary — every true top-1000 term
+    * wins its salt bucket, so the ranks are identical. */
   private def q121(s: SparkSession, dir: String): DataFrame = {
     val tok = docs(s, dir).select(col("source"),
       explode(TextFunctions.tokens(col("text"))).as("w"))
     val yiw = tok.groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("y"))
+    val wLocal = Window.partitionBy(col("source"),
+        pmod(xxhash64(col("w")), lit(32)))
+      .orderBy(col("y").desc, col("w"))
+    val survivors = yiw
+      .withColumn("lr", row_number().over(wLocal))
+      .filter(col("lr") <= 1000).drop("lr")
     val rw = Window.partitionBy(col("source"))
       .orderBy(col("y").desc, col("w"))
-    val ranked = yiw.withColumn("r", row_number().over(rw))
+    val ranked = survivors.withColumn("r", row_number().over(rw))
       .filter(col("y") >= 2 && col("r") <= 1000)
       .withColumn("x", round(log(col("r")) * 1e6).cast("long"))
       .withColumn("ly", round(log(col("y")) * 1e6).cast("long"))
