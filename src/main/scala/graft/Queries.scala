@@ -2268,6 +2268,37 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Event-type co-occurrence lift (market-basket over users): for each
+    * unordered type pair, lift = P(A∧B)/(P(A)·P(B)) over the user
+    * universe — which behaviors travel together vs anti-correlate, the
+    * segmentation primer. Distinct (user, type) is one hash shuffle;
+    * the pair join is per-user over ≤ #types rows each (state bounded
+    * by one user's distinct types); totals ride a broadcast. All math
+    * is integer until one identically-ordered double ratio. Output is
+    * #types²-bounded. */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val ut = events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val a = ut.select(col("user_id"), col("event_type").as("ta"))
+    val b = ut.select(col("user_id"), col("event_type").as("tb"))
+    val pairs = a.join(b, Seq("user_id")).filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("ta"),
+        col("n").as("n_a"))), Seq("ta"))
+      .join(broadcast(perType.select(col("event_type").as("tb"),
+        col("n").as("n_b"))), Seq("tb"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("ta"), col("tb"), col("n_ab"), col("n_a"), col("n_b"),
+        round((col("n_ab").cast("double") * col("n_users").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   /** The CMS side of t21 (spec-pinned — a trained sketch is not
     * ANSI-expressible, so the driver oracle covers only the exact side):
     * per-source `count_min_sketch` aggregates merged by counter addition
@@ -2893,6 +2924,7 @@ object Queries {
     "q120_source_terms" -> (q120 _),
     "q121_zipf_slope" -> (q121 _),
     "q122_length_gini" -> (q122 _),
+    "q123_event_lift" -> (q123 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -4904,6 +4936,21 @@ object Queries {
          |    (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) -
          |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
          |FROM ag WHERE n_terms >= 10 ORDER BY source""".stripMargin,
+    "q123_event_lift" ->
+      s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         | nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+         | pt AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+         | pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+         |     count(*) AS n_ab
+         |   FROM ut a JOIN ut b ON a.user_id = b.user_id
+         |     AND a.event_type < b.event_type
+         |   GROUP BY 1, 2)
+         |SELECT pr.ta, pr.tb, pr.n_ab, pa.n AS n_a, pb.n AS n_b,
+         |  round((CAST(pr.n_ab AS DOUBLE) * CAST(nu.n_users AS DOUBLE)) /
+         |    (CAST(pa.n AS DOUBLE) * CAST(pb.n AS DOUBLE)), 6) AS lift
+         |FROM pr JOIN pt pa ON pr.ta = pa.event_type
+         |JOIN pt pb ON pr.tb = pb.event_type, nu
+         |ORDER BY pr.ta, pr.tb""".stripMargin,
     "q122_length_gini" ->
       s"""WITH rk AS (SELECT source, n_chars, row_number() OVER (
          |     PARTITION BY source ORDER BY n_chars, doc_id) AS i

@@ -751,6 +751,44 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("event transition state evicts on idle timeout: a post-eviction " +
+      "event starts a fresh chain instead of bridging the gap") {
+    import SparkTestBase.session.implicits._
+    import graft.streaming.EventStreams
+    val t0 = 1700000000000000L // µs
+    val day = 86400000000L
+    def row(uid: Long, eid: Long, typ: String, ts: Long) =
+      (uid, eid, typ, ts)
+    val dir = Files.createTempDirectory("graft_evict").toString
+    def write(name: String, rows: Seq[(Long, Long, String, Long)]): Unit =
+      rows.toDF("user_id", "event_id", "event_type", "ts_us")
+        .coalesce(1).write.mode("overwrite").json(s"$dir/$name")
+    // b1: user 1 does view→click (one edge). b2: sentinel user 99 far in
+    // the future advances the watermark 100 days — way past user 1's 1 h
+    // idle timeout. b3: another sentinel event, in whose batch user 1's
+    // timeout fires and the state is removed. b4: user 1 returns — with
+    // state evicted this is a FIRST event again, so no view→purchase (or
+    // click→purchase) edge may bridge the 100-day gap.
+    write("b1", Seq(row(1, 1, "view", t0), row(1, 2, "click", t0 + 60000000L)))
+    write("b2", Seq(row(99, 3, "view", t0 + 100 * day)))
+    write("b3", Seq(row(99, 4, "click", t0 + 100 * day + 60000000L)))
+    write("b4", Seq(row(1, 5, "purchase", t0 + 100 * day + 120000000L)))
+    val src = spark.readStream.schema(EventStreams.eventStreamSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$dir/*")
+      .withColumn("eventTime", timestamp_micros(col("ts_us")))
+    val q = EventStreams.transitionPairs(src).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("evict_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val u1 = spark.table("evict_stream").filter(col("user_id") === 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // only the in-session edge; the 100-day gap produced NO edge because
+    // the state was evicted, not chained
+    assert(u1 === Seq(("view", "click")))
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
