@@ -3569,16 +3569,27 @@ object Queries {
         .select(col("traceID"), col("spanID"), col("parent"))
         .as[(String, String, String)]
       sp.groupByKey(_._1).mapGroups { (tid, it) =>
-        val spans = it.toSeq
+        // sorted so memo anchoring is deterministic even for malformed
+        // cyclic traces (shuffle iterator order is not)
+        val spans = it.toSeq.sortBy(_._2)
         val parent = spans.iterator.map(t => t._2 -> t._3).toMap
-        def depth(id0: String): Int = {
-          var id = id0; var d = 1; var steps = 0
-          var p = parent.getOrElse(id, "")
-          while (p.nonEmpty && parent.contains(p) && steps < spans.size) {
-            d += 1; steps += 1; id = p; p = parent.getOrElse(id, "")
-          }
-          d
-        }
+        // memoized ancestor walk: each span's depth resolves once, so a
+        // pathological 50k-deep chain costs O(n), not O(n²) — the same
+        // bookkeeping discipline as the critical-path automaton
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        def depth(id0: String): Int = memo.getOrElse(id0, {
+          val chain = scala.collection.mutable.ArrayBuffer.empty[String]
+          var id = id0; var steps = 0
+          while (!memo.contains(id) && steps <= spans.size && {
+            val p = parent.getOrElse(id, "")
+            p.nonEmpty && parent.contains(p)
+          }) { chain += id; id = parent(id); steps += 1 }
+          var d = memo.getOrElse(id, 1) // root/orphan/cycle-cap anchor
+          memo(id) = d
+          var i = chain.size - 1
+          while (i >= 0) { d += 1; memo(chain(i)) = d; i -= 1 }
+          memo(id0)
+        })
         (tid, spans.iterator.map(t => depth(t._2)).max.toLong,
           spans.size.toLong)
       }.toDF("traceID", "max_depth", "n_spans")

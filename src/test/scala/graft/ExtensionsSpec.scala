@@ -26,6 +26,12 @@ class ExtensionsSpec extends AnyFunSuite {
         .sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
         .head().getDouble(0)
       assert(v === 11.0)
+      // the hashing-trick kernel rides the same injection: one token →
+      // exactly one ±1 cell, d cells total
+      val emb = s2
+        .sql("SELECT graft_hashed_embedding(array('hello'), 64) AS v")
+        .head().getSeq[Double](0)
+      assert(emb.length === 64 && emb.map(math.abs).sum === 1.0)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
