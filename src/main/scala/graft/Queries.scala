@@ -2299,6 +2299,20 @@ object Queries {
       .orderBy(col("ta"), col("tb"))
   }
 
+  /** Byte-distribution entropy per payload
+    * ([[graft.operators.Multimodal.byteEntropy]], the native codegen
+    * kernel): the codec-free corrupt/format sniff over binary media —
+    * one map-only pass, one double out. The oracle replays the q58
+    * entropy identity over DuckDB's char split — byte-exact here
+    * because the fixture payloads are ASCII (chars ≡ bytes); the KERNEL
+    * is defined over raw bytes and handles arbitrary binary. */
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      length(col("text").cast("binary")).cast("long").as("n_bytes"),
+      round(Multimodal.byteEntropy(col("text").cast("binary")), 6)
+        .as("byte_entropy"))
+      .orderBy(col("doc_id"))
+
   /** The CMS side of t21 (spec-pinned — a trained sketch is not
     * ANSI-expressible, so the driver oracle covers only the exact side):
     * per-source `count_min_sketch` aggregates merged by counter addition
@@ -2925,6 +2939,7 @@ object Queries {
     "q121_zipf_slope" -> (q121 _),
     "q122_length_gini" -> (q122 _),
     "q123_event_lift" -> (q123 _),
+    "q124_byte_entropy" -> (q124 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -4947,6 +4962,17 @@ object Queries {
          |    (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) -
          |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
          |FROM ag WHERE n_terms >= 10 ORDER BY source""".stripMargin,
+    "q124_byte_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+         |    FROM documents),
+         | cnt AS (SELECT doc_id, c, count(*) AS cc FROM ch GROUP BY 1, 2),
+         | e AS (SELECT doc_id, sum(cc) AS t, sum(cc * ln(cc)) AS sl
+         |   FROM cnt GROUP BY 1)
+         |SELECT e.doc_id,
+         |  CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS n_bytes,
+         |  round(ln(e.t) - e.sl / e.t, 6) AS byte_entropy
+         |FROM e JOIN documents d ON e.doc_id = d.doc_id
+         |ORDER BY e.doc_id""".stripMargin,
     "q123_event_lift" ->
       s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
          | nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),

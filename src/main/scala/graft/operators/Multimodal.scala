@@ -103,4 +103,14 @@ object Multimodal {
       .groupBy(col("digest"))
       .agg(min(col("id")).as("keeper"),
         count(lit(1)).as("n_copies"))
+
+  /** Byte-distribution Shannon entropy (nats) of a binary column via
+    * the native [[graft.expressions.ByteEntropy]] kernel — the
+    * codec-free "is this payload what it claims" sniff: compressed
+    * media ≈ ln 256, text ≈ 4.2, zero-padded/corrupt → 0. Map-only. */
+  def byteEntropy(bin: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.ByteEntropy(
+        org.apache.spark.sql.GraftSqlBridge.expression(bin)))
 }

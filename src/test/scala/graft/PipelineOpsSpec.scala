@@ -1608,6 +1608,30 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("byteEntropy: planted byte distributions hit exact values, " +
+      "empty/null are defined") {
+    val rows = Seq[(Long, Array[Byte])](
+      (1L, Array.fill[Byte](100)(65)), // constant payload → 0 nats
+      (2L, (0 until 256).map(_.toByte).toArray), // uniform → ln 256 exact
+      (3L, Array.empty[Byte]), // DEFINED: empty → 0.0
+      (4L, null)) // null → null
+      .toDF("id", "b")
+    val got = rows
+      .select(col("id"), Multimodal.byteEntropy(col("b")).as("e"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L) === Some(0.0))
+    assert(got(2L) === Some(math.log(256.0)))
+    assert(got(3L) === Some(0.0))
+    assert(got(4L) === None)
+    // a compressed-looking (hash-random) payload sniffs near ln 256
+    // while ASCII text sits well below — the separation the op exists for
+    val sniff = docs.limit(50)
+      .select(Multimodal.byteEntropy(col("text").cast("binary")).as("e"))
+      .agg(max(col("e"))).head().getDouble(0)
+    assert(sniff > 2.0 && sniff < 5.0)
+  }
+
   test("containment finds a planted excerpt that Jaccard rejects") {
     val long = (0 until 40).map(i => s"w$i").mkString(" ")
     val shortDoc = (10 until 26).map(i => s"w$i").mkString(" ")
