@@ -3664,6 +3664,31 @@ object Queries {
           sum(col("err") * col("p_err")).as("n_both_err"))
         .orderBy(col("parent_service"), col("child_service"))
     }),
+    // Direct-children fan-out per (service, operation): how widely each
+    // operation fans out (avg/max direct children per span) — the
+    // "which call sites amplify load" census that pairs depth (t38)
+    // with breadth. One (trace, parent) count + one equi-join back;
+    // output (service × operation)-bounded. Fully oracled.
+    "t41_span_fanout" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
+      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+      val sp = TraceFrame.spansFromJaegerFile(s, fx)
+        .select(col("traceID"), col("spanID"), col("parent"),
+          col("service"), col("operationName"))
+      val kids = sp.filter(col("parent") =!= "")
+        .groupBy(col("traceID").as("tid"), col("parent").as("pid"))
+        .agg(count(lit(1)).as("nk"))
+      sp.join(kids, col("traceID") === col("tid") &&
+          col("spanID") === col("pid"), "left")
+        .withColumn("n_kids", coalesce(col("nk"), lit(0L)))
+        .groupBy(col("service"), col("operationName"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("n_kids")).as("n_children"),
+          max(col("n_kids")).as("max_fanout"),
+          round(sum(col("n_kids")).cast("double") / count(lit(1)), 6)
+            .as("avg_fanout"))
+        .orderBy(col("service"), col("operationName"))
+    }),
     // MMR diversified selection (Carbonell & Goldstein 1998): top-10
     // most-relevant-yet-diverse vectors for the vec_id=0 probe, λ=0.7.
     // Fully oracled: the greedy argmax sequence unrolls as 10 chained
@@ -5029,6 +5054,20 @@ object Queries {
          |FROM sp2 c JOIN pr ON c.traceID = pr.tid AND c.parent = pr.pid
          |WHERE c.parent <> ''
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t41_span_fanout" ->
+      s"""WITH $svSpansSql,
+         | kd AS (SELECT traceID AS tid, parent AS pid,
+         |     count(*) AS nk
+         |   FROM sv WHERE parent <> '' GROUP BY 1, 2),
+         | j AS (SELECT sv.service, sv.operationName,
+         |     coalesce(kd.nk, 0) AS n_kids
+         |   FROM sv LEFT JOIN kd ON sv.traceID = kd.tid
+         |     AND sv.spanID = kd.pid)
+         |SELECT service, operationName, count(*) AS n_spans,
+         |  CAST(sum(n_kids) AS BIGINT) AS n_children,
+         |  CAST(max(n_kids) AS BIGINT) AS max_fanout,
+         |  round(CAST(sum(n_kids) AS DOUBLE) / count(*), 6) AS avg_fanout
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t39_span_concurrency" ->
       s"""WITH $svSpansSql,
          | ev AS (SELECT service, startTime AS ts, 1 AS d FROM sv

@@ -363,6 +363,19 @@ object DedupScaleSmoke {
     }
     println("  all 50 sampled twin pairs co-cluster through IVF candidates")
 
+    // The native hashed-embedding kernel at 200k docs (~30 words each):
+    // the r8 HOF fold cost O(tokens×64) per row (14 s on 10k sf0.1 docs
+    // — would be minutes here); the kernel is one O(tokens+64) pass.
+    println(s"== hashedEmbedding (native kernel) over $nDocs docs ==")
+    val embCnt = time("embed + count nonzero dims")(
+      docs.select(graft.functions.TextFunctions
+          .hashedEmbedding(col("text"), 64).as("v"))
+        .select(expr("aggregate(v, 0, (a, x) -> a + " +
+          "CASE WHEN x <> 0.0 THEN 1 ELSE 0 END)").as("nnz"))
+        .agg(sum(col("nnz"))).head().getLong(0))
+    require(embCnt > 0, "hashed embeddings came back all-zero")
+    println(s"  total nonzero dims: $embCnt")
+
     // Distributed Lloyd refinement (t25 family) at 200k vectors: each
     // iteration = one map-only literal-argmax scan + one Summarizer
     // partial agg. The Lloyd objective (mean own-centroid similarity)
