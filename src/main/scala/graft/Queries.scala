@@ -3689,6 +3689,31 @@ object Queries {
             .as("avg_fanout"))
         .orderBy(col("service"), col("operationName"))
     }),
+    // Trace parallelism factor: Σ span durations / root wall duration
+    // per trace — >1 means genuinely concurrent execution, ≈1 serial,
+    // ≪1 a root that mostly waits on nothing instrumented. The 1-number
+    // "is this request actually parallel" census (t35 localizes WHERE
+    // the waiting lives; this ranks traces by how much parallelism they
+    // achieve). Root duration uses the reference's t01 root semantics;
+    // zero-duration fallback roots are excluded (DEFINED — the ratio is
+    // undefined there). Fully oracled.
+    "t42_trace_parallelism" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
+      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+      val summary = TraceFrame.tracesFromJaegerFile(s, fx)
+        .select(col("traceID"), col("duration").as("duration_us"))
+      val sums = TraceFrame.spansFromJaegerFile(s, fx)
+        .groupBy(col("traceID"))
+        .agg(sum(col("duration")).as("sum_us"),
+          count(lit(1)).as("n_spans"))
+      summary.join(sums, Seq("traceID"))
+        .filter(col("duration_us") > 0)
+        .select(col("traceID"), col("n_spans"), col("duration_us"),
+          col("sum_us").cast("long").as("span_us"),
+          round(col("sum_us").cast("double") /
+            col("duration_us").cast("double"), 6).as("parallelism"))
+        .orderBy(col("traceID"))
+    }),
     // MMR diversified selection (Carbonell & Goldstein 1998): top-10
     // most-relevant-yet-diverse vectors for the vec_id=0 probe, λ=0.7.
     // Fully oracled: the greedy argmax sequence unrolls as 10 chained
@@ -5054,6 +5079,26 @@ object Queries {
          |FROM sp2 c JOIN pr ON c.traceID = pr.tid AND c.parent = pr.pid
          |WHERE c.parent <> ''
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t42_trace_parallelism" ->
+      s"""WITH s AS (SELECT * FROM ${fixP("raw_spans")}),
+         | root AS (SELECT traceID,
+         |     coalesce(min(CASE WHEN n_refs = 0 THEN span_idx END),
+         |              min(span_idx)) AS ri
+         |   FROM s GROUP BY traceID),
+         | r AS (SELECT root.traceID, s.duration AS root_dur
+         |   FROM root JOIN s ON s.traceID = root.traceID
+         |     AND s.span_idx = root.ri),
+         | ss AS (SELECT traceID, sum(duration) AS span_us,
+         |     count(*) AS n_spans
+         |   FROM s GROUP BY 1)
+         |SELECT r.traceID, CAST(ss.n_spans AS BIGINT) AS n_spans,
+         |  r.root_dur AS duration_us,
+         |  CAST(ss.span_us AS BIGINT) AS span_us,
+         |  round(CAST(ss.span_us AS DOUBLE) / CAST(r.root_dur AS DOUBLE),
+         |    6) AS parallelism
+         |FROM r JOIN ss USING (traceID)
+         |WHERE r.root_dur > 0
+         |ORDER BY r.traceID""".stripMargin,
     "t41_span_fanout" ->
       s"""WITH $svSpansSql,
          | kd AS (SELECT traceID AS tid, parent AS pid,
