@@ -187,6 +187,58 @@ object EventStreams {
       }
   }
 
+  /** Per-user last non-purchase touch ("" = none seen yet). */
+  case class TouchState(lastTouch: String)
+
+  /** One attributed purchase. */
+  case class Attribution(user_id: Long, touch: String, ts_us: Long)
+
+  /** Streaming last-touch attribution (q112 shape): each purchase emits
+    * one record crediting the user's most recent preceding non-purchase
+    * event type ("none" when the purchase is the user's first touch).
+    * State per user is ONE string; counting emissions per touch at rest
+    * reproduces the batch attribution exactly under per-user-ordered
+    * delivery (parity spec) — and the emissions are the per-purchase
+    * credit rows a live revenue dashboard consumes. */
+  def attributionStream(events: DataFrame,
+      watermark: String = "10 minutes",
+      idleMs: Long = 3600000L): Dataset[Attribution] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timed = events
+      .withWatermark("eventTime", watermark)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("ts_us").cast("long"), col("eventTime"))
+      .as[EventRec]
+    timed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[EventRec],
+            state: GroupState[TouchState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val out = Seq.newBuilder[Attribution]
+            var st = state.getOption.getOrElse(TouchState(""))
+            var lastTs = -1L
+            sorted.foreach { e =>
+              lastTs = e.ts_us
+              if (e.event_type == "purchase") {
+                val touch = if (st.lastTouch.isEmpty) "none"
+                  else st.lastTouch
+                out += Attribution(user, touch, e.ts_us)
+              } else st = TouchState(e.event_type)
+            }
+            if (lastTs >= 0) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(lastTs / 1000L + idleMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Per-user consecutive (prev_type → next_type) transition pairs —
     * the streaming form of q108's lag-window edge extraction. Append
     * mode: each edge emits exactly once, in the micro-batch its later

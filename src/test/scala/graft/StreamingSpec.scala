@@ -789,6 +789,37 @@ class StreamingSpec extends SparkTestBase {
     assert(u1 === Seq(("view", "click")))
   }
 
+  test("attribution stream: per-purchase last-touch credits across " +
+      "micro-batches match the batch q112 attribution") {
+    import SparkTestBase.session.implicits._
+    import graft.streaming.EventStreams
+    val sf = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val cut = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    val dir = Files.createTempDirectory("graft_attr").toString
+    ev.filter(col("ts_us") <= cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b1")
+    ev.filter(col("ts_us") > cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b2")
+    val src = spark.readStream.schema(EventStreams.eventStreamSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$dir/*")
+      .withColumn("eventTime", timestamp_micros(col("ts_us")))
+    val q = EventStreams.attributionStream(src).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attr_stream")
+      .groupBy(col("touch")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = SparkEntry.queries("q112_attribution")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
