@@ -2160,8 +2160,12 @@ object Queries {
     val a0 = 1000.0
     val tok = docs(s, dir).select(col("source"),
       explode(TextFunctions.tokens(col("text"))).as("w"))
+    // checkpointed: four consumers (term totals, source totals, corpus
+    // total, the scored join) would otherwise each re-run the corpus
+    // explode+count — at 100 TB that is four scans for one
     val yiw = tok.groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("y"))
+      .localCheckpoint()
     val yw = yiw.groupBy(col("w")).agg(sum(col("y")).as("y_all"))
     val ni = yiw.groupBy(col("source")).agg(sum(col("y")).as("n_i"))
     val nAll = yw.agg(sum(col("y_all")).as("n_all"))
@@ -2277,8 +2281,11 @@ object Queries {
     * is integer until one identically-ordered double ratio. Output is
     * #types²-bounded. */
   private def q123(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed: five consumers (user total, type totals, both pair
+    // sides) would otherwise each re-run the events distinct scan
     val ut = events(s, dir)
       .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint()
     val nUsers = ut.select(col("user_id")).distinct()
       .agg(count(lit(1)).as("n_users"))
     val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
