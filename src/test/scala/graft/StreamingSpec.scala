@@ -34,6 +34,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got === 331) // every fixture span lands in some window
   }
 
+  test("windowed latency percentiles stream matches the batch windows " +
+      "exactly (t33's streaming twin)") {
+    val dir = writeSpanJsonl()
+    val stream = TraceStreams.serviceLatencyStream(
+      TraceStreams.spanFileStream(spark, dir))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("lat_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("lat_stream")
+      .selectExpr("window.start", "service", "n_spans", "p50_us", "p95_us")
+      .collect().map(_.toString).sorted
+    val batch = spark.read.schema(TraceStreams.spanStreamSchema).json(dir)
+      .withColumn("eventTime", timestamp_micros(col("startTime")))
+      .groupBy(window(col("eventTime"), "1 minute"), col("service"))
+      .agg(count(lit(1)).as("n_spans"),
+        round(expr("percentile(duration, 0.5)"), 4).as("p50_us"),
+        round(expr("percentile(duration, 0.95)"), 4).as("p95_us"))
+      .selectExpr("window.start", "service", "n_spans", "p50_us", "p95_us")
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+  }
+
   test("session windows merge nearby spans per service") {
     val dir = writeSpanJsonl()
     val stream = TraceStreams.serviceSessions(
