@@ -2263,7 +2263,10 @@ object Queries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sx"),
-        sum(col("i") * col("n_chars")).as("sw"))
+        // decimal(38,0): rank × chars summed over a billion-doc source
+        // exceeds long (ANSI mode would throw); DuckDB's HUGEINT sum is
+        // the same exact integer, so the double cast still agrees
+        sum((col("i") * col("n_chars")).cast("decimal(38,0)")).as("sw"))
       .select(col("source"), col("n_docs"),
         round((lit(2.0) * col("sw").cast("double") -
           (col("n_docs") + 1).cast("double") * col("sx").cast("double")) /

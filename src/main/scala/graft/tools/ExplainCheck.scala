@@ -240,6 +240,20 @@ object ExplainCheck {
     check("q121 zipf slope never shuffles document text",
       !"Exchange hashpartitioning\\([^)]*\\btext#".r
         .findFirstIn(plan("q121_zipf_slope")).isDefined)
+    // event lift: type totals and the user count ride broadcasts; the
+    // only cartesian-shaped node is the broadcast-scalar cross join
+    check("q123 event lift broadcasts totals, no cartesian", {
+      val p = plan("q123_event_lift")
+      p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct")
+    })
+    // byte entropy: map-only native kernel — no hash shuffle, and the
+    // plan carries the graft_byte_entropy expression
+    check("q124 byte entropy is the native kernel, map-only", {
+      val p = plan("q124_byte_entropy")
+      "Exchange hashpartitioning".r.findAllIn(p).isEmpty &&
+        p.contains("graft_byte_entropy")
+    })
     // column profiler: ONE lineitem scan for the whole column list (the
     // multi-countDistinct plans via a single scan + Expand); the r8 form
     // paid one scan per profiled column
