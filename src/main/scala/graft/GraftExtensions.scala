@@ -28,6 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_hashed_embedding"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.expressions.HashedEmbedding(exprs(0),
-          exprs(1).eval(null).asInstanceOf[Int])))
+          exprs(1).eval(null).asInstanceOf[Number].intValue)))
   }
 }

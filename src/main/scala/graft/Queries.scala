@@ -2155,7 +2155,9 @@ object Queries {
     * ≤ 32·5 survivors per source — so no single task ever sorts a whole
     * source's vocabulary (the result is identical: every true top-5
     * term wins its salt bucket). Ranks use the ROUNDED z (engine-stable
-    * ties). Output is #sources·5 rows. */
+    * ties). Output is #sources·5 rows. DEFINED: a source with no term
+    * reaching the y ≥ 5 evidence floor is omitted entirely (the oracle
+    * filters identically). */
   private def q120(s: SparkSession, dir: String): DataFrame = {
     val a0 = 1000.0
     val tok = docs(s, dir).select(col("source"),

@@ -102,9 +102,10 @@ object HashedEmbedding {
   }
 
   /** Register `graft_hashed_embedding(toks, d)` in the session's function
-    * registry (idempotent). `d` must be a foldable int literal. */
+    * registry (idempotent). `d` must be a foldable integral literal
+    * (int or bigint both accepted). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hashed_embedding", exprs => HashedEmbedding(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+        exprs(1).eval(null).asInstanceOf[Number].intValue), "built-in")
 }
