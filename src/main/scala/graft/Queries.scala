@@ -1763,7 +1763,12 @@ object Queries {
     * per-shard counts, char mass, and an order digest (Σ doc_id·pos) —
     * the digest pins the exact within-shard hash order, which is the
     * property that makes re-runs produce byte-identical training
-    * shards. The only sort is per-shard (window), never global. */
+    * shards. The only sort is per-shard (window), never global.
+    * NOTE: the Σ doc_id·pos digest form assumes the product fits a
+    * long — true for the test corpora and any sub-billion-doc shard
+    * with ≤ ~1e9 ids; a corpus beyond that should digest
+    * `xxhash64(doc_id, pos)` sums instead (same pinning property,
+    * overflow-free by construction). */
   private def q99(s: SparkSession, dir: String): DataFrame =
     Curation.shardAssign(docs(s, dir), "doc_id", nShards = 16)
       .groupBy(col("shard"))
@@ -2385,7 +2390,10 @@ object Queries {
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))
     val stats = hourly.agg(count(lit(1)).as("h"),
-      sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"))
+      sum(col("n")).as("s1"),
+      // decimal: Σn² over 100-TB hourly volumes exceeds long (ANSI mode
+      // throws on overflow); the double cast downstream is unchanged
+      sum(col("n").cast("decimal(19,0)") * col("n")).as("s2"))
     hourly.crossJoin(broadcast(stats))
       .withColumn("mean", col("s1").cast("double") / col("h"))
       .withColumn("sd", sqrt(col("s2").cast("double") / col("h") -
