@@ -2330,6 +2330,48 @@ object Queries {
         .as("byte_entropy"))
       .orderBy(col("doc_id"))
 
+  /** RFM segmentation (recency / frequency / monetary — the classic
+    * customer-value grid): per-user last-seen gap, event count, and
+    * value sum, each scored 1–5 against the quintile cut points of the
+    * user population, then segment sizes. SCALE-SAFE scoring: the cut
+    * points are ONE exact-percentile aggregation broadcast back
+    * (4 doubles per metric), and each user's score is a map-side CASE
+    * comparison — no global ntile window (which would funnel every user
+    * through one sort task). Convention: R counts recency boundaries
+    * NOT exceeded (5 = most recent); F/M count boundaries exceeded + 1
+    * (5 = highest). Monetary is rounded to cents BEFORE scoring so the
+    * quintile comparisons are engine-stable. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val per = e.groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        round(sum(col("value")), 2).as("monetary"))
+      .crossJoin(broadcast(
+        e.agg(max(unix_micros(col("ts"))).as("now_us"))))
+      .withColumn("recency_us", col("now_us") - col("last_us"))
+    val cuts = per.agg(
+      expr("percentile(recency_us, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
+      expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
+      expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mc"))
+    def crossed(metric: Column, arr: String): Column =
+      (0 until 4).map(i =>
+        when(metric > get(col(arr), lit(i)), 1).otherwise(0): Column)
+        .reduce(_ + _)
+    per.crossJoin(broadcast(cuts))
+      .withColumn("r_score",
+        (lit(5) - crossed(col("recency_us").cast("double"), "rc"))
+          .cast("long"))
+      .withColumn("f_score",
+        (lit(1) + crossed(col("freq").cast("double"), "fc")).cast("long"))
+      .withColumn("m_score",
+        (lit(1) + crossed(col("monetary"), "mc")).cast("long"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("monetary")), 2).as("seg_value"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   /** The CMS side of t21 (spec-pinned — a trained sketch is not
     * ANSI-expressible, so the driver oracle covers only the exact side):
     * per-source `count_min_sketch` aggregates merged by counter addition
@@ -2960,6 +3002,7 @@ object Queries {
     "q122_length_gini" -> (q122 _),
     "q123_event_lift" -> (q123 _),
     "q124_byte_entropy" -> (q124 _),
+    "q125_rfm_segments" -> (q125 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -5032,6 +5075,31 @@ object Queries {
          |    (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) -
          |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
          |FROM ag WHERE n_terms >= 10 ORDER BY source""".stripMargin,
+    "q125_rfm_segments" -> {
+      def crossed(m: String, a: String) = (1 to 4).map(i =>
+        s"(CASE WHEN $m > $a[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH per AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+         |     count(*) AS freq, round(sum(value), 2) AS monetary
+         |   FROM events GROUP BY 1),
+         | nw AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+         | p2 AS (SELECT per.*, nw.now_us - per.last_us AS recency_us
+         |   FROM per, nw),
+         | cuts AS (SELECT
+         |     quantile_cont(recency_us, [0.2, 0.4, 0.6, 0.8]) AS rc,
+         |     quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fc,
+         |     quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+         |   FROM p2),
+         | sc AS (SELECT p2.monetary,
+         |     CAST(5 - (${crossed("recency_us", "rc")}) AS BIGINT)
+         |       AS r_score,
+         |     CAST(1 + (${crossed("freq", "fc")}) AS BIGINT) AS f_score,
+         |     CAST(1 + (${crossed("monetary", "mc")}) AS BIGINT)
+         |       AS m_score
+         |   FROM p2, cuts)
+         |SELECT r_score, f_score, m_score, count(*) AS n_users,
+         |  round(sum(monetary), 2) AS seg_value
+         |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
     "q124_byte_entropy" ->
       s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
          |    FROM documents),
