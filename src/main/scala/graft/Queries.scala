@@ -2372,6 +2372,32 @@ object Queries {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Cohort LTV curve: cumulative per-user value by days-since-cohort —
+    * the "how fast does a cohort pay back" table that retention (q106)
+    * counts and attribution (q112) credits feed into. Day sums round to
+    * cents BEFORE the cumulative window, so the k-ordered running sum
+    * adds identical addends in identical order on both engines; the
+    * window state is one cohort's day list (#days-bounded). */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("ts"), col("value"))
+    val cohort = e.groupBy(col("user_id"))
+      .agg(min(col("ts")).cast("date").as("cd"))
+    val sized = cohort.groupBy(col("cd")).agg(count(lit(1)).as("n_users"))
+    val daily = e.join(cohort, Seq("user_id"))
+      .withColumn("k", datediff(col("ts").cast("date"), col("cd")))
+      .groupBy(col("cd"), col("k"))
+      .agg(round(sum(col("value")), 2).as("day_value"))
+    val w = Window.partitionBy(col("cd")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_value", sum(col("day_value")).over(w))
+      .join(sized, Seq("cd"))
+      .select(col("cd").as("cohort_day"), col("k").cast("long").as("k"),
+        col("n_users"), round(col("cum_value"), 2).as("cum_value"),
+        round(col("cum_value") / col("n_users"), 6).as("ltv_per_user"))
+      .orderBy(col("cohort_day"), col("k"))
+  }
+
   /** The CMS side of t21 (spec-pinned — a trained sketch is not
     * ANSI-expressible, so the driver oracle covers only the exact side):
     * per-source `count_min_sketch` aggregates merged by counter addition
@@ -3003,6 +3029,7 @@ object Queries {
     "q123_event_lift" -> (q123 _),
     "q124_byte_entropy" -> (q124 _),
     "q125_rfm_segments" -> (q125 _),
+    "q126_cohort_ltv" -> (q126 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -3776,6 +3803,46 @@ object Queries {
           round(col("sum_us").cast("double") /
             col("duration_us").cast("double"), 6).as("parallelism"))
         .orderBy(col("traceID"))
+    }),
+    // Fan-out → latency correlation per service: Pearson r between a
+    // span's direct-children count and its duration — does fanning out
+    // actually cost wall time here, the follow-up question to t41's
+    // fan-out census. ENGINE-EXACT correlation: all five sufficient
+    // statistics are integer sums accumulated in decimal (Σy² over
+    // µs-scale durations exceeds long at corpus scale), and the closed
+    // form is one identically-ordered double expression — no reliance
+    // on corr()'s engine-internal accumulation. Services with zero
+    // variance on either axis are omitted (DEFINED — r is undefined).
+    "t43_fanout_latency_corr" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
+      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+      val sp = TraceFrame.spansFromJaegerFile(s, fx)
+        .select(col("traceID"), col("spanID"), col("parent"),
+          col("service"), col("duration"))
+      val kids = sp.filter(col("parent") =!= "")
+        .groupBy(col("traceID").as("tid"), col("parent").as("pid"))
+        .agg(count(lit(1)).as("nk"))
+      val xy = sp.join(kids, col("traceID") === col("tid") &&
+          col("spanID") === col("pid"), "left")
+        .select(col("service"), coalesce(col("nk"), lit(0L)).as("x"),
+          col("duration").as("y"))
+      // cast to decimal BEFORE multiplying: y² over long µs durations
+      // overflows long at the product, not just the sum
+      def dec(c: Column) = c.cast("decimal(19,0)")
+      val ag = xy.groupBy(col("service"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"),
+          sum(dec(col("y"))).as("sy"),
+          sum(dec(col("x")) * col("y")).as("sxy"),
+          sum(dec(col("x")) * col("x")).as("sxx"),
+          sum(dec(col("y")) * col("y")).as("syy"))
+      def d(c: String) = col(c).cast("double")
+      ag.withColumn("vx", d("n") * d("sxx") - d("sx") * d("sx"))
+        .withColumn("vy", d("n") * d("syy") - d("sy") * d("sy"))
+        .filter(col("vx") > 0 && col("vy") > 0)
+        .select(col("service"), col("n").as("n_spans"),
+          round((d("n") * d("sxy") - d("sx") * d("sy")) /
+            sqrt(col("vx") * col("vy")), 6).as("fanout_latency_r"))
+        .orderBy(col("service"))
     }),
     // MMR diversified selection (Carbonell & Goldstein 1998): top-10
     // most-relevant-yet-diverse vectors for the vec_id=0 probe, λ=0.7.
@@ -5187,6 +5254,47 @@ object Queries {
          |FROM r JOIN ss USING (traceID)
          |WHERE r.root_dur > 0
          |ORDER BY r.traceID""".stripMargin,
+    "q126_cohort_ltv" ->
+      s"""WITH cohort AS (SELECT user_id, CAST(min(ts) AS DATE) AS cd
+         |   FROM events GROUP BY 1),
+         | sized AS (SELECT cd, count(*) AS n_users FROM cohort
+         |   GROUP BY 1),
+         | daily AS (SELECT c.cd,
+         |     date_diff('day', c.cd, CAST(e.ts AS DATE)) AS k,
+         |     round(sum(e.value), 2) AS day_value
+         |   FROM events e JOIN cohort c USING (user_id) GROUP BY 1, 2),
+         | cum AS (SELECT cd, k, sum(day_value) OVER (PARTITION BY cd
+         |     ORDER BY k
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |     AS cum_value
+         |   FROM daily)
+         |SELECT cum.cd AS cohort_day, CAST(cum.k AS BIGINT) AS k,
+         |  s.n_users, round(cum.cum_value, 2) AS cum_value,
+         |  round(cum.cum_value / s.n_users, 6) AS ltv_per_user
+         |FROM cum JOIN sized s USING (cd) ORDER BY 1, 2""".stripMargin,
+    "t43_fanout_latency_corr" ->
+      s"""WITH $svSpansSql,
+         | kd AS (SELECT traceID AS tid, parent AS pid, count(*) AS nk
+         |   FROM sv WHERE parent <> '' GROUP BY 1, 2),
+         | xy AS (SELECT sv.service, coalesce(kd.nk, 0) AS x,
+         |     sv.duration AS y
+         |   FROM sv LEFT JOIN kd ON sv.traceID = kd.tid
+         |     AND sv.spanID = kd.pid),
+         | ag AS (SELECT service, count(*) AS n, sum(x) AS sx,
+         |     sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+         |     sum(y * y) AS syy
+         |   FROM xy GROUP BY 1),
+         | v AS (SELECT *,
+         |     CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         |     CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+         |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+         |   FROM ag)
+         |SELECT service, n AS n_spans,
+         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    sqrt(vx * vy), 6) AS fanout_latency_r
+         |FROM v WHERE vx > 0 AND vy > 0 ORDER BY service""".stripMargin,
     "t41_span_fanout" ->
       s"""WITH $svSpansSql,
          | kd AS (SELECT traceID AS tid, parent AS pid,
