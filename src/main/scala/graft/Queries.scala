@@ -2398,6 +2398,26 @@ object Queries {
       .orderBy(col("cohort_day"), col("k"))
   }
 
+  /** Funnel conversion time: for users who purchase after their first
+    * view, the first-view → first-qualifying-purchase delay — the
+    * "how long does conversion take" companion to q105's how-many and
+    * q119's same-type cadence. Exact integer µs; med/p90 via the
+    * t36-pinned interpolated-percentile equivalence. User-keyed
+    * shuffles only; output is one summary row. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id")).filter(col("ts") > col("tv"))
+      .groupBy(col("user_id"), col("tv")).agg(min(col("ts")).as("tp"))
+      .withColumn("conv_us",
+        unix_micros(col("tp")) - unix_micros(col("tv")))
+    conv.agg(count(lit(1)).as("n_converters"),
+      round(expr("percentile(conv_us, 0.5)"), 4).as("med_conv_us"),
+      round(expr("percentile(conv_us, 0.9)"), 4).as("p90_conv_us"))
+  }
+
   /** The CMS side of t21 (spec-pinned — a trained sketch is not
     * ANSI-expressible, so the driver oracle covers only the exact side):
     * per-source `count_min_sketch` aggregates merged by counter addition
@@ -3030,6 +3050,7 @@ object Queries {
     "q124_byte_entropy" -> (q124 _),
     "q125_rfm_segments" -> (q125 _),
     "q126_cohort_ltv" -> (q126 _),
+    "q127_conversion_time" -> (q127 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -3842,6 +3863,36 @@ object Queries {
         .select(col("service"), col("n").as("n_spans"),
           round((d("n") * d("sxy") - d("sx") * d("sy")) /
             sqrt(col("vx") * col("vy")), 6).as("fanout_latency_r"))
+        .orderBy(col("service"))
+    }),
+    // Clock-skew / instrumentation-quality audit: children that START
+    // before their parent or END after it, per child service — the
+    // hygiene check that tells you whether t35's parent-window clamping
+    // is correcting real async spans or broken clocks. One
+    // (traceID, parent) equi-join, exact integer µs, per-service
+    // bounded output. Fully oracled.
+    "t44_clock_skew" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
+      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+      val sp = TraceFrame.spansFromJaegerFile(s, fx)
+        .select(col("traceID"), col("spanID"), col("parent"),
+          col("service"), col("startTime"), col("duration"))
+      val par = sp.select(col("traceID").as("tid"),
+        col("spanID").as("pid"), col("startTime").as("ps"),
+        (col("startTime") + col("duration")).as("pe"))
+      sp.filter(col("parent") =!= "")
+        .join(par, col("traceID") === col("tid") &&
+          col("parent") === col("pid"))
+        .withColumn("early_us",
+          greatest(lit(0L), col("ps") - col("startTime")))
+        .withColumn("late_us", greatest(lit(0L),
+          col("startTime") + col("duration") - col("pe")))
+        .groupBy(col("service"))
+        .agg(count(lit(1)).as("n_children"),
+          sum(when(col("early_us") > 0 || col("late_us") > 0, 1L)
+            .otherwise(0L)).as("n_skewed"),
+          max(col("early_us")).as("max_early_us"),
+          max(col("late_us")).as("max_late_us"))
         .orderBy(col("service"))
     }),
     // MMR diversified selection (Carbonell & Goldstein 1998): top-10
@@ -5254,6 +5305,34 @@ object Queries {
          |FROM r JOIN ss USING (traceID)
          |WHERE r.root_dur > 0
          |ORDER BY r.traceID""".stripMargin,
+    "q127_conversion_time" ->
+      s"""WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+         |   WHERE event_type = 'view' GROUP BY 1),
+         | cv AS (SELECT e.user_id, v.tv, min(e.ts) AS tp
+         |   FROM events e JOIN v USING (user_id)
+         |   WHERE e.event_type = 'purchase' AND e.ts > v.tv
+         |   GROUP BY 1, 2),
+         | g AS (SELECT epoch_us(tp) - epoch_us(tv) AS conv_us FROM cv)
+         |SELECT count(*) AS n_converters,
+         |  round(quantile_cont(conv_us, 0.5), 4) AS med_conv_us,
+         |  round(quantile_cont(conv_us, 0.9), 4) AS p90_conv_us
+         |FROM g""".stripMargin,
+    "t44_clock_skew" ->
+      s"""WITH $svSpansSql,
+         | pr AS (SELECT traceID AS tid, spanID AS pid, startTime AS ps,
+         |     startTime + duration AS pe FROM sv),
+         | j AS (SELECT sv.service,
+         |     greatest(0, pr.ps - sv.startTime) AS early_us,
+         |     greatest(0, sv.startTime + sv.duration - pr.pe) AS late_us
+         |   FROM sv JOIN pr ON sv.traceID = pr.tid
+         |     AND sv.parent = pr.pid
+         |   WHERE sv.parent <> '')
+         |SELECT service, count(*) AS n_children,
+         |  CAST(sum(CASE WHEN early_us > 0 OR late_us > 0 THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_skewed,
+         |  CAST(max(early_us) AS BIGINT) AS max_early_us,
+         |  CAST(max(late_us) AS BIGINT) AS max_late_us
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q126_cohort_ltv" ->
       s"""WITH cohort AS (SELECT user_id, CAST(min(ts) AS DATE) AS cd
          |   FROM events GROUP BY 1),
