@@ -1632,6 +1632,17 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(sniff > 2.0 && sniff < 5.0)
   }
 
+  test("hashedEmbedding kernel: a null token element contributes " +
+      "nothing (the HOF form's when-null fall-through)") {
+    // tokens() never emits null elements, but the kernel is public and
+    // must keep the documented null discipline for arbitrary callers
+    graft.expressions.HashedEmbedding.register(spark)
+    val arr = spark.sql(
+        "SELECT graft_hashed_embedding(array('hello', NULL, 'hello'), 64) AS v")
+      .head().getSeq[Double](0)
+    assert(arr.map(math.abs).sum === 2.0) // two real tokens, null skipped
+  }
+
   test("containment finds a planted excerpt that Jaccard rejects") {
     val long = (0 until 40).map(i => s"w$i").mkString(" ")
     val shortDoc = (10 until 26).map(i => s"w$i").mkString(" ")
