@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bounded-memory EXACT percentiles — the 100-TB twin of Spark's
+  * `percentile()` aggregate.
+  *
+  * Spark's exact `Percentile` is a TypedImperativeAggregate whose buffer
+  * is an in-heap value→count map that grows with the group's distinct
+  * values (for µs-resolution durations, effectively with group size) and
+  * CANNOT spill — at 100 TB a hot group's buffer is an executor OOM, not
+  * a slowdown. The two forms here compute the *same interpolated
+  * statistic bit-for-bit* (they replicate `Percentile.getPercentile`'s
+  * arithmetic: `pos = (n-1)·p`, and for fractional positions
+  * `(ceil(pos) − pos)·v_lo + (pos − floor(pos))·v_hi`, with the
+  * equal-endpoint shortcuts) from operators whose working state is
+  * spill-safe or driver-bounded:
+  *
+  *   - [[groupedExact]] — per-group percentiles via ONE group-keyed
+  *     window pass: `row_number`/`count` run in `WindowExec`, which
+  *     sorts through `UnsafeExternalSorter` (disk-spilling — task memory
+  *     stays bounded however large the group), then a partial-aggregable
+  *     `groupBy` on the SAME key (no second exchange) picks the two
+  *     boundary rows per percentile. A pathologically hot single group
+  *     still serializes through one (spilling) task — the same property
+  *     as any exact per-group order statistic; if that group alone
+  *     exceeds a disk, route it through [[globalExact]] or
+  *     `approx_percentile`.
+  *   - [[globalExact]] — whole-frame percentiles via the classic
+  *     distributed selection: one range-partitioned sort (every task
+  *     sorts ~1/P of the data, spill-safe), a P-row partition census to
+  *     the driver, then one pick pass that extracts only the boundary
+  *     ranks. Driver state is P counts + 2·|ps| doubles; no task ever
+  *     holds the distribution.
+  *
+  * Equivalence to `percentile()` (and to DuckDB `quantile_cont`, via the
+  * repo's pinned t36 identity) is asserted bit-exactly by
+  * PercentilesSpec; the driver-facing bounded twins (t46–t49) hash
+  * against the SAME DuckDB oracles as their exact-aggregate baselines
+  * (t33/q119/t36/q127).
+  */
+object Percentiles {
+
+  /** Exact interpolated percentiles per group, bounded-memory form.
+    *
+    * @param df      input; `valCol` must be non-null on every row (filter
+    *                nulls first — `percentile()` skips them, a window
+    *                rank cannot)
+    * @param grpCols group-by keys
+    * @param valCol  numeric column the percentiles are taken over
+    * @param ps      (fraction, output-column-name) pairs
+    * @param extras  additional aggregates evaluated in the same
+    *                `groupBy` over the same rows (e.g.
+    *                `count(lit(1)).as("n")`) — they keep the whole
+    *                statistic to ONE scan of `df`
+    * @param roundTo HALF_UP decimals applied to each percentile
+    *                (negative = unrounded, for callers that feed the
+    *                value into further arithmetic like t36's MAD)
+    * @param tieCols extra window-order keys after `valCol`; ties carry
+    *                equal values so they never change the statistic —
+    *                pass ids only if a fully deterministic physical row
+    *                order matters for debugging
+    */
+  def groupedExact(df: DataFrame, grpCols: Seq[String], valCol: String,
+      ps: Seq[(Double, String)], extras: Seq[Column] = Nil,
+      roundTo: Int = 4, tieCols: Seq[Column] = Nil): DataFrame = {
+    val grp = grpCols.map(col)
+    val wOrd = Window.partitionBy(grp: _*)
+      .orderBy(col(valCol) +: tieCols: _*)
+    val wAll = Window.partitionBy(grp: _*)
+    val ranked = df
+      .withColumn("__rk", row_number().over(wOrd).cast("long") - 1L)
+      .withColumn("__n", count(lit(1)).over(wAll))
+    def pos(n: Column, p: Double): Column =
+      (n - 1L).cast("double") * lit(p)
+    val slots = ps.zipWithIndex.flatMap { case ((p, _), i) =>
+      val q = pos(col("__n"), p)
+      Seq(
+        max(when(col("__rk") === floor(q), col(valCol).cast("double")))
+          .as(s"__lo$i"),
+        max(when(col("__rk") === ceil(q), col(valCol).cast("double")))
+          .as(s"__hi$i"))
+    } :+ max(col("__n")).as("__nn")
+    val aggs = extras ++ slots
+    val agged = ranked.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
+    val out = ps.zipWithIndex.map { case ((p, name), i) =>
+      val q = pos(col("__nn"), p)
+      val lo = floor(q)
+      val hi = ceil(q)
+      // Percentile.getPercentile's exact arithmetic, shortcuts included:
+      // integral position → v_lo; equal endpoints → v_lo (skipping the
+      // re-weighted sum keeps the double BIT-identical); else linear
+      // interpolation in the reference's operand order.
+      val v = when(lo === hi, col(s"__lo$i"))
+        .when(col(s"__lo$i") === col(s"__hi$i"), col(s"__lo$i"))
+        .otherwise(
+          (hi.cast("double") - q) * col(s"__lo$i") +
+            (q - lo.cast("double")) * col(s"__hi$i"))
+      (if (roundTo >= 0) round(v, roundTo) else v).as(name)
+    }
+    agged.select(
+      agged.columns.filterNot(_.startsWith("__")).map(col) ++ out: _*)
+  }
+
+  /** Exact interpolated percentiles of one column over the WHOLE frame,
+    * distributed-selection form. Returns the values to the driver
+    * (|ps| doubles — they are broadcast-scale by definition: cut points,
+    * one-row summaries). NaN per entry when the frame is empty.
+    *
+    * Cost: one range-partition sort of the (single-column) projection,
+    * one census job, one pick job over the materialized sort — three
+    * narrow passes, every task spill-safe, driver state P counts. */
+  def globalExact(df: DataFrame, valCol: String, ps: Seq[Double],
+      nParts: Int = 32): Seq[Double] = {
+    val parts = math.max(1, nParts)
+    val sorted = df
+      .select(col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .repartitionByRange(parts, col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .localCheckpoint()
+    val census = sorted
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = census.map(_._2).sum
+    if (n == 0L) return ps.map(_ => Double.NaN)
+    val offByPid: Map[Int, Long] = {
+      var acc = 0L
+      census.map { case (pid, c) => val o = pid -> acc; acc += c; o }.toMap
+    }
+    val wantRanks: Set[Long] = ps.flatMap { p =>
+      val q = (n - 1).toDouble * p
+      Seq(math.floor(q).toLong, math.ceil(q).toLong)
+    }.toSet
+    val bcWant = sorted.sparkSession.sparkContext.broadcast(wantRanks)
+    val bcOff = sorted.sparkSession.sparkContext.broadcast(offByPid)
+    val picked: Map[Long, Double] = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val off = bcOff.value.getOrElse(pid, 0L)
+        val want = bcWant.value
+        it.zipWithIndex.collect {
+          case (row, i) if want.contains(off + i) =>
+            (off + i) -> row.getDouble(0)
+        }
+      }.collect().toMap
+    ps.map { p =>
+      val q = (n - 1).toDouble * p
+      val lo = math.floor(q)
+      val hi = math.ceil(q)
+      val vLo = picked(lo.toLong)
+      val vHi = picked(hi.toLong)
+      if (lo == hi || vLo == vHi) vLo
+      else (hi - q) * vLo + (q - lo) * vHi
+    }
+  }
+}
