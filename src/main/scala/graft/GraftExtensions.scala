@@ -26,8 +26,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.expressions.HashedEmbedding].getCanonicalName,
         "graft_hashed_embedding"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // dims is a constructor Int, so it must be a foldable numeric —
+        // a column reference or string here would otherwise surface as
+        // an opaque ClassCastException/NPE from eval(null)
+        val dims = exprs(1) match {
+          case e if e.foldable => e.eval(null) match {
+            case n: Number => n.intValue
+            case other => throw new IllegalArgumentException(
+              "graft_hashed_embedding: dims (argument 2) must be an " +
+                s"integer literal, got ${if (other == null) "NULL" else other}")
+          }
+          case e => throw new IllegalArgumentException(
+            "graft_hashed_embedding: dims (argument 2) must be a " +
+              s"foldable integer literal, got expression ${e.sql}")
+        }
+        graft.expressions.HashedEmbedding(exprs(0), dims)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_byte_entropy"),
+      new ExpressionInfo(
+        classOf[graft.expressions.ByteEntropy].getCanonicalName,
+        "graft_byte_entropy"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.expressions.HashedEmbedding(exprs(0),
-          exprs(1).eval(null).asInstanceOf[Number].intValue)))
+        graft.expressions.ByteEntropy(exprs(0))))
   }
 }

@@ -2131,7 +2131,10 @@ object Queries {
     * percentiles; the t36-pinned `quantile_cont` ≡ `percentile`
     * equivalence makes the oracle comparison exact). The
     * "how often does a user do X" profile behind re-engagement
-    * triggers and bot-cadence detection. */
+    * triggers and bot-cadence detection. The exact `percentile()`
+    * buffer here is group-size-unbounded — a deliberate oracle-simple
+    * baseline; the 100-TB path is the bounded twin t47 (same oracle,
+    * spilling window rank). */
   private def q119(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
@@ -2270,10 +2273,12 @@ object Queries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sx"),
-        // decimal(38,0): rank × chars summed over a billion-doc source
-        // exceeds long (ANSI mode would throw); DuckDB's HUGEINT sum is
-        // the same exact integer, so the double cast still agrees
-        sum((col("i") * col("n_chars")).cast("decimal(38,0)")).as("sw"))
+        // decimal(38,0) BEFORE the multiply: rank × chars for one row
+        // already exceeds long past ~3e9-char positions, and casting the
+        // long product would wrap first; summed over a billion-doc
+        // source the decimal total matches DuckDB's exact HUGEINT sum,
+        // so the double cast still agrees
+        sum(col("i").cast("decimal(38,0)") * col("n_chars")).as("sw"))
       .select(col("source"), col("n_docs"),
         round((lit(2.0) * col("sw").cast("double") -
           (col("n_docs") + 1).cast("double") * col("sx").cast("double")) /
@@ -2337,7 +2342,11 @@ object Queries {
     * points are ONE exact-percentile aggregation broadcast back
     * (4 doubles per metric), and each user's score is a map-side CASE
     * comparison — no global ntile window (which would funnel every user
-    * through one sort task). Convention: R counts recency boundaries
+    * through one sort task). The cut-point `percentile()` buffers the
+    * per-user frame's distinct values in one task — acceptable while
+    * users ≪ events; past that, swap in
+    * [[graft.operators.Percentiles.globalExact]] per metric (the t49
+    * pattern). Convention: R counts recency boundaries
     * NOT exceeded (5 = most recent); F/M count boundaries exceeded + 1
     * (5 = highest). Monetary is rounded to cents BEFORE scoring so the
     * quintile comparisons are engine-stable. */
@@ -2350,6 +2359,11 @@ object Queries {
       .crossJoin(broadcast(
         e.agg(max(unix_micros(col("ts"))).as("now_us"))))
       .withColumn("recency_us", col("now_us") - col("last_us"))
+      // checkpointed: two consumers (the cut-point aggregation and the
+      // scoring join) would otherwise EACH re-run the per-user events
+      // aggregation — two corpus scans for one (the q120 precedent:
+      // 6.9 → 0.5 s for this exact multi-consumer class)
+      .localCheckpoint()
     val cuts = per.agg(
       expr("percentile(recency_us, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
       expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
@@ -2382,6 +2396,10 @@ object Queries {
     val e = events(s, dir).select(col("user_id"), col("ts"), col("value"))
     val cohort = e.groupBy(col("user_id"))
       .agg(min(col("ts")).cast("date").as("cd"))
+      // checkpointed: two consumers (`sized` and the `daily` join) would
+      // otherwise each re-run the per-user min-ts aggregation — one
+      // events scan each where one suffices (the q120 precedent)
+      .localCheckpoint()
     val sized = cohort.groupBy(col("cd")).agg(count(lit(1)).as("n_users"))
     val daily = e.join(cohort, Seq("user_id"))
       .withColumn("k", datediff(col("ts").cast("date"), col("cd")))
@@ -2403,7 +2421,10 @@ object Queries {
     * "how long does conversion take" companion to q105's how-many and
     * q119's same-type cadence. Exact integer µs; med/p90 via the
     * t36-pinned interpolated-percentile equivalence. User-keyed
-    * shuffles only; output is one summary row. */
+    * shuffles only; output is one summary row. The whole-frame exact
+    * `percentile()` buffers every distinct gap in one task — deliberate
+    * oracle-simple baseline; the 100-TB path is the bounded twin t49
+    * (same oracle, distributed selection). */
   private def q127(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
     val v = e.filter(col("event_type") === "view")
@@ -2416,6 +2437,138 @@ object Queries {
     conv.agg(count(lit(1)).as("n_converters"),
       round(expr("percentile(conv_us, 0.5)"), 4).as("med_conv_us"),
       round(expr("percentile(conv_us, 0.9)"), 4).as("p90_conv_us"))
+  }
+
+  // --- bounded-memory percentile twins (t46-t49) ---------------------------
+  // Spark's exact `percentile()` aggregate buffers a value→count map per
+  // group that cannot spill — hash-exact at sf0.1, executor-OOM on a
+  // 100-TB hot group. Each twin below recomputes one exact-percentile
+  // entry through [[graft.operators.Percentiles]] (spilling window rank /
+  // distributed selection), hashes against the SAME DuckDB oracle as its
+  // exact baseline, and is pinned bit-equal to `percentile()` by
+  // PercentilesSpec. The baselines keep their aggregate form as the
+  // oracle-simple reference; these are the plans a 100-TB SLO user runs.
+
+  /** Bounded twin of t33: per-service latency percentiles through the
+    * spilling window-rank form — same oracle, same output schema. */
+  private def t46(s: SparkSession): DataFrame = {
+    FixtureOracle.ensure(s)
+    val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+    val sp = TraceFrame.spansFromJaegerFile(s, fx)
+      .withColumn("is_err",
+        when(col("tags").getItem("error").isNotNull, 1L).otherwise(0L))
+    graft.operators.Percentiles.groupedExact(sp, Seq("service"),
+      "duration",
+      Seq(0.5 -> "p50_us", 0.95 -> "p95_us", 0.99 -> "p99_us"),
+      extras = Seq(count(lit(1)).as("n_spans"),
+        sum(col("is_err")).as("n_err_spans")),
+      roundTo = 4)
+      .orderBy(col("service"))
+  }
+
+  /** Bounded twin of q119: per-type inter-arrival cadence through the
+    * spilling window-rank form — same oracle, same output schema. */
+  private def t47(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+    graft.operators.Percentiles.groupedExact(gaps, Seq("event_type"),
+      "gap_us", Seq(0.5 -> "med_gap_us", 0.9 -> "p90_gap_us"),
+      extras = Seq(count(lit(1)).as("n_gaps")), roundTo = 4)
+      .orderBy(col("event_type"))
+  }
+
+  /** Bounded twin of t36: median/MAD latency anomalies with BOTH
+    * percentile passes (median, then median absolute deviation) through
+    * the spilling window-rank form, unrounded (`roundTo = -1`) so the
+    * MAD derives from the bit-identical median — same oracle, same
+    * output schema. */
+  private def t48(s: SparkSession): DataFrame = {
+    FixtureOracle.ensure(s)
+    val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+    val sp = TraceFrame.spansFromJaegerFile(s, fx)
+      .select(col("service"), col("operationName"), col("duration"))
+    val keys = Seq("service", "operationName")
+    val med = graft.operators.Percentiles.groupedExact(sp, keys,
+      "duration", Seq(0.5 -> "med"), roundTo = -1)
+    val adev = sp.join(med, keys)
+      .withColumn("adev", abs(col("duration").cast("double") - col("med")))
+    val stats = graft.operators.Percentiles.groupedExact(adev, keys,
+      "adev", Seq(0.5 -> "mad"),
+      extras = Seq(count(lit(1)).as("n_spans"),
+        first(col("med")).as("med")),
+      roundTo = -1)
+    sp.join(stats, keys)
+      .withColumn("is_anom", when(col("mad") > 0 &&
+        abs(col("duration").cast("double") - col("med")) >
+          lit(3.0) * col("mad"), 1L).otherwise(0L))
+      .groupBy(col("service"), col("operationName"))
+      .agg(first(col("n_spans")).as("n_spans"),
+        round(first(col("med")), 4).as("med_us"),
+        round(first(col("mad")), 4).as("mad_us"),
+        sum(col("is_anom")).as("n_anomalies"))
+      .orderBy(col("service"), col("operationName"))
+  }
+
+  /** Bounded twin of q127: whole-frame conversion-delay percentiles via
+    * [[graft.operators.Percentiles.globalExact]] (range-sort + partition
+    * census — no task ever holds the distribution) — same oracle, same
+    * one-row output. The converter frame is checkpointed once for its
+    * two consumers (count + selection) and released after. */
+  private def t49(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id")).filter(col("ts") > col("tv"))
+      .groupBy(col("user_id"), col("tv")).agg(min(col("ts")).as("tp"))
+      .select((unix_micros(col("tp")) - unix_micros(col("tv")))
+        .as("conv_us"))
+      .localCheckpoint()
+    try {
+      val n = conv.count()
+      val qs = graft.operators.Percentiles.globalExact(conv, "conv_us",
+        Seq(0.5, 0.9))
+      // HALF_UP to 4 — the Spark round() the exact baseline applies
+      def r4(x: Double): Double =
+        if (x.isNaN) x
+        else BigDecimal(x).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((n, r4(qs.head), r4(qs(1))))
+        .toDF("n_converters", "med_conv_us", "p90_conv_us")
+    } finally conv.unpersist(blocking = false)
+  }
+
+  /** The corpus-scale mutual-kNN path with driver-grade evidence: the
+    * SAME build → cell-assign → probe → mutual-filter → components
+    * pipeline a 100-TB user runs ([[Similarity.buildIvfIndex]] +
+    * [[Similarity.ivfTopKFromIndex]] feeding
+    * [[Similarity.mutualKnnClustersFromCandidates]]), probed at
+    * nProbe = nCentroids. Full probe makes the IVF candidate set
+    * EXACTLY the brute-force top-k (each corpus vector lives in one
+    * cell and every cell is probed; identical rounding and tie-break —
+    * the full-probe ≡ brute spec pins it), so this entry hashes against
+    * q117's DuckDB oracle while exercising the scale machinery end to
+    * end. At corpus scale, dial nProbe < nCentroids: recall trades
+    * smoothly (0.97 recall@3 at nProbe=2/16 on the bench embeddings)
+    * and cost is ∝ cells probed, never n². */
+  private def t50(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // 32 cells, not 8: under full probe the candidate SET is identical
+    // (exact), but the cell equi-join spreads over 32 keys instead of
+    // funneling the hottest cell through one task (measured 6.9 → ~4 s
+    // at sf0.1; at corpus scale nCentroids ∝ √n keeps cells bounded)
+    val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding",
+      nCentroids = 32, kmeansIters = 4)
+    val cand = Similarity.ivfTopKFromIndex(idx, e, "vec_id", "embedding",
+      k = 5, nProbe = 32)
+    Similarity.mutualKnnClustersFromCandidates(e, "vec_id", cand)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy(col("vec_id"))
   }
 
   /** The CMS side of t21 (spec-pinned — a trained sketch is not
@@ -3051,6 +3204,11 @@ object Queries {
     "q125_rfm_segments" -> (q125 _),
     "q126_cohort_ltv" -> (q126 _),
     "q127_conversion_time" -> (q127 _),
+    "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
+    "t47_interevent_gaps_b" -> (t47 _),
+    "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
+    "t49_conversion_time_b" -> (t49 _),
+    "t50_knn_clusters_ivf" -> (t50 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -3316,8 +3474,14 @@ object Queries {
     }),
     // Embedding-space outlier audit (mis-embedded / poisoned-document
     // detector): per-cell z-score of own-centroid similarity, global
-    // topN via TakeOrderedAndProject. No oracle (trained clustering);
-    // pinned by the planted-outlier spec.
+    // topN via TakeOrderedAndProject. Fully oracled (graduated r11): at
+    // the oracle's ≤2048-vector scale the deterministic training sample
+    // IS the corpus ordered by vec_id, so the DuckDB side re-derives
+    // the whole pipeline — first-8 init, 4 trainer + 2 refine Lloyd
+    // iterations (one shared update rule), argmax assignment, cell
+    // stats, z, top-20 — as 6 unrolled MATERIALIZED iteration CTEs (the
+    // t28 pattern); the planted-outlier spec still pins semantics at
+    // scales where sampling engages.
     "t26_embed_outliers" -> ((s: SparkSession, dir: String) =>
       Similarity.embeddingOutliers(emb(s, dir), "vec_id", "embedding",
         nCentroids = 8, refineIters = 2, topN = 20)),
@@ -3546,7 +3710,9 @@ object Queries {
     // Per-service latency percentiles — the SLO dashboard table (p50/
     // p95/p99 span durations + error-tagged span rate). Exact
     // interpolated percentiles pinned Spark↔DuckDB by q34's machinery;
-    // fully oracled against the raw fixture export.
+    // fully oracled against the raw fixture export. The `percentile()`
+    // buffer is group-size-unbounded — deliberate oracle-simple
+    // baseline; the 100-TB path is the bounded twin t46 (same oracle).
     "t33_service_latency" -> ((s: SparkSession, _: String) => {
       FixtureOracle.ensure(s)
       val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
@@ -3654,7 +3820,10 @@ object Queries {
     // (service, operation). Durations are integer µs, so med/MAD land
     // on .0/.5 and every comparison is EXACT double arithmetic — no FP
     // boundary hazard vs the oracle. Two bounded passes (group stats
-    // are #operations-sized, broadcast back). Fully oracled.
+    // are #operations-sized, broadcast back). Fully oracled. Both
+    // `percentile()` buffers are group-size-unbounded — deliberate
+    // oracle-simple baseline; the 100-TB path is the bounded twin t48
+    // (same oracle, both passes through the spilling window rank).
     "t36_op_anomalies" -> ((s: SparkSession, _: String) => {
       FixtureOracle.ensure(s)
       val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
@@ -3682,11 +3851,13 @@ object Queries {
     // Per-trace call-depth census: max parent-chain depth + span count
     // — the "how deep do our call stacks go" structural profile (pairs
     // with t34's shape census; a depth-growth regression is a classic
-    // microservice smell). The per-trace depth walk is a kernel behind
-    // the same narrow groupByKey shuffle as A2; orphan parents anchor
-    // at depth 1 and a step cap breaks malformed cycles
-    // deterministically. Fully oracled: the DuckDB side re-derives
-    // depths with a recursive CTE over the raw fixture export.
+    // microservice smell). The per-trace depth walk is the
+    // [[graft.analysis.TraceDepth]] kernel behind the same narrow
+    // groupByKey shuffle as A2; orphan parents anchor at depth 1 and a
+    // step cap breaks malformed cycles deterministically (planted
+    // cycle/orphan spec: TraceDepthSpec). Fully oracled: the DuckDB
+    // side re-derives depths with a recursive CTE over the raw fixture
+    // export.
     "t38_trace_depth" -> ((s: SparkSession, _: String) => {
       FixtureOracle.ensure(s)
       val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
@@ -3694,32 +3865,7 @@ object Queries {
       val sp = TraceFrame.spansFromJaegerFile(s, fx)
         .select(col("traceID"), col("spanID"), col("parent"))
         .as[(String, String, String)]
-      sp.groupByKey(_._1).mapGroups { (tid, it) =>
-        // sorted so memo anchoring is deterministic even for malformed
-        // cyclic traces (shuffle iterator order is not)
-        val spans = it.toSeq.sortBy(_._2)
-        val parent = spans.iterator.map(t => t._2 -> t._3).toMap
-        // memoized ancestor walk: each span's depth resolves once, so a
-        // pathological 50k-deep chain costs O(n), not O(n²) — the same
-        // bookkeeping discipline as the critical-path automaton
-        val memo = scala.collection.mutable.HashMap.empty[String, Int]
-        def depth(id0: String): Int = memo.getOrElse(id0, {
-          val chain = scala.collection.mutable.ArrayBuffer.empty[String]
-          var id = id0; var steps = 0
-          while (!memo.contains(id) && steps <= spans.size && {
-            val p = parent.getOrElse(id, "")
-            p.nonEmpty && parent.contains(p)
-          }) { chain += id; id = parent(id); steps += 1 }
-          var d = memo.getOrElse(id, 1) // root/orphan/cycle-cap anchor
-          memo(id) = d
-          var i = chain.size - 1
-          while (i >= 0) { d += 1; memo(chain(i)) = d; i -= 1 }
-          memo(id0)
-        })
-        (tid, spans.iterator.map(t => depth(t._2)).max.toLong,
-          spans.size.toLong)
-      }.toDF("traceID", "max_depth", "n_spans")
-        .orderBy(col("traceID"))
+      graft.analysis.TraceDepth.maxDepths(sp).orderBy(col("traceID"))
     }),
     // Per-service PEAK span concurrency — the capacity-planning census
     // ("how many spans does this service run at once at the worst
@@ -4172,6 +4318,63 @@ object Queries {
          |   FROM v, v0 WHERE v.vec_id <> 0)$picks
          |$sel
          |ORDER BY sel_rank""".stripMargin
+    },
+    // Embedding-outlier oracle: the full t26 pipeline re-derived in SQL.
+    // Precondition (holds at every oracle SF): corpus ≤ 2048 vectors, so
+    // trainCentroids' deterministic sample (stride 1, limit 2048) is the
+    // corpus ordered by vec_id and its 4 driver-side iterations share
+    // refineCentroids' update rule exactly — 6 unrolled Lloyd steps:
+    // assign (argmax dot, ties → lowest cent_id), per-cell element-wise
+    // mean (the q90 unnest-zip), re-normalize, empty cells keep their
+    // centroid. MATERIALIZED for the t28/t37 inlining-explosion reason.
+    // Means/stddevs are double sums, so association order differs
+    // between engines — absorbed by the 6/4-decimal output rounding
+    // (the t28 precedent), and the top-20 z cut sits far from any
+    // boundary (rank-20 margin ≫ the ~1e-12 drift).
+    "t26_embed_outliers" -> {
+      val iters = (1 to 6).map { i =>
+        val prev = s"c${i - 1}"
+        s""",
+           | a$i AS (SELECT v.vec_id, v.nv, c.cent_id,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY list_dot_product(v.nv, c.nv) DESC, c.cent_id)
+           |      AS rn
+           |  FROM v, $prev c),
+           | e$i AS (SELECT cent_id,
+           |    unnest(generate_series(1, len(nv))) AS pos,
+           |    unnest(nv) AS x
+           |  FROM a$i WHERE rn = 1),
+           | m$i AS (SELECT cent_id, list(m ORDER BY pos) AS mv FROM (
+           |    SELECT cent_id, pos, avg(x) AS m FROM e$i GROUP BY 1, 2)
+           |  GROUP BY 1),
+           | c$i AS MATERIALIZED (SELECT c.cent_id,
+           |    CASE WHEN m.cent_id IS NULL
+           |        OR sqrt(list_dot_product(m.mv, m.mv)) = 0 THEN c.nv
+           |      ELSE list_transform(m.mv, x ->
+           |        x / sqrt(list_dot_product(m.mv, m.mv))) END AS nv
+           |  FROM $prev c LEFT JOIN m$i m USING (cent_id))""".stripMargin
+      }.mkString
+      s"""WITH v AS MATERIALIZED ($normVecSql),
+         | c0 AS MATERIALIZED (SELECT
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |      AS cent_id, nv
+         |  FROM v ORDER BY vec_id LIMIT 8)$iters,
+         | asg AS (SELECT v.vec_id, c.cent_id AS cell,
+         |    list_dot_product(v.nv, c.nv) AS cent_sim,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.nv, c.nv) DESC, c.cent_id)
+         |      AS rn
+         |  FROM v, c6 c),
+         | fa AS (SELECT vec_id, cell, cent_sim FROM asg WHERE rn = 1),
+         | st AS (SELECT cell, avg(cent_sim) AS mu,
+         |    stddev_samp(cent_sim) AS sd FROM fa GROUP BY 1),
+         | zz AS (SELECT fa.vec_id, fa.cell, fa.cent_sim,
+         |    CASE WHEN st.sd > 1e-12 THEN (st.mu - fa.cent_sim) / st.sd
+         |      ELSE 0.0 END AS z
+         |  FROM fa JOIN st USING (cell))
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+         |  round(cent_sim, 6) AS cent_sim, round(z, 4) AS z
+         |FROM zz ORDER BY z DESC, vec_id LIMIT 20""".stripMargin
     },
     "q27_embed_topk" ->
       s"""WITH v AS ($normVecSql),
@@ -5902,7 +6105,17 @@ object Queries {
         |    AS INTEGER) AS frame_bytes
         |FROM e ORDER BY id, frame_no""".stripMargin,
   ).map { case (k, v) => k -> v.replace('\n', ' ') } match {
-    // t17 recomputes q64's table uncached — same result, same oracle
-    case m => m + ("t17_cluster_build" -> m("q64_dedup_clusters"))
+    // t17 recomputes q64's table uncached — same result, same oracle.
+    // The bounded-percentile twins (t46-t49) and the full-probe IVF
+    // mutual-kNN path (t50) compute the SAME statistic as their exact
+    // baselines through scale-safe operators, so each hashes against
+    // its baseline's oracle — a different plan, the identical answer.
+    case m => m +
+      ("t17_cluster_build" -> m("q64_dedup_clusters")) +
+      ("t46_service_latency_b" -> m("t33_service_latency")) +
+      ("t47_interevent_gaps_b" -> m("q119_interevent_gaps")) +
+      ("t48_op_anomalies_b" -> m("t36_op_anomalies")) +
+      ("t49_conversion_time_b" -> m("q127_conversion_time")) +
+      ("t50_knn_clusters_ivf" -> m("q117_knn_clusters"))
   }
 }

@@ -19,8 +19,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
   * blob carries no information; avoids ln(0)). Null → null.
   *
   * Codegen calls the static kernel like [[HashedEmbedding]] — the win
-  * is the single fused histogram pass, not inlined Java. Registered SQL
-  * name: `graft_byte_entropy`.
+  * is the single fused histogram pass, not inlined Java. SQL name
+  * `graft_byte_entropy`: per-session via [[ByteEntropy.register]], or
+  * cluster-wide at session build via [[graft.GraftExtensions]].
   */
 case class ByteEntropy(child: Expression) extends UnaryExpression {
 

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * spill-safe or driver-bounded:
   *
   *   - [[groupedExact]] — per-group percentiles via ONE group-keyed
-  *     window pass: `row_number`/`count` run in `WindowExec`, which
+  *     window pass: long-safe running-count ranks run in `WindowExec`, which
   *     sorts through `UnsafeExternalSorter` (disk-spilling — task memory
   *     stays bounded however large the group), then a partial-aggregable
   *     `groupBy` on the SAME key (no second exchange) picks the two
@@ -66,12 +66,20 @@ object Percentiles {
   def groupedExact(df: DataFrame, grpCols: Seq[String], valCol: String,
       ps: Seq[(Double, String)], extras: Seq[Column] = Nil,
       roundTo: Int = 4, tieCols: Seq[Column] = Nil): DataFrame = {
+    require(ps.forall { case (p, _) => p >= 0.0 && p <= 1.0 },
+      s"percentile fractions must be in [0, 1], got ${ps.map(_._1)}")
     val grp = grpCols.map(col)
+    // Rank is a running count over the ordered ROWS frame, not
+    // row_number(): the positional rank is identical, but count() is
+    // LongType end to end — row_number() is IntegerType and silently
+    // wraps past 2^31 rows in one group, the exact hot-group regime
+    // this operator exists for.
     val wOrd = Window.partitionBy(grp: _*)
       .orderBy(col(valCol) +: tieCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(grp: _*)
     val ranked = df
-      .withColumn("__rk", row_number().over(wOrd).cast("long") - 1L)
+      .withColumn("__rk", count(lit(1)).over(wOrd) - 1L)
       .withColumn("__n", count(lit(1)).over(wAll))
     def pos(n: Column, p: Double): Column =
       (n - 1L).cast("double") * lit(p)
@@ -114,6 +122,8 @@ object Percentiles {
     * narrow passes, every task spill-safe, driver state P counts. */
   def globalExact(df: DataFrame, valCol: String, ps: Seq[Double],
       nParts: Int = 32): Seq[Double] = {
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentile fractions must be in [0, 1], got $ps")
     val parts = math.max(1, nParts)
     val sorted = df
       .select(col(valCol).cast("double").as("__v"))
@@ -121,39 +131,52 @@ object Percentiles {
       .repartitionByRange(parts, col("__v"))
       .sortWithinPartitions(col("__v"))
       .localCheckpoint()
-    val census = sorted
-      .groupBy(spark_partition_id().as("__pid"))
-      .agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val n = census.map(_._2).sum
-    if (n == 0L) return ps.map(_ => Double.NaN)
-    val offByPid: Map[Int, Long] = {
-      var acc = 0L
-      census.map { case (pid, c) => val o = pid -> acc; acc += c; o }.toMap
-    }
-    val wantRanks: Set[Long] = ps.flatMap { p =>
-      val q = (n - 1).toDouble * p
-      Seq(math.floor(q).toLong, math.ceil(q).toLong)
-    }.toSet
-    val bcWant = sorted.sparkSession.sparkContext.broadcast(wantRanks)
-    val bcOff = sorted.sparkSession.sparkContext.broadcast(offByPid)
-    val picked: Map[Long, Double] = sorted.rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        val off = bcOff.value.getOrElse(pid, 0L)
-        val want = bcWant.value
-        it.zipWithIndex.collect {
-          case (row, i) if want.contains(off + i) =>
-            (off + i) -> row.getDouble(0)
+    // unpersist in finally: the checkpoint caches the whole (sorted)
+    // projection on executors — holding it past the pick pass would pin
+    // dataset-sized blocks for the rest of the session
+    try {
+      val census = sorted
+        .groupBy(spark_partition_id().as("__pid"))
+        .agg(count(lit(1)).as("__c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = census.map(_._2).sum
+      if (n == 0L) ps.map(_ => Double.NaN)
+      else {
+        val offByPid: Map[Int, Long] = {
+          var acc = 0L
+          census.map { case (pid, c) =>
+            val o = pid -> acc; acc += c; o }.toMap
         }
-      }.collect().toMap
-    ps.map { p =>
-      val q = (n - 1).toDouble * p
-      val lo = math.floor(q)
-      val hi = math.ceil(q)
-      val vLo = picked(lo.toLong)
-      val vHi = picked(hi.toLong)
-      if (lo == hi || vLo == vHi) vLo
-      else (hi - q) * vLo + (q - lo) * vHi
-    }
+        val wantRanks: Set[Long] = ps.flatMap { p =>
+          val q = (n - 1).toDouble * p
+          Seq(math.floor(q).toLong, math.ceil(q).toLong)
+        }.toSet
+        val bcWant = sorted.sparkSession.sparkContext.broadcast(wantRanks)
+        val bcOff = sorted.sparkSession.sparkContext.broadcast(offByPid)
+        val picked: Map[Long, Double] = sorted.rdd
+          .mapPartitionsWithIndex { (pid, it) =>
+            val off = bcOff.value.getOrElse(pid, 0L)
+            val want = bcWant.value
+            // Long row counter, not zipWithIndex: the iterator index is
+            // Int and a >2^31-row partition would wrap it negative,
+            // silently corrupting every rank comparison
+            var idx = off
+            it.flatMap { row =>
+              val r = idx; idx += 1L
+              if (want.contains(r)) Iterator.single(r -> row.getDouble(0))
+              else Iterator.empty
+            }
+          }.collect().toMap
+        ps.map { p =>
+          val q = (n - 1).toDouble * p
+          val lo = math.floor(q)
+          val hi = math.ceil(q)
+          val vLo = picked(lo.toLong)
+          val vHi = picked(hi.toLong)
+          if (lo == hi || vLo == vHi) vLo
+          else (hi - q) * vLo + (q - lo) * vHi
+        }
+      }
+    } finally sorted.unpersist(blocking = false)
   }
 }

@@ -239,6 +239,27 @@ object EventStreams {
       }
   }
 
+  /** Streaming hourly event-rate counts — the stateful half of q109's
+    * rate-anomaly monitor: a watermarked windowed count per event-time
+    * hour, Append mode, so each hour emits EXACTLY once when the
+    * watermark passes its end. State is the set of open hour windows
+    * inside the watermark horizon — bounded by (horizon / 1 h), never by
+    * stream length; late events inside the watermark still land in
+    * their true hour.
+    *
+    * The z-scoring half (each hour against the global hourly mean/σ) is
+    * inherently corpus-relative, so it runs over the emitted
+    * #hours-bounded counts table: the batch q109 expression applied at
+    * rest reproduces the batch answer exactly (parity spec), and a live
+    * monitor keeps a running (h, Σn, Σn²) — three numbers — to score
+    * each finalized hour as it lands. */
+  def hourlyRates(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("eventTime", watermark)
+      .groupBy(window(col("eventTime"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("n"))
+
   /** Per-user consecutive (prev_type → next_type) transition pairs —
     * the streaming form of q108's lag-window edge extraction. Append
     * mode: each edge emits exactly once, in the micro-batch its later

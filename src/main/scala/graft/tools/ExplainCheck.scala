@@ -259,6 +259,15 @@ object ExplainCheck {
     // paid one scan per profiled column
     check("q116 column profiler reads lineitem exactly once",
       "Scan parquet".r.findAllIn(plan("q116_column_profile")).size == 1)
+    // RFM: the per-user frame is checkpointed once for its two
+    // consumers (cut-point agg + scoring join) — the final plan reads
+    // the materialized frame, never rescanning events
+    check("q125 reads the checkpointed per-user frame (no events rescan)",
+      "Scan parquet".r.findAllIn(plan("q125_rfm_segments")).isEmpty)
+    // cohort LTV: the cohort table is checkpointed; only the daily
+    // value aggregation still reads events — exactly one parquet scan
+    check("q126 scans events exactly once (cohort checkpointed)",
+      "Scan parquet".r.findAllIn(plan("q126_cohort_ltv")).size == 1)
     // media dedup: digests computed map-side — one digest-keyed
     // aggregation exchange, media bytes never on the wire
     check("q114 media dedup shuffles digests only", {

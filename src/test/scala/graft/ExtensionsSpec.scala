@@ -32,6 +32,20 @@ class ExtensionsSpec extends AnyFunSuite {
         .sql("SELECT graft_hashed_embedding(array('hello'), 64) AS v")
         .head().getSeq[Double](0)
       assert(emb.length === 64 && emb.map(math.abs).sum === 1.0)
+      // a non-literal dims must fail with a CLEAR message, not an
+      // opaque ClassCastException out of eval(null)
+      val bad = intercept[Exception] {
+        s2.sql("SELECT graft_hashed_embedding(array('x'), 'not_a_number')")
+          .collect()
+      }
+      assert(bad.getMessage.contains("graft_hashed_embedding") ||
+        Option(bad.getCause)
+          .exists(_.getMessage.contains("graft_hashed_embedding")))
+      // byte entropy rides the injection too: 4 equiprobable bytes → ln 4
+      val ent = s2
+        .sql("SELECT graft_byte_entropy(CAST('abcd' AS BINARY)) AS e")
+        .head().getDouble(0)
+      assert(math.abs(ent - math.log(4.0)) < 1e-12)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Percentiles
+
+/** Pins the bounded-memory percentile forms BIT-equal to Spark's exact
+  * `percentile()` aggregate — the contract that lets the t46-t49 driver
+  * entries hash against the same DuckDB oracles as their exact-aggregate
+  * baselines (t33/q119/t36/q127). Fixtures force every arithmetic path:
+  * integral positions, fractional interpolation, equal-endpoint
+  * shortcuts (duplicate values), and a singleton group. */
+class PercentilesSpec extends SparkTestBase {
+  import SparkTestBase.session.implicits._
+
+  // group sizes 5/4/7/1 with duplicates: (n-1)·p lands on integral and
+  // fractional positions, and 'c' has equal boundary values so the
+  // lo==hi value shortcut fires
+  private lazy val grouped = Seq(
+    ("a", 3L), ("a", 1L), ("a", 4L), ("a", 1L), ("a", 5L),
+    ("b", 10L), ("b", 20L), ("b", 30L), ("b", 40L),
+    ("c", 7L), ("c", 7L), ("c", 7L), ("c", 2L), ("c", 9L), ("c", 11L),
+    ("c", 13L),
+    ("d", 42L)).toDF("g", "v")
+
+  // irrational-ish doubles: interpolation must reproduce the aggregate's
+  // exact operand order, not just "close"
+  private lazy val doubles = Seq.tabulate(37) { i =>
+    (if (i % 3 == 0) "x" else "y", math.sin(i) * 1000.0 + i * 0.1)
+  }.toDF("g", "v")
+
+  private def bits(x: Double) = java.lang.Double.doubleToLongBits(x)
+
+  private def compareGrouped(df: org.apache.spark.sql.DataFrame,
+      ps: Seq[Double]): Unit = {
+    val got = Percentiles.groupedExact(df, Seq("g"), "v",
+      ps.zipWithIndex.map { case (p, i) => p -> s"p$i" }, roundTo = -1)
+      .collect()
+      .map(r => r.getString(r.fieldIndex("g")) ->
+        ps.indices.map(i => r.getDouble(r.fieldIndex(s"p$i"))))
+      .toMap
+    val exp = df.groupBy("g")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet === exp.keySet)
+    for (g <- got.keySet; i <- ps.indices)
+      assert(bits(got(g)(i)) === bits(exp(g)(i)),
+        s"group $g p=${ps(i)}: got ${got(g)(i)} want ${exp(g)(i)}")
+  }
+
+  test("groupedExact is bit-equal to percentile() on long groups " +
+      "(integral + fractional positions, duplicate endpoints)") {
+    compareGrouped(grouped, Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
+  }
+
+  test("groupedExact is bit-equal to percentile() on double values") {
+    compareGrouped(doubles, Seq(0.1, 1.0 / 3.0, 0.5, 0.875, 1.0))
+  }
+
+  test("groupedExact extras ride the same aggregation (count matches)") {
+    val out = Percentiles.groupedExact(grouped, Seq("g"), "v",
+      Seq(0.5 -> "med"), extras = Seq(count(lit(1)).as("n")))
+      .collect().map(r => r.getString(r.fieldIndex("g")) ->
+        r.getLong(r.fieldIndex("n"))).toMap
+    assert(out === Map("a" -> 5L, "b" -> 4L, "c" -> 7L, "d" -> 1L))
+  }
+
+  test("groupedExact roundTo matches round(percentile(), n)") {
+    val got = Percentiles.groupedExact(doubles, Seq("g"), "v",
+      Seq(0.9 -> "p90"), roundTo = 4)
+      .collect().map(r => r.getString(r.fieldIndex("g")) ->
+        r.getDouble(r.fieldIndex("p90"))).toMap
+    val exp = doubles.groupBy("g")
+      .agg(round(expr("percentile(v, 0.9)"), 4).as("p90"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === exp.keySet)
+    got.keySet.foreach(g => assert(bits(got(g)) === bits(exp(g)), g))
+  }
+
+  test("globalExact is bit-equal to whole-frame percentile()") {
+    val ps = Seq(0.0, 0.1, 0.5, 0.77, 1.0)
+    val got = Percentiles.globalExact(grouped, "v", ps, nParts = 3)
+    val exp = grouped
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("ps"))
+      .head().getSeq[Double](0)
+    ps.indices.foreach(i => assert(bits(got(i)) === bits(exp(i)),
+      s"p=${ps(i)}: got ${got(i)} want ${exp(i)}"))
+  }
+
+  test("grouped and global forms agree on a single-group frame") {
+    val one = grouped.filter(col("g") === "c")
+    val ps = Seq(0.25, 0.5, 0.9)
+    val g = Percentiles.groupedExact(one, Seq("g"), "v",
+      ps.zipWithIndex.map { case (p, i) => p -> s"p$i" }, roundTo = -1)
+      .head()
+    val glob = Percentiles.globalExact(one, "v", ps)
+    ps.indices.foreach(i =>
+      assert(bits(g.getDouble(g.fieldIndex(s"p$i"))) === bits(glob(i))))
+  }
+
+  test("fractions outside [0, 1] are rejected up front") {
+    intercept[IllegalArgumentException] {
+      Percentiles.globalExact(grouped, "v", Seq(0.5, 1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Percentiles.groupedExact(grouped, Seq("g"), "v",
+        Seq(-0.1 -> "bad"))
+    }
+  }
+
+  test("globalExact on an empty frame yields NaN per fraction") {
+    val got = Percentiles.globalExact(grouped.filter(lit(false)), "v",
+      Seq(0.5, 0.9))
+    assert(got.length === 2 && got.forall(_.isNaN))
+  }
+}

@@ -843,6 +843,62 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("hourly rate counts stream: watermark-flushed hours reproduce " +
+      "the batch q109 anomaly table exactly") {
+    import SparkTestBase.session.implicits._
+    import graft.streaming.EventStreams
+    val sf = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val cut = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    val maxTs = ev.agg(max(col("ts_us"))).head.getLong(0)
+    val dir = Files.createTempDirectory("graft_rates").toString
+    ev.filter(col("ts_us") <= cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b1")
+    ev.filter(col("ts_us") > cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b2")
+    // flush sentinel: one event 4 h past the stream end pushes the
+    // watermark (2 h delay) beyond every real hour's close, so every
+    // real hour emits; the sentinel's OWN hour never closes and is
+    // never emitted — no filtering needed (asserted below)
+    Seq((-1L, -1L, "sentinel", maxTs + 4L * 3600000000L))
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/b3")
+    val src = spark.readStream.schema(EventStreams.eventStreamSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$dir/*")
+      .withColumn("eventTime", timestamp_micros(col("ts_us")))
+    val q = EventStreams.hourlyRates(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hourly_rates")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val hourly = spark.table("hourly_rates")
+    assert(hourly.filter(col("hour") >
+      timestamp_micros(lit(maxTs))).count() === 0)
+    // the z-scoring half is corpus-relative, so it runs at rest over
+    // the #hours-bounded emitted counts — the identical q109 expression
+    val stats = hourly.agg(count(lit(1)).as("h"),
+      sum(col("n")).as("s1"),
+      sum(col("n").cast("decimal(19,0)") * col("n")).as("s2"))
+    val streamedTop = hourly.crossJoin(broadcast(stats))
+      .withColumn("mean", col("s1").cast("double") / col("h"))
+      .withColumn("sd", sqrt(col("s2").cast("double") / col("h") -
+        col("mean") * col("mean")))
+      .withColumn("z",
+        round((col("n").cast("double") - col("mean")) / col("sd"), 4))
+      .orderBy(abs(col("z")).desc, col("hour"))
+      .limit(10)
+      .select(col("hour"), col("n"), col("z"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batchTop = SparkEntry.queries("q109_rate_anomalies")(spark, sf)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamedTop === batchTop && batchTop.nonEmpty)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
