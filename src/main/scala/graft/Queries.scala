@@ -2082,10 +2082,10 @@ object Queries {
     * endpoints in each other's top-5 (hub kill), connected components
     * label the groups, singletons keep their own id. Candidates are the
     * exact kNN here (the oracle-able baseline — the DuckDB oracle
-    * re-derives the same graph brute-force + recursive CTE); at corpus
-    * scale call [[Similarity.mutualKnnClustersFromCandidates]] with
-    * [[Similarity.ivfTopKFromIndex]] output (same contract; the
-    * IVF-candidates ≡ brute-force spec pins the equivalence). Past
+    * re-derives the same graph brute-force + recursive CTE); the corpus
+    * scale path — [[Similarity.mutualKnnClustersFromCandidates]] fed by
+    * [[Similarity.ivfTopKFromIndex]] — is the t50 driver entry (full
+    * probe ≡ brute force, so it hashes against this same oracle). Past
     * candidates everything runs on the ≤ k·n two-id edge list. */
   private def q117(s: SparkSession, dir: String): DataFrame =
     Similarity.mutualKnnClusters(emb(s, dir), "vec_id", "embedding", k = 5)
@@ -3074,6 +3074,100 @@ object Queries {
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
       |  FROM embeddings)""".stripMargin
 
+  /** Unrolled Lloyd-iteration CTE chain over a normalized-vector CTE
+    * `v(vec_id, nv)` — the shared machinery behind the trained-clustering
+    * oracle graduations (t08/t09/t25/t26): `c0` = the first `k` vectors
+    * by id (the trainer's first-k init), then `iters` assign/mean/
+    * normalize steps named `c1..c<iters>`. Assignment argmax breaks ties
+    * toward the LOWEST cent_id (the engine's struct-argmax rule);
+    * element-wise means use the q90 unnest-zip; empty cells keep their
+    * previous centroid; means re-normalize to the unit sphere.
+    *
+    * PRECONDITION (holds at every oracle SF): corpus ≤ 2048 vectors, so
+    * `trainCentroids`' deterministic sample (stride 1, limit 2048) IS
+    * the corpus ordered by id, and its driver-side iterations share
+    * `refineCentroids`' update rule exactly — trainer and refine steps
+    * unroll as one chain. Iteration CTEs are MATERIALIZED (the t28/t37
+    * inlining-explosion lesson). Double-sum association order differs
+    * between engines — callers absorb the ~1e-12 drift in their output
+    * rounding (the t28 precedent). */
+  private def lloydCtes(k: Int, iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      s""",
+         | a$i AS (SELECT v.vec_id, v.nv, c.cent_id,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.nv, c.nv) DESC, c.cent_id)
+         |      AS rn
+         |  FROM v, $prev c),
+         | e$i AS (SELECT cent_id,
+         |    unnest(generate_series(1, len(nv))) AS pos,
+         |    unnest(nv) AS x
+         |  FROM a$i WHERE rn = 1),
+         | m$i AS (SELECT cent_id, list(m ORDER BY pos) AS mv FROM (
+         |    SELECT cent_id, pos, avg(x) AS m FROM e$i GROUP BY 1, 2)
+         |  GROUP BY 1),
+         | c$i AS MATERIALIZED (SELECT c.cent_id,
+         |    CASE WHEN m.cent_id IS NULL
+         |        OR sqrt(list_dot_product(m.mv, m.mv)) = 0 THEN c.nv
+         |      ELSE list_transform(m.mv, x ->
+         |        x / sqrt(list_dot_product(m.mv, m.mv))) END AS nv
+         |  FROM $prev c LEFT JOIN m$i m USING (cent_id))""".stripMargin
+    }.mkString
+    s""" c0 AS MATERIALIZED (SELECT
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |      AS cent_id, nv
+       |  FROM v ORDER BY vec_id LIMIT $k)$steps""".stripMargin
+  }
+
+  /** Unrolled PQ codebook training + encoding over `v(vec_id, nv)` — the
+    * [[lloydCtes]] companion for the PQ oracle graduations (t10/t11/t12).
+    * Joint-subspace formulation: `sub(vec_id, mi, sv)` slices every
+    * vector into `m` `dsub`-wide subvectors, `p0` = the first-`k` init
+    * per subspace, then `iters` plain-L2 Lloyd steps (the trainer's
+    * Σ(x−c)² form, strict-< argmin → lowest cent_id, mean update WITHOUT
+    * normalization, empty cells keep their centroid) as `p1..p<iters>`,
+    * and `enc(vec_id, mi, code)` re-derives PqEncode's EXPANDED
+    * ‖c‖²−2x·c argmin — both kernels' left-assoc ascending-j arithmetic
+    * reproduced term by term. Same ≤2048-vector precondition and
+    * double-sum drift caveat as [[lloydCtes]]. */
+  private def pqCtes(m: Int, k: Int, dsub: Int, iters: Int): String = {
+    def d2(a: String, b: String): String =
+      (1 to dsub).map(j => s"($a[$j] - $b[$j]) * ($a[$j] - $b[$j])")
+        .mkString(" + ")
+    val cn2 = (1 to dsub).map(j => s"p.cv[$j] * p.cv[$j]").mkString(" + ")
+    val twoXC = (1 to dsub).map(j => s" - 2 * s.sv[$j] * p.cv[$j]").mkString
+    val meanList = (1 to dsub).map(j => s"avg(sv[$j])")
+      .mkString("list_value(", ", ", ")")
+    val slice = (1 to dsub).map(j => s"v.nv[g.mi * $dsub + $j]")
+      .mkString("list_value(", ", ", ")")
+    val steps = (1 to iters).map { i =>
+      val prev = s"p${i - 1}"
+      s""",
+         | pa$i AS (SELECT s.vec_id, s.mi, s.sv, p.cent_id,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.mi
+         |      ORDER BY ${d2("s.sv", "p.cv")} ASC, p.cent_id) AS rn
+         |  FROM sub s JOIN $prev p USING (mi)),
+         | pm$i AS (SELECT mi, cent_id, $meanList AS mv
+         |  FROM pa$i WHERE rn = 1 GROUP BY 1, 2),
+         | p$i AS MATERIALIZED (SELECT p.mi, p.cent_id,
+         |    CASE WHEN m.cent_id IS NULL THEN p.cv ELSE m.mv END AS cv
+         |  FROM $prev p LEFT JOIN pm$i m ON p.mi = m.mi
+         |    AND p.cent_id = m.cent_id)""".stripMargin
+    }.mkString
+    s""" sub AS MATERIALIZED (SELECT v.vec_id, g.mi, $slice AS sv
+       |  FROM v, (SELECT unnest(generate_series(0, ${m - 1})) AS mi) g),
+       | p0 AS MATERIALIZED (SELECT mi, cent_id, sv AS cv FROM (
+       |    SELECT mi, sv, CAST(row_number() OVER (PARTITION BY mi
+       |      ORDER BY vec_id) - 1 AS BIGINT) AS cent_id
+       |    FROM sub) WHERE cent_id < $k)$steps,
+       | enc AS MATERIALIZED (SELECT vec_id, mi, cent_id AS code FROM (
+       |    SELECT s.vec_id, s.mi, p.cent_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.mi
+       |        ORDER BY ($cn2)$twoXC ASC, p.cent_id) AS rn
+       |    FROM sub s JOIN p$iters p USING (mi)) WHERE rn = 1)""".stripMargin
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -3226,7 +3320,11 @@ object Queries {
         maxDist = 1)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("doc_a"), col("doc_b"))),
-    // --- approximate / sketch / stubbed ops (rows-only driver check) ------
+    // --- trained / approximate / sketch ops ------------------------------
+    // (the trained-clustering family graduated to full DuckDB oracles in
+    // r11 via the lloydCtes/pqCtes unrolls — t08-t12, t15, t16, t25,
+    // t26, t32; the sketch/automaton/trainer-loop entries stay rows-only
+    // by design)
     "t08_similarity_ivf" -> ((s: SparkSession, dir: String) => {
       // serve path: probe the once-built session-cached index — the r2
       // entry retrained centroids + re-assigned every cell per rep, timing
@@ -3435,9 +3533,9 @@ object Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
     // SemDeDup (cluster-bucketed embedding near-dup): k-means cells bound
-    // the candidate pairs, assignment is a map-only literal argmax (no
-    // oracle: the trained clustering is not ANSI-expressible; correctness
-    // is pinned by the nCentroids=1 ≡ brute-force and planted-twin specs)
+    // the candidate pairs, assignment is a map-only literal argmax.
+    // Fully oracled (r11, lloydCtes unroll); also pinned by the
+    // nCentroids=1 ≡ brute-force and planted-twin specs.
     "t15_semantic_dedup" -> ((s: SparkSession, dir: String) => {
       Similarity.semanticNearDupPairs(emb(s, dir), "vec_id", "embedding",
         threshold = 0.35, nCentroids = 16)
@@ -3448,8 +3546,8 @@ object Queries {
     // assignment scan + one Summarizer partial-agg (partitions×k vector
     // sums on the wire, never rows). Output: per-cell size, mean
     // centroid similarity, and cosine(initial, refined) per centroid.
-    // No oracle (trained clustering is not ANSI-expressible);
-    // correctness pinned by the planted-cluster recovery, objective
+    // Fully oracled (r11, lloydCtes unroll: init = c4, refined = c7);
+    // also pinned by the planted-cluster recovery, objective
     // monotonicity, and partition-invariance specs.
     "t25_kmeans_refine" -> ((s: SparkSession, dir: String) => {
       val e = emb(s, dir)
@@ -3534,8 +3632,9 @@ object Queries {
             .as("dup_rate"))
         .orderBy(col("source"))
     }),
-    // cluster-balanced subsample (no oracle: the trained clustering is
-    // not ANSI-expressible; determinism + balance pinned by spec tests)
+    // cluster-balanced subsample — fully oracled (r11): the hash60 pick
+    // order is engine-portable, so the oracle checks EXACT membership;
+    // determinism + balance also pinned by spec tests
     "t16_cluster_sample" -> ((s: SparkSession, dir: String) => {
       Similarity.clusterBalancedSample(emb(s, dir), "vec_id", "embedding",
         nClusters = 8, perCluster = 16)
@@ -4319,46 +4418,16 @@ object Queries {
          |$sel
          |ORDER BY sel_rank""".stripMargin
     },
-    // Embedding-outlier oracle: the full t26 pipeline re-derived in SQL.
-    // Precondition (holds at every oracle SF): corpus ≤ 2048 vectors, so
-    // trainCentroids' deterministic sample (stride 1, limit 2048) is the
-    // corpus ordered by vec_id and its 4 driver-side iterations share
-    // refineCentroids' update rule exactly — 6 unrolled Lloyd steps:
-    // assign (argmax dot, ties → lowest cent_id), per-cell element-wise
-    // mean (the q90 unnest-zip), re-normalize, empty cells keep their
-    // centroid. MATERIALIZED for the t28/t37 inlining-explosion reason.
-    // Means/stddevs are double sums, so association order differs
-    // between engines — absorbed by the 6/4-decimal output rounding
-    // (the t28 precedent), and the top-20 z cut sits far from any
-    // boundary (rank-20 margin ≫ the ~1e-12 drift).
-    "t26_embed_outliers" -> {
-      val iters = (1 to 6).map { i =>
-        val prev = s"c${i - 1}"
-        s""",
-           | a$i AS (SELECT v.vec_id, v.nv, c.cent_id,
-           |    row_number() OVER (PARTITION BY v.vec_id
-           |      ORDER BY list_dot_product(v.nv, c.nv) DESC, c.cent_id)
-           |      AS rn
-           |  FROM v, $prev c),
-           | e$i AS (SELECT cent_id,
-           |    unnest(generate_series(1, len(nv))) AS pos,
-           |    unnest(nv) AS x
-           |  FROM a$i WHERE rn = 1),
-           | m$i AS (SELECT cent_id, list(m ORDER BY pos) AS mv FROM (
-           |    SELECT cent_id, pos, avg(x) AS m FROM e$i GROUP BY 1, 2)
-           |  GROUP BY 1),
-           | c$i AS MATERIALIZED (SELECT c.cent_id,
-           |    CASE WHEN m.cent_id IS NULL
-           |        OR sqrt(list_dot_product(m.mv, m.mv)) = 0 THEN c.nv
-           |      ELSE list_transform(m.mv, x ->
-           |        x / sqrt(list_dot_product(m.mv, m.mv))) END AS nv
-           |  FROM $prev c LEFT JOIN m$i m USING (cent_id))""".stripMargin
-      }.mkString
+    // Embedding-outlier oracle: the full t26 pipeline re-derived in SQL
+    // over the [[lloydCtes]] unroll (8 centroids, 4 trainer + 2 refine
+    // steps — one shared update rule). Means/stddevs are double sums, so
+    // association order differs between engines — absorbed by the
+    // 6/4-decimal output rounding (the t28 precedent), and the top-20 z
+    // cut sits far from any boundary (rank-20 margin ≫ the ~1e-12
+    // drift).
+    "t26_embed_outliers" ->
       s"""WITH v AS MATERIALIZED ($normVecSql),
-         | c0 AS MATERIALIZED (SELECT
-         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
-         |      AS cent_id, nv
-         |  FROM v ORDER BY vec_id LIMIT 8)$iters,
+         |${lloydCtes(8, 6)},
          | asg AS (SELECT v.vec_id, c.cent_id AS cell,
          |    list_dot_product(v.nv, c.nv) AS cent_sim,
          |    row_number() OVER (PARTITION BY v.vec_id
@@ -4374,8 +4443,231 @@ object Queries {
          |  FROM fa JOIN st USING (cell))
          |SELECT vec_id, CAST(cell AS BIGINT) AS cell,
          |  round(cent_sim, 6) AS cent_sim, round(z, 4) AS z
-         |FROM zz ORDER BY z DESC, vec_id LIMIT 20""".stripMargin
+         |FROM zz ORDER BY z DESC, vec_id LIMIT 20""".stripMargin,
+    // k-means refine oracle (graduated r11): init = the trainer's 4
+    // Lloyd steps (c4), refined = 3 more full-corpus steps (c7 — same
+    // update rule at oracle scale, see lloydCtes); per-cell occupancy +
+    // mean own-centroid similarity + init→refined centroid drift.
+    "t25_kmeans_refine" ->
+      s"""WITH v AS MATERIALIZED ($normVecSql),
+         |${lloydCtes(8, 7)},
+         | shift AS (SELECT i.cent_id,
+         |    round(list_dot_product(i.nv, r.nv), 4) AS init_sim
+         |  FROM c4 i JOIN c7 r USING (cent_id)),
+         | asg AS (SELECT v.vec_id, c.cent_id AS cell,
+         |    list_dot_product(v.nv, c.nv) AS cent_sim,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.nv, c.nv) DESC, c.cent_id)
+         |      AS rn
+         |  FROM v, c7 c),
+         | st AS (SELECT cell, count(*) AS n,
+         |    round(avg(cent_sim), 4) AS mean_sim
+         |  FROM asg WHERE rn = 1 GROUP BY 1)
+         |SELECT st.cell, st.n, st.mean_sim, shift.init_sim
+         |FROM st JOIN shift ON st.cell = shift.cent_id
+         |ORDER BY st.cell""".stripMargin,
+    // IVF serve oracle (graduated r11): the session-cached index is
+    // buildIvfIndex defaults — 16 centroids, 4 trainer steps, no refine
+    // (c4) — probed by the vec_id<10 queries at nProbe=2: per query the
+    // 2 best cells (ties → lowest cent_id), candidates = corpus rows in
+    // those cells, exact top-3 by (rounded cosine, neighbor_id).
+    "t08_similarity_ivf" ->
+      s"""WITH v AS MATERIALIZED ($normVecSql),
+         |${lloydCtes(16, 4)},
+         | corp AS (SELECT v.vec_id, v.nv, c.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.nv, c.nv) DESC, c.cent_id)
+         |      AS rn
+         |  FROM v, c4 c),
+         | asgn AS (SELECT vec_id, nv, cell FROM corp WHERE rn = 1),
+         | q AS (SELECT vec_id AS query_id, nv AS qv, cell
+         |  FROM corp WHERE vec_id < 10 AND rn <= 2),
+         | sc AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    round(list_dot_product(q.qv, a.nv), 6) AS cos_sim
+         |  FROM q JOIN asgn a USING (cell)
+         |  WHERE q.query_id <> a.vec_id),
+         | rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS "rank" FROM sc)
+         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id,
+         |  cos_sim
+         |FROM rk WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin,
+    // Text-ANN oracle (graduated r11): the q113 hashed-embedding
+    // machinery densified to 64-dim vectors (zero-safe normalization —
+    // an empty doc keeps its zero vector, as l2Normalize does), then the
+    // 8-centroid Lloyd unroll and the nProbe=3 probe — the whole
+    // self-contained text ANN re-derived in SQL.
+    "t32_text_ann" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tk
+         |  FROM documents),
+         | hx AS (SELECT doc_id, ${H.format("tk")} AS h FROM tok),
+         | vv AS (SELECT doc_id, CAST(h % 64 AS INT) AS dim,
+         |    CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)
+         |      AS DOUBLE) AS x
+         |  FROM hx GROUP BY 1, 2),
+         | dims AS (SELECT d.doc_id, g.dim
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d,
+         |    (SELECT unnest(generate_series(0, 63)) AS dim) g),
+         | vec AS (SELECT dims.doc_id,
+         |    list(coalesce(vv.x, 0.0) ORDER BY dims.dim) AS ve
+         |  FROM dims LEFT JOIN vv USING (doc_id, dim) GROUP BY 1),
+         | v AS MATERIALIZED (SELECT vec_id,
+         |    CASE WHEN nrm = 0 THEN ve
+         |      ELSE list_transform(ve, x -> x / nrm) END AS nv
+         |  FROM (SELECT doc_id AS vec_id, ve,
+         |    sqrt(list_dot_product(ve, ve)) AS nrm FROM vec)),
+         |${lloydCtes(8, 4)},
+         | corp AS (SELECT v.vec_id, v.nv, c.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.nv, c.nv) DESC, c.cent_id)
+         |      AS rn
+         |  FROM v, c4 c),
+         | asgn AS (SELECT vec_id, nv, cell FROM corp WHERE rn = 1),
+         | q AS (SELECT vec_id AS query_id, nv AS qv, cell
+         |  FROM corp WHERE vec_id < 5 AND rn <= 3),
+         | sc AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    round(list_dot_product(q.qv, a.nv), 6) AS cos_sim
+         |  FROM q JOIN asgn a USING (cell)
+         |  WHERE q.query_id <> a.vec_id),
+         | rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS "rank" FROM sc)
+         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id,
+         |  cos_sim
+         |FROM rk WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin,
+    // PQ build oracle (graduated r11): the pqCtes trainer + PqEncode
+    // re-derivation, reported as the subspace-0 code histogram (the
+    // entry's deterministic build digest).
+    "t11_pq_build" ->
+      s"""WITH v AS MATERIALIZED ($normVecSql),
+         |${pqCtes(16, 16, 4, 4)}
+         |SELECT CAST(code AS INT) AS code0, count(*) AS n_vecs
+         |FROM enc WHERE mi = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // PQ serve oracle (graduated r11): LUT = per-(query, subspace, cent)
+    // dot; ADC = Σ_mi lut[code]; top-32 ADC candidates rerank by exact
+    // rounded cosine — PqLut/PqAdc and the rerank window re-derived.
+    "t10_pq_topk" -> {
+      val dot = (1 to 4).map(j => s"s.sv[$j] * p.cv[$j]").mkString(" + ")
+      s"""WITH v AS MATERIALIZED ($normVecSql),
+         |${pqCtes(16, 16, 4, 4)},
+         | lut AS (SELECT s.vec_id AS query_id, s.mi, p.cent_id,
+         |    $dot AS lv
+         |  FROM sub s JOIN p4 p USING (mi) WHERE s.vec_id < 10),
+         | adc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+         |    sum(l.lv) AS adc
+         |  FROM enc e JOIN lut l ON e.mi = l.mi AND e.code = l.cent_id
+         |  WHERE e.vec_id <> l.query_id
+         |  GROUP BY 1, 2),
+         | cand AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS ar
+         |  FROM adc),
+         | rr AS (SELECT c.query_id, c.neighbor_id,
+         |    round(list_dot_product(qv.nv, nb.nv), 6) AS cos_sim
+         |  FROM cand c JOIN v qv ON qv.vec_id = c.query_id
+         |    JOIN v nb ON nb.vec_id = c.neighbor_id
+         |  WHERE c.ar <= 32),
+         | rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS "rank" FROM rr)
+         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id,
+         |  cos_sim
+         |FROM rk WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin
     },
+    // IVF+PQ serve oracle (graduated r11): coarse cells from the
+    // 16-centroid lloydCtes unroll (nProbe=4 per query), PQ codes from
+    // pqCtes, ADC top-128 within the probed cells, exact rerank — the
+    // full composed index re-derived.
+    "t12_ivfpq_topk" -> {
+      val dot = (1 to 4).map(j => s"s.sv[$j] * p.cv[$j]").mkString(" + ")
+      s"""WITH v AS MATERIALIZED ($normVecSql),
+         |${lloydCtes(16, 4)},
+         |${pqCtes(16, 16, 4, 4)},
+         | corp AS (SELECT v.vec_id, c.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.nv, c.nv) DESC, c.cent_id)
+         |      AS rn
+         |  FROM v, c4 c),
+         | asgn AS (SELECT vec_id, cell FROM corp WHERE rn = 1),
+         | qc AS (SELECT vec_id AS query_id, cell
+         |  FROM corp WHERE vec_id < 10 AND rn <= 4),
+         | lut AS (SELECT s.vec_id AS query_id, s.mi, p.cent_id,
+         |    $dot AS lv
+         |  FROM sub s JOIN p4 p USING (mi) WHERE s.vec_id < 10),
+         | pool AS (SELECT qc.query_id, a.vec_id AS neighbor_id
+         |  FROM qc JOIN asgn a USING (cell)
+         |  WHERE qc.query_id <> a.vec_id),
+         | adc AS (SELECT po.query_id, po.neighbor_id, sum(l.lv) AS adc
+         |  FROM pool po
+         |  JOIN enc e ON e.vec_id = po.neighbor_id
+         |  JOIN lut l ON l.query_id = po.query_id AND l.mi = e.mi
+         |    AND l.cent_id = e.code
+         |  GROUP BY 1, 2),
+         | cand AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS ar
+         |  FROM adc),
+         | rr AS (SELECT c.query_id, c.neighbor_id,
+         |    round(list_dot_product(qv.nv, nb.nv), 6) AS cos_sim
+         |  FROM cand c JOIN v qv ON qv.vec_id = c.query_id
+         |    JOIN v nb ON nb.vec_id = c.neighbor_id
+         |  WHERE c.ar <= 128),
+         | rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS "rank" FROM rr)
+         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id,
+         |  cos_sim
+         |FROM rk WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin
+    },
+    // SemDeDup oracle (graduated r11): 16-centroid unroll, keep-1
+    // assignment, within-cell pairs at cosine ≥ 0.35 — the oracle
+    // re-derives cell membership, so it checks the clustering AND the
+    // pair scan (the hot-cell salting path changes the PLAN only).
+    "t15_semantic_dedup" ->
+      s"""WITH v AS MATERIALIZED ($normVecSql),
+         |${lloydCtes(16, 4)},
+         | corp AS (SELECT v.vec_id, v.nv, c.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.nv, c.nv) DESC, c.cent_id)
+         |      AS rn
+         |  FROM v, c4 c),
+         | asgn AS (SELECT vec_id, nv, cell FROM corp WHERE rn = 1),
+         | pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
+         |    round(list_dot_product(a.nv, b.nv), 6) AS cos_sim
+         |  FROM asgn a JOIN asgn b USING (cell)
+         |  WHERE a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, CAST(cell AS BIGINT) AS cell, cos_sim
+         |FROM pr WHERE cos_sim >= 0.35
+         |ORDER BY cos_sim DESC, vec_a, vec_b""".stripMargin,
+    // Cluster-balanced sample oracle (graduated r11): 8-centroid unroll,
+    // keep-1 assignment, per-cell top-16 in salted-hash60 order — the
+    // EXACT sample membership and pick ranks, not just counts.
+    "t16_cluster_sample" ->
+      s"""WITH v AS MATERIALIZED ($normVecSql),
+         |${lloydCtes(8, 4)},
+         | corp AS (SELECT v.vec_id, c.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.nv, c.nv) DESC, c.cent_id)
+         |      AS rn
+         |  FROM v, c4 c),
+         | pk AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY ${H.format("'cbs1' || CAST(vec_id AS VARCHAR)")},
+         |        vec_id) AS pick
+         |  FROM corp WHERE rn = 1)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cluster,
+         |  CAST(pick AS BIGINT) AS pick
+         |FROM pk WHERE pick <= 16 ORDER BY cluster, pick""".stripMargin,
+    // IVF build oracle (graduated r11): same 16-centroid unroll, keep-1
+    // assignment, per-cell occupancy.
+    "t09_ivf_build" ->
+      s"""WITH v AS MATERIALIZED ($normVecSql),
+         |${lloydCtes(16, 4)},
+         | corp AS (SELECT v.vec_id, c.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.nv, c.nv) DESC, c.cent_id)
+         |      AS rn
+         |  FROM v, c4 c)
+         |SELECT cell, count(*) AS n_vecs FROM corp WHERE rn = 1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q27_embed_topk" ->
       s"""WITH v AS ($normVecSql),
          | q AS (SELECT * FROM v WHERE vec_id < 10),

@@ -264,17 +264,22 @@ object Similarity {
     * sample. Assignment is the map-only broadcast argmax; the pick is a
     * per-cluster window top-k, so state is bounded by `perCluster` per
     * cluster at any corpus size, and the hash order makes the sample
-    * content-deterministic (re-runs and re-partitions agree). */
+    * content-deterministic (re-runs and re-partitions agree). The pick
+    * hash is the engine-portable salted md5 `hash60` — the same
+    * convention as [[graft.operators.Curation.shardAssign]] and
+    * `stratifiedTakeK`, so independent engines (the DuckDB oracle)
+    * reproduce the exact sample, not just its per-cluster counts. */
   def clusterBalancedSample(corpus: DataFrame, idCol: String,
-      vecCol: String, nClusters: Int = 8, perCluster: Int = 16)
-      : DataFrame = {
+      vecCol: String, nClusters: Int = 8, perCluster: Int = 16,
+      salt: String = "cbs1"): DataFrame = {
     val cents = trainCentroids(corpus, idCol, vecCol, nClusters)
     val assigned = assignCells(
       corpus.select(col(idCol).as("sid"),
         l2Normalize(col(vecCol)).as("cv")),
       cents, "sid", "cv", keep = 1)
     val w = Window.partitionBy(col("cell"))
-      .orderBy(xxhash64(col("sid")), col("sid"))
+      .orderBy(graft.functions.TextFunctions.hash60(
+        concat(lit(salt), col("sid").cast("string"))), col("sid"))
     assigned
       .withColumn("pick", row_number().over(w))
       .filter(col("pick") <= perCluster)
