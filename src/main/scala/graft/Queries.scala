@@ -2134,7 +2134,8 @@ object Queries {
     * triggers and bot-cadence detection. The exact `percentile()`
     * buffer here is group-size-unbounded — a deliberate oracle-simple
     * baseline; the 100-TB path is the bounded twin t47 (same oracle,
-    * spilling window rank). */
+    * spilling window rank), and the live path is
+    * [[graft.streaming.EventStreams.interEventGaps]] (parity spec). */
   private def q119(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))

@@ -239,6 +239,60 @@ object EventStreams {
       }
   }
 
+  /** One emitted same-type inter-arrival gap (exact integer µs). */
+  case class Gap(user_id: Long, event_type: String, gap_us: Long,
+      ts_us: Long)
+
+  /** Streaming same-type inter-arrival gaps — the stateful half of
+    * q119's cadence profile (and t47's bounded-percentile twin): for
+    * each (user, event_type), the µs gap between consecutive events,
+    * emitted exactly once when the later event arrives. State per
+    * (user, type) is ONE [[UserLast]] record, evicted after `idleMs`
+    * of event-time inactivity — memory is bounded by (active user ×
+    * type pairs within the idle horizon), not stream length. The
+    * per-type med/p90 summary is corpus-relative, so it runs at rest
+    * over the emitted gaps (the parity spec reproduces the batch q119
+    * table exactly); a live cadence monitor feeds the gaps into a
+    * per-type quantile sketch instead. Same cross-batch contract as
+    * [[transitionPairs]]: micro-batches sort by (ts, event_id), an
+    * in-watermark straggler older than the stored last event chains
+    * FORWARD from it (batch q119 over the at-rest table is the exact
+    * backstop). */
+  def interEventGaps(events: DataFrame, watermark: String = "10 minutes",
+      idleMs: Long = 3600000L): Dataset[Gap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timed = events
+      .withWatermark("eventTime", watermark)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("ts_us").cast("long"), col("eventTime"))
+      .as[EventRec]
+    timed.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[UserLast, Gap](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), it: Iterator[EventRec],
+            state: GroupState[UserLast]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val out = Seq.newBuilder[Gap]
+            var last = state.getOption
+            sorted.foreach { e =>
+              last.foreach(l =>
+                out += Gap(key._1, key._2, e.ts_us - l.tsUs, e.ts_us))
+              last = Some(UserLast(e.ts_us, e.event_id, e.event_type))
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp(math.max(
+                l.tsUs / 1000L + idleMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming hourly event-rate counts — the stateful half of q109's
     * rate-anomaly monitor: a watermarked windowed count per event-time
     * hour, Append mode, so each hour emits EXACTLY once when the

@@ -275,6 +275,32 @@ object ExplainCheck {
       !"Exchange hashpartitioning\\([^)]*\\bbytes#".r.findFirstIn(p)
         .isDefined && !p.contains("CartesianProduct")
     })
+    // bounded-percentile twin: the spilling window pass must add NO
+    // exchange beyond the two windows' own (per-user lag on
+    // (user_id, event_type); rank/count on (event_type)) — the slot
+    // aggregation reuses the rank window's partitioning, because a third
+    // exchange would mean the bounded form pays an extra corpus shuffle
+    // over the exact aggregate it replaces
+    locally {
+      val p = plan("t47_interevent_gaps_b")
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      check(s"t47 bounded percentiles add no extra exchange (got $n: " +
+        "lag window + rank window, agg reuses)",
+        n == 2 && p.contains("Window"))
+    }
+    // the t46 twin runs on the fixture spans: same property, service-
+    // keyed — one hash exchange feeds both the window and the final agg
+    locally {
+      val p = plan("t46_service_latency_b")
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      check(s"t46 bounded percentiles reuse the service partitioning " +
+        s"(got $n hash exchanges)", n <= 2 && p.contains("Window"))
+    }
+    // IVF mutual-kNN: candidate generation must be the cell EQUI-join
+    // (training/probe literals fold at build time), never an all-pairs
+    // scan — and the mutual filter a semi-join, not a product
+    check("t50 IVF mutual-kNN plans no cartesian product",
+      !plan("t50_knn_clusters_ivf").contains("CartesianProduct"))
     println("all plan assertions hold")
     spark.stop()
   }

@@ -899,6 +899,53 @@ class StreamingSpec extends SparkTestBase {
     assert(streamedTop === batchTop && batchTop.nonEmpty)
   }
 
+  test("inter-event gap stream: per-(user,type) chained gaps across " +
+      "micro-batches reproduce the batch q119 cadence table exactly") {
+    import SparkTestBase.session.implicits._
+    import graft.streaming.EventStreams
+    val sf = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val cut = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    val dir = Files.createTempDirectory("graft_gaps").toString
+    ev.filter(col("ts_us") <= cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b1")
+    ev.filter(col("ts_us") > cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b2")
+    val src = spark.readStream.schema(EventStreams.eventStreamSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$dir/*")
+      .withColumn("eventTime", timestamp_micros(col("ts_us")))
+    val q = EventStreams.interEventGaps(src).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gap_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // the med/p90 summary is corpus-relative → at rest over the gaps,
+    // the identical q119 aggregation expression
+    val streamed = spark.table("gap_stream")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)"), 4).as("med_gap_us"),
+        round(expr("percentile(gap_us, 0.9)"), 4).as("p90_gap_us"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("q119_interevent_gaps")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(streamed === batch && batch.nonEmpty)
+    // cross-batch chaining really happened for same-type pairs: some
+    // (user, type) keys have events on both sides of the split
+    val straddlers = ev.filter(col("ts_us") <= cut)
+      .select("user_id", "event_type")
+      .intersect(ev.filter(col("ts_us") > cut)
+        .select("user_id", "event_type")).count()
+    assert(straddlers > 0)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
