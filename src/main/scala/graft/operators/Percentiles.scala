@@ -121,10 +121,15 @@ object Percentiles {
     * one census job, one pick job over the materialized sort — three
     * narrow passes, every task spill-safe, driver state P counts. */
   def globalExact(df: DataFrame, valCol: String, ps: Seq[Double],
-      nParts: Int = 32): Seq[Double] = {
+      nParts: Int = 0): Seq[Double] = {
     require(ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentile fractions must be in [0, 1], got $ps")
-    val parts = math.max(1, nParts)
+    // nParts ≤ 0 → cluster width: a fixed constant would leave a
+    // 1000-executor cluster sorting 100 TB through 32 range partitions
+    // (spill-safe but serial); deriving from defaultParallelism keeps
+    // each sort slice ∝ data/cores at any deployment size
+    val parts = math.max(1, if (nParts > 0) nParts
+      else df.sparkSession.sparkContext.defaultParallelism)
     val sorted = df
       .select(col(valCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)

@@ -112,4 +112,21 @@ class PercentilesSpec extends SparkTestBase {
       Seq(0.5, 0.9))
     assert(got.length === 2 && got.forall(_.isNaN))
   }
+
+  test("null contract: caller-filtered groupedExact equals percentile() " +
+      "over the null-containing frame (percentile skips nulls)") {
+    val withNulls = grouped.select(col("g"),
+      when(col("v") % 2 === 0, col("v")).otherwise(lit(null)).as("v"))
+    val got = Percentiles.groupedExact(
+      withNulls.filter(col("v").isNotNull), Seq("g"), "v",
+      Seq(0.5 -> "med"), roundTo = -1)
+      .collect().map(r => r.getString(r.fieldIndex("g")) ->
+        r.getDouble(r.fieldIndex("med"))).toMap
+    val exp = withNulls.groupBy("g")
+      .agg(expr("percentile(v, 0.5)").as("med"))
+      .collect().filter(!_.isNullAt(1))
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === exp.keySet) // all-null groups drop on both sides
+    got.keySet.foreach(g => assert(bits(got(g)) === bits(exp(g)), g))
+  }
 }
