@@ -26,23 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.expressions.HashedEmbedding].getCanonicalName,
         "graft_hashed_embedding"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        // dims is a constructor Int, so it must be a foldable numeric —
-        // a column reference or string here would otherwise surface as
-        // an opaque ClassCastException/NPE from eval(null)
-        val dims = exprs(1) match {
-          case e if e.foldable => e.eval(null) match {
-            case n: Number => n.intValue
-            case other => throw new IllegalArgumentException(
-              "graft_hashed_embedding: dims (argument 2) must be an " +
-                s"integer literal, got ${if (other == null) "NULL" else other}")
-          }
-          case e => throw new IllegalArgumentException(
-            "graft_hashed_embedding: dims (argument 2) must be a " +
-              s"foldable integer literal, got expression ${e.sql}")
-        }
-        graft.expressions.HashedEmbedding(exprs(0), dims)
-      }))
+      // ONE validated builder shared with the per-session register()
+      // path: both reject a non-literal / fractional / out-of-range `d`
+      // with the same clear message instead of an opaque
+      // ClassCastException (or a silent 64.9 -> 64 truncation)
+      graft.expressions.HashedEmbedding.fromSql _))
     ext.injectFunction((
       FunctionIdentifier("graft_byte_entropy"),
       new ExpressionInfo(

@@ -2136,18 +2136,24 @@ object Queries {
     * baseline; the 100-TB path is the bounded twin t47 (same oracle,
     * spilling window rank), and the live path is
     * [[graft.streaming.EventStreams.interEventGaps]] (parity spec). */
-  private def q119(s: SparkSession, dir: String): DataFrame = {
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    interEventGapFrame(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)"), 4).as("med_gap_us"),
+        round(expr("percentile(gap_us, 0.9)"), 4).as("p90_gap_us"))
+      .orderBy(col("event_type"))
+
+  /** Same-type inter-arrival gap frame — the ONE derivation under q119
+    * and its bounded twin t47 (two percentile plans, one source of
+    * truth: an edit here reaches both or neither). */
+  private def interEventGapFrame(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
     events(s, dir)
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .filter(col("prev_us").isNotNull)
       .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_gaps"),
-        round(expr("percentile(gap_us, 0.5)"), 4).as("med_gap_us"),
-        round(expr("percentile(gap_us, 0.9)"), 4).as("p90_gap_us"))
-      .orderBy(col("event_type"))
   }
 
   /** Distinctive terms per source — log-odds ratio with an informative
@@ -2270,7 +2276,12 @@ object Queries {
       .orderBy(col("n_chars"), col("doc_id"))
     docs(s, dir)
       .select(col("source"), col("doc_id"), col("n_chars"))
-      .withColumn("i", row_number().over(w).cast("long"))
+      // running count, not row_number(): same positional rank, but
+      // LongType end to end — row_number is Int and wraps past 2^31
+      // docs in one source, the same scale the decimal cast below is
+      // guarding (the Percentiles.groupedExact lesson)
+      .withColumn("i", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sx"),
@@ -2426,18 +2437,23 @@ object Queries {
     * `percentile()` buffers every distinct gap in one task — deliberate
     * oracle-simple baseline; the 100-TB path is the bounded twin t49
     * (same oracle, distributed selection). */
-  private def q127(s: SparkSession, dir: String): DataFrame = {
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    converterFrame(s, dir)
+      .agg(count(lit(1)).as("n_converters"),
+        round(expr("percentile(conv_us, 0.5)"), 4).as("med_conv_us"),
+        round(expr("percentile(conv_us, 0.9)"), 4).as("p90_conv_us"))
+
+  /** Per-converter first-view → first-qualifying-purchase delay frame —
+    * the ONE derivation under q127 and its bounded twin t49. */
+  private def converterFrame(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
-    val conv = e.filter(col("event_type") === "purchase")
+    e.filter(col("event_type") === "purchase")
       .join(v, Seq("user_id")).filter(col("ts") > col("tv"))
       .groupBy(col("user_id"), col("tv")).agg(min(col("ts")).as("tp"))
       .withColumn("conv_us",
         unix_micros(col("tp")) - unix_micros(col("tv")))
-    conv.agg(count(lit(1)).as("n_converters"),
-      round(expr("percentile(conv_us, 0.5)"), 4).as("med_conv_us"),
-      round(expr("percentile(conv_us, 0.9)"), 4).as("p90_conv_us"))
   }
 
   // --- bounded-memory percentile twins (t46-t49) ---------------------------
@@ -2450,36 +2466,44 @@ object Queries {
   // PercentilesSpec. The baselines keep their aggregate form as the
   // oracle-simple reference; these are the plans a 100-TB SLO user runs.
 
-  /** Bounded twin of t33: per-service latency percentiles through the
-    * spilling window-rank form — same oracle, same output schema. */
-  private def t46(s: SparkSession): DataFrame = {
+  /** Fixture spans with the per-span error flag — the ONE derivation
+    * under t33 and its bounded twin t46. */
+  private def fixtureSpansWithErr(s: SparkSession): DataFrame = {
     FixtureOracle.ensure(s)
     val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
-    val sp = TraceFrame.spansFromJaegerFile(s, fx)
+    TraceFrame.spansFromJaegerFile(s, fx)
       .withColumn("is_err",
         when(col("tags").getItem("error").isNotNull, 1L).otherwise(0L))
-    graft.operators.Percentiles.groupedExact(sp, Seq("service"),
-      "duration",
+  }
+
+  /** Bounded twin of t33: per-service latency percentiles through the
+    * spilling window-rank form — same oracle, same output schema. */
+  private def t46(s: SparkSession): DataFrame =
+    graft.operators.Percentiles.groupedExact(fixtureSpansWithErr(s),
+      Seq("service"), "duration",
       Seq(0.5 -> "p50_us", 0.95 -> "p95_us", 0.99 -> "p99_us"),
       extras = Seq(count(lit(1)).as("n_spans"),
         sum(col("is_err")).as("n_err_spans")),
       roundTo = 4)
       .orderBy(col("service"))
-  }
 
   /** Bounded twin of q119: per-type inter-arrival cadence through the
-    * spilling window-rank form — same oracle, same output schema. */
-  private def t47(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-    val gaps = events(s, dir)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-      .filter(col("prev_us").isNotNull)
-      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
-    graft.operators.Percentiles.groupedExact(gaps, Seq("event_type"),
+    * spilling window-rank form — same oracle, same output schema,
+    * same [[interEventGapFrame]] derivation. */
+  private def t47(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Percentiles.groupedExact(interEventGapFrame(s, dir),
+      Seq("event_type"),
       "gap_us", Seq(0.5 -> "med_gap_us", 0.9 -> "p90_gap_us"),
       extras = Seq(count(lit(1)).as("n_gaps")), roundTo = 4)
       .orderBy(col("event_type"))
+
+  /** Fixture (service, operation, duration) projection — the ONE
+    * derivation under t36 and its bounded twin t48. */
+  private def fixtureOpDurations(s: SparkSession): DataFrame = {
+    FixtureOracle.ensure(s)
+    val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
+    TraceFrame.spansFromJaegerFile(s, fx)
+      .select(col("service"), col("operationName"), col("duration"))
   }
 
   /** Bounded twin of t36: median/MAD latency anomalies with BOTH
@@ -2488,10 +2512,7 @@ object Queries {
     * MAD derives from the bit-identical median — same oracle, same
     * output schema. */
   private def t48(s: SparkSession): DataFrame = {
-    FixtureOracle.ensure(s)
-    val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
-    val sp = TraceFrame.spansFromJaegerFile(s, fx)
-      .select(col("service"), col("operationName"), col("duration"))
+    val sp = fixtureOpDurations(s)
     val keys = Seq("service", "operationName")
     val med = graft.operators.Percentiles.groupedExact(sp, keys,
       "duration", Seq(0.5 -> "med"), roundTo = -1)
@@ -2520,24 +2541,18 @@ object Queries {
     * one-row output. The converter frame is checkpointed once for its
     * two consumers (count + selection) and released after. */
   private def t49(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir)
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
-    val conv = e.filter(col("event_type") === "purchase")
-      .join(v, Seq("user_id")).filter(col("ts") > col("tv"))
-      .groupBy(col("user_id"), col("tv")).agg(min(col("ts")).as("tp"))
-      .select((unix_micros(col("tp")) - unix_micros(col("tv")))
-        .as("conv_us"))
-      .localCheckpoint()
+    val conv = converterFrame(s, dir).select(col("conv_us"))
+      // persist, not localCheckpoint: only a CacheManager-registered
+      // cache can actually be released in the finally (Dataset.unpersist
+      // cannot free RDD-level checkpoint blocks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = conv.count()
       val qs = graft.operators.Percentiles.globalExact(conv, "conv_us",
         Seq(0.5, 0.9))
       // HALF_UP to 4 — the Spark round() the exact baseline applies
       def r4(x: Double): Double =
-        if (x.isNaN) x
-        else BigDecimal(x).setScale(4,
-          BigDecimal.RoundingMode.HALF_UP).toDouble
+        graft.operators.Percentiles.roundHalfUp(x, 4)
       import s.implicits._
       Seq((n, r4(qs.head), r4(qs(1))))
         .toDF("n_converters", "med_conv_us", "p90_conv_us")
@@ -3091,7 +3106,13 @@ object Queries {
     * unroll as one chain. Iteration CTEs are MATERIALIZED (the t28/t37
     * inlining-explosion lesson). Double-sum association order differs
     * between engines — callers absorb the ~1e-12 drift in their output
-    * rounding (the t28 precedent). */
+    * rounding (the t28 precedent). The residual risk is DISCRETE
+    * decisions (argmax cell flips, ADC rank cuts) on near-exact ties:
+    * both engines are deterministic per dataset/partitioning (driver
+    * correctness always runs the same sf0.01 layout), and on the real
+    * data every such boundary gap is orders of magnitude above the
+    * drift — a future data regeneration landing a tie within ~1e-12
+    * would surface loudly as a hash mismatch, not silently. */
   private def lloydCtes(k: Int, iters: Int): String = {
     val steps = (1 to iters).map { i =>
       val prev = s"c${i - 1}"
@@ -3814,11 +3835,7 @@ object Queries {
     // buffer is group-size-unbounded — deliberate oracle-simple
     // baseline; the 100-TB path is the bounded twin t46 (same oracle).
     "t33_service_latency" -> ((s: SparkSession, _: String) => {
-      FixtureOracle.ensure(s)
-      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
-      TraceFrame.spansFromJaegerFile(s, fx)
-        .withColumn("is_err",
-          when(col("tags").getItem("error").isNotNull, 1L).otherwise(0L))
+      fixtureSpansWithErr(s)
         .groupBy(col("service"))
         .agg(count(lit(1)).as("n_spans"),
           round(expr("percentile(duration, 0.5)"), 4).as("p50_us"),
@@ -3925,10 +3942,7 @@ object Queries {
     // oracle-simple baseline; the 100-TB path is the bounded twin t48
     // (same oracle, both passes through the spilling window rank).
     "t36_op_anomalies" -> ((s: SparkSession, _: String) => {
-      FixtureOracle.ensure(s)
-      val fx = JaegerJsonSource.resourceToTempFile("/jaeger_fixture.json")
-      val sp = TraceFrame.spansFromJaegerFile(s, fx)
-        .select(col("service"), col("operationName"), col("duration"))
+      val sp = fixtureOpDurations(s)
       val med = sp.groupBy(col("service"), col("operationName"))
         .agg(expr("percentile(duration, 0.5)").as("med"))
       val stats = sp.join(med, Seq("service", "operationName"))

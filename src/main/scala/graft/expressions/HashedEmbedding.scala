@@ -101,11 +101,37 @@ object HashedEmbedding {
     new GenericArrayData(acc)
   }
 
+  /** The ONE validated SQL builder — shared by [[register]] and
+    * [[graft.GraftExtensions]] so both registration paths reject a bad
+    * `d` identically: it must be a FOLDABLE INTEGRAL literal that fits
+    * an Int (a fractional 64.9 must not silently truncate to 64; a
+    * long past Int.MaxValue must not wrap into a nonsense dimension). */
+  def fromSql(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : HashedEmbedding = {
+    def bad(what: String): Nothing = throw new IllegalArgumentException(
+      "graft_hashed_embedding: d (argument 2) must be an integer " +
+        s"literal that fits Int, got $what")
+    val dims = exprs(1) match {
+      case e if e.foldable => e.eval(null) match {
+        case null => bad("NULL")
+        case n: java.lang.Integer => n.intValue
+        case n: java.lang.Long =>
+          if (n.longValue == n.intValue.toLong) n.intValue
+          else bad(s"out-of-range $n")
+        case n: java.lang.Short => n.intValue
+        case n: java.lang.Byte => n.intValue
+        case other => bad(s"${other.getClass.getSimpleName} $other")
+      }
+      case e => bad(s"non-foldable expression ${e.sql}")
+    }
+    HashedEmbedding(exprs(0), dims)
+  }
+
   /** Register `graft_hashed_embedding(toks, d)` in the session's function
     * registry (idempotent). `d` must be a foldable integral literal
-    * (int or bigint both accepted). */
+    * (int or bigint both accepted) — validated by [[fromSql]]. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hashed_embedding", exprs => HashedEmbedding(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue), "built-in")
+      "graft_hashed_embedding", fromSql, "built-in")
 }

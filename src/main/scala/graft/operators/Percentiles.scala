@@ -43,6 +43,15 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
 
+  /** HALF_UP decimal rounding of a driver-side double — the exact
+    * arithmetic of plan-side `round(col, n)`, for callers that fold a
+    * collected statistic back into a frame (t49, `Similarity.mmrSelect`).
+    * NaN passes through (BigDecimal would throw). */
+  def roundHalfUp(x: Double, scale: Int): Double =
+    if (x.isNaN) x
+    else BigDecimal(x).setScale(scale,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Exact interpolated percentiles per group, bounded-memory form.
     *
     * @param df      input; `valCol` must be non-null on every row (filter
@@ -130,15 +139,21 @@ object Percentiles {
     // each sort slice ∝ data/cores at any deployment size
     val parts = math.max(1, if (nParts > 0) nParts
       else df.sparkSession.sparkContext.defaultParallelism)
+    // persist(), NOT localCheckpoint(): the census and pick passes must
+    // read ONE materialization (the offsets assume it), but
+    // Dataset.unpersist is a CacheManager call that cannot release
+    // RDD-level localCheckpoint blocks — a checkpointed copy would pin
+    // dataset-sized storage until driver GC. persist() registers with
+    // the CacheManager, so the finally below genuinely frees it, and it
+    // keeps lineage intact: an executor lost between the passes
+    // recomputes (deterministically — range split points and counts
+    // depend only on the input) instead of failing the job.
     val sorted = df
       .select(col(valCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
       .repartitionByRange(parts, col("__v"))
       .sortWithinPartitions(col("__v"))
-      .localCheckpoint()
-    // unpersist in finally: the checkpoint caches the whole (sorted)
-    // projection on executors — holding it past the pick pass would pin
-    // dataset-sized blocks for the rest of the session
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val census = sorted
         .groupBy(spark_partition_id().as("__pid"))

@@ -918,8 +918,7 @@ object Similarity {
       // round()); math.rint's half-even would render a .5e-6-boundary
       // score differently from an equivalent plan-side round
       .map { case ((id, sc, _), i) =>
-        (i + 1L, id, BigDecimal(sc)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        (i + 1L, id, Percentiles.roundHalfUp(sc, 6)) }
       .toSeq.toDF("sel_rank", "vec_id", "mmr_score")
   }
 

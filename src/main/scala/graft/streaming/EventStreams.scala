@@ -253,11 +253,13 @@ object EventStreams {
     * per-type med/p90 summary is corpus-relative, so it runs at rest
     * over the emitted gaps (the parity spec reproduces the batch q119
     * table exactly); a live cadence monitor feeds the gaps into a
-    * per-type quantile sketch instead. Same cross-batch contract as
-    * [[transitionPairs]]: micro-batches sort by (ts, event_id), an
-    * in-watermark straggler older than the stored last event chains
-    * FORWARD from it (batch q119 over the at-rest table is the exact
-    * backstop). */
+    * per-type quantile sketch instead. Cross-batch contract:
+    * micro-batches sort by (ts, event_id); an in-watermark straggler
+    * OLDER than the stored last event is SKIPPED (a duration cannot
+    * chain forward the way [[transitionPairs]]' edges do — it would
+    * emit a negative gap and regress state, double-counting the next
+    * interval); batch q119 over the at-rest table is the exact
+    * backstop. */
   def interEventGaps(events: DataFrame, watermark: String = "10 minutes",
       idleMs: Long = 3600000L): Dataset[Gap] = {
     val spark = events.sparkSession
@@ -278,9 +280,16 @@ object EventStreams {
             val out = Seq.newBuilder[Gap]
             var last = state.getOption
             sorted.foreach { e =>
-              last.foreach(l =>
-                out += Gap(key._1, key._2, e.ts_us - l.tsUs, e.ts_us))
-              last = Some(UserLast(e.ts_us, e.event_id, e.event_type))
+              if (last.forall(e.ts_us >= _.tsUs)) {
+                last.foreach(l =>
+                  out += Gap(key._1, key._2, e.ts_us - l.tsUs, e.ts_us))
+                last = Some(UserLast(e.ts_us, e.event_id, e.event_type))
+              }
+              // else: in-watermark straggler OLDER than the stored last.
+              // The transition twins chain forward here, but a DURATION
+              // cannot — it would emit a negative gap and regress state,
+              // double-counting the next interval. Skip it; the batch
+              // q119 over the at-rest table is the exact backstop.
             }
             last.foreach { l =>
               state.update(l)
