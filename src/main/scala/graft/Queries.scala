@@ -1264,8 +1264,11 @@ object Queries {
     clusters.join(ent, Seq("doc_id"))
       .withColumn("n_docs",
         count(lit(1)).over(Window.partitionBy(col("cluster"))))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("cluster"))
-        .orderBy(col("entropy").desc, col("doc_id"))))
+      // long-safe (Ranks lesson): a dup-flood cluster past 2^32 rows
+      // wraps row_number back to 1 and keeps TWO representatives
+      .withColumn("rn", graft.operators.Ranks.rowNumberL(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("entropy").desc, col("doc_id"))))
       .filter(col("rn") === 1)
       .select(col("cluster"), col("n_docs"),
         col("doc_id").as("rep_doc"), col("entropy").as("rep_entropy"))
@@ -1417,7 +1420,9 @@ object Queries {
       .filter(col("lang_pred") === "en" && col("n_tokens") >= 20)
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     val deduped = filtered
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // long-safe: per-digest dup floods are the >2^31 case by design
+      .withColumn("rn", graft.operators.Ranks.rowNumberL(w))
+      .filter(col("rn") === 1)
     Curation.hashSample(deduped, "doc_id", 5000)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
@@ -1569,7 +1574,7 @@ object Queries {
           .orderBy(col("cross_entropy").desc)))
       .withColumn("quality",
         round((col("pr_ent") + col("pr_ce")) / 2, 6))
-    scored.withColumn("rn", row_number().over(
+    scored.withColumn("rn", graft.operators.Ranks.rowNumberL(
         Window.partitionBy(col("source"))
           .orderBy(col("quality").desc, col("doc_id"))))
       .filter(col("rn") <= 3)
@@ -3689,7 +3694,7 @@ object Queries {
         .filter(col("gs.keep"))
         .select(col("doc_id"), col("source"), col("text"))
         .localCheckpoint()
-      val ex = g.withColumn("rn", row_number().over(
+      val ex = g.withColumn("rn", graft.operators.Ranks.rowNumberL(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("rn") === 1).drop("rn")
         .localCheckpoint()

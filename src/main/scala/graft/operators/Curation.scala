@@ -90,7 +90,9 @@ object Curation {
       k: Int, salt: String = "strat1"): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(hashBucket(col(idCol), salt), col(idCol))
-    df.withColumn("rn", row_number().over(w))
+    // Ranks.rowNumberL: a per-stratum dup/volume flood past 2^31 rows
+    // would wrap row_number negative and ADMIT rows through the <= k cut
+    df.withColumn("rn", Ranks.rowNumberL(w))
       .filter(col("rn") <= k).drop("rn")
   }
 
@@ -114,7 +116,9 @@ object Curation {
       .orderBy(col("shard_hk"), col(idCol))
     df.withColumn("shard_hk", hk)
       .withColumn("shard", col("shard_hk") % nShards)
-      .withColumn("pos", row_number().over(w))
+      // long-safe: a >2^31-row shard would wrap row_number and emit
+      // colliding/negative positions into the persisted layout
+      .withColumn("pos", Ranks.rowNumberL(w))
       .drop("shard_hk")
   }
 
@@ -221,7 +225,10 @@ object Curation {
         .select(col("doc_id"), col("source"), col("text"))
     }
     val ex = stage("2_exact") {
-      g.withColumn("rn", row_number().over(
+      // long-safe rank: the per-digest group is exactly where a dup
+      // flood exceeds 2^31 rows, and a wrapped row_number re-reaches 1
+      // after 2^32 — admitting a second "first" copy
+      g.withColumn("rn", Ranks.rowNumberL(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("rn") === 1).drop("rn")
     }

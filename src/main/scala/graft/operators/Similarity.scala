@@ -64,7 +64,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", Ranks.rowNumberL(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
@@ -281,7 +281,9 @@ object Similarity {
       .orderBy(graft.functions.TextFunctions.hash60(
         concat(lit(salt), col("sid").cast("string"))), col("sid"))
     assigned
-      .withColumn("pick", row_number().over(w))
+      // long-safe: one giant cluster (the dup-flood shape) past 2^31
+      // vectors would wrap row_number and admit rows through the cut
+      .withColumn("pick", Ranks.rowNumberL(w))
       .filter(col("pick") <= perCluster)
       .select(col("sid").as(idCol), col("cell").as("cluster"), col("pick"))
   }
@@ -361,7 +363,9 @@ object Similarity {
     assigned.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(dotCol(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(w))
+      // long-safe: per-query candidates are cell-bounded, but a
+      // degenerate hot cell can exceed 2^31 rows
+      .withColumn("rank", Ranks.rowNumberL(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cos_sim"))
@@ -503,7 +507,9 @@ object Similarity {
       .orderBy(col("adc").desc, col("neighbor_id"))
     val cand = codes.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", pqAdcCol(col("codes"), col("lut"), cb))
-      .withColumn("adc_rank", row_number().over(wAdc))
+      // long-safe: the ADC scan ranks the WHOLE code table per query —
+      // past 2^31 vectors a wrapped rank slips through the rerank cut
+      .withColumn("adc_rank", Ranks.rowNumberL(wAdc))
       .filter(col("adc_rank") <= rerank)
       .select(col("query_id"), col("qv"), col("neighbor_id"))
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
@@ -512,7 +518,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand.join(vecs, Seq("neighbor_id"))
       .withColumn("cos_sim", round(dotCol(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(wCos))
+      .withColumn("rank", Ranks.rowNumberL(wCos))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cos_sim"))
@@ -582,7 +588,7 @@ object Similarity {
     val cand = assigned.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", pqAdcCol(col("codes"), col("lut"), cb))
-      .withColumn("adc_rank", row_number().over(wAdc))
+      .withColumn("adc_rank", Ranks.rowNumberL(wAdc))
       .filter(col("adc_rank") <= rerank)
       .select(col("query_id"), col("qv"), col("neighbor_id"))
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
@@ -591,7 +597,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand.join(vecs, Seq("neighbor_id"))
       .withColumn("cos_sim", round(dotCol(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(wCos))
+      .withColumn("rank", Ranks.rowNumberL(wCos))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cos_sim"))
@@ -951,7 +957,8 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored
-      .withColumn("rank", row_number().over(w))
+      // long-safe: bucket population is corpus/2^planes — unbounded
+      .withColumn("rank", Ranks.rowNumberL(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
