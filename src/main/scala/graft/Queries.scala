@@ -2361,26 +2361,14 @@ object Queries {
     * comparison — no global ntile window (which would funnel every user
     * through one sort task). The cut-point `percentile()` buffers the
     * per-user frame's distinct values in one task — acceptable while
-    * users ≪ events; past that, swap in
-    * [[graft.operators.Percentiles.globalExact]] per metric (the t49
-    * pattern). Convention: R counts recency boundaries
+    * users ≪ events; past that, run the bounded twin t51 (same oracle,
+    * cut points via [[graft.operators.Percentiles.globalExact]]).
+    * Convention: R counts recency boundaries
     * NOT exceeded (5 = most recent); F/M count boundaries exceeded + 1
     * (5 = highest). Monetary is rounded to cents BEFORE scoring so the
     * quintile comparisons are engine-stable. */
   private def q125(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir)
-    val per = e.groupBy(col("user_id"))
-      .agg(max(unix_micros(col("ts"))).as("last_us"),
-        count(lit(1)).as("freq"),
-        round(sum(col("value")), 2).as("monetary"))
-      .crossJoin(broadcast(
-        e.agg(max(unix_micros(col("ts"))).as("now_us"))))
-      .withColumn("recency_us", col("now_us") - col("last_us"))
-      // checkpointed: two consumers (the cut-point aggregation and the
-      // scoring join) would otherwise EACH re-run the per-user events
-      // aggregation — two corpus scans for one (the q120 precedent:
-      // 6.9 → 0.5 s for this exact multi-consumer class)
-      .localCheckpoint()
+    val per = rfmPerUser(s, dir)
     val cuts = per.agg(
       expr("percentile(recency_us, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
       expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
@@ -2397,6 +2385,52 @@ object Queries {
         (lit(1) + crossed(col("freq").cast("double"), "fc")).cast("long"))
       .withColumn("m_score",
         (lit(1) + crossed(col("monetary"), "mc")).cast("long"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("monetary")), 2).as("seg_value"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** Per-user RFM frame — the ONE derivation under q125 and its bounded
+    * twin t51. Checkpointed: its consumers (cut-point derivation and the
+    * scoring pass) would otherwise each re-run the per-user events
+    * aggregation (the q120 precedent: 6.9 → 0.5 s for this class). */
+  private def rfmPerUser(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    e.groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        round(sum(col("value")), 2).as("monetary"))
+      .crossJoin(broadcast(
+        e.agg(max(unix_micros(col("ts"))).as("now_us"))))
+      .withColumn("recency_us", col("now_us") - col("last_us"))
+      .localCheckpoint()
+  }
+
+  /** Bounded twin of q125: the three quintile cut-point vectors come
+    * from [[graft.operators.Percentiles.globalExact]] — three
+    * distributed selections over the (already user-bounded) RFM frame,
+    * each returning 4 doubles BIT-identical to the exact aggregate
+    * (spec-pinned), folded into the map-side CASE scoring as literals.
+    * Same oracle, same output schema; this is the configuration the
+    * q125 caveat prescribes once users stop being ≪ events. */
+  private def t51(s: SparkSession, dir: String): DataFrame = {
+    val per = rfmPerUser(s, dir)
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val rc = graft.operators.Percentiles.globalExact(per, "recency_us", qs)
+    val fc = graft.operators.Percentiles.globalExact(per, "freq", qs)
+    val mc = graft.operators.Percentiles.globalExact(per, "monetary", qs)
+    def crossed(metric: Column, cuts: Seq[Double]): Column =
+      cuts.map(c => when(metric > c, 1).otherwise(0): Column)
+        .reduce(_ + _)
+    per
+      .withColumn("r_score",
+        (lit(5) - crossed(col("recency_us").cast("double"), rc))
+          .cast("long"))
+      .withColumn("f_score",
+        (lit(1) + crossed(col("freq").cast("double"), fc)).cast("long"))
+      .withColumn("m_score",
+        (lit(1) + crossed(col("monetary"), mc)).cast("long"))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_users"),
         round(sum(col("monetary")), 2).as("seg_value"))
@@ -3330,6 +3364,7 @@ object Queries {
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
     "t49_conversion_time_b" -> (t49 _),
     "t50_knn_clusters_ivf" -> (t50 _),
+    "t51_rfm_segments_b" -> (t51 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -6428,6 +6463,7 @@ object Queries {
       ("t47_interevent_gaps_b" -> m("q119_interevent_gaps")) +
       ("t48_op_anomalies_b" -> m("t36_op_anomalies")) +
       ("t49_conversion_time_b" -> m("q127_conversion_time")) +
-      ("t50_knn_clusters_ivf" -> m("q117_knn_clusters"))
+      ("t50_knn_clusters_ivf" -> m("q117_knn_clusters")) +
+      ("t51_rfm_segments_b" -> m("q125_rfm_segments"))
   }
 }

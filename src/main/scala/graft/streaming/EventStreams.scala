@@ -302,6 +302,69 @@ object EventStreams {
       }
   }
 
+  /** Per-user conversion state: µs of the FIRST view (−1 until seen)
+    * and whether the one qualifying purchase already emitted. */
+  case class ConvState(tv: Long, emitted: Boolean)
+
+  /** One conversion emission: the user's first-view → first-qualifying-
+    * purchase delay (exact integer µs). */
+  case class Conversion(user_id: Long, conv_us: Long, ts_us: Long)
+
+  /** Streaming first-view → first-purchase conversion delays — the
+    * stateful half of q127 (and t49's live path): each user emits AT
+    * MOST ONE [[Conversion]], the moment their first purchase strictly
+    * after their first view arrives. State per user is one 2-field
+    * record, evicted after `idleMs` of event-time inactivity. The
+    * med/p90 summary is corpus-relative, so it runs at rest over the
+    * emitted delays (parity spec reproduces the batch q127 row exactly);
+    * a live funnel-latency dashboard feeds them into a quantile sketch.
+    * Under per-user-ordered delivery this matches the batch min-ts
+    * semantics exactly; an out-of-order first view inside the watermark
+    * can only LOWER tv, so once a conversion emitted it stays emitted
+    * (append-mode contract) — the batch q127 over the at-rest table is
+    * the exact backstop. */
+  def conversionDelays(events: DataFrame,
+      watermark: String = "10 minutes",
+      idleMs: Long = 3600000L): Dataset[Conversion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timed = events
+      .withWatermark("eventTime", watermark)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("ts_us").cast("long"), col("eventTime"))
+      .as[EventRec]
+    timed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConvState, Conversion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[EventRec],
+            state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val out = Seq.newBuilder[Conversion]
+            var st = state.getOption.getOrElse(ConvState(-1L, false))
+            var lastTs = -1L
+            sorted.foreach { e =>
+              lastTs = e.ts_us
+              e.event_type match {
+                case "view" if st.tv < 0 => st = st.copy(tv = e.ts_us)
+                case "purchase" if !st.emitted && st.tv >= 0 &&
+                    e.ts_us > st.tv =>
+                  st = st.copy(emitted = true)
+                  out += Conversion(user, e.ts_us - st.tv, e.ts_us)
+                case _ => ()
+              }
+            }
+            if (lastTs >= 0) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(lastTs / 1000L + idleMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming hourly event-rate counts — the stateful half of q109's
     * rate-anomaly monitor: a watermarked windowed count per event-time
     * hour, Append mode, so each hour emits EXACTLY once when the

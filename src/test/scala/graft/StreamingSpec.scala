@@ -946,6 +946,46 @@ class StreamingSpec extends SparkTestBase {
     assert(straddlers > 0)
   }
 
+  test("conversion delay stream: one emission per converter across " +
+      "micro-batches reproduces the batch q127 summary exactly") {
+    import SparkTestBase.session.implicits._
+    import graft.streaming.EventStreams
+    val sf = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val cut = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    val dir = Files.createTempDirectory("graft_conv").toString
+    ev.filter(col("ts_us") <= cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b1")
+    ev.filter(col("ts_us") > cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b2")
+    val src = spark.readStream.schema(EventStreams.eventStreamSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$dir/*")
+      .withColumn("eventTime", timestamp_micros(col("ts_us")))
+    val q = EventStreams.conversionDelays(src).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("conv_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("conv_stream")
+    // at most one conversion per user, ever
+    assert(emitted.groupBy(col("user_id")).count()
+      .filter(col("count") > 1).count() === 0)
+    val streamed = emitted
+      .agg(count(lit(1)).as("n_converters"),
+        round(expr("percentile(conv_us, 0.5)"), 4).as("med_conv_us"),
+        round(expr("percentile(conv_us, 0.9)"), 4).as("p90_conv_us"))
+      .head()
+    val batch = SparkEntry.queries("q127_conversion_time")(spark, sf)
+      .head()
+    assert(streamed.getLong(0) === batch.getLong(0) &&
+      batch.getLong(0) > 0)
+    assert(streamed.getDouble(1) === batch.getDouble(1))
+    assert(streamed.getDouble(2) === batch.getDouble(2))
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
