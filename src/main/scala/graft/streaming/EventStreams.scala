@@ -26,12 +26,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 object EventStreams {
 
   /** JSONL wire schema for an event stream: µs epoch `ts_us` plus the
-    * three analytic columns (the parquet `events` projection). */
+    * analytic columns (the parquet `events` projection). `value` is
+    * optional on the wire — twins that don't read it ignore the null. */
   val eventStreamSchema: StructType = StructType(Seq(
     StructField("user_id", LongType),
     StructField("event_id", LongType),
     StructField("event_type", StringType),
-    StructField("ts_us", LongType)))
+    StructField("ts_us", LongType),
+    StructField("value", org.apache.spark.sql.types.DoubleType)))
 
   /** JSONL event file stream with the watermark clock attached. */
   def eventFileStream(spark: SparkSession, dir: String): DataFrame =
@@ -301,6 +303,63 @@ object EventStreams {
           }
       }
   }
+
+  /** One cohort-value emission: the event's cohort day (UTC epoch-day
+    * of its user's FIRST event), days-since-cohort, and value. */
+  case class CohortValue(cohort_day: Long, k: Long, user_id: Long,
+      value: Double, ts_us: Long)
+
+  /** Streaming cohort-value attribution — the stateful half of q126's
+    * LTV curve: every event emits exactly once, labeled with its user's
+    * cohort day and day offset k. State per user is ONE long (the
+    * cohort day), set by the first event and never changed; eviction
+    * must outlive the analysis horizon like [[retentionMarks]]. The
+    * cumulative-LTV table is corpus-relative (per-cohort sizes +
+    * running sums), so it aggregates at rest over the emitted stream
+    * (parity spec reproduces the batch q126 table exactly) — or feeds a
+    * follow-on streaming agg keyed (cohort_day, k), whose state is
+    * #cohorts×#days-bounded. */
+  def cohortValues(events: DataFrame, watermark: String = "10 minutes",
+      idleMs: Long = 15L * 86400000L): Dataset[CohortValue] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timed = events
+      .withWatermark("eventTime", watermark)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("ts_us").cast("long"),
+        col("value").cast("double").as("value"), col("eventTime"))
+      .as[ValuedEventRec]
+    timed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, CohortValue](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[ValuedEventRec],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val out = Seq.newBuilder[CohortValue]
+            var cohort = state.getOption.getOrElse(-1L)
+            var lastTs = -1L
+            sorted.foreach { e =>
+              lastTs = e.ts_us
+              val day = Math.floorDiv(e.ts_us, 86400000000L)
+              if (cohort < 0) cohort = day
+              out += CohortValue(cohort, day - cohort, user, e.value,
+                e.ts_us)
+            }
+            if (lastTs >= 0) {
+              state.update(cohort)
+              state.setTimeoutTimestamp(math.max(lastTs / 1000L + idleMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  private[streaming] case class ValuedEventRec(user_id: Long,
+      event_id: Long, event_type: String, ts_us: Long, value: Double,
+      eventTime: java.sql.Timestamp)
 
   /** Per-user conversion state: µs of the FIRST view (−1 until seen)
     * and whether the one qualifying purchase already emitted. */

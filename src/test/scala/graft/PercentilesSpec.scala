@@ -113,6 +113,36 @@ class PercentilesSpec extends SparkTestBase {
     assert(got.length === 2 && got.forall(_.isNaN))
   }
 
+  test("groupedExact stays bit-equal when the window buffer actually " +
+      "SPILLS (the bounded-memory claim, exercised)") {
+    val n = 20000
+    val big = SparkTestBase.session.range(n).selectExpr(
+      "CAST(id % 3 AS STRING) AS g",
+      // hash-spread doubles: all-distinct, unsorted arrival
+      "CAST(pmod(xxhash64(id), 99991) AS DOUBLE) / 7.0 AS v")
+    val conf = spark.conf
+    val before = conf.getOption("spark.sql.windowExec.buffer.spill.threshold")
+    try {
+      // force UnsafeExternalSorter to spill every 128 rows — the exact
+      // path a 100-TB hot group exercises, shrunk to test scale
+      conf.set("spark.sql.windowExec.buffer.spill.threshold", "128")
+      val ps = Seq(0.25, 0.5, 0.9, 0.99)
+      val got = Percentiles.groupedExact(big, Seq("g"), "v",
+        ps.zipWithIndex.map { case (p, i) => p -> s"p$i" }, roundTo = -1)
+        .collect().map(r => r.getString(r.fieldIndex("g")) ->
+          ps.indices.map(i => r.getDouble(r.fieldIndex(s"p$i")))).toMap
+      val exp = big.groupBy("g")
+        .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("q"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(got.keySet === exp.keySet)
+      for (g <- got.keySet; i <- ps.indices)
+        assert(bits(got(g)(i)) === bits(exp(g)(i)), s"g=$g p=${ps(i)}")
+    } finally before match {
+      case Some(v) => conf.set("spark.sql.windowExec.buffer.spill.threshold", v)
+      case None => conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+    }
+  }
+
   test("null contract: caller-filtered groupedExact equals percentile() " +
       "over the null-containing frame (percentile skips nulls)") {
     val withNulls = grouped.select(col("g"),

@@ -986,6 +986,64 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.getDouble(2) === batch.getDouble(2))
   }
 
+  test("cohort value stream: once-per-event cohort labels across " +
+      "micro-batches reproduce the batch q126 LTV table exactly") {
+    import SparkTestBase.session.implicits._
+    import graft.streaming.EventStreams
+    val sf = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("value").cast("double").as("value"))
+    val cut = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    val dir = Files.createTempDirectory("graft_cohortv").toString
+    ev.filter(col("ts_us") <= cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b1")
+    ev.filter(col("ts_us") > cut).coalesce(1)
+      .write.mode("overwrite").json(s"$dir/b2")
+    val src = spark.readStream.schema(EventStreams.eventStreamSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$dir/*")
+      .withColumn("eventTime", timestamp_micros(col("ts_us")))
+    val q = EventStreams.cohortValues(src).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cohort_values")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("cohort_values")
+      .withColumn("cd",
+        expr("date_add(DATE '1970-01-01', CAST(cohort_day AS INT))"))
+    // every event emitted exactly once
+    assert(emitted.count() === ev.count())
+    // the corpus-relative LTV table at rest — q126's expressions
+    val sized = emitted.select(col("cd"), col("user_id")).distinct()
+      .groupBy(col("cd")).agg(count(lit(1)).as("n_users"))
+    val daily = emitted.groupBy(col("cd"), col("k"))
+      .agg(round(sum(col("value")), 2).as("day_value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cd")).orderBy(col("k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val streamed = daily
+      .withColumn("cum_value", sum(col("day_value")).over(w))
+      .join(sized, Seq("cd"))
+      .select(col("cd").cast("string").as("cohort_day"),
+        col("k"), col("n_users"),
+        round(col("cum_value"), 2).as("cum_value"),
+        round(col("cum_value") / col("n_users"), 6).as("ltv_per_user"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val batch = SparkEntry.queries("q126_cohort_ltv")(spark, sf)
+      .select(col("cohort_day").cast("string"), col("k"),
+        col("n_users"), col("cum_value"), col("ltv_per_user"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
