@@ -1264,11 +1264,8 @@ object Queries {
     clusters.join(ent, Seq("doc_id"))
       .withColumn("n_docs",
         count(lit(1)).over(Window.partitionBy(col("cluster"))))
-      // long-safe (Ranks lesson): a dup-flood cluster past 2^32 rows
-      // wraps row_number back to 1 and keeps TWO representatives
-      .withColumn("rn", graft.operators.Ranks.rowNumberL(
-        Window.partitionBy(col("cluster"))
-          .orderBy(col("entropy").desc, col("doc_id"))))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("entropy").desc, col("doc_id"))))
       .filter(col("rn") === 1)
       .select(col("cluster"), col("n_docs"),
         col("doc_id").as("rep_doc"), col("entropy").as("rep_entropy"))
@@ -1420,9 +1417,7 @@ object Queries {
       .filter(col("lang_pred") === "en" && col("n_tokens") >= 20)
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     val deduped = filtered
-      // long-safe: per-digest dup floods are the >2^31 case by design
-      .withColumn("rn", graft.operators.Ranks.rowNumberL(w))
-      .filter(col("rn") === 1)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
     Curation.hashSample(deduped, "doc_id", 5000)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
@@ -1574,7 +1569,7 @@ object Queries {
           .orderBy(col("cross_entropy").desc)))
       .withColumn("quality",
         round((col("pr_ent") + col("pr_ce")) / 2, 6))
-    scored.withColumn("rn", graft.operators.Ranks.rowNumberL(
+    scored.withColumn("rn", row_number().over(
         Window.partitionBy(col("source"))
           .orderBy(col("quality").desc, col("doc_id"))))
       .filter(col("rn") <= 3)
@@ -2373,11 +2368,23 @@ object Queries {
       expr("percentile(recency_us, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
       expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
       expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mc"))
+    rfmScored(per.crossJoin(broadcast(cuts)),
+      (arr, i) => get(col(arr), lit(i)))
+  }
+
+  /** The ONE RFM scoring tail shared by q125 and t51 — the scoring
+    * convention (5 = most recent R; F/M = boundaries exceeded + 1; the
+    * cents-rounded monetary; the segment aggregation) lives here once,
+    * parameterized only by where a cut point comes from: an array
+    * lookup on the broadcast percentile row (q125) or a driver literal
+    * from [[graft.operators.Percentiles.globalExact]] (t51). */
+  private def rfmScored(per: DataFrame,
+      cut: (String, Int) => Column): DataFrame = {
     def crossed(metric: Column, arr: String): Column =
       (0 until 4).map(i =>
-        when(metric > get(col(arr), lit(i)), 1).otherwise(0): Column)
+        when(metric > cut(arr, i), 1).otherwise(0): Column)
         .reduce(_ + _)
-    per.crossJoin(broadcast(cuts))
+    per
       .withColumn("r_score",
         (lit(5) - crossed(col("recency_us").cast("double"), "rc"))
           .cast("long"))
@@ -2417,24 +2424,11 @@ object Queries {
   private def t51(s: SparkSession, dir: String): DataFrame = {
     val per = rfmPerUser(s, dir)
     val qs = Seq(0.2, 0.4, 0.6, 0.8)
-    val rc = graft.operators.Percentiles.globalExact(per, "recency_us", qs)
-    val fc = graft.operators.Percentiles.globalExact(per, "freq", qs)
-    val mc = graft.operators.Percentiles.globalExact(per, "monetary", qs)
-    def crossed(metric: Column, cuts: Seq[Double]): Column =
-      cuts.map(c => when(metric > c, 1).otherwise(0): Column)
-        .reduce(_ + _)
-    per
-      .withColumn("r_score",
-        (lit(5) - crossed(col("recency_us").cast("double"), rc))
-          .cast("long"))
-      .withColumn("f_score",
-        (lit(1) + crossed(col("freq").cast("double"), fc)).cast("long"))
-      .withColumn("m_score",
-        (lit(1) + crossed(col("monetary"), mc)).cast("long"))
-      .groupBy(col("r_score"), col("f_score"), col("m_score"))
-      .agg(count(lit(1)).as("n_users"),
-        round(sum(col("monetary")), 2).as("seg_value"))
-      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    val cuts: Map[String, Seq[Double]] = Map(
+      "rc" -> graft.operators.Percentiles.globalExact(per, "recency_us", qs),
+      "fc" -> graft.operators.Percentiles.globalExact(per, "freq", qs),
+      "mc" -> graft.operators.Percentiles.globalExact(per, "monetary", qs))
+    rfmScored(per, (arr, i) => lit(cuts(arr)(i)))
   }
 
   /** Cohort LTV curve: cumulative per-user value by days-since-cohort —
@@ -3729,7 +3723,7 @@ object Queries {
         .filter(col("gs.keep"))
         .select(col("doc_id"), col("source"), col("text"))
         .localCheckpoint()
-      val ex = g.withColumn("rn", graft.operators.Ranks.rowNumberL(
+      val ex = g.withColumn("rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("rn") === 1).drop("rn")
         .localCheckpoint()

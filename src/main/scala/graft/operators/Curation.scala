@@ -90,9 +90,11 @@ object Curation {
       k: Int, salt: String = "strat1"): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(hashBucket(col(idCol), salt), col(idCol))
-    // Ranks.rowNumberL: a per-stratum dup/volume flood past 2^31 rows
-    // would wrap row_number negative and ADMIT rows through the <= k cut
-    df.withColumn("rn", Ranks.rowNumberL(w))
+    // row_number + adjacent <= k filter: InferWindowGroupLimit prunes
+    // each group to k rows BEFORE the window sort (plan-pinned by
+    // ExplainCheck) — which is both the top-k fast path AND the
+    // overflow guard (ranks never exceed k; see Ranks scaladoc)
+    df.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
   }
 
@@ -228,7 +230,7 @@ object Curation {
       // long-safe rank: the per-digest group is exactly where a dup
       // flood exceeds 2^31 rows, and a wrapped row_number re-reaches 1
       // after 2^32 — admitting a second "first" copy
-      g.withColumn("rn", Ranks.rowNumberL(
+      g.withColumn("rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("rn") === 1).drop("rn")
     }

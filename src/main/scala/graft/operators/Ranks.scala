@@ -4,21 +4,35 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
-/** Long-safe positional rank — a running count over the ordered ROWS
-  * frame. Positions are identical to `row_number()` under the repo's
-  * deterministic total orders, but the type is LongType end to end:
-  * `row_number()` is IntegerType and wraps negative past 2^31 rows in
-  * one partition, after which a wrapped rank slips through `rank <= k`
-  * cuts (negative passes) and — after 2^32 rows — re-reaches 1,
-  * admitting a second "first" row in keep-first dedup.
+/** Long-safe positional rank for UNFILTERED rank outputs — a running
+  * count over the ordered ROWS frame. Positions are identical to
+  * `row_number()` under the repo's deterministic total orders, but the
+  * type is LongType end to end: `row_number()` is IntegerType and wraps
+  * negative past 2^31 rows in one partition.
   *
-  * Use for any window whose partition grows with the corpus: per-source
-  * / per-shard / per-text-digest (dup floods are exactly the exceeding
-  * case) / per-cluster / per-query ANN candidate sets. Windows bounded
-  * by construction (per-trace spans, per-user events, nCentroids,
-  * k+margin re-packs, top-V vocabularies) may keep `row_number()`.
-  * (The `Percentiles.groupedExact` lesson, applied repo-wide after the
-  * q122 recurrence.) */
+  * The repo-wide decision matrix (settled after measuring both failure
+  * modes):
+  *
+  *   - **`rank <= k` / `rank === 1` cut adjacent to the window** — KEEP
+  *     `row_number()`. Catalyst's `InferWindowGroupLimit` matches only
+  *     rank-like functions (RowNumber/Rank/DenseRank) and rewrites the
+  *     plan to partial+final per-group top-k pruning BEFORE the window
+  *     sort (`WindowGroupLimitExec`) — on the ANN serve paths that prune
+  *     IS the top-k fast path, and it caps the rank's input at k rows
+  *     per group, so the Int rank can never overflow. A running count
+  *     would defeat the rewrite and buffer/sort ENTIRE partitions —
+  *     measured as the dominant cost at the >2^31-row scale the
+  *     long-safe form was meant to protect. ExplainCheck pins
+  *     `WindowGroupLimit` in representative plans so a pattern/conf
+  *     regression (which would silently restore both the slow path and
+  *     the overflow exposure) fails loudly.
+  *   - **rank emitted as an OUTPUT column with no adjacent cut**
+  *     (persisted shard positions, per-group indices feeding
+  *     arithmetic) — use [[rowNumberL]]. No group limit exists to lose
+  *     (the window sorts the whole partition either way), and the Long
+  *     type is the only thing preventing silently-wrong positions past
+  *     2^31 rows ([[Percentiles.groupedExact]]'s internal ranks and
+  *     q122's rank×chars products are this class). */
 object Ranks {
   def rowNumberL(w: WindowSpec): Column =
     count(lit(1)).over(

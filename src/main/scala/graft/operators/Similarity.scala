@@ -64,7 +64,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored
-      .withColumn("rank", Ranks.rowNumberL(w))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
@@ -281,9 +281,9 @@ object Similarity {
       .orderBy(graft.functions.TextFunctions.hash60(
         concat(lit(salt), col("sid").cast("string"))), col("sid"))
     assigned
-      // long-safe: one giant cluster (the dup-flood shape) past 2^31
-      // vectors would wrap row_number and admit rows through the cut
-      .withColumn("pick", Ranks.rowNumberL(w))
+      // row_number + adjacent filter → InferWindowGroupLimit prunes each
+      // cluster to perCluster rows pre-sort (fast AND overflow-proof)
+      .withColumn("pick", row_number().over(w))
       .filter(col("pick") <= perCluster)
       .select(col("sid").as(idCol), col("cell").as("cluster"), col("pick"))
   }
@@ -363,9 +363,7 @@ object Similarity {
     assigned.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(dotCol(col("qv"), col("cv")), 6))
-      // long-safe: per-query candidates are cell-bounded, but a
-      // degenerate hot cell can exceed 2^31 rows
-      .withColumn("rank", Ranks.rowNumberL(w))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cos_sim"))
@@ -507,9 +505,12 @@ object Similarity {
       .orderBy(col("adc").desc, col("neighbor_id"))
     val cand = codes.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", pqAdcCol(col("codes"), col("lut"), cb))
-      // long-safe: the ADC scan ranks the WHOLE code table per query —
-      // past 2^31 vectors a wrapped rank slips through the rerank cut
-      .withColumn("adc_rank", Ranks.rowNumberL(wAdc))
+      // row_number + adjacent rerank filter → InferWindowGroupLimit
+      // prunes each query's candidates to `rerank` rows BEFORE the sort
+      // — on the whole-code-table ADC scan this group limit IS the
+      // serve-path's top-k fast path, and it caps ranks at `rerank`
+      // (overflow-proof); plan-pinned by ExplainCheck
+      .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= rerank)
       .select(col("query_id"), col("qv"), col("neighbor_id"))
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
@@ -518,7 +519,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand.join(vecs, Seq("neighbor_id"))
       .withColumn("cos_sim", round(dotCol(col("qv"), col("cv")), 6))
-      .withColumn("rank", Ranks.rowNumberL(wCos))
+      .withColumn("rank", row_number().over(wCos))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cos_sim"))
@@ -588,7 +589,7 @@ object Similarity {
     val cand = assigned.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", pqAdcCol(col("codes"), col("lut"), cb))
-      .withColumn("adc_rank", Ranks.rowNumberL(wAdc))
+      .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= rerank)
       .select(col("query_id"), col("qv"), col("neighbor_id"))
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
@@ -597,7 +598,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand.join(vecs, Seq("neighbor_id"))
       .withColumn("cos_sim", round(dotCol(col("qv"), col("cv")), 6))
-      .withColumn("rank", Ranks.rowNumberL(wCos))
+      .withColumn("rank", row_number().over(wCos))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cos_sim"))
@@ -957,8 +958,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored
-      // long-safe: bucket population is corpus/2^planes — unbounded
-      .withColumn("rank", Ranks.rowNumberL(w))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }

@@ -312,13 +312,22 @@ object EventStreams {
   /** Streaming cohort-value attribution — the stateful half of q126's
     * LTV curve: every event emits exactly once, labeled with its user's
     * cohort day and day offset k. State per user is ONE long (the
-    * cohort day), set by the first event and never changed; eviction
-    * must outlive the analysis horizon like [[retentionMarks]]. The
-    * cumulative-LTV table is corpus-relative (per-cohort sizes +
-    * running sums), so it aggregates at rest over the emitted stream
-    * (parity spec reproduces the batch q126 table exactly) — or feeds a
-    * follow-on streaming agg keyed (cohort_day, k), whose state is
-    * #cohorts×#days-bounded. */
+    * cohort day), set by the first event to ARRIVE and never changed;
+    * eviction must outlive the analysis horizon like [[retentionMarks]].
+    *
+    * Disorder contract: under per-user-ordered delivery the
+    * first-arrived event IS the min-ts event and batch q126's cohort
+    * assignment matches exactly (parity spec). An in-watermark
+    * straggler EARLIER than the stored cohort day cannot re-label
+    * already-emitted rows (append mode), so its emission clamps k at 0
+    * (it counts into the cohort's day-0 value rather than emitting a
+    * negative offset) — the batch q126 over the at-rest table is the
+    * exact backstop. A null wire `value` (the schema permits it)
+    * contributes 0.0 — the additive identity batch `sum(value)`
+    * assigns it. The cumulative-LTV table is corpus-relative
+    * (per-cohort sizes + running sums): aggregate at rest over the
+    * emitted stream, or feed a follow-on streaming agg keyed
+    * (cohort_day, k) whose state is #cohorts×#days-bounded. */
   def cohortValues(events: DataFrame, watermark: String = "10 minutes",
       idleMs: Long = 15L * 86400000L): Dataset[CohortValue] = {
     val spark = events.sparkSession
@@ -327,7 +336,10 @@ object EventStreams {
       .withWatermark("eventTime", watermark)
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
         col("event_type"), col("ts_us").cast("long"),
-        col("value").cast("double").as("value"), col("eventTime"))
+        // null-safe: .as[ValuedEventRec] would throw on a null landing
+        // in the primitive Double field and kill the whole query
+        coalesce(col("value").cast("double"), lit(0.0)).as("value"),
+        col("eventTime"))
       .as[ValuedEventRec]
     timed.groupByKey(_.user_id)
       .flatMapGroupsWithState[Long, CohortValue](
@@ -344,8 +356,8 @@ object EventStreams {
               lastTs = e.ts_us
               val day = Math.floorDiv(e.ts_us, 86400000000L)
               if (cohort < 0) cohort = day
-              out += CohortValue(cohort, day - cohort, user, e.value,
-                e.ts_us)
+              out += CohortValue(cohort, math.max(0L, day - cohort),
+                user, e.value, e.ts_us)
             }
             if (lastTs >= 0) {
               state.update(cohort)
@@ -373,15 +385,22 @@ object EventStreams {
     * stateful half of q127 (and t49's live path): each user emits AT
     * MOST ONE [[Conversion]], the moment their first purchase strictly
     * after their first view arrives. State per user is one 2-field
-    * record, evicted after `idleMs` of event-time inactivity. The
-    * med/p90 summary is corpus-relative, so it runs at rest over the
-    * emitted delays (parity spec reproduces the batch q127 row exactly);
-    * a live funnel-latency dashboard feeds them into a quantile sketch.
-    * Under per-user-ordered delivery this matches the batch min-ts
-    * semantics exactly; an out-of-order first view inside the watermark
-    * can only LOWER tv, so once a conversion emitted it stays emitted
-    * (append-mode contract) — the batch q127 over the at-rest table is
-    * the exact backstop. */
+    * record.
+    *
+    * At-most-once is preserved across idle eviction: a timed-out state
+    * that already EMITTED is kept as a tombstone (re-armed, 2 fields —
+    * state is #converters-bounded, the same class as
+    * [[retentionMarks]]' horizon state), while non-emitted idle users
+    * are evicted and may start a fresh funnel later (the funnelStages
+    * contract). Disorder contract: `tv` is the first view to ARRIVE —
+    * under per-user-ordered delivery that IS the first view and the
+    * batch min-ts semantics match exactly (parity spec); an
+    * in-watermark straggler view EARLIER than the stored tv is not
+    * spliced in (append mode cannot retract), so conversions around
+    * such disorder can diverge from batch — the batch q127 over the
+    * at-rest table is the exact backstop. The med/p90 summary is
+    * corpus-relative: run it at rest over the emitted delays, or feed a
+    * live quantile sketch. */
   def conversionDelays(events: DataFrame,
       watermark: String = "10 minutes",
       idleMs: Long = 3600000L): Dataset[Conversion] = {
@@ -397,8 +416,15 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[EventRec],
             state: GroupState[ConvState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
+          if (state.hasTimedOut) {
+            // emitted users keep a tombstone, or a post-idle purchase
+            // would re-emit and double-count the converter
+            if (state.getOption.exists(_.emitted))
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + 10L * idleMs)
+            else state.remove()
+            Iterator.empty
+          } else {
             val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
             val out = Seq.newBuilder[Conversion]
             var st = state.getOption.getOrElse(ConvState(-1L, false))

@@ -301,6 +301,21 @@ object ExplainCheck {
     // scan — and the mutual filter a semi-join, not a product
     check("t50 IVF mutual-kNN plans no cartesian product",
       !plan("t50_knn_clusters_ivf").contains("CartesianProduct"))
+    // rank <= k cuts must keep row_number() so InferWindowGroupLimit
+    // prunes each group to k rows BEFORE the window sort — the prune is
+    // both the top-k fast path AND the Int-rank overflow guard (Ranks
+    // scaladoc); a running-count rank here would silently drop the
+    // rewrite and buffer whole partitions
+    check("q27 brute top-k plans a WindowGroupLimit prune",
+      plan("q27_embed_topk").contains("WindowGroupLimit"))
+    check("q06 keep-first dedup plans a WindowGroupLimit prune",
+      plan("q06_dedup_first").contains("WindowGroupLimit"))
+    check("q68 stratified take-k plans a WindowGroupLimit prune",
+      plan("q68_stratified_k").contains("WindowGroupLimit"))
+    check("t08 IVF serve plans a WindowGroupLimit prune on the rank cut",
+      plan("t08_similarity_ivf").contains("WindowGroupLimit"))
+    check("t10 PQ serve plans WindowGroupLimit prunes (ADC + rerank)",
+      "WindowGroupLimit".r.findAllIn(plan("t10_pq_topk")).length >= 2)
     println("all plan assertions hold")
     spark.stop()
   }

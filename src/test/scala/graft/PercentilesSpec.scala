@@ -122,6 +122,19 @@ class PercentilesSpec extends SparkTestBase {
       "CAST(pmod(xxhash64(id), 99991) AS DOUBLE) / 7.0 AS v")
     val conf = spark.conf
     val before = conf.getOption("spark.sql.windowExec.buffer.spill.threshold")
+    // assert the spill PATH actually ran, not just that the conf was
+    // set — a Spark upgrade renaming the internal key would otherwise
+    // silently turn this back into the in-memory test
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
     try {
       // force UnsafeExternalSorter to spill every 128 rows — the exact
       // path a 100-TB hot group exercises, shrunk to test scale
@@ -131,15 +144,23 @@ class PercentilesSpec extends SparkTestBase {
         ps.zipWithIndex.map { case (p, i) => p -> s"p$i" }, roundTo = -1)
         .collect().map(r => r.getString(r.fieldIndex("g")) ->
           ps.indices.map(i => r.getDouble(r.fieldIndex(s"p$i")))).toMap
+      org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      assert(spilled.get() > 0L,
+        "window pass did not spill — the forced-spill conf lost effect")
       val exp = big.groupBy("g")
         .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("q"))
         .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
       assert(got.keySet === exp.keySet)
       for (g <- got.keySet; i <- ps.indices)
         assert(bits(got(g)(i)) === bits(exp(g)(i)), s"g=$g p=${ps(i)}")
-    } finally before match {
-      case Some(v) => conf.set("spark.sql.windowExec.buffer.spill.threshold", v)
-      case None => conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      before match {
+        case Some(v) =>
+          conf.set("spark.sql.windowExec.buffer.spill.threshold", v)
+        case None =>
+          conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+      }
     }
   }
 

@@ -643,8 +643,8 @@ class PipelineOpsSpec extends SparkTestBase {
       .toDF("vec_id", "embedding")
     val top = Similarity.bruteForceTopK(vecs,
       vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
-      .collect().map(r => (r.getLong(1), r.getLong(2)))
-    assert(top.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.toSeq === Seq((1, 1L), (2, 2L), (3, 3L)))
   }
 
   test("trainer sample order is type-faithful: string ids stay lexical, " +
@@ -882,7 +882,7 @@ class PipelineOpsSpec extends SparkTestBase {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val s1 = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
       nClusters = 4, perCluster = 5).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val perCluster = s1.groupBy(_._2).view.mapValues(_.length).toMap
     assert(perCluster.values.forall(_ <= 5))
     assert(perCluster.keySet.subsetOf((0L until 4L).toSet))
@@ -893,7 +893,7 @@ class PipelineOpsSpec extends SparkTestBase {
     // content-deterministic: an independent second build agrees exactly
     val s2 = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
       nClusters = 4, perCluster = 5).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(s1.sortBy(r => (r._2, r._3)).toSeq ===
       s2.sortBy(r => (r._2, r._3)).toSeq)
   }
