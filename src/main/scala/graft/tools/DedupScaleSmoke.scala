@@ -415,7 +415,8 @@ object DedupScaleSmoke {
     println(f"  shard sizes: min ${sizes.min} / mean $mean%.0f / " +
       s"max ${sizes.max}")
     shards.foreach { r =>
-      require(r.getAs[Int]("mx").toLong == r.getAs[Long]("sz"),
+      // pos is the long-safe running rank (Ranks.rowNumberL)
+      require(r.getAs[Long]("mx") == r.getAs[Long]("sz"),
         "per-shard positions are not contiguous 1..size")
     }
     require(sizes.min > mean - 5 * math.sqrt(mean) &&

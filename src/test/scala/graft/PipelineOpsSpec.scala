@@ -878,6 +878,35 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("WindowGroupLimit rewrite is semantics-preserving: top-k results " +
+      "agree with the optimization disabled") {
+    // the rank <= k sites rely on InferWindowGroupLimit for BOTH the
+    // top-k fast path and the Int-rank overflow guard (Ranks scaladoc);
+    // this pins that the rewrite never changes WHAT is returned, only
+    // how much is sorted — so the plan assertion in ExplainCheck is a
+    // pure performance pin, not a correctness dependency
+    import SparkTestBase.session.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    def run(): Set[(Long, Int, Long, Double)] =
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val conf = spark.conf
+    val key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    val before = conf.getOption(key)
+    val withRewrite = run()
+    try {
+      conf.set(key, "-1") // disables InferWindowGroupLimit
+      val withoutRewrite = run()
+      assert(withRewrite === withoutRewrite && withRewrite.nonEmpty)
+    } finally before match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   test("clusterBalancedSample caps every cluster and is deterministic") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val s1 = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
