@@ -3643,10 +3643,10 @@ object Queries {
     // team reads: volume (docs, tokens, chars), language mix (langid
     // en-fraction), surface quality (micro-exact mean punct/stop
     // ratios), LM quality (micro-exact mean cross-entropy, q80's shared
-    // table), and near-dup rate (q89's cached cluster table). Pure
-    // composition of separately-ORACLED aggregates (q20/q21/q22, q80,
-    // q89) joined on the #sources-bounded key, so this entry is
-    // rows-only by design. Means use the q97 lesson (exact micro-unit
+    // table), and near-dup rate (q89's cached cluster table). Fully
+    // oracled (graduated r11): the DuckDB side composes the q21/q22/
+    // q80/q89 derivations end to end and joins them on the
+    // #sources-bounded key. Means use the q97 lesson (exact micro-unit
     // long sums, order-independent). One text scan computes every
     // surface signal.
     "t27_corpus_card" -> ((s: SparkSession, dir: String) => {
@@ -6061,6 +6061,105 @@ object Queries {
          |    AS n_unk,
          |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
          |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Corpus-card oracle (graduated r11): the per-source daily report
+    // re-derived end to end — q21's lexicon language CASE, q22's
+    // surface ratios, q80's smoothed cross-entropy (per-doc values
+    // rounded to 6 then summed as exact micro-unit longs — the q97
+    // lesson, so the per-source means are order-independent), and q89's
+    // recursive near-dup membership, joined on the #sources key.
+    "t27_corpus_card" -> {
+      val lex = TextFunctions.langLexicons.map { case (lang, ws) =>
+        lang -> ws.map(w => s"'$w'").mkString("(", ", ", ")")
+      }
+      val stopIn = TextFunctions.langLexicons.flatMap(_._2)
+        .map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""${shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |     count(*) AS inter
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |   GROUP BY 1, 2),
+         | p AS (SELECT doc_a, doc_b FROM inter
+         |   JOIN sz za ON doc_a = za.doc_id
+         |   JOIN sz zb ON doc_b = zb.doc_id
+         |   WHERE CAST(inter AS DOUBLE) /
+         |     CAST(za.n_sh + zb.n_sh - inter AS DOUBLE) >= 0.8),
+         | e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |   UNION SELECT doc_b, doc_a FROM p),
+         | r AS (SELECT a AS node, a AS reach FROM e
+         |   UNION
+         |   SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+         | cl AS (SELECT node AS doc_id FROM r GROUP BY node),
+         | tkq AS (SELECT doc_id, source, text, $toksSql AS t
+         |   FROM documents),
+         | lid AS (SELECT doc_id, CASE
+         |    WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+         |    WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+         |    WHEN s_de > 0 THEN 'de'
+         |    ELSE 'und' END AS pred
+         |  FROM (SELECT doc_id,
+         |    ${lex.map { case (l, in) =>
+        s"len(list_filter(t, x -> x IN $in)) AS s_$l" }.mkString(", ")}
+         |  FROM tkq)),
+         | qs AS (SELECT doc_id, source,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    round(CAST(length(text) -
+         |        length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+         |      AS DOUBLE) / CAST(length(text) AS DOUBLE), 6)
+         |      AS punct_ratio,
+         |    round(CAST(len(list_filter(t, x -> x IN $stopIn)) AS DOUBLE)
+         |      / CAST(CASE WHEN len(t) > 0 THEN len(t) ELSE 1 END
+         |        AS DOUBLE), 6) AS stop_ratio
+         |  FROM tkq),
+         | surface AS (SELECT qs.source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |    CAST(sum(CASE WHEN lid.pred = 'en' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_en,
+         |    CAST(sum(CAST(round(punct_ratio * 1e6, 0) AS BIGINT))
+         |      AS BIGINT) AS punct_mu,
+         |    CAST(sum(CAST(round(stop_ratio * 1e6, 0) AS BIGINT))
+         |      AS BIGINT) AS stop_mu
+         |  FROM qs JOIN lid USING (doc_id) GROUP BY 1),
+         | tok AS (SELECT doc_id, lang = 'en' AS is_ref,
+         |     unnest($toksSql) AS term FROM documents),
+         | tf AS (SELECT doc_id, is_ref, term, count(*) AS tf
+         |   FROM tok GROUP BY 1, 2, 3),
+         | lm AS (SELECT term,
+         |     sum(CASE WHEN is_ref THEN tf ELSE 0 END) AS ref_cnt
+         |   FROM tf GROUP BY term),
+         | tot AS (SELECT CAST(sum(ref_cnt) AS DOUBLE) AS ref_tot,
+         |     CAST(count(*) AS DOUBLE) AS vocab FROM lm),
+         | ced AS (SELECT doc_id, round(
+         |     -sum(tf * ln((ref_cnt + 0.5) / (ref_tot + 0.5 * vocab)))
+         |       / sum(tf), 6) AS ce
+         |   FROM tf JOIN lm USING (term) CROSS JOIN tot
+         |   GROUP BY doc_id),
+         | ces AS (SELECT d.source,
+         |    CAST(sum(CAST(round(ce * 1e6, 0) AS BIGINT)) AS BIGINT)
+         |      AS ce_mu,
+         |    CAST(count(*) AS BIGINT) AS ce_n
+         |  FROM ced JOIN documents d USING (doc_id) GROUP BY 1),
+         | dup AS (SELECT d.source,
+         |    CAST(sum(CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_dup
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |  GROUP BY 1)
+         |SELECT s.source, s.n_docs, s.total_tokens, s.total_chars,
+         |  round(CAST(s.n_en AS DOUBLE) / s.n_docs, 6) AS en_frac,
+         |  round(CAST(s.punct_mu AS DOUBLE) / s.n_docs / 1e6, 6)
+         |    AS mean_punct_ratio,
+         |  round(CAST(s.stop_mu AS DOUBLE) / s.n_docs / 1e6, 6)
+         |    AS mean_stop_ratio,
+         |  round(CAST(ces.ce_mu AS DOUBLE) / ces.ce_n / 1e6, 6)
+         |    AS mean_ce,
+         |  round(CAST(dup.n_dup AS DOUBLE) / s.n_docs, 6) AS dup_rate
+         |FROM surface s JOIN ces USING (source) JOIN dup USING (source)
+         |ORDER BY s.source""".stripMargin
+    },
     "q89_source_dup_rates" ->
       s"""${shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
          | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
