@@ -3700,10 +3700,13 @@ object Queries {
     // individual operators exist for: Gopher quality gate → exact dedup
     // keep-first → LSH near-dup drop → bloom-gated decontamination vs
     // the doc_id%50==0 bench slice → hash split → train-split token
-    // packing. Output = per-source survivor counts at every stage (rows
-    // only; each constituent is separately hash-equal-oracled — q78,
-    // q65's dedup window, q42, q67/q72/q77, q60, q61 — and the spec
-    // pins per-source monotone shrinkage across stages).
+    // packing. Output = per-source survivor counts at every stage.
+    // Fully oracled (graduated r11): the DuckDB side chains all six
+    // stage derivations (q78 at minWords=20, md5 keep-first, the q42
+    // exact-Jaccard drop set over the stage survivors, q67's gram
+    // decontamination at the >= 5 floor, q60's split, q61's packing) in
+    // one SQL; the spec additionally pins per-source monotone shrinkage
+    // across stages.
     "t19_curation_dag" -> ((s: SparkSession, dir: String) => {
       val d = docs(s, dir)
       def stage(df: DataFrame, name: String): DataFrame = df
@@ -6061,6 +6064,105 @@ object Queries {
          |    AS n_unk,
          |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
          |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Curation-DAG oracle (graduated r11): all six stages re-derived in
+    // one SQL — q78's Gopher battery at minWords=20, exact keep-first on
+    // md5(text), the q42 exact-Jaccard drop set restricted to the stage
+    // survivors (the engine's prefix/band candidates have recall 1 vs
+    // exact Jaccard at the threshold, so the drop sets are identical),
+    // q67's distinct-shared-4-gram decontamination at the >= 5 floor
+    // against the raw %50 bench slice, q60's hash-bucket split, and
+    // q61's doc_id-ordered token packing. Per-(stage, source) survivor
+    // counts; a source with zero survivors at a stage is absent on both
+    // sides.
+    "t19_curation_dag" -> {
+      val stopIn = graft.functions.TextFunctions.gopherStops
+        .map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""$shinglesSql,
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
+         | tkq AS (SELECT doc_id, source, text, $toksSql AS t
+         |   FROM documents),
+         | gm AS (SELECT doc_id, source, text, t,
+         |   len(t) AS n_tokens,
+         |   CASE WHEN len(t) > 0 THEN
+         |     CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+         |       / len(t) ELSE 0.0 END AS mwl,
+         |   CASE WHEN len(t) > 0 THEN
+         |     CAST(length(text) - length(replace(text, '#', ''))
+         |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |       / len(t) ELSE 0.0 END AS sym,
+         |   CAST(len(list_filter(string_split(text, chr(10)),
+         |       l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+         |     AS DOUBLE) / len(string_split(text, chr(10))) AS bullet,
+         |   CAST(len(list_filter(string_split(text, chr(10)),
+         |       l -> ends_with(rtrim(l), '...')
+         |         OR ends_with(rtrim(l), '…')))
+         |     AS DOUBLE) / len(string_split(text, chr(10))) AS ell,
+         |   CASE WHEN len(t) > 0 THEN
+         |     CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+         |       AS DOUBLE) / len(t) ELSE 0.0 END AS alpha,
+         |   len(list_filter(t, x -> x IN $stopIn)) AS n_stop
+         | FROM tkq),
+         | gop AS (SELECT doc_id, source, text, t FROM gm
+         |   WHERE n_tokens BETWEEN 20 AND 100000
+         |     AND mwl BETWEEN 3 AND 10 AND sym <= 0.1 AND bullet <= 0.9
+         |     AND ell <= 0.3 AND alpha >= 0.8 AND n_stop >= 2),
+         | ex AS (SELECT doc_id, source, t FROM (
+         |    SELECT g.doc_id, g.source, g.t, row_number() OVER (
+         |      PARTITION BY md5(g.text) ORDER BY g.doc_id) AS rn
+         |    FROM gop g) WHERE rn = 1),
+         | shx AS (SELECT s.doc_id, s.s FROM sh s
+         |   JOIN ex ON s.doc_id = ex.doc_id),
+         | szx AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY 1),
+         | ndrop AS (SELECT DISTINCT b.doc_id AS dropped FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      count(*) AS inter
+         |    FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) i
+         |  JOIN szx za ON i.doc_a = za.doc_id
+         |  JOIN szx zb ON i.doc_b = zb.doc_id
+         |  JOIN ex b ON i.doc_b = b.doc_id
+         |  WHERE CAST(i.inter AS DOUBLE) /
+         |    CAST(za.n_sh + zb.n_sh - i.inter AS DOUBLE) >= 0.8),
+         | nd AS (SELECT * FROM ex
+         |   WHERE doc_id NOT IN (SELECT dropped FROM ndrop)),
+         | tr0 AS (SELECT * FROM nd WHERE doc_id % 50 <> 0),
+         | g4 AS (SELECT DISTINCT doc_id, ${H.format("s4")} AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, greatest(len(t)-3, 0)),
+         |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]))) AS s4
+         |    FROM tkq)),
+         | bench AS (SELECT DISTINCT h FROM g4 WHERE doc_id % 50 = 0),
+         | hits AS (SELECT g4.doc_id FROM g4
+         |   JOIN bench USING (h)
+         |   JOIN tr0 ON g4.doc_id = tr0.doc_id
+         |   GROUP BY g4.doc_id HAVING count(*) >= 5),
+         | clean AS (SELECT * FROM tr0
+         |   WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+         | tr AS (SELECT * FROM clean
+         |   WHERE ${H.format("'split1' || CAST(doc_id AS VARCHAR)")}
+         |     % 10000 < 8000),
+         | pk AS (SELECT source, CAST(floor((sum(n) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+         |    / 4096.0) AS BIGINT) AS bin
+         |  FROM (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n
+         |    FROM tr)),
+         | bins AS (SELECT source, CAST(max(bin) + 1 AS BIGINT) AS n
+         |  FROM pk GROUP BY 1)
+         |SELECT stage, source, n FROM (
+         |  SELECT '0_raw' AS stage, source, CAST(count(*) AS BIGINT) AS n
+         |    FROM documents GROUP BY 2
+         |  UNION ALL SELECT '1_quality', source, CAST(count(*) AS BIGINT)
+         |    FROM gop GROUP BY 2
+         |  UNION ALL SELECT '2_exact', source, CAST(count(*) AS BIGINT)
+         |    FROM ex GROUP BY 2
+         |  UNION ALL SELECT '3_neardup', source, CAST(count(*) AS BIGINT)
+         |    FROM nd GROUP BY 2
+         |  UNION ALL SELECT '4_decontam', source, CAST(count(*) AS BIGINT)
+         |    FROM clean GROUP BY 2
+         |  UNION ALL SELECT '5_train_bins', source, n FROM bins)
+         |ORDER BY stage, source""".stripMargin
+    },
     // Corpus-card oracle (graduated r11): the per-source daily report
     // re-derived end to end — q21's lexicon language CASE, q22's
     // surface ratios, q80's smoothed cross-entropy (per-doc values
