@@ -6064,6 +6064,57 @@ object Queries {
          |    AS n_unk,
          |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
          |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // BPE-trainer oracle (graduated r11): all 30 merge rounds unrolled.
+    // Each round re-derives the trainer exactly — adjacent-pair counts
+    // over the word-frequency table's current symbolizations, argmax by
+    // (count desc, pair lexicographic), then the greedy leftmost-first
+    // merge as a `list_reduce` whose accumulator is the chr(31)-joined
+    // symbol string (probed: fold semantics match Spark's `aggregate`
+    // HOF term for term, including the aa-on-aaa overlap case and the
+    // merged-symbol-equals-left guard). MATERIALIZED per round (t28
+    // lesson); chr(31) cannot occur in corpus symbols.
+    "t22_bpe_train" -> {
+      val n = 30
+      val us = "chr(31)"
+      def parts(acc: String) = s"string_split($acc, $us)"
+      val rounds = (1 to n).map { i =>
+        val prev = s"bw${i - 1}"
+        s""",
+           | bp$i AS (SELECT syms[j] AS l, syms[j + 1] AS r,
+           |    sum(freq) AS c
+           |  FROM (SELECT freq, syms,
+           |      unnest(generate_series(1, len(syms) - 1)) AS j
+           |    FROM $prev)
+           |  GROUP BY 1, 2),
+           | bm$i AS MATERIALIZED (SELECT l, r, c FROM bp$i
+           |  ORDER BY c DESC, l, r LIMIT 1),
+           | bw$i AS MATERIALIZED (SELECT w.freq,
+           |    CASE WHEN len(w.syms) <= 1 THEN w.syms
+           |      ELSE string_split(list_reduce(w.syms, (acc, x) ->
+           |        CASE WHEN ${parts("acc")}[len(${parts("acc")})] = m.l
+           |            AND x = m.r
+           |          THEN CASE WHEN len(${parts("acc")}) = 1
+           |            THEN m.l || m.r
+           |            ELSE array_to_string(list_slice(${parts("acc")},
+           |                1, len(${parts("acc")}) - 1), $us) ||
+           |              $us || m.l || m.r END
+           |          ELSE acc || $us || x END), $us) END AS syms
+           |  FROM $prev w, bm$i m)""".stripMargin
+      }.mkString
+      val sel = (1 to n).map(i =>
+        s"""SELECT $i AS rank, l AS "left", r AS "right",
+           |    l || r AS merged, c AS pair_freq FROM bm$i"""
+          .stripMargin)
+        .mkString("", "\n  UNION ALL ", "")
+      s"""WITH bw0 AS MATERIALIZED (SELECT count(*) AS freq,
+         |    list_append(regexp_split_to_array(w, ''), '</w>') AS syms
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  GROUP BY w)$rounds
+         |SELECT CAST(rank AS BIGINT) AS rank, "left", "right", merged,
+         |  CAST(pair_freq AS BIGINT) AS pair_freq FROM (
+         |  $sel)
+         |ORDER BY rank""".stripMargin
+    },
     // Curation-DAG oracle (graduated r11): all six stages re-derived in
     // one SQL — q78's Gopher battery at minWords=20, exact keep-first on
     // md5(text), the q42 exact-Jaccard drop set restricted to the stage
