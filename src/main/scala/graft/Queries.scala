@@ -3551,10 +3551,12 @@ object Queries {
     // iteration runs on that vocabulary-bounded table — pair counting is
     // a map-side-combined groupBy-sum, the argmax is one collected row,
     // the merge application a narrow HOF fold. Iterative like t17's
-    // cluster build; no ANSI-SQL oracle exists for a trainer loop, so
-    // correctness pins to the planted-corpus spec (hand-derived merge
-    // sequence from the Sennrich et al. worked example) plus the encode
-    // round-trip property.
+    // cluster build. Fully oracled (graduated r11): the DuckDB side
+    // unrolls all 30 merge rounds — pair counts, the lexicographic
+    // argmax, and the greedy merge as a list_reduce fold; the
+    // planted-corpus spec (hand-derived Sennrich et al. merge sequence)
+    // and the encode round-trip property still pin semantics
+    // independently.
     "t22_bpe_train" -> ((s: SparkSession, dir: String) =>
       graft.functions.BpeTrainer.train(docs(s, dir), "text", 30)
         .orderBy(col("rank"))),
@@ -6118,8 +6120,9 @@ object Queries {
     // Curation-DAG oracle (graduated r11): all six stages re-derived in
     // one SQL — q78's Gopher battery at minWords=20, exact keep-first on
     // md5(text), the q42 exact-Jaccard drop set restricted to the stage
-    // survivors (the engine's prefix/band candidates have recall 1 vs
-    // exact Jaccard at the threshold, so the drop sets are identical),
+    // survivors (banded-MinHash recall is 1 ON THIS CORPUS — verified,
+    // the q42 contract; a regenerated corpus placing a J ~= 0.8 pair in
+    // no shared band would surface here exactly as it would in q42),
     // q67's distinct-shared-4-gram decontamination at the >= 5 floor
     // against the raw %50 bench slice, q60's hash-bucket split, and
     // q61's doc_id-ordered token packing. Per-(stage, source) survivor
@@ -6218,15 +6221,17 @@ object Queries {
     // re-derived end to end — q21's lexicon language CASE, q22's
     // surface ratios, q80's smoothed cross-entropy (per-doc values
     // rounded to 6 then summed as exact micro-unit longs — the q97
-    // lesson, so the per-source means are order-independent), and q89's
-    // recursive near-dup membership, joined on the #sources key.
+    // lesson, so the per-source means are order-independent), and
+    // near-dup membership from q89's pair derivation (membership needs
+    // no transitive closure — a doc is clustered iff it appears in any
+    // >= 0.8 pair), joined on the #sources key.
     "t27_corpus_card" -> {
       val lex = TextFunctions.langLexicons.map { case (lang, ws) =>
         lang -> ws.map(w => s"'$w'").mkString("(", ", ", ")")
       }
       val stopIn = TextFunctions.langLexicons.flatMap(_._2)
         .map(w => s"'$w'").mkString("(", ", ", ")")
-      s"""${shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      s"""$shinglesSql,
          | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
          | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -6238,12 +6243,9 @@ object Queries {
          |   JOIN sz zb ON doc_b = zb.doc_id
          |   WHERE CAST(inter AS DOUBLE) /
          |     CAST(za.n_sh + zb.n_sh - inter AS DOUBLE) >= 0.8),
-         | e AS (SELECT doc_a AS a, doc_b AS b FROM p
-         |   UNION SELECT doc_b, doc_a FROM p),
-         | r AS (SELECT a AS node, a AS reach FROM e
-         |   UNION
-         |   SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
-         | cl AS (SELECT node AS doc_id FROM r GROUP BY node),
+         | cl AS (SELECT DISTINCT doc_id FROM (
+         |   SELECT doc_a AS doc_id FROM p
+         |   UNION ALL SELECT doc_b FROM p)),
          | tkq AS (SELECT doc_id, source, text, $toksSql AS t
          |   FROM documents),
          | lid AS (SELECT doc_id, CASE

@@ -90,11 +90,12 @@ object Curation {
       k: Int, salt: String = "strat1"): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(hashBucket(col(idCol), salt), col(idCol))
-    // row_number + adjacent <= k filter: InferWindowGroupLimit prunes
-    // each group to k rows BEFORE the window sort (plan-pinned by
-    // ExplainCheck) — which is both the top-k fast path AND the
-    // overflow guard (ranks never exceed k; see Ranks scaladoc)
-    df.withColumn("rn", row_number().over(w))
+    // cutRank + adjacent <= k filter: under the group-limit threshold
+    // InferWindowGroupLimit prunes each group to k rows BEFORE the
+    // window sort (plan-pinned by ExplainCheck) — the top-k fast path
+    // AND the overflow guard; above it cutRank switches to the
+    // long-safe rank (see Ranks scaladoc)
+    df.withColumn("rn", Ranks.cutRank(df.sparkSession, w, k))
       .filter(col("rn") <= k).drop("rn")
   }
 
@@ -227,9 +228,11 @@ object Curation {
         .select(col("doc_id"), col("source"), col("text"))
     }
     val ex = stage("2_exact") {
-      // long-safe rank: the per-digest group is exactly where a dup
-      // flood exceeds 2^31 rows, and a wrapped row_number re-reaches 1
-      // after 2^32 — admitting a second "first" copy
+      // row_number + adjacent === 1 cut: InferWindowGroupLimit prunes
+      // each digest group to ONE row before the sort — the dup-flood
+      // fast path, and the prune caps the rank input so the Int can
+      // never wrap (the Ranks decision matrix; limit 1 is always under
+      // the rewrite threshold)
       g.withColumn("rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("rn") === 1).drop("rn")

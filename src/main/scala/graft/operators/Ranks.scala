@@ -37,4 +37,23 @@ object Ranks {
   def rowNumberL(w: WindowSpec): Column =
     count(lit(1)).over(
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** The rank to use at a `rank <= k` cut when `k` is CALLER-CHOSEN:
+    * `InferWindowGroupLimit` only fires for limits ≤
+    * `spark.sql.optimizer.windowGroupLimitThreshold` (default 1000), so
+    * above it `row_number()`'s prune-based overflow guard silently
+    * vanishes. Below the threshold this returns `row_number()` (the
+    * rewrite gives the top-k fast path AND caps the rank input at k);
+    * above it, [[rowNumberL]] (no rewrite exists to lose, and the Long
+    * rank is the only overflow protection). Callers that emit the rank
+    * should cast it to long AFTER the filter so the output schema is
+    * k-independent (a cast between the window and the cut would break
+    * the rewrite's pattern match). */
+  def cutRank(spark: org.apache.spark.sql.SparkSession, w: WindowSpec,
+      k: Int): Column = {
+    val threshold = spark.conf
+      .getOption("spark.sql.optimizer.windowGroupLimitThreshold")
+      .map(_.toLong).getOrElse(1000L)
+    if (k.toLong <= threshold) row_number().over(w) else rowNumberL(w)
+  }
 }

@@ -64,9 +64,12 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored
-      .withColumn("rank", row_number().over(w))
+      // cutRank: row_number under the group-limit threshold (prune =
+      // fast path + overflow guard), long-safe running count above it
+      .withColumn("rank", Ranks.cutRank(corpus.sparkSession, w, k))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
   }
 
   /** Hard-negative mining for embedding-model training (the
@@ -102,9 +105,11 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     candidates
       .filter(col("cos_sim") < dupCos)
-      .withColumn("neg_rank", row_number().over(w))
+      .withColumn("neg_rank",
+        Ranks.cutRank(candidates.sparkSession, w, k))
       .filter(col("neg_rank") <= k)
-      .select(col("query_id"), col("neg_rank"), col("neighbor_id"),
+      .select(col("query_id"),
+        col("neg_rank").cast("long").as("neg_rank"), col("neighbor_id"),
         col("cos_sim"))
   }
 
@@ -281,11 +286,11 @@ object Similarity {
       .orderBy(graft.functions.TextFunctions.hash60(
         concat(lit(salt), col("sid").cast("string"))), col("sid"))
     assigned
-      // row_number + adjacent filter → InferWindowGroupLimit prunes each
-      // cluster to perCluster rows pre-sort (fast AND overflow-proof)
-      .withColumn("pick", row_number().over(w))
+      .withColumn("pick",
+        Ranks.cutRank(corpus.sparkSession, w, perCluster))
       .filter(col("pick") <= perCluster)
-      .select(col("sid").as(idCol), col("cell").as("cluster"), col("pick"))
+      .select(col("sid").as(idCol), col("cell").as("cluster"),
+        col("pick").cast("long").as("pick"))
   }
 
   /** Build the IVF index: trained centroids + the corpus assigned to its
@@ -363,10 +368,10 @@ object Similarity {
     assigned.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(dotCol(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", Ranks.cutRank(cents.sparkSession, w, k))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cos_sim"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -505,12 +510,14 @@ object Similarity {
       .orderBy(col("adc").desc, col("neighbor_id"))
     val cand = codes.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", pqAdcCol(col("codes"), col("lut"), cb))
-      // row_number + adjacent rerank filter → InferWindowGroupLimit
-      // prunes each query's candidates to `rerank` rows BEFORE the sort
-      // — on the whole-code-table ADC scan this group limit IS the
+      // cutRank + adjacent rerank filter → InferWindowGroupLimit prunes
+      // each query's candidates to `rerank` rows BEFORE the sort — on
+      // the whole-code-table ADC scan this group limit IS the
       // serve-path's top-k fast path, and it caps ranks at `rerank`
-      // (overflow-proof); plan-pinned by ExplainCheck
-      .withColumn("adc_rank", row_number().over(wAdc))
+      // (overflow-proof); above the rewrite threshold cutRank switches
+      // to the long-safe rank instead. Plan-pinned by ExplainCheck.
+      .withColumn("adc_rank",
+        Ranks.cutRank(codes.sparkSession, wAdc, rerank))
       .filter(col("adc_rank") <= rerank)
       .select(col("query_id"), col("qv"), col("neighbor_id"))
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
@@ -519,10 +526,10 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand.join(vecs, Seq("neighbor_id"))
       .withColumn("cos_sim", round(dotCol(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(wCos))
+      .withColumn("rank", Ranks.cutRank(codes.sparkSession, wCos, k))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cos_sim"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
   }
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -589,7 +596,8 @@ object Similarity {
     val cand = assigned.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", pqAdcCol(col("codes"), col("lut"), cb))
-      .withColumn("adc_rank", row_number().over(wAdc))
+      .withColumn("adc_rank",
+        Ranks.cutRank(cents.sparkSession, wAdc, rerank))
       .filter(col("adc_rank") <= rerank)
       .select(col("query_id"), col("qv"), col("neighbor_id"))
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
@@ -598,10 +606,10 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand.join(vecs, Seq("neighbor_id"))
       .withColumn("cos_sim", round(dotCol(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(wCos))
+      .withColumn("rank", Ranks.cutRank(cents.sparkSession, wCos, k))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cos_sim"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
   }
 
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -958,8 +966,9 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", Ranks.cutRank(corpus.sparkSession, w, k))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
   }
 }

@@ -314,8 +314,13 @@ object ExplainCheck {
       plan("q68_stratified_k").contains("WindowGroupLimit"))
     check("t08 IVF serve plans a WindowGroupLimit prune on the rank cut",
       plan("t08_similarity_ivf").contains("WindowGroupLimit"))
-    check("t10 PQ serve plans WindowGroupLimit prunes (ADC + rerank)",
-      "WindowGroupLimit".r.findAllIn(plan("t10_pq_topk")).length >= 2)
+    // each cut pinned by its LIMIT VALUE (a bare node count can't tell
+    // one cut's Partial+Final pair from two cuts — the ADC prune plans
+    // Partial+Final while the post-window rank prune needs only Final)
+    check("t10 PQ serve plans BOTH WindowGroupLimit prunes (ADC=32, k=3)", {
+      val p = plan("t10_pq_topk")
+      p.contains("row_number(), 32,") && p.contains("row_number(), 3,")
+    })
     println("all plan assertions hold")
     spark.stop()
   }

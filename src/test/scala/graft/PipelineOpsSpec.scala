@@ -643,8 +643,8 @@ class PipelineOpsSpec extends SparkTestBase {
       .toDF("vec_id", "embedding")
     val top = Similarity.bruteForceTopK(vecs,
       vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
-      .collect().map(r => (r.getInt(1), r.getLong(2)))
-    assert(top.toSeq === Seq((1, 1L), (2, 2L), (3, 3L)))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(top.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
   test("trainer sample order is type-faithful: string ids stay lexical, " +
@@ -888,10 +888,10 @@ class PipelineOpsSpec extends SparkTestBase {
     import SparkTestBase.session.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)
-    def run(): Set[(Long, Int, Long, Double)] =
+    def run(): Set[(Long, Long, Long, Double)] =
       Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
         .collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getDouble(3))).toSet
     val conf = spark.conf
     val key = "spark.sql.optimizer.windowGroupLimitThreshold"
@@ -911,7 +911,7 @@ class PipelineOpsSpec extends SparkTestBase {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val s1 = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
       nClusters = 4, perCluster = 5).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val perCluster = s1.groupBy(_._2).view.mapValues(_.length).toMap
     assert(perCluster.values.forall(_ <= 5))
     assert(perCluster.keySet.subsetOf((0L until 4L).toSet))
@@ -922,7 +922,7 @@ class PipelineOpsSpec extends SparkTestBase {
     // content-deterministic: an independent second build agrees exactly
     val s2 = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
       nClusters = 4, perCluster = 5).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(s1.sortBy(r => (r._2, r._3)).toSeq ===
       s2.sortBy(r => (r._2, r._3)).toSeq)
   }
@@ -1393,7 +1393,7 @@ class PipelineOpsSpec extends SparkTestBase {
     // twin 1 (cos 1.0 >= 0.95) excluded; 2 (cos ~0.91), 3 (~0.8),
     // 4 (~0.53) are the hard negatives, in similarity order
     assert(ids === Seq(2L, 3L, 4L))
-    assert(negs.map(_.getAs[Int]("neg_rank")).toSeq === Seq(1, 2, 3))
+    assert(negs.map(_.getAs[Long]("neg_rank")).toSeq === Seq(1L, 2L, 3L))
     assert(negs.forall(_.getAs[Double]("cos_sim") < 0.95))
     // with every candidate a near-dup, the miner under-fills rather
     // than leaking positives
@@ -1444,11 +1444,11 @@ class PipelineOpsSpec extends SparkTestBase {
     val q = vecs.filter(col("vec_id") === 0)
     val bruteNegs = Similarity.hardNegatives(vecs, q, "vec_id",
         "embedding", k = 3)
-      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq.sorted
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
     val ivfNegs = Similarity.hardNegativesFromCandidates(
         Similarity.ivfTopKFromIndex(idx, q, "vec_id", "embedding",
           k = 3 + 8, nProbe = 4), k = 3)
-      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq.sorted
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(ivfNegs === bruteNegs && bruteNegs.nonEmpty)
   }
 
