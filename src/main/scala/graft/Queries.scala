@@ -458,7 +458,6 @@ object Queries {
     val e = emb(s, dir)
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 3)
-      .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1264,8 +1263,9 @@ object Queries {
     clusters.join(ent, Seq("doc_id"))
       .withColumn("n_docs",
         count(lit(1)).over(Window.partitionBy(col("cluster"))))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("cluster"))
-        .orderBy(col("entropy").desc, col("doc_id"))))
+      .withColumn("rn", graft.operators.Ranks.cutRank(s,
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("entropy").desc, col("doc_id")), 1))
       .filter(col("rn") === 1)
       .select(col("cluster"), col("n_docs"),
         col("doc_id").as("rep_doc"), col("entropy").as("rep_entropy"))
@@ -1417,7 +1417,8 @@ object Queries {
       .filter(col("lang_pred") === "en" && col("n_tokens") >= 20)
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     val deduped = filtered
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("rn", graft.operators.Ranks.cutRank(s, w, 1))
+      .filter(col("rn") === 1)
     Curation.hashSample(deduped, "doc_id", 5000)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
@@ -1569,9 +1570,9 @@ object Queries {
           .orderBy(col("cross_entropy").desc)))
       .withColumn("quality",
         round((col("pr_ent") + col("pr_ce")) / 2, 6))
-    scored.withColumn("rn", row_number().over(
+    scored.withColumn("rn", graft.operators.Ranks.cutRank(s,
         Window.partitionBy(col("source"))
-          .orderBy(col("quality").desc, col("doc_id"))))
+          .orderBy(col("quality").desc, col("doc_id")), 3))
       .filter(col("rn") <= 3)
       .select(col("source"), col("doc_id"), col("quality"))
       .orderBy(col("source"), col("quality").desc, col("doc_id"))
@@ -3728,8 +3729,8 @@ object Queries {
         .filter(col("gs.keep"))
         .select(col("doc_id"), col("source"), col("text"))
         .localCheckpoint()
-      val ex = g.withColumn("rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      val ex = g.withColumn("rn", graft.operators.Ranks.cutRank(s,
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id")), 1))
         .filter(col("rn") === 1).drop("rn")
         .localCheckpoint()
       val nd = ex.join(

@@ -228,13 +228,13 @@ object Curation {
         .select(col("doc_id"), col("source"), col("text"))
     }
     val ex = stage("2_exact") {
-      // row_number + adjacent === 1 cut: InferWindowGroupLimit prunes
+      // cutRank + adjacent === 1 cut: InferWindowGroupLimit prunes
       // each digest group to ONE row before the sort — the dup-flood
       // fast path, and the prune caps the rank input so the Int can
-      // never wrap (the Ranks decision matrix; limit 1 is always under
-      // the rewrite threshold)
-      g.withColumn("rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      // never wrap; with the rewrite DISABLED (threshold -1) cutRank
+      // falls back to the long-safe rank instead of reopening the hole
+      g.withColumn("rn", Ranks.cutRank(g.sparkSession,
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id")), 1))
         .filter(col("rn") === 1).drop("rn")
     }
     val nd = stage("3_neardup") {

@@ -48,7 +48,14 @@ object Ranks {
     * rank is the only overflow protection). Callers that emit the rank
     * should cast it to long AFTER the filter so the output schema is
     * k-independent (a cast between the window and the cut would break
-    * the rewrite's pattern match). */
+    * the rewrite's pattern match).
+    *
+    * The threshold is read at PLAN-CONSTRUCTION time while Catalyst
+    * reads it at optimization time — a session that flips the conf
+    * between building and collecting a frame desynchronizes the choice
+    * (worst case: row_number chosen, rewrite then disabled → slow path
+    * with an unguarded Int rank). Deployments treat optimizer confs as
+    * static; don't flip this one around live frames. */
   def cutRank(spark: org.apache.spark.sql.SparkSession, w: WindowSpec,
       k: Int): Column = {
     val threshold = spark.conf
