@@ -2621,6 +2621,54 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** The incremental-ingest ANN lifecycle with driver-grade evidence —
+    * the operation a 100 TB deployment runs daily: build the IVF index
+    * on a deterministic 80% id-slice of the corpus, persist it
+    * ([[Similarity.saveIvfIndex]] — cell-partitioned parquet), append
+    * the remaining 20% with FROZEN centroids
+    * ([[Similarity.appendToIvfIndex]] — a dynamic-partition append that
+    * touches only the cells the batch lands in), then serve the
+    * mutual-kNN clustering from the LOADED index. Probed at
+    * nProbe = nCentroids: under full probe the candidate set is exactly
+    * the brute-force top-k over the whole (base ∪ appended) corpus —
+    * each vector lives in one cell regardless of WHICH centroids
+    * assigned it there, and every cell is probed — so this entry hashes
+    * against q117's DuckDB oracle while exercising
+    * build → save → append → load → serve end to end (parquet
+    * round-trips doubles exactly; the planted-twin spec pins the
+    * frozen-centroid semantics, the save/load spec pins served ≡
+    * direct). At corpus scale dial nProbe < nCentroids and rebuild only
+    * when centroid drift warrants it — recall on appended data degrades
+    * gracefully, never collapses, because assignment and probe share
+    * the same centroids. The result is localCheckpointed (it is ≤ n
+    * two-column rows) so the temp index can be deleted eagerly. */
+  private def t52(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_t52_ivf").toString
+    try {
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(base, "vec_id", "embedding",
+          nCentroids = 32, kmeansIters = 4), path)
+      Similarity.appendToIvfIndex(s, path, batch, "vec_id", "embedding")
+      val idx = Similarity.loadIvfIndex(s, path)
+      val cand = Similarity.ivfTopKFromIndex(idx, e, "vec_id",
+        "embedding", k = 5, nProbe = 32)
+      Similarity.mutualKnnClustersFromCandidates(e, "vec_id", cand)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("vec_id"))
+        .localCheckpoint()
+    } finally {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   /** The CMS side of t21 (spec-pinned — a trained sketch is not
     * ANSI-expressible, so the driver oracle covers only the exact side):
     * per-source `count_min_sketch` aggregates merged by counter addition
@@ -3360,6 +3408,7 @@ object Queries {
     "t49_conversion_time_b" -> (t49 _),
     "t50_knn_clusters_ivf" -> (t50 _),
     "t51_rfm_segments_b" -> (t51 _),
+    "t52_ivf_append_serve" -> (t52 _),
     // Hard-negative mining (contrastive training data): top-5 non-dup
     // neighbors for 10 deterministic query vectors; near-dups above
     // cos 0.95 are excluded as disguised positives. Candidate
@@ -6713,6 +6762,11 @@ object Queries {
       ("t48_op_anomalies_b" -> m("t36_op_anomalies")) +
       ("t49_conversion_time_b" -> m("q127_conversion_time")) +
       ("t50_knn_clusters_ivf" -> m("q117_knn_clusters")) +
-      ("t51_rfm_segments_b" -> m("q125_rfm_segments"))
+      ("t51_rfm_segments_b" -> m("q125_rfm_segments")) +
+      // t52 probes ALL cells of the built-then-appended index, so its
+      // candidate set is exactly the brute-force top-k over the whole
+      // corpus — same statistic, same oracle, through the persisted
+      // build → append → load → serve lifecycle.
+      ("t52_ivf_append_serve" -> m("q117_knn_clusters"))
   }
 }

@@ -148,6 +148,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(centsAfter === centsBefore)
   }
 
+  test("t52 build->append->load->serve lifecycle equals the exact " +
+      "mutual-kNN clustering (full probe over frozen centroids)") {
+    // the driver entry's contract: an index built on an 80% slice and
+    // appended with the rest under FROZEN centroids, probed at
+    // nProbe = nCentroids, yields exactly q117's brute-force clustering —
+    // which centroids assigned a vector to which cell is irrelevant when
+    // every cell is probed
+    val got = SparkEntry.queries("t52_ivf_append_serve")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q117_knn_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === exact && got.nonEmpty)
+  }
+
   test("tokens/shingles edge cases") {
     val df = Seq("", "  ", "one", "a b c d").toDF("text")
     val got = df.select(
