@@ -3272,6 +3272,94 @@ object Queries {
        |    FROM sub s JOIN p$iters p USING (mi)) WHERE rn = 1)""".stripMargin
   }
 
+  /** Unrolled fixed-iteration logistic-GD oracle for t53 — the
+    * [[graft.operators.QualityModel.trainGd]] twin in pure DuckDB SQL,
+    * one CTE pair per iteration: `p$i` scores the z-scored sample under
+    * the previous weights, `g$i` averages the batch gradient, `w$i`
+    * steps (`w ← w − lr · g`). Feature expressions are lifted verbatim
+    * from q22 (quality-struct fields — rounded to 6 INSIDE the struct,
+    * so rounded here too) and q78 (gopher ratios — raw doubles), making
+    * the GD input bit-identical to `featurize`'s: integer-count
+    * divisions are IEEE-exact in both engines. Same ≤2048-doc
+    * sample≡corpus precondition as [[lloydCtes]] (the trainer's
+    * ORDER BY id LIMIT 2048 slice IS the corpus at every oracle SF) and
+    * the same double-drift caveat: DuckDB's `avg`/`stddev_pop` associate
+    * differently than the driver loop's ascending-id left-assoc sums —
+    * the final round(·, 4) absorbs the ~1e-13 drift, and the output has
+    * NO rank cut, so there is zero discrete-decision surface. `w$i` is
+    * MATERIALIZED (referenced by both `p${i+1}` and `w${i+1}` — the
+    * t28/t37 inlining-explosion lesson). */
+  private def gdOracle(iters: Int, lr: Double): String = {
+    val stopIn = TextFunctions.langLexicons.flatMap(_._2)
+      .map(w => s"'$w'").mkString("(", ", ", ")")
+    val feats = Seq(
+      s"CAST(len(t) AS DOUBLE)",
+      s"""round(CAST(length(text) - length(regexp_replace(text,
+         |      '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE), 6)""".stripMargin,
+      s"""round(CAST(len(list_filter(t, x -> x IN $stopIn)) AS DOUBLE)
+         |    / CAST(CASE WHEN len(t) > 0 THEN len(t) ELSE 1 END
+         |      AS DOUBLE), 6)""".stripMargin,
+      s"""CASE WHEN len(t) > 0 THEN round(CAST(list_sum(
+         |      list_transform(t, x -> length(x))) AS DOUBLE)
+         |    / CAST(len(t) AS DOUBLE), 6) ELSE 0.0 END""".stripMargin,
+      s"""CASE WHEN len(t) > 0 THEN CAST(length(text)
+         |      - length(replace(text, '#', ''))
+         |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |    / len(t) ELSE 0.0 END""".stripMargin,
+      s"""CAST(len(list_filter(string_split(text, chr(10)),
+         |      l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+         |    AS DOUBLE) / len(string_split(text, chr(10)))""".stripMargin,
+      s"""CAST(len(list_filter(string_split(text, chr(10)),
+         |      l -> ends_with(rtrim(l), '...')
+         |        OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+         |    / len(string_split(text, chr(10)))""".stripMargin,
+      s"""CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t,
+         |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+         |    / len(t) ELSE 0.0 END""".stripMargin)
+    val js = 1 to feats.length
+    val xCols = js.map(j => s"\n    ${feats(j - 1)} AS x$j").mkString(",")
+    val stCols = js.map(j =>
+      s"avg(x$j) AS m$j, stddev_pop(x$j) AS d$j").mkString(",\n    ")
+    def zExpr(j: Int, src: String): String =
+      s"($src.x$j - st.m$j) / " +
+        s"(CASE WHEN st.d$j = 0 THEN 1 ELSE st.d$j END)"
+    val zCols = js.map(j => s"${zExpr(j, "f")} AS z$j").mkString(",\n    ")
+    val w0 = ("CAST(0.0 AS DOUBLE) AS b" +:
+      js.map(j => s"CAST(0.0 AS DOUBLE) AS w$j")).mkString(", ")
+    val margin = ("w.b" +: js.map(j => s"w.w$j * z.z$j")).mkString(" + ")
+    val steps = (1 to iters).map { i =>
+      val prev = s"w${i - 1}"
+      val gCols = ("avg(p - y) AS gb" +:
+        js.map(j => s"avg((p - y) * z$j) AS g$j")).mkString(",\n    ")
+      val wCols = (s"w.b - $lr * g.gb AS b" +:
+        js.map(j => s"w.w$j - $lr * g.g$j AS w$j")).mkString(",\n    ")
+      s""",
+         | p$i AS (SELECT z.y, ${js.map(j => s"z.z$j").mkString(", ")},
+         |    1 / (1 + exp(-($margin))) AS p FROM z, $prev w),
+         | g$i AS (SELECT $gCols FROM p$i),
+         | w$i AS MATERIALIZED (SELECT $wCols
+         |  FROM $prev w, g$i g)""".stripMargin
+    }.mkString
+    val scoreMargin = ("w.b" +: js.map(j =>
+      s"w.w$j * (${zExpr(j, "f")})")).mkString("\n    + ")
+    s"""WITH tk AS (SELECT doc_id, text, $toksSql AS t,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       | f AS MATERIALIZED (SELECT doc_id, y,$xCols
+       |  FROM tk),
+       | st AS MATERIALIZED (SELECT
+       |    $stCols
+       |  FROM f),
+       | z AS MATERIALIZED (SELECT f.doc_id, f.y,
+       |    $zCols
+       |  FROM f, st),
+       | w0 AS (SELECT $w0)$steps
+       |SELECT f.doc_id,
+       |  round(1 / (1 + exp(-($scoreMargin))), 4) AS quality_prob
+       |FROM f, st, w$iters w ORDER BY f.doc_id""".stripMargin
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -3595,6 +3683,26 @@ object Queries {
       val model = QualityModel.train(labeled, "label")
       QualityModel.score(feats, model, "doc_id")
         .orderBy(col("quality_prob").desc, col("doc_id")).limit(20)
+    }),
+    // Oracle-able trainer twin of t24 (r11 verdict ask #2): fixed-
+    // iteration batch-GD logistic regression on the same features and
+    // label, trained on the deterministic lowest-2048-ids slice
+    // (≡ corpus at oracle SF — the lloydCtes precedent) and scored
+    // corpus-wide as one literal-folded codegen'd projection. Output is
+    // ALL docs ordered by id — no rank cut, so the unrolled [[gdOracle]]
+    // has zero discrete-decision surface and round-4 absorbs the
+    // cross-engine avg-association drift. t24 stays the production
+    // L-BFGS path; this entry makes the trainer family hash-auditable.
+    "t53_quality_gd" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val feats = QualityModel.featurize(d, "doc_id", "text")
+      val labeled = feats.join(
+        d.select(col("doc_id"),
+          (col("lang") === "en").cast("double").as("label")), Seq("doc_id"))
+      val model = QualityModel.trainGd(labeled, "doc_id", "label",
+        iters = 10, lr = 0.5)
+      QualityModel.scoreGd(feats, model, "doc_id")
+        .orderBy(col("doc_id"))
     }),
     // Real BPE tokenizer training ([[BpeTrainer]]): the corpus collapses
     // to its word-frequency table in ONE pass, then every merge
@@ -6178,6 +6286,9 @@ object Queries {
     // q61's doc_id-ordered token packing. Per-(stage, source) survivor
     // counts; a source with zero survivors at a stage is absent on both
     // sides.
+    // GD quality-trainer oracle (graduated r12): 10 full-batch steps
+    // unrolled over the z-scored sample≡corpus — see [[gdOracle]].
+    "t53_quality_gd" -> gdOracle(10, 0.5),
     "t19_curation_dag" -> {
       val stopIn = graft.functions.TextFunctions.gopherStops
         .map(w => s"'$w'").mkString("(", ", ", ")")

@@ -75,4 +75,88 @@ object QualityModel {
     scored.withColumn("quality_prob",
       round(get(org.apache.spark.ml.functions
         .vector_to_array(col("probability")), lit(1)), 4))
+
+  /** A fixed-iteration batch-gradient-descent twin of [[train]] whose
+    * every arithmetic step is ANSI-replayable — the oracle-able trainer
+    * (the L-BFGS fit above is production-grade but its line search is
+    * not SQL-unrollable; this twin is, via one CTE pair per iteration).
+    *
+    * Shape: the labeled frame is cut to a DETERMINISTIC bounded sample
+    * (lowest `sampleSize` ids — at oracle scale the corpus is ≤ 2048
+    * docs so sample ≡ corpus, the lloydCtes precedent; at 100 TB use
+    * [[Curation.hashSample]] upstream and pass the result in whole),
+    * collected ordered (≤ 2048 × 9 doubles on the driver), features are
+    * z-scored on the sample (population std; zero-variance guard → 1),
+    * and `iters` full-batch steps run from a zero init:
+    * `w ← w − lr · avg((σ(w·z) − y) · z)`. Driver-side sums are
+    * left-assoc in ascending-id order; DuckDB's `avg` associates
+    * differently — the ~1e-13 double drift is absorbed by the caller's
+    * output rounding, exactly the lloydCtes caveat. */
+  case class GdModel(means: Array[Double], stds: Array[Double],
+      intercept: Double, weights: Array[Double])
+
+  def trainGd(labeled: DataFrame, idCol: String, labelCol: String,
+      iters: Int = 10, lr: Double = 0.5, sampleSize: Int = 2048)
+      : GdModel = {
+    val rows = labeled
+      .select((Seq(col(idCol)) ++ featureCols.map(col) :+
+        col(labelCol).cast("double")): _*)
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect()
+    val n = rows.length
+    require(n > 0, "trainGd: empty training frame")
+    val d = featureCols.length
+    val x = Array.tabulate(n, d)((i, j) => rows(i).getDouble(j + 1))
+    val y = Array.tabulate(n)(i => rows(i).getDouble(d + 1))
+    val means = Array.tabulate(d) { j =>
+      var s = 0.0; var i = 0
+      while (i < n) { s += x(i)(j); i += 1 }
+      s / n
+    }
+    val stds = Array.tabulate(d) { j =>
+      var s = 0.0; var i = 0
+      while (i < n) {
+        val dev = x(i)(j) - means(j); s += dev * dev; i += 1
+      }
+      val sd = math.sqrt(s / n)
+      if (sd == 0.0) 1.0 else sd
+    }
+    val z = Array.tabulate(n, d)((i, j) => (x(i)(j) - means(j)) / stds(j))
+    var b = 0.0
+    val w = new Array[Double](d)
+    for (_ <- 1 to iters) {
+      var gb = 0.0
+      val g = new Array[Double](d)
+      var i = 0
+      while (i < n) {
+        var dot = b; var j = 0
+        while (j < d) { dot += w(j) * z(i)(j); j += 1 }
+        val err = 1.0 / (1.0 + math.exp(-dot)) - y(i)
+        gb += err
+        j = 0
+        while (j < d) { g(j) += err * z(i)(j); j += 1 }
+        i += 1
+      }
+      b -= lr * (gb / n)
+      var j = 0
+      while (j < d) { w(j) -= lr * (g(j) / n); j += 1 }
+    }
+    GdModel(means, stds, b, w)
+  }
+
+  /** Score a corpus with a [[trainGd]] model: the weights fold in as
+    * LITERALS, so the whole pass is one narrow codegen'd projection —
+    * no broadcast, no UDF, no MLlib vector boxing. Adds `quality_prob`
+    * rounded to 4 (which also absorbs the cross-engine double drift of
+    * the unrolled oracle). */
+  def scoreGd(features: DataFrame, model: GdModel, idCol: String)
+      : DataFrame = {
+    val margin = featureCols.zipWithIndex.foldLeft(
+      lit(model.intercept)) { case (acc, (c, j)) =>
+      acc + lit(model.weights(j)) *
+        ((col(c) - lit(model.means(j))) / lit(model.stds(j)))
+    }
+    features.select(col(idCol),
+      round(lit(1.0) / (lit(1.0) + exp(-margin)), 4).as("quality_prob"))
+  }
 }

@@ -1548,6 +1548,43 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(m1.intercept - m2.intercept) < 1e-9)
   }
 
+  test("GD quality trainer separates the planted corpus, retrains " +
+      "bit-identically, and respects the sample bound") {
+    import graft.operators.QualityModel
+    // same planted linearly-separable corpus as the L-BFGS spec above
+    val ref = (0 until 30).map(i =>
+      (i.toLong, "the quick brown fox and the lazy dog ran of a it " +
+        s"is in word$i text here", 1.0))
+    val crawl = (30 until 60).map(i =>
+      (i.toLong, s"### $i ### ... %%% @@@ $i-$i-$i ... ###", 0.0))
+    val df = (ref ++ crawl).toDF("doc_id", "text", "label")
+    val feats = QualityModel.featurize(df, "doc_id", "text")
+      .join(df.select("doc_id", "label"), Seq("doc_id"))
+    val m1 = QualityModel.trainGd(feats, "doc_id", "label",
+      iters = 50, lr = 1.0)
+    val scored = QualityModel.scoreGd(
+      QualityModel.featurize(df, "doc_id", "text"), m1, "doc_id")
+      .join(df.select("doc_id", "label"), Seq("doc_id")).collect()
+    assert(scored.forall { r =>
+      (r.getAs[Double]("quality_prob") > 0.5) ==
+        (r.getAs[Double]("label") == 1.0)
+    })
+    // driver-side fixed-order arithmetic: retrain is BIT-identical,
+    // not just close — the property the unrolled oracle leans on
+    val m2 = QualityModel.trainGd(feats, "doc_id", "label",
+      iters = 50, lr = 1.0)
+    assert(m1.weights.sameElements(m2.weights)
+      && m1.intercept == m2.intercept
+      && m1.means.sameElements(m2.means)
+      && m1.stds.sameElements(m2.stds))
+    // the sample bound really cuts: training on the lowest-10-ids slice
+    // (all label 1) ignores the crawl rows entirely, so the gradient
+    // never sees a negative and the intercept moves strictly up
+    val m3 = QualityModel.trainGd(feats, "doc_id", "label",
+      iters = 50, lr = 1.0, sampleSize = 10)
+    assert(m3.intercept > 0.0 && m1.intercept < m3.intercept)
+  }
+
   test("shardAssign: contiguous per-shard positions, stable under " +
       "repartition") {
     val a = Curation.shardAssign(docs, "doc_id", 8)
