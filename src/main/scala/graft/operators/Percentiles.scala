@@ -25,15 +25,19 @@ import org.apache.spark.sql.functions._
   *     `groupBy` on the SAME key (no second exchange) picks the two
   *     boundary rows per percentile. A pathologically hot single group
   *     still serializes through one (spilling) task — the same property
-  *     as any exact per-group order statistic; if that group alone
-  *     exceeds a disk, route it through [[globalExact]] or
-  *     `approx_percentile`.
+  *     as any exact per-group order statistic; when that matters, use
+  *     [[groupedRangeExact]], which spreads every group across range
+  *     partitions and has no serial point at all.
   *   - [[globalExact]] — whole-frame percentiles via the classic
   *     distributed selection: one range-partitioned sort (every task
   *     sorts ~1/P of the data, spill-safe), a P-row partition census to
   *     the driver, then one pick pass that extracts only the boundary
   *     ranks. Driver state is P counts + 2·|ps| doubles; no task ever
   *     holds the distribution.
+  *   - [[groupedRangeExact]] — [[globalExact]] generalized to groups:
+  *     range-partitions on (group, value) so even a pathologically hot
+  *     group spans partitions instead of funneling one task — the
+  *     grouped family's last serial point removed (r11 verdict ask 6).
   *
   * Equivalence to `percentile()` (and to DuckDB `quantile_cont`, via the
   * repo's pinned t36 identity) is asserted bit-exactly by
@@ -102,14 +106,23 @@ object Percentiles {
     } :+ max(col("__n")).as("__nn")
     val aggs = extras ++ slots
     val agged = ranked.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
+    interpolateSelect(agged, ps, roundTo)
+  }
+
+  /** Shared final step of the grouped forms: turn the per-group
+    * (__lo$i, __hi$i, __nn) slots into named percentile columns with
+    * Percentile.getPercentile's exact arithmetic, shortcuts included:
+    * integral position → v_lo; equal endpoints → v_lo (skipping the
+    * re-weighted sum keeps the double BIT-identical); else linear
+    * interpolation in the reference's operand order. One helper, not
+    * two copies, so [[groupedExact]] and [[groupedRangeExact]] stay
+    * bit-equal by construction. */
+  private def interpolateSelect(agged: DataFrame,
+      ps: Seq[(Double, String)], roundTo: Int): DataFrame = {
     val out = ps.zipWithIndex.map { case ((p, name), i) =>
-      val q = pos(col("__nn"), p)
+      val q = (col("__nn") - 1L).cast("double") * lit(p)
       val lo = floor(q)
       val hi = ceil(q)
-      // Percentile.getPercentile's exact arithmetic, shortcuts included:
-      // integral position → v_lo; equal endpoints → v_lo (skipping the
-      // re-weighted sum keeps the double BIT-identical); else linear
-      // interpolation in the reference's operand order.
       val v = when(lo === hi, col(s"__lo$i"))
         .when(col(s"__lo$i") === col(s"__hi$i"), col(s"__lo$i"))
         .otherwise(
@@ -197,6 +210,131 @@ object Percentiles {
           else (hi - q) * vLo + (q - lo) * vHi
         }
       }
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** Exact per-group percentiles with NO single-task hot group —
+    * [[globalExact]]'s distributed selection generalized to groups: the
+    * escape hatch [[groupedExact]]'s scaladoc routes a pathological
+    * group to.
+    *
+    * Where [[groupedExact]] funnels each group through one (spilling)
+    * window task, this form range-partitions on (group, value) so a hot
+    * group SPANS partitions — every task sorts ~1/P of the data
+    * whatever the skew — then reconstructs global per-group ranks from
+    * a (partition, group) census and picks only the boundary rows:
+    *
+    *   1. one range-partition sort on (grp…, v) (spill-safe; groups are
+    *      contiguous runs across consecutive partitions);
+    *   2. census job: per-(partition, group) counts to the driver —
+    *      at most P + G − 1 rows (each partition holds a contiguous run
+    *      of groups), so driver state is O(G + P), same order as the
+    *      G-row result itself;
+    *   3. pick pass: a broadcast (group, pid) → rank-offset map turns
+    *      the per-partition row counter into the group-global rank
+    *      (Long end to end — the 2^31 wrap regime is exactly the hot
+    *      group this exists for); wanted floor/ceil ranks emit;
+    *   4. the picked ≤ 2·|ps|·G rows join a broadcast G-row count frame
+    *      and finish through [[interpolateSelect]] — the SAME slot
+    *      aggregation and interpolation arithmetic as [[groupedExact]],
+    *      so bit-equality with `percentile()` holds by construction
+    *      (asserted with forced spills in PercentilesSpec).
+    *
+    * `valCol` must be non-null on every row (filter first), as in
+    * [[groupedExact]]. */
+  def groupedRangeExact(df: DataFrame, grpCols: Seq[String],
+      valCol: String, ps: Seq[(Double, String)], roundTo: Int = 4,
+      nParts: Int = 0): DataFrame = {
+    require(grpCols.nonEmpty, "groupedRangeExact needs group keys — " +
+      "use globalExact for whole-frame percentiles")
+    require(ps.forall { case (p, _) => p >= 0.0 && p <= 1.0 },
+      s"percentile fractions must be in [0, 1], got ${ps.map(_._1)}")
+    val spark = df.sparkSession
+    val parts = math.max(1, if (nParts > 0) nParts
+      else spark.sparkContext.defaultParallelism)
+    val grp = grpCols.map(col)
+    val g = grpCols.length
+    val ordCols = grp :+ col("__v")
+    // same persist-not-localCheckpoint reasoning as globalExact: the
+    // census offsets assume the pick pass reads the SAME materialized
+    // layout, and persist() is actually releasable in the finally
+    val sorted = df
+      .select((grp :+ col(valCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .repartitionByRange(parts, ordCols: _*)
+      .sortWithinPartitions(ordCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val census = sorted
+        .groupBy((spark_partition_id().as("__pid") +: grp): _*)
+        .agg(count(lit(1)).as("__c"))
+        .collect()
+        .map(r => (r.getInt(0), List.range(1, g + 1).map(r.get),
+          r.getLong(g + 1)))
+      val nByGrp: Map[List[Any], Long] = census
+        .groupBy(_._2).map { case (k, rows) => k -> rows.map(_._3).sum }
+      // group-global rank offset of each (group, partition) slice:
+      // cumulative counts in ascending-pid order within the group
+      val offByGrpPid: Map[(List[Any], Int), Long] = census
+        .groupBy(_._2).flatMap { case (k, rows) =>
+          var acc = 0L
+          rows.sortBy(_._1).map { case (pid, _, c) =>
+            val o = (k, pid) -> acc; acc += c; o }
+        }
+      val wantByGrp: Map[List[Any], Set[Long]] = nByGrp.map {
+        case (k, n) => k -> ps.flatMap { case (p, _) =>
+          val q = (n - 1).toDouble * p
+          Seq(math.floor(q).toLong, math.ceil(q).toLong)
+        }.toSet
+      }
+      val bcOff = spark.sparkContext.broadcast(offByGrpPid)
+      val bcWant = spark.sparkContext.broadcast(wantByGrp)
+      val pickedRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val offs = bcOff.value
+        val wants = bcWant.value
+        var curKey: List[Any] = null
+        var idx = 0L
+        var want: Set[Long] = Set.empty
+        it.flatMap { row =>
+          val key = List.range(0, g).map(row.get)
+          if (key != curKey) {
+            curKey = key
+            idx = offs.getOrElse((key, pid), 0L)
+            want = wants.getOrElse(key, Set.empty)
+          }
+          val r = idx; idx += 1L
+          if (want.contains(r))
+            Iterator.single(
+              org.apache.spark.sql.Row.fromSeq(key :+ r :+
+                row.getDouble(g)))
+          else Iterator.empty
+        }
+      }
+      import org.apache.spark.sql.types.{DoubleType, LongType,
+        StructField, StructType}
+      val grpFields = sorted.schema.fields.take(g)
+      val picked = spark.createDataFrame(pickedRdd,
+        StructType(grpFields ++ Seq(StructField("__rk", LongType),
+          StructField("__v2", DoubleType))))
+      val nDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          nByGrp.toSeq.map { case (k, n) =>
+            org.apache.spark.sql.Row.fromSeq(k :+ n) },
+          numSlices = 1),
+        StructType(grpFields :+ StructField("__nn", LongType)))
+      val slots = ps.zipWithIndex.flatMap { case ((p, _), i) =>
+        val q = (col("__nn") - 1L).cast("double") * lit(p)
+        Seq(
+          max(when(col("__rk") === floor(q), col("__v2")))
+            .as(s"__lo$i"),
+          max(when(col("__rk") === ceil(q), col("__v2")))
+            .as(s"__hi$i"))
+      } :+ max(col("__nn")).as("__nn")
+      val agged = picked.join(broadcast(nDf), grpCols)
+        .groupBy(grp: _*).agg(slots.head, slots.tail: _*)
+      // the picked frame is ≤ 2·|ps|·G rows; materialize the result off
+      // the persisted sort so the finally can release it eagerly
+      interpolateSelect(agged, ps, roundTo).localCheckpoint()
     } finally sorted.unpersist(blocking = false)
   }
 }

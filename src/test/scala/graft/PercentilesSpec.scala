@@ -113,6 +113,82 @@ class PercentilesSpec extends SparkTestBase {
     assert(got.length === 2 && got.forall(_.isNaN))
   }
 
+  private def compareRange(df: org.apache.spark.sql.DataFrame,
+      ps: Seq[Double], nParts: Int): Unit = {
+    val got = Percentiles.groupedRangeExact(df, Seq("g"), "v",
+      ps.zipWithIndex.map { case (p, i) => p -> s"p$i" }, roundTo = -1,
+      nParts = nParts)
+      .collect()
+      .map(r => r.getString(r.fieldIndex("g")) ->
+        ps.indices.map(i => r.getDouble(r.fieldIndex(s"p$i"))))
+      .toMap
+    val exp = df.groupBy("g")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet === exp.keySet)
+    for (g <- got.keySet; i <- ps.indices)
+      assert(bits(got(g)(i)) === bits(exp(g)(i)),
+        s"group $g p=${ps(i)}: got ${got(g)(i)} want ${exp(g)(i)}")
+  }
+
+  test("groupedRangeExact is bit-equal to percentile() on the shared " +
+      "fixtures (integral/fractional positions, duplicates, singleton)") {
+    compareRange(grouped, Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0),
+      nParts = 5)
+    compareRange(doubles, Seq(0.1, 1.0 / 3.0, 0.5, 0.875, 1.0),
+      nParts = 4)
+  }
+
+  test("groupedRangeExact: a hot group SPANS range partitions and stays " +
+      "bit-equal — the property groupedExact's one-task funnel lacks") {
+    // 60k-row hot group + two slivers across 16 partitions: balanced
+    // ranges put the hot group in ~14 partitions, so the census/offset
+    // reconstruction is exercised for real, not degenerately
+    val hot = SparkTestBase.session.range(60000)
+      .select(lit("hot").as("g"),
+        (pmod(col("id") * 2654435761L, lit(99991L))).cast("double")
+          .as("v"))
+    val df = hot.union(
+      Seq(("s1", 5.0), ("s1", 1.0), ("s2", 8.0)).toDF("g", "v"))
+    val recipe = df.repartitionByRange(16, col("g"), col("v"))
+    val spread = recipe
+      .filter(col("g") === "hot")
+      .select(spark_partition_id()).distinct().count()
+    assert(spread > 1L,
+      s"hot group landed in one partition ($spread) — fixture too small")
+    compareRange(df, Seq(0.0, 0.25, 0.5, 2.0 / 3.0, 0.999, 1.0),
+      nParts = 16)
+  }
+
+  test("groupedRangeExact: multi-column group keys") {
+    val df = Seq(
+      ("a", 1, 3.0), ("a", 1, 1.0), ("a", 1, 4.5), ("a", 2, 9.0),
+      ("b", 1, 2.0), ("b", 1, 2.0), ("b", 2, 7.0), ("b", 2, 5.0))
+      .toDF("g1", "g2", "v")
+    val got = Percentiles.groupedRangeExact(df, Seq("g1", "g2"), "v",
+      Seq(0.5 -> "med"), roundTo = -1, nParts = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        r.getDouble(r.fieldIndex("med"))).toMap
+    val exp = df.groupBy("g1", "g2")
+      .agg(expr("percentile(v, 0.5)").as("med"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === exp.keySet)
+    got.keySet.foreach(k => assert(bits(got(k)) === bits(exp(k)), k))
+  }
+
+  test("groupedRangeExact: empty frame yields an empty result; empty " +
+      "group keys are rejected") {
+    val out = Percentiles.groupedRangeExact(
+      grouped.filter(lit(false)), Seq("g"), "v", Seq(0.5 -> "med"))
+    assert(out.columns.toSeq === Seq("g", "med") && out.count() === 0L)
+    intercept[IllegalArgumentException] {
+      Percentiles.groupedRangeExact(grouped, Seq.empty, "v",
+        Seq(0.5 -> "med"))
+    }
+  }
+
   test("groupedExact stays bit-equal when the window buffer actually " +
       "SPILLS (the bounded-memory claim, exercised)") {
     val n = 20000
