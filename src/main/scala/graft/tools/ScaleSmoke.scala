@@ -76,6 +76,31 @@ object ScaleSmoke {
       CriticalPath.segments(skewed).count())
     println(s"  segments: $skewN")
 
+    // the other single-trace pathology: maximal DEPTH instead of
+    // breadth — a 100k-deep well-nested call chain. Exercises the
+    // automaton's leader-stack descent/drain (heap List, no JVM
+    // recursion) at 5000x the fixture's deepest trace; with the
+    // LinkedHashSet returns this stays the same O(n log n) as the flat
+    // probe (the sort dominates), where a quadratic automaton would
+    // blow up here first
+    println("== depth probe: one 100k-deep chain trace ==")
+    val nDeep = 100000L
+    val deep = spark.range(nDeep).select(
+      lit("deeptrace").as("traceID"),
+      concat(lit("d"), col("id")).as("spanID"),
+      lit("op").as("operationName"),
+      (lit(base) + col("id")).as("startTime"),
+      ((lit(nDeep) - col("id")) * 3L).as("duration"),
+      lit("p1").as("processID"),
+      when(col("id") === 0, lit(""))
+        .otherwise(concat(lit("d"), col("id") - 1)).as("parent"),
+      lit("svc").as("service")).as[SpanLite]
+    val deepN = time("100k-deep single chain")(
+      CriticalPath.segments(deep).count())
+    println(s"  segments: $deepN")
+    require(deepN >= nDeep,
+      s"chain trace must tile at least one segment per span, got $deepN")
+
     println("== plan ==")
     segs.explain()
     spark.stop()
