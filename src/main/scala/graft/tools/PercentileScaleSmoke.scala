@@ -60,6 +60,21 @@ object PercentileScaleSmoke {
           java.lang.Double.doubleToLongBits(exact(g)(i))))
     println(s"  grouped bit-equality: ${if (grpOk) "OK" else "MISMATCH"}")
 
+    // the hot-group escape: same statistic, but the n/2-row group is
+    // spread across range partitions instead of funneling one task
+    val ranged = time("groupedRangeExact (hot group spans partitions)") {
+      Percentiles.groupedRangeExact(df, Seq("g"), "v",
+        ps.zipWithIndex.map { case (p, i) => p -> s"p$i" }, roundTo = -1)
+        .collect().map(r => r.getLong(0) ->
+          ps.indices.map(i => r.getDouble(r.fieldIndex(s"p$i")))).toMap
+    }
+    val rngOk = ranged.keySet == exact.keySet &&
+      ranged.keySet.forall(g => ps.indices.forall(i =>
+        java.lang.Double.doubleToLongBits(ranged(g)(i)) ==
+          java.lang.Double.doubleToLongBits(exact(g)(i))))
+    println(s"  ranged bit-equality: ${if (rngOk) "OK" else "MISMATCH"}")
+    require(rngOk, "groupedRangeExact diverged from percentile()")
+
     val gBounded = time("globalExact (range-sort + census + pick)") {
       Percentiles.globalExact(df, "v", ps)
     }
