@@ -3517,8 +3517,9 @@ object Queries {
     // --- trained / approximate / sketch ops ------------------------------
     // (the trained-clustering family graduated to full DuckDB oracles in
     // r11 via the lloydCtes/pqCtes unrolls — t08-t12, t15, t16, t25,
-    // t26, t32; the sketch/automaton/trainer-loop entries stay rows-only
-    // by design)
+    // t26, t32; the quality trainer gained its oracled GD twin t53 in
+    // r12 via gdOracle; the sketch/automaton entries and t24's L-BFGS
+    // itself stay rows-only by design)
     "t08_similarity_ivf" -> ((s: SparkSession, dir: String) => {
       // serve path: probe the once-built session-cached index — the r2
       // entry retrained centroids + re-assigned every cell per rep, timing
