@@ -2662,10 +2662,15 @@ object Queries {
         .localCheckpoint()
     } finally {
       val p = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p)
+      if (java.nio.file.Files.exists(p)) {
+        // Files.walk streams hold open DirectoryStreams — close it, or
+        // every bench rep / verify pass leaks directory handles
+        val walk = java.nio.file.Files.walk(p)
+        try walk
           .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(f => java.nio.file.Files.delete(f))
+        finally walk.close()
+      }
     }
   }
 
@@ -3277,18 +3282,28 @@ object Queries {
     * one CTE pair per iteration: `p$i` scores the z-scored sample under
     * the previous weights, `g$i` averages the batch gradient, `w$i`
     * steps (`w ← w − lr · g`). Feature expressions are lifted verbatim
-    * from q22 (quality-struct fields — rounded to 6 INSIDE the struct,
-    * so rounded here too) and q78 (gopher ratios — raw doubles), making
-    * the GD input bit-identical to `featurize`'s: integer-count
-    * divisions are IEEE-exact in both engines. Same ≤2048-doc
-    * sample≡corpus precondition as [[lloydCtes]] (the trainer's
-    * ORDER BY id LIMIT 2048 slice IS the corpus at every oracle SF) and
-    * the same double-drift caveat: DuckDB's `avg`/`stddev_pop` associate
-    * differently than the driver loop's ascending-id left-assoc sums —
-    * the final round(·, 4) absorbs the ~1e-13 drift, and the output has
-    * NO rank cut, so there is zero discrete-decision surface. `w$i` is
-    * MATERIALIZED (referenced by both `p${i+1}` and `w${i+1}` — the
-    * t28/t37 inlining-explosion lesson). */
+    * from q22 and q78 — and since BOTH structs round their ratio fields
+    * to 6 decimals internally (`qualityStruct` AND `gopherStruct`),
+    * every ratio here carries the same round(·, 6), making the GD input
+    * bit-identical to `featurize`'s: integer-count divisions are
+    * IEEE-exact in both engines and the round-6 snap is decimal-exact.
+    * Same ≤2048-doc sample≡corpus precondition as [[lloydCtes]] (the
+    * trainer's ORDER BY id LIMIT 2048 slice IS the corpus at every
+    * oracle SF — the final scoring therefore reads the z CTE directly)
+    * and the same double-drift caveat: DuckDB's `avg`/`stddev_pop`
+    * associate differently than the driver loop's ascending-id
+    * left-assoc sums — the final round(·, 4) absorbs the ~1e-13 drift,
+    * and the output has NO rank cut. The one residual discrete branch,
+    * the zero-variance guard, compares `sd < 1e-12` on both sides
+    * (NOT `= 0`): a constant feature yields sd exactly 0 under DuckDB's
+    * Welford pass but ~1e-16 under the driver's two-pass sums, so an
+    * equality guard would fire on one engine only — the epsilon makes
+    * both engines take the same branch for every (near-)constant
+    * feature, and a genuine sd landing within drift of 1e-12 itself is
+    * the same astronomically-unlikely boundary class every rounded
+    * oracle carries. `w$i` is MATERIALIZED (referenced by both
+    * `p${i+1}` and `w${i+1}` — the t28/t37 inlining-explosion
+    * lesson). */
   private def gdOracle(iters: Int, lr: Double): String = {
     val stopIn = TextFunctions.langLexicons.flatMap(_._2)
       .map(w => s"'$w'").mkString("(", ", ", ")")
@@ -3303,27 +3318,28 @@ object Queries {
       s"""CASE WHEN len(t) > 0 THEN round(CAST(list_sum(
          |      list_transform(t, x -> length(x))) AS DOUBLE)
          |    / CAST(len(t) AS DOUBLE), 6) ELSE 0.0 END""".stripMargin,
-      s"""CASE WHEN len(t) > 0 THEN CAST(length(text)
+      s"""round(CASE WHEN len(t) > 0 THEN CAST(length(text)
          |      - length(replace(text, '#', ''))
          |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
-         |    / len(t) ELSE 0.0 END""".stripMargin,
-      s"""CAST(len(list_filter(string_split(text, chr(10)),
+         |    / len(t) ELSE 0.0 END, 6)""".stripMargin,
+      s"""round(CAST(len(list_filter(string_split(text, chr(10)),
          |      l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
-         |    AS DOUBLE) / len(string_split(text, chr(10)))""".stripMargin,
-      s"""CAST(len(list_filter(string_split(text, chr(10)),
+         |    AS DOUBLE) / len(string_split(text, chr(10))), 6)"""
+        .stripMargin,
+      s"""round(CAST(len(list_filter(string_split(text, chr(10)),
          |      l -> ends_with(rtrim(l), '...')
          |        OR ends_with(rtrim(l), '…'))) AS DOUBLE)
-         |    / len(string_split(text, chr(10)))""".stripMargin,
-      s"""CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t,
+         |    / len(string_split(text, chr(10))), 6)""".stripMargin,
+      s"""round(CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t,
          |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-         |    / len(t) ELSE 0.0 END""".stripMargin)
+         |    / len(t) ELSE 0.0 END, 6)""".stripMargin)
     val js = 1 to feats.length
     val xCols = js.map(j => s"\n    ${feats(j - 1)} AS x$j").mkString(",")
     val stCols = js.map(j =>
       s"avg(x$j) AS m$j, stddev_pop(x$j) AS d$j").mkString(",\n    ")
     def zExpr(j: Int, src: String): String =
       s"($src.x$j - st.m$j) / " +
-        s"(CASE WHEN st.d$j = 0 THEN 1 ELSE st.d$j END)"
+        s"(CASE WHEN st.d$j < 1e-12 THEN 1 ELSE st.d$j END)"
     val zCols = js.map(j => s"${zExpr(j, "f")} AS z$j").mkString(",\n    ")
     val w0 = ("CAST(0.0 AS DOUBLE) AS b" +:
       js.map(j => s"CAST(0.0 AS DOUBLE) AS w$j")).mkString(", ")
@@ -3341,8 +3357,11 @@ object Queries {
          | w$i AS MATERIALIZED (SELECT $wCols
          |  FROM $prev w, g$i g)""".stripMargin
     }.mkString
+    // score straight off the materialized z CTE: under the sample ≡
+    // corpus precondition it IS the corpus z-scored, and w.b + Σ wj·zj
+    // is the exact margin scoreGd folds in as literals
     val scoreMargin = ("w.b" +: js.map(j =>
-      s"w.w$j * (${zExpr(j, "f")})")).mkString("\n    + ")
+      s"w.w$j * z.z$j")).mkString(" + ")
     s"""WITH tk AS (SELECT doc_id, text, $toksSql AS t,
        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
        |  FROM documents),
@@ -3355,9 +3374,9 @@ object Queries {
        |    $zCols
        |  FROM f, st),
        | w0 AS (SELECT $w0)$steps
-       |SELECT f.doc_id,
+       |SELECT z.doc_id,
        |  round(1 / (1 + exp(-($scoreMargin))), 4) AS quality_prob
-       |FROM f, st, w$iters w ORDER BY f.doc_id""".stripMargin
+       |FROM z, w$iters w ORDER BY z.doc_id""".stripMargin
   }
 
   // ==========================================================================
@@ -3699,7 +3718,11 @@ object Queries {
       val feats = QualityModel.featurize(d, "doc_id", "text")
       val labeled = feats.join(
         d.select(col("doc_id"),
-          (col("lang") === "en").cast("double").as("label")), Seq("doc_id"))
+          // when/otherwise, not a bare cast: a null lang must label 0.0
+          // (matching the oracle's CASE), never null — trainGd's
+          // driver-side getDouble would throw on a null label
+          when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+            .as("label")), Seq("doc_id"))
       val model = QualityModel.trainGd(labeled, "doc_id", "label",
         iters = 10, lr = 0.5)
       QualityModel.scoreGd(feats, model, "doc_id")
@@ -6234,6 +6257,9 @@ object Queries {
     // HOF term for term, including the aa-on-aaa overlap case and the
     // merged-symbol-equals-left guard). MATERIALIZED per round (t28
     // lesson); chr(31) cannot occur in corpus symbols.
+    // GD quality-trainer oracle (graduated r12): 10 full-batch steps
+    // unrolled over the z-scored sample≡corpus — see [[gdOracle]].
+    "t53_quality_gd" -> gdOracle(10, 0.5),
     "t22_bpe_train" -> {
       val n = 30
       val us = "chr(31)"
@@ -6287,9 +6313,6 @@ object Queries {
     // q61's doc_id-ordered token packing. Per-(stage, source) survivor
     // counts; a source with zero survivors at a stage is absent on both
     // sides.
-    // GD quality-trainer oracle (graduated r12): 10 full-batch steps
-    // unrolled over the z-scored sample≡corpus — see [[gdOracle]].
-    "t53_quality_gd" -> gdOracle(10, 0.5),
     "t19_curation_dag" -> {
       val stopIn = graft.functions.TextFunctions.gopherStops
         .map(w => s"'$w'").mkString("(", ", ", ")")

@@ -233,12 +233,14 @@ object Percentiles {
     *   3. pick pass: a broadcast (group, pid) → rank-offset map turns
     *      the per-partition row counter into the group-global rank
     *      (Long end to end — the 2^31 wrap regime is exactly the hot
-    *      group this exists for); wanted floor/ceil ranks emit;
-    *   4. the picked ≤ 2·|ps|·G rows join a broadcast G-row count frame
-    *      and finish through [[interpolateSelect]] — the SAME slot
-    *      aggregation and interpolation arithmetic as [[groupedExact]],
-    *      so bit-equality with `percentile()` holds by construction
-    *      (asserted with forced spills in PercentilesSpec).
+    *      group this exists for); wanted floor/ceil ranks emit,
+    *      carrying their group's total count (no join — NULL group
+    *      keys survive, as they do in groupedExact's plain groupBy);
+    *   4. the picked ≤ 2·|ps|·G rows finish through
+    *      [[interpolateSelect]] — the SAME slot aggregation and
+    *      interpolation arithmetic as [[groupedExact]], so bit-equality
+    *      with `percentile()` holds by construction (asserted with
+    *      forced spills in PercentilesSpec).
     *
     * `valCol` must be non-null on every row (filter first), as in
     * [[groupedExact]]. */
@@ -281,11 +283,16 @@ object Percentiles {
           rows.sortBy(_._1).map { case (pid, _, c) =>
             val o = (k, pid) -> acc; acc += c; o }
         }
-      val wantByGrp: Map[List[Any], Set[Long]] = nByGrp.map {
-        case (k, n) => k -> ps.flatMap { case (p, _) =>
+      // one broadcast structure: group → (n, wanted floor/ceil ranks).
+      // Each picked row carries its group's n, so the final aggregation
+      // needs NO join — an inner equi-join on the group keys would also
+      // silently drop a NULL-keyed group, which groupedExact (a plain
+      // groupBy) and percentile() both keep
+      val wantByGrp: Map[List[Any], (Long, Set[Long])] = nByGrp.map {
+        case (k, n) => k -> (n, ps.flatMap { case (p, _) =>
           val q = (n - 1).toDouble * p
           Seq(math.floor(q).toLong, math.ceil(q).toLong)
-        }.toSet
+        }.toSet)
       }
       val bcOff = spark.sparkContext.broadcast(offByGrpPid)
       val bcWant = spark.sparkContext.broadcast(wantByGrp)
@@ -294,44 +301,40 @@ object Percentiles {
         val wants = bcWant.value
         var curKey: List[Any] = null
         var idx = 0L
+        var n = 0L
         var want: Set[Long] = Set.empty
         it.flatMap { row =>
           val key = List.range(0, g).map(row.get)
           if (key != curKey) {
             curKey = key
             idx = offs.getOrElse((key, pid), 0L)
-            want = wants.getOrElse(key, Set.empty)
+            val (nn, w) = wants.getOrElse(key, (0L, Set.empty[Long]))
+            n = nn; want = w
           }
           val r = idx; idx += 1L
           if (want.contains(r))
             Iterator.single(
               org.apache.spark.sql.Row.fromSeq(key :+ r :+
-                row.getDouble(g)))
+                row.getDouble(g) :+ n))
           else Iterator.empty
         }
       }
       import org.apache.spark.sql.types.{DoubleType, LongType,
         StructField, StructType}
-      val grpFields = sorted.schema.fields.take(g)
       val picked = spark.createDataFrame(pickedRdd,
-        StructType(grpFields ++ Seq(StructField("__rk", LongType),
-          StructField("__v2", DoubleType))))
-      val nDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          nByGrp.toSeq.map { case (k, n) =>
-            org.apache.spark.sql.Row.fromSeq(k :+ n) },
-          numSlices = 1),
-        StructType(grpFields :+ StructField("__nn", LongType)))
+        StructType(sorted.schema.fields.take(g) ++ Seq(
+          StructField("__rk", LongType),
+          StructField("__v2", DoubleType),
+          StructField("__gn", LongType))))
       val slots = ps.zipWithIndex.flatMap { case ((p, _), i) =>
-        val q = (col("__nn") - 1L).cast("double") * lit(p)
+        val q = (col("__gn") - 1L).cast("double") * lit(p)
         Seq(
           max(when(col("__rk") === floor(q), col("__v2")))
             .as(s"__lo$i"),
           max(when(col("__rk") === ceil(q), col("__v2")))
             .as(s"__hi$i"))
-      } :+ max(col("__nn")).as("__nn")
-      val agged = picked.join(broadcast(nDf), grpCols)
-        .groupBy(grp: _*).agg(slots.head, slots.tail: _*)
+      } :+ max(col("__gn")).as("__nn")
+      val agged = picked.groupBy(grp: _*).agg(slots.head, slots.tail: _*)
       // the picked frame is ≤ 2·|ps|·G rows; materialize the result off
       // the persisted sort so the finally can release it eagerly
       interpolateSelect(agged, ps, roundTo).localCheckpoint()

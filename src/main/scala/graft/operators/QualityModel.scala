@@ -86,7 +86,8 @@ object QualityModel {
     * docs so sample ≡ corpus, the lloydCtes precedent; at 100 TB use
     * [[Curation.hashSample]] upstream and pass the result in whole),
     * collected ordered (≤ 2048 × 9 doubles on the driver), features are
-    * z-scored on the sample (population std; zero-variance guard → 1),
+    * z-scored on the sample (population std; sd < 1e-12 guard → 1,
+    * epsilon-matched with the oracle — see the stds comment below),
     * and `iters` full-batch steps run from a zero init:
     * `w ← w − lr · avg((σ(w·z) − y) · z)`. Driver-side sums are
     * left-assoc in ascending-id order; DuckDB's `avg` associates
@@ -119,7 +120,12 @@ object QualityModel {
         val dev = x(i)(j) - means(j); s += dev * dev; i += 1
       }
       val sd = math.sqrt(s / n)
-      if (sd == 0.0) 1.0 else sd
+      // epsilon, not == 0: a constant feature gives sd EXACTLY 0 under
+      // DuckDB's Welford stddev_pop but ~1e-16 under these two-pass
+      // sums — an equality guard would branch on one engine only. Both
+      // sides compare < 1e-12 so (near-)constant features take the
+      // guard together (gdOracle carries the matching CASE).
+      if (sd < 1e-12) 1.0 else sd
     }
     val z = Array.tabulate(n, d)((i, j) => (x(i)(j) - means(j)) / stds(j))
     var b = 0.0

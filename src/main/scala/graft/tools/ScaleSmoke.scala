@@ -98,8 +98,10 @@ object ScaleSmoke {
     val deepN = time("100k-deep single chain")(
       CriticalPath.segments(deep).count())
     println(s"  segments: $deepN")
-    require(deepN >= nDeep,
-      s"chain trace must tile at least one segment per span, got $deepN")
+    // exact: one descent segment per parent + one drain segment per
+    // span = 2n - 1 (same count as the flat probe, reached the other way)
+    require(deepN == 2 * nDeep - 1,
+      s"chain trace must tile exactly ${2 * nDeep - 1} segments, got $deepN")
 
     println("== plan ==")
     segs.explain()

@@ -178,6 +178,23 @@ class PercentilesSpec extends SparkTestBase {
     got.keySet.foreach(k => assert(bits(got(k)) === bits(exp(k)), k))
   }
 
+  test("groupedRangeExact: a NULL group key survives, matching " +
+      "groupedExact and percentile()") {
+    val df = Seq(("a", 1L), ("a", 3L), (null, 2L), (null, 8L),
+      (null, 4L)).toDF("g", "v")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => Option(r.getString(0)) ->
+        r.getDouble(r.fieldIndex("med"))).toMap
+    val ranged = toMap(Percentiles.groupedRangeExact(df, Seq("g"), "v",
+      Seq(0.5 -> "med"), roundTo = -1, nParts = 3).collect())
+    val exact = toMap(df.groupBy("g")
+      .agg(expr("percentile(v, 0.5)").as("med")).collect())
+    assert(ranged.keySet === Set(Some("a"), None))
+    assert(ranged.keySet === exact.keySet)
+    ranged.keySet.foreach(k =>
+      assert(bits(ranged(k)) === bits(exact(k)), k))
+  }
+
   test("groupedRangeExact: empty frame yields an empty result; empty " +
       "group keys are rejected") {
     val out = Percentiles.groupedRangeExact(
