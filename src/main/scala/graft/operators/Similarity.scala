@@ -323,8 +323,15 @@ object Similarity {
     * not corpus size. */
   def saveIvfIndex(index: (DataFrame, DataFrame), path: String): Unit = {
     index._1.write.mode("overwrite").parquet(s"$path/centroids")
-    index._2.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/assigned")
+    // hash-repartition on the partition column first: a dynamic
+    // partition write from cell-unsorted tasks emits up to
+    // tasks × cells files (the classic small-files problem — measured
+    // 2.4 s of commit overhead on the t52 lifecycle at sf0.1); after
+    // the repartition each cell lands wholly in one task → one file.
+    // At corpus scale cap file size with
+    // spark.sql.files.maxRecordsPerFile rather than re-fanning out
+    index._2.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/assigned")
   }
 
   /** Load a persisted IVF index. */
@@ -351,8 +358,10 @@ object Similarity {
         l2Normalize(col(vecCol)).as("cv")),
       cents, "neighbor_id", "cv", keep = 1)
       .localCheckpoint()
-    assigned.write.mode("append").partitionBy("cell")
-      .parquet(s"$path/assigned")
+    // same one-file-per-touched-cell discipline as saveIvfIndex: daily
+    // appends otherwise accrete tasks × cells shards per batch
+    assigned.repartition(col("cell")).write.mode("append")
+      .partitionBy("cell").parquet(s"$path/assigned")
     assigned.count()
   }
 
