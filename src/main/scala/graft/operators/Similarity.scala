@@ -320,7 +320,11 @@ object Similarity {
     * assignment is written partitioned BY CELL, so a probe of nProbe
     * cells reads only those partitions (partition pruning at serve
     * time) — at 100 TB the index read is proportional to cells probed,
-    * not corpus size. */
+    * not corpus size. Not just a layout hope: the serve join really
+    * prunes — Spark's dynamic partition pruning broadcasts the probe
+    * side's cells into the index scan's PartitionFilters
+    * (`dynamicpruningexpression(cell IN ...)`), asserted by
+    * ExplainCheck on a loaded index at nProbe = 2. */
   def saveIvfIndex(index: (DataFrame, DataFrame), path: String): Unit = {
     index._1.write.mode("overwrite").parquet(s"$path/centroids")
     // hash-repartition on the partition column first: a dynamic

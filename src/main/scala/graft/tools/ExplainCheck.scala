@@ -321,6 +321,40 @@ object ExplainCheck {
       val p = plan("t10_pq_topk")
       p.contains("row_number(), 32,") && p.contains("row_number(), 3,")
     })
+    // the persisted-index scale claim behind t52's layout: a low-nProbe
+    // serve from the cell-partitioned parquet must read ONLY the probed
+    // cells — Spark's dynamic partition pruning turns the cell
+    // equi-join into a partition filter (the probe side broadcasts, a
+    // SubqueryAdaptiveBroadcast feeds `cell IN dynamicpruning#N` into
+    // the index scan's PartitionFilters). At a 100 TB index this is the
+    // difference between reading nProbe/nCentroids of the data and all
+    // of it
+    locally {
+      import org.apache.spark.sql.functions._
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_explain_ivf").toString
+      try {
+        graft.operators.Similarity.saveIvfIndex(
+          graft.operators.Similarity.buildIvfIndex(e, "vec_id",
+            "embedding", nCentroids = 16, kmeansIters = 2), path)
+        val served = graft.operators.Similarity.ivfTopKFromIndex(
+          graft.operators.Similarity.loadIvfIndex(spark, path),
+          e.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 3, nProbe = 2)
+        served.count()
+        val p = served.queryExecution.executedPlan.toString
+        check("low-nProbe serve from a persisted index gets dynamic " +
+          "partition pruning on cell",
+          p.contains("dynamicpruningexpression(cast(cell"))
+      } finally {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        try walk
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally walk.close()
+      }
+    }
     println("all plan assertions hold")
     spark.stop()
   }
