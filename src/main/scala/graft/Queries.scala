@@ -2938,6 +2938,179 @@ object Queries {
        |  AND j.processID = p.processID
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** DuckDB re-derivation of the critical-path automaton (t03/t30,
+    * graduated r12) — the "set-valued per-step state no recursive CTE
+    * can carry" CAN in fact be carried: the whole per-trace state
+    * (leader, leader stack, insertion-ordered outstanding-children
+    * sets, emitted segments) serializes into ONE delimited VARCHAR and
+    * the event sweep becomes a `list_reduce` fold — the t22
+    * serialized-state precedent pushed to a full automaton.
+    * Let-bindings inside the lambda are emulated with single-element
+    * `list_transform([x], v -> body)[1]`. Every branch of the faithful
+    * port [[graft.analysis.CriticalPath.compute]] is reproduced term by
+    * term: the (startTime, spanID) span sort with seq = 2i / 2i+1 event
+    * numbering, the (ts, seq) event sort, absorbed overlapping calls
+    * (cond checks the PRE-add outstanding set), the leader-stack drain
+    * to the first stack entry with outstanding children (descending
+    * into its first-inserted child), and exact [traceStart, traceEnd]
+    * tiling. All arithmetic is integer µs, so hash-exactness carries NO
+    * drift caveat. Separators: chr(30) state fields / chr(29) list
+    * items / chr(28) entry+event fields / chr(26) kid ids (none occur
+    * in span ids). DuckDB traps: `array_to_string` of an EMPTY list is
+    * NULL (poisons the concat — every serialization site coalesces to
+    * '') and `list_reduce` seeds from the first element, so the init
+    * state (leader = first event's span, ts = its start) is PREPENDED
+    * to the event list. */
+  private object CritSql {
+    private val FS = "chr(30)"
+    private val LS = "chr(29)"
+    private val ES = "chr(28)"
+    private val KS = "chr(26)"
+
+    /** kids list of `pid` in the outstanding assoc-list `outs`
+      * (insertion-ordered), [] when absent or empty; `v` prefixes the
+      * lambda vars so nested uses never shadow. */
+    private def okids(outs: String, pid: String, v: String): String =
+      s"list_transform([list_filter($outs, ${v}e -> " +
+        s"string_split(${v}e, $ES)[1] = $pid)], ${v}f -> " +
+        s"CASE WHEN len(${v}f) = 0 " +
+        s"OR string_split(${v}f[1], $ES)[2] = '' " +
+        s"THEN CAST([] AS VARCHAR[]) " +
+        s"ELSE string_split(string_split(${v}f[1], $ES)[2], $KS) " +
+        s"END)[1]"
+
+    private def outAdd(outs: String, pid: String, sid: String): String =
+      s"CASE WHEN len(list_filter($outs, ae -> " +
+        s"string_split(ae, $ES)[1] = $pid)) > 0 " +
+        s"THEN list_transform($outs, au -> " +
+        s"CASE WHEN string_split(au, $ES)[1] = $pid " +
+        s"THEN $pid || $ES || " +
+        s"(CASE WHEN string_split(au, $ES)[2] = '' THEN $sid " +
+        s"ELSE string_split(au, $ES)[2] || $KS || $sid END) " +
+        s"ELSE au END) " +
+        s"ELSE list_append($outs, $pid || $ES || $sid) END"
+
+    private def outRm(outs: String, pid: String, sid: String): String =
+      s"list_transform($outs, ru -> " +
+        s"CASE WHEN string_split(ru, $ES)[1] = $pid " +
+        s"THEN $pid || $ES || coalesce(array_to_string(list_filter(" +
+        s"CASE WHEN string_split(ru, $ES)[2] = '' " +
+        s"THEN CAST([] AS VARCHAR[]) " +
+        s"ELSE string_split(string_split(ru, $ES)[2], $KS) END, " +
+        s"rk -> rk <> $sid), $KS), '') " +
+        s"ELSE ru END)"
+
+    private def state(leader: String, ts: String, stack: String,
+        outs: String, segs: String): String =
+      s"($leader) || $FS || ($ts) || $FS || " +
+        s"coalesce(array_to_string($stack, $LS), '') || $FS || " +
+        s"coalesce(array_to_string($outs, $LS), '') || $FS || ($segs)"
+
+    private def segApp(segs: String, stTs: String, evTs: String,
+        sid: String): String = {
+      val entry = s"($stTs) || $ES || CAST(CAST(($evTs) AS BIGINT) - " +
+        s"CAST(($stTs) AS BIGINT) AS VARCHAR) || $ES || ($sid)"
+      s"CASE WHEN ($segs) = '' THEN $entry " +
+        s"ELSE ($segs) || $LS || $entry END"
+    }
+
+    private val stackOf = s"CASE WHEN st[3] = '' " +
+      s"THEN CAST([] AS VARCHAR[]) ELSE string_split(st[3], $LS) END"
+    private val outsOf = s"CASE WHEN st[4] = '' " +
+      s"THEN CAST([] AS VARCHAR[]) ELSE string_split(st[4], $LS) END"
+
+    private val callBranch =
+      s"list_transform([$outsOf], os -> " +
+        s"CASE WHEN st[1] = ev[4] AND len(${okids("os", "ev[4]", "c")}) = 0 " +
+        s"THEN CASE WHEN ev[4] <> '' THEN " +
+        state("ev[3]", "ev[2]", s"list_prepend(st[1], $stackOf)",
+          outAdd("os", "ev[4]", "ev[3]"),
+          segApp("st[5]", "st[2]", "ev[2]", "ev[4]")) +
+        s" ELSE " +
+        state("st[1]", "ev[2]", stackOf,
+          outAdd("os", "ev[4]", "ev[3]"), "st[5]") +
+        s" END ELSE " +
+        state("st[1]", "st[2]", stackOf,
+          outAdd("os", "ev[4]", "ev[3]"), "st[5]") +
+        s" END)[1]"
+
+    private val drain =
+      s"list_transform([$stackOf], sk -> " +
+        s"list_transform([list_filter(generate_series(1, len(sk)), ji -> " +
+        s"len(${okids("os2", "sk[ji]", "d")}) > 0)], fidx -> " +
+        s"CASE WHEN len(fidx) > 0 THEN " +
+        state(s"${okids("os2", "sk[fidx[1]]", "g")}[1]", "ev[2]",
+          "list_slice(sk, fidx[1], len(sk))", "os2",
+          segApp("st[5]", "st[2]", "ev[2]", "st[1]")) +
+        s" WHEN len(sk) > 0 THEN " +
+        state("sk[len(sk)]", "ev[2]", "CAST([] AS VARCHAR[])", "os2",
+          segApp("st[5]", "st[2]", "ev[2]", "st[1]")) +
+        s" ELSE " +
+        state("st[1]", "ev[2]", "sk", "os2",
+          segApp("st[5]", "st[2]", "ev[2]", "st[1]")) +
+        s" END)[1])[1]"
+
+    private val retBranch =
+      s"list_transform([${outRm(outsOf, "ev[4]", "ev[3]")}], os2 -> " +
+        s"CASE WHEN len(${okids("os2", "st[1]", "r")}) = 0 THEN $drain" +
+        s" ELSE " +
+        state("st[1]", "st[2]", stackOf, "os2", "st[5]") +
+        s" END)[1]"
+
+    private val step =
+      s"list_transform([string_split(a, $FS)], st -> " +
+        s"list_transform([string_split(x, $ES)], ev -> " +
+        s"CASE WHEN ev[1] = '1' THEN $callBranch ELSE $retBranch END" +
+        s")[1])[1]"
+
+    /** CTE chain `sv → so → ev → el → fin → cseg`; `cseg` holds one row
+      * per critical segment: (traceID, sg = ts⟨ES⟩dur⟨ES⟩spanID). */
+    def segsCtes(svPrefix: String): String =
+      s"""$svPrefix,
+         | so AS (SELECT *, row_number() OVER (PARTITION BY traceID
+         |     ORDER BY startTime, spanID) - 1 AS i FROM sv),
+         | evt AS (SELECT traceID,
+         |     CASE WHEN k = 1 THEN '0' ELSE '1' END || $ES ||
+         |     CAST(startTime + CASE WHEN k = 1 THEN duration ELSE 0 END
+         |       AS VARCHAR) || $ES || spanID || $ES || parent AS e,
+         |     startTime + CASE WHEN k = 1 THEN duration ELSE 0 END AS ts,
+         |     2 * i + k AS seq
+         |   FROM so, (SELECT unnest([0, 1]) AS k) ks),
+         | el AS MATERIALIZED (SELECT traceID, list(e ORDER BY ts, seq)
+         |     AS evs
+         |   FROM evt GROUP BY traceID),
+         | fin AS (SELECT traceID,
+         |     list_reduce(list_prepend(
+         |       string_split(evs[1], $ES)[3] || $FS ||
+         |       string_split(evs[1], $ES)[2] || $FS || '' || $FS ||
+         |       '' || $FS || '',
+         |       evs), (a, x) -> $step) AS st_final
+         |   FROM el),
+         | cseg AS (SELECT traceID,
+         |     unnest(string_split(string_split(st_final, $FS)[5], $LS))
+         |       AS sg
+         |   FROM fin)""".stripMargin
+
+    def t03(svPrefix: String): String =
+      s"""WITH ${segsCtes(svPrefix)}
+         |SELECT g.traceID, string_split(g.sg, $ES)[3] AS spanID,
+         |  f.service,
+         |  CAST(string_split(g.sg, $ES)[1] AS BIGINT) AS startTime,
+         |  CAST(string_split(g.sg, $ES)[2] AS BIGINT) AS duration
+         |FROM cseg g JOIN sv f ON f.traceID = g.traceID
+         |  AND f.spanID = string_split(g.sg, $ES)[3]
+         |ORDER BY g.traceID, startTime, spanID""".stripMargin
+
+    def t30(svPrefix: String): String =
+      s"""WITH ${segsCtes(svPrefix)}
+         |SELECT f.service, count(*) AS n_segments,
+         |  CAST(sum(CAST(string_split(g.sg, $ES)[2] AS BIGINT))
+         |    AS BIGINT) AS crit_us
+         |FROM cseg g JOIN sv f ON f.traceID = g.traceID
+         |  AND f.spanID = string_split(g.sg, $ES)[3]
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Shared SQL prefix for the t34/t35/t36 oracles: spans with parent
     * (first CHILD_OF reference, engine `SpanOps.parentExpr` semantics)
     * and service (processes-map lookup) resolved — the raw-export
@@ -3536,9 +3709,10 @@ object Queries {
     // --- trained / approximate / sketch ops ------------------------------
     // (the trained-clustering family graduated to full DuckDB oracles in
     // r11 via the lloydCtes/pqCtes unrolls — t08-t12, t15, t16, t25,
-    // t26, t32; the quality trainer gained its oracled GD twin t53 in
-    // r12 via gdOracle; the sketch/automaton entries and t24's L-BFGS
-    // itself stay rows-only by design)
+    // t26, t32; r12 graduated the quality trainer via its GD twin t53
+    // [gdOracle] AND the critical-path automaton t03/t30 [CritSql];
+    // the sketch entries, the bloom gate, and t24's L-BFGS itself stay
+    // rows-only by design)
     "t08_similarity_ivf" -> ((s: SparkSession, dir: String) => {
       // serve path: probe the once-built session-cached index — the r2
       // entry retrained centroids + re-assigned every cell per rep, timing
@@ -3986,8 +4160,16 @@ object Queries {
             .as("tags_str"))
         .orderBy(col("traceID"), col("spanID"))
     }),
-    "t03_critical_path" -> ((s: SparkSession, _: String) =>
-      SparkEntry.entry(s).orderBy(col("traceID"), col("startTime"))),
+    // Fully oracled as of r12 ([[CritSql]]): the automaton's per-trace
+    // sweep — leader stack, outstanding-children sets, segment tiling —
+    // replays in DuckDB as a serialized-state list_reduce fold over the
+    // raw fixture export, hash-exact (integer µs, no rounding). The
+    // golden-parity + tiling/permutation specs remain as independent
+    // pins.
+    "t03_critical_path" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
+      SparkEntry.entry(s).orderBy(col("traceID"), col("startTime"))
+    }),
     // Per-service span SELF-time (exclusive time = duration − Σ direct
     // children): the flame-graph metric trace UIs report. Fully oracled
     // against the raw fixture export (parent via first CHILD_OF ref).
@@ -4023,15 +4205,16 @@ object Queries {
     }),
     // Critical-path service attribution: which services own the
     // system's latency — per-service share of distributed critical-path
-    // segments (composes the A1 automaton with a bounded agg).
-    // Rows-only: the automaton has no ANSI oracle; its segments are
-    // golden-pinned by t03 + tiling/permutation properties.
-    "t30_critpath_services" -> ((s: SparkSession, _: String) =>
+    // segments (composes the A1 automaton with a bounded agg). Fully
+    // oracled as of r12: aggregates [[CritSql]]'s replayed segments.
+    "t30_critpath_services" -> ((s: SparkSession, _: String) => {
+      FixtureOracle.ensure(s)
       SparkEntry.entry(s)
         .groupBy(col("service"))
         .agg(count(lit(1)).as("n_segments"),
           sum(col("duration")).as("crit_us"))
-        .orderBy(col("service"))),
+        .orderBy(col("service"))
+    }),
     // Error-origin attribution: per trace, the FIRST error span (min
     // startTime, spanID tie-break) — which service is where failures
     // START, as opposed to where they surface. Fully oracled from the
@@ -6771,6 +6954,10 @@ object Queries {
     "t01_trace_summary" -> t01Oracle,
     "t02_span_flatten" -> t02Oracle,
     "t29_span_selftime" -> t29Oracle,
+    // the automaton graduations (r12): the full critical-path sweep as
+    // a serialized-state list_reduce fold — see [[CritSql]]
+    "t03_critical_path" -> CritSql.t03(svSpansSql),
+    "t30_critpath_services" -> CritSql.t30(svSpansSql),
     "t34_trace_shape" -> t34Oracle,
     "t35_span_gaps" -> t35Oracle,
     "t36_op_anomalies" -> t36Oracle,
