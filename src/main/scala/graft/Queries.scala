@@ -2660,18 +2660,7 @@ object Queries {
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
         .orderBy(col("vec_id"))
         .localCheckpoint()
-    } finally {
-      val p = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.exists(p)) {
-        // Files.walk streams hold open DirectoryStreams — close it, or
-        // every bench rep / verify pass leaks directory handles
-        val walk = java.nio.file.Files.walk(p)
-        try walk
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.delete(f))
-        finally walk.close()
-      }
-    }
+    } finally graft.util.Fs.deleteRecursively(path)
   }
 
   /** The CMS side of t21 (spec-pinned — a trained sketch is not
@@ -3063,8 +3052,9 @@ object Queries {
         s"CASE WHEN ev[1] = '1' THEN $callBranch ELSE $retBranch END" +
         s")[1])[1]"
 
-    /** CTE chain `sv → so → ev → el → fin → cseg`; `cseg` holds one row
-      * per critical segment: (traceID, sg = ts⟨ES⟩dur⟨ES⟩spanID). */
+    /** CTE chain `sv → so → evt → el → fin → cseg`; `cseg` holds one
+      * row per critical segment: (traceID, sg = ts⟨ES⟩dur⟨ES⟩spanID).
+      * (`evt`, not `ev` — that name is the fold's event lambda var.) */
     def segsCtes(svPrefix: String): String =
       s"""$svPrefix,
          | so AS (SELECT *, row_number() OVER (PARTITION BY traceID

@@ -347,13 +347,7 @@ object ExplainCheck {
         check("low-nProbe serve from a persisted index gets dynamic " +
           "partition pruning on cell",
           p.contains("dynamicpruningexpression(cast(cell"))
-      } finally {
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
-        try walk
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.delete(f))
-        finally walk.close()
-      }
+      } finally graft.util.Fs.deleteRecursively(path)
     }
     println("all plan assertions hold")
     spark.stop()

@@ -793,14 +793,7 @@ class PipelineOpsSpec extends SparkTestBase {
   }
 
   test("runDag persists stage tables and resumes after a mid-DAG kill") {
-    def rmrf(dir: String): Unit = {
-      val p = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-    }
+    def rmrf(dir: String): Unit = graft.util.Fs.deleteRecursively(dir)
     val out = java.nio.file.Files.createTempDirectory("graft_dag").toString
     try {
       val r1 = Curation.runDag(docs, out).collect()
