@@ -2477,6 +2477,25 @@ object Queries {
         round(expr("percentile(conv_us, 0.5)"), 4).as("med_conv_us"),
         round(expr("percentile(conv_us, 0.9)"), 4).as("p90_conv_us"))
 
+  /** IVF centroid-drift monitor ([[Similarity.ivfDriftReport]]) on the
+    * t52 split: index built on the 80% id-slice, the 20% slice profiled
+    * as the "append batch" against the frozen centroids — per cell,
+    * batch n / mean / exact-p10 assigned cosine vs the build-time
+    * baseline, `mean_drift` = base − batch. This is the rebuild trigger
+    * of the append lifecycle (What's-missing #2, r12): run it on every
+    * ingest batch, rebuild when drift crosses tolerance. Fully oracled —
+    * the lloydCtes unroll re-derives the frozen centroids and everything
+    * downstream is plain aggregation (quantile_cont ≡ percentile is the
+    * t36-pinned equivalence). */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfDriftReport(
+      Similarity.buildIvfIndex(e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", nCentroids = 16, kmeansIters = 4),
+      e.filter(col("vec_id") % 5 === 0), "vec_id", "embedding")
+      .orderBy(col("cell"))
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -3450,10 +3469,14 @@ object Queries {
     * every ratio here carries the same round(·, 6), making the GD input
     * bit-identical to `featurize`'s: integer-count divisions are
     * IEEE-exact in both engines and the round-6 snap is decimal-exact.
-    * Same ≤2048-doc sample≡corpus precondition as [[lloydCtes]] (the
-    * trainer's ORDER BY id LIMIT 2048 slice IS the corpus at every
-    * oracle SF — the final scoring therefore reads the z CTE directly)
-    * and the same double-drift caveat: DuckDB's `avg`/`stddev_pop`
+    * Unlike [[lloydCtes]], the trainer's bound is mirrored IN the SQL
+    * (r13, advice item): `ftr` is the `ORDER BY doc_id LIMIT 2048`
+    * slice of `f`, the stats + GD steps train on it, and the final
+    * scoring z-scores ALL of `f` with the slice's stats — exactly
+    * `trainGd`'s sample-then-score-everything shape, so the oracle
+    * stays sound even if a fixture one day outgrows sampleSize (at the
+    * current oracle SF the slice ≡ corpus and nothing changes). Same
+    * double-drift caveat as lloydCtes: DuckDB's `avg`/`stddev_pop`
     * associate differently than the driver loop's ascending-id
     * left-assoc sums — the final round(·, 4) absorbs the ~1e-13 drift,
     * and the output has NO rank cut. The one residual discrete branch,
@@ -3515,14 +3538,15 @@ object Queries {
         js.map(j => s"w.w$j - $lr * g.g$j AS w$j")).mkString(",\n    ")
       s""",
          | p$i AS (SELECT z.y, ${js.map(j => s"z.z$j").mkString(", ")},
-         |    1 / (1 + exp(-($margin))) AS p FROM z, $prev w),
+         |    1 / (1 + exp(-($margin))) AS p FROM ztr z, $prev w),
          | g$i AS (SELECT $gCols FROM p$i),
          | w$i AS MATERIALIZED (SELECT $wCols
          |  FROM $prev w, g$i g)""".stripMargin
     }.mkString
-    // score straight off the materialized z CTE: under the sample ≡
-    // corpus precondition it IS the corpus z-scored, and w.b + Σ wj·zj
-    // is the exact margin scoreGd folds in as literals
+    // score off the full-corpus z CTE (z-scored with the TRAINING
+    // slice's stats, like scoreGd's folded literals): training used
+    // ztr, so the sample bound and the score-everything contract are
+    // both explicit in the SQL
     val scoreMargin = ("w.b" +: js.map(j =>
       s"w.w$j * z.z$j")).mkString(" + ")
     s"""WITH tk AS (SELECT doc_id, text, $toksSql AS t,
@@ -3530,9 +3554,14 @@ object Queries {
        |  FROM documents),
        | f AS MATERIALIZED (SELECT doc_id, y,$xCols
        |  FROM tk),
+       | ftr AS MATERIALIZED (SELECT * FROM f ORDER BY doc_id
+       |  LIMIT 2048),
        | st AS MATERIALIZED (SELECT
        |    $stCols
-       |  FROM f),
+       |  FROM ftr),
+       | ztr AS MATERIALIZED (SELECT f.doc_id, f.y,
+       |    $zCols
+       |  FROM ftr f, st),
        | z AS MATERIALIZED (SELECT f.doc_id, f.y,
        |    $zCols
        |  FROM f, st),
@@ -3672,6 +3701,7 @@ object Queries {
     "q125_rfm_segments" -> (q125 _),
     "q126_cohort_ltv" -> (q126 _),
     "q127_conversion_time" -> (q127 _),
+    "q128_ivf_drift" -> (q128 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -4158,7 +4188,12 @@ object Queries {
     // pins.
     "t03_critical_path" -> ((s: SparkSession, _: String) => {
       FixtureOracle.ensure(s)
-      SparkEntry.entry(s).orderBy(col("traceID"), col("startTime"))
+      // spanID tiebreaker matches CritSql.t03's ORDER BY exactly: the
+      // automaton can emit zero-duration segments, so two segments in a
+      // trace may share startTime and a (traceID, startTime)-only sort
+      // would leave the order-sensitive hash at the planner's mercy
+      SparkEntry.entry(s)
+        .orderBy(col("traceID"), col("startTime"), col("spanID"))
     }),
     // Per-service span SELF-time (exclusive time = duration − Σ direct
     // children): the flame-graph metric trace UIs report. Fully oracled
@@ -6043,6 +6078,44 @@ object Queries {
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, count(*) AS exact_cnt FROM tok
          |GROUP BY 1 ORDER BY exact_cnt DESC, token LIMIT 20""".stripMargin,
+    // IVF drift-monitor oracle (r13): centroids re-derived from the
+    // BASE slice only (lloydCtes trains on whatever the `v` CTE holds —
+    // here the 80% id-slice, matching buildIvfIndex(base); sample ≡
+    // slice at ≤ 2048 vectors), then both slices argmax-assign against
+    // c4 and aggregate — plain ANSI from there on.
+    "q128_ivf_drift" ->
+      s"""WITH ve AS MATERIALIZED ($normVecSql),
+         | v AS MATERIALIZED (SELECT vec_id, nv FROM ve
+         |  WHERE vec_id % 5 <> 0),
+         |${lloydCtes(16, 4)},
+         | basea AS (SELECT cell, cos FROM (
+         |    SELECT c.cent_id AS cell,
+         |      list_dot_product(v.nv, c.nv) AS cos,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_dot_product(v.nv, c.nv) DESC, c.cent_id)
+         |        AS rn
+         |    FROM v, c4 c) WHERE rn = 1),
+         | base AS (SELECT cell, count(*) AS base_n,
+         |    round(avg(cos), 6) AS base_mean_cos
+         |  FROM basea GROUP BY 1),
+         | ba AS (SELECT cell, cos FROM (
+         |    SELECT c.cent_id AS cell,
+         |      list_dot_product(b.nv, c.nv) AS cos,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY list_dot_product(b.nv, c.nv) DESC, c.cent_id)
+         |        AS rn
+         |    FROM (SELECT vec_id, nv FROM ve WHERE vec_id % 5 = 0) b,
+         |      c4 c) WHERE rn = 1),
+         | bp AS (SELECT cell, count(*) AS batch_n,
+         |    round(avg(cos), 6) AS batch_mean_cos,
+         |    round(quantile_cont(cos, 0.10), 6) AS batch_p10_cos
+         |  FROM ba GROUP BY 1)
+         |SELECT bp.cell, coalesce(base.base_n, 0) AS base_n,
+         |  base.base_mean_cos, bp.batch_n, bp.batch_mean_cos,
+         |  bp.batch_p10_cos,
+         |  round(base.base_mean_cos - bp.batch_mean_cos, 6) AS mean_drift
+         |FROM bp LEFT JOIN base USING (cell)
+         |ORDER BY bp.cell""".stripMargin,
     "q119_interevent_gaps" ->
       s"""WITH g AS (SELECT event_type,
          |    epoch_us(ts) - lag(epoch_us(ts)) OVER (

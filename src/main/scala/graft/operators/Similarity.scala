@@ -333,7 +333,15 @@ object Similarity {
     // 2.4 s of commit overhead on the t52 lifecycle at sf0.1); after
     // the repartition each cell lands wholly in one task → one file.
     // At corpus scale cap file size with
-    // spark.sql.files.maxRecordsPerFile rather than re-fanning out
+    // spark.sql.files.maxRecordsPerFile rather than re-fanning out.
+    // Hot-cell caveat: the single-task-per-cell routing is also a
+    // serial point — a pathologically hot cell (badly skewed corpus or
+    // too few centroids) funnels through one write task, and
+    // maxRecordsPerFile caps file SIZE but not that funnel. If a cell
+    // outgrows a task, repartition on (cell, salt) instead and accept
+    // a few files per hot cell; with nCentroids ∝ √n (the documented
+    // sizing rule) cells stay ~√n rows and the one-task write is the
+    // right default
     index._2.repartition(col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/assigned")
   }
@@ -368,6 +376,92 @@ object Similarity {
       .partitionBy("cell").parquet(s"$path/assigned")
     assigned.count()
   }
+
+  /** Compact the appended cell store — the missing third of the
+    * build → append → serve lifecycle. [[appendToIvfIndex]] writes one
+    * file per touched cell PER BATCH, so a year of daily appends leaves
+    * ~365 files per hot cell and claws back the read amplification the
+    * cell layout bought. This rewrites every cell to a single file
+    * (same repartition-on-cell discipline as [[saveIvfIndex]], same
+    * hot-cell caveat) with served results identical by construction —
+    * the store's rows are untouched, only their file layout changes.
+    * Rewrite goes to a sibling temp dir first (a Spark job cannot
+    * safely overwrite the parquet directory it is reading), then swaps
+    * via rename — atomic metadata ops on POSIX/HDFS; on an
+    * S3-style store prefer writing to a versioned dir and flipping a
+    * pointer. Returns the number of rows in the compacted store. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    import java.nio.file.{Files, Paths}
+    val store = s"$path/assigned"
+    val tmp = s"$path/assigned_compacting"
+    graft.util.Fs.deleteRecursively(tmp)
+    spark.read.parquet(store)
+      .repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(tmp)
+    graft.util.Fs.deleteRecursively(store)
+    Files.move(Paths.get(tmp), Paths.get(store))
+    spark.read.parquet(store).count()
+  }
+
+  /** Centroid-drift report — the rebuild trigger [[appendToIvfIndex]]'s
+    * frozen-centroid contract needs: recall on appended data degrades
+    * gracefully as the data distribution drifts away from the trained
+    * centroids, and THIS is the metric that says when to pay for the
+    * rebuild. Per cell the batch lands in, compares the batch's
+    * assignment quality (n, mean and exact p10 assigned cosine) against
+    * the build-time baseline re-derived from the stored normalized
+    * vectors (join on cell = cent_id — the stored cell IS the argmax,
+    * so the join-side dot equals the assignment similarity; no extra
+    * persisted state, the index is its own baseline). `mean_drift` =
+    * base mean − batch mean: positive and growing ⇒ the batch fits its
+    * cells worse than the build corpus did ⇒ rebuild when it crosses
+    * your tolerance. Aggregates run over the RAW cosines and only the
+    * outputs round to 6 — pre-rounding the inputs MANUFACTURES
+    * half-boundary means (the average of 6-decimal values over a
+    * round n lands exactly on .5e-7, where decimal DuckDB and
+    * double-based Spark round apart; measured on the very first
+    * fixture cell) while raw means sit a cross-engine-safe ~1e-15 off
+    * any boundary. At 100 TB this is one broadcast argmax over the
+    * batch plus one pass over the store, output ≤ nCentroids rows. */
+  def ivfDriftReport(index: (DataFrame, DataFrame), batch: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val (cents, assigned) = index
+    val base = assigned
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("cell"), dotCol(col("cv"), col("centv")).as("cos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("base_n"),
+        round(avg(col("cos")), 6).as("base_mean_cos"))
+    val w = Window.partitionBy(col("bid"))
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    val bp = batch
+      .select(col(idCol).as("bid"), l2Normalize(col(vecCol)).as("bv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim", dotCol(col("bv"), col("centv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cent_id").as("cell"), col("cent_sim").as("cos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("batch_n"),
+        round(avg(col("cos")), 6).as("batch_mean_cos"),
+        round(org.apache.spark.sql.functions.expr("percentile(cos, 0.10)"),
+          6).as("batch_p10_cos"))
+    bp.join(base, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        col("base_mean_cos"),
+        col("batch_n"), col("batch_mean_cos"), col("batch_p10_cos"),
+        round(col("base_mean_cos") - col("batch_mean_cos"), 6)
+          .as("mean_drift"))
+  }
+
+  /** [[ivfDriftReport]] against a persisted index — the form a daily
+    * ingest job runs right after (or instead of) an append. */
+  def ivfDriftReport(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    ivfDriftReport(loadIvfIndex(spark, path), batch, idCol, vecCol)
 
   /** IVF top-k from a (possibly loaded) index. */
   def ivfTopKFromIndex(index: (DataFrame, DataFrame), queries: DataFrame,

@@ -162,6 +162,88 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got === exact && got.nonEmpty)
   }
 
+  test("compactIvfIndex: N appends accrete files, compaction leaves one " +
+      "file per cell and serves identical results") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_compact").toString
+    try {
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(base, "vec_id", "embedding"), dir)
+      // three "daily" batches over the held-out 20% slice
+      (0 to 2).foreach { i =>
+        Similarity.appendToIvfIndex(spark, dir,
+          emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 3 === i),
+          "vec_id", "embedding")
+      }
+      def filesPerCell(): Map[String, Int] = {
+        val root = new java.io.File(s"$dir/assigned")
+        root.listFiles().filter(_.getName.startsWith("cell="))
+          .map(d => d.getName ->
+            d.listFiles().count(_.getName.startsWith("part-"))).toMap
+      }
+      val before = filesPerCell()
+      // the accretion the compactor exists for really happened: at least
+      // one cell took files from several batches
+      assert(before.values.max > 1, s"no accretion: $before")
+      val rowsBefore = spark.read.parquet(s"$dir/assigned").count()
+      val queries = emb.filter(col("vec_id") < 10)
+      def serve(): Set[(Long, Long, Long)] =
+        Similarity.ivfTopKFromIndex(Similarity.loadIvfIndex(spark, dir),
+            queries, "vec_id", "embedding", k = 3, nProbe = 2)
+          .collect().map(r => (r.getAs[Long]("query_id"),
+            r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+      val servedBefore = serve()
+      val n = Similarity.compactIvfIndex(spark, dir)
+      assert(n === rowsBefore)
+      val after = filesPerCell()
+      // same cells survive, each rewritten to exactly one file
+      assert(after.keySet === before.keySet)
+      assert(after.values.forall(_ === 1), s"not compacted: $after")
+      assert(serve() === servedBefore && servedBefore.nonEmpty)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("ivfDriftReport: zero drift on the build corpus itself; planted " +
+      "drift degrades the assigned-cosine profile monotonically") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding")
+    // profiling the index's own corpus reproduces the baseline exactly:
+    // same rows, same argmax cells, so per-cell batch stats == base
+    // stats and the rounded drift is identically 0.0
+    val self = Similarity.ivfDriftReport(idx, emb, "vec_id", "embedding")
+      .collect()
+    assert(self.nonEmpty)
+    assert(self.forall(r => r.getAs[Double]("mean_drift") === 0.0))
+    assert(self.forall(r =>
+      r.getAs[Long]("base_n") === r.getAs[Long]("batch_n")))
+    // planted drift: blend each vector toward its own reversal —
+    // cos(v, reverse(v)) ≈ 0 on these near-random embeddings, so the
+    // blend walks every vector away from the space the centroids were
+    // trained on, further with each alpha
+    def drifted(alpha: Double) = emb.select(col("vec_id"),
+      zip_with(col("embedding"), reverse(col("embedding")),
+        (a, b) => a * lit(1.0 - alpha) + b * lit(alpha)).as("embedding"))
+    def profile(batch: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val r = Similarity.ivfDriftReport(idx, batch, "vec_id", "embedding")
+        .agg(
+          (sum(col("batch_n") * col("batch_mean_cos")) /
+            sum(col("batch_n"))).as("mean_cos"),
+          (sum(col("batch_n") * col("mean_drift")) /
+            sum(col("batch_n"))).as("drift")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (c0, d0) = profile(emb)
+    val (c5, d5) = profile(drifted(0.5))
+    val (c9, d9) = profile(drifted(0.9))
+    assert(d0 === 0.0)
+    // the monitor's contract: the metric moves, monotonically, in the
+    // direction of the drift
+    assert(c0 > c5 && c5 > c9, s"cos not monotone: $c0 $c5 $c9")
+    assert(d5 > 0.0 && d9 > d5, s"drift not monotone: $d0 $d5 $d9")
+  }
+
   test("tokens/shingles edge cases") {
     val df = Seq("", "  ", "one", "a b c d").toDF("text")
     val got = df.select(
