@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Scale-stress for the persisted-IVF lifecycle: build → save → N daily
+  * appends → drift report → compact → serve, at a size where the
+  * small-files accretion the compactor exists for is visible (default:
+  * 200k base vectors × 64 dims, 10 append batches of 20k, 32 cells —
+  * after which every cell holds 11 files and a serve pays 11× the file
+  * opens it needs). Prints file-per-cell counts and wall times for
+  * serve-before, compaction, and serve-after, then asserts the served
+  * top-k is IDENTICAL pre/post compaction (the compactor's contract:
+  * layout changes, rows don't).
+  *
+  * `sbt "runMain graft.tools.IvfLifecycleSmoke [nBase] [nBatches]"`
+  */
+object IvfLifecycleSmoke {
+  def main(args: Array[String]): Unit = {
+    val nBase = if (args.length > 0) args(0).toLong else 200000L
+    val nBatches = if (args.length > 1) args(1).toInt else 10
+    val batchRows = nBase / 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    // hash-derived 64-dim vectors, generated distributively (no driver
+    // materialization); ids beyond nBase become the append stream
+    def vecs(from: Long, n: Long) = spark.range(from, from + n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (pmod(xxhash64(col("id") * 64 + j), lit(1000003L)).cast("double")
+          / 5e5 - 1.0)).as("embedding"))
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_smoke").toString
+    try {
+      time(s"build+save ($nBase vecs, 32 cells)") {
+        Similarity.saveIvfIndex(
+          Similarity.buildIvfIndex(vecs(0, nBase), "vec_id", "embedding",
+            nCentroids = 32, kmeansIters = 4), dir)
+      }
+      time(s"$nBatches appends of $batchRows") {
+        (0 until nBatches).foreach { b =>
+          Similarity.appendToIvfIndex(spark, dir,
+            vecs(nBase + b * batchRows, batchRows), "vec_id", "embedding")
+        }
+      }
+      val drift = time("drift report (last batch vs build baseline)") {
+        Similarity.ivfDriftReport(spark, dir,
+            vecs(nBase + (nBatches - 1) * batchRows, batchRows),
+            "vec_id", "embedding")
+          .agg(sum(col("batch_n") * col("mean_drift")) /
+            sum(col("batch_n"))).head().getDouble(0)
+      }
+      println(f"  weighted mean_drift (same distribution): $drift%.6f")
+
+      def filesPerCell(): Seq[Int] = {
+        val root = new java.io.File(s"$dir/assigned")
+        root.listFiles().filter(_.getName.startsWith("cell="))
+          .map(_.listFiles().count(_.getName.startsWith("part-"))).toSeq
+      }
+      val queries = vecs(0, 64)
+      def serve(): Array[(Long, Long, Long)] =
+        Similarity.ivfTopKFromIndex(
+            Similarity.loadIvfIndex(spark, dir), queries,
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .collect().map(r => (r.getAs[Long]("query_id"),
+            r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+      val fBefore = filesPerCell()
+      println(s"  files/cell before: min=${fBefore.min} " +
+        s"max=${fBefore.max} total=${fBefore.sum}")
+      val sBefore = time("serve (64 queries, nProbe=2) pre-compaction") {
+        serve()
+      }
+      val rows = time("compactIvfIndex") {
+        Similarity.compactIvfIndex(spark, dir)
+      }
+      val fAfter = filesPerCell()
+      println(s"  files/cell after: min=${fAfter.min} " +
+        s"max=${fAfter.max} total=${fAfter.sum} rows=$rows")
+      val sAfter = time("serve (64 queries, nProbe=2) post-compaction") {
+        serve()
+      }
+      val ok = fAfter.forall(_ == 1) &&
+        rows == nBase + nBatches.toLong * batchRows &&
+        sBefore.toSet == sAfter.toSet && sBefore.nonEmpty
+      println(if (ok) "IvfLifecycleSmoke: OK"
+        else "IvfLifecycleSmoke: MISMATCH")
+      if (!ok) sys.exit(1)
+    } finally {
+      graft.util.Fs.deleteRecursively(dir)
+      spark.stop()
+    }
+  }
+}

@@ -1044,6 +1044,66 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("streaming IVF ingest: N micro-batch appends serve identically " +
+      "to one batch append") {
+    // the production shape of "daily ingest": a file stream of embedding
+    // batches drains through foreachBatch -> appendToIvfIndex against a
+    // persisted index. Frozen centroids make append order irrelevant, so
+    // the served result after N micro-batches must equal a single
+    // one-shot append of the same rows.
+    import graft.operators.Similarity
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val srcDir = Files.createTempDirectory("graft_ivf_src").toString
+    val ckpt = Files.createTempDirectory("graft_ivf_ckpt").toString
+    val idxStream = Files.createTempDirectory("graft_ivf_sidx").toString
+    val idxOnce = Files.createTempDirectory("graft_ivf_oidx").toString
+    try {
+      val built = Similarity.buildIvfIndex(base, "vec_id", "embedding")
+      Similarity.saveIvfIndex(built, idxStream)
+      Similarity.saveIvfIndex(built, idxOnce)
+      Similarity.appendToIvfIndex(spark, idxOnce, batch,
+        "vec_id", "embedding")
+      // three "daily" files; maxFilesPerTrigger=1 forces one micro-batch
+      // per file even under AvailableNow
+      (0 to 2).foreach { i =>
+        batch.filter(col("vec_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(srcDir)
+      }
+      val nBatches = spark.sparkContext.longAccumulator("ivf_batches")
+      val q = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            Similarity.appendToIvfIndex(spark, idxStream, b,
+              "vec_id", "embedding")
+            nBatches.add(1)
+          }
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      assert(nBatches.value >= 3, s"expected >=3 micro-batches, " +
+        s"got ${nBatches.value}")
+      def serve(path: String): Set[(Long, Long, Long, Double)] =
+        Similarity.ivfTopKFromIndex(Similarity.loadIvfIndex(spark, path),
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 3, nProbe = 2)
+          .collect().map(r => (r.getAs[Long]("query_id"),
+            r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"),
+            r.getAs[Double]("cos_sim"))).toSet
+      val streamed = serve(idxStream)
+      assert(streamed === serve(idxOnce) && streamed.nonEmpty)
+      // and the stores hold the same logical content
+      assert(spark.read.parquet(s"$idxStream/assigned").count() ===
+        spark.read.parquet(s"$idxOnce/assigned").count())
+    } finally Seq(srcDir, ckpt, idxStream, idxOnce)
+      .foreach(graft.util.Fs.deleteRecursively)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
