@@ -327,24 +327,47 @@ object Similarity {
     * ExplainCheck on a loaded index at nProbe = 2. */
   def saveIvfIndex(index: (DataFrame, DataFrame), path: String): Unit = {
     index._1.write.mode("overwrite").parquet(s"$path/centroids")
-    // hash-repartition on the partition column first: a dynamic
-    // partition write from cell-unsorted tasks emits up to
-    // tasks × cells files (the classic small-files problem — measured
-    // 2.4 s of commit overhead on the t52 lifecycle at sf0.1); after
-    // the repartition each cell lands wholly in one task → one file.
-    // At corpus scale cap file size with
-    // spark.sql.files.maxRecordsPerFile rather than re-fanning out.
-    // Hot-cell caveat: the single-task-per-cell routing is also a
-    // serial point — a pathologically hot cell (badly skewed corpus or
-    // too few centroids) funnels through one write task, and
-    // maxRecordsPerFile caps file SIZE but not that funnel. If a cell
-    // outgrows a task, repartition on (cell, salt) instead and accept
-    // a few files per hot cell; with nCentroids ∝ √n (the documented
-    // sizing rule) cells stay ~√n rows and the one-task write is the
-    // right default
-    index._2.repartition(col("cell")).write.mode("overwrite")
-      .partitionBy("cell").parquet(s"$path/assigned")
+    writeCellStore(index._2, "overwrite", s"$path/assigned")
+    // the build-time per-cell assignment-quality baseline
+    // (≤ nCentroids rows) persists WITH the index: [[ivfDriftReport]]
+    // compares every ingest batch against it, and deriving it later
+    // from the (appended-to) store would let each drifted batch
+    // contaminate the very baseline that is supposed to expose it
+    cellBaseline(index._1, index._2).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/baseline")
   }
+
+  /** The one home of the cell-store write discipline, shared by
+    * save / append / compact. Hash-repartition on the partition column
+    * first: a dynamic partition write from cell-unsorted tasks emits up
+    * to tasks × cells files (the classic small-files problem — measured
+    * 2.4 s of commit overhead on the t52 lifecycle at sf0.1); after the
+    * repartition each cell lands wholly in one task → one file per
+    * touched cell per write. At corpus scale cap file size with
+    * spark.sql.files.maxRecordsPerFile rather than re-fanning out.
+    * Hot-cell caveat: the single-task-per-cell routing is also a serial
+    * point — a pathologically hot cell (badly skewed corpus or too few
+    * centroids) funnels through one write task, and maxRecordsPerFile
+    * caps file SIZE but not that funnel. If a cell outgrows a task,
+    * repartition on (cell, salt) instead and accept a few files per hot
+    * cell; with nCentroids ∝ √n (the documented sizing rule) cells stay
+    * ~√n rows and the one-task write is the right default. */
+  private def writeCellStore(assigned: DataFrame, mode: String,
+      dest: String): Unit =
+    assigned.repartition(col("cell")).write.mode(mode)
+      .partitionBy("cell").parquet(dest)
+
+  /** Per-cell assignment-quality profile of a cell store: (cell, n,
+    * rounded mean assigned cosine). The stored cell IS the argmax by
+    * construction, so the join-side dot against the cell's centroid
+    * equals the assignment similarity — no re-argmax needed. */
+  private def cellBaseline(cents: DataFrame,
+      assigned: DataFrame): DataFrame =
+    assigned.join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("cell"), dotCol(col("cv"), col("centv")).as("cos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("base_n"),
+        round(avg(col("cos")), 6).as("base_mean_cos"))
 
   /** Load a persisted IVF index. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
@@ -370,10 +393,7 @@ object Similarity {
         l2Normalize(col(vecCol)).as("cv")),
       cents, "neighbor_id", "cv", keep = 1)
       .localCheckpoint()
-    // same one-file-per-touched-cell discipline as saveIvfIndex: daily
-    // appends otherwise accrete tasks × cells shards per batch
-    assigned.repartition(col("cell")).write.mode("append")
-      .partitionBy("cell").parquet(s"$path/assigned")
+    writeCellStore(assigned, "append", s"$path/assigned")
     assigned.count()
   }
 
@@ -384,24 +404,41 @@ object Similarity {
     * cell layout bought. This rewrites every cell to a single file
     * (same repartition-on-cell discipline as [[saveIvfIndex]], same
     * hot-cell caveat) with served results identical by construction —
-    * the store's rows are untouched, only their file layout changes.
-    * Rewrite goes to a sibling temp dir first (a Spark job cannot
-    * safely overwrite the parquet directory it is reading), then swaps
-    * via rename — atomic metadata ops on POSIX/HDFS; on an
-    * S3-style store prefer writing to a versioned dir and flipping a
-    * pointer. Returns the number of rows in the compacted store. */
+    * the store's rows are untouched, only their file layout changes
+    * (and the persisted drift baseline is deliberately NOT touched —
+    * it is build-time state). Rewrite goes to a sibling temp dir first
+    * (a Spark job cannot safely overwrite the parquet directory it is
+    * reading), then swaps with two renames through the index's own
+    * Hadoop FileSystem (so `path` may live on HDFS or any configured
+    * FS, not just local disk): store → `assigned_old`, compacted →
+    * store, delete old. Each rename is an atomic metadata op on
+    * POSIX/HDFS; a crash between them leaves `assigned_old` +
+    * `assigned_compacting` on disk for manual recovery rather than a
+    * half-deleted store, and a failed second rename rolls the first
+    * back. On rename-is-copy object stores prefer writing versioned
+    * dirs and flipping a pointer. Returns the number of rows in the
+    * compacted store. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
-    import java.nio.file.{Files, Paths}
-    val store = s"$path/assigned"
-    val tmp = s"$path/assigned_compacting"
-    graft.util.Fs.deleteRecursively(tmp)
-    spark.read.parquet(store)
-      .repartition(col("cell")).write.mode("overwrite")
-      .partitionBy("cell").parquet(tmp)
-    graft.util.Fs.deleteRecursively(store)
-    Files.move(Paths.get(tmp), Paths.get(store))
-    spark.read.parquet(store).count()
+    import org.apache.hadoop.fs.Path
+    val store = new Path(s"$path/assigned")
+    val tmp = new Path(s"$path/assigned_compacting")
+    val old = new Path(s"$path/assigned_old")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    writeCellStore(spark.read.parquet(store.toString), "overwrite",
+      tmp.toString)
+    if (!fs.rename(store, old))
+      throw new java.io.IOException(
+        s"compactIvfIndex: could not move $store aside")
+    if (!fs.rename(tmp, store)) {
+      fs.rename(old, store) // roll back; compacted data stays in tmp
+      throw new java.io.IOException(
+        s"compactIvfIndex: could not promote $tmp; original restored")
+    }
+    fs.delete(old, true)
+    spark.read.parquet(store.toString).count()
   }
 
   /** Centroid-drift report — the rebuild trigger [[appendToIvfIndex]]'s
@@ -410,29 +447,42 @@ object Similarity {
     * centroids, and THIS is the metric that says when to pay for the
     * rebuild. Per cell the batch lands in, compares the batch's
     * assignment quality (n, mean and exact p10 assigned cosine) against
-    * the build-time baseline re-derived from the stored normalized
-    * vectors (join on cell = cent_id — the stored cell IS the argmax,
-    * so the join-side dot equals the assignment similarity; no extra
-    * persisted state, the index is its own baseline). `mean_drift` =
-    * base mean − batch mean: positive and growing ⇒ the batch fits its
-    * cells worse than the build corpus did ⇒ rebuild when it crosses
-    * your tolerance. Aggregates run over the RAW cosines and only the
-    * outputs round to 6 — pre-rounding the inputs MANUFACTURES
-    * half-boundary means (the average of 6-decimal values over a
-    * round n lands exactly on .5e-7, where decimal DuckDB and
-    * double-based Spark round apart; measured on the very first
+    * the BUILD-TIME per-cell baseline ([[cellBaseline]] over the
+    * build assignment here; the frozen `baseline` dataset in the
+    * persisted form). `mean_drift` = base mean − batch mean: positive
+    * and growing ⇒ the batch fits its cells worse than the build corpus
+    * did ⇒ rebuild when it crosses your tolerance. Aggregates run over
+    * the RAW cosines and only the outputs round to 6 — pre-rounding the
+    * inputs MANUFACTURES half-boundary means (the average of 6-decimal
+    * values over a round n lands exactly on .5e-7, where decimal DuckDB
+    * and double-based Spark round apart; measured on the very first
     * fixture cell) while raw means sit a cross-engine-safe ~1e-15 off
-    * any boundary. At 100 TB this is one broadcast argmax over the
-    * batch plus one pass over the store, output ≤ nCentroids rows. */
+    * any boundary. Cost ∝ batch: one broadcast argmax over the batch
+    * joined to a ≤ nCentroids-row baseline; output ≤ nCentroids rows. */
   def ivfDriftReport(index: (DataFrame, DataFrame), batch: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
-    val (cents, assigned) = index
-    val base = assigned
-      .join(broadcast(cents), col("cell") === col("cent_id"))
-      .select(col("cell"), dotCol(col("cv"), col("centv")).as("cos"))
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("base_n"),
-        round(avg(col("cos")), 6).as("base_mean_cos"))
+      idCol: String, vecCol: String): DataFrame =
+    driftAgainst(cellBaseline(index._1, index._2), index._1, batch,
+      idCol, vecCol)
+
+  /** [[ivfDriftReport]] against a persisted index — the form a daily
+    * ingest job runs after every append. Reads the FROZEN build-time
+    * `baseline` dataset [[saveIvfIndex]] wrote (never the appended
+    * store: re-deriving the baseline from a store that already contains
+    * the drifted batches would let each append pull the baseline toward
+    * the drift and mask exactly the gradual degradation the monitor
+    * exists to catch — and would cost a corpus-size scan per check
+    * instead of nCentroids rows). */
+  def ivfDriftReport(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    driftAgainst(spark.read.parquet(s"$path/baseline"),
+      spark.read.parquet(s"$path/centroids"), batch, idCol, vecCol)
+
+  /** Shared finish of both [[ivfDriftReport]] forms: argmax-assign the
+    * batch against the frozen centroids, profile per cell, left-join
+    * the build-time baseline. */
+  private def driftAgainst(base: DataFrame, cents: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val w = Window.partitionBy(col("bid"))
       .orderBy(col("cent_sim").desc, col("cent_id"))
     val bp = batch
@@ -455,13 +505,6 @@ object Similarity {
         round(col("base_mean_cos") - col("batch_mean_cos"), 6)
           .as("mean_drift"))
   }
-
-  /** [[ivfDriftReport]] against a persisted index — the form a daily
-    * ingest job runs right after (or instead of) an append. */
-  def ivfDriftReport(spark: org.apache.spark.sql.SparkSession,
-      path: String, batch: DataFrame, idCol: String,
-      vecCol: String): DataFrame =
-    ivfDriftReport(loadIvfIndex(spark, path), batch, idCol, vecCol)
 
   /** IVF top-k from a (possibly loaded) index. */
   def ivfTopKFromIndex(index: (DataFrame, DataFrame), queries: DataFrame,

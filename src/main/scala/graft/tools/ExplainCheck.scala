@@ -349,6 +349,21 @@ object ExplainCheck {
           p.contains("dynamicpruningexpression(cast(cell"))
       } finally graft.util.Fs.deleteRecursively(path)
     }
+    // drift monitor: both corpus-scale centroid attaches must ride
+    // broadcasts — the baseline's cell=cent_id equi-join as a
+    // BroadcastHashJoin and the batch argmax's cross-attach as a
+    // BroadcastNestedLoopJoin over the ≤nCentroids local table; a
+    // CartesianProduct anywhere would be a corpus² scan. (The final
+    // bp⋈base profile join is ≤ nCentroids rows a side — its initial
+    // SMJ shape is irrelevant and AQE localizes it at runtime.)
+    check("q128 drift report broadcasts centroids on both corpus-side " +
+      "attaches, no cartesian", {
+      val p = plan("q128_ivf_drift")
+      "BroadcastHashJoin".r.findAllIn(p).length >= 1 &&
+        "BroadcastNestedLoopJoin BuildRight, Cross".r
+          .findAllIn(p).length >= 2 &&
+        !p.contains("CartesianProduct")
+    })
     println("all plan assertions hold")
     spark.stop()
   }

@@ -42,7 +42,7 @@ object IvfLifecycleSmoke {
 
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ivf_smoke").toString
-    try {
+    val allOk = try {
       time(s"build+save ($nBase vecs, 32 cells)") {
         Similarity.saveIvfIndex(
           Similarity.buildIvfIndex(vecs(0, nBase), "vec_id", "embedding",
@@ -95,10 +95,14 @@ object IvfLifecycleSmoke {
         sBefore.toSet == sAfter.toSet && sBefore.nonEmpty
       println(if (ok) "IvfLifecycleSmoke: OK"
         else "IvfLifecycleSmoke: MISMATCH")
-      if (!ok) sys.exit(1)
+      ok
     } finally {
       graft.util.Fs.deleteRecursively(dir)
       spark.stop()
     }
+    // sys.exit inside the try would bypass the finally (System.exit
+    // does not unwind), stranding the multi-hundred-MB temp index —
+    // so cleanup runs above and the exit code follows here
+    if (!allOk) sys.exit(1)
   }
 }
