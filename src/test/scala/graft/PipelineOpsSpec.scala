@@ -244,6 +244,50 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(d5 > 0.0 && d9 > d5, s"drift not monotone: $d0 $d5 $d9")
   }
 
+  test("ivfDriftReport (persisted path): the baseline is frozen at build " +
+      "time — drifted appends and compaction leave the report unchanged, " +
+      "while a store-derived baseline would under-report the drift") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_frozen").toString
+    try {
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding"), dir)
+      // same reverse-blend perturbation the monotonicity test uses: a
+      // batch that genuinely fits the trained cells worse than the corpus
+      val drifted = emb.select(col("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (a, b) => a * lit(0.2) + b * lit(0.8)).as("embedding"))
+      def persisted(): Set[org.apache.spark.sql.Row] =
+        Similarity.ivfDriftReport(spark, dir, drifted, "vec_id",
+          "embedding").collect().toSet
+      def weighted(r: org.apache.spark.sql.DataFrame): Double =
+        r.agg((sum(col("batch_n") * col("mean_drift")) /
+          sum(col("batch_n"))).as("d")).head().getDouble(0)
+      val before = persisted()
+      val dBefore = weighted(Similarity.ivfDriftReport(spark, dir, drifted,
+        "vec_id", "embedding"))
+      assert(before.nonEmpty && dBefore > 0.0)
+      // ingest the drifted batch, then compact: the monitor must still
+      // measure against the BUILD-TIME baseline — byte-identical report
+      Similarity.appendToIvfIndex(spark, dir, drifted, "vec_id",
+        "embedding")
+      assert(persisted() === before)
+      Similarity.compactIvfIndex(spark, dir)
+      assert(persisted() === before)
+      // the design alternative this guards against: re-deriving the
+      // baseline from the (now contaminated) store — the in-memory form
+      // over the loaded index does exactly that — pulls the baseline
+      // toward the drifted batch and reports strictly less drift
+      val contaminated = weighted(Similarity.ivfDriftReport(
+        Similarity.loadIvfIndex(spark, dir), drifted, "vec_id",
+        "embedding"))
+      assert(contaminated < dBefore,
+        s"store-derived baseline did not mask drift: $contaminated vs " +
+          s"frozen $dBefore")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("tokens/shingles edge cases") {
     val df = Seq("", "  ", "one", "a b c d").toDF("text")
     val got = df.select(
