@@ -6096,7 +6096,8 @@ object Queries {
          |        AS rn
          |    FROM v, c4 c) WHERE rn = 1),
          | base AS (SELECT cell, count(*) AS base_n,
-         |    round(avg(cos), 6) AS base_mean_cos
+         |    round(avg(cos), 6) AS base_mean_cos,
+         |    round(quantile_cont(cos, 0.10), 6) AS base_p10_cos
          |  FROM basea GROUP BY 1),
          | ba AS (SELECT cell, cos FROM (
          |    SELECT c.cent_id AS cell,
@@ -6111,9 +6112,10 @@ object Queries {
          |    round(quantile_cont(cos, 0.10), 6) AS batch_p10_cos
          |  FROM ba GROUP BY 1)
          |SELECT bp.cell, coalesce(base.base_n, 0) AS base_n,
-         |  base.base_mean_cos, bp.batch_n, bp.batch_mean_cos,
-         |  bp.batch_p10_cos,
-         |  round(base.base_mean_cos - bp.batch_mean_cos, 6) AS mean_drift
+         |  base.base_mean_cos, base.base_p10_cos,
+         |  bp.batch_n, bp.batch_mean_cos, bp.batch_p10_cos,
+         |  round(base.base_mean_cos - bp.batch_mean_cos, 6) AS mean_drift,
+         |  round(base.base_p10_cos - bp.batch_p10_cos, 6) AS p10_drift
          |FROM bp LEFT JOIN base USING (cell)
          |ORDER BY bp.cell""".stripMargin,
     "q119_interevent_gaps" ->

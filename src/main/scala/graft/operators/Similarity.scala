@@ -358,16 +358,20 @@ object Similarity {
       .partitionBy("cell").parquet(dest)
 
   /** Per-cell assignment-quality profile of a cell store: (cell, n,
-    * rounded mean assigned cosine). The stored cell IS the argmax by
-    * construction, so the join-side dot against the cell's centroid
-    * equals the assignment similarity — no re-argmax needed. */
+    * rounded mean and exact-p10 assigned cosine — the same two stats the
+    * drift report computes per batch, so both drifts have a baseline).
+    * The stored cell IS the argmax by construction, so the join-side dot
+    * against the cell's centroid equals the assignment similarity — no
+    * re-argmax needed. */
   private def cellBaseline(cents: DataFrame,
       assigned: DataFrame): DataFrame =
     assigned.join(broadcast(cents), col("cell") === col("cent_id"))
       .select(col("cell"), dotCol(col("cv"), col("centv")).as("cos"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("base_n"),
-        round(avg(col("cos")), 6).as("base_mean_cos"))
+        round(avg(col("cos")), 6).as("base_mean_cos"),
+        round(org.apache.spark.sql.functions.expr("percentile(cos, 0.10)"),
+          6).as("base_p10_cos"))
 
   /** Load a persisted IVF index. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
@@ -449,8 +453,10 @@ object Similarity {
     * assignment quality (n, mean and exact p10 assigned cosine) against
     * the BUILD-TIME per-cell baseline ([[cellBaseline]] over the
     * build assignment here; the frozen `baseline` dataset in the
-    * persisted form). `mean_drift` = base mean − batch mean: positive
-    * and growing ⇒ the batch fits its cells worse than the build corpus
+    * persisted form). `mean_drift` = base mean − batch mean and
+    * `p10_drift` = base p10 − batch p10 (the tail's drift — a batch can
+    * hold its mean while its worst decile degrades): positive and
+    * growing ⇒ the batch fits its cells worse than the build corpus
     * did ⇒ rebuild when it crosses your tolerance. Aggregates run over
     * the RAW cosines and only the outputs round to 6 — pre-rounding the
     * inputs MANUFACTURES half-boundary means (the average of 6-decimal
@@ -500,10 +506,12 @@ object Similarity {
     bp.join(base, Seq("cell"), "left")
       .select(col("cell"),
         coalesce(col("base_n"), lit(0L)).as("base_n"),
-        col("base_mean_cos"),
+        col("base_mean_cos"), col("base_p10_cos"),
         col("batch_n"), col("batch_mean_cos"), col("batch_p10_cos"),
         round(col("base_mean_cos") - col("batch_mean_cos"), 6)
-          .as("mean_drift"))
+          .as("mean_drift"),
+        round(col("base_p10_cos") - col("batch_p10_cos"), 6)
+          .as("p10_drift"))
   }
 
   /** IVF top-k from a (possibly loaded) index. */

@@ -216,6 +216,7 @@ class PipelineOpsSpec extends SparkTestBase {
       .collect()
     assert(self.nonEmpty)
     assert(self.forall(r => r.getAs[Double]("mean_drift") === 0.0))
+    assert(self.forall(r => r.getAs[Double]("p10_drift") === 0.0))
     assert(self.forall(r =>
       r.getAs[Long]("base_n") === r.getAs[Long]("batch_n")))
     // planted drift: blend each vector toward its own reversal —
