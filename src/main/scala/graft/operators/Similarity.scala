@@ -445,6 +445,23 @@ object Similarity {
     spark.read.parquet(store.toString).count()
   }
 
+  /** Layout health of a persisted cell store: per cell, row count and
+    * distinct parquet-file count — the two numbers an operator reads to
+    * schedule maintenance. max(n_files) grows by one per append batch
+    * that touched the cell and is the [[compactIvfIndex]] trigger;
+    * max(n_rows)/avg(n_rows) ≫ 1 means the cell layout itself has gone
+    * skewed (corpus drifted off the trained centroids) and it is rebuild
+    * time regardless of what [[ivfDriftReport]] says about fresh batches.
+    * One scan touching only the partition column + file name — no vector
+    * bytes are read. */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/assigned")
+      .select(col("cell"), input_file_name().as("f"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("f")).as("n_files"))
+
   /** Centroid-drift report — the rebuild trigger [[appendToIvfIndex]]'s
     * frozen-centroid contract needs: recall on appended data degrades
     * gracefully as the data distribution drifts away from the trained

@@ -188,6 +188,14 @@ class PipelineOpsSpec extends SparkTestBase {
       // one cell took files from several batches
       assert(before.values.max > 1, s"no accretion: $before")
       val rowsBefore = spark.read.parquet(s"$dir/assigned").count()
+      // the observability kernel agrees with the java.io ground truth
+      def stats(): Map[String, (Long, Long)] =
+        Similarity.ivfIndexStats(spark, dir).collect()
+          .map(r => s"cell=${r.get(0)}" ->
+            (r.getAs[Long]("n_rows"), r.getAs[Long]("n_files"))).toMap
+      val sBefore = stats()
+      assert(sBefore.view.mapValues(_._2.toInt).toMap === before)
+      assert(sBefore.values.map(_._1).sum === rowsBefore)
       val queries = emb.filter(col("vec_id") < 10)
       def serve(): Set[(Long, Long, Long)] =
         Similarity.ivfTopKFromIndex(Similarity.loadIvfIndex(spark, dir),
@@ -201,6 +209,11 @@ class PipelineOpsSpec extends SparkTestBase {
       // same cells survive, each rewritten to exactly one file
       assert(after.keySet === before.keySet)
       assert(after.values.forall(_ === 1), s"not compacted: $after")
+      // ...and the stats kernel sees it: same rows per cell, 1 file each
+      val sAfter = stats()
+      assert(sAfter.view.mapValues(_._1).toMap ===
+        sBefore.view.mapValues(_._1).toMap)
+      assert(sAfter.values.forall(_._2 === 1L))
       assert(serve() === servedBefore && servedBefore.nonEmpty)
     } finally graft.util.Fs.deleteRecursively(dir)
   }
