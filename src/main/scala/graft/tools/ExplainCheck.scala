@@ -347,6 +347,13 @@ object ExplainCheck {
         check("low-nProbe serve from a persisted index gets dynamic " +
           "partition pruning on cell",
           p.contains("dynamicpruningexpression(cast(cell"))
+        // the layout-health scan must not read vector bytes: cell is a
+        // partition column and the file name is metadata, so the parquet
+        // ReadSchema prunes to the empty struct
+        val sp = graft.operators.Similarity.ivfIndexStats(spark, path)
+          .queryExecution.executedPlan.toString
+        check("ivfIndexStats scan prunes every data column " +
+          "(ReadSchema: struct<>)", sp.contains("ReadSchema: struct<>"))
       } finally graft.util.Fs.deleteRecursively(path)
     }
     // drift monitor: both corpus-scale centroid attaches must ride
