@@ -251,14 +251,20 @@ object Similarity {
     * candidate scoring ≈ corpus²·nProbe/nCentroids. */
   /** Nearest-centroid assignment: keep the `keep` best cells per row. */
   private def assignCells(df: DataFrame, cents: DataFrame, id: String,
-      v: String, keep: Int): DataFrame = {
+      v: String, keep: Int, keepSim: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col(id))
       .orderBy(col("cent_sim").desc, col("cent_id"))
-    df.crossJoin(broadcast(cents))
+    val ranked = df.crossJoin(broadcast(cents))
       .withColumn("cent_sim", dotCol(col(v), col("centv")))
       .withColumn("cent_rank", row_number().over(w))
       .filter(col("cent_rank") <= keep)
-      .select(col(id), col(v), col("cent_id").as("cell"))
+    // keepSim exposes the assignment similarity itself (the dot against
+    // the winning centroid) — the drift monitor profiles it; everything
+    // else only needs the cell
+    if (keepSim)
+      ranked.select(col(id), col(v), col("cent_id").as("cell"),
+        col("cent_sim"))
+    else ranked.select(col(id), col(v), col("cent_id").as("cell"))
   }
 
   /** Cluster-balanced sampling: assign every vector to its nearest
@@ -332,9 +338,18 @@ object Similarity {
     // (≤ nCentroids rows) persists WITH the index: [[ivfDriftReport]]
     // compares every ingest batch against it, and deriving it later
     // from the (appended-to) store would let each drifted batch
-    // contaminate the very baseline that is supposed to expose it
-    cellBaseline(index._1, index._2).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/baseline")
+    // contaminate the very baseline that is supposed to expose it.
+    // Derived from the store JUST WRITTEN, not from index._2 — the lazy
+    // assignment plan is the expensive half of a build (corpus ×
+    // nCentroids argmax) and must not execute twice; the read-back is
+    // one columnar scan of two columns. The partition column reads back
+    // as int — cast to cent_id's long so the baseline schema matches
+    // the in-memory form
+    val spark = index._1.sparkSession
+    cellBaseline(index._1,
+      spark.read.parquet(s"$path/assigned")
+        .select(col("cell").cast("long").as("cell"), col("cv")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/baseline")
   }
 
   /** The one home of the cell-store write discipline, shared by
@@ -365,13 +380,23 @@ object Similarity {
     * re-argmax needed. */
   private def cellBaseline(cents: DataFrame,
       assigned: DataFrame): DataFrame =
-    assigned.join(broadcast(cents), col("cell") === col("cent_id"))
-      .select(col("cell"), dotCol(col("cv"), col("centv")).as("cos"))
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("base_n"),
-        round(avg(col("cos")), 6).as("base_mean_cos"),
+    cellProfile(
+      assigned.join(broadcast(cents), col("cell") === col("cent_id"))
+        .select(col("cell"), dotCol(col("cv"), col("centv")).as("cos")),
+      "base")
+
+  /** (cell, cos) → per-cell (n, rounded mean, rounded exact p10) — the
+    * ONE aggregate both sides of the drift comparison run, so baseline
+    * and batch profiles stay structurally identical by construction.
+    * Aggregates run over the RAW cosines; only outputs round (see
+    * [[ivfDriftReport]] for why pre-rounding manufactures half-boundary
+    * means). */
+  private def cellProfile(cos: DataFrame, prefix: String): DataFrame =
+    cos.groupBy(col("cell"))
+      .agg(count(lit(1)).as(s"${prefix}_n"),
+        round(avg(col("cos")), 6).as(s"${prefix}_mean_cos"),
         round(org.apache.spark.sql.functions.expr("percentile(cos, 0.10)"),
-          6).as("base_p10_cos"))
+          6).as(s"${prefix}_p10_cos"))
 
   /** Load a persisted IVF index. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
@@ -417,11 +442,17 @@ object Similarity {
     * FS, not just local disk): store → `assigned_old`, compacted →
     * store, delete old. Each rename is an atomic metadata op on
     * POSIX/HDFS; a crash between them leaves `assigned_old` +
-    * `assigned_compacting` on disk for manual recovery rather than a
-    * half-deleted store, and a failed second rename rolls the first
-    * back. On rename-is-copy object stores prefer writing versioned
-    * dirs and flipping a pointer. Returns the number of rows in the
-    * compacted store. */
+    * `assigned_compacting` on disk rather than a half-deleted store —
+    * and a RE-RUN recovers that state automatically (restores the
+    * original before the cleanup deletes touch anything). A failed
+    * second rename rolls the first back. SINGLE MAINTENANCE WRITER
+    * required: an [[appendToIvfIndex]] committing after the snapshot
+    * read here would be silently dropped by the swap (its rows are in
+    * neither the temp rewrite nor, after the swap, the store) — pause
+    * ingest for the compaction window, exactly like any parquet
+    * rewrite-in-place job. On rename-is-copy object stores prefer
+    * writing versioned dirs and flipping a pointer. Returns the number
+    * of rows in the compacted store. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
     import org.apache.hadoop.fs.Path
@@ -429,6 +460,15 @@ object Similarity {
     val tmp = new Path(s"$path/assigned_compacting")
     val old = new Path(s"$path/assigned_old")
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery BEFORE the cleanup deletes: a prior run that died
+    // between its two renames left the store missing and assigned_old
+    // holding the only original copy — deleting tmp/old first (the
+    // natural re-run) would destroy both surviving copies of the index.
+    // Restore the original and proceed to compact it afresh.
+    if (!fs.exists(store) && fs.exists(old) && !fs.rename(old, store))
+      throw new java.io.IOException(
+        s"compactIvfIndex: $store is missing and restoring $old failed — " +
+          "recover manually before re-running")
     fs.delete(tmp, true)
     fs.delete(old, true)
     writeCellStore(spark.read.parquet(store.toString), "overwrite",
@@ -437,9 +477,16 @@ object Similarity {
       throw new java.io.IOException(
         s"compactIvfIndex: could not move $store aside")
     if (!fs.rename(tmp, store)) {
-      fs.rename(old, store) // roll back; compacted data stays in tmp
+      // roll back; compacted data stays in tmp. The rollback itself can
+      // fail (e.g. a concurrent writer recreated the store) — say which
+      // state the index is actually in rather than claiming success
+      val restored = fs.rename(old, store)
       throw new java.io.IOException(
-        s"compactIvfIndex: could not promote $tmp; original restored")
+        if (restored)
+          s"compactIvfIndex: could not promote $tmp; original restored"
+        else
+          s"compactIvfIndex: could not promote $tmp AND rollback failed" +
+            s" — original at $old, compacted at $tmp, store state unknown")
     }
     fs.delete(old, true)
     spark.read.parquet(store.toString).count()
@@ -494,32 +541,52 @@ object Similarity {
     * the drifted batches would let each append pull the baseline toward
     * the drift and mask exactly the gradual degradation the monitor
     * exists to catch — and would cost a corpus-size scan per check
-    * instead of nCentroids rows). */
+    * instead of nCentroids rows). An index persisted before the baseline
+    * existed fails with a pointer to [[backfillIvfBaseline]] instead of
+    * a raw path-not-found. */
   def ivfDriftReport(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String,
-      vecCol: String): DataFrame =
+      vecCol: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(s"$path/baseline")
+    if (!base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(base))
+      throw new IllegalStateException(
+        s"$path has no baseline/ dataset (index saved before the drift " +
+          "monitor existed). Run Similarity.backfillIvfBaseline(spark, " +
+          "path) BEFORE any drifted appends land in the store, or " +
+          "rebuild + re-save the index.")
     driftAgainst(spark.read.parquet(s"$path/baseline"),
       spark.read.parquet(s"$path/centroids"), batch, idCol, vecCol)
+  }
+
+  /** Backfill the `baseline/` dataset for an index persisted before
+    * [[saveIvfIndex]] wrote one. Derives it from the CURRENT store, so
+    * it is sound exactly while the store still holds the build-time
+    * corpus — run it BEFORE drifted appends land, or the baseline is
+    * born contaminated with precisely the drift it should expose. */
+  def backfillIvfBaseline(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val (cents, assigned) = loadIvfIndex(spark, path)
+    cellBaseline(cents,
+      assigned.select(col("cell").cast("long").as("cell"), col("cv")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/baseline")
+  }
 
   /** Shared finish of both [[ivfDriftReport]] forms: argmax-assign the
     * batch against the frozen centroids, profile per cell, left-join
     * the build-time baseline. */
   private def driftAgainst(base: DataFrame, cents: DataFrame,
       batch: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val w = Window.partitionBy(col("bid"))
-      .orderBy(col("cent_sim").desc, col("cent_id"))
-    val bp = batch
-      .select(col(idCol).as("bid"), l2Normalize(col(vecCol)).as("bv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cent_sim", dotCol(col("bv"), col("centv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("cent_id").as("cell"), col("cent_sim").as("cos"))
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("batch_n"),
-        round(avg(col("cos")), 6).as("batch_mean_cos"),
-        round(org.apache.spark.sql.functions.expr("percentile(cos, 0.10)"),
-          6).as("batch_p10_cos"))
+    // the SAME argmax the store uses (assignCells — one home for the
+    // similarity-desc/cent_id tiebreak) with the winning similarity kept,
+    // profiled by the same aggregate as the baseline
+    val bp = cellProfile(
+      assignCells(
+        batch.select(col(idCol).as("bid"), l2Normalize(col(vecCol))
+          .as("bv")),
+        cents, "bid", "bv", keep = 1, keepSim = true)
+        .select(col("cell"), col("cent_sim").as("cos")),
+      "batch")
     bp.join(base, Seq("cell"), "left")
       .select(col("cell"),
         coalesce(col("base_n"), lit(0L)).as("base_n"),

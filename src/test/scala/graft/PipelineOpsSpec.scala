@@ -302,6 +302,67 @@ class PipelineOpsSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("compactIvfIndex: a re-run recovers the crashed-between-renames " +
+      "state instead of deleting the only surviving copies") {
+    import org.apache.hadoop.fs.Path
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_crash").toString
+    try {
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding"), dir)
+      val rows = spark.read.parquet(s"$dir/assigned").count()
+      def serve(): Set[(Long, Long, Long)] =
+        Similarity.ivfTopKFromIndex(Similarity.loadIvfIndex(spark, dir),
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 3, nProbe = 2)
+          .collect().map(r => (r.getAs[Long]("query_id"),
+            r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+      val served0 = serve()
+      // simulate a compaction that died between its two renames: the
+      // store is gone, assigned_old holds the only original copy, and a
+      // stale partial rewrite sits in assigned_compacting
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new Path(s"$dir/assigned"),
+        new Path(s"$dir/assigned_old")))
+      fs.mkdirs(new Path(s"$dir/assigned_compacting"))
+      // the natural recovery action — just re-running the compactor —
+      // must restore the store and complete, not destroy it
+      assert(Similarity.compactIvfIndex(spark, dir) === rows)
+      assert(serve() === served0 && served0.nonEmpty)
+      assert(!fs.exists(new Path(s"$dir/assigned_old")))
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("ivfDriftReport (persisted path): a pre-baseline index fails with " +
+      "an actionable pointer, and backfillIvfBaseline restores exact " +
+      "parity with the save-time baseline") {
+    import org.apache.hadoop.fs.Path
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_backfill").toString
+    try {
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding"), dir)
+      val batch = emb.filter(col("vec_id") % 7 === 0)
+      def report(): Set[org.apache.spark.sql.Row] =
+        Similarity.ivfDriftReport(spark, dir, batch, "vec_id",
+          "embedding").collect().toSet
+      val want = report()
+      // an index persisted before the monitor existed: no baseline/
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(s"$dir/baseline"), true)
+      val ex = intercept[IllegalStateException](report())
+      assert(ex.getMessage.contains("backfillIvfBaseline"))
+      // backfill from the (unappended) store == what save would have
+      // written: same derivation over the same rows
+      Similarity.backfillIvfBaseline(spark, dir)
+      assert(report() === want && want.nonEmpty)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("tokens/shingles edge cases") {
     val df = Seq("", "  ", "one", "a b c d").toDF("text")
     val got = df.select(
