@@ -831,6 +831,29 @@ object Dedup {
     admitted
   }
 
+  /** Compact the [[ledgerAdmit]] digest store. Every admitted batch
+    * appends its own parquet file set, so a year of daily ingest leaves
+    * hundreds of small files whose open/footer overhead dominates the
+    * anti-join's build-side scan — the same accretion-vs-read-
+    * amplification debt the IVF cell store pays, with the same answer.
+    * Rewrites the ledger into `targetFiles` (default: the session's
+    * defaultParallelism) digest-hash-partitioned files via the shared
+    * [[graft.util.Fs.swapRewrite]] protocol (two atomic renames,
+    * crash-state auto-recovery on re-run, checked rollback,
+    * single-maintenance-writer requirement — pause admits for the
+    * window). The digest set is untouched by construction — admits
+    * before and after see the identical ledger. Returns the digest
+    * count. */
+  def compactDedupLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 0): Long = {
+    val n = if (targetFiles > 0) targetFiles
+      else spark.sparkContext.defaultParallelism
+    graft.util.Fs.swapRewrite(spark, path)(tmp =>
+      spark.read.parquet(path).repartition(n, col("text_md5"))
+        .write.mode("overwrite").parquet(tmp))
+    spark.read.parquet(path).count()
+  }
+
   /** The STREAMING-ingest form of [[removeBoilerplate]]'s rebuild: the
     * hot-segment set is precomputed by a batch job over the existing
     * corpus (the df-count stage of [[removeBoilerplate]]), folded in as

@@ -435,61 +435,20 @@ object Similarity {
     * hot-cell caveat) with served results identical by construction —
     * the store's rows are untouched, only their file layout changes
     * (and the persisted drift baseline is deliberately NOT touched —
-    * it is build-time state). Rewrite goes to a sibling temp dir first
-    * (a Spark job cannot safely overwrite the parquet directory it is
-    * reading), then swaps with two renames through the index's own
-    * Hadoop FileSystem (so `path` may live on HDFS or any configured
-    * FS, not just local disk): store → `assigned_old`, compacted →
-    * store, delete old. Each rename is an atomic metadata op on
-    * POSIX/HDFS; a crash between them leaves `assigned_old` +
-    * `assigned_compacting` on disk rather than a half-deleted store —
-    * and a RE-RUN recovers that state automatically (restores the
-    * original before the cleanup deletes touch anything). A failed
-    * second rename rolls the first back. SINGLE MAINTENANCE WRITER
-    * required: an [[appendToIvfIndex]] committing after the snapshot
-    * read here would be silently dropped by the swap (its rows are in
-    * neither the temp rewrite nor, after the swap, the store) — pause
-    * ingest for the compaction window, exactly like any parquet
-    * rewrite-in-place job. On rename-is-copy object stores prefer
-    * writing versioned dirs and flipping a pointer. Returns the number
-    * of rows in the compacted store. */
+    * it is build-time state). The rewrite-and-swap runs through
+    * [[graft.util.Fs.swapRewrite]] (two atomic renames, crash-state
+    * auto-recovery on re-run, checked rollback — see its scaladoc for
+    * the protocol and the SINGLE-MAINTENANCE-WRITER requirement: an
+    * [[appendToIvfIndex]] committing after the snapshot read here would
+    * be silently dropped by the swap, so pause ingest for the
+    * compaction window). Returns the number of rows in the compacted
+    * store. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
-    import org.apache.hadoop.fs.Path
-    val store = new Path(s"$path/assigned")
-    val tmp = new Path(s"$path/assigned_compacting")
-    val old = new Path(s"$path/assigned_old")
-    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash recovery BEFORE the cleanup deletes: a prior run that died
-    // between its two renames left the store missing and assigned_old
-    // holding the only original copy — deleting tmp/old first (the
-    // natural re-run) would destroy both surviving copies of the index.
-    // Restore the original and proceed to compact it afresh.
-    if (!fs.exists(store) && fs.exists(old) && !fs.rename(old, store))
-      throw new java.io.IOException(
-        s"compactIvfIndex: $store is missing and restoring $old failed — " +
-          "recover manually before re-running")
-    fs.delete(tmp, true)
-    fs.delete(old, true)
-    writeCellStore(spark.read.parquet(store.toString), "overwrite",
-      tmp.toString)
-    if (!fs.rename(store, old))
-      throw new java.io.IOException(
-        s"compactIvfIndex: could not move $store aside")
-    if (!fs.rename(tmp, store)) {
-      // roll back; compacted data stays in tmp. The rollback itself can
-      // fail (e.g. a concurrent writer recreated the store) — say which
-      // state the index is actually in rather than claiming success
-      val restored = fs.rename(old, store)
-      throw new java.io.IOException(
-        if (restored)
-          s"compactIvfIndex: could not promote $tmp; original restored"
-        else
-          s"compactIvfIndex: could not promote $tmp AND rollback failed" +
-            s" — original at $old, compacted at $tmp, store state unknown")
-    }
-    fs.delete(old, true)
-    spark.read.parquet(store.toString).count()
+    val store = s"$path/assigned"
+    graft.util.Fs.swapRewrite(spark, store)(tmp =>
+      writeCellStore(spark.read.parquet(store), "overwrite", tmp))
+    spark.read.parquet(store).count()
   }
 
   /** Layout health of a persisted cell store: per cell, row count and

@@ -1713,6 +1713,45 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(spark.read.parquet(out3).count() === 0)
   }
 
+  test("dedup ledger compaction: bounds the file count, leaves the " +
+      "digest set and admit decisions identical, recovers a crashed swap") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ledger_c").toString + "/ledger"
+    // five "daily" batches, each appending its own file set
+    (0 until 5).foreach { b =>
+      Dedup.ledgerAdmit(spark,
+        dir, Seq((b * 10L, s"content $b"), (b * 10L + 1, s"more $b"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+    }
+    def partFiles(): Int = new java.io.File(dir)
+      .listFiles().count(_.getName.startsWith("part-"))
+    val filesBefore = partFiles()
+    assert(filesBefore >= 5, s"no accretion: $filesBefore")
+    val digests = spark.read.parquet(dir)
+      .collect().map(_.getString(0)).toSet
+    assert(Dedup.compactDedupLedger(spark, dir, targetFiles = 2)
+      === digests.size)
+    assert(partFiles() <= 2)
+    assert(spark.read.parquet(dir).collect().map(_.getString(0)).toSet
+      === digests)
+    // admit decisions unchanged: a full repeat admits nothing, a novel
+    // doc still lands
+    assert(Dedup.ledgerAdmit(spark, dir,
+      Seq((90L, "content 0"), (91L, "novel content"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(91L))
+    // crashed-swap recovery: store renamed aside, stale tmp left behind —
+    // a compaction re-run must restore and complete, not delete the copy
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = spark.read.parquet(dir).count()
+    assert(fs.rename(new Path(dir), new Path(dir + "_old")))
+    fs.mkdirs(new Path(dir + "_compacting"))
+    assert(Dedup.compactDedupLedger(spark, dir, targetFiles = 2) === n)
+    assert(!fs.exists(new Path(dir + "_old")))
+  }
+
   test("quality model separates a planted corpus perfectly and retrains " +
       "to identical coefficients") {
     import graft.operators.QualityModel
