@@ -331,9 +331,11 @@ object Similarity {
     * side's cells into the index scan's PartitionFilters
     * (`dynamicpruningexpression(cell IN ...)`), asserted by
     * ExplainCheck on a loaded index at nProbe = 2. */
-  def saveIvfIndex(index: (DataFrame, DataFrame), path: String): Unit = {
+  def saveIvfIndex(index: (DataFrame, DataFrame), path: String,
+      maxRowsPerWriteTask: Long = 0): Unit = {
     index._1.write.mode("overwrite").parquet(s"$path/centroids")
-    writeCellStore(index._2, "overwrite", s"$path/assigned")
+    writeCellStore(index._2, "overwrite", s"$path/assigned",
+      maxRowsPerWriteTask)
     // the build-time per-cell assignment-quality baseline
     // (≤ nCentroids rows) persists WITH the index: [[ivfDriftReport]]
     // compares every ingest batch against it, and deriving it later
@@ -363,14 +365,41 @@ object Similarity {
     * Hot-cell caveat: the single-task-per-cell routing is also a serial
     * point — a pathologically hot cell (badly skewed corpus or too few
     * centroids) funnels through one write task, and maxRecordsPerFile
-    * caps file SIZE but not that funnel. If a cell outgrows a task,
-    * repartition on (cell, salt) instead and accept a few files per hot
-    * cell; with nCentroids ∝ √n (the documented sizing rule) cells stay
-    * ~√n rows and the one-task write is the right default. */
+    * caps file SIZE but not that funnel. `maxRowsPerTask > 0` opts into
+    * the salted form below, which breaks exactly that funnel; with
+    * nCentroids ∝ √n (the documented sizing rule) cells stay ~√n rows
+    * and the unsalted one-task write is the right default. */
   private def writeCellStore(assigned: DataFrame, mode: String,
-      dest: String): Unit =
-    assigned.repartition(col("cell")).write.mode(mode)
-      .partitionBy("cell").parquet(dest)
+      dest: String, maxRowsPerTask: Long = 0): Unit = {
+    if (maxRowsPerTask <= 0) {
+      assigned.repartition(col("cell")).write.mode(mode)
+        .partitionBy("cell").parquet(dest)
+      return
+    }
+    // salted form — the escape hatch for the hot-cell caveat above: a
+    // cell whose row count exceeds maxRowsPerTask is spread across
+    // ceil(n / maxRowsPerTask) deterministic salts (hash of the row id),
+    // trading the one-file-per-cell ideal for a bounded number of files
+    // per hot cell and NO single-task write straggler. The census that
+    // sizes the salts is ≤ nCentroids rows to the driver; the
+    // localCheckpoint keeps the census + write from executing the
+    // (possibly expensive) upstream assignment plan twice.
+    val a = assigned.localCheckpoint()
+    val salts = a.groupBy(col("cell").cast("long").as("cell")).count()
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1) + maxRowsPerTask - 1) / maxRowsPerTask).max(1L))
+      .toMap
+    if (salts.values.forall(_ == 1L)) {
+      a.repartition(col("cell")).write.mode(mode)
+        .partitionBy("cell").parquet(dest)
+      return
+    }
+    val saltOf = coalesce(
+      element_at(typedlit(salts), col("cell").cast("long")), lit(1L))
+    a.repartition(salts.values.sum.toInt,
+        col("cell"), pmod(hash(col("neighbor_id")), saltOf))
+      .write.mode(mode).partitionBy("cell").parquet(dest)
+  }
 
   /** Per-cell assignment-quality profile of a cell store: (cell, n,
     * rounded mean and exact-p10 assigned cosine — the same two stats the
@@ -415,14 +444,15 @@ object Similarity {
     * count. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, idCol: String,
-      vecCol: String): Long = {
+      vecCol: String, maxRowsPerWriteTask: Long = 0): Long = {
     val cents = spark.read.parquet(s"$path/centroids")
     val assigned = assignCells(
       newVecs.select(col(idCol).as("neighbor_id"),
         l2Normalize(col(vecCol)).as("cv")),
       cents, "neighbor_id", "cv", keep = 1)
       .localCheckpoint()
-    writeCellStore(assigned, "append", s"$path/assigned")
+    writeCellStore(assigned, "append", s"$path/assigned",
+      maxRowsPerWriteTask)
     assigned.count()
   }
 
@@ -444,10 +474,11 @@ object Similarity {
     * compaction window). Returns the number of rows in the compacted
     * store. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Long = {
+      path: String, maxRowsPerWriteTask: Long = 0): Long = {
     val store = s"$path/assigned"
     graft.util.Fs.swapRewrite(spark, store)(tmp =>
-      writeCellStore(spark.read.parquet(store), "overwrite", tmp))
+      writeCellStore(spark.read.parquet(store), "overwrite", tmp,
+        maxRowsPerWriteTask))
     spark.read.parquet(store).count()
   }
 

@@ -335,6 +335,62 @@ class PipelineOpsSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("salted cell-store writes: a hot cell spreads across multiple " +
+      "files (bounded by its salt count) with rows and serves identical " +
+      "to the unsalted layout") {
+    // ids 0-7 are distinct unit axes (the deterministic first-k centroid
+    // seeds); every other vector piles onto axis 0 → one cell holds ~99%
+    // of the corpus — the pathological skew the salted form exists for
+    val dim = 8
+    val rows = (0L until 2000L).map { i =>
+      val v = Array.fill(dim)(0.0)
+      if (i < 8) v(i.toInt) = 1.0
+      else { v(0) = 1.0; v(1) = (i % 3) * 1e-3 }
+      (i, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val built = Similarity.buildIvfIndex(df, "vec_id", "embedding",
+      nCentroids = 8, kmeansIters = 2)
+    val plain = java.nio.file.Files
+      .createTempDirectory("graft_ivf_plain").toString
+    val salted = java.nio.file.Files
+      .createTempDirectory("graft_ivf_salted").toString
+    try {
+      Similarity.saveIvfIndex(built, plain)
+      Similarity.saveIvfIndex(built, salted, maxRowsPerWriteTask = 200)
+      def stats(p: String): Map[String, (Long, Long)] =
+        Similarity.ivfIndexStats(spark, p).collect()
+          .map(r => r.get(0).toString ->
+            (r.getAs[Long]("n_rows"), r.getAs[Long]("n_files"))).toMap
+      val sp = stats(plain)
+      val ss = stats(salted)
+      // identical row layout per cell, unsalted = exactly 1 file/cell
+      assert(sp.view.mapValues(_._1).toMap ===
+        ss.view.mapValues(_._1).toMap)
+      assert(sp.values.forall(_._2 === 1L))
+      // the hot cell really got salted — several files, never more than
+      // its salt count (hash collisions can only merge salts, not split)
+      val (hotCell, (hotN, hotFiles)) = ss.maxBy(_._2._1)
+      assert(hotN > 1500, s"fixture not skewed: $ss")
+      assert(hotFiles > 1, s"hot cell not salted: $ss")
+      assert(hotFiles <= (hotN + 199) / 200)
+      // cold cells stay single-file
+      assert(ss.collect { case (c, (n, f)) if c != hotCell => (n, f) }
+        .forall { case (n, f) => f <= math.max(1L, (n + 199) / 200) })
+      // the layout is invisible to reads: identical serves
+      val q = df.filter(col("vec_id") < 5)
+      def serve(p: String): Set[(Long, Long, Long)] =
+        Similarity.ivfTopKFromIndex(Similarity.loadIvfIndex(spark, p),
+            q, "vec_id", "embedding", k = 3, nProbe = 2)
+          .collect().map(r => (r.getAs[Long]("query_id"),
+            r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+      assert(serve(plain) === serve(salted) && serve(plain).nonEmpty)
+    } finally {
+      graft.util.Fs.deleteRecursively(plain)
+      graft.util.Fs.deleteRecursively(salted)
+    }
+  }
+
   test("ivfDriftReport (persisted path): a pre-baseline index fails with " +
       "an actionable pointer, and backfillIvfBaseline restores exact " +
       "parity with the save-time baseline") {
