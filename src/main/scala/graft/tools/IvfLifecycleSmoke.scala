@@ -90,9 +90,57 @@ object IvfLifecycleSmoke {
       val sAfter = time("serve (64 queries, nProbe=2) post-compaction") {
         serve()
       }
+      // hot-cell write straggler: 2M vectors, ~97% piled near one axis
+      // → one cell holds almost the whole corpus. The unsalted write
+      // funnels it through ONE task; the salted form spreads it across
+      // ceil(n/maxRows) tasks. Same rows, same serves — only the write
+      // parallelism differs; this measures the straggler cost directly.
+      val nSkew = 2000000L
+      // the low-id half is hash-random (the training sample is id-
+      // sorted, so its head seeds 32 SPREAD centroids and keeps them
+      // spread through Lloyd); the high-id half piles onto axis 0 →
+      // one cell ends up ~32× the average — the write straggler
+      def skewed = spark.range(0, nSkew).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)), j =>
+          when(col("id") < nSkew / 2,
+            (pmod(xxhash64(col("id") * 16 + j), lit(1000003L))
+              .cast("double") / 5e5 - 1.0))
+            .otherwise(when(j === 0, lit(1.0))
+              .otherwise(pmod(xxhash64(col("id") * 16 + j), lit(1000L))
+                .cast("double") / 1e6))).as("embedding"))
+      val builtSkew = Similarity.buildIvfIndex(skewed, "vec_id",
+        "embedding", nCentroids = 32, kmeansIters = 2)
+      val cached = (builtSkew._1, builtSkew._2.localCheckpoint())
+      val dirU = java.nio.file.Files
+        .createTempDirectory("graft_ivf_skewu").toString
+      val dirS = java.nio.file.Files
+        .createTempDirectory("graft_ivf_skews").toString
+      val okSalt = try {
+        time(s"skewed save ($nSkew vecs, hot cell) UNSALTED") {
+          Similarity.saveIvfIndex(cached, dirU)
+        }
+        time("skewed save SALTED (maxRowsPerWriteTask=65536)") {
+          Similarity.saveIvfIndex(cached, dirS,
+            maxRowsPerWriteTask = 65536)
+        }
+        val st = Similarity.ivfIndexStats(spark, dirS)
+          .collect().map(r => (r.getAs[Long]("n_rows"),
+            r.getAs[Long]("n_files"))).toSeq
+        val (hotN, hotF) = st.maxBy(_._1)
+        println(s"  hot cell: $hotN rows in $hotF files " +
+          s"(bound ${(hotN + 65535) / 65536})")
+        hotF > 1 && hotF <= (hotN + 65535) / 65536 &&
+          spark.read.parquet(s"$dirU/assigned").count() ==
+            spark.read.parquet(s"$dirS/assigned").count()
+      } finally {
+        graft.util.Fs.deleteRecursively(dirU)
+        graft.util.Fs.deleteRecursively(dirS)
+      }
+
       val ok = fAfter.forall(_ == 1) &&
         rows == nBase + nBatches.toLong * batchRows &&
-        sBefore.toSet == sAfter.toSet && sBefore.nonEmpty
+        sBefore.toSet == sAfter.toSet && sBefore.nonEmpty && okSalt
       println(if (ok) "IvfLifecycleSmoke: OK"
         else "IvfLifecycleSmoke: MISMATCH")
       ok
