@@ -334,7 +334,13 @@ object Similarity {
   def saveIvfIndex(index: (DataFrame, DataFrame), path: String,
       maxRowsPerWriteTask: Long = 0): Unit = {
     index._1.write.mode("overwrite").parquet(s"$path/centroids")
-    writeCellStore(index._2, "overwrite", s"$path/assigned",
+    // the salted write runs a census pass before the write; checkpoint
+    // so the expensive lazy corpus argmax in index._2 executes once,
+    // not twice (the unsalted write is single-pass — no checkpoint)
+    val assigned =
+      if (maxRowsPerWriteTask > 0) index._2.localCheckpoint()
+      else index._2
+    writeCellStore(assigned, "overwrite", s"$path/assigned",
       maxRowsPerWriteTask)
     // the build-time per-cell assignment-quality baseline
     // (≤ nCentroids rows) persists WITH the index: [[ivfDriftReport]]
@@ -381,22 +387,25 @@ object Similarity {
     // ceil(n / maxRowsPerTask) deterministic salts (hash of the row id),
     // trading the one-file-per-cell ideal for a bounded number of files
     // per hot cell and NO single-task write straggler. The census that
-    // sizes the salts is ≤ nCentroids rows to the driver; the
-    // localCheckpoint keeps the census + write from executing the
-    // (possibly expensive) upstream assignment plan twice.
-    val a = assigned.localCheckpoint()
-    val salts = a.groupBy(col("cell").cast("long").as("cell")).count()
+    // sizes the salts is ≤ nCentroids rows to the driver but executes
+    // the input plan once more — a caller whose upstream is expensive
+    // (saveIvfIndex's lazy corpus argmax) checkpoints BEFORE calling;
+    // compact's parquet-scan input and append's already-checkpointed
+    // batch are cheap to run twice, and checkpointing here would copy
+    // the whole store into executor block storage for a census's sake.
+    val salts = assigned.groupBy(col("cell").cast("long").as("cell"))
+      .count()
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1) + maxRowsPerTask - 1) / maxRowsPerTask).max(1L))
       .toMap
     if (salts.values.forall(_ == 1L)) {
-      a.repartition(col("cell")).write.mode(mode)
+      assigned.repartition(col("cell")).write.mode(mode)
         .partitionBy("cell").parquet(dest)
       return
     }
     val saltOf = coalesce(
       element_at(typedlit(salts), col("cell").cast("long")), lit(1L))
-    a.repartition(salts.values.sum.toInt,
+    assigned.repartition(salts.values.sum.toInt,
         col("cell"), pmod(hash(col("neighbor_id")), saltOf))
       .write.mode(mode).partitionBy("cell").parquet(dest)
   }
@@ -408,18 +417,36 @@ object Similarity {
     * against the cell's centroid equals the assignment similarity — no
     * re-argmax needed. */
   private def cellBaseline(cents: DataFrame,
-      assigned: DataFrame): DataFrame =
-    cellProfile(
-      assigned.join(broadcast(cents), col("cell") === col("cent_id"))
-        .select(col("cell"), dotCol(col("cv"), col("centv")).as("cos")),
-      "base")
+      assigned: DataFrame): DataFrame = {
+    val cos = assigned
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("cell"), dotCol(col("cv"), col("centv")).as("cos"))
+    // corpus-side p10 goes through the bounded-memory exact selection
+    // (bit-equal to percentile() by PercentilesSpec's forced-spill
+    // assertion), NOT Spark's percentile() aggregate — percentile()
+    // buffers every value per group, and this group is a CELL of the
+    // build corpus: at 100 TB a hot cell's cosine multiset is exactly
+    // the buffer that OOMs an executor. The batch side (cellProfile)
+    // keeps percentile(): a daily batch bounds its own buffer. Count
+    // and mean are constant-buffer aggregates either way; the join is
+    // ≤ nCentroids rows a side.
+    cos.groupBy(col("cell"))
+      .agg(count(lit(1)).as("base_n"),
+        round(avg(col("cos")), 6).as("base_mean_cos"))
+      .join(graft.operators.Percentiles.groupedRangeExact(cos,
+        Seq("cell"), "cos", Seq((0.10, "base_p10_cos")), roundTo = 6),
+        Seq("cell"))
+  }
 
   /** (cell, cos) → per-cell (n, rounded mean, rounded exact p10) — the
-    * ONE aggregate both sides of the drift comparison run, so baseline
-    * and batch profiles stay structurally identical by construction.
-    * Aggregates run over the RAW cosines; only outputs round (see
-    * [[ivfDriftReport]] for why pre-rounding manufactures half-boundary
-    * means). */
+    * BATCH side of the drift comparison (the corpus-side
+    * [[cellBaseline]] computes the same three stats but routes p10
+    * through the bounded-memory selection; values are bit-equal by
+    * PercentilesSpec, so the two profiles stay value-identical).
+    * percentile() is safe here because a daily batch bounds its own
+    * aggregation buffer. Aggregates run over the RAW cosines; only
+    * outputs round (see [[ivfDriftReport]] for why pre-rounding
+    * manufactures half-boundary means). */
   private def cellProfile(cos: DataFrame, prefix: String): DataFrame =
     cos.groupBy(col("cell"))
       .agg(count(lit(1)).as(s"${prefix}_n"),
@@ -545,7 +572,18 @@ object Similarity {
           "monitor existed). Run Similarity.backfillIvfBaseline(spark, " +
           "path) BEFORE any drifted appends land in the store, or " +
           "rebuild + re-save the index.")
-    driftAgainst(spark.read.parquet(s"$path/baseline"),
+    val baseDf = spark.read.parquet(s"$path/baseline")
+    // legacy-SCHEMA guard, not just legacy-existence: a baseline written
+    // before the p10 columns would otherwise surface as a raw
+    // unresolved-column AnalysisException deep inside the report plan
+    // instead of the actionable remediation
+    if (!baseDf.columns.contains("base_p10_cos"))
+      throw new IllegalStateException(
+        s"$path/baseline predates the p10 drift columns. Re-derive it " +
+          "with Similarity.backfillIvfBaseline(spark, path) — sound " +
+          "only while the store is unappended; if drifted appends have " +
+          "already landed, rebuild + re-save the index.")
+    driftAgainst(baseDf,
       spark.read.parquet(s"$path/centroids"), batch, idCol, vecCol)
   }
 

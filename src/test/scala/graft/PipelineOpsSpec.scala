@@ -1772,8 +1772,10 @@ class PipelineOpsSpec extends SparkTestBase {
   test("dedup ledger compaction: bounds the file count, leaves the " +
       "digest set and admit decisions identical, recovers a crashed swap") {
     import org.apache.hadoop.fs.Path
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_ledger_c").toString + "/ledger"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ledger_c").toString
+    val dir = root + "/ledger"
+    try {
     // five "daily" batches, each appending its own file set
     (0 until 5).foreach { b =>
       Dedup.ledgerAdmit(spark,
@@ -1806,6 +1808,7 @@ class PipelineOpsSpec extends SparkTestBase {
     fs.mkdirs(new Path(dir + "_compacting"))
     assert(Dedup.compactDedupLedger(spark, dir, targetFiles = 2) === n)
     assert(!fs.exists(new Path(dir + "_old")))
+    } finally graft.util.Fs.deleteRecursively(root)
   }
 
   test("quality model separates a planted corpus perfectly and retrains " +
