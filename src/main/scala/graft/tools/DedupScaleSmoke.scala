@@ -506,6 +506,49 @@ object DedupScaleSmoke {
       encStats.getAs[Double]("mean_pieces") <
         encStats.getAs[Double]("mean_syms"),
       "BPE corpus encode lost words or failed to compress")
+
+    // the ledger's production life: the corpus drains in as daily
+    // batches, each append fragments the digest store a little more
+    // (up to shuffle-partitions files per batch), and the anti-join's
+    // build side pays the open/footer overhead on EVERY admit — until a
+    // compaction rewrites the layout. Measures that read amplification
+    // directly: the same all-duplicate probe admit against the
+    // fragmented vs the compacted ledger.
+    println(s"== ledgerAdmit ingest + compaction over $nDocs docs ==")
+    val ledgerRoot = java.nio.file.Files
+      .createTempDirectory("graft_ledger_scale").toString
+    val ledger = s"$ledgerRoot/ledger"
+    try {
+      val batchSz = nDocs / 20
+      time(s"20 ledgerAdmit batches of $batchSz") {
+        (0 until 20).foreach { b =>
+          graft.operators.Dedup.ledgerAdmit(spark, ledger,
+            docs.filter(col("doc_id") >= b * batchSz &&
+              col("doc_id") < (b + 1) * batchSz),
+            "doc_id", "text")
+        }
+      }
+      def ledgerFiles(): Int = new java.io.File(ledger)
+        .listFiles().count(_.getName.startsWith("part-"))
+      val fragged = ledgerFiles()
+      println(s"  ledger files after 20 batches: $fragged")
+      val probe = docs.filter(col("doc_id") < batchSz)
+      val re1 = time("re-admit probe vs FRAGMENTED ledger")(
+        graft.operators.Dedup.ledgerAdmit(spark, ledger, probe,
+          "doc_id", "text").count())
+      val nDigests = time("compactDedupLedger")(
+        graft.operators.Dedup.compactDedupLedger(spark, ledger))
+      val compacted = ledgerFiles()
+      println(s"  ledger files after compaction: $compacted " +
+        s"(digests: $nDigests)")
+      val re2 = time("re-admit probe vs COMPACTED ledger")(
+        graft.operators.Dedup.ledgerAdmit(spark, ledger, probe,
+          "doc_id", "text").count())
+      require(re1 == 0L && re2 == 0L &&
+        fragged > compacted && compacted <= 32,
+        s"ledger lifecycle broke: re1=$re1 re2=$re2 " +
+          s"files $fragged -> $compacted")
+    } finally graft.util.Fs.deleteRecursively(ledgerRoot)
     spark.stop()
   }
 }
