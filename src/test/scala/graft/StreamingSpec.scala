@@ -1073,6 +1073,16 @@ class StreamingSpec extends SparkTestBase {
           .write.mode("append").parquet(srcDir)
       }
       val nBatches = spark.sparkContext.longAccumulator("ivf_batches")
+      // the full advertised ingest-job shape: append THEN drift-check
+      // each micro-batch against the persisted frozen baseline — the
+      // collected per-batch drifts must match the same slices profiled
+      // in plain batch mode (the baseline is frozen, so mid-stream
+      // appends cannot perturb the numbers)
+      val streamDrift =
+        scala.collection.concurrent.TrieMap.empty[Long, Double]
+      def weightedDrift(r: org.apache.spark.sql.DataFrame): Double =
+        r.agg((sum(col("batch_n") * col("mean_drift")) /
+          sum(col("batch_n"))).as("d")).head().getDouble(0)
       val q = spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
         .writeStream.trigger(Trigger.AvailableNow())
@@ -1081,6 +1091,9 @@ class StreamingSpec extends SparkTestBase {
           if (!b.isEmpty) {
             Similarity.appendToIvfIndex(spark, idxStream, b,
               "vec_id", "embedding")
+            val key = b.agg(min(col("vec_id"))).head().getLong(0)
+            streamDrift(key) = weightedDrift(Similarity.ivfDriftReport(
+              spark, idxStream, b, "vec_id", "embedding"))
             nBatches.add(1)
           }
         }
@@ -1088,6 +1101,17 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable(); q.stop()
       assert(nBatches.value >= 3, s"expected >=3 micro-batches, " +
         s"got ${nBatches.value}")
+      // per-slice drift parity: stream-side == batch-side, keyed by the
+      // slice's min id (file → micro-batch order is not guaranteed)
+      (0 to 2).foreach { i =>
+        val slice = batch.filter(col("vec_id") % 3 === i)
+        val key = slice.agg(min(col("vec_id"))).head().getLong(0)
+        val want = weightedDrift(Similarity.ivfDriftReport(
+          spark, idxOnce, slice, "vec_id", "embedding"))
+        assert(streamDrift.get(key).contains(want),
+          s"drift parity broke for slice $i: " +
+            s"${streamDrift.get(key)} vs $want")
+      }
       def serve(path: String): Set[(Long, Long, Long, Double)] =
         Similarity.ivfTopKFromIndex(Similarity.loadIvfIndex(spark, path),
             emb.filter(col("vec_id") < 10), "vec_id", "embedding",
