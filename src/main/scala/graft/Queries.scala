@@ -2496,6 +2496,31 @@ object Queries {
       .orderBy(col("cell"))
   }
 
+  /** Persisted near-dup ledger ([[Dedup.nearDupLedgerAdmit]]) over a
+    * two-batch ingest split: batch 1 = the id-lower half, batch 2 = the
+    * rest (monotone ids across batches — the ledger's documented
+    * contract). Emits the admitted (doc_id, batch). Fully oracled: the
+    * ledger's admit decisions are spec-pinned identical to one-shot
+    * [[Dedup.nearDupDrops]] on the union, whose ANSI form is the q42
+    * all-pairs-jaccard + exact-digest drop rule; the batch label
+    * re-derives from the same max(doc_id)/2 cut. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q129_ndl").toString
+    try {
+      val ledger = s"$path/ledger"
+      val a1 = Dedup.nearDupLedgerAdmit(s, ledger,
+        d.filter(col("doc_id") <= cut), "doc_id", "text")
+        .select(col("doc_id"), lit(1L).as("batch"))
+      val a2 = Dedup.nearDupLedgerAdmit(s, ledger,
+        d.filter(col("doc_id") > cut), "doc_id", "text")
+        .select(col("doc_id"), lit(2L).as("batch"))
+      a1.unionByName(a2).orderBy(col("doc_id")).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -3702,6 +3727,7 @@ object Queries {
     "q126_cohort_ltv" -> (q126 _),
     "q127_conversion_time" -> (q127 _),
     "q128_ivf_drift" -> (q128 _),
+    "q129_neardup_ledger" -> (q129 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -6112,12 +6138,43 @@ object Queries {
          |    round(quantile_cont(cos, 0.10), 6) AS batch_p10_cos
          |  FROM ba GROUP BY 1)
          |SELECT bp.cell, coalesce(base.base_n, 0) AS base_n,
+         |  base.base_mean_cos IS NOT NULL AS has_baseline,
          |  base.base_mean_cos, base.base_p10_cos,
          |  bp.batch_n, bp.batch_mean_cos, bp.batch_p10_cos,
          |  round(base.base_mean_cos - bp.batch_mean_cos, 6) AS mean_drift,
          |  round(base.base_p10_cos - bp.batch_p10_cos, 6) AS p10_drift
          |FROM bp LEFT JOIN base USING (cell)
          |ORDER BY bp.cell""".stripMargin,
+    // near-dup ledger oracle: the ledger's two-batch admit decisions ≡
+    // one-shot nearDupDrops on the union (spec-pinned parity under the
+    // monotone-id contract), and one-shot's ANSI form is the q42
+    // all-pairs exact-jaccard drop rule plus the exact-digest drop for
+    // pairs the shingle stage can't see; survivors re-label by the cut
+    "q129_neardup_ledger" ->
+      s"""$shinglesSql,
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |     count(*) AS inter
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |   GROUP BY 1, 2),
+         | neardrop AS (SELECT DISTINCT doc_b AS doc_id FROM inter
+         |   JOIN sz za ON doc_a = za.doc_id
+         |   JOIN sz zb ON doc_b = zb.doc_id
+         |   WHERE CAST(inter AS DOUBLE) /
+         |     CAST(za.n_sh + zb.n_sh - inter AS DOUBLE) >= 0.8),
+         | exactdrop AS (SELECT DISTINCT d.doc_id FROM documents d
+         |   JOIN documents e ON md5(e.text) = md5(d.text)
+         |     AND e.doc_id < d.doc_id),
+         | cut AS (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS c
+         |   FROM documents)
+         |SELECT doc_id, CAST(CASE WHEN doc_id <= (SELECT c FROM cut)
+         |    THEN 1 ELSE 2 END AS BIGINT) AS batch
+         |FROM documents
+         |WHERE text IS NOT NULL
+         |  AND doc_id NOT IN (SELECT doc_id FROM neardrop)
+         |  AND doc_id NOT IN (SELECT doc_id FROM exactdrop)
+         |ORDER BY doc_id""".stripMargin,
     "q119_interevent_gaps" ->
       s"""WITH g AS (SELECT event_type,
          |    epoch_us(ts) - lag(epoch_us(ts)) OVER (

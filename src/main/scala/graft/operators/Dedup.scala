@@ -809,6 +809,7 @@ object Dedup {
   def ledgerAdmit(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String,
       textCol: String, admittedOut: Option[String] = None): DataFrame = {
+    graft.util.Fs.failIfUnderMaintenance(spark, path, "ledgerAdmit")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val seen =
@@ -839,17 +840,191 @@ object Dedup {
     * Rewrites the ledger into `targetFiles` (default: the session's
     * defaultParallelism) digest-hash-partitioned files via the shared
     * [[graft.util.Fs.swapRewrite]] protocol (two atomic renames,
-    * crash-state auto-recovery on re-run, checked rollback,
-    * single-maintenance-writer requirement — pause admits for the
-    * window). The digest set is untouched by construction — admits
-    * before and after see the identical ledger. Returns the digest
-    * count. */
+    * crash-state auto-recovery on re-run, checked rollback, and the
+    * maintenance marker that makes a racing [[ledgerAdmit]] fail
+    * loudly instead of losing its rows to the swap). The rewrite also
+    * collapses duplicate digest rows (`distinct` on the 16-byte
+    * digest): under the enforced single-writer fence none exist, but a
+    * duplicate smuggled in by any historical race is repaired here
+    * rather than silently surviving forever. Returns the digest count
+    * of the compacted ledger (= its row count, post-distinct). */
   def compactDedupLedger(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 0): Long = {
     val n = if (targetFiles > 0) targetFiles
       else spark.sparkContext.defaultParallelism
     graft.util.Fs.swapRewrite(spark, path)(tmp =>
-      spark.read.parquet(path).repartition(n, col("text_md5"))
+      spark.read.parquet(path).distinct()
+        .repartition(n, col("text_md5"))
+        .write.mode("overwrite").parquet(tmp))
+    spark.read.parquet(path).count()
+  }
+
+  /** Persisted NEAR-dup ledger — the incremental twin of [[ledgerAdmit]]
+    * for near-duplicates, and the operator a daily 100-TB ingest
+    * actually runs: history-aware near-dup WITHOUT re-scanning or
+    * re-signaturing the historical corpus. The ledger is a parquet
+    * store of one row per distinct text ever seen — (doc, text_md5,
+    * hs: the sorted distinct shingle-hash array, mh0..mhN: the MinHash
+    * signature) — i.e. exactly the per-doc state [[nearDupDrops]]
+    * derives per run, persisted once.
+    *
+    * A batch admit is four bounded joins, none corpus-sized on the
+    * batch side:
+    *   1. exact-vs-store: batch digests ⋉ store digests (16-byte keys);
+    *   2. exact-in-batch: min-id representative per batch digest;
+    *   3. near-vs-store: the batch reps' band keys equi-join the store's
+    *      band keys (derived on read from the stored signature — the
+    *      standard LSH banded join, batch × touched-buckets volume),
+    *      candidates exact-verified by Jaccard on the stored arrays;
+    *   4. near-in-batch: [[lshCandidatesFromSignatures]] over the batch
+    *      reps + the same verify (drop the larger id).
+    * ALL batch reps with novel digests are then appended — including
+    * near-REJECTED ones: the one-shot drop rule is "∃ ANY earlier doc
+    * within threshold", not "∃ earlier SURVIVOR" (near-dup is not
+    * transitive — a chain a~b, b~c with a≁c must still drop c through
+    * the rejected b), so the store keeps every distinct text's
+    * signature, which is what makes the decisions reproduce
+    * [[nearDupDrops]] exactly.
+    *
+    * CONTRACT (spec-pinned): ids are monotone across batches (arrival
+    * order — the natural ingest key). Under it, the admit decisions
+    * across any batch sequence are IDENTICAL to one-shot
+    * [[nearDupDrops]] over the union of the batches: signatures are
+    * doc-local (fixed permutation constants), so banding and verify see
+    * the same pairs either way. Same crash-safe ordering as
+    * [[ledgerAdmit]] (`admittedOut` persists before the signature
+    * append; a crash between the two re-runs idempotently); rows with
+    * NULL `textCol` are dropped up front; the store path is fenced by
+    * the swapRewrite maintenance marker. Returns the admitted batch
+    * rows (original columns + text_md5). */
+  def nearDupLedgerAdmit(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rows: Int = 4,
+      threshold: Double = 0.8,
+      admittedOut: Option[String] = None): DataFrame = {
+    graft.util.Fs.failIfUnderMaintenance(spark, path,
+      "nearDupLedgerAdmit")
+    val numPerms = bands * rows
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasStore = fs.exists(hPath) && fs.listStatus(hPath).nonEmpty
+
+    // batch prep: digest every row, collapse to min-id representatives
+    // per distinct text (the exact stage — identical to nearDupDrops'
+    // stage 0, and the strongest mega-bucket guard)
+    val withMd5 = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"), col(textCol).as("text"))
+      .withColumn("text_md5", md5(col("text")))
+    val reps = withMd5.groupBy(col("text_md5"))
+      .agg(min(col("doc")).as("doc"))
+    val repDocs = withMd5.join(reps, Seq("text_md5", "doc"))
+    // per-rep sorted shingle arrays + MinHash signature — the exact
+    // per-doc state nearDupDrops derives; checkpointed because admit
+    // decisions AND the store append both read it, and because every
+    // decision must be materialized BEFORE the append lands (a lazy
+    // plan re-read after the append would see the batch's own rows)
+    val idx = shingleIndex(repDocs, "doc", "text", n)
+    val arrays = idx.groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val sig = minHashSignaturesFromIndex(
+      arrays.select(col("doc"), explode(col("hs")).as("h")), numPerms)
+    val storeCols = Seq("doc", "text_md5", "hs") ++
+      (0 until numPerms).map("mh" + _)
+    // unshingleable reps (< n tokens) keep an empty hs and NULL
+    // signature: they can only ever be EXACT dups (nearDupDrops has no
+    // pair for them either), and the null mh0 keeps them out of banding
+    val batchSig = repDocs.select(col("doc"), col("text_md5"))
+      .join(arrays, Seq("doc"), "left")
+      .join(sig, Seq("doc"), "left")
+      .withColumn("hs", coalesce(col("hs"), typedlit(Seq.empty[Long])))
+      .select(storeCols.map(col): _*)
+      .localCheckpoint()
+    val store =
+      if (hasStore) {
+        val s0 = spark.read.parquet(path)
+        val s = if (s0.columns.toSet == storeCols.toSet)
+          s0.select(storeCols.map(col): _*) else s0
+        if (s.columns.toSeq != storeCols) throw new IllegalStateException(
+          s"$path holds a near-dup ledger with a different geometry " +
+            s"(columns ${s.columns.mkString(",")}; this call implies " +
+            s"${storeCols.mkString(",")}) — admit with the bands/rows " +
+            "the ledger was created with, or start a new store")
+        s
+      } else batchSig.limit(0)
+
+    def jaccardDrops(cands: DataFrame, left: DataFrame,
+        right: DataFrame): DataFrame = cands
+      .join(left.select(col("doc").as("doc_a"), col("hs").as("hs_a")),
+        Seq("doc_a"))
+      .join(right.select(col("doc").as("doc_b"), col("hs").as("hs_b")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter"))
+            .cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_b").as("doc"))
+    def bandKeys(sigDf: DataFrame, docAs: String): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"), concat_ws("_",
+          (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+          .as("key"))
+      }
+      sigDf.filter(col("mh0").isNotNull)
+        .select(col("doc").as(docAs), explode(array(bandCols: _*)).as("bk"))
+        .select(col(docAs), col("bk.band").as("band"),
+          col("bk.key").as("key"))
+    }
+
+    val exactVsStore = batchSig
+      .join(store.select(col("text_md5")), Seq("text_md5"), "left_semi")
+      .select(col("doc"))
+    val exactInBatch = withMd5
+      .join(reps.withColumnRenamed("doc", "rep"), Seq("text_md5"))
+      .filter(col("doc") =!= col("rep")).select(col("doc"))
+    val candsVsStore = bandKeys(store, "doc_a")
+      .join(bandKeys(batchSig, "doc_b"), Seq("band", "key"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val nearVsStore = jaccardDrops(candsVsStore, store, batchSig)
+    val candsInBatch = lshCandidatesFromSignatures(
+        batchSig.filter(col("mh0").isNotNull), bands, rows)
+      .select(col("doc_a"), col("doc_b"))
+    val nearInBatch = jaccardDrops(candsInBatch, batchSig, batchSig)
+    val dropped = exactVsStore.unionByName(exactInBatch)
+      .unionByName(nearVsStore).unionByName(nearInBatch)
+      .distinct().localCheckpoint()
+
+    val admitted = batch.filter(col(textCol).isNotNull)
+      .withColumn("text_md5", md5(col(textCol)))
+      .join(dropped.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    // novel signatures (all batch reps whose digest is unseen — admitted
+    // AND near-rejected, see the scaladoc) materialize before the append
+    val novel = batchSig
+      .join(store.select(col("text_md5")), Seq("text_md5"), "left_anti")
+      .select(storeCols.map(col): _*) // USING-join reorders; keep layout
+      .localCheckpoint()
+    admittedOut.foreach(out =>
+      admitted.write.mode("overwrite").parquet(out))
+    novel.write.mode("append").parquet(path)
+    admitted
+  }
+
+  /** Compact the [[nearDupLedgerAdmit]] signature store — same
+    * accretion debt and same answer as [[compactDedupLedger]]: rewrite
+    * into `targetFiles` digest-hash-partitioned files through the
+    * fenced [[graft.util.Fs.swapRewrite]] protocol (a racing admit
+    * fails loudly at its fence check), collapsing any duplicate rows a
+    * historical race smuggled in. Returns the compacted row count. */
+  def compactNearDupLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 0): Long = {
+    val n = if (targetFiles > 0) targetFiles
+      else spark.sparkContext.defaultParallelism
+    graft.util.Fs.swapRewrite(spark, path)(tmp =>
+      spark.read.parquet(path).distinct()
+        .repartition(n, col("text_md5"))
         .write.mode("overwrite").parquet(tmp))
     spark.read.parquet(path).count()
   }

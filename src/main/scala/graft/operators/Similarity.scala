@@ -245,26 +245,77 @@ object Similarity {
   /** IVF (inverted-file) ANN: corpus is partitioned into coarse cells by
     * nearest centroid; queries probe only their `nProbe` nearest cells.
     * Centroids come from [[trainCentroids]] (seeded sampled k-means) and
-    * travel as a broadcast; only the cell assignment and the per-cell
-    * scoring are distributed.
-    * Cost: corpus×centroids assignment (centroids broadcast) + per-cell
-    * candidate scoring ≈ corpus²·nProbe/nCentroids. */
-  /** Nearest-centroid assignment: keep the `keep` best cells per row. */
+    * fold into the assignment expression as literals — the assignment
+    * pass is a MAP-ONLY scan (see [[assignCells]]); only the per-cell
+    * candidate scoring shuffles, ≈ corpus²·nProbe/nCentroids. */
+  /** Centroid-count bound for the literal-argmax assignment: above it
+    * the folded (cent_id, vector) literals bloat the plan (and codegen
+    * method size), so assignment falls back to the broadcast-join +
+    * window form. 4096 centroids × 64 dims ≈ 2 MB of plan literals —
+    * comfortably under Janino limits with the DotProduct kernel (one
+    * call per centroid, not per element). */
+  private val MaxLiteralCents = 4096
+
+  /** Nearest-centroid assignment: keep the `keep` best cells per row.
+    * The centroid table is nCentroids-bounded by construction, so it
+    * collects to the driver and folds into a literal per-row argmax
+    * (keep = 1: [[nearestCellStruct]]'s `array_max`; keep = nProbe: a
+    * `sort_array` + `slice` + `explode` array-local top-k) — a pure
+    * projection with NO crossJoin, NO window, NO shuffle: the 100-TB
+    * corpus assignment pass under build/append/drift/PQ-encode is a
+    * narrow scan (plan-pinned by ExplainCheck). Tie-break is (sim desc,
+    * lowest cent_id) in both forms — the struct max/sort over
+    * (s, neg_id) is order-identical to the window's
+    * (cent_sim desc, cent_id asc), so results are bit-identical to the
+    * pre-r14 broadcast-join form (all IVF-family oracle hashes
+    * unmoved). Beyond [[MaxLiteralCents]] centroids the broadcast-join
+    * + window form takes over (same tie-break). */
   private def assignCells(df: DataFrame, cents: DataFrame, id: String,
       v: String, keep: Int, keepSim: Boolean = false): DataFrame = {
-    val w = Window.partitionBy(col(id))
-      .orderBy(col("cent_sim").desc, col("cent_id"))
-    val ranked = df.crossJoin(broadcast(cents))
-      .withColumn("cent_sim", dotCol(col(v), col("centv")))
-      .withColumn("cent_rank", row_number().over(w))
-      .filter(col("cent_rank") <= keep)
-    // keepSim exposes the assignment similarity itself (the dot against
-    // the winning centroid) — the drift monitor profiles it; everything
-    // else only needs the cell
-    if (keepSim)
-      ranked.select(col(id), col(v), col("cent_id").as("cell"),
-        col("cent_sim"))
-    else ranked.select(col(id), col(v), col("cent_id").as("cell"))
+    val centArr = collectCentIds(cents)
+    if (centArr.length <= MaxLiteralCents) {
+      val scored = centArr.map { case (cid, c) =>
+        struct(dotCol(col(v), typedLit(c.toSeq)).as("s"),
+          lit(-cid).as("neg_id")): Column
+      }
+      val best =
+        if (keep == 1) array_max(array(scored: _*))
+        else explode(slice(sort_array(array(scored: _*), asc = false),
+          1, keep))
+      val withBest = df.withColumn("__cellbest", best)
+      // keepSim exposes the assignment similarity itself (the dot
+      // against the winning centroid) — the drift monitor profiles it;
+      // everything else only needs the cell
+      if (keepSim)
+        withBest.select(col(id), col(v),
+          (-col("__cellbest.neg_id")).as("cell"),
+          col("__cellbest.s").as("cent_sim"))
+      else withBest.select(col(id), col(v),
+        (-col("__cellbest.neg_id")).as("cell"))
+    } else {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("cent_sim").desc, col("cent_id"))
+      val ranked = df.crossJoin(broadcast(cents))
+        .withColumn("cent_sim", dotCol(col(v), col("centv")))
+        .withColumn("cent_rank", row_number().over(w))
+        .filter(col("cent_rank") <= keep)
+      if (keepSim)
+        ranked.select(col(id), col(v), col("cent_id").as("cell"),
+          col("cent_sim"))
+      else ranked.select(col(id), col(v), col("cent_id").as("cell"))
+    }
+  }
+
+  /** Collect a centroid frame to (cent_id, vector) pairs, cent_id
+    * ascending — nCentroids rows only, no dense-id requirement (unlike
+    * [[collectCents]], whose index-positional contract the refinement
+    * loop needs). */
+  private def collectCentIds(cents: DataFrame): Array[(Long, Array[Double])] = {
+    val spark = cents.sparkSession
+    import spark.implicits._
+    cents.select(col("cent_id").cast("long"),
+        col("centv").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
   }
 
   /** Cluster-balanced sampling: assign every vector to its nearest
@@ -405,7 +456,17 @@ object Similarity {
     }
     val saltOf = coalesce(
       element_at(typedlit(salts), col("cell").cast("long")), lit(1L))
-    assigned.repartition(salts.values.sum.toInt,
+    // the census total is ~totalRows/maxRowsPerTask: at corpus scale
+    // with a too-small cap it can overflow Int (a silent
+    // garbage/negative partition count) or demand an absurd task count
+    // — fail with the remediation instead
+    val totalParts = salts.values.sum
+    require(totalParts <= 1000000L,
+      s"salted cell-store write would need $totalParts tasks " +
+        s"(census total / maxRowsPerTask=$maxRowsPerTask) — raise " +
+        "maxRowsPerTask (or use the unsalted default) so the task " +
+        "count stays sane")
+    assigned.repartition(totalParts.toInt,
         col("cell"), pmod(hash(col("neighbor_id")), saltOf))
       .write.mode(mode).partitionBy("cell").parquet(dest)
   }
@@ -472,6 +533,8 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, idCol: String,
       vecCol: String, maxRowsPerWriteTask: Long = 0): Long = {
+    graft.util.Fs.failIfUnderMaintenance(spark, s"$path/assigned",
+      "appendToIvfIndex")
     val cents = spark.read.parquet(s"$path/centroids")
     val assigned = assignCells(
       newVecs.select(col(idCol).as("neighbor_id"),
@@ -495,11 +558,11 @@ object Similarity {
     * it is build-time state). The rewrite-and-swap runs through
     * [[graft.util.Fs.swapRewrite]] (two atomic renames, crash-state
     * auto-recovery on re-run, checked rollback — see its scaladoc for
-    * the protocol and the SINGLE-MAINTENANCE-WRITER requirement: an
-    * [[appendToIvfIndex]] committing after the snapshot read here would
-    * be silently dropped by the swap, so pause ingest for the
-    * compaction window). Returns the number of rows in the compacted
-    * store. */
+    * the protocol). The single-maintenance-writer rule is ENFORCED by
+    * the swapRewrite maintenance marker: an [[appendToIvfIndex]]
+    * racing this compaction fails loudly at its fence check instead of
+    * committing rows the swap would silently drop. Returns the number
+    * of rows in the compacted store. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, maxRowsPerWriteTask: Long = 0): Long = {
     val store = s"$path/assigned"
@@ -544,8 +607,12 @@ object Similarity {
     * values over a round n lands exactly on .5e-7, where decimal DuckDB
     * and double-based Spark round apart; measured on the very first
     * fixture cell) while raw means sit a cross-engine-safe ~1e-15 off
-    * any boundary. Cost ∝ batch: one broadcast argmax over the batch
-    * joined to a ≤ nCentroids-row baseline; output ≤ nCentroids rows. */
+    * any boundary. Cost: THIS in-memory overload re-derives
+    * [[cellBaseline]] from `index._2` on every call — corpus cost per
+    * report (localCheckpoint the assignment first when calling it
+    * repeatedly); the ∝-batch cost claim belongs to the persisted
+    * overload below, which reads the frozen ≤ nCentroids-row baseline
+    * instead of recomputing it. */
   def ivfDriftReport(index: (DataFrame, DataFrame), batch: DataFrame,
       idCol: String, vecCol: String): DataFrame =
     driftAgainst(cellBaseline(index._1, index._2), index._1, batch,
@@ -615,9 +682,17 @@ object Similarity {
         cents, "bid", "bv", keep = 1, keepSim = true)
         .select(col("cell"), col("cent_sim").as("cos")),
       "batch")
+    // A batch vector can argmax into a cell that attracted ZERO build
+    // corpus rows (possible: centroids train on a sample); such a cell
+    // has no baseline, so its drifts are kept NULL — deliberately, not
+    // silently — and flagged with has_baseline = false. Weighted-drift
+    // consumers MUST filter on the flag: summing a NULL numerator while
+    // keeping batch_n in the denominator biases the headline metric
+    // toward zero (every in-repo example filters; pinned by a spec).
     bp.join(base, Seq("cell"), "left")
       .select(col("cell"),
         coalesce(col("base_n"), lit(0L)).as("base_n"),
+        col("base_mean_cos").isNotNull.as("has_baseline"),
         col("base_mean_cos"), col("base_p10_cos"),
         col("batch_n"), col("batch_mean_cos"), col("batch_p10_cos"),
         round(col("base_mean_cos") - col("batch_mean_cos"), 6)
@@ -835,14 +910,19 @@ object Similarity {
   /** Persist an IVF+PQ index: centroids + one-row codebook table +
     * the code table partitioned BY CELL (probes read only the probed
     * cells' partitions — and each partition holds m ints per vector,
-    * not the vectors). */
+    * not the vectors). The code table goes through the same
+    * [[writeCellStore]] discipline as the IVF store (one file per cell
+    * per write, salted escape hatch for hot cells). */
   def saveIvfPqIndex(index: (DataFrame, PqCodebooks, DataFrame),
-      path: String): Unit = {
+      path: String, maxRowsPerWriteTask: Long = 0): Unit = {
     val (cents, cb, assigned) = index
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     writeCodebooks(cb, cents.sparkSession, s"$path/codebooks")
-    assigned.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/codes")
+    val codes =
+      if (maxRowsPerWriteTask > 0) assigned.localCheckpoint()
+      else assigned
+    writeCellStore(codes, "overwrite", s"$path/codes",
+      maxRowsPerWriteTask)
   }
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
@@ -850,6 +930,177 @@ object Similarity {
     (spark.read.parquet(s"$path/centroids"),
       readCodebooks(spark, s"$path/codebooks"),
       spark.read.parquet(s"$path/codes"))
+
+  /** Incremental maintenance for the persisted IVF+PQ index — the
+    * lifecycle twin of [[appendToIvfIndex]] for the memory-bounded
+    * index a 100 TB deployment actually serves from: new vectors are
+    * assigned with the FROZEN centroids and encoded with the FROZEN
+    * codebooks (no retrain — the [[ivfPqDriftReport]] quantization-
+    * error monitor says when a rebuild is due), then appended to the
+    * cell-partitioned code store. Assignment + encode are one map-only
+    * projection (literal argmax + codegen [[graft.expressions.PqEncode]]);
+    * the append touches only the batch's cells. Fenced against a
+    * racing [[compactIvfPqIndex]]. Returns the appended count. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVecs: DataFrame, idCol: String,
+      vecCol: String, maxRowsPerWriteTask: Long = 0): Long = {
+    graft.util.Fs.failIfUnderMaintenance(spark, s"$path/codes",
+      "appendToIvfPqIndex")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = readCodebooks(spark, s"$path/codebooks")
+    val assigned = assignCells(
+      newVecs.select(col(idCol).as("neighbor_id"),
+        l2Normalize(col(vecCol)).as("cv")),
+      cents, "neighbor_id", "cv", keep = 1)
+      .select(col("neighbor_id"), col("cell"),
+        pqEncodeCol(col("cv"), cb).as("codes"))
+      .localCheckpoint()
+    writeCellStore(assigned, "append", s"$path/codes",
+      maxRowsPerWriteTask)
+    assigned.count()
+  }
+
+  /** Compact the appended IVF+PQ code store — same accretion debt and
+    * same fenced [[graft.util.Fs.swapRewrite]] answer as
+    * [[compactIvfIndex]]: every cell rewrites to one file, rows (and
+    * therefore served results) untouched. Returns the compacted row
+    * count. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxRowsPerWriteTask: Long = 0): Long = {
+    val store = s"$path/codes"
+    graft.util.Fs.swapRewrite(spark, store)(tmp =>
+      writeCellStore(spark.read.parquet(store), "overwrite", tmp,
+        maxRowsPerWriteTask))
+    spark.read.parquet(store).count()
+  }
+
+  /** Per-row PQ quantization error: `1 − ⟨v, recon(v)⟩` via the ADC
+    * identity (the LUT of v against its own code word sums exactly
+    * ⟨v, recon(v)⟩) — 0 when the codebooks reproduce the vector
+    * perfectly, growing as the vector leaves the space the codebooks
+    * were trained on. All three kernels are codegen'd natives. */
+  private def pqErrCol(cv: Column, cb: PqCodebooks): Column =
+    lit(1.0) - pqAdcCol(pqEncodeCol(cv, cb), pqLutCol(cv, cb), cb)
+
+  /** Write the FROZEN build-time quantization-error baseline for a
+    * persisted IVF+PQ index: per cell, (base_n, mean, exact-p90 of the
+    * PQ error over the build corpus) — the PQ analog of the IVF drift
+    * baseline, same frozen-baseline discipline (comparing batches
+    * against a store-derived baseline would let each drifted append
+    * mask the next). The code store keeps no vectors, so the error can
+    * only be derived while the ORIGINAL build corpus is in hand — call
+    * this right after [[saveIvfPqIndex]], before any append lands
+    * (same soundness window as [[backfillIvfBaseline]]). p90, not p10:
+    * error grows with drift, so the TAIL of interest is the high end.
+    * Corpus-side p90 routes through the bounded-memory exact selection
+    * for the same hot-cell-OOM reason as [[cellBaseline]]. */
+  def writeIvfPqErrBaseline(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String,
+      vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = readCodebooks(spark, s"$path/codebooks")
+    val err = assignCells(
+      corpus.select(col(idCol).as("bid"),
+        l2Normalize(col(vecCol)).as("bv")),
+      cents, "bid", "bv", keep = 1)
+      .select(col("cell"), pqErrCol(col("bv"), cb).as("err"))
+    err.groupBy(col("cell"))
+      .agg(count(lit(1)).as("base_n"),
+        round(avg(col("err")), 6).as("base_mean_err"))
+      .join(graft.operators.Percentiles.groupedRangeExact(err,
+        Seq("cell"), "err", Seq((0.90, "base_p90_err")), roundTo = 6),
+        Seq("cell"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/err_baseline")
+  }
+
+  /** Quantization-error drift report for a persisted IVF+PQ index —
+    * the rebuild trigger [[appendToIvfPqIndex]]'s frozen-parameter
+    * contract needs (the PQ analog of [[ivfDriftReport]]): per cell
+    * the batch lands in, the batch's PQ error profile (n, mean,
+    * exact p90) against the FROZEN build-time baseline.
+    * `mean_err_drift` = batch mean − base mean and `p90_err_drift` =
+    * batch p90 − base p90 (note the sign is flipped vs the cosine
+    * drifts: ERROR RISES as data leaves the trained codebook space, so
+    * positive-and-growing still means "rebuild when it crosses your
+    * tolerance"). Cells without build-corpus rows carry
+    * has_baseline = false and NULL drifts — filter on the flag before
+    * weighting, exactly like the IVF report. Cost ∝ batch. */
+  def ivfPqDriftReport(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(s"$path/err_baseline")
+    if (!base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(base))
+      throw new IllegalStateException(
+        s"$path has no err_baseline/ dataset. Run " +
+          "Similarity.writeIvfPqErrBaseline(spark, path, buildCorpus, " +
+          "idCol, vecCol) right after saveIvfPqIndex — sound only " +
+          "while no drifted appends have landed; if they have, rebuild " +
+          "+ re-save the index.")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = readCodebooks(spark, s"$path/codebooks")
+    val err = assignCells(
+      batch.select(col(idCol).as("bid"),
+        l2Normalize(col(vecCol)).as("bv")),
+      cents, "bid", "bv", keep = 1)
+      .select(col("cell"), pqErrCol(col("bv"), cb).as("err"))
+    val bp = err.groupBy(col("cell"))
+      .agg(count(lit(1)).as("batch_n"),
+        round(avg(col("err")), 6).as("batch_mean_err"),
+        round(org.apache.spark.sql.functions
+          .expr("percentile(err, 0.90)"), 6).as("batch_p90_err"))
+    bp.join(spark.read.parquet(s"$path/err_baseline"), Seq("cell"),
+        "left")
+      .select(col("cell"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        col("base_mean_err").isNotNull.as("has_baseline"),
+        col("base_mean_err"), col("base_p90_err"),
+        col("batch_n"), col("batch_mean_err"), col("batch_p90_err"),
+        round(col("batch_mean_err") - col("base_mean_err"), 6)
+          .as("mean_err_drift"),
+        round(col("batch_p90_err") - col("base_p90_err"), 6)
+          .as("p90_err_drift"))
+  }
+
+  /** Recall probe for a persisted IVF index — drift is a proxy; the
+    * serving SLA is RECALL, and this measures it directly on the live
+    * store: a deterministic hash-sampled query set drawn from the
+    * store itself is served at each `nProbe` and scored against the
+    * full-probe ground truth on the same index (full probe ≡ exact
+    * brute force over the store — the equivalence t52's oracle pins),
+    * yielding recall@k per nProbe. Emits (n_probe, sample_n, k, hits,
+    * truth_n, recall). Deterministic end to end (hash-ordered sample,
+    * tie-broken serve), so runs are comparable across days — pair it
+    * with [[ivfDriftReport]] to calibrate "your tolerance" in measured
+    * recall instead of cosine points. Cost: sampleN queries × (1 +
+    * len(nProbes)) serves, each partition-pruned except the full-probe
+    * truth pass. */
+  def ivfRecallProbe(spark: org.apache.spark.sql.SparkSession,
+      path: String, sampleN: Int = 64, k: Int = 10,
+      nProbes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import spark.implicits._
+    val idx = loadIvfIndex(spark, path)
+    val nCents = idx._1.count().toInt
+    val queries = idx._2
+      .select(col("neighbor_id").as("vid"), col("cv"))
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .limit(sampleN).localCheckpoint()
+    val truth = ivfTopKFromIndex(idx, queries, "vid", "cv", k,
+        nProbe = nCents)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val truthN = truth.count()
+    nProbes.distinct.sorted.map { p =>
+      val hits = ivfTopKFromIndex(idx, queries, "vid", "cv", k,
+          nProbe = p)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      (p, sampleN, k, hits, truthN,
+        Percentiles.roundHalfUp(
+          hits.toDouble / math.max(truthN, 1L), 6))
+    }.toDF("n_probe", "sample_n", "k", "hits", "truth_n", "recall")
+  }
 
   def ivfPqTopKFromIndex(index: (DataFrame, PqCodebooks, DataFrame),
       corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -356,21 +356,47 @@ object ExplainCheck {
           "(ReadSchema: struct<>)", sp.contains("ReadSchema: struct<>"))
       } finally graft.util.Fs.deleteRecursively(path)
     }
-    // drift monitor: both corpus-scale centroid attaches must ride
-    // broadcasts — the baseline's cell=cent_id equi-join as a
-    // BroadcastHashJoin and the batch argmax's cross-attach as a
-    // BroadcastNestedLoopJoin over the ≤nCentroids local table; a
-    // CartesianProduct anywhere would be a corpus² scan. (The final
-    // bp⋈base profile join is ≤ nCentroids rows a side — its initial
-    // SMJ shape is irrelevant and AQE localizes it at runtime.)
-    check("q128 drift report broadcasts centroids on both corpus-side " +
-      "attaches, no cartesian", {
+    // drift monitor: both corpus-sized argmax passes (build assignment
+    // under the baseline, batch assignment under the profile) are
+    // MAP-ONLY literal argmaxes since r14 — no crossJoin attach exists
+    // anymore, so the plan must hold ZERO nested-loop/cartesian nodes;
+    // the one broadcast left is the baseline's ≤nCentroids cell=cent_id
+    // equi-join. (The final bp⋈base profile join is ≤ nCentroids rows a
+    // side — its initial SMJ shape is irrelevant, AQE localizes it.)
+    check("q128 drift report assigns map-only (no nested-loop attach, " +
+      "no cartesian), broadcasts the baseline join", {
       val p = plan("q128_ivf_drift")
       "BroadcastHashJoin".r.findAllIn(p).length >= 1 &&
-        "BroadcastNestedLoopJoin BuildRight, Cross".r
-          .findAllIn(p).length >= 2 &&
+        !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct")
     })
+    // the r13 verdict's lead scale finding, closed: the corpus-sized
+    // cell-assignment pass under build/append (keep=1) folds the
+    // centroids into a literal argmax — a pure projection over the
+    // parquet scan with NO Exchange, NO Window, NO join of any kind;
+    // at 100 TB the assignment stage is a narrow scan, its shuffle
+    // volume zero instead of corpus×nCentroids rows
+    locally {
+      import org.apache.spark.sql.functions._
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val assigned = graft.operators.Similarity.buildIvfIndex(
+        e, "vec_id", "embedding", nCentroids = 16, kmeansIters = 2)._2
+      val p = assigned.queryExecution.executedPlan.toString
+      check("IVF build cell assignment is map-only: no Exchange, no " +
+        "Window, no join in the assignment stage",
+        !p.contains("Exchange") && !p.contains("Window") &&
+          !p.contains("Join") && !p.contains("CartesianProduct"))
+      // the probe side (keep = nProbe) is the array-local top-k — same
+      // property: scoring + slice + explode, never a shuffle
+      val probed = graft.operators.Similarity.ivfTopKFromIndex(
+        graft.operators.Similarity.buildIvfIndex(e, "vec_id",
+          "embedding", nCentroids = 16, kmeansIters = 2),
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 3, nProbe = 2)
+      val pp = probed.queryExecution.executedPlan.toString
+      check("IVF serve probe-side assignment shows no nested-loop " +
+        "centroid attach", !pp.contains("BroadcastNestedLoopJoin"))
+    }
     println("all plan assertions hold")
     spark.stop()
   }

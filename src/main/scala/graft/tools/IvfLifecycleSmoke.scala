@@ -58,6 +58,7 @@ object IvfLifecycleSmoke {
         Similarity.ivfDriftReport(spark, dir,
             vecs(nBase + (nBatches - 1) * batchRows, batchRows),
             "vec_id", "embedding")
+          .filter(col("has_baseline"))
           .agg(sum(col("batch_n") * col("mean_drift")) /
             sum(col("batch_n"))).head().getDouble(0)
       }

@@ -21,18 +21,34 @@ object Fs {
     * promote rolls the first rename back, and the rollback result is
     * CHECKED — if it also fails (e.g. a concurrent writer recreated
     * the store) the exception says where both copies actually are.
-    * SINGLE MAINTENANCE WRITER required: rows committed to the store
-    * by a concurrent writer after `writeTo` snapshots it are silently
-    * dropped by the swap — pause ingest for the rewrite window. On
-    * rename-is-copy object stores prefer versioned dirs + a pointer
-    * flip instead. */
+    * SINGLE MAINTENANCE WRITER — now ENFORCED, not just documented: a
+    * `<store>_maintenance` marker file goes down BEFORE the snapshot
+    * read and comes up only after the swap completes, and every
+    * in-repo ingest writer ([[graft.operators.Similarity]] appends,
+    * [[graft.operators.Dedup]] ledger admits) calls
+    * [[failIfUnderMaintenance]] first — an append racing a compaction
+    * now fails LOUDLY instead of being silently dropped by the swap.
+    * A compaction that crashes mid-run leaves the marker in place (so
+    * ingest stays fenced off the half-swapped store) and a re-run
+    * clears it after recovering the rename state. READERS are not
+    * fenced: between the two renames the store path does not exist,
+    * so a concurrent reader (an index serve, a ledger anti-join) hits
+    * path-not-found for that window — quiesce reads for the rewrite,
+    * or serve through an indirection (versioned dirs + pointer flip)
+    * on deployments that cannot. On rename-is-copy object stores
+    * prefer versioned dirs + a pointer flip outright. */
   def swapRewrite(spark: org.apache.spark.sql.SparkSession,
       storePath: String)(writeTo: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val store = new Path(storePath)
     val tmp = new Path(storePath + "_compacting")
     val old = new Path(storePath + "_old")
+    val marker = new Path(maintenanceMarkerPath(storePath))
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fence FIRST — before the crash recovery and long before the
+    // snapshot read inside writeTo; create(overwrite=true) also makes a
+    // re-run over a crashed compaction's surviving marker a no-op
+    fs.create(marker, true).close()
     if (!fs.exists(store) && fs.exists(old) && !fs.rename(old, store))
       throw new java.io.IOException(
         s"swapRewrite: $store is missing and restoring $old failed — " +
@@ -53,6 +69,32 @@ object Fs {
             s"original at $old, compacted at $tmp, store state unknown")
     }
     fs.delete(old, true)
+    fs.delete(marker, false)
+  }
+
+  /** Sibling path of the maintenance marker [[swapRewrite]] holds for
+    * the rewrite window. */
+  def maintenanceMarkerPath(storePath: String): String =
+    storePath + "_maintenance"
+
+  /** The ingest-side half of the maintenance fence: every writer that
+    * appends to a swapRewrite-maintained store calls this first and
+    * fails loudly while a compaction window (or a crashed compaction's
+    * surviving marker) is open — the alternative is rows committed
+    * after the snapshot read being silently dropped by the swap, the
+    * one failure mode that LOSES data. */
+  def failIfUnderMaintenance(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, who: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(maintenanceMarkerPath(storePath))
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker))
+      throw new IllegalStateException(
+        s"$who: $storePath is under maintenance ($marker exists) — a " +
+          "compaction is running (rows appended now would be silently " +
+          "dropped by its swap) or crashed mid-run (re-run the " +
+          "compaction to recover and clear the marker); retry after it " +
+          "completes")
   }
 
   /** Recursive delete, a no-op when `dir` does not exist. The

@@ -241,6 +241,7 @@ class PipelineOpsSpec extends SparkTestBase {
         (a, b) => a * lit(1.0 - alpha) + b * lit(alpha)).as("embedding"))
     def profile(batch: org.apache.spark.sql.DataFrame): (Double, Double) = {
       val r = Similarity.ivfDriftReport(idx, batch, "vec_id", "embedding")
+        .filter(col("has_baseline"))
         .agg(
           (sum(col("batch_n") * col("batch_mean_cos")) /
             sum(col("batch_n"))).as("mean_cos"),
@@ -276,8 +277,9 @@ class PipelineOpsSpec extends SparkTestBase {
         Similarity.ivfDriftReport(spark, dir, drifted, "vec_id",
           "embedding").collect().toSet
       def weighted(r: org.apache.spark.sql.DataFrame): Double =
-        r.agg((sum(col("batch_n") * col("mean_drift")) /
-          sum(col("batch_n"))).as("d")).head().getDouble(0)
+        r.filter(col("has_baseline"))
+          .agg((sum(col("batch_n") * col("mean_drift")) /
+            sum(col("batch_n"))).as("d")).head().getDouble(0)
       val before = persisted()
       val dBefore = weighted(Similarity.ivfDriftReport(spark, dir, drifted,
         "vec_id", "embedding"))
@@ -2164,6 +2166,342 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("vec_id") === 9999L)
     // the alien's z-score must dwarf the runner-up's
     assert(out.head.getAs[Double]("z") > 2 * out(1).getAs[Double]("z"))
+  }
+
+  test("ivfDriftReport: a batch cell with no build-corpus rows is " +
+      "flagged has_baseline=false with NULL drifts, and the filtered " +
+      "weighted drift ignores it instead of biasing toward zero") {
+    // hand-built index: two orthogonal unit centroids, corpus ONLY in
+    // cell 0 — a batch vector on axis 1 argmaxes into a cell the build
+    // corpus never touched, so it has no baseline by construction
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("cent_id", "centv")
+    val assigned = Seq((10L, Array(1.0, 0.0), 0L), (11L, Array(0.8, 0.6), 0L))
+      .toDF("neighbor_id", "cv", "cell")
+    val batch = Seq((20L, Array(1.0, 0.0)), (21L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.ivfDriftReport((cents, assigned), batch,
+      "vec_id", "embedding").collect().map(x =>
+        x.getAs[Long]("cell") -> x).toMap
+    assert(r.keySet === Set(0L, 1L))
+    assert(r(0L).getAs[Boolean]("has_baseline"))
+    assert(r(0L).getAs[Long]("base_n") === 2L)
+    assert(!r(1L).getAs[Boolean]("has_baseline"))
+    assert(r(1L).getAs[Long]("base_n") === 0L)
+    assert(r(1L).isNullAt(r(1L).fieldIndex("mean_drift")))
+    assert(r(1L).isNullAt(r(1L).fieldIndex("p10_drift")))
+    assert(r(1L).getAs[Long]("batch_n") === 1L)
+    // the documented consumer discipline: weighted drift over
+    // has_baseline cells only — finite, and unpolluted by the
+    // baseline-less cell's batch_n (an unfiltered sum would keep its
+    // batch_n in the denominator against a NULL-skipped numerator)
+    val w = Similarity.ivfDriftReport((cents, assigned), batch,
+        "vec_id", "embedding")
+      .filter(col("has_baseline"))
+      .agg((sum(col("batch_n") * col("mean_drift")) /
+        sum(col("batch_n"))).as("d"), sum(col("batch_n")).as("n")).head()
+    assert(!w.isNullAt(0) && w.getLong(1) === 1L)
+  }
+
+  test("maintenance fence: appends fail loudly during a compaction " +
+      "window; the marker survives a crashed swap and clears on the " +
+      "recovery re-run") {
+    import org.apache.hadoop.fs.Path
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fence").toString
+    try {
+      // --- IVF side -----------------------------------------------------
+      val ivf = s"$root/ivf"
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding"), ivf)
+      val store = s"$ivf/assigned"
+      val fs = new Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(
+        graft.util.Fs.maintenanceMarkerPath(store))
+      // a compaction window is open (what swapRewrite does first): the
+      // racing append must throw, not silently commit doomed rows
+      fs.create(marker, true).close()
+      val ex = intercept[IllegalStateException] {
+        Similarity.appendToIvfIndex(spark, ivf,
+          emb.limit(5), "vec_id", "embedding")
+      }
+      assert(ex.getMessage.contains("maintenance"))
+      fs.delete(marker, false)
+      // crashed swap: died between the renames WITH the marker still
+      // down — ingest stays fenced off the half-swapped store
+      val rows = spark.read.parquet(store).count()
+      fs.create(marker, true).close()
+      assert(fs.rename(new Path(store), new Path(store + "_old")))
+      intercept[IllegalStateException] {
+        Similarity.appendToIvfIndex(spark, ivf,
+          emb.limit(5), "vec_id", "embedding")
+      }
+      // the natural recovery — re-running the compactor — restores the
+      // store AND clears the marker; ingest resumes
+      assert(Similarity.compactIvfIndex(spark, ivf) === rows)
+      assert(!fs.exists(marker))
+      assert(Similarity.appendToIvfIndex(spark, ivf,
+        emb.limit(5), "vec_id", "embedding") === 5L)
+      // --- dedup-ledger side (both ledgers share the fence) -------------
+      val ledger = s"$root/ledger"
+      Dedup.ledgerAdmit(spark, ledger,
+        Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      val lMarker = new Path(graft.util.Fs.maintenanceMarkerPath(ledger))
+      fs.create(lMarker, true).close()
+      intercept[IllegalStateException] {
+        Dedup.ledgerAdmit(spark, ledger,
+          Seq((3L, "c")).toDF("doc_id", "text"), "doc_id", "text")
+      }
+      intercept[IllegalStateException] {
+        Dedup.nearDupLedgerAdmit(spark, ledger,
+          Seq((3L, "c")).toDF("doc_id", "text"), "doc_id", "text")
+      }
+      fs.delete(lMarker, false)
+      assert(Dedup.ledgerAdmit(spark, ledger,
+        Seq((3L, "c")).toDF("doc_id", "text"), "doc_id", "text")
+        .count() === 1L)
+      // swapRewrite itself holds the marker for exactly the rewrite
+      // window: an admit INSIDE the window throws, one after succeeds
+      graft.util.Fs.swapRewrite(spark, ledger) { tmp =>
+        intercept[IllegalStateException] {
+          Dedup.ledgerAdmit(spark, ledger,
+            Seq((4L, "d")).toDF("doc_id", "text"), "doc_id", "text")
+        }
+        spark.read.parquet(ledger).write.parquet(tmp)
+      }
+      assert(Dedup.ledgerAdmit(spark, ledger,
+        Seq((4L, "d")).toDF("doc_id", "text"), "doc_id", "text")
+        .count() === 1L)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("nearDupLedgerAdmit: three-batch admit decisions ≡ one-shot " +
+      "nearDupDrops on the union; re-admits are no-ops; compaction " +
+      "bounds files and leaves decisions identical") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ndl").toString
+    val dir = s"$root/ledger"
+    try {
+      // monotone ids across three "daily" batches (the documented ingest
+      // contract), with planted exact dups and near-dups WITHIN batches
+      // and ACROSS them — including a near-dup of a doc that was itself
+      // rejected (the non-transitivity case that forces the store to
+      // keep rejected signatures)
+      val base = "the quick brown fox jumps over the lazy dog and then " +
+        "runs far away into the deep dark forest tonight"
+      def tweak(s: String, i: Int) = s + s" tail$i"
+      val b1 = Seq(
+        (100L, base), (101L, base),            // exact dup in batch
+        (102L, tweak(base, 1)),                // near-dup of 100 → drop
+        (103L, "completely different short text about spark plans " +
+          "and shuffle exchanges in a distributed engine runtime"))
+      val b2 = Seq(
+        (200L, base),                          // exact dup vs history
+        (201L, tweak(base, 1)),                // exact dup of REJECTED 102
+        (202L, tweak(base, 2)),                // near-dup vs history
+        (203L, "fresh novel content named alpha beta gamma delta " +
+          "epsilon zeta eta theta iota kappa lambda mu nu xi"))
+      val b3 = Seq(
+        (300L, tweak(base, 3)),                // near-dup vs history
+        (301L, b2(3)._2 + " tail9"),           // near-dup of batch-2 doc
+        (302L, "yet another genuinely unique document mentioning " +
+          "catalyst expressions codegen and tungsten memory format"))
+      val union = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+      val dropped = Dedup.nearDupDrops(union, "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      val expected = (b1 ++ b2 ++ b3).map(_._1).toSet -- dropped
+      val got = Seq(b1, b2, b3).flatMap { b =>
+        Dedup.nearDupLedgerAdmit(spark, dir,
+          b.toDF("doc_id", "text"), "doc_id", "text")
+          .select("doc_id").collect().map(_.getLong(0))
+      }.toSet
+      assert(got === expected,
+        s"ledger admits $got != one-shot survivors $expected " +
+          s"(one-shot dropped $dropped)")
+      // sanity on the plant: every planted relationship actually fired
+      assert(!expected.contains(101L) && !expected.contains(102L) &&
+        !expected.contains(200L) && !expected.contains(201L) &&
+        !expected.contains(202L) && !expected.contains(300L) &&
+        !expected.contains(301L))
+      assert(expected.contains(100L) && expected.contains(103L) &&
+        expected.contains(203L) && expected.contains(302L))
+      // idempotence: a full re-admit of any batch admits nothing and
+      // appends nothing (novel-digest set is empty)
+      val rowsBefore = spark.read.parquet(dir).count()
+      assert(Dedup.nearDupLedgerAdmit(spark, dir,
+        b2.toDF("doc_id", "text"), "doc_id", "text").isEmpty)
+      assert(spark.read.parquet(dir).count() === rowsBefore)
+      // geometry guard: admitting with different band geometry fails
+      // with the actionable message, not a schema exception downstream
+      val gex = intercept[IllegalStateException] {
+        Dedup.nearDupLedgerAdmit(spark, dir,
+          Seq((400L, "x y z")).toDF("doc_id", "text"), "doc_id", "text",
+          bands = 2, rows = 4)
+      }
+      assert(gex.getMessage.contains("geometry"))
+      // compaction: bounds the file count, keeps the signature set and
+      // all future decisions identical
+      def partFiles(): Int = new java.io.File(dir)
+        .listFiles().count(_.getName.startsWith("part-"))
+      assert(partFiles() >= 3)
+      val sigs = spark.read.parquet(dir)
+        .collect().map(_.getString(1)).toSet
+      assert(Dedup.compactNearDupLedger(spark, dir, targetFiles = 2)
+        === rowsBefore)
+      assert(partFiles() <= 2)
+      assert(spark.read.parquet(dir)
+        .collect().map(_.getString(1)).toSet === sigs)
+      // post-compaction decisions: exact dup of history still rejected,
+      // near-dup of history still rejected, novel doc admitted
+      val after = Dedup.nearDupLedgerAdmit(spark, dir, Seq(
+          (500L, base),                        // exact vs history
+          (501L, tweak(base, 4)),              // near vs history
+          (502L, "final novel closing document about watermarks and " +
+            "stateful stream aggregation semantics at scale"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(after === Set(502L))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("IVF+PQ lifecycle: frozen-parameter append equals the one-shot " +
+      "frozen encode of the union; compaction bounds files and serves " +
+      "identically; the fence holds") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_lc").toString
+    try {
+      val idx = Similarity.buildIvfPqIndex(base, "vec_id", "embedding")
+      Similarity.saveIvfPqIndex(idx, dir)
+      assert(Similarity.appendToIvfPqIndex(spark, dir, batch,
+        "vec_id", "embedding") === batch.count())
+      // the appended store must hold EXACTLY the frozen-parameter
+      // (build-time centroids + codebooks) assignment/encode of the
+      // union — the independent construction from the public kernels
+      def storeRows(): Set[(Long, Long, Seq[Int])] =
+        spark.read.parquet(s"$dir/codes")
+          .select(col("neighbor_id"), col("cell").cast("long"),
+            col("codes"))
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getAs[Seq[Int]](2))).toSet
+      val expected = Similarity.assignWithSim(emb, idx._1, "vec_id",
+          "embedding")
+        .select(col("vec_id").as("neighbor_id"), col("cell"))
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          Similarity.pqEncodeCol(
+            Similarity.l2Normalize(col("embedding")), idx._2)
+            .as("codes")), Seq("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Seq[Int]](2))).toSet
+      assert(storeRows() === expected)
+      // compaction: append left ≥2 files in cells both writes touched;
+      // the rewrite bounds every cell to one file with rows identical
+      def maxFilesPerCell(): Int = new java.io.File(s"$dir/codes")
+        .listFiles().filter(_.getName.startsWith("cell="))
+        .map(_.listFiles().count(_.getName.startsWith("part-"))).max
+      assert(maxFilesPerCell() >= 2)
+      def serve(): Set[(Long, Long, Long, Double)] =
+        Similarity.ivfPqTopKFromIndex(
+            Similarity.loadIvfPqIndex(spark, dir), emb,
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 3, nProbe = 4, rerank = 32)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getDouble(3))).toSet
+      val served0 = serve()
+      assert(Similarity.compactIvfPqIndex(spark, dir) === emb.count())
+      assert(maxFilesPerCell() === 1)
+      assert(storeRows() === expected)
+      assert(serve() === served0 && served0.nonEmpty)
+      // fence: an append inside an open maintenance window fails loudly
+      import org.apache.hadoop.fs.Path
+      val marker = new Path(
+        graft.util.Fs.maintenanceMarkerPath(s"$dir/codes"))
+      val fs = marker
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(marker, true).close()
+      intercept[IllegalStateException] {
+        Similarity.appendToIvfPqIndex(spark, dir, batch.limit(3),
+          "vec_id", "embedding")
+      }
+      fs.delete(marker, false)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("ivfPqDriftReport: zero quantization-error drift on the build " +
+      "corpus; a planted off-codebook batch drifts monotonically; a " +
+      "baseline-less index fails with the remediation") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_drift").toString
+    try {
+      Similarity.saveIvfPqIndex(
+        Similarity.buildIvfPqIndex(emb, "vec_id", "embedding"), dir)
+      // before the baseline exists: actionable failure, not a raw
+      // path-not-found from deep inside the plan
+      val ex = intercept[IllegalStateException] {
+        Similarity.ivfPqDriftReport(spark, dir, emb, "vec_id",
+          "embedding")
+      }
+      assert(ex.getMessage.contains("writeIvfPqErrBaseline"))
+      Similarity.writeIvfPqErrBaseline(spark, dir, emb, "vec_id",
+        "embedding")
+      val self = Similarity.ivfPqDriftReport(spark, dir, emb, "vec_id",
+        "embedding").collect()
+      assert(self.nonEmpty)
+      assert(self.forall(_.getAs[Boolean]("has_baseline")))
+      assert(self.forall(_.getAs[Double]("mean_err_drift") === 0.0))
+      assert(self.forall(_.getAs[Double]("p90_err_drift") === 0.0))
+      assert(self.forall(r =>
+        r.getAs[Long]("base_n") === r.getAs[Long]("batch_n")))
+      // reverse-blend perturbation (the IVF drift spec's plant): walks
+      // every vector away from the space the codebooks were trained
+      // on — the PQ error must rise, monotonically with alpha
+      def drifted(alpha: Double) = emb.select(col("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (a, b) => a * lit(1.0 - alpha) + b * lit(alpha))
+          .as("embedding"))
+      def weighted(batch: org.apache.spark.sql.DataFrame): Double =
+        Similarity.ivfPqDriftReport(spark, dir, batch, "vec_id",
+            "embedding")
+          .filter(col("has_baseline"))
+          .agg((sum(col("batch_n") * col("mean_err_drift")) /
+            sum(col("batch_n"))).as("d")).head().getDouble(0)
+      val d0 = weighted(emb)
+      val d5 = weighted(drifted(0.5))
+      val d9 = weighted(drifted(0.9))
+      assert(d0 === 0.0)
+      assert(d5 > 0.0 && d9 > d5, s"err drift not monotone: $d0 $d5 $d9")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("ivfRecallProbe: deterministic, full probe recalls exactly 1, " +
+      "recall monotone in nProbe") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_recall").toString
+    try {
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+          nCentroids = 16), dir)
+      def probe() = Similarity.ivfRecallProbe(spark, dir, sampleN = 32,
+          k = 5, nProbes = Seq(1, 2, 4, 16))
+        .collect().map(r => (r.getAs[Int]("n_probe"),
+          r.getAs[Double]("recall"))).toMap
+      val r = probe()
+      assert(r.keySet === Set(1, 2, 4, 16))
+      assert(r(16) === 1.0) // full probe ≡ the ground truth
+      assert(r(1) <= r(2) && r(2) <= r(4) && r(4) <= r(16),
+        s"recall not monotone: $r")
+      assert(r(1) > 0.0)
+      // deterministic end to end: the probe is a monitoring metric —
+      // day-over-day comparability is the point
+      assert(probe() === r)
+    } finally graft.util.Fs.deleteRecursively(dir)
   }
 
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {

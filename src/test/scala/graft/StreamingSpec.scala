@@ -1081,8 +1081,9 @@ class StreamingSpec extends SparkTestBase {
       val streamDrift =
         scala.collection.concurrent.TrieMap.empty[Long, Double]
       def weightedDrift(r: org.apache.spark.sql.DataFrame): Double =
-        r.agg((sum(col("batch_n") * col("mean_drift")) /
-          sum(col("batch_n"))).as("d")).head().getDouble(0)
+        r.filter(col("has_baseline"))
+          .agg((sum(col("batch_n") * col("mean_drift")) /
+            sum(col("batch_n"))).as("d")).head().getDouble(0)
       val q = spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
         .writeStream.trigger(Trigger.AvailableNow())
