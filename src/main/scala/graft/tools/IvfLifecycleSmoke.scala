@@ -91,6 +91,61 @@ object IvfLifecycleSmoke {
       val sAfter = time("serve (64 queries, nProbe=2) post-compaction") {
         serve()
       }
+      // drift → recall calibration: the drift report is a proxy; this
+      // ties its number to the SLA metric, on a corpus where there is
+      // structure TO drift from (a uniform corpus has structureless
+      // cells — any unit vector's assigned cosine is drawn from the
+      // same max-dot distribution, so drift is undetectable by
+      // construction and low-probe recall is poor for clean data too).
+      // Base = 32 tight clusters; same-distribution ingest keeps the
+      // cluster structure; the drifted ingest is uniform random. The
+      // printed (drift, recall) pairs are what turn q128's "your
+      // tolerance" into a measured rebuild threshold.
+      val nCal = 100000L
+      def clustered(from: Long, n: Long) = spark.range(from, from + n)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            (pmod(xxhash64(pmod(col("id"), lit(32)) * 64 + j),
+              lit(1000003L)).cast("double") / 5e5 - 1.0) +
+            (pmod(xxhash64(col("id") * 64 + j + 7777777L),
+              lit(1000003L)).cast("double") / 5e5 - 1.0) * lit(0.15))
+            .as("embedding"))
+      val dirCal = java.nio.file.Files
+        .createTempDirectory("graft_ivf_cal").toString
+      val okCal = try {
+        Similarity.saveIvfIndex(
+          Similarity.buildIvfIndex(clustered(0, nCal), "vec_id",
+            "embedding", nCentroids = 32, kmeansIters = 4), dirCal)
+        def weightedDrift(batch: org.apache.spark.sql.DataFrame) =
+          Similarity.ivfDriftReport(spark, dirCal, batch, "vec_id",
+              "embedding")
+            .filter(col("has_baseline"))
+            .agg(sum(col("batch_n") * col("mean_drift")) /
+              sum(col("batch_n"))).head().getDouble(0)
+        def probeRecall(label: String): Map[Int, Double] = {
+          val r = Similarity.ivfRecallProbe(spark, dirCal, sampleN = 32,
+              k = 5, nProbes = Seq(1, 2))
+            .collect().map(x => x.getAs[Int]("n_probe") ->
+              x.getAs[Double]("recall")).toMap
+          println(s"  recall@5 $label: " + r.toSeq.sorted
+            .map { case (p, v) => s"nProbe=$p:$v" }.mkString(" "))
+          r
+        }
+        val selfDrift = weightedDrift(clustered(nCal, 20000))
+        println(f"  calibration weighted mean_drift, same-distribution " +
+          f"batch: $selfDrift%.6f")
+        val recall0 = probeRecall("clustered store, pre-drift")
+        // uniform = maximally off the trained cluster structure
+        Similarity.appendToIvfIndex(spark, dirCal,
+          vecs(nCal + 20000, 20000), "vec_id", "embedding")
+        Similarity.appendToIvfIndex(spark, dirCal,
+          vecs(nCal + 40000, 20000), "vec_id", "embedding")
+        val uniDrift = weightedDrift(vecs(nCal + 20000, 20000))
+        println(f"  calibration weighted mean_drift, uniform batch: " +
+          f"$uniDrift%.6f")
+        val recall1 = probeRecall("after 40k uniform (drifted) ingest")
+        uniDrift > selfDrift + 0.05 && recall1(1) < recall0(1)
+      } finally graft.util.Fs.deleteRecursively(dirCal)
       // hot-cell write straggler: 2M vectors, ~97% piled near one axis
       // → one cell holds almost the whole corpus. The unsalted write
       // funnels it through ONE task; the salted form spreads it across
@@ -117,6 +172,35 @@ object IvfLifecycleSmoke {
         .createTempDirectory("graft_ivf_skewu").toString
       val dirS = java.nio.file.Files
         .createTempDirectory("graft_ivf_skews").toString
+      // assignment-kernel A/B: the r14 map-only literal argmax vs the
+      // crossJoin + window row_number form it replaced, on the same 2M
+      // corpus — the old form materializes corpus × nCentroids rows
+      // (each still carrying the vector) through a hash exchange just
+      // to pick the max; the new form is a narrow scan. Equality of the
+      // (count, Σcell) fingerprints doubles as a cheap identity check.
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        val centsAb = builtSkew._1
+        val fpNew = time(s"assign $nSkew vecs MAP-ONLY argmax (r14)") {
+          Similarity.assignWithSim(skewed, centsAb, "vec_id", "embedding")
+            .agg(count(lit(1)), sum(col("cell"))).head()
+        }
+        val w = Window.partitionBy(col("neighbor_id"))
+          .orderBy(col("cent_sim").desc, col("cent_id"))
+        val fpOld = time(s"assign $nSkew vecs crossJoin+window (r13)") {
+          skewed.select(col("vec_id").as("neighbor_id"),
+              Similarity.l2Normalize(col("embedding")).as("cv"))
+            .crossJoin(broadcast(centsAb))
+            .withColumn("cent_sim",
+              Similarity.dotCol(col("cv"), col("centv")))
+            .withColumn("cent_rank", row_number().over(w))
+            .filter(col("cent_rank") <= 1)
+            .select(col("neighbor_id"), col("cent_id").as("cell"))
+            .agg(count(lit(1)), sum(col("cell"))).head()
+        }
+        require(fpNew == fpOld,
+          s"assignment A/B fingerprints diverge: $fpNew vs $fpOld")
+      }
       val okSalt = try {
         time(s"skewed save ($nSkew vecs, hot cell) UNSALTED") {
           Similarity.saveIvfIndex(cached, dirU)
@@ -141,7 +225,8 @@ object IvfLifecycleSmoke {
 
       val ok = fAfter.forall(_ == 1) &&
         rows == nBase + nBatches.toLong * batchRows &&
-        sBefore.toSet == sAfter.toSet && sBefore.nonEmpty && okSalt
+        sBefore.toSet == sAfter.toSet && sBefore.nonEmpty && okSalt &&
+        okCal
       println(if (ok) "IvfLifecycleSmoke: OK"
         else "IvfLifecycleSmoke: MISMATCH")
       ok
