@@ -828,7 +828,10 @@ object Dedup {
         firstInBatch, Seq("text_md5", idCol)).localCheckpoint()
     admittedOut.foreach(out =>
       admitted.write.mode("overwrite").parquet(out))
-    admitted.select(col("text_md5")).write.mode("append").parquet(path)
+    // same no-fragmentation guard as the near-dup ledger: an
+    // all-duplicate batch must not grow the file count
+    if (!admitted.isEmpty)
+      admitted.select(col("text_md5")).write.mode("append").parquet(path)
     admitted
   }
 
@@ -1008,7 +1011,10 @@ object Dedup {
       .localCheckpoint()
     admittedOut.foreach(out =>
       admitted.write.mode("overwrite").parquet(out))
-    novel.write.mode("append").parquet(path)
+    // an all-duplicate batch (a daily re-run, a replayed feed) appends
+    // NOTHING — an unconditional append would still write one empty
+    // part file per re-run and fragment the store for no information
+    if (!novel.isEmpty) novel.write.mode("append").parquet(path)
     admitted
   }
 

@@ -549,6 +549,57 @@ object DedupScaleSmoke {
         s"ledger lifecycle broke: re1=$re1 re2=$re2 " +
           s"files $fragged -> $compacted")
     } finally graft.util.Fs.deleteRecursively(ledgerRoot)
+
+    // the NEAR-dup ledger's production life: same daily drain, but each
+    // admit also signatures the batch, band-joins it against the
+    // persisted signature store, and exact-verifies candidates — all
+    // ∝ batch, never a corpus re-scan. The final batch's admit time
+    // against the 90%-full history is the number to compare with the
+    // one-shot nearDupDrops wall above (which re-pays the whole corpus
+    // every day); the total admitted must equal the one-shot survivors
+    // exactly (the spec-pinned parity, here at 200k scale).
+    println(s"== nearDupLedgerAdmit ingest + compaction over $nDocs docs ==")
+    val ndlRoot = java.nio.file.Files
+      .createTempDirectory("graft_ndl_scale").toString
+    val ndl = s"$ndlRoot/ledger"
+    try {
+      val ndlBatch = nDocs / 10
+      var admitted = 0L
+      time(s"9 nearDupLedgerAdmit batches of $ndlBatch") {
+        (0 until 9).foreach { b =>
+          admitted += Dedup.nearDupLedgerAdmit(spark, ndl,
+            docs.filter(col("doc_id") >= b * ndlBatch &&
+              col("doc_id") < (b + 1) * ndlBatch),
+            "doc_id", "text").count()
+        }
+      }
+      admitted += time(s"batch 10 admit vs ${nDocs - ndlBatch}-doc " +
+        "history (cost ∝ batch)") {
+        Dedup.nearDupLedgerAdmit(spark, ndl,
+          docs.filter(col("doc_id") >= 9 * ndlBatch),
+          "doc_id", "text").count()
+      }
+      println(s"  admitted: $admitted " +
+        s"(one-shot survivors: ${nDocs - dropped})")
+      def ndlFiles(): Int = new java.io.File(ndl)
+        .listFiles().count(_.getName.startsWith("part-"))
+      val ndlFragged = ndlFiles()
+      val ndlRows = time("compactNearDupLedger")(
+        Dedup.compactNearDupLedger(spark, ndl))
+      println(s"  ledger files: $ndlFragged -> ${ndlFiles()} " +
+        s"(signature rows: $ndlRows)")
+      val ndlCompacted = ndlFiles()
+      val reAdmit = time("re-admit probe (batch 1) vs compacted ledger")(
+        Dedup.nearDupLedgerAdmit(spark, ndl,
+          docs.filter(col("doc_id") < ndlBatch),
+          "doc_id", "text").count())
+      require(admitted == nDocs - dropped && reAdmit == 0L &&
+        ndlFragged > ndlCompacted && ndlCompacted <= 32 &&
+        ndlFiles() == ndlCompacted, // no-op admits must not fragment
+        s"near-dup ledger lifecycle broke: admitted=$admitted vs " +
+          s"${nDocs - dropped}, reAdmit=$reAdmit, " +
+          s"files $ndlFragged -> $ndlCompacted -> ${ndlFiles()}")
+    } finally graft.util.Fs.deleteRecursively(ndlRoot)
     spark.stop()
   }
 }
