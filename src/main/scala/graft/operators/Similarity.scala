@@ -274,14 +274,10 @@ object Similarity {
       v: String, keep: Int, keepSim: Boolean = false): DataFrame = {
     val centArr = collectCentIds(cents)
     if (centArr.length <= MaxLiteralCents) {
-      val scored = centArr.map { case (cid, c) =>
-        struct(dotCol(col(v), typedLit(c.toSeq)).as("s"),
-          lit(-cid).as("neg_id")): Column
-      }
+      val top = nearestCellsCol(centArr, col(v), keep)
       val best =
-        if (keep == 1) array_max(array(scored: _*))
-        else explode(slice(sort_array(array(scored: _*), asc = false),
-          1, keep))
+        if (keep == 1) element_at(top, 1)
+        else explode(top)
       val withBest = df.withColumn("__cellbest", best)
       // keepSim exposes the assignment similarity itself (the dot
       // against the winning centroid) — the drift monitor profiles it;
@@ -316,6 +312,26 @@ object Similarity {
     cents.select(col("cent_id").cast("long"),
         col("centv").cast("array<double>"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
+  }
+
+  /** The driver-resident centroid table folded into the ONE compact
+    * [[graft.expressions.NearestCells]] kernel: top-`keep` (sim, −id)
+    * structs per row, rank-sorted. One reference object in the plan —
+    * NOT k literal vectors: the literal-forest spelling measured 3× the
+    * serve CPU because Catalyst's constraint propagation replicates
+    * plan-side expression trees into inferred join filters (see the
+    * kernel's scaladoc). */
+  private def nearestCellsCol(cents: Array[(Long, Array[Double])],
+      v: Column, keep: Int): Column = {
+    require(cents.nonEmpty, "no centroids")
+    val dim = cents(0)._2.length
+    require(cents.forall(_._2.length == dim),
+      "centroid dimensions must agree")
+    val flat = new Array[Double](cents.length * dim)
+    cents.zipWithIndex.foreach { case ((_, c), i) =>
+      System.arraycopy(c, 0, flat, i * dim, dim) }
+    bridged(graft.expressions.NearestCells(expr(v), flat,
+      cents.map(_._1), keep))
   }
 
   /** Cluster-balanced sampling: assign every vector to its nearest
@@ -366,10 +382,18 @@ object Similarity {
       if (refineIters > 0) refineCentroids(corpus, seed, vecCol,
         refineIters)
       else seed
+    // the in-memory index is CELL-PARTITIONED like the persisted one:
+    // one corpus-row exchange (NOT corpus×nCentroids — the assignment
+    // itself is the map-only kernel) that every consumer needs anyway —
+    // saveIvfIndex's writeCellStore repartition collapses with it
+    // (CollapseRepartition), the serve equi-join gets per-cell
+    // parallelism instead of riding the scan's split count, and the
+    // drift baseline's per-cell aggregates reuse the partitioning
     val assigned = assignCells(
       corpus.select(col(idCol).as("neighbor_id"),
         l2Normalize(col(vecCol)).as("cv")),
       cents, "neighbor_id", "cv", keep = 1)
+      .repartition(col("cell"))
     (cents, assigned)
   }
 
@@ -701,13 +725,28 @@ object Similarity {
           .as("p10_drift"))
   }
 
-  /** IVF top-k from a (possibly loaded) index. */
+  /** IVF top-k from a (possibly loaded) index.
+    *
+    * Join-shape note: when the index is the PERSISTED cell-partitioned
+    * store, the probe side stays broadcast-eligible — that is what
+    * feeds Spark's dynamic partition pruning into the store scan
+    * (ExplainCheck-pinned), the low-nProbe production serve. For an
+    * IN-MEMORY index the probe side is explicitly co-partitioned on
+    * `cell` instead: there is no partitioned scan to prune, and a
+    * broadcast join here is the degenerate case — one hash key per
+    * cell with the whole probe set chained under it (a full-probe
+    * serve walks every chain per corpus row; measured 6× the serve
+    * time of the shuffled equi-join on the t50 shape, because the
+    * probe side's static size estimate is ~100× under the exploded
+    * reality and the planner broadcasts what it should shuffle). */
   def ivfTopKFromIndex(index: (DataFrame, DataFrame), queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
     val (cents, assigned) = index
-    val q = assignCells(queries.select(col(idCol).as("query_id"),
+    val q0 = assignCells(queries.select(col(idCol).as("query_id"),
       l2Normalize(col(vecCol)).as("qv")), cents, "query_id", "qv",
       keep = nProbe)
+    val q = if (isCellPartitionedScan(assigned)) q0
+      else q0.repartition(col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     assigned.join(q, Seq("cell"))
@@ -898,12 +937,16 @@ object Similarity {
     val n = Some(corpus.count())
     val cents = trainCentroids(corpus, idCol, vecCol, nCells, knownCount = n)
     val cb = trainPqCodebooks(corpus, idCol, vecCol, m, k, knownCount = n)
+    // same cell layout as buildIvfIndex (see the note there): one
+    // corpus-row exchange shared by the save's write repartition and
+    // the serve join's per-cell parallelism
     val assigned = assignCells(
       corpus.select(col(idCol).as("neighbor_id"),
         l2Normalize(col(vecCol)).as("cv")),
       cents, "neighbor_id", "cv", keep = 1)
       .select(col("neighbor_id"), col("cell"),
         pqEncodeCol(col("cv"), cb).as("codes"))
+      .repartition(col("cell"))
     (cents, cb, assigned)
   }
 
@@ -1152,15 +1195,29 @@ object Similarity {
 
   /** The (similarity, -cell) argmax struct behind [[nearestCellExpr]] —
     * exposed as a struct so callers that also need the winning
-    * similarity (refinement, outlier audit) don't score twice. */
+    * similarity (refinement, outlier audit) don't score twice. Routed
+    * through the compact [[graft.expressions.NearestCells]] kernel
+    * (index position = centroid id), same values and tiebreak as the
+    * former k-literal `array_max` spelling without its plan bloat. */
   private def nearestCellStruct(cents: Array[Array[Double]],
-      v: Column): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      struct(dotCol(v, typedLit(c.toSeq)).as("s"),
-        lit(-i.toLong).as("neg_id"))
-    }
-    array_max(array(scored: _*))
-  }
+      v: Column): Column =
+    element_at(nearestCellsCol(
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }, v, 1), 1)
+
+  /** Is this frame (under projections/filters) a scan of a parquet
+    * dataset PARTITIONED BY `cell` — i.e. a persisted cell store whose
+    * serve join should stay broadcast-shaped for dynamic partition
+    * pruning? (See the join-shape note on [[ivfTopKFromIndex]].) */
+  private def isCellPartitionedScan(df: DataFrame): Boolean =
+    df.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+        l.relation
+          .asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .partitionSchema.fieldNames.contains("cell")
+    }.getOrElse(false)
 
   /** Collect a centroid frame (cent_id, centv) to a dense driver array,
     * index == cent_id. K rows only — bounded by nCentroids, never the

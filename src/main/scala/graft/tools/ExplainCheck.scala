@@ -371,23 +371,26 @@ object ExplainCheck {
         !p.contains("CartesianProduct")
     })
     // the r13 verdict's lead scale finding, closed: the corpus-sized
-    // cell-assignment pass under build/append (keep=1) folds the
-    // centroids into a literal argmax — a pure projection over the
-    // parquet scan with NO Exchange, NO Window, NO join of any kind;
-    // at 100 TB the assignment stage is a narrow scan, its shuffle
-    // volume zero instead of corpus×nCentroids rows
+    // cell-assignment pass under build/append (keep=1) is the compact
+    // graft.expressions.NearestCells kernel — a pure projection with NO
+    // window and NO join of any kind; the ONE exchange in the build
+    // output is the cell-layout repartition (corpus×1 rows — the same
+    // exchange the persisted write pays, collapsed with it on save),
+    // NOT the old corpus×nCentroids crossJoin+window shuffle
     locally {
       import org.apache.spark.sql.functions._
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val assigned = graft.operators.Similarity.buildIvfIndex(
         e, "vec_id", "embedding", nCentroids = 16, kmeansIters = 2)._2
       val p = assigned.queryExecution.executedPlan.toString
-      check("IVF build cell assignment is map-only: no Exchange, no " +
-        "Window, no join in the assignment stage",
-        !p.contains("Exchange") && !p.contains("Window") &&
-          !p.contains("Join") && !p.contains("CartesianProduct"))
-      // the probe side (keep = nProbe) is the array-local top-k — same
-      // property: scoring + slice + explode, never a shuffle
+      check("IVF build assignment is the map-only kernel: exactly one " +
+        "exchange (cell layout), no Window, no join", {
+        "Exchange".r.findAllIn(p).length == 1 && !p.contains("Window") &&
+          !p.contains("Join") && !p.contains("CartesianProduct") &&
+          p.contains("nearestcells(")
+      })
+      // the probe side (keep = nProbe) is the same kernel's array-local
+      // top-k — scoring + explode, never a nested-loop centroid attach
       val probed = graft.operators.Similarity.ivfTopKFromIndex(
         graft.operators.Similarity.buildIvfIndex(e, "vec_id",
           "embedding", nCentroids = 16, kmeansIters = 2),
@@ -395,7 +398,8 @@ object ExplainCheck {
         k = 3, nProbe = 2)
       val pp = probed.queryExecution.executedPlan.toString
       check("IVF serve probe-side assignment shows no nested-loop " +
-        "centroid attach", !pp.contains("BroadcastNestedLoopJoin"))
+        "centroid attach", !pp.contains("BroadcastNestedLoopJoin") &&
+          pp.contains("nearestcells("))
     }
     println("all plan assertions hold")
     spark.stop()
