@@ -2521,6 +2521,35 @@ object Queries {
     } finally graft.util.Fs.deleteRecursively(path)
   }
 
+  /** IVF+PQ quantization-error drift monitor
+    * ([[Similarity.ivfPqDriftReport]]) on the t52/q128 split: index +
+    * frozen error baseline built on the 80% id-slice, the 20% slice
+    * profiled as the append batch — per cell, batch n / mean /
+    * exact-p90 PQ error (1 − ⟨v, recon(v)⟩) vs the build-time baseline,
+    * `mean_err_drift` = batch − base (error RISES with drift). Fully
+    * oracled: lloydCtes re-derives the frozen centroids, pqCtes the
+    * frozen codebooks + the expanded-argmin encode, the self-ADC sums
+    * in ascending-mi order (list_aggregate over an ORDER BY mi list —
+    * matching PqAdc's loop), and quantile_cont ≡ percentile ≡
+    * groupedRangeExact by the t36-pinned equivalence. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q130_pqd").toString
+    try {
+      val idx = s"$path/idx"
+      Similarity.saveIvfPqIndex(
+        Similarity.buildIvfPqIndex(base, "vec_id", "embedding",
+          nCells = 16, m = 16, k = 16), idx)
+      Similarity.writeIvfPqErrBaseline(s, idx, base, "vec_id",
+        "embedding")
+      Similarity.ivfPqDriftReport(s, idx, batch, "vec_id", "embedding")
+        .orderBy(col("cell")).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -3728,6 +3757,7 @@ object Queries {
     "q127_conversion_time" -> (q127 _),
     "q128_ivf_drift" -> (q128 _),
     "q129_neardup_ledger" -> (q129 _),
+    "q130_ivfpq_err_drift" -> (q130 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -6145,6 +6175,68 @@ object Queries {
          |  round(base.base_p10_cos - bp.batch_p10_cos, 6) AS p10_drift
          |FROM bp LEFT JOIN base USING (cell)
          |ORDER BY bp.cell""".stripMargin,
+    // IVF+PQ error-drift oracle (r14): centroids AND codebooks re-derive
+    // from the BASE slice (lloydCtes + pqCtes train on the `v` CTE);
+    // every vector (both slices) then encodes against the frozen p4
+    // codebooks with the same expanded ‖c‖²−2x·c argmin the engine's
+    // PqEncode uses, and its PQ error is 1 − Σ_mi ⟨sv_mi, codeword_mi⟩
+    // summed in ascending-mi order (list_aggregate over an ORDER BY mi
+    // list — PqAdc's loop order); per-cell profiles + drift are plain
+    // aggregation from there (quantile_cont ≡ percentile, t36-pinned)
+    "q130_ivfpq_err_drift" -> {
+      val dsub = 4
+      val slice = (1 to dsub).map(j => s"ve.nv[g.mi * $dsub + $j]")
+        .mkString("list_value(", ", ", ")")
+      val cn2 = (1 to dsub).map(j => s"p.cv[$j] * p.cv[$j]")
+        .mkString(" + ")
+      val twoXC = (1 to dsub).map(j => s" - 2 * s.sv[$j] * p.cv[$j]")
+        .mkString
+      val sd = (1 to dsub).map(j => s"e.sv[$j] * p.cv[$j]")
+        .mkString(" + ")
+      s"""WITH ve AS MATERIALIZED ($normVecSql),
+         | v AS MATERIALIZED (SELECT vec_id, nv FROM ve
+         |  WHERE vec_id % 5 <> 0),
+         |${lloydCtes(16, 4)},
+         |${pqCtes(16, 16, dsub, 4)},
+         | suball AS MATERIALIZED (SELECT ve.vec_id, g.mi, $slice AS sv
+         |  FROM ve, (SELECT unnest(generate_series(0, 15)) AS mi) g),
+         | encall AS (SELECT vec_id, mi, cent_id AS code, sv FROM (
+         |    SELECT s.vec_id, s.mi, p.cent_id, s.sv,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.mi
+         |        ORDER BY ($cn2)$twoXC ASC, p.cent_id) AS rn
+         |    FROM suball s JOIN p4 p USING (mi)) WHERE rn = 1),
+         | verr AS (SELECT vec_id,
+         |    1 - list_aggregate(list(sd ORDER BY mi), 'sum') AS err
+         |  FROM (SELECT e.vec_id, e.mi, $sd AS sd
+         |    FROM encall e JOIN p4 p
+         |      ON p.mi = e.mi AND p.cent_id = e.code)
+         |  GROUP BY vec_id),
+         | asg AS (SELECT vec_id, cell FROM (
+         |    SELECT ve.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY ve.vec_id
+         |        ORDER BY list_dot_product(ve.nv, c.nv) DESC, c.cent_id)
+         |        AS rn
+         |    FROM ve, c4 c) WHERE rn = 1),
+         | basep AS (SELECT a.cell, count(*) AS base_n,
+         |    round(avg(x.err), 6) AS base_mean_err,
+         |    round(quantile_cont(x.err, 0.90), 6) AS base_p90_err
+         |  FROM asg a JOIN verr x USING (vec_id)
+         |  WHERE a.vec_id % 5 <> 0 GROUP BY 1),
+         | batchp AS (SELECT a.cell, count(*) AS batch_n,
+         |    round(avg(x.err), 6) AS batch_mean_err,
+         |    round(quantile_cont(x.err, 0.90), 6) AS batch_p90_err
+         |  FROM asg a JOIN verr x USING (vec_id)
+         |  WHERE a.vec_id % 5 = 0 GROUP BY 1)
+         |SELECT bp.cell, coalesce(b.base_n, 0) AS base_n,
+         |  b.base_mean_err IS NOT NULL AS has_baseline,
+         |  b.base_mean_err, b.base_p90_err,
+         |  bp.batch_n, bp.batch_mean_err, bp.batch_p90_err,
+         |  round(bp.batch_mean_err - b.base_mean_err, 6)
+         |    AS mean_err_drift,
+         |  round(bp.batch_p90_err - b.base_p90_err, 6) AS p90_err_drift
+         |FROM batchp bp LEFT JOIN basep b USING (cell)
+         |ORDER BY bp.cell""".stripMargin
+    },
     // near-dup ledger oracle: the ledger's two-batch admit decisions ≡
     // one-shot nearDupDrops on the union (spec-pinned parity under the
     // monotone-id contract), and one-shot's ANSI form is the q42
