@@ -606,8 +606,16 @@ object Similarity {
     * One scan touching only the partition column + file name — no vector
     * bytes are read. */
   def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
-    spark.read.parquet(s"$path/assigned")
+      path: String): DataFrame = cellStoreStats(spark, s"$path/assigned")
+
+  /** [[ivfIndexStats]] for the IVF+PQ code store — same signals, same
+    * zero-data-bytes scan (the per-cell code bytes are never read). */
+  def ivfPqIndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = cellStoreStats(spark, s"$path/codes")
+
+  private def cellStoreStats(spark: org.apache.spark.sql.SparkSession,
+      store: String): DataFrame =
+    spark.read.parquet(store)
       .select(col("cell"), input_file_name().as("f"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_rows"),
@@ -1136,6 +1144,42 @@ object Similarity {
     nProbes.distinct.sorted.map { p =>
       val hits = ivfTopKFromIndex(idx, queries, "vid", "cv", k,
           nProbe = p)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      (p, sampleN, k, hits, truthN,
+        Percentiles.roundHalfUp(
+          hits.toDouble / math.max(truthN, 1L), 6))
+    }.toDF("n_probe", "sample_n", "k", "hits", "truth_n", "recall")
+  }
+
+  /** [[ivfRecallProbe]] for a persisted IVF+PQ index. The code store
+    * keeps no raw vectors, so the probe samples its deterministic query
+    * set from the CALLER's corpus (the same frame the serve reranks
+    * against) and measures recall@k per nProbe against the full-probe
+    * serve at the SAME `rerank` — isolating the nProbe axis, which is
+    * the knob the drift monitor calibrates (rerank sensitivity is the
+    * separate, spec-pinned `rerank ≥ corpus ≡ brute force` contract).
+    * Deterministic end to end, like the IVF probe. */
+  def ivfPqRecallProbe(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String, vecCol: String,
+      sampleN: Int = 64, k: Int = 10, nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+      rerank: Int = 128): DataFrame = {
+    import spark.implicits._
+    val idx = loadIvfPqIndex(spark, path)
+    val nCells = idx._1.count().toInt
+    // queries keep the corpus schema: the PQ serve reads idCol/vecCol
+    // from BOTH frames (corpus reranks by the same names)
+    val queries = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleN).localCheckpoint()
+    val truth = ivfPqTopKFromIndex(idx, corpus, queries, idCol, vecCol,
+        k, nProbe = nCells, rerank = rerank)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val truthN = truth.count()
+    nProbes.distinct.sorted.map { p =>
+      val hits = ivfPqTopKFromIndex(idx, corpus, queries, idCol, vecCol,
+          k, nProbe = p, rerank = rerank)
         .select(col("query_id"), col("neighbor_id"))
         .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .count()

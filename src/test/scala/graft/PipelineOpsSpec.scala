@@ -2405,6 +2405,10 @@ class PipelineOpsSpec extends SparkTestBase {
         .listFiles().filter(_.getName.startsWith("cell="))
         .map(_.listFiles().count(_.getName.startsWith("part-"))).max
       assert(maxFilesPerCell() >= 2)
+      // the layout-health kernel agrees with java.io ground truth
+      def statsMaxFiles(): Int = Similarity.ivfPqIndexStats(spark, dir)
+        .agg(max(col("n_files"))).head().getLong(0).toInt
+      assert(statsMaxFiles() === maxFilesPerCell())
       def serve(): Set[(Long, Long, Long, Double)] =
         Similarity.ivfPqTopKFromIndex(
             Similarity.loadIvfPqIndex(spark, dir), emb,
@@ -2414,7 +2418,7 @@ class PipelineOpsSpec extends SparkTestBase {
             r.getLong(2), r.getDouble(3))).toSet
       val served0 = serve()
       assert(Similarity.compactIvfPqIndex(spark, dir) === emb.count())
-      assert(maxFilesPerCell() === 1)
+      assert(maxFilesPerCell() === 1 && statsMaxFiles() === 1)
       assert(storeRows() === expected)
       assert(serve() === served0 && served0.nonEmpty)
       // fence: an append inside an open maintenance window fails loudly
@@ -2476,6 +2480,29 @@ class PipelineOpsSpec extends SparkTestBase {
       val d9 = weighted(drifted(0.9))
       assert(d0 === 0.0)
       assert(d5 > 0.0 && d9 > d5, s"err drift not monotone: $d0 $d5 $d9")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("ivfPqRecallProbe: deterministic, full probe recalls exactly 1, " +
+      "recall monotone in nProbe") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_recall").toString
+    try {
+      Similarity.saveIvfPqIndex(
+        Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+          nCells = 16), dir)
+      def probe() = Similarity.ivfPqRecallProbe(spark, dir, emb,
+          "vec_id", "embedding", sampleN = 16, k = 5,
+          nProbes = Seq(1, 4, 16), rerank = 32)
+        .collect().map(r => (r.getAs[Int]("n_probe"),
+          r.getAs[Double]("recall"))).toMap
+      val r = probe()
+      assert(r.keySet === Set(1, 4, 16))
+      assert(r(16) === 1.0)
+      assert(r(1) <= r(4) && r(4) <= r(16), s"recall not monotone: $r")
+      assert(r(1) > 0.0)
+      assert(probe() === r)
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 

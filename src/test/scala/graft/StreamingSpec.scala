@@ -1129,6 +1129,138 @@ class StreamingSpec extends SparkTestBase {
       .foreach(graft.util.Fs.deleteRecursively)
   }
 
+  test("streaming IVF+PQ ingest: N micro-batch appends serve " +
+      "identically to one batch append") {
+    // the PQ twin of the IVF ingest parity: frozen centroids AND frozen
+    // codebooks make append order irrelevant, so N micro-batch
+    // frozen-parameter encodes must serve exactly like one
+    import graft.operators.Similarity
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val srcDir = Files.createTempDirectory("graft_pq_src").toString
+    val ckpt = Files.createTempDirectory("graft_pq_ckpt").toString
+    val idxStream = Files.createTempDirectory("graft_pq_sidx").toString
+    val idxOnce = Files.createTempDirectory("graft_pq_oidx").toString
+    try {
+      val built = Similarity.buildIvfPqIndex(base, "vec_id", "embedding")
+      Similarity.saveIvfPqIndex(built, idxStream)
+      Similarity.saveIvfPqIndex(built, idxOnce)
+      Similarity.appendToIvfPqIndex(spark, idxOnce, batch,
+        "vec_id", "embedding")
+      (0 to 2).foreach { i =>
+        batch.filter(col("vec_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(srcDir)
+      }
+      val nBatches = spark.sparkContext.longAccumulator("pq_batches")
+      val q = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            Similarity.appendToIvfPqIndex(spark, idxStream, b,
+              "vec_id", "embedding")
+            nBatches.add(1)
+          }
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      assert(nBatches.value >= 3)
+      def serve(path: String): Set[(Long, Long, Long, Double)] =
+        Similarity.ivfPqTopKFromIndex(
+            Similarity.loadIvfPqIndex(spark, path), emb,
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 3, nProbe = 4, rerank = 32)
+          .collect().map(r => (r.getAs[Long]("query_id"),
+            r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"),
+            r.getAs[Double]("cos_sim"))).toSet
+      val streamed = serve(idxStream)
+      assert(streamed === serve(idxOnce) && streamed.nonEmpty)
+      assert(spark.read.parquet(s"$idxStream/codes").count() ===
+        spark.read.parquet(s"$idxOnce/codes").count())
+    } finally Seq(srcDir, ckpt, idxStream, idxOnce)
+      .foreach(graft.util.Fs.deleteRecursively)
+  }
+
+  test("streaming near-dup ledger ingest: micro-batch admits match " +
+      "sequential batch admits and the one-shot union decision set") {
+    import graft.operators.Dedup
+    import SparkTestBase.session.implicits._
+    // the ledger-spec plant, drained as an id-ordered file stream (the
+    // monotone-id contract applies to STREAM order too — part-file
+    // mtimes are stamped so FileStreamSource processes batches in id
+    // order, the same guarantee an ordered ingest queue provides)
+    val baseTxt = "the quick brown fox jumps over the lazy dog and " +
+      "then runs far away into the deep dark forest tonight"
+    def tweak(s: String, i: Int) = s + s" tail$i"
+    val chunks = Seq(
+      Seq((100L, baseTxt), (101L, baseTxt), (102L, tweak(baseTxt, 1)),
+        (103L, "completely different short text about spark plans " +
+          "and shuffle exchanges in a distributed engine runtime")),
+      Seq((200L, baseTxt), (201L, tweak(baseTxt, 1)),
+        (202L, tweak(baseTxt, 2)),
+        (203L, "fresh novel content named alpha beta gamma delta " +
+          "epsilon zeta eta theta iota kappa lambda mu nu xi")),
+      Seq((300L, tweak(baseTxt, 3)),
+        (301L, "fresh novel content named alpha beta gamma delta " +
+          "epsilon zeta eta theta iota kappa lambda mu nu xi tail9"),
+        (302L, "yet another genuinely unique document mentioning " +
+          "catalyst expressions codegen and tungsten memory format")))
+    val srcDir = Files.createTempDirectory("graft_ndl_src").toString
+    val ckpt = Files.createTempDirectory("graft_ndl_ckpt").toString
+    val ledgerS = Files.createTempDirectory("graft_ndl_sl").toString +
+      "/ledger"
+    val ledgerB = Files.createTempDirectory("graft_ndl_bl").toString +
+      "/ledger"
+    try {
+      var seen = Set.empty[String]
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        c.toDF("doc_id", "text").coalesce(1)
+          .write.mode("append").parquet(srcDir)
+        val fresh = new java.io.File(srcDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            !seen(f.getName))
+        fresh.foreach(_.setLastModified(1000000000L + i * 60000L))
+        seen ++= fresh.map(_.getName)
+      }
+      val admitted =
+        scala.collection.concurrent.TrieMap.empty[Long, Boolean]
+      val q = spark.readStream
+        .schema(chunks.head.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty)
+            Dedup.nearDupLedgerAdmit(spark, ledgerS, b,
+              "doc_id", "text")
+              .select("doc_id").collect()
+              .foreach(r => admitted.put(r.getLong(0), true))
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      val batchAdmits = chunks.flatMap(c =>
+        Dedup.nearDupLedgerAdmit(spark, ledgerB,
+          c.toDF("doc_id", "text"), "doc_id", "text")
+          .select("doc_id").collect().map(_.getLong(0))).toSet
+      val oneShot = chunks.flatten.map(_._1).toSet --
+        Dedup.nearDupDrops(chunks.flatten.toDF("doc_id", "text"),
+          "doc_id", "text").collect().map(_.getLong(0)).toSet
+      assert(admitted.keySet.toSet === batchAdmits)
+      assert(batchAdmits === oneShot && oneShot.nonEmpty)
+      // stream and batch ledgers hold the identical signature set
+      assert(spark.read.parquet(ledgerS)
+        .select("text_md5").collect().map(_.getString(0)).toSet ===
+        spark.read.parquet(ledgerB)
+          .select("text_md5").collect().map(_.getString(0)).toSet)
+    } finally Seq(srcDir, ckpt,
+      new java.io.File(ledgerS).getParent,
+      new java.io.File(ledgerB).getParent)
+      .foreach(graft.util.Fs.deleteRecursively)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
