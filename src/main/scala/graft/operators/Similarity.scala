@@ -270,8 +270,9 @@ object Similarity {
     * pre-r14 broadcast-join form (all IVF-family oracle hashes
     * unmoved). Beyond [[MaxLiteralCents]] centroids the broadcast-join
     * + window form takes over (same tie-break). */
-  private def assignCells(df: DataFrame, cents: DataFrame, id: String,
-      v: String, keep: Int, keepSim: Boolean = false): DataFrame = {
+  private[graft] def assignCells(df: DataFrame, cents: DataFrame,
+      id: String, v: String, keep: Int,
+      keepSim: Boolean = false): DataFrame = {
     val centArr = collectCentIds(cents)
     if (centArr.length <= MaxLiteralCents) {
       val top = nearestCellsCol(centArr, col(v), keep)
@@ -288,11 +289,41 @@ object Similarity {
           col("__cellbest.s").as("cent_sim"))
       else withBest.select(col(id), col(v),
         (-col("__cellbest.neg_id")).as("cell"))
+    } else assignCellsShuffled(df, cents, id, v, keep, keepSim)
+  }
+
+  /** The > [[MaxLiteralCents]] fallback (a centroid matrix too big to
+    * ship inside the plan): broadcast-join the centroid table, then
+    * reduce. keep = 1 — the corpus-sized case — aggregates with a
+    * partial `max(struct(sim, −id, …))`: the crossJoin co-locates each
+    * row's k candidates in one task, so the map-side combine collapses
+    * them BEFORE the exchange and the shuffle carries corpus×1 rows
+    * (one argmax struct per row), not corpus×k. Tie-break is the same
+    * struct order as the kernel ((sim desc, id asc) ≡ max (s, −id)) —
+    * result-identical to the kernel by the fallback-parity spec.
+    * keep = nProbe keeps the window form: a per-row top-k at that
+    * centroid count buffers k entries per row whichever way it is
+    * spelled, and probe sets are query-sized, not corpus-sized. */
+  private[graft] def assignCellsShuffled(df: DataFrame,
+      cents: DataFrame, id: String, v: String, keep: Int,
+      keepSim: Boolean = false): DataFrame = {
+    val scored = df.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", dotCol(col(v), col("centv")))
+    if (keep == 1) {
+      val best = scored.groupBy(col(id))
+        .agg(max(struct(col("cent_sim").as("s"),
+          (-col("cent_id")).as("neg_id"),
+          col(v).as("__v"))).as("best"))
+      if (keepSim)
+        best.select(col(id), col("best.__v").as(v),
+          (-col("best.neg_id")).as("cell"),
+          col("best.s").as("cent_sim"))
+      else best.select(col(id), col("best.__v").as(v),
+        (-col("best.neg_id")).as("cell"))
     } else {
       val w = Window.partitionBy(col(id))
         .orderBy(col("cent_sim").desc, col("cent_id"))
-      val ranked = df.crossJoin(broadcast(cents))
-        .withColumn("cent_sim", dotCol(col(v), col("centv")))
+      val ranked = scored
         .withColumn("cent_rank", row_number().over(w))
         .filter(col("cent_rank") <= keep)
       if (keepSim)

@@ -2531,6 +2531,39 @@ class PipelineOpsSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("assignment fallback parity: the >MaxLiteralCents shuffled form " +
+      "(map-side-combined argmax at keep=1, window at keep=nProbe) is " +
+      "row-identical to the kernel form") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 16)
+    val in = emb.select(col("vec_id").as("nid"),
+      Similarity.l2Normalize(col("embedding")).as("nv"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq.map {
+        case a: Seq[_] => a.toList
+        case x => x
+      }).toSet
+    for (keepSim <- Seq(false, true)) {
+      val kern = Similarity.assignCells(in, cents, "nid", "nv",
+        keep = 1, keepSim = keepSim)
+      val shuf = Similarity.assignCellsShuffled(in, cents, "nid", "nv",
+        keep = 1, keepSim = keepSim)
+      assert(kern.columns.toSeq === shuf.columns.toSeq)
+      assert(rows(kern) === rows(shuf) && rows(kern).nonEmpty,
+        s"keep=1 keepSim=$keepSim diverged")
+    }
+    val kern3 = Similarity.assignCells(in, cents, "nid", "nv", keep = 3)
+    val shuf3 = Similarity.assignCellsShuffled(in, cents, "nid", "nv",
+      keep = 3)
+    assert(rows(kern3) === rows(shuf3) && rows(kern3).nonEmpty)
+    // and the keep=1 shuffled plan really is the map-side-combined
+    // aggregate: exactly one hash exchange, no Window
+    val p = Similarity.assignCellsShuffled(in, cents, "nid", "nv",
+      keep = 1).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1 &&
+      !p.contains("Window") && p.contains("partial_max"))
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val f1 = Multimodal.decodeAndFeaturize(media).collect()
