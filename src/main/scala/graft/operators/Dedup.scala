@@ -899,12 +899,25 @@ object Dedup {
     * append; a crash between the two re-runs idempotently); rows with
     * NULL `textCol` are dropped up front; the store path is fenced by
     * the swapRewrite maintenance marker. Returns the admitted batch
-    * rows (original columns + text_md5). */
+    * rows (original columns + text_md5).
+    *
+    * `hasher` is pluggable like [[nearDupDrops]]'s (pass `xxhash64(_)`
+    * at production scale) — but the STORE is hasher-bound: signatures
+    * persisted under one hasher are meaningless to another, and the
+    * mismatch is not schema-detectable, so pick the hasher at ledger
+    * creation and keep it for the ledger's life (same discipline as
+    * bands/rows, which ARE schema-checked). Hot-band caveat: a flood of
+    * distinct-but-near-identical texts accumulates REJECTED reps that
+    * share band keys, so the batch-vs-store band join can grow a hot
+    * (band, key) bucket; it is a plain shuffle equi-join, so AQE
+    * skew-split handles it (the in-batch pass routes through
+    * [[lshCandidatesFromSignatures]]'s explicit mega-bucket guard). */
   def nearDupLedgerAdmit(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rows: Int = 4,
       threshold: Double = 0.8,
-      admittedOut: Option[String] = None): DataFrame = {
+      admittedOut: Option[String] = None,
+      hasher: Column => Column = hash60(_)): DataFrame = {
     graft.util.Fs.failIfUnderMaintenance(spark, path,
       "nearDupLedgerAdmit")
     val numPerms = bands * rows
@@ -926,7 +939,7 @@ object Dedup {
     // decisions AND the store append both read it, and because every
     // decision must be materialized BEFORE the append lands (a lazy
     // plan re-read after the append would see the batch's own rows)
-    val idx = shingleIndex(repDocs, "doc", "text", n)
+    val idx = shingleIndex(repDocs, "doc", "text", n, hasher)
     val arrays = idx.groupBy(col("doc"))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
     val sig = minHashSignaturesFromIndex(

@@ -2355,15 +2355,32 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(spark.read.parquet(dir)
         .collect().map(_.getString(1)).toSet === sigs)
       // post-compaction decisions: exact dup of history still rejected,
-      // near-dup of history still rejected, novel doc admitted
+      // near-dup of history still rejected, novel doc admitted — and
+      // admittedOut persists exactly the admitted rows (the crash-safe
+      // ordering's artifact)
+      val out = s"$root/admitted4"
       val after = Dedup.nearDupLedgerAdmit(spark, dir, Seq(
           (500L, base),                        // exact vs history
           (501L, tweak(base, 4)),              // near vs history
           (502L, "final novel closing document about watermarks and " +
             "stateful stream aggregation semantics at scale"))
-        .toDF("doc_id", "text"), "doc_id", "text")
+        .toDF("doc_id", "text"), "doc_id", "text",
+        admittedOut = Some(out))
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(after === Set(502L))
+      assert(spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet === after)
+      // pluggable hasher (the nearDupDrops drop-set-equality precedent):
+      // a fresh xxhash64-keyed ledger makes the same decisions on the
+      // same batch sequence
+      val xxDir = s"$root/ledger_xx"
+      val gotXx = Seq(b1, b2, b3).flatMap { b =>
+        Dedup.nearDupLedgerAdmit(spark, xxDir,
+          b.toDF("doc_id", "text"), "doc_id", "text",
+          hasher = xxhash64(_))
+          .select("doc_id").collect().map(_.getLong(0))
+      }.toSet
+      assert(gotXx === expected)
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
