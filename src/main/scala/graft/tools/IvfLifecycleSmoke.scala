@@ -146,6 +146,66 @@ object IvfLifecycleSmoke {
         val recall1 = probeRecall("after 40k uniform (drifted) ingest")
         uniDrift > selfDrift + 0.05 && recall1(1) < recall0(1)
       } finally graft.util.Fs.deleteRecursively(dirCal)
+      // the IVF+PQ lifecycle at the same scale: frozen-parameter
+      // appends accrete per-cell files exactly like the IVF store;
+      // compaction rewrites to one file per cell with served results
+      // identical; the error-drift monitor reads ~0 on same-distribution
+      // ingest (the quiet baseline a deployment alarms against)
+      val dirPq = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_smoke").toString
+      val okPq = try {
+        time(s"PQ build+save ($nBase vecs, 32 cells, m=16)") {
+          Similarity.saveIvfPqIndex(
+            Similarity.buildIvfPqIndex(vecs(0, nBase), "vec_id",
+              "embedding", nCells = 32, m = 16, k = 16), dirPq)
+        }
+        time("writeIvfPqErrBaseline") {
+          Similarity.writeIvfPqErrBaseline(spark, dirPq, vecs(0, nBase),
+            "vec_id", "embedding")
+        }
+        time(s"3 PQ appends of $batchRows") {
+          (0 until 3).foreach { b =>
+            Similarity.appendToIvfPqIndex(spark, dirPq,
+              vecs(nBase + b * batchRows, batchRows), "vec_id",
+              "embedding")
+          }
+        }
+        val pqDrift = time("PQ err-drift report (batch vs baseline)") {
+          Similarity.ivfPqDriftReport(spark, dirPq,
+              vecs(nBase, batchRows), "vec_id", "embedding")
+            .filter(col("has_baseline"))
+            .agg(sum(col("batch_n") * col("mean_err_drift")) /
+              sum(col("batch_n"))).head().getDouble(0)
+        }
+        println(f"  PQ weighted mean_err_drift (same distribution): " +
+          f"$pqDrift%.6f")
+        val corpusAll = vecs(0, nBase + 3 * batchRows)
+        def servePq(): Set[(Long, Long, Long)] =
+          Similarity.ivfPqTopKFromIndex(
+              Similarity.loadIvfPqIndex(spark, dirPq), corpusAll,
+              vecs(0, 64), "vec_id", "embedding", k = 5, nProbe = 4,
+              rerank = 64)
+            .collect().map(r => (r.getAs[Long]("query_id"),
+              r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+            .toSet
+        val sp0 = time("PQ serve (64 queries, nProbe=4) pre-compaction") {
+          servePq()
+        }
+        val pqRows = time("compactIvfPqIndex") {
+          Similarity.compactIvfPqIndex(spark, dirPq)
+        }
+        val sp1 = time("PQ serve (64 queries, nProbe=4) post-compaction") {
+          servePq()
+        }
+        val maxF = Similarity.ivfPqIndexStats(spark, dirPq)
+          .agg(org.apache.spark.sql.functions.max(col("n_files")))
+          .head().getLong(0)
+        println(s"  PQ code store after compaction: max files/cell " +
+          s"$maxF, rows $pqRows")
+        sp0 == sp1 && sp0.nonEmpty && maxF == 1L &&
+          pqRows == nBase + 3L * batchRows && math.abs(pqDrift) < 0.01
+      } finally graft.util.Fs.deleteRecursively(dirPq)
+
       // hot-cell write straggler: 2M vectors, ~97% piled near one axis
       // → one cell holds almost the whole corpus. The unsalted write
       // funnels it through ONE task; the salted form spreads it across
@@ -226,7 +286,7 @@ object IvfLifecycleSmoke {
       val ok = fAfter.forall(_ == 1) &&
         rows == nBase + nBatches.toLong * batchRows &&
         sBefore.toSet == sAfter.toSet && sBefore.nonEmpty && okSalt &&
-        okCal
+        okCal && okPq
       println(if (ok) "IvfLifecycleSmoke: OK"
         else "IvfLifecycleSmoke: MISMATCH")
       ok
