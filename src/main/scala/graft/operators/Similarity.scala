@@ -652,6 +652,58 @@ object Similarity {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("f")).as("n_files"))
 
+  /** The action [[ivfDriftReport]] triggers — retrain the index IN
+    * PLACE, crash-safely, from the store's own vectors (the cell store
+    * keeps the normalized corpus, so no external corpus is needed):
+    * read the store's rows, retrain centroids (optionally with
+    * full-corpus Lloyd refinement), re-assign with the map-only
+    * kernel, and write a COMPLETE new index (centroids + cell store +
+    * frozen drift baseline) into a sibling temp dir, promoted by the
+    * whole-directory [[graft.util.Fs.swapRewrite]] — the same two-
+    * rename protocol as compaction, applied to the index dir, so the
+    * three datasets swap atomically together (a crash never leaves
+    * mixed-generation centroids/baseline). Ingest is fenced for the
+    * window: [[appendToIvfIndex]]'s check covers the enclosing-dir
+    * marker this swap holds. Readers see the same outage window as
+    * compaction (see swapRewrite's scaladoc). The store read happens
+    * INSIDE the rewrite callback — after swapRewrite's crash-state
+    * recovery, so a re-run over a crashed rebuild restores the store
+    * before reading it — and is localCheckpointed so the new index
+    * derives from a materialized snapshot. Returns the rebuilt row
+    * count. */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, nCentroids: Int = 16, kmeansIters: Int = 4,
+      refineIters: Int = 0, maxRowsPerWriteTask: Long = 0): Long = {
+    graft.util.Fs.swapRewrite(spark, path) { tmp =>
+      val corpus = spark.read.parquet(s"$path/assigned")
+        .select(col("neighbor_id"), col("cv")).localCheckpoint()
+      saveIvfIndex(
+        buildIvfIndex(corpus, "neighbor_id", "cv", nCentroids,
+          kmeansIters, refineIters),
+        tmp, maxRowsPerWriteTask)
+    }
+    spark.read.parquet(s"$path/assigned").count()
+  }
+
+  /** [[rebuildIvfIndex]] for a persisted IVF+PQ index. The code store
+    * keeps codes, not vectors, so the rebuild REQUIRES the corpus (the
+    * same frame serves rerank from) — retrains centroids AND codebooks
+    * on it, re-encodes, and swaps the whole index dir (centroids +
+    * codebooks + code store + error baseline) atomically. Returns the
+    * rebuilt code-row count. */
+  def rebuildIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, m: Int = 16, k: Int = 16,
+      maxRowsPerWriteTask: Long = 0): Long = {
+    graft.util.Fs.swapRewrite(spark, path) { tmp =>
+      saveIvfPqIndex(
+        buildIvfPqIndex(corpus, idCol, vecCol, nCells, m, k),
+        tmp, maxRowsPerWriteTask)
+      writeIvfPqErrBaseline(spark, tmp, corpus, idCol, vecCol)
+    }
+    spark.read.parquet(s"$path/codes").count()
+  }
+
   /** Centroid-drift report — the rebuild trigger [[appendToIvfIndex]]'s
     * frozen-centroid contract needs: recall on appended data degrades
     * gracefully as the data distribution drifts away from the trained

@@ -86,15 +86,20 @@ object Fs {
   def failIfUnderMaintenance(spark: org.apache.spark.sql.SparkSession,
       storePath: String, who: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val marker = new Path(maintenanceMarkerPath(storePath))
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker))
+    val store = new Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // check the store's own marker AND the enclosing directory's: a
+    // whole-index rewrite (rebuildIvfIndex swaps the index DIR, not one
+    // dataset under it) fences every dataset it contains
+    val markers = Seq(Some(store), Option(store.getParent)).flatten
+      .map(p => new Path(maintenanceMarkerPath(p.toString)))
+    markers.find(fs.exists).foreach { m =>
       throw new IllegalStateException(
-        s"$who: $storePath is under maintenance ($marker exists) — a " +
-          "compaction is running (rows appended now would be silently " +
-          "dropped by its swap) or crashed mid-run (re-run the " +
-          "compaction to recover and clear the marker); retry after it " +
-          "completes")
+        s"$who: $storePath is under maintenance ($m exists) — a " +
+          "compaction/rebuild is running (rows appended now would be " +
+          "silently dropped by its swap) or crashed mid-run (re-run it " +
+          "to recover and clear the marker); retry after it completes")
+    }
   }
 
   /** Recursive delete, a no-op when `dir` does not exist. The

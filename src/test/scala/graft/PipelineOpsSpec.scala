@@ -2581,6 +2581,101 @@ class PipelineOpsSpec extends SparkTestBase {
       !p.contains("Window") && p.contains("partial_max"))
   }
 
+  test("rebuildIvfIndex: drift-triggered in-place retrain — the rebuilt " +
+      "baseline absorbs the drifted ingest, the whole-index swap is " +
+      "crash-recoverable, and the enclosing-dir fence blocks appends") {
+    import org.apache.hadoop.fs.Path
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val drifted = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), zip_with(col("embedding"),
+        reverse(col("embedding")),
+        (a, b) => a * lit(0.2) + b * lit(0.8)).as("embedding"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rebuild").toString
+    val dir = s"$root/idx"
+    try {
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(base, "vec_id", "embedding",
+          nCentroids = 8), dir)
+      Similarity.appendToIvfIndex(spark, dir, drifted, "vec_id",
+        "embedding")
+      def weighted(): Double = Similarity.ivfDriftReport(spark, dir,
+          drifted, "vec_id", "embedding")
+        .filter(col("has_baseline"))
+        .agg((sum(col("batch_n") * col("mean_drift")) /
+          sum(col("batch_n"))).as("d")).head().getDouble(0)
+      val dBefore = weighted()
+      assert(dBefore > 0.0, s"plant failed: $dBefore")
+      val total = base.count() + drifted.count()
+      assert(Similarity.rebuildIvfIndex(spark, dir,
+        nCentroids = 8) === total)
+      // the rebuilt baseline derives from the post-ingest corpus, so
+      // the very batch that used to drift now profiles near-baseline
+      val dAfter = weighted()
+      assert(dAfter < dBefore,
+        s"rebuild did not absorb the drift: $dAfter vs $dBefore")
+      // serving SLA intact on the rebuilt store
+      val recall = Similarity.ivfRecallProbe(spark, dir, sampleN = 16,
+          k = 3, nProbes = Seq(8))
+        .collect().head.getAs[Double]("recall")
+      assert(recall === 1.0)
+      // enclosing-dir fence: the whole-index marker blocks appends to
+      // the store UNDER it
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(graft.util.Fs.maintenanceMarkerPath(dir))
+      fs.create(marker, true).close()
+      intercept[IllegalStateException] {
+        Similarity.appendToIvfIndex(spark, dir, emb.limit(3),
+          "vec_id", "embedding")
+      }
+      fs.delete(marker, false)
+      // crash between the whole-index renames: dir missing, dir_old the
+      // only copy, stale partial rewrite left — a rebuild re-run must
+      // restore, retrain, and complete
+      assert(fs.rename(new Path(dir), new Path(dir + "_old")))
+      fs.mkdirs(new Path(dir + "_compacting"))
+      assert(Similarity.rebuildIvfIndex(spark, dir,
+        nCentroids = 8) === total)
+      assert(!fs.exists(new Path(dir + "_old")))
+      assert(Similarity.appendToIvfIndex(spark, dir, emb.limit(3),
+        "vec_id", "embedding") === 3L)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("rebuildIvfPqIndex: corpus-supplied whole-index retrain leaves a " +
+      "servable, baseline-fresh PQ index") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pq_rebuild").toString
+    val dir = s"$root/idx"
+    try {
+      Similarity.saveIvfPqIndex(
+        Similarity.buildIvfPqIndex(base, "vec_id", "embedding"), dir)
+      Similarity.writeIvfPqErrBaseline(spark, dir, base, "vec_id",
+        "embedding")
+      Similarity.appendToIvfPqIndex(spark, dir,
+        emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding")
+      // rebuild on the FULL corpus: codes + codebooks + baseline all
+      // regenerate in one atomic swap
+      assert(Similarity.rebuildIvfPqIndex(spark, dir, emb, "vec_id",
+        "embedding") === emb.count())
+      // the fresh baseline profiles the rebuild corpus at zero drift
+      val self = Similarity.ivfPqDriftReport(spark, dir, emb, "vec_id",
+        "embedding").collect()
+      assert(self.nonEmpty)
+      assert(self.forall(_.getAs[Double]("mean_err_drift") === 0.0))
+      // and the rebuilt index serves
+      val served = Similarity.ivfPqTopKFromIndex(
+        Similarity.loadIvfPqIndex(spark, dir), emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, nProbe = 4, rerank = 32)
+      assert(served.count() > 0)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val f1 = Multimodal.decodeAndFeaturize(media).collect()
