@@ -135,16 +135,38 @@ object IvfLifecycleSmoke {
         println(f"  calibration weighted mean_drift, same-distribution " +
           f"batch: $selfDrift%.6f")
         val recall0 = probeRecall("clustered store, pre-drift")
-        // uniform = maximally off the trained cluster structure
+        // the drifted ingest is 32 NEW tight clusters (different center
+        // seed) — structured data the FROZEN centroids know nothing
+        // about: drift spikes and their neighbors scatter across old
+        // cells (low-probe recall drops). A rebuild can LEARN this —
+        // unlike uniform noise, where recall is unrecoverable by any
+        // centroid set (measured: rebuild left uniform recall flat)
+        def shifted(from: Long, n: Long) = spark.range(from, from + n)
+          .select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)), j =>
+              (pmod(xxhash64(pmod(col("id"), lit(32)) * 64 + j
+                + 99991234L), lit(1000003L)).cast("double") / 5e5 - 1.0) +
+              (pmod(xxhash64(col("id") * 64 + j + 7777777L),
+                lit(1000003L)).cast("double") / 5e5 - 1.0) * lit(0.15))
+            .as("embedding"))
         Similarity.appendToIvfIndex(spark, dirCal,
-          vecs(nCal + 20000, 20000), "vec_id", "embedding")
+          shifted(nCal + 20000, 20000), "vec_id", "embedding")
         Similarity.appendToIvfIndex(spark, dirCal,
-          vecs(nCal + 40000, 20000), "vec_id", "embedding")
-        val uniDrift = weightedDrift(vecs(nCal + 20000, 20000))
-        println(f"  calibration weighted mean_drift, uniform batch: " +
-          f"$uniDrift%.6f")
-        val recall1 = probeRecall("after 40k uniform (drifted) ingest")
-        uniDrift > selfDrift + 0.05 && recall1(1) < recall0(1)
+          shifted(nCal + 40000, 20000), "vec_id", "embedding")
+        val shiftDrift = weightedDrift(shifted(nCal + 20000, 20000))
+        println(f"  calibration weighted mean_drift, shifted-cluster " +
+          f"batch: $shiftDrift%.6f")
+        val recall1 = probeRecall("after 40k shifted-cluster ingest")
+        // ...and the loop closes: the rebuild the monitor triggers
+        // retrains on the post-ingest store and recovers the low-probe
+        // recall the drift cost
+        val rebuilt = time("rebuildIvfIndex (140k rows, 32 cells)") {
+          Similarity.rebuildIvfIndex(spark, dirCal, nCentroids = 32,
+            kmeansIters = 4)
+        }
+        val recall2 = probeRecall("after rebuild")
+        shiftDrift > selfDrift + 0.05 && recall1(1) < recall0(1) &&
+          rebuilt == nCal + 40000L && recall2(1) > recall1(1)
       } finally graft.util.Fs.deleteRecursively(dirCal)
       // the IVF+PQ lifecycle at the same scale: frozen-parameter
       // appends accrete per-cell files exactly like the IVF store;
