@@ -400,6 +400,23 @@ object ExplainCheck {
       check("IVF serve probe-side assignment shows no nested-loop " +
         "centroid attach", !pp.contains("BroadcastNestedLoopJoin") &&
           pp.contains("nearestcells("))
+      // the r14 join-shape sentinel: an IN-MEMORY serve's probe side
+      // must reach the cell join through its own exchange
+      // (REPARTITION_BY_COL) so the join strategy is decided on TRUE
+      // runtime sizes — the bisected 6× regression was the planner
+      // broadcasting a probe side whose STATIC estimate was ~100× under
+      // its exploded reality (AQE converting the shuffled join to
+      // broadcast when the runtime bytes are genuinely small, as at
+      // this SF, is exactly the correct behavior the exchange enables)
+      val fullProbe = graft.operators.Similarity.ivfTopKFromIndex(
+        graft.operators.Similarity.buildIvfIndex(e, "vec_id",
+          "embedding", nCentroids = 16, kmeansIters = 2),
+        e, "vec_id", "embedding", k = 3, nProbe = 16)
+      fullProbe.count()
+      val fp = fullProbe.queryExecution.executedPlan.toString
+      check("in-memory serve sizes its probe side at runtime " +
+        "(REPARTITION_BY_COL exchanges feed the cell join)",
+        "REPARTITION_BY_COL".r.findAllIn(fp).length >= 2)
     }
     println("all plan assertions hold")
     spark.stop()
