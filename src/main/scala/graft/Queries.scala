@@ -2550,6 +2550,19 @@ object Queries {
     } finally graft.util.Fs.deleteRecursively(path)
   }
 
+  /** SQ8 compressed-scan ANN ([[Similarity.sq8TopK]]): per-vector int8
+    * affine quantization (training-free — no codebooks, nothing
+    * drifts), approximate scoring via the affine identity
+    * `vmin·Σq + Δ·Σ q·code`, exact cosine rerank of the top 32. Fully
+    * oracled — encode/score/rerank are pure per-row arithmetic DuckDB
+    * replays term for term (floor(t+0.5) codes, left-to-right sums). */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.sq8TopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 3, rerank = 32)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -3758,6 +3771,7 @@ object Queries {
     "q128_ivf_drift" -> (q128 _),
     "q129_neardup_ledger" -> (q129 _),
     "q130_ivfpq_err_drift" -> (q130 _),
+    "q131_sq8_topk" -> (q131 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -6237,6 +6251,45 @@ object Queries {
          |FROM batchp bp LEFT JOIN basep b USING (cell)
          |ORDER BY bp.cell""".stripMargin
     },
+    // SQ8 oracle (r14): training-free per-vector affine quantization —
+    // codes = floor((x − min)·255/(max − min) + 0.5) exactly as the
+    // engine's Sq8Encode spells it, the affine approximate score
+    // vmin·Σq + Δ·(q·codes) term for term (list_dot_product and the
+    // ordered list_aggregate sum are both left-to-right, matching
+    // Sq8Dot and the query-side HOF fold), then the exact-cosine
+    // rerank — the t10 double-WindowGroupLimit shape
+    "q131_sq8_topk" ->
+      s"""WITH v AS MATERIALIZED ($normVecSql),
+         | sq AS MATERIALIZED (SELECT vec_id,
+         |    list_min(nv) AS vmin,
+         |    (list_max(nv) - list_min(nv)) / 255.0 AS delta,
+         |    CASE WHEN list_max(nv) > list_min(nv) THEN
+         |      list_transform(nv, x -> CAST(floor(
+         |        (x - list_min(nv)) * 255.0 /
+         |        (list_max(nv) - list_min(nv)) + 0.5) AS DOUBLE))
+         |    ELSE list_transform(nv, x -> 0.0) END AS codes
+         |  FROM v),
+         | q AS (SELECT vec_id AS query_id, nv AS qv,
+         |    list_aggregate(nv, 'sum') AS qsum
+         |  FROM v WHERE vec_id < 10),
+         | approx AS (SELECT q.query_id, q.qv, s.vec_id AS neighbor_id,
+         |    s.vmin * q.qsum + s.delta * list_dot_product(q.qv, s.codes)
+         |      AS approx
+         |  FROM sq s, q WHERE q.query_id <> s.vec_id),
+         | cand AS (SELECT query_id, qv, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx DESC, neighbor_id) AS ar
+         |  FROM approx),
+         | rr AS (SELECT c.query_id, c.neighbor_id,
+         |    round(list_dot_product(c.qv, nb.nv), 6) AS cos_sim
+         |  FROM cand c JOIN v nb ON nb.vec_id = c.neighbor_id
+         |  WHERE c.ar <= 32),
+         | rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS "rank" FROM rr)
+         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id,
+         |  cos_sim
+         |FROM rk WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin,
     // near-dup ledger oracle: the ledger's two-batch admit decisions ≡
     // one-shot nearDupDrops on the union (spec-pinned parity under the
     // monotone-id contract), and one-shot's ANSI form is the q42

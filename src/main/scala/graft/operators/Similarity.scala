@@ -1013,6 +1013,73 @@ object Similarity {
     pqTopKFromIndex(buildPqIndex(corpus, idCol, vecCol, m, kCent),
       corpus, queries, idCol, vecCol, k, rerank)
 
+  def sq8EncodeCol(v: Column): Column =
+    bridged(graft.expressions.Sq8Encode(expr(v)))
+  def sq8DotCol(q: Column, codes: Column): Column =
+    bridged(graft.expressions.Sq8Dot(expr(q), expr(codes)))
+
+  /** Build the SQ8 index: per-vector int8 affine quantization
+    * ([[graft.expressions.Sq8Encode]]) of the normalized corpus —
+    * (neighbor_id, vmin, delta, codes). The TRAINING-FREE compression
+    * tier: no codebooks, so nothing drifts and nothing rebuilds; the
+    * scan reads 1 byte/dim (int codes in parquet dictionary-encode to
+    * ~1 byte) + two doubles/vector instead of 8 bytes/dim — the right
+    * first stop when PQ's 4–32× smaller codes aren't needed. */
+  def buildSq8Index(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
+        sq8EncodeCol(l2Normalize(col(vecCol))).as("sq"))
+      .select(col("neighbor_id"), col("sq.vmin").as("vmin"),
+        col("sq.delta").as("delta"), col("sq.codes").as("codes"))
+
+  def saveSq8Index(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").parquet(s"$path/codes")
+  def loadSq8Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(s"$path/codes")
+
+  /** SQ8 top-k serve: queries broadcast with a precomputed `Σq_j`; the
+    * code scan scores each pair with the affine identity
+    * `⟨q, x̂⟩ = vmin·Σq_j + Δ·Σ q_j·code_j` (one int-weighted dot —
+    * [[graft.expressions.Sq8Dot]]); the top `rerank` approximate
+    * candidates per query fetch their true vectors and rerank by exact
+    * cosine — the [[pqTopKFromIndex]] contract with SQ8's simpler
+    * codes. With `rerank` ≥ corpus size the result equals
+    * [[bruteForceTopK]] exactly (spec-pinned). */
+  def sq8TopKFromIndex(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      rerank: Int = 32): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        l2Normalize(col(vecCol)).as("qv"))
+      // queries are broadcast-tiny: the interpreted HOF sum is fine here
+      .withColumn("qsum",
+        org.apache.spark.sql.functions
+          .aggregate(col("qv"), lit(0.0), (a, x) => a + x)))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = index.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", col("vmin") * col("qsum") +
+        col("delta") * sq8DotCol(col("qv"), col("codes")))
+      .withColumn("adc_rank", Ranks.cutRank(spark, wAdc, rerank))
+      .filter(col("adc_rank") <= rerank)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      l2Normalize(col(vecCol)).as("cv"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(vecs, Seq("neighbor_id"))
+      .withColumn("cos_sim", round(dotCol(col("qv"), col("cv")), 6))
+      .withColumn("rank", Ranks.cutRank(spark, wCos, k))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+  }
+
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, rerank: Int = 32): DataFrame =
+    sq8TopKFromIndex(buildSq8Index(corpus, idCol, vecCol), corpus,
+      queries, idCol, vecCol, k, rerank)
+
   /** IVF+PQ: the composed large-scale ANN index (coarse cells bound WHICH
     * rows are scored, PQ codes bound the BYTES each scoring touches —
     * the FAISS IVFPQ layout, re-expressed as DataFrames). The cell join

@@ -2676,6 +2676,49 @@ class PipelineOpsSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("SQ8: rerank ≥ corpus equals brute force exactly; codes bounded " +
+      "0..255 with reconstruction error ≤ Δ/2; constant vectors encode " +
+      "to Δ=0 all-zero codes") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val n = emb.count().toInt
+    // with every candidate surviving the approximate cut, the exact
+    // rerank IS brute force — the compression can't change the answer
+    assert(rows(Similarity.sq8TopK(emb, queries, "vec_id", "embedding",
+      k = 5, rerank = n + 8)) ===
+      rows(Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 5)))
+    val idx = Similarity.buildSq8Index(emb, "vec_id", "embedding")
+    val bad = idx.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") > 255).count()
+    assert(bad === 0L)
+    // per-element reconstruction bound: |x̂ − x| ≤ Δ/2 (+ε for the
+    // rounding's floating point)
+    val worst = idx
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        Similarity.l2Normalize(col("embedding")).as("nv")),
+        Seq("neighbor_id"))
+      .select(max(expr(
+        "aggregate(zip_with(nv, codes, (x, c) -> " +
+          "abs(vmin + c * delta - x) - delta / 2), 0D, " +
+          "(a, d) -> greatest(a, d))")).as("w"))
+      .head().getDouble(0)
+    assert(worst <= 1e-12, s"reconstruction bound violated by $worst")
+    // constant vector: max = min, delta 0, codes all zero, and the
+    // reconstruction is exactly the constant
+    import SparkTestBase.session.implicits._
+    val const = Seq((1L, Array.fill(8)(0.25))).toDF("vec_id", "embedding")
+    val r = Similarity.buildSq8Index(const, "vec_id", "embedding")
+      .head()
+    assert(r.getAs[Double]("delta") === 0.0)
+    assert(r.getAs[Seq[Int]]("codes").forall(_ === 0))
+    // l2-normalized constant 8-dim vector has every element 1/sqrt(8)
+    assert(math.abs(r.getAs[Double]("vmin") - 1.0 / math.sqrt(8)) < 1e-15)
+  }
+
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "text")
     val f1 = Multimodal.decodeAndFeaturize(media).collect()
