@@ -282,6 +282,21 @@ object DedupScaleSmoke {
     }
     println(s"  all 5 planted twins surfaced at rank 1, cos 1.0")
 
+    // SQ8 — the training-free tier — over the same corpus: no codebook
+    // training, so the whole cost is one encode projection + the
+    // int-weighted affine scan + rerank
+    val topSq = time("sq8TopK (encode+serve)")(
+      graft.operators.Similarity.sq8TopK(vecs,
+        vecs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+        .filter(col("rank") === 1).collect())
+    topSq.foreach { r =>
+      val (q, n, c) = (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))
+      require(n == q + half && c == 1.0,
+        s"sq8 query $q: top-1 $n at $c — planted twin not found")
+    }
+    println(s"  all 5 planted twins surfaced at rank 1, cos 1.0 (sq8)")
+
     // IVF / IVF+PQ serve at scale: the bench-scale recall@3 number (0.97
     // on sf embeddings) gets its 40×-scale counterpart here. Ground truth
     // is the exact brute-force top-3 on 20 queries. Planted twins are
