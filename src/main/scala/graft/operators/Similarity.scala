@@ -273,6 +273,13 @@ object Similarity {
   private[graft] def assignCells(df: DataFrame, cents: DataFrame,
       id: String, v: String, keep: Int,
       keepSim: Boolean = false): DataFrame = {
+    // gate the driver collect on a cheap bounded count FIRST: the
+    // >MaxLiteralCents case exists precisely because the centroid table
+    // is too big to ship around, so collecting it just to discover that
+    // (e.g. 64k × 768-dim centroids ≈ 400 MB) could OOM the driver
+    // before the shuffled fallback is ever taken
+    if (cents.limit(MaxLiteralCents + 1).count() > MaxLiteralCents)
+      return assignCellsShuffled(df, cents, id, v, keep, keepSim)
     val centArr = collectCentIds(cents)
     if (centArr.length <= MaxLiteralCents) {
       val top = nearestCellsCol(centArr, col(v), keep)

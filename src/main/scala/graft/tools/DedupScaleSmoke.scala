@@ -567,8 +567,10 @@ object DedupScaleSmoke {
 
     // the NEAR-dup ledger's production life: same daily drain, but each
     // admit also signatures the batch, band-joins it against the
-    // persisted signature store, and exact-verifies candidates — all
-    // ∝ batch, never a corpus re-scan. The final batch's admit time
+    // persisted signature store, and exact-verifies candidates — it
+    // never re-shingles or re-signatures the corpus (compute ∝ batch;
+    // the band join reads the signature store once per admit, pruned
+    // to the batch's band buckets). The final batch's admit time
     // against the 90%-full history is the number to compare with the
     // one-shot nearDupDrops wall above (which re-pays the whole corpus
     // every day); the total admitted must equal the one-shot survivors

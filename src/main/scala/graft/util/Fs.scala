@@ -21,16 +21,33 @@ object Fs {
     * promote rolls the first rename back, and the rollback result is
     * CHECKED — if it also fails (e.g. a concurrent writer recreated
     * the store) the exception says where both copies actually are.
-    * SINGLE MAINTENANCE WRITER — now ENFORCED, not just documented: a
-    * `<store>_maintenance` marker file goes down BEFORE the snapshot
-    * read and comes up only after the swap completes, and every
-    * in-repo ingest writer ([[graft.operators.Similarity]] appends,
+    * SINGLE MAINTENANCE WRITER — a BEST-EFFORT fence that narrows the
+    * race window (check-then-act, not atomic): a `<store>_maintenance`
+    * marker file goes down BEFORE the snapshot read and comes up only
+    * after the swap completes, and every in-repo ingest writer
+    * ([[graft.operators.Similarity]] appends,
     * [[graft.operators.Dedup]] ledger admits) calls
     * [[failIfUnderMaintenance]] first — an append racing a compaction
-    * now fails LOUDLY instead of being silently dropped by the swap.
-    * A compaction that crashes mid-run leaves the marker in place (so
-    * ingest stays fenced off the half-swapped store) and a re-run
-    * clears it after recovering the rename state. READERS are not
+    * fails LOUDLY at its fence check instead of being silently dropped
+    * by the swap. The residual window (an append that passed its fence
+    * check just before the marker went down and commits during the
+    * rewrite) is closed by a LISTING RE-VERIFY: the store's file
+    * listing is captured right after marker creation and re-checked
+    * before the first rename — a changed listing aborts the swap with
+    * the store intact (rows committed before the capture are also in
+    * the later snapshot read, so they are never lost). Maintenance
+    * writers fence EACH OTHER across nesting levels: a rewrite fails
+    * up front while the ENCLOSING directory's marker is down (a
+    * whole-index rebuild owns every store inside it) or while any
+    * `*_maintenance` marker exists INSIDE the store being swapped (a
+    * child-store compaction in flight would be torn apart by a parent
+    * rename); same-store re-runs deliberately pass (the crashed-run
+    * recovery path). A run that crashes mid-swap leaves the marker in
+    * place (so ingest stays fenced off the half-swapped store) and a
+    * re-run clears it after recovering the rename state; a `writeTo`
+    * that THROWS before any rename lifts the marker itself — the
+    * store was never touched, so leaving ingest fenced would turn a
+    * transient job failure into an outage. READERS are not
     * fenced: between the two renames the store path does not exist,
     * so a concurrent reader (an index serve, a ledger anti-join) hits
     * path-not-found for that window — quiesce reads for the rewrite,
@@ -45,9 +62,34 @@ object Fs {
     val old = new Path(storePath + "_old")
     val marker = new Path(maintenanceMarkerPath(storePath))
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // fence FIRST — before the crash recovery and long before the
-    // snapshot read inside writeTo; create(overwrite=true) also makes a
-    // re-run over a crashed compaction's surviving marker a no-op
+    // cross-level fencing BEFORE creating our own marker. Parent: a
+    // whole-dir rebuild holding the enclosing marker owns this store
+    // too. Children: a live child-store rewrite has its marker INSIDE
+    // this dir — renaming the dir out from under it would tear it
+    // apart. Our OWN marker deliberately does not fail us (re-running
+    // a crashed rewrite on the same store is the recovery path).
+    Option(store.getParent)
+      .map(p => new Path(maintenanceMarkerPath(p.toString)))
+      .filter(fs.exists).foreach { m =>
+        throw new IllegalStateException(
+          s"swapRewrite: enclosing directory of $storePath is under " +
+            s"maintenance ($m exists) — a whole-index rebuild owns " +
+            "this store; retry after it completes (or re-run IT if " +
+            "it crashed)")
+      }
+    if (fs.exists(store) && fs.getFileStatus(store).isDirectory) {
+      val inner = fs.listStatus(store)
+        .filter(_.getPath.getName.endsWith("_maintenance"))
+      if (inner.nonEmpty)
+        throw new IllegalStateException(
+          s"swapRewrite: $storePath contains maintenance markers " +
+            s"(${inner.map(_.getPath.getName).mkString(", ")}) — a " +
+            "store inside it is mid-rewrite (or crashed mid-rewrite); " +
+            "finish/re-run that rewrite first")
+    }
+    // fence — before the crash recovery and long before the snapshot
+    // read inside writeTo; create(overwrite=true) also makes a re-run
+    // over a crashed rewrite's surviving marker a no-op
     fs.create(marker, true).close()
     if (!fs.exists(store) && fs.exists(old) && !fs.rename(old, store))
       throw new java.io.IOException(
@@ -55,7 +97,35 @@ object Fs {
           "recover manually before re-running")
     fs.delete(tmp, true)
     fs.delete(old, true)
-    writeTo(tmp.toString)
+    // capture the post-marker listing: any ingest that slipped through
+    // the check-then-act window and commits AFTER this capture is
+    // caught by the re-verify below; one that committed BEFORE it is
+    // also in writeTo's (later) snapshot read, so nothing is lost
+    def listing(): Seq[(String, Long)] =
+      if (fs.exists(store))
+        fs.listStatus(store).map(s =>
+          (s.getPath.getName, s.getLen)).toSeq.sorted
+      else Seq.empty
+    val preListing = listing()
+    try writeTo(tmp.toString)
+    catch {
+      case e: Throwable =>
+        // no rename has happened: the store is intact, so leaving the
+        // marker down would fence ingest until a human intervened —
+        // clean up and surface the original failure instead
+        fs.delete(tmp, true)
+        fs.delete(marker, false)
+        throw e
+    }
+    if (listing() != preListing) {
+      fs.delete(tmp, true)
+      fs.delete(marker, false)
+      throw new IllegalStateException(
+        s"swapRewrite: $storePath changed while the rewrite ran (an " +
+          "ingest slipped through the fence's check-then-act window) " +
+          "— the swap was aborted with the store intact; re-run to " +
+          "include the new rows")
+    }
     if (!fs.rename(store, old))
       throw new java.io.IOException(
         s"swapRewrite: could not move $store aside")

@@ -2278,6 +2278,81 @@ class PipelineOpsSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("swapRewrite hardening: a failed writeTo lifts the marker, a " +
+      "mid-rewrite store change aborts the swap intact, and maintenance " +
+      "writers fence each other across nesting levels") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fence2").toString
+    try {
+      val store = s"$root/idx/store"
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.parquet(store)
+      val fs = new Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(graft.util.Fs.maintenanceMarkerPath(store))
+      // 1. writeTo throws BEFORE any rename: the store is untouched, so
+      // the marker must come back up (leaving it down would turn a
+      // transient job failure into an ingest outage) and the original
+      // exception must surface
+      val boom = intercept[RuntimeException] {
+        graft.util.Fs.swapRewrite(spark, store)(_ =>
+          throw new RuntimeException("transient job failure"))
+      }
+      assert(boom.getMessage === "transient job failure")
+      assert(!fs.exists(marker))
+      assert(spark.read.parquet(store).count() === 2L)
+      // 2. the check-then-act window: an ingest that slipped past its
+      // fence check and commits DURING the rewrite changes the store's
+      // listing — the swap must abort with the store (including the
+      // slipped rows) intact and the marker lifted
+      val slipped = intercept[IllegalStateException] {
+        graft.util.Fs.swapRewrite(spark, store) { tmp =>
+          Seq((3L, "c")).toDF("id", "v")
+            .write.mode("append").parquet(store) // bypasses the fence
+          spark.read.parquet(store).limit(2).write.parquet(tmp)
+        }
+      }
+      assert(slipped.getMessage.contains("changed while the rewrite ran"))
+      assert(!fs.exists(marker))
+      assert(spark.read.parquet(store).count() === 3L)
+      // a clean re-run (the remediation the error names) succeeds
+      graft.util.Fs.swapRewrite(spark, store)(tmp =>
+        spark.read.parquet(store).write.parquet(tmp))
+      assert(spark.read.parquet(store).count() === 3L)
+      // 3. parent fence: while the ENCLOSING dir is under maintenance
+      // (a whole-index rebuild), a child-store rewrite must fail up
+      // front, before creating its own marker
+      val parentMarker = new Path(
+        graft.util.Fs.maintenanceMarkerPath(s"$root/idx"))
+      fs.create(parentMarker, true).close()
+      val pex = intercept[IllegalStateException] {
+        graft.util.Fs.swapRewrite(spark, store)(tmp =>
+          spark.read.parquet(store).write.parquet(tmp))
+      }
+      assert(pex.getMessage.contains("enclosing directory"))
+      assert(!fs.exists(marker))
+      fs.delete(parentMarker, false)
+      // 4. child fence: a live child-store rewrite has its marker
+      // INSIDE the dir a whole-index rebuild would rename — the parent
+      // rewrite must refuse to tear it apart
+      fs.create(marker, true).close()
+      val cex = intercept[IllegalStateException] {
+        graft.util.Fs.swapRewrite(spark, s"$root/idx")(tmp =>
+          spark.read.parquet(store).write.parquet(s"$tmp/store"))
+      }
+      assert(cex.getMessage.contains("contains maintenance markers"))
+      fs.delete(marker, false)
+      // 5. same-store re-run still passes its OWN surviving marker (the
+      // crashed-rewrite recovery path must not fence itself out)
+      fs.create(marker, true).close()
+      graft.util.Fs.swapRewrite(spark, store)(tmp =>
+        spark.read.parquet(store).write.parquet(tmp))
+      assert(!fs.exists(marker))
+      assert(spark.read.parquet(store).count() === 3L)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("nearDupLedgerAdmit: three-batch admit decisions ≡ one-shot " +
       "nearDupDrops on the union; re-admits are no-ops; compaction " +
       "bounds files and leaves decisions identical") {
