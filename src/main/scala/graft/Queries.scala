@@ -2563,6 +2563,68 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Tombstone-filtered SQ8 serve ([[Similarity.deleteFromSq8Index]] →
+    * [[Similarity.loadSq8Index]] → serve): the deletion verb's oracled
+    * face — build, delete every vec_id ≡ 3 (mod 7), serve. The load's
+    * tombstone exclusion must make the serve identical to an index that
+    * never contained the deleted rows, which is exactly what the oracle
+    * computes (q131's SQL with the deleted ids absent from the code
+    * table; queries unfiltered — a deleted doc may still ASK). */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q132_sqdel").toString
+    try {
+      val idx = s"$path/idx"
+      Similarity.saveSq8Index(
+        Similarity.buildSq8Index(e, "vec_id", "embedding"), idx)
+      Similarity.deleteFromSq8Index(s, idx,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+      Similarity.sq8TopKFromIndex(Similarity.loadSq8Index(s, idx), e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 3, rerank = 32)
+        .orderBy(col("query_id"), col("rank")).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
+  /** IVF×SQ8 composed ANN serve ([[Similarity.ivfSq8TopK]]): trained
+    * coarse cells bound WHICH rows are scored (nProbe = 4 of 16), the
+    * training-free SQ8 affine codes bound the BYTES per row, exact
+    * cosine reranks the top 32. Fully oracled: lloydCtes re-derives
+    * the trained centroids (sample ≡ corpus at this SF), the argmax
+    * assignment and nProbe query cells are window ranks, and the
+    * encode/score/rerank replay q131's per-row arithmetic term for
+    * term. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfSq8TopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 3, nCentroids = 16, nProbe = 4, rerank = 32)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Near-dup ledger forget ([[Dedup.nearDupLedgerForget]]) between two
+    * admits: batch 1 admits, a third of its docs are forgotten
+    * (takedown), batch 2 admits. The forget scrubs IDENTITY but keeps
+    * signatures, so batch 2's decisions must be bit-identical to the
+    * never-forgotten q129 run — which is what the oracle computes (the
+    * one-shot union drop rule restricted to the upper half). */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q134_ndlf").toString
+    try {
+      val ledger = s"$path/ledger"
+      val a1 = Dedup.nearDupLedgerAdmit(s, ledger,
+        d.filter(col("doc_id") <= cut), "doc_id", "text")
+      Dedup.nearDupLedgerForget(s, ledger,
+        a1.filter(col("doc_id") % 3 === 0).select("doc_id"), "doc_id")
+      Dedup.nearDupLedgerAdmit(s, ledger,
+        d.filter(col("doc_id") > cut), "doc_id", "text")
+        .select(col("doc_id")).orderBy(col("doc_id")).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -3772,6 +3834,9 @@ object Queries {
     "q129_neardup_ledger" -> (q129 _),
     "q130_ivfpq_err_drift" -> (q130 _),
     "q131_sq8_topk" -> (q131 _),
+    "q132_sq8_delete_serve" -> (q132 _),
+    "q133_ivfsq8_topk" -> (q133 _),
+    "q134_neardup_forget" -> (q134 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -6290,6 +6355,123 @@ object Queries {
          |  cos_sim
          |FROM rk WHERE "rank" <= 3
          |ORDER BY query_id, "rank"""".stripMargin,
+    // SQ8 delete-serve oracle: the q131 replay over a code table that
+    // simply never held the deleted ids (vec_id ≡ 3 mod 7) — the
+    // tombstone-filtered load must be indistinguishable from that;
+    // queries stay unfiltered (a deleted doc may still ask)
+    "q132_sq8_delete_serve" ->
+      s"""WITH v AS MATERIALIZED ($normVecSql),
+         | sq AS MATERIALIZED (SELECT vec_id,
+         |    list_min(nv) AS vmin,
+         |    (list_max(nv) - list_min(nv)) / 255.0 AS delta,
+         |    CASE WHEN list_max(nv) > list_min(nv) THEN
+         |      list_transform(nv, x -> CAST(floor(
+         |        (x - list_min(nv)) * 255.0 /
+         |        (list_max(nv) - list_min(nv)) + 0.5) AS DOUBLE))
+         |    ELSE list_transform(nv, x -> 0.0) END AS codes
+         |  FROM v WHERE vec_id % 7 <> 3),
+         | q AS (SELECT vec_id AS query_id, nv AS qv,
+         |    list_aggregate(nv, 'sum') AS qsum
+         |  FROM v WHERE vec_id < 10),
+         | approx AS (SELECT q.query_id, q.qv, s.vec_id AS neighbor_id,
+         |    s.vmin * q.qsum + s.delta * list_dot_product(q.qv, s.codes)
+         |      AS approx
+         |  FROM sq s, q WHERE q.query_id <> s.vec_id),
+         | cand AS (SELECT query_id, qv, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx DESC, neighbor_id) AS ar
+         |  FROM approx),
+         | rr AS (SELECT c.query_id, c.neighbor_id,
+         |    round(list_dot_product(c.qv, nb.nv), 6) AS cos_sim
+         |  FROM cand c JOIN v nb ON nb.vec_id = c.neighbor_id
+         |  WHERE c.ar <= 32),
+         | rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS "rank" FROM rr)
+         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id,
+         |  cos_sim
+         |FROM rk WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin,
+    // IVF×SQ8 oracle: lloydCtes trains the coarse cells on the full
+    // corpus; asg argmax-assigns every vector, qc keeps each query's
+    // nProbe = 4 best cells (same (sim desc, cent_id) tie-break);
+    // candidates are the cell equi-join; encode/approx/rerank replay
+    // q131's SQ8 arithmetic term for term
+    "q133_ivfsq8_topk" ->
+      s"""WITH v AS MATERIALIZED ($normVecSql),
+         |${lloydCtes(16, 4)},
+         | sq AS MATERIALIZED (SELECT vec_id,
+         |    list_min(nv) AS vmin,
+         |    (list_max(nv) - list_min(nv)) / 255.0 AS delta,
+         |    CASE WHEN list_max(nv) > list_min(nv) THEN
+         |      list_transform(nv, x -> CAST(floor(
+         |        (x - list_min(nv)) * 255.0 /
+         |        (list_max(nv) - list_min(nv)) + 0.5) AS DOUBLE))
+         |    ELSE list_transform(nv, x -> 0.0) END AS codes
+         |  FROM v),
+         | asg AS (SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_dot_product(v.nv, c.nv) DESC, c.cent_id)
+         |        AS rn
+         |    FROM v, c4 c) WHERE rn = 1),
+         | qc AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT v.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_dot_product(v.nv, c.nv) DESC, c.cent_id)
+         |        AS rn
+         |    FROM v, c4 c WHERE v.vec_id < 10) WHERE rn <= 4),
+         | q AS (SELECT vec_id AS query_id, nv AS qv,
+         |    list_aggregate(nv, 'sum') AS qsum
+         |  FROM v WHERE vec_id < 10),
+         | approx AS (SELECT qc.query_id, q.qv, a.vec_id AS neighbor_id,
+         |    s.vmin * q.qsum + s.delta * list_dot_product(q.qv, s.codes)
+         |      AS approx
+         |  FROM qc JOIN asg a USING (cell)
+         |  JOIN sq s ON s.vec_id = a.vec_id
+         |  JOIN q ON q.query_id = qc.query_id
+         |  WHERE qc.query_id <> a.vec_id),
+         | cand AS (SELECT query_id, qv, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx DESC, neighbor_id) AS ar
+         |  FROM approx),
+         | rr AS (SELECT c.query_id, c.neighbor_id,
+         |    round(list_dot_product(c.qv, nb.nv), 6) AS cos_sim
+         |  FROM cand c JOIN v nb ON nb.vec_id = c.neighbor_id
+         |  WHERE c.ar <= 32),
+         | rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS "rank" FROM rr)
+         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id,
+         |  cos_sim
+         |FROM rk WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin,
+    // near-dup forget oracle: forgetting scrubs identity, never
+    // decisions — batch 2's admits must equal the never-forgotten
+    // one-shot drop rule (q129's oracle) restricted to the upper half
+    "q134_neardup_forget" ->
+      s"""$shinglesSql,
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |     count(*) AS inter
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |   GROUP BY 1, 2),
+         | neardrop AS (SELECT DISTINCT doc_b AS doc_id FROM inter
+         |   JOIN sz za ON doc_a = za.doc_id
+         |   JOIN sz zb ON doc_b = zb.doc_id
+         |   WHERE CAST(inter AS DOUBLE) /
+         |     CAST(za.n_sh + zb.n_sh - inter AS DOUBLE) >= 0.8),
+         | exactdrop AS (SELECT DISTINCT d.doc_id FROM documents d
+         |   JOIN documents e ON md5(e.text) = md5(d.text)
+         |     AND e.doc_id < d.doc_id),
+         | cut AS (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS c
+         |   FROM documents)
+         |SELECT doc_id
+         |FROM documents
+         |WHERE text IS NOT NULL
+         |  AND doc_id > (SELECT c FROM cut)
+         |  AND doc_id NOT IN (SELECT doc_id FROM neardrop)
+         |  AND doc_id NOT IN (SELECT doc_id FROM exactdrop)
+         |ORDER BY doc_id""".stripMargin,
     // near-dup ledger oracle: the ledger's two-batch admit decisions ≡
     // one-shot nearDupDrops on the union (spec-pinned parity under the
     // monotone-id contract), and one-shot's ANSI form is the q42

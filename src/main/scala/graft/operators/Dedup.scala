@@ -865,20 +865,39 @@ object Dedup {
   /** Persisted NEAR-dup ledger — the incremental twin of [[ledgerAdmit]]
     * for near-duplicates, and the operator a daily 100-TB ingest
     * actually runs: history-aware near-dup WITHOUT re-scanning or
-    * re-signaturing the historical corpus. The ledger is a parquet
-    * store of one row per distinct text ever seen — (doc, text_md5,
-    * hs: the sorted distinct shingle-hash array, mh0..mhN: the MinHash
-    * signature) — i.e. exactly the per-doc state [[nearDupDrops]]
-    * derives per run, persisted once.
+    * re-signaturing the historical corpus. The ledger is TWO parquet
+    * stores. The PRIMARY at `path` holds one row per distinct text ever
+    * seen — (doc, text_md5, hs: the sorted distinct shingle-hash array,
+    * mh0..mhN: the MinHash signature), exactly the per-doc state
+    * [[nearDupDrops]] derives per run, persisted once — partitioned by
+    * `db` = hash(doc) mod [[NdlDocBuckets]], so the verify stage's
+    * hs-array fetch (the WIDEST column in the store) reads only the
+    * buckets that hold actual candidates. The BAND STORE at
+    * `path + "_bands"` holds the exploded LSH band keys
+    * (band, kb, key, doc), partitioned by (band, kb) where
+    * kb = hash(key) mod [[NdlKeyBuckets]] — it exists so an admit's
+    * candidate probe does NOT re-derive band keys from every historical
+    * row's signature columns (an O(history) scan of the mh columns on
+    * the hottest operational path — at 10 B docs, ~1.3 TB per daily
+    * admit): the probe equi-joins the band store on (band, kb, key)
+    * with the batch's keys broadcast, so dynamic partition pruning
+    * skips every (band, kb) bucket the batch does not touch
+    * (ExplainCheck-pinned), and a bucket's rows are three narrow
+    * columns, not 16 signature columns.
     *
     * A batch admit is four bounded joins, none corpus-sized on the
     * batch side:
-    *   1. exact-vs-store: batch digests ⋉ store digests (16-byte keys);
+    *   1. exact-vs-store: batch digests ⋉ store digests (a full scan of
+    *      the primary's 16-byte digest column — the irreducible floor);
     *   2. exact-in-batch: min-id representative per batch digest;
-    *   3. near-vs-store: the batch reps' band keys equi-join the store's
-    *      band keys (derived on read from the stored signature — the
-    *      standard LSH banded join, batch × touched-buckets volume),
-    *      candidates exact-verified by Jaccard on the stored arrays;
+    *   3. near-vs-store: the batch reps' band keys probe the PERSISTED
+    *      band store (partition-pruned to the batch's (band, kb)
+    *      buckets), candidates exact-verified by Jaccard on the
+    *      primary's arrays — fetched through a (db, doc) equi-join so
+    *      partition pruning reads only the candidate docs' buckets.
+    *      Beyond [[NdlDppMaxReps]] batch reps both joins fall back to
+    *      plain shuffle equi-joins — same decisions, no driver-sized
+    *      broadcast (a batch that large touches every bucket anyway);
     *   4. near-in-batch: [[lshCandidatesFromSignatures]] over the batch
     *      reps + the same verify (drop the larger id).
     * ALL batch reps with novel digests are then appended — including
@@ -895,11 +914,20 @@ object Dedup {
     * [[nearDupDrops]] over the union of the batches: signatures are
     * doc-local (fixed permutation constants), so banding and verify see
     * the same pairs either way. Same crash-safe ordering as
-    * [[ledgerAdmit]] (`admittedOut` persists before the signature
-    * append; a crash between the two re-runs idempotently); rows with
-    * NULL `textCol` are dropped up front; the store path is fenced by
-    * the swapRewrite maintenance marker. Returns the admitted batch
-    * rows (original columns + text_md5).
+    * [[ledgerAdmit]] (`admittedOut` persists before the appends; a
+    * crash between re-runs idempotently). The band store appends
+    * BEFORE the primary: a crash between the two leaves band keys
+    * whose doc has no primary row — the verify join drops such
+    * candidates, and the batch re-run (digests still novel) re-appends
+    * both, so the dangling keys only ever ADD already-planned
+    * candidates (de-duplicated) — while the opposite order would leave
+    * primary signatures invisible to every future band probe (silent
+    * missed drops). A primary store with no band store (a pre-band
+    * layout, or a deleted band dir) is backfilled in place on the next
+    * admit — one O(history) derivation, then pruned probes forever.
+    * Rows with NULL `textCol` are dropped up front; BOTH store paths
+    * are fenced by the swapRewrite maintenance marker. Returns the
+    * admitted batch rows (original columns + text_md5).
     *
     * `hasher` is pluggable like [[nearDupDrops]]'s (pass `xxhash64(_)`
     * at production scale) — but the STORE is hasher-bound: signatures
@@ -919,6 +947,8 @@ object Dedup {
       admittedOut: Option[String] = None,
       hasher: Column => Column = hash60(_)): DataFrame = {
     graft.util.Fs.failIfUnderMaintenance(spark, path,
+      "nearDupLedgerAdmit")
+    graft.util.Fs.failIfUnderMaintenance(spark, ndlBandsPath(path),
       "nearDupLedgerAdmit")
     val numPerms = bands * rows
     val hPath = new org.apache.hadoop.fs.Path(path)
@@ -955,18 +985,21 @@ object Dedup {
       .withColumn("hs", coalesce(col("hs"), typedlit(Seq.empty[Long])))
       .select(storeCols.map(col): _*)
       .localCheckpoint()
+    val storeColsDb = storeCols :+ "db"
     val store =
       if (hasStore) {
         val s0 = spark.read.parquet(path)
-        val s = if (s0.columns.toSet == storeCols.toSet)
-          s0.select(storeCols.map(col): _*) else s0
-        if (s.columns.toSeq != storeCols) throw new IllegalStateException(
+        val s = if (s0.columns.toSet == storeColsDb.toSet)
+          s0.select(storeColsDb.map(col): _*) else s0
+        if (s.columns.toSeq != storeColsDb) throw new IllegalStateException(
           s"$path holds a near-dup ledger with a different geometry " +
             s"(columns ${s.columns.mkString(",")}; this call implies " +
-            s"${storeCols.mkString(",")}) — admit with the bands/rows " +
-            "the ledger was created with, or start a new store")
+            s"${storeColsDb.mkString(",")}) — admit with the bands/rows " +
+            "the ledger was created with (a pre-db-partition ledger " +
+            "migrates once via compactNearDupLedger), or start a new " +
+            "store")
         s
-      } else batchSig.limit(0)
+      } else batchSig.limit(0).withColumn("db", lit(0).cast("int"))
 
     def jaccardDrops(cands: DataFrame, left: DataFrame,
         right: DataFrame): DataFrame = cands
@@ -982,17 +1015,17 @@ object Dedup {
             .cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_b").as("doc"))
-    def bandKeys(sigDf: DataFrame, docAs: String): DataFrame = {
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band"), concat_ws("_",
-          (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
-          .as("key"))
-      }
-      sigDf.filter(col("mh0").isNotNull)
-        .select(col("doc").as(docAs), explode(array(bandCols: _*)).as("bk"))
-        .select(col(docAs), col("bk.band").as("band"),
-          col("bk.key").as("key"))
-    }
+    // the persisted band-key store: backfill it once when the primary
+    // predates it (or its dir was lost) — an O(history) derivation
+    // that buys every later admit its pruned probe
+    val bandsPath = ndlBandsPath(path)
+    val bPath = new org.apache.hadoop.fs.Path(bandsPath)
+    if (hasStore && !(fs.exists(bPath) && fs.listStatus(bPath).nonEmpty))
+      ndlWriteBands(ndlBandKeys(store, bands, rows), "overwrite",
+        bandsPath)
+    val bandStore =
+      if (hasStore) spark.read.parquet(bandsPath)
+      else ndlWithKb(ndlBandKeys(batchSig.limit(0), bands, rows))
 
     val exactVsStore = batchSig
       .join(store.select(col("text_md5")), Seq("text_md5"), "left_semi")
@@ -1000,10 +1033,40 @@ object Dedup {
     val exactInBatch = withMd5
       .join(reps.withColumnRenamed("doc", "rep"), Seq("text_md5"))
       .filter(col("doc") =!= col("rep")).select(col("doc"))
-    val candsVsStore = bandKeys(store, "doc_a")
-      .join(bandKeys(batchSig, "doc_b"), Seq("band", "key"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    val nearVsStore = jaccardDrops(candsVsStore, store, batchSig)
+    // candidate probe: batch band keys vs the PERSISTED band store.
+    // Broadcasting the batch side is what feeds dynamic partition
+    // pruning into the store scan (only the batch's (band, kb) buckets
+    // are read) — sound while the batch is daily-sized; a bulk backfill
+    // beyond NdlDppMaxReps reps would be an oversized broadcast, so it
+    // falls back to the plain shuffle equi-join (same decisions, and a
+    // batch that large touches every bucket anyway)
+    val batchKeys = ndlWithKb(
+      ndlBandKeys(batchSig, bands, rows)
+        .withColumnRenamed("doc", "doc_b"))
+    val smallBatch = batchSig.count() <= NdlDppMaxReps
+    val probe = if (smallBatch) broadcast(batchKeys) else batchKeys
+    val candsVsStore = bandStore.join(probe, Seq("band", "kb", "kh"))
+      .select(col("doc").as("doc_a"), col("doc_b")).distinct()
+    // verify fetch: the candidates' hs arrays come through a (db, doc)
+    // equi-join against the db-partitioned primary — broadcasting the
+    // candidate side feeds partition pruning into the hs scan, so the
+    // widest column in the store is read only for buckets that hold
+    // actual candidates
+    val candDb = candsVsStore.withColumn("db", ndlDb(col("doc_a")))
+    val nearVsStore = store
+      .select(col("db"), col("doc").as("doc_a"), col("hs").as("hs_a"))
+      .join(if (smallBatch) broadcast(candDb) else candDb,
+        Seq("db", "doc_a"))
+      .join(batchSig.select(col("doc").as("doc_b"), col("hs").as("hs_b")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter"))
+            .cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_b").as("doc"))
     val candsInBatch = lshCandidatesFromSignatures(
         batchSig.filter(col("mh0").isNotNull), bands, rows)
       .select(col("doc_a"), col("doc_b"))
@@ -1026,25 +1089,218 @@ object Dedup {
       admitted.write.mode("overwrite").parquet(out))
     // an all-duplicate batch (a daily re-run, a replayed feed) appends
     // NOTHING — an unconditional append would still write one empty
-    // part file per re-run and fragment the store for no information
-    if (!novel.isEmpty) novel.write.mode("append").parquet(path)
+    // part file per re-run and fragment the store for no information.
+    // Band keys land FIRST (see the scaladoc's crash-ordering note).
+    if (!novel.isEmpty) {
+      ndlWriteBands(ndlBandKeys(novel, bands, rows), "append", bandsPath)
+      ndlWritePrimary(novel, "append", path)
+    }
     admitted
   }
 
-  /** Compact the [[nearDupLedgerAdmit]] signature store — same
-    * accretion debt and same answer as [[compactDedupLedger]]: rewrite
-    * into `targetFiles` digest-hash-partitioned files through the
-    * fenced [[graft.util.Fs.swapRewrite]] protocol (a racing admit
-    * fails loudly at its fence check), collapsing any duplicate rows a
-    * historical race smuggled in. Returns the compacted row count. */
+  /** Number of doc buckets in the near-dup ledger's primary store — the
+    * partition-pruning granularity of the verify stage's hs fetch. A
+    * layout-baked constant like [[NdlKeyBuckets]] (a probe computed
+    * with a different modulus would silently miss every candidate's
+    * array). */
+  private val NdlDocBuckets = 32
+
+  private[graft] def ndlDb(doc: Column): Column =
+    pmod(xxhash64(doc), lit(NdlDocBuckets.toLong)).cast("int")
+
+  /** The primary store's one write discipline (append, compaction, and
+    * the forget rewrite): rows land partitioned by db = hash(doc) mod
+    * [[NdlDocBuckets]], pre-repartitioned so each touched bucket gets
+    * one file per write. */
+  private def ndlWritePrimary(rows: DataFrame, mode: String,
+      dest: String): Unit =
+    rows.withColumn("db", ndlDb(col("doc")))
+      .repartition(col("db"))
+      .write.mode(mode).partitionBy("db").parquet(dest)
+
+  /** Number of key buckets in the near-dup ledger's band store — the
+    * partition-pruning granularity of an admit's candidate probe. A
+    * constant, not a parameter, deliberately: the bucket of a key is
+    * baked into the store's layout, and a probe computed with a
+    * different modulus would silently miss every candidate (the same
+    * store-bound discipline as the hasher). `bands` × 32 partition
+    * dirs keeps directory counts tame at test scale while a daily
+    * batch still skips the buckets it does not touch; the partition
+    * dirs are coarse — parquet row-group stats on the sorted `key`
+    * column refine pruning inside each bucket at production scale. */
+  private val NdlKeyBuckets = 32
+
+  /** Batch-rep bound for the broadcast band probe (≈4× this many band
+    * keys on the wire). Daily batches sit far under it; bulk backfills
+    * beyond it take the shuffle path instead of an oversized
+    * broadcast. */
+  private val NdlDppMaxReps = 262144L
+
+  /** Sibling path of the near-dup ledger's persisted band-key store. */
+  private[graft] def ndlBandsPath(path: String): String = path + "_bands"
+
+  /** Explode a signature frame into LSH band keys: (doc, band, key) —
+    * one home for the banding spelling the store, the batch probe, and
+    * the backfill all share (a drifted copy would silently miss
+    * candidates). Unshingleable rows (NULL mh0) carry no band keys. */
+  private[graft] def ndlBandKeys(sigDf: DataFrame, bands: Int,
+      rows: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), concat_ws("_",
+        (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+        .as("key"))
+    }
+    sigDf.filter(col("mh0").isNotNull)
+      .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+  }
+
+  /** Band keys travel HASHED in the store and the probe: `kh` is the
+    * 8-byte xxhash64 of the concatenated key string (vs ~60 string
+    * bytes — the difference between the probe scan reading tens of MB
+    * and hundreds at history scale), and `kb` is its bucket. A hash
+    * collision can only ADD a candidate pair, never lose one (equal
+    * strings always hash equal), and every candidate is exact-verified
+    * by Jaccard downstream — so the admit DECISIONS are provably
+    * unchanged by the hashing. */
+  private[graft] def ndlWithKb(keys: DataFrame): DataFrame =
+    keys.withColumn("kh", xxhash64(col("key")))
+      .withColumn("kb",
+        pmod(col("kh"), lit(NdlKeyBuckets.toLong)).cast("int"))
+      .drop("key")
+
+  /** The band store's one write discipline (append and rewrite): keyed
+    * rows land partitioned by (band, kb), pre-repartitioned so each
+    * touched bucket gets one file per write, sorted by key hash within
+    * the file so parquet row-group stats refine the bucket-level
+    * pruning. */
+  private def ndlWriteBands(keys: DataFrame, mode: String,
+      dest: String): Unit =
+    ndlWithKb(keys)
+      .select(col("band"), col("kb"), col("kh"), col("doc"))
+      .repartition(col("band"), col("kb"))
+      .sortWithinPartitions(col("kh"))
+      .write.mode(mode).partitionBy("band", "kb").parquet(dest)
+
+  /** Rebuild the band store from the primary's signatures — the
+    * explicit form of the backfill [[nearDupLedgerAdmit]] runs when the
+    * band store is missing, for operators migrating a pre-band ledger
+    * ahead of their next ingest window. Geometry must match the
+    * ledger's (checked against the signature column count). Returns the
+    * band-key row count. */
+  def rebuildNearDupLedgerBands(spark: org.apache.spark.sql.SparkSession,
+      path: String, bands: Int = 4, rows: Int = 4): Long = {
+    val primary = spark.read.parquet(path)
+    val mh = primary.columns.count(_.startsWith("mh"))
+    require(bands * rows == mh,
+      s"band geometry ${bands}x$rows does not match the ledger's " +
+        s"$mh signature columns")
+    val bandsPath = ndlBandsPath(path)
+    val bPath = new org.apache.hadoop.fs.Path(bandsPath)
+    val fs = bPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(bPath))
+      graft.util.Fs.swapRewrite(spark, bandsPath)(tmp =>
+        ndlWriteBands(ndlBandKeys(primary, bands, rows), "overwrite",
+          tmp))
+    else
+      ndlWriteBands(ndlBandKeys(primary, bands, rows), "overwrite",
+        bandsPath)
+    spark.read.parquet(bandsPath).count()
+  }
+
+  /** Forget documents from the near-dup ledger — the takedown/opt-out
+    * verb. The SIGNATURE rows must STAY: the admit drop rule is
+    * "∃ ANY earlier doc within threshold", which is non-transitive
+    * (the same reasoning that keeps near-REJECTED reps in the store) —
+    * physically dropping a forgotten doc's signature would re-admit
+    * every later near-copy of its content. What goes is the doc's
+    * IDENTITY: its id is scrubbed to a deterministic digest-keyed
+    * NEGATIVE sentinel (ledger ids are numeric and non-negative under
+    * the documented ingest contract — the in-batch LSH pass requires
+    * long-orderable ids) in BOTH stores, via the fenced
+    * swapRewrite protocol (admits fail loudly for the window). The
+    * band store scrubs first; a crash between the two swaps re-runs
+    * idempotently (sentinels derive from the digest, so the mapping is
+    * stable across runs, and already-scrubbed band rows simply stop
+    * matching it). Admit decisions are bit-identical before and after
+    * (spec-pinned): the store side of every join carries the scrubbed
+    * id only as an opaque join key, and no decision compares store ids
+    * with batch ids. Returns the number of primary rows scrubbed. */
+  def nearDupLedgerForget(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): Long = {
+    val primary0 = spark.read.parquet(path)
+    val docType = primary0.schema("doc").dataType
+    val sentinel = (lit(-1L) - pmod(xxhash64(col("text_md5")),
+      lit(Long.MaxValue))).cast(docType)
+    val mapping = primary0
+      .join(ids.select(col(idCol).cast(docType).as("doc")).distinct(),
+        Seq("doc"), "left_semi")
+      .select(col("doc"), sentinel.as("new_doc"))
+      .localCheckpoint()
+    val nForgot = mapping.count()
+    if (nForgot == 0L) return 0L
+    val bandsPath = ndlBandsPath(path)
+    val bPath = new org.apache.hadoop.fs.Path(bandsPath)
+    val fs = bPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(bPath))
+      graft.util.Fs.swapRewrite(spark, bandsPath) { tmp =>
+        spark.read.parquet(bandsPath)
+          .join(broadcast(mapping), Seq("doc"), "left")
+          .select(col("band"), col("kb"), col("kh"),
+            coalesce(col("new_doc"), col("doc")).as("doc"))
+          .repartition(col("band"), col("kb"))
+          .sortWithinPartitions(col("kh"))
+          .write.mode("overwrite").partitionBy("band", "kb").parquet(tmp)
+      }
+    graft.util.Fs.swapRewrite(spark, path) { tmp =>
+      val s = spark.read.parquet(path)
+      val dataCols = s.columns.filter(_ != "db")
+      // db recomputes from the scrubbed id — the row MOVES to the
+      // sentinel's bucket, which is where the verify fetch (whose
+      // candidate side derives db from the band store's scrubbed id)
+      // will look for it
+      ndlWritePrimary(
+        s.join(broadcast(mapping), Seq("doc"), "left")
+          .withColumn("doc", coalesce(col("new_doc"), col("doc")))
+          .select(dataCols.map(col): _*),
+        "overwrite", tmp)
+    }
+    nForgot
+  }
+
+  /** Compact the [[nearDupLedgerAdmit]] stores — same accretion debt
+    * and same answer as [[compactDedupLedger]], applied to both halves:
+    * the primary rewrites each db bucket to one file, the band store
+    * each (band, kb) bucket to one key-sorted file (every admit batch
+    * appended one file per touched bucket), both through the fenced
+    * [[graft.util.Fs.swapRewrite]] protocol (a racing admit fails
+    * loudly at its fence check), collapsing any duplicate rows a
+    * historical race smuggled in. Also the one-time MIGRATION for a
+    * ledger written before the db partitioning existed (the rewrite
+    * derives db from the data columns either way). The band rewrite
+    * derives from the band store itself (its content is exactly the
+    * exploded keys, so no band geometry is needed); a missing band
+    * store is left for the next admit's backfill. Returns the
+    * compacted primary row count. */
   def compactNearDupLedger(spark: org.apache.spark.sql.SparkSession,
-      path: String, targetFiles: Int = 0): Long = {
-    val n = if (targetFiles > 0) targetFiles
-      else spark.sparkContext.defaultParallelism
-    graft.util.Fs.swapRewrite(spark, path)(tmp =>
-      spark.read.parquet(path).distinct()
-        .repartition(n, col("text_md5"))
-        .write.mode("overwrite").parquet(tmp))
+      path: String): Long = {
+    graft.util.Fs.swapRewrite(spark, path) { tmp =>
+      val s0 = spark.read.parquet(path)
+      val data = s0.columns.filter(_ != "db")
+      ndlWritePrimary(s0.select(data.map(col): _*).distinct(),
+        "overwrite", tmp)
+    }
+    val bandsPath = ndlBandsPath(path)
+    val bPath = new org.apache.hadoop.fs.Path(bandsPath)
+    val fs = bPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(bPath))
+      graft.util.Fs.swapRewrite(spark, bandsPath) { tmp =>
+        spark.read.parquet(bandsPath).distinct()
+          .repartition(col("band"), col("kb"))
+          .sortWithinPartitions(col("kh"))
+          .write.mode("overwrite").partitionBy("band", "kb").parquet(tmp)
+      }
     spark.read.parquet(path).count()
   }
 

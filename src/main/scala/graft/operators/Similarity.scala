@@ -577,11 +577,110 @@ object Similarity {
         round(org.apache.spark.sql.functions.expr("percentile(cos, 0.10)"),
           6).as(s"${prefix}_p10_cos"))
 
-  /** Load a persisted IVF index. */
+  /** Load a persisted IVF index. Tombstoned rows (see
+    * [[deleteFromIvfIndex]]) are excluded from the returned store, so
+    * every consumer — serve, recall probe, stats-free reads — sees the
+    * post-deletion corpus. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/assigned"))
+      dropTombstoned(spark, path, spark.read.parquet(s"$path/assigned")))
+
+  /** Delete vectors from a persisted index — the takedown/retention
+    * verb every real deployment is eventually legally required to run.
+    * Deletion is a TOMBSTONE append (`<path>/tombstones`, one id
+    * column): loads exclude tombstoned rows immediately (serve-time
+    * filtering), and the next [[compactIvfIndex]] / [[rebuildIvfIndex]]
+    * makes the removal PHYSICAL (rows dropped from the store files,
+    * tombstones cleared). Idempotent — re-deleting an id appends a
+    * duplicate tombstone that the distinct-on-read collapses and the
+    * next compaction clears. Fenced against a racing maintenance swap.
+    * Returns the number of distinct ids tombstoned by this call. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): Long =
+    appendTombstones(spark, path, s"$path/assigned", ids, idCol,
+      "deleteFromIvfIndex")
+
+  /** [[deleteFromIvfIndex]] for a persisted IVF+PQ index. */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): Long =
+    appendTombstones(spark, path, s"$path/codes", ids, idCol,
+      "deleteFromIvfPqIndex")
+
+  /** [[deleteFromIvfIndex]] for a persisted SQ8 index. */
+  def deleteFromSq8Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): Long =
+    appendTombstones(spark, path, s"$path/codes", ids, idCol,
+      "deleteFromSq8Index")
+
+  private def appendTombstones(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, storeDir: String, ids: DataFrame,
+      idCol: String, who: String): Long = {
+    // deletes are fenced like appends: a tombstone landing mid-swap
+    // would be cleared by the compaction without being applied
+    graft.util.Fs.failIfUnderMaintenance(spark, storeDir, who)
+    val ts = ids.select(col(idCol).as("neighbor_id")).distinct()
+      .localCheckpoint()
+    val n = ts.count()
+    if (n > 0)
+      ts.write.mode("append").parquet(s"$indexPath/tombstones")
+    n
+  }
+
+  /** Tombstone-set bound for the literal serve-time filter: up to this
+    * many deleted ids fold into an `isInCollection` FILTER on the store
+    * scan — a filter, unlike an anti-join, is transparent to the serve
+    * join's dynamic partition pruning (a join node between the scan and
+    * the cell equi-join would block DPP's scan extraction). Beyond the
+    * bound the exclusion falls back to a broadcast anti-join — correct,
+    * but the serve loses partition pruning until the next compaction
+    * physically drops the rows (compact on that cadence). */
+  private val MaxLiteralTombstones = 65536L
+
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val tp = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tp) && fs.listStatus(tp).nonEmpty)
+      Some(spark.read.parquet(tp.toString)
+        .select(col("neighbor_id")).distinct())
+    else None
+  }
+
+  private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, store: DataFrame): DataFrame =
+    tombstonesOf(spark, indexPath).map { ts =>
+      if (ts.limit((MaxLiteralTombstones + 1).toInt).count()
+          <= MaxLiteralTombstones) {
+        val dead = ts.collect().map(_.get(0))
+        if (dead.isEmpty) store
+        else store.filter(!col("neighbor_id").isInCollection(dead))
+      } else
+        store.join(broadcast(ts), Seq("neighbor_id"), "left_anti")
+    }.getOrElse(store)
+
+  /** Clear tombstone files that existed when a compaction snapshotted
+    * the store — called AFTER the swap promotes the physically-dropped
+    * rewrite. Only the pre-swap files go: a delete that lands in the
+    * gap between the swap completing and this cleanup appends a NEW
+    * file, which survives for the next cycle (nothing is ever
+    * un-deleted). */
+  private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      pre: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    pre.foreach(f => fs.delete(f, false))
+    if (fs.exists(tp) && fs.listStatus(tp).isEmpty) fs.delete(tp, true)
+  }
+
+  private def tombstoneFiles(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Seq[org.apache.hadoop.fs.Path] = {
+    val tp = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tp)) fs.listStatus(tp).map(_.getPath).toSeq
+    else Seq.empty
+  }
 
   /** Incremental index maintenance — the daily-embedding-ingest path:
     * new vectors are assigned to the EXISTING centroids (no retrain;
@@ -628,9 +727,17 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, maxRowsPerWriteTask: Long = 0): Long = {
     val store = s"$path/assigned"
+    // tombstoned rows are PHYSICALLY dropped here (the rewrite applies
+    // the serve-time exclusion to the files themselves), then the
+    // applied tombstone files clear — only the files that existed
+    // before the snapshot; a delete racing the post-swap gap keeps its
+    // new tombstone file for the next cycle
+    val pre = tombstoneFiles(spark, path)
     graft.util.Fs.swapRewrite(spark, store)(tmp =>
-      writeCellStore(spark.read.parquet(store), "overwrite", tmp,
+      writeCellStore(dropTombstoned(spark, path,
+        spark.read.parquet(store)), "overwrite", tmp,
         maxRowsPerWriteTask))
+    clearTombstones(spark, path, pre)
     spark.read.parquet(store).count()
   }
 
@@ -682,7 +789,12 @@ object Similarity {
       path: String, nCentroids: Int = 16, kmeansIters: Int = 4,
       refineIters: Int = 0, maxRowsPerWriteTask: Long = 0): Long = {
     graft.util.Fs.swapRewrite(spark, path) { tmp =>
-      val corpus = spark.read.parquet(s"$path/assigned")
+      // tombstoned rows are excluded from the retrain corpus AND never
+      // copied into the new store — the whole-dir swap then drops the
+      // old tombstones dir with the rest of the old generation, so the
+      // rebuild IS a physical delete
+      val corpus = dropTombstoned(spark, path,
+          spark.read.parquet(s"$path/assigned"))
         .select(col("neighbor_id"), col("cv")).localCheckpoint()
       saveIvfIndex(
         buildIvfIndex(corpus, "neighbor_id", "cv", nCentroids,
@@ -703,10 +815,18 @@ object Similarity {
       nCells: Int = 16, m: Int = 16, k: Int = 16,
       maxRowsPerWriteTask: Long = 0): Long = {
     graft.util.Fs.swapRewrite(spark, path) { tmp =>
+      // deleted ids must not resurrect through the caller's corpus: the
+      // rebuild applies the index's tombstones to it before retraining
+      // (the whole-dir swap then drops the old tombstones dir)
+      val live = tombstonesOf(spark, path)
+        .map(ts => corpus.join(
+          broadcast(ts.withColumnRenamed("neighbor_id", idCol)),
+          Seq(idCol), "left_anti"))
+        .getOrElse(corpus)
       saveIvfPqIndex(
-        buildIvfPqIndex(corpus, idCol, vecCol, nCells, m, k),
+        buildIvfPqIndex(live, idCol, vecCol, nCells, m, k),
         tmp, maxRowsPerWriteTask)
-      writeIvfPqErrBaseline(spark, tmp, corpus, idCol, vecCol)
+      writeIvfPqErrBaseline(spark, tmp, live, idCol, vecCol)
     }
     spark.read.parquet(s"$path/codes").count()
   }
@@ -1042,7 +1162,56 @@ object Similarity {
   def saveSq8Index(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").parquet(s"$path/codes")
   def loadSq8Index(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = spark.read.parquet(s"$path/codes")
+      path: String): DataFrame =
+    dropTombstoned(spark, path, spark.read.parquet(s"$path/codes"))
+
+  /** Incremental maintenance for the persisted SQ8 index — the
+    * training-free tier's whole selling point is that append is ONE
+    * map-only encode projection: no codebooks to freeze, nothing
+    * drifts, nothing needs retraining. Fenced like every ingest
+    * writer. Returns the appended count. */
+  def appendToSq8Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVecs: DataFrame, idCol: String,
+      vecCol: String): Long = {
+    graft.util.Fs.failIfUnderMaintenance(spark, s"$path/codes",
+      "appendToSq8Index")
+    val rows = buildSq8Index(newVecs, idCol, vecCol).localCheckpoint()
+    rows.write.mode("append").parquet(s"$path/codes")
+    rows.count()
+  }
+
+  /** Compact the appended SQ8 code store: rewrite to the session's
+    * default parallelism in files, physically dropping tombstoned rows
+    * ([[deleteFromSq8Index]]) and clearing the applied tombstones —
+    * same fenced swap + post-swap clear protocol as
+    * [[compactIvfIndex]]. Returns the compacted row count. */
+  def compactSq8Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 0): Long = {
+    val store = s"$path/codes"
+    val n = if (targetFiles > 0) targetFiles
+      else spark.sparkContext.defaultParallelism
+    val pre = tombstoneFiles(spark, path)
+    graft.util.Fs.swapRewrite(spark, store)(tmp =>
+      dropTombstoned(spark, path, spark.read.parquet(store))
+        .repartition(n, col("neighbor_id"))
+        .write.mode("overwrite").parquet(tmp))
+    clearTombstones(spark, path, pre)
+    spark.read.parquet(store).count()
+  }
+
+  /** Layout health of a persisted SQ8 store: (n_rows, n_files,
+    * n_tombstones) — files grow one set per append batch (compaction
+    * trigger), tombstones count rows awaiting physical drop. One
+    * zero-data-byte scan + the tombstone ids. */
+  def sq8IndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val nTs = tombstonesOf(spark, path).map(_.count()).getOrElse(0L)
+    spark.read.parquet(s"$path/codes")
+      .select(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("f")).as("n_files"))
+      .withColumn("n_tombstones", lit(nTs))
+  }
 
   /** SQ8 top-k serve: queries broadcast with a precomputed `Σq_j`; the
     * code scan scores each pair with the affine identity
@@ -1086,6 +1255,192 @@ object Similarity {
       vecCol: String, k: Int, rerank: Int = 32): DataFrame =
     sq8TopKFromIndex(buildSq8Index(corpus, idCol, vecCol), corpus,
       queries, idCol, vecCol, k, rerank)
+
+  /** IVF×SQ8: the cheapest-to-MAINTAIN composed ANN tier. Coarse cells
+    * bound WHICH rows are scored (the IVF equi-join + partition-pruned
+    * store, exactly like IVF+PQ), SQ8 bounds the BYTES per row (1
+    * byte/dim + two doubles — [[buildSq8Index]]'s affine codes), and
+    * because the per-vector quantization is TRAINING-FREE, nothing
+    * drifts but the centroids: the whole maintenance story is the
+    * existing [[ivfDriftReport]] monitor + [[rebuildIvfSq8Index]] —
+    * there are no codebooks to err-monitor, unlike IVF+PQ. Append is
+    * one map-only assign+encode projection. The rerank contract is
+    * q131's: with full probe and rerank ≥ corpus the serve equals
+    * brute force exactly. */
+  def buildIvfSq8Index(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, kmeansIters: Int = 4)
+      : (DataFrame, DataFrame) = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nCentroids,
+      kmeansIters)
+    // cv from assignCells is already the normalized vector — encode it
+    // directly (a second l2Normalize would perturb low bits)
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("neighbor_id"),
+        l2Normalize(col(vecCol)).as("cv")),
+      cents, "neighbor_id", "cv", keep = 1)
+      .select(col("neighbor_id"), col("cell"),
+        sq8EncodeCol(col("cv")).as("sq"))
+      .select(col("neighbor_id"), col("cell"), col("sq.vmin").as("vmin"),
+        col("sq.delta").as("delta"), col("sq.codes").as("codes"))
+      .repartition(col("cell"))
+    (cents, assigned)
+  }
+
+  /** Persist an IVF×SQ8 index: centroids + the code table partitioned
+    * BY CELL through the shared [[writeCellStore]] discipline (probes
+    * read only probed cells' partitions, each holding byte codes, not
+    * vectors). No codebook table — SQ8 is training-free. */
+  def saveIvfSq8Index(index: (DataFrame, DataFrame), path: String,
+      maxRowsPerWriteTask: Long = 0): Unit = {
+    val (cents, assigned) = index
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val codes =
+      if (maxRowsPerWriteTask > 0) assigned.localCheckpoint()
+      else assigned
+    writeCellStore(codes, "overwrite", s"$path/codes",
+      maxRowsPerWriteTask)
+  }
+
+  /** The frozen build-time drift baseline for a persisted IVF×SQ8
+    * index — [[ivfDriftReport]]'s persisted overload reads it from
+    * `$path/baseline`, so the EXISTING centroid-drift monitor covers
+    * this index unchanged (the one drifting component is the
+    * centroids). The code store keeps no raw vectors, so derive it
+    * while the build corpus is in hand — right after
+    * [[saveIvfSq8Index]], before any append (same soundness window as
+    * [[writeIvfPqErrBaseline]]). */
+  def writeIvfSq8Baseline(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String,
+      vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    cellBaseline(cents,
+      assignCells(
+        corpus.select(col(idCol).as("bid"),
+          l2Normalize(col(vecCol)).as("cv")),
+        cents, "bid", "cv", keep = 1)
+        .select(col("cell"), col("cv")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/baseline")
+  }
+
+  /** Load a persisted IVF×SQ8 index (tombstone-filtered, like every
+    * load). */
+  def loadIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/centroids"),
+      dropTombstoned(spark, path, spark.read.parquet(s"$path/codes")))
+
+  /** Incremental maintenance for the persisted IVF×SQ8 index: frozen
+    * centroids assign, the training-free encode quantizes — ONE
+    * map-only projection, nothing retrains, nothing to err-monitor.
+    * Fenced. Returns the appended count. */
+  def appendToIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVecs: DataFrame, idCol: String,
+      vecCol: String, maxRowsPerWriteTask: Long = 0): Long = {
+    graft.util.Fs.failIfUnderMaintenance(spark, s"$path/codes",
+      "appendToIvfSq8Index")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = assignCells(
+      newVecs.select(col(idCol).as("neighbor_id"),
+        l2Normalize(col(vecCol)).as("cv")),
+      cents, "neighbor_id", "cv", keep = 1)
+      .select(col("neighbor_id"), col("cell"),
+        sq8EncodeCol(col("cv")).as("sq"))
+      .select(col("neighbor_id"), col("cell"), col("sq.vmin").as("vmin"),
+        col("sq.delta").as("delta"), col("sq.codes").as("codes"))
+      .localCheckpoint()
+    writeCellStore(assigned, "append", s"$path/codes",
+      maxRowsPerWriteTask)
+    assigned.count()
+  }
+
+  /** Compact the appended IVF×SQ8 code store — same fenced swap,
+    * physical tombstone drop, and post-swap tombstone clear as
+    * [[compactIvfIndex]]. Returns the compacted row count. */
+  def compactIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxRowsPerWriteTask: Long = 0): Long =
+    compactIvfPqIndex(spark, path, maxRowsPerWriteTask)
+
+  /** [[deleteFromIvfIndex]] for a persisted IVF×SQ8 index. */
+  def deleteFromIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): Long =
+    appendTombstones(spark, path, s"$path/codes", ids, idCol,
+      "deleteFromIvfSq8Index")
+
+  /** [[ivfIndexStats]] for the IVF×SQ8 code store. */
+  def ivfSq8IndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = cellStoreStats(spark, s"$path/codes")
+
+  /** [[rebuildIvfIndex]] for a persisted IVF×SQ8 index. The code store
+    * keeps codes, not vectors, so the rebuild REQUIRES the corpus (the
+    * frame serves rerank from) — retrains centroids on it (minus the
+    * index's tombstones — deleted ids must not resurrect), re-encodes,
+    * and swaps the whole dir (centroids + codes + baseline)
+    * atomically. Returns the rebuilt row count. */
+  def rebuildIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, kmeansIters: Int = 4,
+      maxRowsPerWriteTask: Long = 0): Long = {
+    graft.util.Fs.swapRewrite(spark, path) { tmp =>
+      val live = tombstonesOf(spark, path)
+        .map(ts => corpus.join(
+          broadcast(ts.withColumnRenamed("neighbor_id", idCol)),
+          Seq(idCol), "left_anti"))
+        .getOrElse(corpus)
+      saveIvfSq8Index(
+        buildIvfSq8Index(live, idCol, vecCol, nCentroids, kmeansIters),
+        tmp, maxRowsPerWriteTask)
+      writeIvfSq8Baseline(spark, tmp, live, idCol, vecCol)
+    }
+    spark.read.parquet(s"$path/codes").count()
+  }
+
+  /** IVF×SQ8 top-k serve: queries argmax into their nProbe cells (the
+    * map-only kernel) and broadcast with a precomputed Σq; candidate
+    * generation is the cell EQUI-join against the (possibly
+    * partition-pruned) code store; scoring is the SQ8 affine identity;
+    * the top `rerank` candidates per query fetch true vectors and
+    * rerank by exact cosine. Full probe + rerank ≥ corpus ≡ brute
+    * force (spec-pinned, the q131 contract). */
+  def ivfSq8TopKFromIndex(index: (DataFrame, DataFrame),
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 4,
+      rerank: Int = 32): DataFrame = {
+    val (cents, codes) = index
+    val spark = corpus.sparkSession
+    val q = broadcast(
+      assignCells(queries.select(col(idCol).as("query_id"),
+          l2Normalize(col(vecCol)).as("qv")),
+        cents, "query_id", "qv", keep = nProbe)
+        .withColumn("qsum",
+          org.apache.spark.sql.functions
+            .aggregate(col("qv"), lit(0.0), (a, x) => a + x)))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = codes.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", col("vmin") * col("qsum") +
+        col("delta") * sq8DotCol(col("qv"), col("codes")))
+      .withColumn("adc_rank", Ranks.cutRank(spark, wAdc, rerank))
+      .filter(col("adc_rank") <= rerank)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      l2Normalize(col(vecCol)).as("cv"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(vecs, Seq("neighbor_id"))
+      .withColumn("cos_sim", round(dotCol(col("qv"), col("cv")), 6))
+      .withColumn("rank", Ranks.cutRank(spark, wCos, k))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+  }
+
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      rerank: Int = 32): DataFrame =
+    ivfSq8TopKFromIndex(
+      buildIvfSq8Index(corpus, idCol, vecCol, nCentroids),
+      corpus, queries, idCol, vecCol, k, nProbe, rerank)
 
   /** IVF+PQ: the composed large-scale ANN index (coarse cells bound WHICH
     * rows are scored, PQ codes bound the BYTES each scoring touches —
@@ -1137,7 +1492,7 @@ object Similarity {
       path: String): (DataFrame, PqCodebooks, DataFrame) =
     (spark.read.parquet(s"$path/centroids"),
       readCodebooks(spark, s"$path/codebooks"),
-      spark.read.parquet(s"$path/codes"))
+      dropTombstoned(spark, path, spark.read.parquet(s"$path/codes")))
 
   /** Incremental maintenance for the persisted IVF+PQ index — the
     * lifecycle twin of [[appendToIvfIndex]] for the memory-bounded
@@ -1176,9 +1531,13 @@ object Similarity {
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, maxRowsPerWriteTask: Long = 0): Long = {
     val store = s"$path/codes"
+    // same physical tombstone drop + clear as compactIvfIndex
+    val pre = tombstoneFiles(spark, path)
     graft.util.Fs.swapRewrite(spark, store)(tmp =>
-      writeCellStore(spark.read.parquet(store), "overwrite", tmp,
+      writeCellStore(dropTombstoned(spark, path,
+        spark.read.parquet(store)), "overwrite", tmp,
         maxRowsPerWriteTask))
+    clearTombstones(spark, path, pre)
     spark.read.parquet(store).count()
   }
 
@@ -1308,6 +1667,63 @@ object Similarity {
         Percentiles.roundHalfUp(
           hits.toDouble / math.max(truthN, 1L), 6))
     }.toDF("n_probe", "sample_n", "k", "hits", "truth_n", "recall")
+  }
+
+  /** The page-on-this operator: ONE per-index health row joining the
+    * three signals an operator otherwise reads separately — the drift
+    * report ([[ivfDriftReport]] against the frozen baseline, weighted
+    * by batch_n over has_baseline cells, exactly the filtering the
+    * drift scaladoc mandates), the measured recall SLA
+    * ([[ivfRecallProbe]] at the serving nProbe), and the store layout
+    * ([[ivfIndexStats]] + tombstone count) — with the decisions
+    * derived from CALLER thresholds: `rebuild_advised` when the
+    * weighted p10 drift exceeds `maxP10Drift` OR recall@k falls below
+    * `minRecall` (the r14 calibration: drift 0.00005 ⇔ recall 0.9625
+    * stays quiet, planted drift 0.663 ⇔ recall 0.75 pages — both
+    * spec-pinned); `compact_advised` when any cell accretes more than
+    * `maxFilesPerCell` files or tombstones await physical drop. Pure
+    * composition of three oracled/spec-pinned kernels; cost = one
+    * ∝-batch drift pass + the probe's sampled serves + a zero-data-byte
+    * layout scan. */
+  def ivfIndexHealthReport(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, vecCol: String,
+      sampleN: Int = 64, k: Int = 10, nProbe: Int = 2,
+      maxP10Drift: Double = 0.05, minRecall: Double = 0.9,
+      maxFilesPerCell: Int = 16): DataFrame = {
+    import spark.implicits._
+    val d = ivfDriftReport(spark, path, batch, idCol, vecCol)
+      .filter(col("has_baseline"))
+      .agg(coalesce(sum(col("batch_n")), lit(0L)).as("n"),
+        (sum(col("mean_drift") * col("batch_n")) /
+          sum(col("batch_n"))).as("md"),
+        (sum(col("p10_drift") * col("batch_n")) /
+          sum(col("batch_n"))).as("pd"))
+      .first()
+    val batchN = d.getAs[Long]("n")
+    // a batch that lands only in no-baseline cells has NO measurable
+    // drift (batchN = 0) — report zero drift and let recall carry the
+    // decision rather than NPE on the null aggregate
+    def safe(i: Int): Double = Option(d.get(i))
+      .map(x => Percentiles.roundHalfUp(x.asInstanceOf[Double], 6))
+      .getOrElse(0.0)
+    val meanDrift = safe(1)
+    val p10Drift = safe(2)
+    val recall = ivfRecallProbe(spark, path, sampleN, k, Seq(nProbe))
+      .select(col("recall")).first().getDouble(0)
+    val s = ivfIndexStats(spark, path)
+      .agg(max(col("n_files")).as("mf"), max(col("n_rows")).as("mr"),
+        sum(col("n_rows")).as("rows"))
+      .first()
+    val nTombstones = tombstonesOf(spark, path)
+      .map(_.count()).getOrElse(0L)
+    Seq((batchN, meanDrift, p10Drift, nProbe, k, recall,
+      s.getAs[Long]("rows"), s.getAs[Long]("mr"), s.getAs[Long]("mf"),
+      nTombstones,
+      p10Drift > maxP10Drift || recall < minRecall,
+      s.getAs[Long]("mf") > maxFilesPerCell || nTombstones > 0L))
+      .toDF("batch_n", "w_mean_drift", "w_p10_drift", "n_probe", "k",
+        "recall", "store_rows", "max_cell_rows", "max_cell_files",
+        "n_tombstones", "rebuild_advised", "compact_advised")
   }
 
   /** [[ivfRecallProbe]] for a persisted IVF+PQ index. The code store

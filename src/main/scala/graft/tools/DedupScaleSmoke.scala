@@ -591,15 +591,105 @@ object DedupScaleSmoke {
         }
       }
       admitted += time(s"batch 10 admit vs ${nDocs - ndlBatch}-doc " +
-        "history (cost ∝ batch)") {
+        "history (scan ∝ batch's buckets)") {
         Dedup.nearDupLedgerAdmit(spark, ndl,
           docs.filter(col("doc_id") >= 9 * ndlBatch),
           "doc_id", "text").count()
       }
+      // the layout claim, measured: an admit's candidate probe + verify
+      // fetch read a small fraction of the stores' bytes (the batch's
+      // touched band buckets + the candidates' db buckets — never the
+      // mh signature columns, never the full hs column). A/B the same
+      // decision fragment against the pre-band-store shape (band keys
+      // derived on read from every historical row's signature columns;
+      // hs fetched through an unpruned join), isolating store-scan I/O
+      // by checkpointing the batch state before measuring.
+      locally {
+        def measured(f: => Long): (Long, Long) = {
+          val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+          val tap = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                e: org.apache.spark.scheduler.SparkListenerTaskEnd)
+                : Unit =
+              if (e.taskMetrics != null)
+                bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+          }
+          spark.sparkContext.addSparkListener(tap)
+          val r = f
+          Thread.sleep(2000) // listener bus drains asynchronously
+          spark.sparkContext.removeSparkListener(tap)
+          (r, bytes.get)
+        }
+        val sig = Dedup.minHashSignatures(
+            docs.filter(col("doc_id") >= 9 * ndlBatch),
+            "doc_id", "text")
+          .withColumnRenamed("doc_id", "doc").localCheckpoint()
+        val keys = Dedup.ndlWithKb(Dedup.ndlBandKeys(sig, 4, 4)
+          .withColumnRenamed("doc", "doc_b")).localCheckpoint()
+        val primary = spark.read.parquet(ndl)
+        val (prunedPairs, prunedBytes) = measured {
+          val cands = spark.read.parquet(Dedup.ndlBandsPath(ndl))
+            .join(broadcast(keys), Seq("band", "kb", "kh"))
+            .select(col("doc").as("doc_a"), col("doc_b")).distinct()
+          primary.select(col("db"), col("doc").as("doc_a"), col("hs"))
+            .join(broadcast(cands.withColumn("db",
+              Dedup.ndlDb(col("doc_a")))), Seq("db", "doc_a"))
+            .count()
+        }
+        val (fullPairs, fullBytes) = measured {
+          val cands = Dedup.ndlWithKb(
+              Dedup.ndlBandKeys(primary, 4, 4)
+                .withColumnRenamed("doc", "doc_a"))
+            .join(broadcast(keys), Seq("band", "kb", "kh"))
+            .select(col("doc_a"), col("doc_b")).distinct()
+          primary.select(col("doc").as("doc_a"), col("hs"))
+            .join(broadcast(cands), Seq("doc_a"))
+            .count()
+        }
+        println(f"  probe+verify store I/O: band-store layout " +
+          f"$prunedBytes%,d bytes vs derive-on-read $fullBytes%,d " +
+          f"(${fullBytes.toDouble / prunedBytes}%.1fx) — " +
+          f"$prunedPairs pairs ≡ $fullPairs")
+        require(prunedPairs == fullPairs && prunedBytes < fullBytes,
+          s"band-store probe broke: $prunedPairs vs $fullPairs pairs, " +
+            s"$prunedBytes vs $fullBytes bytes")
+        // a 20k-doc batch touches every bucket, so the win above is
+        // column narrowing alone; partition pruning is the TRICKLE
+        // admit's lever (a takedown check, a small feed) — a 5-doc
+        // probe touches ~20 of 128 band buckets and a handful of db
+        // buckets, so its store I/O must be a small fraction of the
+        // full-scan path's
+        val sig5 = Dedup.minHashSignatures(
+            docs.filter(col("doc_id") >= 9 * ndlBatch &&
+              col("doc_id") < 9 * ndlBatch + 5), "doc_id", "text")
+          .withColumnRenamed("doc_id", "doc").localCheckpoint()
+        val keys5 = Dedup.ndlWithKb(Dedup.ndlBandKeys(sig5, 4, 4)
+          .withColumnRenamed("doc", "doc_b")).localCheckpoint()
+        val (_, trickleBytes) = measured {
+          val cands = spark.read.parquet(Dedup.ndlBandsPath(ndl))
+            .join(broadcast(keys5), Seq("band", "kb", "kh"))
+            .select(col("doc").as("doc_a"), col("doc_b")).distinct()
+          primary.select(col("db"), col("doc").as("doc_a"), col("hs"))
+            .join(broadcast(cands.withColumn("db",
+              Dedup.ndlDb(col("doc_a")))), Seq("db", "doc_a"))
+            .count()
+        }
+        println(f"  trickle (5-doc) probe+verify store I/O: " +
+          f"$trickleBytes%,d bytes = " +
+          f"${trickleBytes.toDouble / fullBytes}%.2fx of the " +
+          "full-scan path (partition pruning ∝ touched buckets)")
+        require(trickleBytes * 2 < fullBytes,
+          s"trickle probe read $trickleBytes of $fullBytes — bucket " +
+            "pruning is not engaging")
+      }
       println(s"  admitted: $admitted " +
         s"(one-shot survivors: ${nDocs - dropped})")
-      def ndlFiles(): Int = new java.io.File(ndl)
-        .listFiles().count(_.getName.startsWith("part-"))
+      def ndlFiles(): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.startsWith("part-")) 1 else 0
+        walk(new java.io.File(ndl))
+      }
       val ndlFragged = ndlFiles()
       val ndlRows = time("compactNearDupLedger")(
         Dedup.compactNearDupLedger(spark, ndl))

@@ -354,6 +354,23 @@ object ExplainCheck {
           .queryExecution.executedPlan.toString
         check("ivfIndexStats scan prunes every data column " +
           "(ReadSchema: struct<>)", sp.contains("ReadSchema: struct<>"))
+        // deletion must not cost the serve its partition pruning: the
+        // tombstone exclusion folds into a FILTER on the scan (not an
+        // anti-join between the scan and the cell join, which would
+        // block DPP's scan extraction) — serve a deleted index and
+        // assert the dynamic pruning survives alongside the filter
+        graft.operators.Similarity.deleteFromIvfIndex(spark, path,
+          e.filter(col("vec_id") >= 3 && col("vec_id") < 8)
+            .select("vec_id"), "vec_id")
+        val servedDel = graft.operators.Similarity.ivfTopKFromIndex(
+          graft.operators.Similarity.loadIvfIndex(spark, path),
+          e.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 3, nProbe = 2)
+        servedDel.count()
+        val pd = servedDel.queryExecution.executedPlan.toString
+        check("tombstone-filtered serve keeps dynamic partition pruning",
+          pd.contains("dynamicpruningexpression(cast(cell") &&
+            pd.contains("NOT neighbor_id"))
       } finally graft.util.Fs.deleteRecursively(path)
     }
     // drift monitor: both corpus-sized argmax passes (build assignment
@@ -417,6 +434,52 @@ object ExplainCheck {
       check("in-memory serve sizes its probe side at runtime " +
         "(REPARTITION_BY_COL exchanges feed the cell join)",
         "REPARTITION_BY_COL".r.findAllIn(fp).length >= 2)
+    }
+    // the near-dup ledger's persisted band store exists so an admit's
+    // candidate probe reads ∝ the batch's touched buckets, not the
+    // whole history: the probe equi-join on the (band, kb) partition
+    // columns must feed dynamic partition pruning into the band-store
+    // scan (the same DPP mechanism as the IVF serve above). The probe
+    // below is assembled from the very helpers the admit uses
+    // (ndlBandKeys/ndlWithKb — one home for the banding spelling).
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_explain_ndl").toString
+      val ledger = s"$root/ledger"
+      try {
+        graft.operators.Dedup.nearDupLedgerAdmit(spark, ledger,
+          docs, "doc_id", "text")
+        val batch = docs.filter(col("doc_id") < 40)
+        val sig = graft.operators.Dedup.minHashSignatures(
+          batch, "doc_id", "text").withColumnRenamed("doc_id", "doc")
+        val probe = spark.read.parquet(
+            graft.operators.Dedup.ndlBandsPath(ledger))
+          .join(broadcast(graft.operators.Dedup.ndlWithKb(
+            graft.operators.Dedup.ndlBandKeys(sig, 4, 4)
+              .withColumnRenamed("doc", "doc_b"))),
+            Seq("band", "kb", "kh"))
+          .select(col("doc").as("doc_a"), col("doc_b")).distinct()
+        probe.count()
+        val p = probe.queryExecution.executedPlan.toString
+        check("near-dup ledger band probe gets dynamic partition " +
+          "pruning on the band store's (band, kb) buckets",
+          p.contains("dynamicpruningexpression"))
+        // ...and the verify stage's hs fetch prunes the PRIMARY store
+        // to the candidates' db buckets — the widest column in the
+        // ledger is only read where candidates actually live
+        val verify = spark.read.parquet(ledger)
+          .select(col("db"), col("doc").as("doc_a"), col("hs"))
+          .join(broadcast(probe.withColumn("db",
+            pmod(xxhash64(col("doc_a")), lit(32L)).cast("int"))),
+            Seq("db", "doc_a"))
+        verify.count()
+        val vp = verify.queryExecution.executedPlan.toString
+        check("near-dup ledger verify fetch gets dynamic partition " +
+          "pruning on the primary's db buckets",
+          vp.contains("dynamicpruningexpression"))
+      } finally graft.util.Fs.deleteRecursively(root)
     }
     println("all plan assertions hold")
     spark.stop()

@@ -2417,16 +2417,25 @@ class PipelineOpsSpec extends SparkTestBase {
           bands = 2, rows = 4)
       }
       assert(gex.getMessage.contains("geometry"))
-      // compaction: bounds the file count, keeps the signature set and
-      // all future decisions identical
-      def partFiles(): Int = new java.io.File(dir)
-        .listFiles().count(_.getName.startsWith("part-"))
-      assert(partFiles() >= 3)
+      // compaction: bounds the file count (one file per touched db
+      // bucket in the primary, one per (band, kb) bucket in the band
+      // store), keeps the signature set and all future decisions
+      // identical
+      def partFiles(d: String): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else Seq(f).filter(_.getName.startsWith("part-"))
+        walk(new java.io.File(d))
+      }
+      assert(partFiles(dir).size >= 3) // ≥ one file set per batch
       val sigs = spark.read.parquet(dir)
         .collect().map(_.getString(1)).toSet
-      assert(Dedup.compactNearDupLedger(spark, dir, targetFiles = 2)
-        === rowsBefore)
-      assert(partFiles() <= 2)
+      assert(Dedup.compactNearDupLedger(spark, dir) === rowsBefore)
+      // every bucket dir holds exactly one file post-compaction
+      assert(partFiles(dir).groupBy(_.getParent).values
+        .forall(_.size == 1))
+      assert(partFiles(Dedup.ndlBandsPath(dir)).groupBy(_.getParent)
+        .values.forall(_.size == 1))
       assert(spark.read.parquet(dir)
         .collect().map(_.getString(1)).toSet === sigs)
       // post-compaction decisions: exact dup of history still rejected,
@@ -2456,6 +2465,180 @@ class PipelineOpsSpec extends SparkTestBase {
           .select("doc_id").collect().map(_.getLong(0))
       }.toSet
       assert(gotXx === expected)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("index deletion: tombstoned ids leave every serve immediately, " +
+      "compaction and rebuild drop them physically (raw store reads " +
+      "lose the rows), recall/drift stay consistent, the fence holds") {
+    import org.apache.hadoop.fs.Path
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_delete").toString
+    try {
+      // --- IVF ------------------------------------------------------
+      val ivf = s"$root/ivf"
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding"), ivf)
+      val queries = emb.filter(col("vec_id") < 3)
+      val before = Similarity.ivfTopKFromIndex(
+        Similarity.loadIvfIndex(spark, ivf), queries, "vec_id",
+        "embedding", k = 5, nProbe = 16)
+      // delete exactly the ids the pre-delete serve returned: the
+      // post-delete serve must contain NONE of them, and equal a serve
+      // over the corpus minus those ids
+      val dead = before.select(col("neighbor_id")).distinct()
+        .localCheckpoint()
+      val deadIds = dead.collect().map(_.getLong(0)).toSet
+      assert(Similarity.deleteFromIvfIndex(spark, ivf, dead,
+        "neighbor_id") === deadIds.size.toLong)
+      val served = Similarity.ivfTopKFromIndex(
+        Similarity.loadIvfIndex(spark, ivf), queries, "vec_id",
+        "embedding", k = 5, nProbe = 16).localCheckpoint()
+      assert(served.filter(col("neighbor_id")
+        .isInCollection(deadIds.toSeq)).isEmpty)
+      val oracle = Similarity.bruteForceTopK(
+        emb.filter(!col("vec_id").isInCollection(deadIds.toSeq)),
+        queries, "vec_id", "embedding", k = 5)
+      assert(served.except(oracle).isEmpty &&
+        oracle.except(served).isEmpty)
+      // recall probe samples from the tombstone-filtered store: no
+      // deleted id may appear as a sampled query or a truth neighbor,
+      // and full probe still recalls exactly 1.0 on the live rows
+      val probe = Similarity.ivfRecallProbe(spark, ivf, sampleN = 16,
+        k = 5, nProbes = Seq(16))
+      assert(probe.filter(col("recall") =!= 1.0).isEmpty)
+      // drift report stays consistent: frozen baseline + centroids are
+      // untouched by deletion, so the report still runs and every cell
+      // the batch lands in has its baseline
+      val drift = Similarity.ivfDriftReport(spark, ivf,
+        emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
+      assert(drift.filter(!col("has_baseline")).isEmpty)
+      // compaction makes the delete physical: a RAW read of the store
+      // files (no tombstone filter) no longer contains the ids, the row
+      // count drops accordingly, the tombstone dir clears, and the
+      // serve is unchanged
+      val rows = spark.read.parquet(s"$ivf/assigned").count()
+      assert(spark.read.parquet(s"$ivf/assigned")
+        .filter(col("neighbor_id").isInCollection(deadIds.toSeq))
+        .count() === deadIds.size.toLong) // pre-compaction: still on disk
+      assert(Similarity.compactIvfIndex(spark, ivf)
+        === rows - deadIds.size)
+      assert(spark.read.parquet(s"$ivf/assigned")
+        .filter(col("neighbor_id").isInCollection(deadIds.toSeq))
+        .isEmpty) // post-compaction: physically gone
+      val fs = new Path(ivf)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new Path(s"$ivf/tombstones")))
+      val postCompact = Similarity.ivfTopKFromIndex(
+        Similarity.loadIvfIndex(spark, ivf), queries, "vec_id",
+        "embedding", k = 5, nProbe = 16)
+      assert(postCompact.except(served).isEmpty &&
+        served.except(postCompact).isEmpty)
+      // fence: a delete racing a maintenance window fails loudly
+      val marker = new Path(
+        graft.util.Fs.maintenanceMarkerPath(s"$ivf/assigned"))
+      fs.create(marker, true).close()
+      intercept[IllegalStateException] {
+        Similarity.deleteFromIvfIndex(spark, ivf,
+          emb.limit(1).select("vec_id"), "vec_id")
+      }
+      fs.delete(marker, false)
+      // rebuild after a fresh delete is also a physical drop: the new
+      // generation holds neither the rows nor a tombstones dir
+      val survivor = served.limit(1).select("neighbor_id")
+        .first().getLong(0)
+      Similarity.deleteFromIvfIndex(spark, ivf,
+        Seq(survivor).toDF("vec_id"), "vec_id")
+      val liveRows = spark.read.parquet(s"$ivf/assigned").count() - 1
+      assert(Similarity.rebuildIvfIndex(spark, ivf) === liveRows)
+      assert(!fs.exists(new Path(s"$ivf/tombstones")))
+      // --- IVF+PQ: serve exclusion + corpus-resurrection guard -------
+      val pq = s"$root/ivfpq"
+      Similarity.saveIvfPqIndex(
+        Similarity.buildIvfPqIndex(emb, "vec_id", "embedding"), pq)
+      Similarity.deleteFromIvfPqIndex(spark, pq, dead, "neighbor_id")
+      val pqServed = Similarity.ivfPqTopKFromIndex(
+        Similarity.loadIvfPqIndex(spark, pq), emb, queries, "vec_id",
+        "embedding", k = 5, nProbe = 16, rerank = 1000)
+      assert(pqServed.filter(col("neighbor_id")
+        .isInCollection(deadIds.toSeq)).isEmpty)
+      assert(Similarity.rebuildIvfPqIndex(spark, pq, emb, "vec_id",
+        "embedding") === emb.count() - deadIds.size)
+      // --- SQ8: serve exclusion + physical compaction ----------------
+      val sq = s"$root/sq8"
+      Similarity.saveSq8Index(
+        Similarity.buildSq8Index(emb, "vec_id", "embedding"), sq)
+      Similarity.deleteFromSq8Index(spark, sq, dead, "neighbor_id")
+      val sqServed = Similarity.sq8TopKFromIndex(
+        Similarity.loadSq8Index(spark, sq), emb, queries, "vec_id",
+        "embedding", k = 5, rerank = 1000)
+      assert(sqServed.filter(col("neighbor_id")
+        .isInCollection(deadIds.toSeq)).isEmpty)
+      assert(Similarity.compactSq8Index(spark, sq)
+        === emb.count() - deadIds.size)
+      assert(spark.read.parquet(s"$sq/codes")
+        .filter(col("neighbor_id").isInCollection(deadIds.toSeq))
+        .isEmpty)
+      assert(!fs.exists(new Path(s"$sq/tombstones")))
+      assert(Similarity.sq8IndexStats(spark, sq)
+        .first().getAs[Long]("n_tombstones") === 0L)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("nearDupLedgerForget: scrubs the id from both stores, keeps the " +
+      "signature's drop power, is idempotent, and leaves later " +
+      "decisions bit-identical") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ndl_forget").toString
+    val dir = s"$root/ledger"
+    try {
+      val base = "the quick brown fox jumps over the lazy dog and then " +
+        "runs far away into the deep dark forest tonight"
+      val other = "completely different short text about spark plans " +
+        "and shuffle exchanges in a distributed engine runtime"
+      assert(Dedup.nearDupLedgerAdmit(spark, dir,
+        Seq((100L, base), (101L, other)).toDF("doc_id", "text"),
+        "doc_id", "text").count() === 2L)
+      // forget doc 100 — the takedown: its id must leave both stores...
+      assert(Dedup.nearDupLedgerForget(spark, dir,
+        Seq(100L).toDF("doc_id"), "doc_id") === 1L)
+      val store = spark.read.parquet(dir)
+      val bandStore = spark.read.parquet(Dedup.ndlBandsPath(dir))
+      assert(store.filter(col("doc") === 100L).isEmpty)
+      assert(bandStore.filter(col("doc") === 100L).isEmpty)
+      assert(store.count() === 2L) // ...but its SIGNATURE row stays
+      val sentinels = store.filter(col("doc") < 0L)
+        .select("doc").collect().map(_.getLong(0))
+      assert(sentinels.length === 1)
+      // the scrubbed row still carries band keys under the sentinel id
+      assert(bandStore.filter(col("doc") === sentinels(0)).count() > 0)
+      // ...because the drop rule needs it: an exact dup AND a near-dup
+      // of the forgotten content must still be rejected, while novel
+      // content admits — decisions bit-identical to an unforgotten run
+      val b2 = Seq((200L, base), (201L, base + " tail1"),
+        (202L, "fresh novel content named alpha beta gamma delta " +
+          "epsilon zeta eta theta iota kappa lambda mu nu xi"))
+        .toDF("doc_id", "text")
+      val after = Dedup.nearDupLedgerAdmit(spark, dir, b2,
+        "doc_id", "text").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(after === Set(202L))
+      // idempotence: the id is gone, so a re-forget scrubs nothing
+      assert(Dedup.nearDupLedgerForget(spark, dir,
+        Seq(100L).toDF("doc_id"), "doc_id") === 0L)
+      // crash between the two swaps: re-running forget for OTHER ids
+      // leaves the earlier sentinels untouched (digest-keyed mapping),
+      // and the compactor keeps the scrubbed rows
+      assert(Dedup.nearDupLedgerForget(spark, dir,
+        Seq(101L).toDF("doc_id"), "doc_id") === 1L)
+      Dedup.compactNearDupLedger(spark, dir)
+      val compacted = spark.read.parquet(dir)
+      assert(compacted.count() === 4L)
+      assert(compacted.filter(col("doc").isin(100L, 101L)).isEmpty)
+      assert(Dedup.nearDupLedgerAdmit(spark, dir,
+        Seq((300L, other + " tail3")).toDF("doc_id", "text"),
+        "doc_id", "text").count() === 0L) // near-dup of forgotten 101
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
@@ -2792,6 +2975,146 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.getAs[Seq[Int]]("codes").forall(_ === 0))
     // l2-normalized constant 8-dim vector has every element 1/sqrt(8)
     assert(math.abs(r.getAs[Double]("vmin") - 1.0 / math.sqrt(8)) < 1e-15)
+  }
+
+  test("ivfSq8: full probe + rerank ≥ corpus equals brute force; " +
+      "save/load serves identically; frozen-centroid append ≡ the " +
+      "one-shot encode of the union; drift monitor + fence hold") {
+    import org.apache.hadoop.fs.Path
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    val built = Similarity.buildIvfSq8Index(e, "vec_id", "embedding",
+      nCentroids = 8)
+    // full probe + rerank ≥ corpus makes the index a pure router: the
+    // q131 contract, composed with cells
+    val full = Similarity.ivfSq8TopKFromIndex(built, e, qs, "vec_id",
+      "embedding", k = 3, nProbe = 8, rerank = n)
+    val brute = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", 3)
+    assert(full.except(brute).isEmpty && brute.except(full).isEmpty)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfsq8").toString
+    val dir = s"$root/idx"
+    try {
+      // save 80%, baseline, append the rest with FROZEN centroids: the
+      // store must equal the one-shot frozen encode of the union
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val batch = e.filter(col("vec_id") % 5 === 0)
+      val baseIdx = Similarity.buildIvfSq8Index(base, "vec_id",
+        "embedding", nCentroids = 8)
+      Similarity.saveIvfSq8Index(baseIdx, dir)
+      Similarity.writeIvfSq8Baseline(spark, dir, base, "vec_id",
+        "embedding")
+      assert(Similarity.appendToIvfSq8Index(spark, dir, batch,
+        "vec_id", "embedding") === batch.count())
+      val stored = spark.read.parquet(s"$dir/codes")
+        .select(col("neighbor_id"), col("cell").cast("long").as("cell"),
+          col("vmin"), col("delta"), col("codes"))
+      val oneShot = Similarity.assignCells(
+          e.select(col("vec_id").as("neighbor_id"),
+            Similarity.l2Normalize(col("embedding")).as("cv")),
+          baseIdx._1, "neighbor_id", "cv", keep = 1)
+        .select(col("neighbor_id"), col("cell"),
+          Similarity.sq8EncodeCol(col("cv")).as("sq"))
+        .select(col("neighbor_id"), col("cell"),
+          col("sq.vmin").as("vmin"), col("sq.delta").as("delta"),
+          col("sq.codes").as("codes"))
+      assert(stored.except(oneShot).isEmpty &&
+        oneShot.except(stored).isEmpty)
+      // the EXISTING drift monitor covers this index unchanged (the
+      // one drifting component is the centroids)
+      val drift = Similarity.ivfDriftReport(spark, dir, batch,
+        "vec_id", "embedding")
+      assert(drift.filter(col("has_baseline")).count() > 0)
+      // serve from the loaded index ≡ serve from the in-memory build
+      val loaded = Similarity.loadIvfSq8Index(spark, dir)
+      val unionIdx = (baseIdx._1, stored)
+      val servedL = Similarity.ivfSq8TopKFromIndex(loaded, e, qs,
+        "vec_id", "embedding", k = 3, nProbe = 8, rerank = n)
+      val servedM = Similarity.ivfSq8TopKFromIndex(unionIdx, e, qs,
+        "vec_id", "embedding", k = 3, nProbe = 8, rerank = n)
+      assert(servedL.except(servedM).isEmpty &&
+        servedM.except(servedL).isEmpty)
+      // compaction bounds files; fence blocks a racing append; delete
+      // excludes immediately and compaction drops physically
+      assert(Similarity.compactIvfSq8Index(spark, dir) === e.count())
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(
+        graft.util.Fs.maintenanceMarkerPath(s"$dir/codes"))
+      fs.create(marker, true).close()
+      intercept[IllegalStateException] {
+        Similarity.appendToIvfSq8Index(spark, dir, e.limit(2),
+          "vec_id", "embedding")
+      }
+      fs.delete(marker, false)
+      Similarity.deleteFromIvfSq8Index(spark, dir,
+        e.limit(7).select("vec_id"), "vec_id")
+      assert(Similarity.loadIvfSq8Index(spark, dir)._2.count()
+        === e.count() - 7)
+      // rebuild with tombstones PENDING: retrains on the caller corpus
+      // minus the tombstoned ids (no resurrection) and the whole-dir
+      // swap drops the tombstones with the old generation
+      assert(Similarity.rebuildIvfSq8Index(spark, dir, e, "vec_id",
+        "embedding", nCentroids = 8) === e.count() - 7)
+      assert(!fs.exists(new Path(s"$dir/tombstones")))
+      assert(Similarity.ivfDriftReport(spark, dir, batch, "vec_id",
+        "embedding").filter(col("has_baseline")).count() > 0)
+      // a tombstone-free compaction is a pure relayout
+      assert(Similarity.compactIvfSq8Index(spark, dir)
+        === e.count() - 7)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("ivfIndexHealthReport: quiet on the build corpus, pages on " +
+      "planted drift and recall collapse, flags accreted files and " +
+      "pending tombstones") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val drifted = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), zip_with(col("embedding"),
+        reverse(col("embedding")),
+        (a, b) => a * lit(0.2) + b * lit(0.8)).as("embedding"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_health").toString
+    val dir = s"$root/idx"
+    try {
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(base, "vec_id", "embedding",
+          nCentroids = 8), dir)
+      // the build corpus profiled against its own baseline: zero
+      // drift, full-probe recall 1.0 → quiet on both axes
+      val healthy = Similarity.ivfIndexHealthReport(spark, dir, base,
+        "vec_id", "embedding", sampleN = 16, k = 3, nProbe = 8).first()
+      assert(!healthy.getAs[Boolean]("rebuild_advised"))
+      assert(!healthy.getAs[Boolean]("compact_advised"))
+      assert(healthy.getAs[Double]("recall") === 1.0)
+      assert(math.abs(healthy.getAs[Double]("w_p10_drift")) < 0.01)
+      // planted drift (the rebuild spec's plant) pages the rebuild
+      // axis even at a recall-friendly nProbe
+      val paged = Similarity.ivfIndexHealthReport(spark, dir, drifted,
+        "vec_id", "embedding", sampleN = 16, k = 3, nProbe = 8,
+        maxP10Drift = 0.05).first()
+      assert(paged.getAs[Double]("w_p10_drift") > 0.05)
+      assert(paged.getAs[Boolean]("rebuild_advised"))
+      // a starved nProbe SLA pages through the recall axis even with
+      // zero drift
+      val lowRecall = Similarity.ivfIndexHealthReport(spark, dir, base,
+        "vec_id", "embedding", sampleN = 16, k = 3, nProbe = 1,
+        minRecall = 0.999).first()
+      assert(lowRecall.getAs[Boolean]("rebuild_advised"))
+      // appends accrete files per cell; tombstones await drop — both
+      // flag the compact axis
+      Similarity.appendToIvfIndex(spark, dir, drifted, "vec_id",
+        "embedding")
+      Similarity.deleteFromIvfIndex(spark, dir,
+        base.limit(2).select("vec_id"), "vec_id")
+      val accreted = Similarity.ivfIndexHealthReport(spark, dir, base,
+        "vec_id", "embedding", sampleN = 16, k = 3, nProbe = 8,
+        maxFilesPerCell = 1).first()
+      assert(accreted.getAs[Boolean]("compact_advised"))
+      assert(accreted.getAs[Long]("n_tombstones") === 2L)
+    } finally graft.util.Fs.deleteRecursively(root)
   }
 
   test("multimodal: decode stub is deterministic, frame sampling rebuilds payload") {
