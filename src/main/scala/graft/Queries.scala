@@ -2609,7 +2609,10 @@ object Queries {
     * never-forgotten q129 run — which is what the oracle computes (the
     * one-shot union drop rule restricted to the upper half). */
   private def q134(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    // the even-id half: the entry pays two ledger builds plus two
+    // fenced store rewrites, so it runs on half the corpus (the admit
+    // semantics are q129's — already exercised at full size there)
+    val d = docs(s, dir).filter(col("doc_id") % 2 === 0)
     val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
     val path = java.nio.file.Files
       .createTempDirectory("graft_q134_ndlf").toString
@@ -6449,7 +6452,8 @@ object Queries {
     // one-shot drop rule (q129's oracle) restricted to the upper half
     "q134_neardup_forget" ->
       s"""$shinglesSql,
-         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr
+         |   WHERE doc_id % 2 = 0),
          | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |     count(*) AS inter
@@ -6462,12 +6466,13 @@ object Queries {
          |     CAST(za.n_sh + zb.n_sh - inter AS DOUBLE) >= 0.8),
          | exactdrop AS (SELECT DISTINCT d.doc_id FROM documents d
          |   JOIN documents e ON md5(e.text) = md5(d.text)
-         |     AND e.doc_id < d.doc_id),
+         |     AND e.doc_id < d.doc_id AND e.doc_id % 2 = 0
+         |   WHERE d.doc_id % 2 = 0),
          | cut AS (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS c
-         |   FROM documents)
+         |   FROM documents WHERE doc_id % 2 = 0)
          |SELECT doc_id
          |FROM documents
-         |WHERE text IS NOT NULL
+         |WHERE text IS NOT NULL AND doc_id % 2 = 0
          |  AND doc_id > (SELECT c FROM cut)
          |  AND doc_id NOT IN (SELECT doc_id FROM neardrop)
          |  AND doc_id NOT IN (SELECT doc_id FROM exactdrop)

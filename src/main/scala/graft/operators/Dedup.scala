@@ -874,8 +874,10 @@ object Dedup {
     * hs-array fetch (the WIDEST column in the store) reads only the
     * buckets that hold actual candidates. The BAND STORE at
     * `path + "_bands"` holds the exploded LSH band keys
-    * (band, kb, key, doc), partitioned by (band, kb) where
-    * kb = hash(key) mod [[NdlKeyBuckets]] — it exists so an admit's
+    * (kb, band, kh, doc) — kh the 8-byte key hash, partitioned by
+    * kb = kh mod [[NdlKeyBuckets]] (kb alone: kh determines kb, so a
+    * band split would quadruple the directory/file counts for zero
+    * extra pruning) — it exists so an admit's
     * candidate probe does NOT re-derive band keys from every historical
     * row's signature columns (an O(history) scan of the mh columns on
     * the hottest operational path — at 10 B docs, ~1.3 TB per daily
@@ -891,7 +893,7 @@ object Dedup {
     *      the primary's 16-byte digest column — the irreducible floor);
     *   2. exact-in-batch: min-id representative per batch digest;
     *   3. near-vs-store: the batch reps' band keys probe the PERSISTED
-    *      band store (partition-pruned to the batch's (band, kb)
+    *      band store (partition-pruned to the batch's kb
     *      buckets), candidates exact-verified by Jaccard on the
     *      primary's arrays — fetched through a (db, doc) equi-join so
     *      partition pruning reads only the candidate docs' buckets.
@@ -1123,10 +1125,11 @@ object Dedup {
     * constant, not a parameter, deliberately: the bucket of a key is
     * baked into the store's layout, and a probe computed with a
     * different modulus would silently miss every candidate (the same
-    * store-bound discipline as the hasher). `bands` × 32 partition
-    * dirs keeps directory counts tame at test scale while a daily
-    * batch still skips the buckets it does not touch; the partition
-    * dirs are coarse — parquet row-group stats on the sorted `key`
+    * store-bound discipline as the hasher). 32 partition
+    * dirs keeps the per-admit dynamic-write commit cost tame (the
+    * measured dominant cost of a small-batch admit is files created,
+    * not bytes) while a daily batch still skips the buckets it does
+    * not touch; the partition dirs are coarse — parquet row-group stats on the sorted `key`
     * column refine pruning inside each bucket at production scale. */
   private val NdlKeyBuckets = 32
 
@@ -1178,10 +1181,10 @@ object Dedup {
   private def ndlWriteBands(keys: DataFrame, mode: String,
       dest: String): Unit =
     ndlWithKb(keys)
-      .select(col("band"), col("kb"), col("kh"), col("doc"))
-      .repartition(col("band"), col("kb"))
-      .sortWithinPartitions(col("kh"))
-      .write.mode(mode).partitionBy("band", "kb").parquet(dest)
+      .select(col("kb"), col("band"), col("kh"), col("doc"))
+      .repartition(col("kb"))
+      .sortWithinPartitions(col("band"), col("kh"))
+      .write.mode(mode).partitionBy("kb").parquet(dest)
 
   /** Rebuild the band store from the primary's signatures — the
     * explicit form of the backfill [[nearDupLedgerAdmit]] runs when the
@@ -1247,11 +1250,11 @@ object Dedup {
       graft.util.Fs.swapRewrite(spark, bandsPath) { tmp =>
         spark.read.parquet(bandsPath)
           .join(broadcast(mapping), Seq("doc"), "left")
-          .select(col("band"), col("kb"), col("kh"),
+          .select(col("kb"), col("band"), col("kh"),
             coalesce(col("new_doc"), col("doc")).as("doc"))
-          .repartition(col("band"), col("kb"))
-          .sortWithinPartitions(col("kh"))
-          .write.mode("overwrite").partitionBy("band", "kb").parquet(tmp)
+          .repartition(col("kb"))
+          .sortWithinPartitions(col("band"), col("kh"))
+          .write.mode("overwrite").partitionBy("kb").parquet(tmp)
       }
     graft.util.Fs.swapRewrite(spark, path) { tmp =>
       val s = spark.read.parquet(path)
@@ -1297,9 +1300,9 @@ object Dedup {
     if (fs.exists(bPath))
       graft.util.Fs.swapRewrite(spark, bandsPath) { tmp =>
         spark.read.parquet(bandsPath).distinct()
-          .repartition(col("band"), col("kb"))
-          .sortWithinPartitions(col("kh"))
-          .write.mode("overwrite").partitionBy("band", "kb").parquet(tmp)
+          .repartition(col("kb"))
+          .sortWithinPartitions(col("band"), col("kh"))
+          .write.mode("overwrite").partitionBy("kb").parquet(tmp)
       }
     spark.read.parquet(path).count()
   }

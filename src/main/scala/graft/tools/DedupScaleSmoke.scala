@@ -656,7 +656,7 @@ object DedupScaleSmoke {
         // a 20k-doc batch touches every bucket, so the win above is
         // column narrowing alone; partition pruning is the TRICKLE
         // admit's lever (a takedown check, a small feed) — a 5-doc
-        // probe touches ~20 of 128 band buckets and a handful of db
+        // probe touches ~20 of 32 kb buckets and a handful of db
         // buckets, so its store I/O must be a small fraction of the
         // full-scan path's
         val sig5 = Dedup.minHashSignatures(

@@ -464,7 +464,7 @@ object ExplainCheck {
         probe.count()
         val p = probe.queryExecution.executedPlan.toString
         check("near-dup ledger band probe gets dynamic partition " +
-          "pruning on the band store's (band, kb) buckets",
+          "pruning on the band store's kb buckets",
           p.contains("dynamicpruningexpression"))
         // ...and the verify stage's hs fetch prunes the PRIMARY store
         // to the candidates' db buckets — the widest column in the

@@ -228,6 +228,72 @@ object IvfLifecycleSmoke {
           pqRows == nBase + 3L * batchRows && math.abs(pqDrift) < 0.01
       } finally graft.util.Fs.deleteRecursively(dirPq)
 
+      // IVF×SQ8 at the same scale: the training-free composed tier.
+      // Build+save, one frozen-centroid append, drift through the
+      // UNCHANGED ivfDriftReport (its whole maintenance story), a
+      // serve timed against the IVF+PQ serve above, and the health
+      // report that folds drift + recall + layout into one row.
+      val dirSq = java.nio.file.Files
+        .createTempDirectory("graft_ivfsq8_smoke").toString
+      val okSq = try {
+        time(s"IVF×SQ8 build+save ($nBase vecs, 32 cells)") {
+          Similarity.saveIvfSq8Index(
+            Similarity.buildIvfSq8Index(vecs(0, nBase), "vec_id",
+              "embedding", nCentroids = 32), dirSq)
+        }
+        time("writeIvfSq8Baseline") {
+          Similarity.writeIvfSq8Baseline(spark, dirSq, vecs(0, nBase),
+            "vec_id", "embedding")
+        }
+        time(s"IVF×SQ8 append of $batchRows (map-only encode)") {
+          Similarity.appendToIvfSq8Index(spark, dirSq,
+            vecs(nBase, batchRows), "vec_id", "embedding")
+        }
+        val sqDrift = time("IVF×SQ8 drift (the plain IVF monitor)") {
+          Similarity.ivfDriftReport(spark, dirSq, vecs(nBase, batchRows),
+              "vec_id", "embedding")
+            .filter(col("has_baseline"))
+            .agg(sum(col("batch_n") * col("mean_drift")) /
+              sum(col("batch_n"))).head().getDouble(0)
+        }
+        println(f"  IVF×SQ8 weighted mean_drift (same distribution): " +
+          f"$sqDrift%.6f")
+        val corpusSq = vecs(0, nBase + batchRows)
+        val sq0 = time("IVF×SQ8 serve (64 queries, nProbe=4) — compare " +
+          "the PQ serve above") {
+          Similarity.ivfSq8TopKFromIndex(
+              Similarity.loadIvfSq8Index(spark, dirSq), corpusSq,
+              vecs(0, 64), "vec_id", "embedding", k = 5, nProbe = 4,
+              rerank = 64)
+            .collect().map(r => (r.getAs[Long]("query_id"),
+              r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+            .toSet
+        }
+        val sqRows = time("compactIvfSq8Index") {
+          Similarity.compactIvfSq8Index(spark, dirSq)
+        }
+        sq0.nonEmpty && sqRows == nBase + batchRows &&
+          math.abs(sqDrift) < 0.01
+      } finally graft.util.Fs.deleteRecursively(dirSq)
+
+      // the page-on-this composition, on the 300k plain-IVF store the
+      // lifecycle above just compacted: drift + recall + layout in one
+      // row — the line an operator's alerting actually tails
+      val health = time("ivfIndexHealthReport (drift + recall + " +
+        "layout, one row, 300k store)") {
+        Similarity.ivfIndexHealthReport(spark, dir,
+          vecs(nBase, batchRows), "vec_id", "embedding",
+          sampleN = 32, k = 5, nProbe = 8).first()
+      }
+      println(s"  health: w_p10_drift=" +
+        s"${health.getAs[Double]("w_p10_drift")} recall@5(nProbe=8)=" +
+        s"${health.getAs[Double]("recall")} max_files=" +
+        s"${health.getAs[Long]("max_cell_files")} rebuild_advised=" +
+        s"${health.getAs[Boolean]("rebuild_advised")} " +
+        s"compact_advised=${health.getAs[Boolean]("compact_advised")}")
+      val okHealth = !health.getAs[Boolean]("compact_advised") &&
+        health.getAs[Long]("max_cell_files") == 1L
+
       // hot-cell write straggler: 2M vectors, ~97% piled near one axis
       // → one cell holds almost the whole corpus. The unsalted write
       // funnels it through ONE task; the salted form spreads it across
@@ -308,7 +374,7 @@ object IvfLifecycleSmoke {
       val ok = fAfter.forall(_ == 1) &&
         rows == nBase + nBatches.toLong * batchRows &&
         sBefore.toSet == sAfter.toSet && sBefore.nonEmpty && okSalt &&
-        okCal && okPq
+        okCal && okPq && okSq && okHealth
       println(if (ok) "IvfLifecycleSmoke: OK"
         else "IvfLifecycleSmoke: MISMATCH")
       ok
