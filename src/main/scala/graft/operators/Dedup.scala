@@ -794,6 +794,15 @@ object Dedup {
     * at a fixed ledger layout — documented, not required for
     * correctness.
     *
+    * Takedown/forget story: the exact ledger is id-free BY
+    * CONSTRUCTION — the store holds only 16-byte content digests,
+    * never a document id or text, so there is no identity to scrub
+    * (contrast [[nearDupLedgerForget]], which the near-dup ledger
+    * needs because its store carries doc ids). The DIGEST of deleted
+    * content deliberately stays: an exact copy of taken-down content
+    * is still a duplicate and must not be re-admitted — the same
+    * signatures-stay rule as the near-dup forget.
+    *
     * Recovery semantics: when `admittedOut` is given, the admitted
     * documents are persisted BEFORE the digest append — the crash-safe
     * order (a crash between the two re-runs the batch against an

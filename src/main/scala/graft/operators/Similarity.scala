@@ -1087,11 +1087,53 @@ object Similarity {
     codes.write.mode("overwrite").parquet(s"$path/codes")
   }
 
-  /** Load a persisted plain-PQ index. */
+  /** Load a persisted plain-PQ index (tombstone-filtered, like every
+    * load). */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (PqCodebooks, DataFrame) =
     (readCodebooks(spark, s"$path/codebooks"),
-      spark.read.parquet(s"$path/codes"))
+      dropTombstoned(spark, path, spark.read.parquet(s"$path/codes")))
+
+  /** [[deleteFromIvfIndex]] for a persisted plain-PQ index. */
+  def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): Long =
+    appendTombstones(spark, path, s"$path/codes", ids, idCol,
+      "deleteFromPqIndex")
+
+  /** Incremental maintenance for the persisted plain-PQ index: new
+    * vectors encode with the FROZEN codebooks (one codegen projection;
+    * the [[ivfPqDriftReport]]-style rebuild decision belongs to the
+    * cell-composed index — a flat PQ store re-encodes cheaply).
+    * Fenced. Returns the appended count. */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVecs: DataFrame, idCol: String,
+      vecCol: String): Long = {
+    graft.util.Fs.failIfUnderMaintenance(spark, s"$path/codes",
+      "appendToPqIndex")
+    val cb = readCodebooks(spark, s"$path/codebooks")
+    val rows = newVecs.select(col(idCol).as("neighbor_id"),
+        pqEncodeCol(l2Normalize(col(vecCol)), cb).as("codes"))
+      .localCheckpoint()
+    rows.write.mode("append").parquet(s"$path/codes")
+    rows.count()
+  }
+
+  /** Compact the plain-PQ code store — fenced swap, physical tombstone
+    * drop, post-swap tombstone clear (the [[compactSq8Index]] protocol
+    * on the PQ layout). Returns the compacted row count. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 0): Long = {
+    val store = s"$path/codes"
+    val n = if (targetFiles > 0) targetFiles
+      else spark.sparkContext.defaultParallelism
+    val pre = tombstoneFiles(spark, path)
+    graft.util.Fs.swapRewrite(spark, store)(tmp =>
+      dropTombstoned(spark, path, spark.read.parquet(store))
+        .repartition(n, col("neighbor_id"))
+        .write.mode("overwrite").parquet(tmp))
+    clearTombstones(spark, path, pre)
+    spark.read.parquet(store).count()
+  }
 
   /** PQ top-k serve: queries broadcast with a precomputed per-query LUT
     * ([[graft.expressions.PqLut]]); the code-word scan scores each pair
@@ -1723,6 +1765,52 @@ object Similarity {
       s.getAs[Long]("mf") > maxFilesPerCell || nTombstones > 0L))
       .toDF("batch_n", "w_mean_drift", "w_p10_drift", "n_probe", "k",
         "recall", "store_rows", "max_cell_rows", "max_cell_files",
+        "n_tombstones", "rebuild_advised", "compact_advised")
+  }
+
+  /** [[ivfIndexHealthReport]] for a persisted IVF+PQ index: the drift
+    * axis is the QUANTIZATION-ERROR monitor ([[ivfPqDriftReport]] —
+    * error rises with drift, so the weighted `w_p90_err_drift` pages
+    * when it EXCEEDS `maxP90ErrDrift`), recall comes from
+    * [[ivfPqRecallProbe]] at the serving (nProbe, rerank), layout from
+    * [[ivfPqIndexStats]] + the tombstone census. Needs the corpus (the
+    * frame serves rerank from), like every PQ-side operator. */
+  def ivfPqIndexHealthReport(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, sampleN: Int = 64, k: Int = 10, nProbe: Int = 2,
+      rerank: Int = 128, maxP90ErrDrift: Double = 0.05,
+      minRecall: Double = 0.9, maxFilesPerCell: Int = 16): DataFrame = {
+    import spark.implicits._
+    val d = ivfPqDriftReport(spark, path, batch, idCol, vecCol)
+      .filter(col("has_baseline"))
+      .agg(coalesce(sum(col("batch_n")), lit(0L)).as("n"),
+        (sum(col("mean_err_drift") * col("batch_n")) /
+          sum(col("batch_n"))).as("md"),
+        (sum(col("p90_err_drift") * col("batch_n")) /
+          sum(col("batch_n"))).as("pd"))
+      .first()
+    val batchN = d.getAs[Long]("n")
+    def safe(i: Int): Double = Option(d.get(i))
+      .map(x => Percentiles.roundHalfUp(x.asInstanceOf[Double], 6))
+      .getOrElse(0.0)
+    val meanErrDrift = safe(1)
+    val p90ErrDrift = safe(2)
+    val recall = ivfPqRecallProbe(spark, path, corpus, idCol, vecCol,
+        sampleN, k, Seq(nProbe), rerank)
+      .select(col("recall")).first().getDouble(0)
+    val s = ivfPqIndexStats(spark, path)
+      .agg(max(col("n_files")).as("mf"), max(col("n_rows")).as("mr"),
+        sum(col("n_rows")).as("rows"))
+      .first()
+    val nTombstones = tombstonesOf(spark, path)
+      .map(_.count()).getOrElse(0L)
+    Seq((batchN, meanErrDrift, p90ErrDrift, nProbe, k, recall,
+      s.getAs[Long]("rows"), s.getAs[Long]("mr"), s.getAs[Long]("mf"),
+      nTombstones,
+      p90ErrDrift > maxP90ErrDrift || recall < minRecall,
+      s.getAs[Long]("mf") > maxFilesPerCell || nTombstones > 0L))
+      .toDF("batch_n", "w_mean_err_drift", "w_p90_err_drift", "n_probe",
+        "k", "recall", "store_rows", "max_cell_rows", "max_cell_files",
         "n_tombstones", "rebuild_advised", "compact_advised")
   }
 

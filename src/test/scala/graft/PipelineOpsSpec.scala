@@ -2565,6 +2565,26 @@ class PipelineOpsSpec extends SparkTestBase {
         .isInCollection(deadIds.toSeq)).isEmpty)
       assert(Similarity.rebuildIvfPqIndex(spark, pq, emb, "vec_id",
         "embedding") === emb.count() - deadIds.size)
+      // --- plain PQ: serve exclusion + frozen-codebook append +
+      // physical compaction ---------------------------------------
+      val ppq = s"$root/pq"
+      Similarity.savePqIndex(
+        Similarity.buildPqIndex(emb.filter(col("vec_id") < 400),
+          "vec_id", "embedding"), ppq)
+      assert(Similarity.appendToPqIndex(spark, ppq,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding")
+        === emb.filter(col("vec_id") >= 400).count())
+      Similarity.deleteFromPqIndex(spark, ppq, dead, "neighbor_id")
+      val ppqServed = Similarity.pqTopKFromIndex(
+        Similarity.loadPqIndex(spark, ppq), emb, queries, "vec_id",
+        "embedding", k = 5, rerank = 1000)
+      assert(ppqServed.filter(col("neighbor_id")
+        .isInCollection(deadIds.toSeq)).isEmpty)
+      assert(Similarity.compactPqIndex(spark, ppq)
+        === emb.count() - deadIds.size)
+      assert(spark.read.parquet(s"$ppq/codes")
+        .filter(col("neighbor_id").isInCollection(deadIds.toSeq))
+        .isEmpty)
       // --- SQ8: serve exclusion + physical compaction ----------------
       val sq = s"$root/sq8"
       Similarity.saveSq8Index(
@@ -3114,6 +3134,28 @@ class PipelineOpsSpec extends SparkTestBase {
         maxFilesPerCell = 1).first()
       assert(accreted.getAs[Boolean]("compact_advised"))
       assert(accreted.getAs[Long]("n_tombstones") === 2L)
+      // the IVF+PQ twin: error-drift axis quiet on the build corpus
+      // (self-encode error matches the baseline), recall at full
+      // probe/rerank = 1.0, tombstones flag the compact axis
+      val pqDir = s"$root/pq"
+      Similarity.saveIvfPqIndex(
+        Similarity.buildIvfPqIndex(base, "vec_id", "embedding",
+          nCells = 8), pqDir)
+      Similarity.writeIvfPqErrBaseline(spark, pqDir, base, "vec_id",
+        "embedding")
+      val pqHealthy = Similarity.ivfPqIndexHealthReport(spark, pqDir,
+        base, base, "vec_id", "embedding", sampleN = 16, k = 3,
+        nProbe = 8, rerank = base.count().toInt).first()
+      assert(!pqHealthy.getAs[Boolean]("rebuild_advised"))
+      assert(!pqHealthy.getAs[Boolean]("compact_advised"))
+      assert(pqHealthy.getAs[Double]("recall") === 1.0)
+      assert(math.abs(pqHealthy.getAs[Double]("w_p90_err_drift")) < 0.01)
+      Similarity.deleteFromIvfPqIndex(spark, pqDir,
+        base.limit(1).select("vec_id"), "vec_id")
+      assert(Similarity.ivfPqIndexHealthReport(spark, pqDir, base,
+        base, "vec_id", "embedding", sampleN = 16, k = 3, nProbe = 8,
+        rerank = base.count().toInt).first()
+        .getAs[Boolean]("compact_advised"))
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
