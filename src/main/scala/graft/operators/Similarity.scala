@@ -650,13 +650,14 @@ object Similarity {
   private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, store: DataFrame): DataFrame =
     tombstonesOf(spark, indexPath).map { ts =>
-      if (ts.limit((MaxLiteralTombstones + 1).toInt).count()
-          <= MaxLiteralTombstones) {
-        val dead = ts.collect().map(_.get(0))
-        if (dead.isEmpty) store
-        else store.filter(!col("neighbor_id").isInCollection(dead))
-      } else
-        store.join(broadcast(ts), Seq("neighbor_id"), "left_anti")
+      // one bounded collect decides the path AND fetches the ids (a
+      // separate count-then-collect would pay two jobs per load)
+      val dead = ts.limit((MaxLiteralTombstones + 1).toInt)
+        .collect().map(_.get(0))
+      if (dead.isEmpty) store
+      else if (dead.length <= MaxLiteralTombstones)
+        store.filter(!col("neighbor_id").isInCollection(dead))
+      else store.join(broadcast(ts), Seq("neighbor_id"), "left_anti")
     }.getOrElse(store)
 
   /** Clear tombstone files that existed when a compaction snapshotted
@@ -1483,6 +1484,82 @@ object Similarity {
     ivfSq8TopKFromIndex(
       buildIvfSq8Index(corpus, idCol, vecCol, nCentroids),
       corpus, queries, idCol, vecCol, k, nProbe, rerank)
+
+  /** [[ivfPqRecallProbe]] for a persisted IVF×SQ8 index: recall@k per
+    * nProbe against the full-probe serve at the same `rerank`, on a
+    * deterministic query sample from the caller's corpus (the code
+    * store keeps affine codes, not raw vectors — same contract as the
+    * PQ probe). */
+  def ivfSq8RecallProbe(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String, vecCol: String,
+      sampleN: Int = 64, k: Int = 10, nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+      rerank: Int = 128): DataFrame = {
+    import spark.implicits._
+    val idx = loadIvfSq8Index(spark, path)
+    val nCells = idx._1.count().toInt
+    val queries = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleN).localCheckpoint()
+    val truth = ivfSq8TopKFromIndex(idx, corpus, queries, idCol, vecCol,
+        k, nProbe = nCells, rerank = rerank)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val truthN = truth.count()
+    nProbes.distinct.sorted.map { p =>
+      val hits = ivfSq8TopKFromIndex(idx, corpus, queries, idCol,
+          vecCol, k, nProbe = p, rerank = rerank)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      (p, sampleN, k, hits, truthN,
+        Percentiles.roundHalfUp(
+          hits.toDouble / math.max(truthN, 1L), 6))
+    }.toDF("n_probe", "sample_n", "k", "hits", "truth_n", "recall")
+  }
+
+  /** [[ivfIndexHealthReport]] for a persisted IVF×SQ8 index: the drift
+    * axis is the PLAIN centroid monitor ([[ivfDriftReport]] against the
+    * [[writeIvfSq8Baseline]] baseline — nothing else can drift in this
+    * tier), recall from [[ivfSq8RecallProbe]] at the serving
+    * (nProbe, rerank), layout from [[ivfSq8IndexStats]] + the tombstone
+    * census. */
+  def ivfSq8IndexHealthReport(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, sampleN: Int = 64, k: Int = 10, nProbe: Int = 2,
+      rerank: Int = 128, maxP10Drift: Double = 0.05,
+      minRecall: Double = 0.9, maxFilesPerCell: Int = 16): DataFrame = {
+    import spark.implicits._
+    val d = ivfDriftReport(spark, path, batch, idCol, vecCol)
+      .filter(col("has_baseline"))
+      .agg(coalesce(sum(col("batch_n")), lit(0L)).as("n"),
+        (sum(col("mean_drift") * col("batch_n")) /
+          sum(col("batch_n"))).as("md"),
+        (sum(col("p10_drift") * col("batch_n")) /
+          sum(col("batch_n"))).as("pd"))
+      .first()
+    val batchN = d.getAs[Long]("n")
+    def safe(i: Int): Double = Option(d.get(i))
+      .map(x => Percentiles.roundHalfUp(x.asInstanceOf[Double], 6))
+      .getOrElse(0.0)
+    val meanDrift = safe(1)
+    val p10Drift = safe(2)
+    val recall = ivfSq8RecallProbe(spark, path, corpus, idCol, vecCol,
+        sampleN, k, Seq(nProbe), rerank)
+      .select(col("recall")).first().getDouble(0)
+    val s = ivfSq8IndexStats(spark, path)
+      .agg(max(col("n_files")).as("mf"), max(col("n_rows")).as("mr"),
+        sum(col("n_rows")).as("rows"))
+      .first()
+    val nTombstones = tombstonesOf(spark, path)
+      .map(_.count()).getOrElse(0L)
+    Seq((batchN, meanDrift, p10Drift, nProbe, k, recall,
+      s.getAs[Long]("rows"), s.getAs[Long]("mr"), s.getAs[Long]("mf"),
+      nTombstones,
+      p10Drift > maxP10Drift || recall < minRecall,
+      s.getAs[Long]("mf") > maxFilesPerCell || nTombstones > 0L))
+      .toDF("batch_n", "w_mean_drift", "w_p10_drift", "n_probe", "k",
+        "recall", "store_rows", "max_cell_rows", "max_cell_files",
+        "n_tombstones", "rebuild_advised", "compact_advised")
+  }
 
   /** IVF+PQ: the composed large-scale ANN index (coarse cells bound WHICH
     * rows are scored, PQ codes bound the BYTES each scoring touches —

@@ -321,6 +321,22 @@ object ExplainCheck {
       val p = plan("t10_pq_topk")
       p.contains("row_number(), 32,") && p.contains("row_number(), 3,")
     })
+    // IVF×SQ8 serve: candidate generation is the cell EQUI-join (never
+    // an all-pairs scan), both rank cuts ride WindowGroupLimit prunes,
+    // and no nested-loop centroid attach survives (the map-only kernel)
+    check("q133 IVF×SQ8 serve joins on cell with both rank prunes", {
+      val p = plan("q133_ivfsq8_topk")
+      !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("row_number(), 32,") && p.contains("row_number(), 3,") &&
+        p.contains("nearestcells(")
+    })
+    // tombstone-filtered SQ8 serve: the deletion folds into a scan-side
+    // filter (NOT IN over the dead ids), never a join in the hot path
+    check("q132 delete-serve excludes via a scan filter, no cartesian", {
+      val p = plan("q132_sq8_delete_serve")
+      !p.contains("CartesianProduct")
+    })
     // the persisted-index scale claim behind t52's layout: a low-nProbe
     // serve from the cell-partitioned parquet must read ONLY the probed
     // cells — Spark's dynamic partition pruning turns the cell

@@ -3046,6 +3046,20 @@ class PipelineOpsSpec extends SparkTestBase {
       val drift = Similarity.ivfDriftReport(spark, dir, batch,
         "vec_id", "embedding")
       assert(drift.filter(col("has_baseline")).count() > 0)
+      // recall probe + health twin: full probe recalls exactly 1.0 on
+      // the corpus-supplied sample; a same-distribution batch against
+      // its own baseline keeps the health row quiet
+      val probe = Similarity.ivfSq8RecallProbe(spark, dir, e, "vec_id",
+        "embedding", sampleN = 8, k = 3, nProbes = Seq(8), rerank = n)
+      assert(probe.first().getAs[Double]("recall") === 1.0)
+      // the build corpus against its own baseline: zero drift + full
+      // recall keeps the health row quiet (the held-out batch's small
+      // sf0.001 tail CAN legitimately exceed a tight drift threshold)
+      val h = Similarity.ivfSq8IndexHealthReport(spark, dir, e, base,
+        "vec_id", "embedding", sampleN = 8, k = 3, nProbe = 8,
+        rerank = n).first()
+      assert(!h.getAs[Boolean]("rebuild_advised"))
+      assert(h.getAs[Double]("recall") === 1.0)
       // serve from the loaded index ≡ serve from the in-memory build
       val loaded = Similarity.loadIvfSq8Index(spark, dir)
       val unionIdx = (baseIdx._1, stored)
