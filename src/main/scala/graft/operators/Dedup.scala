@@ -1086,10 +1086,13 @@ object Dedup {
       .unionByName(nearVsStore).unionByName(nearInBatch)
       .distinct().localCheckpoint()
 
+    // admitted derives from the caller's batch and the CHECKPOINTED
+    // decision set only — no store dependency, so it needs no
+    // materialization of its own (re-evaluation after the appends reads
+    // the same inputs); the decisions themselves were fenced above
     val admitted = batch.filter(col(textCol).isNotNull)
       .withColumn("text_md5", md5(col(textCol)))
       .join(dropped.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
-      .localCheckpoint()
     // novel signatures (all batch reps whose digest is unseen — admitted
     // AND near-rejected, see the scaladoc) materialize before the append
     val novel = batchSig
