@@ -965,6 +965,7 @@ object Dedup {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasStore = fs.exists(hPath) && fs.listStatus(hPath).nonEmpty
+    ndlCheckMeta(fs, path, bands, rows, hasStore, "nearDupLedgerAdmit")
 
     // batch prep: digest every row, collapse to min-id representatives
     // per distinct text (the exact stage — identical to nearDupDrops'
@@ -1154,6 +1155,68 @@ object Dedup {
   /** Sibling path of the near-dup ledger's persisted band-key store. */
   private[graft] def ndlBandsPath(path: String): String = path + "_bands"
 
+  /** The ledger's store-bound geometry, persisted as a tiny JSON
+    * sidecar at `<path>_meta` when the ledger is created. The column
+    * check alone cannot catch every drift: a 2×8 banding produces the
+    * SAME 16 mh columns as 4×4 but different band keys — an admit with
+    * the wrong split would silently probe nothing and re-admit every
+    * near-dup. Likewise the kb/db bucket moduli are baked into the
+    * partition layout: a modulus changed by a code upgrade would
+    * mis-prune existing stores (missed drops, silently). The sidecar
+    * turns both into loud errors with a migration path
+    * ([[compactNearDupLedger]] rewrites both stores AND the sidecar
+    * with the current moduli). Read/written through the Hadoop FS
+    * directly — no Spark job on the admit path. */
+  private def ndlMetaPath(path: String): String = path + "_meta"
+
+  private def ndlMetaJson(bands: Int, rows: Int): String =
+    s"""{"bands":$bands,"rows":$rows,"key_buckets":$NdlKeyBuckets,""" +
+      s""""doc_buckets":$NdlDocBuckets,"layout":2}"""
+
+  private def ndlWriteMeta(
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      bands: Int, rows: Int): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(ndlMetaPath(path)), true)
+    out.write(ndlMetaJson(bands, rows).getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Verify (or create / backfill) the geometry sidecar. `hasStore`
+    * distinguishes a fresh ledger (write it) from a pre-sidecar one
+    * (backfill it — stores from this code lineage used the current
+    * constants). */
+  private def ndlCheckMeta(
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      bands: Int, rows: Int, hasStore: Boolean, who: String): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(ndlMetaPath(path))
+    val expect = ndlMetaJson(bands, rows)
+    if (fs.exists(mp)) {
+      val in = fs.open(mp)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (got != expect) throw new IllegalStateException(
+        s"$who: $path was created with geometry $got; this call/build " +
+          s"implies $expect. Admit with the recorded band split, or — " +
+          "for a bucket-modulus upgrade — run compactNearDupLedger " +
+          "once (it rewrites both stores and the sidecar with the " +
+          "current moduli).")
+    } else ndlWriteMeta(fs, path, bands, rows)
+  }
+
+  private def ndlReadMeta(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Map[String, Int]] = {
+    val mp = new org.apache.hadoop.fs.Path(ndlMetaPath(path))
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some("\"(\\w+)\":(\\d+)".r.findAllMatchIn(got)
+        .map(m => m.group(1) -> m.group(2).toInt).toMap)
+    }
+  }
+
   /** Explode a signature frame into LSH band keys: (doc, band, key) —
     * one home for the banding spelling the store, the batch probe, and
     * the backfill all share (a drifted copy would silently miss
@@ -1244,6 +1307,20 @@ object Dedup {
     * with batch ids. Returns the number of primary rows scrubbed. */
   def nearDupLedgerForget(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame, idCol: String): Long = {
+    // the scrub recomputes db with the CURRENT modulus — refuse to mix
+    // generations if the store predates a modulus change (compaction
+    // is the migration)
+    val mfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ndlReadMeta(mfs, path).foreach { m =>
+      if (m("key_buckets") != NdlKeyBuckets ||
+          m("doc_buckets") != NdlDocBuckets)
+        throw new IllegalStateException(
+          s"nearDupLedgerForget: $path was written under bucket moduli " +
+            s"(${m("key_buckets")}, ${m("doc_buckets")}); this build " +
+            s"uses ($NdlKeyBuckets, $NdlDocBuckets) — run " +
+            "compactNearDupLedger once to migrate, then forget.")
+    }
     val primary0 = spark.read.parquet(path)
     val docType = primary0.schema("doc").dataType
     val sentinel = (lit(-1L) - pmod(xxhash64(col("text_md5")),
@@ -1312,10 +1389,20 @@ object Dedup {
     if (fs.exists(bPath))
       graft.util.Fs.swapRewrite(spark, bandsPath) { tmp =>
         spark.read.parquet(bandsPath).distinct()
+          // kb recomputes from kh — this is what makes compaction the
+          // bucket-modulus MIGRATION (a store written under an older
+          // modulus relayouts to the current one here)
+          .withColumn("kb",
+            pmod(col("kh"), lit(NdlKeyBuckets.toLong)).cast("int"))
           .repartition(col("kb"))
           .sortWithinPartitions(col("band"), col("kh"))
           .write.mode("overwrite").partitionBy("kb").parquet(tmp)
       }
+    // the geometry sidecar re-stamps with the CURRENT moduli (bands ×
+    // rows are the ledger's own, carried over); a pre-sidecar ledger
+    // stays sidecar-less until its next admit backfills one
+    ndlReadMeta(fs, path).foreach(m =>
+      ndlWriteMeta(fs, path, m("bands"), m("rows")))
     spark.read.parquet(path).count()
   }
 

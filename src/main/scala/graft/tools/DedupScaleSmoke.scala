@@ -700,6 +700,18 @@ object DedupScaleSmoke {
         Dedup.nearDupLedgerAdmit(spark, ndl,
           docs.filter(col("doc_id") < ndlBatch),
           "doc_id", "text").count())
+      // the takedown verb at scale: forget 1k docs from the 198k-row
+      // ledger — identity scrubbed from both stores, signature rows
+      // (and therefore future drop decisions) intact
+      val forgot = time("nearDupLedgerForget (1k ids vs 198k-row ledger)")(
+        Dedup.nearDupLedgerForget(spark, ndl,
+          docs.filter(col("doc_id") % 200 === 3).select("doc_id"),
+          "doc_id"))
+      val postForget = spark.read.parquet(ndl)
+      require(forgot >= 900 && postForget.count() == ndlRows &&
+        postForget.filter(col("doc") % 200 === 3 && col("doc") >= 0)
+          .isEmpty,
+        s"forget broke: scrubbed $forgot, rows ${postForget.count()}")
       require(admitted == nDocs - dropped && reAdmit == 0L &&
         ndlFragged > ndlCompacted && ndlCompacted <= 32 &&
         ndlFiles() == ndlCompacted, // no-op admits must not fragment

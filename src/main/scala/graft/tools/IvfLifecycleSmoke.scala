@@ -294,6 +294,28 @@ object IvfLifecycleSmoke {
       val okHealth = !health.getAs[Boolean]("compact_advised") &&
         health.getAs[Long]("max_cell_files") == 1L
 
+      // deletion at scale on the same 300k store: tombstone 10k ids
+      // (one fenced append), serve excludes them instantly, the next
+      // compaction drops them physically and clears the tombstones
+      val okDelete = locally {
+        val nDel = time("deleteFromIvfIndex (10k ids vs 300k store)") {
+          Similarity.deleteFromIvfIndex(spark, dir,
+            vecs(0, nBase + nBatches * batchRows)
+              .filter(col("vec_id") % 30 === 7).select("vec_id"),
+            "vec_id")
+        }
+        val servedDel = time("serve post-delete (tombstone filter)") {
+          serve()
+        }
+        val compactedDel = time("compactIvfIndex (physical drop)") {
+          Similarity.compactIvfIndex(spark, dir)
+        }
+        println(s"  deleted $nDel, store $rows -> $compactedDel rows")
+        servedDel.forall(_._3 % 30 != 7) &&
+          compactedDel == rows - nDel &&
+          !new java.io.File(s"$dir/tombstones").exists()
+      }
+
       // hot-cell write straggler: 2M vectors, ~97% piled near one axis
       // → one cell holds almost the whole corpus. The unsalted write
       // funnels it through ONE task; the salted form spreads it across
@@ -374,7 +396,7 @@ object IvfLifecycleSmoke {
       val ok = fAfter.forall(_ == 1) &&
         rows == nBase + nBatches.toLong * batchRows &&
         sBefore.toSet == sAfter.toSet && sBefore.nonEmpty && okSalt &&
-        okCal && okPq && okSq && okHealth
+        okCal && okPq && okSq && okHealth && okDelete
       println(if (ok) "IvfLifecycleSmoke: OK"
         else "IvfLifecycleSmoke: MISMATCH")
       ok

@@ -2417,6 +2417,16 @@ class PipelineOpsSpec extends SparkTestBase {
           bands = 2, rows = 4)
       }
       assert(gex.getMessage.contains("geometry"))
+      // the hole the column check alone cannot see: 2×8 produces the
+      // SAME 16 mh columns as 4×4 but different band keys — an admit
+      // with the wrong split would silently probe nothing; the
+      // geometry sidecar turns it into the loud error
+      val gex2 = intercept[IllegalStateException] {
+        Dedup.nearDupLedgerAdmit(spark, dir,
+          Seq((401L, "x y z")).toDF("doc_id", "text"), "doc_id", "text",
+          bands = 2, rows = 8)
+      }
+      assert(gex2.getMessage.contains("geometry"))
       // compaction: bounds the file count (one file per touched db
       // bucket in the primary, one per (band, kb) bucket in the band
       // store), keeps the signature set and all future decisions
