@@ -1191,7 +1191,7 @@ object Dedup {
       bands: Int, rows: Int, hasStore: Boolean, who: String): Unit = {
     val mp = new org.apache.hadoop.fs.Path(ndlMetaPath(path))
     val expect = ndlMetaJson(bands, rows)
-    if (fs.exists(mp)) {
+    if (fs.exists(mp) && hasStore) {
       val in = fs.open(mp)
       val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
@@ -1201,7 +1201,11 @@ object Dedup {
           "for a bucket-modulus upgrade — run compactNearDupLedger " +
           "once (it rewrites both stores and the sidecar with the " +
           "current moduli).")
-    } else ndlWriteMeta(fs, path, bands, rows)
+    } else
+      // fresh ledger (or a first admit that crashed before any append
+      // left a sidecar with no store behind it — nothing is bound yet):
+      // (re)stamp with this call's geometry
+      ndlWriteMeta(fs, path, bands, rows)
   }
 
   private def ndlReadMeta(fs: org.apache.hadoop.fs.FileSystem,
