@@ -2464,6 +2464,19 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(after === Set(502L))
       assert(spark.read.parquet(out)
         .select("doc_id").collect().map(_.getLong(0)).toSet === after)
+      // backfill: losing the band store is recoverable — the next
+      // admit re-derives it from the primary's signatures, and the
+      // near-vs-history drop (which NEEDS the band probe) still fires
+      graft.util.Fs.deleteRecursively(Dedup.ndlBandsPath(dir))
+      val afterBackfill = Dedup.nearDupLedgerAdmit(spark, dir, Seq(
+          (600L, base),                 // exact vs history
+          (601L, tweak(base, 6)),       // near vs history via the probe
+          (602L, "an entirely separate closing document describing " +
+            "adaptive query execution and partition coalescing rules"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(afterBackfill === Set(602L))
+      assert(new java.io.File(Dedup.ndlBandsPath(dir)).exists())
       // pluggable hasher (the nearDupDrops drop-set-equality precedent):
       // a fresh xxhash64-keyed ledger makes the same decisions on the
       // same batch sequence
