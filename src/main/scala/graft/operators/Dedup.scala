@@ -819,11 +819,9 @@ object Dedup {
       path: String, batch: DataFrame, idCol: String,
       textCol: String, admittedOut: Option[String] = None): DataFrame = {
     graft.util.Fs.failIfUnderMaintenance(spark, path, "ledgerAdmit")
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val seen =
-      if (fs.exists(hPath) && fs.listStatus(hPath).nonEmpty)
-        spark.read.parquet(path)
+      if (graft.util.Gen.hasData(spark, path))
+        spark.read.parquet(graft.util.Gen.resolve(spark, path))
       else spark.emptyDataFrame
         .select(lit("").as("text_md5")).limit(0)
     val hashed = batch.filter(col(textCol).isNotNull)
@@ -838,9 +836,13 @@ object Dedup {
     admittedOut.foreach(out =>
       admitted.write.mode("overwrite").parquet(out))
     // same no-fragmentation guard as the near-dup ledger: an
-    // all-duplicate batch must not grow the file count
+    // all-duplicate batch must not grow the file count. The append
+    // lands in the CURRENT generation (Gen.appendDir establishes
+    // gen-1 for a fresh ledger — versioned from birth, so the first
+    // compaction is already zero-outage).
     if (!admitted.isEmpty)
-      admitted.select(col("text_md5")).write.mode("append").parquet(path)
+      admitted.select(col("text_md5")).write.mode("append")
+        .parquet(graft.util.Gen.appendDir(spark, path))
     admitted
   }
 
@@ -850,25 +852,25 @@ object Dedup {
     * anti-join's build-side scan — the same accretion-vs-read-
     * amplification debt the IVF cell store pays, with the same answer.
     * Rewrites the ledger into `targetFiles` (default: the session's
-    * defaultParallelism) digest-hash-partitioned files via the shared
-    * [[graft.util.Fs.swapRewrite]] protocol (two atomic renames,
-    * crash-state auto-recovery on re-run, checked rollback, and the
-    * maintenance marker that makes a racing [[ledgerAdmit]] fail
-    * loudly instead of losing its rows to the swap). The rewrite also
-    * collapses duplicate digest rows (`distinct` on the 16-byte
-    * digest): under the enforced single-writer fence none exist, but a
-    * duplicate smuggled in by any historical race is repaired here
-    * rather than silently surviving forever. Returns the digest count
-    * of the compacted ledger (= its row count, post-distinct). */
+    * defaultParallelism) digest-hash-partitioned files as a NEW
+    * GENERATION via [[graft.util.Gen.rewrite]] (atomic commit-marker
+    * flip — ZERO reader outage, with the maintenance marker that makes
+    * a racing [[ledgerAdmit]] fail loudly instead of losing its rows
+    * to the flip). The rewrite also collapses duplicate digest rows
+    * (`distinct` on the 16-byte digest): under the enforced
+    * single-writer fence none exist, but a duplicate smuggled in by
+    * any historical race is repaired here rather than silently
+    * surviving forever. Returns the digest count of the compacted
+    * ledger (= its row count, post-distinct). */
   def compactDedupLedger(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 0): Long = {
     val n = if (targetFiles > 0) targetFiles
       else spark.sparkContext.defaultParallelism
-    graft.util.Fs.swapRewrite(spark, path)(tmp =>
-      spark.read.parquet(path).distinct()
+    graft.util.Gen.rewrite(spark, path)(tmp =>
+      spark.read.parquet(graft.util.Gen.resolve(spark, path)).distinct()
         .repartition(n, col("text_md5"))
         .write.mode("overwrite").parquet(tmp))
-    spark.read.parquet(path).count()
+    spark.read.parquet(graft.util.Gen.resolve(spark, path)).count()
   }
 
   /** Persisted NEAR-dup ledger — the incremental twin of [[ledgerAdmit]]
@@ -937,7 +939,7 @@ object Dedup {
     * layout, or a deleted band dir) is backfilled in place on the next
     * admit — one O(history) derivation, then pruned probes forever.
     * Rows with NULL `textCol` are dropped up front; BOTH store paths
-    * are fenced by the swapRewrite maintenance marker. Returns the
+    * are fenced by the generation-rewrite maintenance marker. Returns the
     * admitted batch rows (original columns + text_md5).
     *
     * `hasher` is pluggable like [[nearDupDrops]]'s (pass `xxhash64(_)`
@@ -962,9 +964,9 @@ object Dedup {
     graft.util.Fs.failIfUnderMaintenance(spark, ndlBandsPath(path),
       "nearDupLedgerAdmit")
     val numPerms = bands * rows
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasStore = fs.exists(hPath) && fs.listStatus(hPath).nonEmpty
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasStore = graft.util.Gen.hasData(spark, path)
     ndlCheckMeta(fs, path, bands, rows, hasStore, "nearDupLedgerAdmit")
 
     // batch prep: digest every row, collapse to min-id representatives
@@ -1000,7 +1002,7 @@ object Dedup {
     val storeColsDb = storeCols :+ "db"
     val store =
       if (hasStore) {
-        val s0 = spark.read.parquet(path)
+        val s0 = spark.read.parquet(graft.util.Gen.resolve(spark, path))
         val s = if (s0.columns.toSet == storeColsDb.toSet)
           s0.select(storeColsDb.map(col): _*) else s0
         if (s.columns.toSeq != storeColsDb) throw new IllegalStateException(
@@ -1031,12 +1033,15 @@ object Dedup {
     // predates it (or its dir was lost) — an O(history) derivation
     // that buys every later admit its pruned probe
     val bandsPath = ndlBandsPath(path)
-    val bPath = new org.apache.hadoop.fs.Path(bandsPath)
-    if (hasStore && !(fs.exists(bPath) && fs.listStatus(bPath).nonEmpty))
-      ndlWriteBands(ndlBandKeys(store, bands, rows), "overwrite",
-        bandsPath)
+    if (hasStore && !graft.util.Gen.hasData(spark, bandsPath))
+      // the backfill is a store REWRITE — route it through the
+      // generation protocol so a racing reader of a half-backfilled
+      // band store is impossible (fresh stores just get gen-1)
+      graft.util.Gen.rewrite(spark, bandsPath)(g =>
+        ndlWriteBands(ndlBandKeys(store, bands, rows), "overwrite", g))
     val bandStore =
-      if (hasStore) spark.read.parquet(bandsPath)
+      if (hasStore)
+        spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath))
       else ndlWithKb(ndlBandKeys(batchSig.limit(0), bands, rows))
 
     val exactVsStore = batchSig
@@ -1055,9 +1060,28 @@ object Dedup {
     val batchKeys = ndlWithKb(
       ndlBandKeys(batchSig, bands, rows)
         .withColumnRenamed("doc", "doc_b"))
-    val smallBatch = batchSig.count() <= NdlDppMaxReps
+    val nReps = batchSig.count()
+    val smallBatch = nReps <= NdlDppMaxReps
     val probe = if (smallBatch) broadcast(batchKeys) else batchKeys
-    val candsVsStore = bandStore.join(probe, Seq("band", "kb", "kh"))
+    // TRICKLE batches (a takedown check, a small feed) additionally
+    // fold their key hashes into a literal `isInCollection` FILTER on
+    // the band-store scan — the tombstone-fold pattern. DPP's partition
+    // floor is 1/NdlKeyBuckets; the pushed In(kh, …) reaches parquet as
+    // row-group stats against the kh-SORTED files (ndlWriteBands), so a
+    // 5-doc probe reads row groups ∝ its keys, not 1/32 of history.
+    // Decisions are provably unchanged: the filter keeps exactly the
+    // kh values the equi-join (still present, for the doc pairing)
+    // could match. ExplainCheck pins PushedFilters carrying kh.
+    val bandScan =
+      if (nReps <= NdlLiteralMaxReps) {
+        val khs = batchKeys.select(col("kh")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        // an all-unshingleable batch has no band keys: no candidates
+        // by construction, so skip the store scan outright
+        if (khs.isEmpty) bandStore.limit(0)
+        else bandStore.filter(col("kh").isInCollection(khs))
+      } else bandStore
+    val candsVsStore = bandScan.join(probe, Seq("band", "kb", "kh"))
       .select(col("doc").as("doc_a"), col("doc_b")).distinct()
     // verify fetch: the candidates' hs arrays come through a (db, doc)
     // equi-join against the db-partitioned primary — broadcasting the
@@ -1107,8 +1131,10 @@ object Dedup {
     // part file per re-run and fragment the store for no information.
     // Band keys land FIRST (see the scaladoc's crash-ordering note).
     if (!novel.isEmpty) {
-      ndlWriteBands(ndlBandKeys(novel, bands, rows), "append", bandsPath)
-      ndlWritePrimary(novel, "append", path)
+      ndlWriteBands(ndlBandKeys(novel, bands, rows), "append",
+        graft.util.Gen.appendDir(spark, bandsPath))
+      ndlWritePrimary(novel, "append",
+        graft.util.Gen.appendDir(spark, path))
     }
     admitted
   }
@@ -1142,9 +1168,23 @@ object Dedup {
     * dirs keeps the per-admit dynamic-write commit cost tame (the
     * measured dominant cost of a small-batch admit is files created,
     * not bytes) while a daily batch still skips the buckets it does
-    * not touch; the partition dirs are coarse — parquet row-group stats on the sorted `key`
-    * column refine pruning inside each bucket at production scale. */
+    * not touch. The partition dirs are deliberately coarse; pruning
+    * INSIDE a bucket comes from the trickle path's literal
+    * `In(kh, …)` fold (≤ [[NdlLiteralMaxReps]] reps), which reaches
+    * the parquet scan as a pushed filter and fires row-group stats on
+    * the kh-SORTED files [[ndlWriteBands]] lays down — a daily-SIZED
+    * batch has no kh predicate (its join touches most row groups
+    * anyway), so its floor is the partition pruning + column
+    * narrowing. */
   private val NdlKeyBuckets = 32
+
+  /** Batch-rep bound for folding the probe's key hashes into a literal
+    * scan filter (≈4× this many 8-byte literals in the plan — same
+    * order as the index stores' 64k tombstone fold). Above it the
+    * equi-join alone carries the probe: a batch that big touches most
+    * row groups of most buckets, so the literal would bloat the plan
+    * for no read saved. */
+  private val NdlLiteralMaxReps = 2048L
 
   /** Batch-rep bound for the broadcast band probe (≈4× this many band
     * keys on the wire). Daily batches sit far under it; bulk backfills
@@ -1268,27 +1308,52 @@ object Dedup {
   /** Rebuild the band store from the primary's signatures — the
     * explicit form of the backfill [[nearDupLedgerAdmit]] runs when the
     * band store is missing, for operators migrating a pre-band ledger
-    * ahead of their next ingest window. Geometry must match the
-    * ledger's (checked against the signature column count). Returns the
-    * band-key row count. */
+    * ahead of their next ingest window. Geometry comes from the
+    * ledger's `<path>_meta` sidecar when one exists (the DEFAULT —
+    * passing nothing cannot silently rebuild a 2×8 ledger with 4×4
+    * keys, the exact silent-miss hole the sidecar exists to close);
+    * explicitly-passed `bands`/`rows` must MATCH the recorded
+    * geometry, and the sidecar's bucket moduli must match this build's
+    * (a modulus upgrade migrates via [[compactNearDupLedger]] first).
+    * Sidecar-less pre-sidecar ledgers fall back to the passed values
+    * (checked against the signature column count, as before). Returns
+    * the band-key row count. */
   def rebuildNearDupLedgerBands(spark: org.apache.spark.sql.SparkSession,
-      path: String, bands: Int = 4, rows: Int = 4): Long = {
-    val primary = spark.read.parquet(path)
+      path: String, bands: Int = 0, rows: Int = 0): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = ndlReadMeta(fs, path)
+    meta.foreach { m =>
+      if ((bands > 0 && bands != m("bands")) ||
+          (rows > 0 && rows != m("rows")))
+        throw new IllegalStateException(
+          s"rebuildNearDupLedgerBands: $path was created with geometry " +
+            s"${m("bands")}x${m("rows")} (per its _meta sidecar); " +
+            s"rebuilding with ${bands}x$rows would write band keys no " +
+            "admit probe ever matches. Omit bands/rows to use the " +
+            "recorded geometry.")
+      if (m("key_buckets") != NdlKeyBuckets ||
+          m("doc_buckets") != NdlDocBuckets)
+        throw new IllegalStateException(
+          s"rebuildNearDupLedgerBands: $path was written under bucket " +
+            s"moduli (${m("key_buckets")}, ${m("doc_buckets")}); this " +
+            s"build uses ($NdlKeyBuckets, $NdlDocBuckets) — run " +
+            "compactNearDupLedger once to migrate, then rebuild.")
+    }
+    val useBands = meta.map(_("bands")).getOrElse(if (bands > 0) bands
+      else 4)
+    val useRows = meta.map(_("rows")).getOrElse(if (rows > 0) rows
+      else 4)
+    val primary = spark.read.parquet(graft.util.Gen.resolve(spark, path))
     val mh = primary.columns.count(_.startsWith("mh"))
-    require(bands * rows == mh,
-      s"band geometry ${bands}x$rows does not match the ledger's " +
+    require(useBands * useRows == mh,
+      s"band geometry ${useBands}x$useRows does not match the ledger's " +
         s"$mh signature columns")
     val bandsPath = ndlBandsPath(path)
-    val bPath = new org.apache.hadoop.fs.Path(bandsPath)
-    val fs = bPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(bPath))
-      graft.util.Fs.swapRewrite(spark, bandsPath)(tmp =>
-        ndlWriteBands(ndlBandKeys(primary, bands, rows), "overwrite",
-          tmp))
-    else
-      ndlWriteBands(ndlBandKeys(primary, bands, rows), "overwrite",
-        bandsPath)
-    spark.read.parquet(bandsPath).count()
+    graft.util.Gen.rewrite(spark, bandsPath)(g =>
+      ndlWriteBands(ndlBandKeys(primary, useBands, useRows), "overwrite",
+        g))
+    spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath)).count()
   }
 
   /** Forget documents from the near-dup ledger — the takedown/opt-out
@@ -1300,15 +1365,23 @@ object Dedup {
     * IDENTITY: its id is scrubbed to a deterministic digest-keyed
     * NEGATIVE sentinel (ledger ids are numeric and non-negative under
     * the documented ingest contract — the in-batch LSH pass requires
-    * long-orderable ids) in BOTH stores, via the fenced
-    * swapRewrite protocol (admits fail loudly for the window). The
-    * band store scrubs first; a crash between the two swaps re-runs
-    * idempotently (sentinels derive from the digest, so the mapping is
-    * stable across runs, and already-scrubbed band rows simply stop
-    * matching it). Admit decisions are bit-identical before and after
-    * (spec-pinned): the store side of every join carries the scrubbed
-    * id only as an opaque join key, and no decision compares store ids
-    * with batch ids. Returns the number of primary rows scrubbed. */
+    * long-orderable ids) in BOTH stores, via zero-outage
+    * [[graft.util.Gen.rewrite]] generation flips (admits fail loudly
+    * for the window; readers are never fenced). A LEDGER-LEVEL fence —
+    * the PRIMARY's maintenance marker — is held across BOTH rewrites:
+    * a crash after the band flip but before the primary flip leaves
+    * the two stores inconsistent (band rows scrubbed, primary ids
+    * original), a state in which an admit's verify join would SILENTLY
+    * drop near-vs-history candidates for every forgotten signature —
+    * so the surviving marker keeps admits failing loudly until the
+    * forget is RE-RUN to completion (which is idempotent: sentinels
+    * derive from the digest, so the mapping is stable across runs, and
+    * already-scrubbed band rows simply stop matching it). The band
+    * store scrubs first. Admit decisions are bit-identical before and
+    * after (spec-pinned): the store side of every join carries the
+    * scrubbed id only as an opaque join key, and no decision compares
+    * store ids with batch ids. Returns the number of primary rows
+    * scrubbed. */
   def nearDupLedgerForget(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame, idCol: String): Long = {
     // the scrub recomputes db with the CURRENT modulus — refuse to mix
@@ -1325,7 +1398,7 @@ object Dedup {
             s"uses ($NdlKeyBuckets, $NdlDocBuckets) — run " +
             "compactNearDupLedger once to migrate, then forget.")
     }
-    val primary0 = spark.read.parquet(path)
+    val primary0 = spark.read.parquet(graft.util.Gen.resolve(spark, path))
     val docType = primary0.schema("doc").dataType
     val sentinel = (lit(-1L) - pmod(xxhash64(col("text_md5")),
       lit(Long.MaxValue))).cast(docType)
@@ -1337,20 +1410,35 @@ object Dedup {
     val nForgot = mapping.count()
     if (nForgot == 0L) return 0L
     val bandsPath = ndlBandsPath(path)
-    val bPath = new org.apache.hadoop.fs.Path(bandsPath)
-    val fs = bPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(bPath))
-      graft.util.Fs.swapRewrite(spark, bandsPath) { tmp =>
-        spark.read.parquet(bandsPath)
-          .join(broadcast(mapping), Seq("doc"), "left")
-          .select(col("kb"), col("band"), col("kh"),
-            coalesce(col("new_doc"), col("doc")).as("doc"))
-          .repartition(col("kb"))
-          .sortWithinPartitions(col("band"), col("kh"))
-          .write.mode("overwrite").partitionBy("kb").parquet(tmp)
-      }
-    graft.util.Fs.swapRewrite(spark, path) { tmp =>
-      val s = spark.read.parquet(path)
+    // the LEDGER-LEVEL fence (see the scaladoc): the primary's marker
+    // spans BOTH store rewrites, so a crash between them leaves admits
+    // failing loudly instead of silently dropping near-vs-history
+    // candidates against the inconsistent pair
+    graft.util.Gen.createMarker(spark, path)
+    try {
+      if (graft.util.Gen.hasData(spark, bandsPath))
+        graft.util.Gen.rewrite(spark, bandsPath) { tmp =>
+          spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath))
+            .join(broadcast(mapping), Seq("doc"), "left")
+            .select(col("kb"), col("band"), col("kh"),
+              coalesce(col("new_doc"), col("doc")).as("doc"))
+            .repartition(col("kb"))
+            .sortWithinPartitions(col("band"), col("kh"))
+            .write.mode("overwrite").partitionBy("kb").parquet(tmp)
+        }
+    } catch {
+      case e: Throwable =>
+        // the band rewrite failed BEFORE its publish: both stores are
+        // still the consistent pre-forget pair, so lift the ledger
+        // fence and surface the failure (re-run at leisure)
+        graft.util.Gen.deleteMarker(spark, path)
+        throw e
+    }
+    // from here on any failure deliberately leaves the ledger fence
+    // down (ownsMarker = true): the band store may already be
+    // scrubbed, and only a COMPLETED re-run restores consistency
+    graft.util.Gen.rewrite(spark, path, ownsMarker = true) { tmp =>
+      val s = spark.read.parquet(graft.util.Gen.resolve(spark, path))
       val dataCols = s.columns.filter(_ != "db")
       // db recomputes from the scrubbed id — the row MOVES to the
       // sentinel's bucket, which is where the verify fetch (whose
@@ -1362,6 +1450,7 @@ object Dedup {
           .select(dataCols.map(col): _*),
         "overwrite", tmp)
     }
+    graft.util.Gen.deleteMarker(spark, path)
     nForgot
   }
 
@@ -1369,9 +1458,10 @@ object Dedup {
     * and same answer as [[compactDedupLedger]], applied to both halves:
     * the primary rewrites each db bucket to one file, the band store
     * each (band, kb) bucket to one key-sorted file (every admit batch
-    * appended one file per touched bucket), both through the fenced
-    * [[graft.util.Fs.swapRewrite]] protocol (a racing admit fails
-    * loudly at its fence check), collapsing any duplicate rows a
+    * appended one file per touched bucket), both as zero-outage
+    * [[graft.util.Gen.rewrite]] generation flips (a racing admit fails
+    * loudly at its fence check; readers are never fenced), collapsing
+    * any duplicate rows a
     * historical race smuggled in. Also the one-time MIGRATION for a
     * ledger written before the db partitioning existed (the rewrite
     * derives db from the data columns either way). The band rewrite
@@ -1381,18 +1471,19 @@ object Dedup {
     * compacted primary row count. */
   def compactNearDupLedger(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
-    graft.util.Fs.swapRewrite(spark, path) { tmp =>
-      val s0 = spark.read.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.Gen.rewrite(spark, path) { tmp =>
+      val s0 = spark.read.parquet(graft.util.Gen.resolve(spark, path))
       val data = s0.columns.filter(_ != "db")
       ndlWritePrimary(s0.select(data.map(col): _*).distinct(),
         "overwrite", tmp)
     }
     val bandsPath = ndlBandsPath(path)
-    val bPath = new org.apache.hadoop.fs.Path(bandsPath)
-    val fs = bPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(bPath))
-      graft.util.Fs.swapRewrite(spark, bandsPath) { tmp =>
-        spark.read.parquet(bandsPath).distinct()
+    if (graft.util.Gen.hasData(spark, bandsPath))
+      graft.util.Gen.rewrite(spark, bandsPath) { tmp =>
+        spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath))
+          .distinct()
           // kb recomputes from kh — this is what makes compaction the
           // bucket-modulus MIGRATION (a store written under an older
           // modulus relayouts to the current one here)
@@ -1407,7 +1498,7 @@ object Dedup {
     // stays sidecar-less until its next admit backfills one
     ndlReadMeta(fs, path).foreach(m =>
       ndlWriteMeta(fs, path, m("bands"), m("rows")))
-    spark.read.parquet(path).count()
+    spark.read.parquet(graft.util.Gen.resolve(spark, path)).count()
   }
 
   /** The STREAMING-ingest form of [[removeBoilerplate]]'s rebuild: the

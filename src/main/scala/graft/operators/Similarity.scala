@@ -445,7 +445,16 @@ object Similarity {
     * (`dynamicpruningexpression(cell IN ...)`), asserted by
     * ExplainCheck on a loaded index at nProbe = 2. */
   def saveIvfIndex(index: (DataFrame, DataFrame), path: String,
-      maxRowsPerWriteTask: Long = 0): Unit = {
+      maxRowsPerWriteTask: Long = 0): Unit =
+    graft.util.Gen.rewrite(index._1.sparkSession, path)(g =>
+      writeIvfIndexInto(index, g, maxRowsPerWriteTask))
+
+  /** The index-generation payload behind [[saveIvfIndex]] and
+    * [[rebuildIvfIndex]] — writes a COMPLETE index (centroids + cell
+    * store + frozen drift baseline) into `path`, which is always a
+    * generation dir handed out by [[graft.util.Gen.rewrite]]. */
+  private def writeIvfIndexInto(index: (DataFrame, DataFrame),
+      path: String, maxRowsPerWriteTask: Long): Unit = {
     index._1.write.mode("overwrite").parquet(s"$path/centroids")
     // the salted write runs a census pass before the write; checkpoint
     // so the expensive lazy corpus argmax in index._2 executes once,
@@ -577,14 +586,47 @@ object Similarity {
         round(org.apache.spark.sql.functions.expr("percentile(cos, 0.10)"),
           6).as(s"${prefix}_p10_cos"))
 
+  /** The resolved DATA directory of a persisted index: its current
+    * committed generation under the [[graft.util.Gen]] layout (zero-
+    * reader-outage maintenance), or the path itself for a legacy flat
+    * index. Every persisted-index verb resolves ONCE at entry — one or
+    * two namenode RPCs, never per-expression. */
+  private def genDir(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = graft.util.Gen.resolve(spark, path)
+
+  /** Carry the auxiliary datasets of an index generation (centroids,
+    * codebooks, baselines — all driver-tiny by construction) into the
+    * next generation a compaction is writing, byte-for-byte. The row
+    * store (`except`) is what the compaction rewrites, and the applied
+    * `tombstones` deliberately do NOT carry — the rewrite drops their
+    * rows physically, and a delete racing the rewrite is fenced (or
+    * caught by [[graft.util.Gen.rewrite]]'s content re-verify), so the
+    * new generation starts tombstone-free. */
+  private def carryAuxDatasets(spark: org.apache.spark.sql.SparkSession,
+      from: String, to: String, except: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(from)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val skip = Set(except, "tombstones", graft.util.Gen.CommitMarker)
+    fs.listStatus(src).foreach { s =>
+      val name = s.getPath.getName
+      if (!skip.contains(name) && !name.startsWith("_") &&
+          !name.startsWith("."))
+        org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+          new org.apache.hadoop.fs.Path(s"$to/$name"), false, conf)
+    }
+  }
+
   /** Load a persisted IVF index. Tombstoned rows (see
     * [[deleteFromIvfIndex]]) are excluded from the returned store, so
     * every consumer — serve, recall probe, stats-free reads — sees the
     * post-deletion corpus. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/centroids"),
-      dropTombstoned(spark, path, spark.read.parquet(s"$path/assigned")))
+      path: String): (DataFrame, DataFrame) = {
+    val g = genDir(spark, path)
+    (spark.read.parquet(s"$g/centroids"),
+      dropTombstoned(spark, g, spark.read.parquet(s"$g/assigned")))
+  }
 
   /** Delete vectors from a persisted index — the takedown/retention
     * verb every real deployment is eventually legally required to run.
@@ -598,32 +640,30 @@ object Similarity {
     * Returns the number of distinct ids tombstoned by this call. */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame, idCol: String): Long =
-    appendTombstones(spark, path, s"$path/assigned", ids, idCol,
-      "deleteFromIvfIndex")
+    appendTombstones(spark, path, ids, idCol, "deleteFromIvfIndex")
 
   /** [[deleteFromIvfIndex]] for a persisted IVF+PQ index. */
   def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame, idCol: String): Long =
-    appendTombstones(spark, path, s"$path/codes", ids, idCol,
-      "deleteFromIvfPqIndex")
+    appendTombstones(spark, path, ids, idCol, "deleteFromIvfPqIndex")
 
   /** [[deleteFromIvfIndex]] for a persisted SQ8 index. */
   def deleteFromSq8Index(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame, idCol: String): Long =
-    appendTombstones(spark, path, s"$path/codes", ids, idCol,
-      "deleteFromSq8Index")
+    appendTombstones(spark, path, ids, idCol, "deleteFromSq8Index")
 
   private def appendTombstones(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, storeDir: String, ids: DataFrame,
+      indexPath: String, ids: DataFrame,
       idCol: String, who: String): Long = {
-    // deletes are fenced like appends: a tombstone landing mid-swap
-    // would be cleared by the compaction without being applied
-    graft.util.Fs.failIfUnderMaintenance(spark, storeDir, who)
+    // deletes are fenced like appends: a tombstone landing mid-rewrite
+    // would be obsoleted by the generation flip without being applied
+    graft.util.Fs.failIfUnderMaintenance(spark, indexPath, who)
+    val g = genDir(spark, indexPath)
     val ts = ids.select(col(idCol).as("neighbor_id")).distinct()
       .localCheckpoint()
     val n = ts.count()
     if (n > 0)
-      ts.write.mode("append").parquet(s"$indexPath/tombstones")
+      ts.write.mode("append").parquet(s"$g/tombstones")
     n
   }
 
@@ -637,9 +677,12 @@ object Similarity {
     * physically drops the rows (compact on that cadence). */
   private val MaxLiteralTombstones = 65536L
 
+  /** `dataDir` is the RESOLVED generation dir ([[genDir]]) — tombstones
+    * live inside the generation they apply to, so a compaction's new
+    * generation starts clean without any file bookkeeping. */
   private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Option[DataFrame] = {
-    val tp = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+      dataDir: String): Option[DataFrame] = {
+    val tp = new org.apache.hadoop.fs.Path(s"$dataDir/tombstones")
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tp) && fs.listStatus(tp).nonEmpty)
       Some(spark.read.parquet(tp.toString)
@@ -648,8 +691,8 @@ object Similarity {
   }
 
   private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, store: DataFrame): DataFrame =
-    tombstonesOf(spark, indexPath).map { ts =>
+      dataDir: String, store: DataFrame): DataFrame =
+    tombstonesOf(spark, dataDir).map { ts =>
       // one bounded collect decides the path AND fetches the ids (a
       // separate count-then-collect would pay two jobs per load)
       val dead = ts.limit((MaxLiteralTombstones + 1).toInt)
@@ -659,29 +702,6 @@ object Similarity {
         store.filter(!col("neighbor_id").isInCollection(dead))
       else store.join(broadcast(ts), Seq("neighbor_id"), "left_anti")
     }.getOrElse(store)
-
-  /** Clear tombstone files that existed when a compaction snapshotted
-    * the store — called AFTER the swap promotes the physically-dropped
-    * rewrite. Only the pre-swap files go: a delete that lands in the
-    * gap between the swap completing and this cleanup appends a NEW
-    * file, which survives for the next cycle (nothing is ever
-    * un-deleted). */
-  private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String,
-      pre: Seq[org.apache.hadoop.fs.Path]): Unit = {
-    val tp = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
-    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    pre.foreach(f => fs.delete(f, false))
-    if (fs.exists(tp) && fs.listStatus(tp).isEmpty) fs.delete(tp, true)
-  }
-
-  private def tombstoneFiles(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Seq[org.apache.hadoop.fs.Path] = {
-    val tp = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
-    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tp)) fs.listStatus(tp).map(_.getPath).toSeq
-    else Seq.empty
-  }
 
   /** Incremental index maintenance — the daily-embedding-ingest path:
     * new vectors are assigned to the EXISTING centroids (no retrain;
@@ -695,15 +715,16 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, idCol: String,
       vecCol: String, maxRowsPerWriteTask: Long = 0): Long = {
-    graft.util.Fs.failIfUnderMaintenance(spark, s"$path/assigned",
+    graft.util.Fs.failIfUnderMaintenance(spark, path,
       "appendToIvfIndex")
-    val cents = spark.read.parquet(s"$path/centroids")
+    val g = genDir(spark, path)
+    val cents = spark.read.parquet(s"$g/centroids")
     val assigned = assignCells(
       newVecs.select(col(idCol).as("neighbor_id"),
         l2Normalize(col(vecCol)).as("cv")),
       cents, "neighbor_id", "cv", keep = 1)
       .localCheckpoint()
-    writeCellStore(assigned, "append", s"$path/assigned",
+    writeCellStore(assigned, "append", s"$g/assigned",
       maxRowsPerWriteTask)
     assigned.count()
   }
@@ -716,30 +737,30 @@ object Similarity {
     * (same repartition-on-cell discipline as [[saveIvfIndex]], same
     * hot-cell caveat) with served results identical by construction —
     * the store's rows are untouched, only their file layout changes
-    * (and the persisted drift baseline is deliberately NOT touched —
-    * it is build-time state). The rewrite-and-swap runs through
-    * [[graft.util.Fs.swapRewrite]] (two atomic renames, crash-state
-    * auto-recovery on re-run, checked rollback — see its scaladoc for
-    * the protocol). The single-maintenance-writer rule is ENFORCED by
-    * the swapRewrite maintenance marker: an [[appendToIvfIndex]]
-    * racing this compaction fails loudly at its fence check instead of
-    * committing rows the swap would silently drop. Returns the number
-    * of rows in the compacted store. */
+    * (and the persisted drift baseline carries over byte-for-byte —
+    * it is build-time state). The rewrite publishes a NEW INDEX
+    * GENERATION through [[graft.util.Gen.rewrite]] (atomic commit-
+    * marker flip, ZERO reader outage — a serve that resolved before
+    * the flip completes against its generation; see Gen's scaladoc
+    * for the crash protocol): the row store rewrites with tombstoned
+    * rows PHYSICALLY dropped, the auxiliary datasets (centroids,
+    * baseline — driver-tiny) copy over, and the applied tombstones do
+    * not carry, so the new generation starts clean. The single-
+    * maintenance-writer rule is ENFORCED by the maintenance marker:
+    * an [[appendToIvfIndex]] racing this compaction fails loudly at
+    * its fence check instead of committing rows the generation flip
+    * would silently obsolete. Returns the number of rows in the
+    * compacted store. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, maxRowsPerWriteTask: Long = 0): Long = {
-    val store = s"$path/assigned"
-    // tombstoned rows are PHYSICALLY dropped here (the rewrite applies
-    // the serve-time exclusion to the files themselves), then the
-    // applied tombstone files clear — only the files that existed
-    // before the snapshot; a delete racing the post-swap gap keeps its
-    // new tombstone file for the next cycle
-    val pre = tombstoneFiles(spark, path)
-    graft.util.Fs.swapRewrite(spark, store)(tmp =>
-      writeCellStore(dropTombstoned(spark, path,
-        spark.read.parquet(store)), "overwrite", tmp,
-        maxRowsPerWriteTask))
-    clearTombstones(spark, path, pre)
-    spark.read.parquet(store).count()
+    graft.util.Gen.rewrite(spark, path) { g =>
+      val old = genDir(spark, path)
+      carryAuxDatasets(spark, old, g, except = "assigned")
+      writeCellStore(dropTombstoned(spark, old,
+        spark.read.parquet(s"$old/assigned")), "overwrite",
+        s"$g/assigned", maxRowsPerWriteTask)
+    }
+    spark.read.parquet(s"${genDir(spark, path)}/assigned").count()
   }
 
   /** Layout health of a persisted cell store: per cell, row count and
@@ -752,12 +773,14 @@ object Similarity {
     * One scan touching only the partition column + file name — no vector
     * bytes are read. */
   def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = cellStoreStats(spark, s"$path/assigned")
+      path: String): DataFrame =
+    cellStoreStats(spark, s"${genDir(spark, path)}/assigned")
 
   /** [[ivfIndexStats]] for the IVF+PQ code store — same signals, same
     * zero-data-bytes scan (the per-cell code bytes are never read). */
   def ivfPqIndexStats(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = cellStoreStats(spark, s"$path/codes")
+      path: String): DataFrame =
+    cellStoreStats(spark, s"${genDir(spark, path)}/codes")
 
   private def cellStoreStats(spark: org.apache.spark.sql.SparkSession,
       store: String): DataFrame =
@@ -773,36 +796,34 @@ object Similarity {
     * read the store's rows, retrain centroids (optionally with
     * full-corpus Lloyd refinement), re-assign with the map-only
     * kernel, and write a COMPLETE new index (centroids + cell store +
-    * frozen drift baseline) into a sibling temp dir, promoted by the
-    * whole-directory [[graft.util.Fs.swapRewrite]] — the same two-
-    * rename protocol as compaction, applied to the index dir, so the
-    * three datasets swap atomically together (a crash never leaves
-    * mixed-generation centroids/baseline). Ingest is fenced for the
-    * window: [[appendToIvfIndex]]'s check covers the enclosing-dir
-    * marker this swap holds. Readers see the same outage window as
-    * compaction (see swapRewrite's scaladoc). The store read happens
-    * INSIDE the rewrite callback — after swapRewrite's crash-state
-    * recovery, so a re-run over a crashed rebuild restores the store
-    * before reading it — and is localCheckpointed so the new index
+    * frozen drift baseline) as the NEXT GENERATION, published by
+    * [[graft.util.Gen.rewrite]]'s atomic commit-marker flip — the
+    * three datasets flip together (a crash never leaves mixed-
+    * generation centroids/baseline) and readers see ZERO outage (a
+    * serve resolved pre-flip completes against its generation; new
+    * loads resolve the rebuilt one). Ingest is fenced for the window
+    * by the index's maintenance marker. The store read happens INSIDE
+    * the rewrite callback and is localCheckpointed so the new index
     * derives from a materialized snapshot. Returns the rebuilt row
     * count. */
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, nCentroids: Int = 16, kmeansIters: Int = 4,
       refineIters: Int = 0, maxRowsPerWriteTask: Long = 0): Long = {
-    graft.util.Fs.swapRewrite(spark, path) { tmp =>
+    graft.util.Gen.rewrite(spark, path) { g =>
       // tombstoned rows are excluded from the retrain corpus AND never
-      // copied into the new store — the whole-dir swap then drops the
-      // old tombstones dir with the rest of the old generation, so the
-      // rebuild IS a physical delete
-      val corpus = dropTombstoned(spark, path,
-          spark.read.parquet(s"$path/assigned"))
+      // copied into the new store — the old generation (tombstones
+      // included) is swept a cycle later, so the rebuild IS a physical
+      // delete
+      val old = genDir(spark, path)
+      val corpus = dropTombstoned(spark, old,
+          spark.read.parquet(s"$old/assigned"))
         .select(col("neighbor_id"), col("cv")).localCheckpoint()
-      saveIvfIndex(
+      writeIvfIndexInto(
         buildIvfIndex(corpus, "neighbor_id", "cv", nCentroids,
           kmeansIters, refineIters),
-        tmp, maxRowsPerWriteTask)
+        g, maxRowsPerWriteTask)
     }
-    spark.read.parquet(s"$path/assigned").count()
+    spark.read.parquet(s"${genDir(spark, path)}/assigned").count()
   }
 
   /** [[rebuildIvfIndex]] for a persisted IVF+PQ index. The code store
@@ -815,21 +836,21 @@ object Similarity {
       path: String, corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, m: Int = 16, k: Int = 16,
       maxRowsPerWriteTask: Long = 0): Long = {
-    graft.util.Fs.swapRewrite(spark, path) { tmp =>
+    graft.util.Gen.rewrite(spark, path) { g =>
       // deleted ids must not resurrect through the caller's corpus: the
       // rebuild applies the index's tombstones to it before retraining
-      // (the whole-dir swap then drops the old tombstones dir)
-      val live = tombstonesOf(spark, path)
+      // (the generation flip then obsoletes the old tombstones dir)
+      val live = tombstonesOf(spark, genDir(spark, path))
         .map(ts => corpus.join(
           broadcast(ts.withColumnRenamed("neighbor_id", idCol)),
           Seq(idCol), "left_anti"))
         .getOrElse(corpus)
-      saveIvfPqIndex(
+      writeIvfPqIndexInto(
         buildIvfPqIndex(live, idCol, vecCol, nCells, m, k),
-        tmp, maxRowsPerWriteTask)
-      writeIvfPqErrBaseline(spark, tmp, live, idCol, vecCol)
+        g, maxRowsPerWriteTask)
+      writeIvfPqErrBaselineInto(spark, g, live, idCol, vecCol)
     }
-    spark.read.parquet(s"$path/codes").count()
+    spark.read.parquet(s"${genDir(spark, path)}/codes").count()
   }
 
   /** Centroid-drift report — the rebuild trigger [[appendToIvfIndex]]'s
@@ -874,7 +895,8 @@ object Similarity {
   def ivfDriftReport(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val base = new org.apache.hadoop.fs.Path(s"$path/baseline")
+    val g = genDir(spark, path)
+    val base = new org.apache.hadoop.fs.Path(s"$g/baseline")
     if (!base.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(base))
       throw new IllegalStateException(
@@ -882,7 +904,7 @@ object Similarity {
           "monitor existed). Run Similarity.backfillIvfBaseline(spark, " +
           "path) BEFORE any drifted appends land in the store, or " +
           "rebuild + re-save the index.")
-    val baseDf = spark.read.parquet(s"$path/baseline")
+    val baseDf = spark.read.parquet(s"$g/baseline")
     // legacy-SCHEMA guard, not just legacy-existence: a baseline written
     // before the p10 columns would otherwise surface as a raw
     // unresolved-column AnalysisException deep inside the report plan
@@ -894,7 +916,7 @@ object Similarity {
           "only while the store is unappended; if drifted appends have " +
           "already landed, rebuild + re-save the index.")
     driftAgainst(baseDf,
-      spark.read.parquet(s"$path/centroids"), batch, idCol, vecCol)
+      spark.read.parquet(s"$g/centroids"), batch, idCol, vecCol)
   }
 
   /** Backfill the `baseline/` dataset for an index persisted before
@@ -904,10 +926,16 @@ object Similarity {
     * born contaminated with precisely the drift it should expose. */
   def backfillIvfBaseline(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
+    // a writer into the CURRENT generation: fenced like an append (a
+    // rewrite racing this would either fence it out here or abort at
+    // its content re-verify)
+    graft.util.Fs.failIfUnderMaintenance(spark, path,
+      "backfillIvfBaseline")
     val (cents, assigned) = loadIvfIndex(spark, path)
     cellBaseline(cents,
       assigned.select(col("cell").cast("long").as("cell"), col("cv")))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/baseline")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${genDir(spark, path)}/baseline")
   }
 
   /** Shared finish of both [[ivfDriftReport]] forms: argmax-assign the
@@ -1082,24 +1110,25 @@ object Similarity {
     * vectors). Deploys that serve PQ without coarse cells re-encode
     * nothing per session; mirror of [[saveIvfPqIndex]] minus the cell
     * layout. */
-  def savePqIndex(index: (PqCodebooks, DataFrame), path: String): Unit = {
-    val (cb, codes) = index
-    writeCodebooks(cb, codes.sparkSession, s"$path/codebooks")
-    codes.write.mode("overwrite").parquet(s"$path/codes")
-  }
+  def savePqIndex(index: (PqCodebooks, DataFrame), path: String): Unit =
+    graft.util.Gen.rewrite(index._2.sparkSession, path) { g =>
+      writeCodebooks(index._1, index._2.sparkSession, s"$g/codebooks")
+      index._2.write.mode("overwrite").parquet(s"$g/codes")
+    }
 
   /** Load a persisted plain-PQ index (tombstone-filtered, like every
     * load). */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): (PqCodebooks, DataFrame) =
-    (readCodebooks(spark, s"$path/codebooks"),
-      dropTombstoned(spark, path, spark.read.parquet(s"$path/codes")))
+      path: String): (PqCodebooks, DataFrame) = {
+    val g = genDir(spark, path)
+    (readCodebooks(spark, s"$g/codebooks"),
+      dropTombstoned(spark, g, spark.read.parquet(s"$g/codes")))
+  }
 
   /** [[deleteFromIvfIndex]] for a persisted plain-PQ index. */
   def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame, idCol: String): Long =
-    appendTombstones(spark, path, s"$path/codes", ids, idCol,
-      "deleteFromPqIndex")
+    appendTombstones(spark, path, ids, idCol, "deleteFromPqIndex")
 
   /** Incremental maintenance for the persisted plain-PQ index: new
     * vectors encode with the FROZEN codebooks (one codegen projection;
@@ -1109,31 +1138,34 @@ object Similarity {
   def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, idCol: String,
       vecCol: String): Long = {
-    graft.util.Fs.failIfUnderMaintenance(spark, s"$path/codes",
+    graft.util.Fs.failIfUnderMaintenance(spark, path,
       "appendToPqIndex")
-    val cb = readCodebooks(spark, s"$path/codebooks")
+    val g = genDir(spark, path)
+    val cb = readCodebooks(spark, s"$g/codebooks")
     val rows = newVecs.select(col(idCol).as("neighbor_id"),
         pqEncodeCol(l2Normalize(col(vecCol)), cb).as("codes"))
       .localCheckpoint()
-    rows.write.mode("append").parquet(s"$path/codes")
+    rows.write.mode("append").parquet(s"$g/codes")
     rows.count()
   }
 
-  /** Compact the plain-PQ code store — fenced swap, physical tombstone
-    * drop, post-swap tombstone clear (the [[compactSq8Index]] protocol
-    * on the PQ layout). Returns the compacted row count. */
+  /** Compact the plain-PQ code store — a new index generation with
+    * tombstoned rows physically dropped and the codebooks carried
+    * over, published by the zero-outage [[graft.util.Gen.rewrite]]
+    * flip (the [[compactSq8Index]] protocol on the PQ layout).
+    * Returns the compacted row count. */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 0): Long = {
-    val store = s"$path/codes"
     val n = if (targetFiles > 0) targetFiles
       else spark.sparkContext.defaultParallelism
-    val pre = tombstoneFiles(spark, path)
-    graft.util.Fs.swapRewrite(spark, store)(tmp =>
-      dropTombstoned(spark, path, spark.read.parquet(store))
+    graft.util.Gen.rewrite(spark, path) { g =>
+      val old = genDir(spark, path)
+      carryAuxDatasets(spark, old, g, except = "codes")
+      dropTombstoned(spark, old, spark.read.parquet(s"$old/codes"))
         .repartition(n, col("neighbor_id"))
-        .write.mode("overwrite").parquet(tmp))
-    clearTombstones(spark, path, pre)
-    spark.read.parquet(store).count()
+        .write.mode("overwrite").parquet(s"$g/codes")
+    }
+    spark.read.parquet(s"${genDir(spark, path)}/codes").count()
   }
 
   /** PQ top-k serve: queries broadcast with a precomputed per-query LUT
@@ -1203,10 +1235,13 @@ object Similarity {
         col("sq.delta").as("delta"), col("sq.codes").as("codes"))
 
   def saveSq8Index(index: DataFrame, path: String): Unit =
-    index.write.mode("overwrite").parquet(s"$path/codes")
+    graft.util.Gen.rewrite(index.sparkSession, path)(g =>
+      index.write.mode("overwrite").parquet(s"$g/codes"))
   def loadSq8Index(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
-    dropTombstoned(spark, path, spark.read.parquet(s"$path/codes"))
+      path: String): DataFrame = {
+    val g = genDir(spark, path)
+    dropTombstoned(spark, g, spark.read.parquet(s"$g/codes"))
+  }
 
   /** Incremental maintenance for the persisted SQ8 index — the
     * training-free tier's whole selling point is that append is ONE
@@ -1216,30 +1251,30 @@ object Similarity {
   def appendToSq8Index(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, idCol: String,
       vecCol: String): Long = {
-    graft.util.Fs.failIfUnderMaintenance(spark, s"$path/codes",
+    graft.util.Fs.failIfUnderMaintenance(spark, path,
       "appendToSq8Index")
     val rows = buildSq8Index(newVecs, idCol, vecCol).localCheckpoint()
-    rows.write.mode("append").parquet(s"$path/codes")
+    rows.write.mode("append").parquet(s"${genDir(spark, path)}/codes")
     rows.count()
   }
 
-  /** Compact the appended SQ8 code store: rewrite to the session's
-    * default parallelism in files, physically dropping tombstoned rows
-    * ([[deleteFromSq8Index]]) and clearing the applied tombstones —
-    * same fenced swap + post-swap clear protocol as
-    * [[compactIvfIndex]]. Returns the compacted row count. */
+  /** Compact the appended SQ8 code store: a new generation rewritten
+    * to the session's default parallelism in files, tombstoned rows
+    * ([[deleteFromSq8Index]]) physically dropped — the zero-outage
+    * [[graft.util.Gen.rewrite]] protocol, like [[compactIvfIndex]].
+    * Returns the compacted row count. */
   def compactSq8Index(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 0): Long = {
-    val store = s"$path/codes"
     val n = if (targetFiles > 0) targetFiles
       else spark.sparkContext.defaultParallelism
-    val pre = tombstoneFiles(spark, path)
-    graft.util.Fs.swapRewrite(spark, store)(tmp =>
-      dropTombstoned(spark, path, spark.read.parquet(store))
+    graft.util.Gen.rewrite(spark, path) { g =>
+      val old = genDir(spark, path)
+      carryAuxDatasets(spark, old, g, except = "codes")
+      dropTombstoned(spark, old, spark.read.parquet(s"$old/codes"))
         .repartition(n, col("neighbor_id"))
-        .write.mode("overwrite").parquet(tmp))
-    clearTombstones(spark, path, pre)
-    spark.read.parquet(store).count()
+        .write.mode("overwrite").parquet(s"$g/codes")
+    }
+    spark.read.parquet(s"${genDir(spark, path)}/codes").count()
   }
 
   /** Layout health of a persisted SQ8 store: (n_rows, n_files,
@@ -1248,8 +1283,9 @@ object Similarity {
     * zero-data-byte scan + the tombstone ids. */
   def sq8IndexStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val nTs = tombstonesOf(spark, path).map(_.count()).getOrElse(0L)
-    spark.read.parquet(s"$path/codes")
+    val g = genDir(spark, path)
+    val nTs = tombstonesOf(spark, g).map(_.count()).getOrElse(0L)
+    spark.read.parquet(s"$g/codes")
       .select(input_file_name().as("f"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("f")).as("n_files"))
@@ -1334,7 +1370,12 @@ object Similarity {
     * read only probed cells' partitions, each holding byte codes, not
     * vectors). No codebook table — SQ8 is training-free. */
   def saveIvfSq8Index(index: (DataFrame, DataFrame), path: String,
-      maxRowsPerWriteTask: Long = 0): Unit = {
+      maxRowsPerWriteTask: Long = 0): Unit =
+    graft.util.Gen.rewrite(index._1.sparkSession, path)(g =>
+      writeIvfSq8IndexInto(index, g, maxRowsPerWriteTask))
+
+  private def writeIvfSq8IndexInto(index: (DataFrame, DataFrame),
+      path: String, maxRowsPerWriteTask: Long): Unit = {
     val (cents, assigned) = index
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     val codes =
@@ -1355,6 +1396,17 @@ object Similarity {
   def writeIvfSq8Baseline(spark: org.apache.spark.sql.SparkSession,
       path: String, corpus: DataFrame, idCol: String,
       vecCol: String): Unit = {
+    // a writer into the CURRENT generation — fenced like an append
+    graft.util.Fs.failIfUnderMaintenance(spark, path,
+      "writeIvfSq8Baseline")
+    writeIvfSq8BaselineInto(spark, genDir(spark, path), corpus,
+      idCol, vecCol)
+  }
+
+  private def writeIvfSq8BaselineInto(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String,
+      vecCol: String): Unit = {
     val cents = spark.read.parquet(s"$path/centroids")
     cellBaseline(cents,
       assignCells(
@@ -1368,9 +1420,11 @@ object Similarity {
   /** Load a persisted IVF×SQ8 index (tombstone-filtered, like every
     * load). */
   def loadIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
-      path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/centroids"),
-      dropTombstoned(spark, path, spark.read.parquet(s"$path/codes")))
+      path: String): (DataFrame, DataFrame) = {
+    val g = genDir(spark, path)
+    (spark.read.parquet(s"$g/centroids"),
+      dropTombstoned(spark, g, spark.read.parquet(s"$g/codes")))
+  }
 
   /** Incremental maintenance for the persisted IVF×SQ8 index: frozen
     * centroids assign, the training-free encode quantizes — ONE
@@ -1379,9 +1433,10 @@ object Similarity {
   def appendToIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, idCol: String,
       vecCol: String, maxRowsPerWriteTask: Long = 0): Long = {
-    graft.util.Fs.failIfUnderMaintenance(spark, s"$path/codes",
+    graft.util.Fs.failIfUnderMaintenance(spark, path,
       "appendToIvfSq8Index")
-    val cents = spark.read.parquet(s"$path/centroids")
+    val g = genDir(spark, path)
+    val cents = spark.read.parquet(s"$g/centroids")
     val assigned = assignCells(
       newVecs.select(col(idCol).as("neighbor_id"),
         l2Normalize(col(vecCol)).as("cv")),
@@ -1391,13 +1446,13 @@ object Similarity {
       .select(col("neighbor_id"), col("cell"), col("sq.vmin").as("vmin"),
         col("sq.delta").as("delta"), col("sq.codes").as("codes"))
       .localCheckpoint()
-    writeCellStore(assigned, "append", s"$path/codes",
+    writeCellStore(assigned, "append", s"$g/codes",
       maxRowsPerWriteTask)
     assigned.count()
   }
 
-  /** Compact the appended IVF×SQ8 code store — same fenced swap,
-    * physical tombstone drop, and post-swap tombstone clear as
+  /** Compact the appended IVF×SQ8 code store — same zero-outage
+    * generation rewrite and physical tombstone drop as
     * [[compactIvfIndex]]. Returns the compacted row count. */
   def compactIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
       path: String, maxRowsPerWriteTask: Long = 0): Long =
@@ -1406,12 +1461,12 @@ object Similarity {
   /** [[deleteFromIvfIndex]] for a persisted IVF×SQ8 index. */
   def deleteFromIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame, idCol: String): Long =
-    appendTombstones(spark, path, s"$path/codes", ids, idCol,
-      "deleteFromIvfSq8Index")
+    appendTombstones(spark, path, ids, idCol, "deleteFromIvfSq8Index")
 
   /** [[ivfIndexStats]] for the IVF×SQ8 code store. */
   def ivfSq8IndexStats(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = cellStoreStats(spark, s"$path/codes")
+      path: String): DataFrame =
+    cellStoreStats(spark, s"${genDir(spark, path)}/codes")
 
   /** [[rebuildIvfIndex]] for a persisted IVF×SQ8 index. The code store
     * keeps codes, not vectors, so the rebuild REQUIRES the corpus (the
@@ -1423,18 +1478,18 @@ object Similarity {
       path: String, corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int = 16, kmeansIters: Int = 4,
       maxRowsPerWriteTask: Long = 0): Long = {
-    graft.util.Fs.swapRewrite(spark, path) { tmp =>
-      val live = tombstonesOf(spark, path)
+    graft.util.Gen.rewrite(spark, path) { g =>
+      val live = tombstonesOf(spark, genDir(spark, path))
         .map(ts => corpus.join(
           broadcast(ts.withColumnRenamed("neighbor_id", idCol)),
           Seq(idCol), "left_anti"))
         .getOrElse(corpus)
-      saveIvfSq8Index(
+      writeIvfSq8IndexInto(
         buildIvfSq8Index(live, idCol, vecCol, nCentroids, kmeansIters),
-        tmp, maxRowsPerWriteTask)
-      writeIvfSq8Baseline(spark, tmp, live, idCol, vecCol)
+        g, maxRowsPerWriteTask)
+      writeIvfSq8BaselineInto(spark, g, live, idCol, vecCol)
     }
-    spark.read.parquet(s"$path/codes").count()
+    spark.read.parquet(s"${genDir(spark, path)}/codes").count()
   }
 
   /** IVF×SQ8 top-k serve: queries argmax into their nProbe cells (the
@@ -1549,7 +1604,7 @@ object Similarity {
       .agg(max(col("n_files")).as("mf"), max(col("n_rows")).as("mr"),
         sum(col("n_rows")).as("rows"))
       .first()
-    val nTombstones = tombstonesOf(spark, path)
+    val nTombstones = tombstonesOf(spark, genDir(spark, path))
       .map(_.count()).getOrElse(0L)
     Seq((batchN, meanDrift, p10Drift, nProbe, k, recall,
       s.getAs[Long]("rows"), s.getAs[Long]("mr"), s.getAs[Long]("mf"),
@@ -1596,7 +1651,13 @@ object Similarity {
     * [[writeCellStore]] discipline as the IVF store (one file per cell
     * per write, salted escape hatch for hot cells). */
   def saveIvfPqIndex(index: (DataFrame, PqCodebooks, DataFrame),
-      path: String, maxRowsPerWriteTask: Long = 0): Unit = {
+      path: String, maxRowsPerWriteTask: Long = 0): Unit =
+    graft.util.Gen.rewrite(index._1.sparkSession, path)(g =>
+      writeIvfPqIndexInto(index, g, maxRowsPerWriteTask))
+
+  private def writeIvfPqIndexInto(
+      index: (DataFrame, PqCodebooks, DataFrame),
+      path: String, maxRowsPerWriteTask: Long): Unit = {
     val (cents, cb, assigned) = index
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     writeCodebooks(cb, cents.sparkSession, s"$path/codebooks")
@@ -1608,10 +1669,12 @@ object Similarity {
   }
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): (DataFrame, PqCodebooks, DataFrame) =
-    (spark.read.parquet(s"$path/centroids"),
-      readCodebooks(spark, s"$path/codebooks"),
-      dropTombstoned(spark, path, spark.read.parquet(s"$path/codes")))
+      path: String): (DataFrame, PqCodebooks, DataFrame) = {
+    val g = genDir(spark, path)
+    (spark.read.parquet(s"$g/centroids"),
+      readCodebooks(spark, s"$g/codebooks"),
+      dropTombstoned(spark, g, spark.read.parquet(s"$g/codes")))
+  }
 
   /** Incremental maintenance for the persisted IVF+PQ index — the
     * lifecycle twin of [[appendToIvfIndex]] for the memory-bounded
@@ -1626,10 +1689,11 @@ object Similarity {
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, idCol: String,
       vecCol: String, maxRowsPerWriteTask: Long = 0): Long = {
-    graft.util.Fs.failIfUnderMaintenance(spark, s"$path/codes",
+    graft.util.Fs.failIfUnderMaintenance(spark, path,
       "appendToIvfPqIndex")
-    val cents = spark.read.parquet(s"$path/centroids")
-    val cb = readCodebooks(spark, s"$path/codebooks")
+    val g = genDir(spark, path)
+    val cents = spark.read.parquet(s"$g/centroids")
+    val cb = readCodebooks(spark, s"$g/codebooks")
     val assigned = assignCells(
       newVecs.select(col(idCol).as("neighbor_id"),
         l2Normalize(col(vecCol)).as("cv")),
@@ -1637,27 +1701,27 @@ object Similarity {
       .select(col("neighbor_id"), col("cell"),
         pqEncodeCol(col("cv"), cb).as("codes"))
       .localCheckpoint()
-    writeCellStore(assigned, "append", s"$path/codes",
+    writeCellStore(assigned, "append", s"$g/codes",
       maxRowsPerWriteTask)
     assigned.count()
   }
 
   /** Compact the appended IVF+PQ code store — same accretion debt and
-    * same fenced [[graft.util.Fs.swapRewrite]] answer as
-    * [[compactIvfIndex]]: every cell rewrites to one file, rows (and
-    * therefore served results) untouched. Returns the compacted row
+    * same zero-outage [[graft.util.Gen.rewrite]] answer as
+    * [[compactIvfIndex]]: every cell rewrites to one file with
+    * tombstoned rows physically dropped, centroids/codebooks/baselines
+    * carried over, served rows untouched. Returns the compacted row
     * count. */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, maxRowsPerWriteTask: Long = 0): Long = {
-    val store = s"$path/codes"
-    // same physical tombstone drop + clear as compactIvfIndex
-    val pre = tombstoneFiles(spark, path)
-    graft.util.Fs.swapRewrite(spark, store)(tmp =>
-      writeCellStore(dropTombstoned(spark, path,
-        spark.read.parquet(store)), "overwrite", tmp,
-        maxRowsPerWriteTask))
-    clearTombstones(spark, path, pre)
-    spark.read.parquet(store).count()
+    graft.util.Gen.rewrite(spark, path) { g =>
+      val old = genDir(spark, path)
+      carryAuxDatasets(spark, old, g, except = "codes")
+      writeCellStore(dropTombstoned(spark, old,
+        spark.read.parquet(s"$old/codes")), "overwrite",
+        s"$g/codes", maxRowsPerWriteTask)
+    }
+    spark.read.parquet(s"${genDir(spark, path)}/codes").count()
   }
 
   /** Per-row PQ quantization error: `1 − ⟨v, recon(v)⟩` via the ADC
@@ -1681,6 +1745,17 @@ object Similarity {
     * Corpus-side p90 routes through the bounded-memory exact selection
     * for the same hot-cell-OOM reason as [[cellBaseline]]. */
   def writeIvfPqErrBaseline(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String,
+      vecCol: String): Unit = {
+    // a writer into the CURRENT generation — fenced like an append
+    graft.util.Fs.failIfUnderMaintenance(spark, path,
+      "writeIvfPqErrBaseline")
+    writeIvfPqErrBaselineInto(spark, genDir(spark, path), corpus,
+      idCol, vecCol)
+  }
+
+  private def writeIvfPqErrBaselineInto(
+      spark: org.apache.spark.sql.SparkSession,
       path: String, corpus: DataFrame, idCol: String,
       vecCol: String): Unit = {
     val cents = spark.read.parquet(s"$path/centroids")
@@ -1715,7 +1790,8 @@ object Similarity {
   def ivfPqDriftReport(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val base = new org.apache.hadoop.fs.Path(s"$path/err_baseline")
+    val g = genDir(spark, path)
+    val base = new org.apache.hadoop.fs.Path(s"$g/err_baseline")
     if (!base.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(base))
       throw new IllegalStateException(
@@ -1724,8 +1800,8 @@ object Similarity {
           "idCol, vecCol) right after saveIvfPqIndex — sound only " +
           "while no drifted appends have landed; if they have, rebuild " +
           "+ re-save the index.")
-    val cents = spark.read.parquet(s"$path/centroids")
-    val cb = readCodebooks(spark, s"$path/codebooks")
+    val cents = spark.read.parquet(s"$g/centroids")
+    val cb = readCodebooks(spark, s"$g/codebooks")
     val err = assignCells(
       batch.select(col(idCol).as("bid"),
         l2Normalize(col(vecCol)).as("bv")),
@@ -1736,7 +1812,7 @@ object Similarity {
         round(avg(col("err")), 6).as("batch_mean_err"),
         round(org.apache.spark.sql.functions
           .expr("percentile(err, 0.90)"), 6).as("batch_p90_err"))
-    bp.join(spark.read.parquet(s"$path/err_baseline"), Seq("cell"),
+    bp.join(spark.read.parquet(s"$g/err_baseline"), Seq("cell"),
         "left")
       .select(col("cell"),
         coalesce(col("base_n"), lit(0L)).as("base_n"),
@@ -1833,7 +1909,7 @@ object Similarity {
       .agg(max(col("n_files")).as("mf"), max(col("n_rows")).as("mr"),
         sum(col("n_rows")).as("rows"))
       .first()
-    val nTombstones = tombstonesOf(spark, path)
+    val nTombstones = tombstonesOf(spark, genDir(spark, path))
       .map(_.count()).getOrElse(0L)
     Seq((batchN, meanDrift, p10Drift, nProbe, k, recall,
       s.getAs[Long]("rows"), s.getAs[Long]("mr"), s.getAs[Long]("mf"),
@@ -1879,7 +1955,7 @@ object Similarity {
       .agg(max(col("n_files")).as("mf"), max(col("n_rows")).as("mr"),
         sum(col("n_rows")).as("rows"))
       .first()
-    val nTombstones = tombstonesOf(spark, path)
+    val nTombstones = tombstonesOf(spark, genDir(spark, path))
       .map(_.count()).getOrElse(0L)
     Seq((batchN, meanErrDrift, p90ErrDrift, nProbe, k, recall,
       s.getAs[Long]("rows"), s.getAs[Long]("mr"), s.getAs[Long]("mf"),

@@ -543,7 +543,8 @@ object DedupScaleSmoke {
             "doc_id", "text")
         }
       }
-      def ledgerFiles(): Int = new java.io.File(ledger)
+      def ledgerFiles(): Int = new java.io.File(
+          graft.util.Gen.resolve(spark, ledger))
         .listFiles().count(_.getName.startsWith("part-"))
       val fragged = ledgerFiles()
       println(s"  ledger files after 20 batches: $fragged")
@@ -626,9 +627,11 @@ object DedupScaleSmoke {
           .withColumnRenamed("doc_id", "doc").localCheckpoint()
         val keys = Dedup.ndlWithKb(Dedup.ndlBandKeys(sig, 4, 4)
           .withColumnRenamed("doc", "doc_b")).localCheckpoint()
-        val primary = spark.read.parquet(ndl)
+        val primary = spark.read.parquet(
+          graft.util.Gen.resolve(spark, ndl))
         val (prunedPairs, prunedBytes) = measured {
-          val cands = spark.read.parquet(Dedup.ndlBandsPath(ndl))
+          val cands = spark.read.parquet(graft.util.Gen.resolve(
+              spark, Dedup.ndlBandsPath(ndl)))
             .join(broadcast(keys), Seq("band", "kb", "kh"))
             .select(col("doc").as("doc_a"), col("doc_b")).distinct()
           primary.select(col("db"), col("doc").as("doc_a"), col("hs"))
@@ -665,8 +668,15 @@ object DedupScaleSmoke {
           .withColumnRenamed("doc_id", "doc").localCheckpoint()
         val keys5 = Dedup.ndlWithKb(Dedup.ndlBandKeys(sig5, 4, 4)
           .withColumnRenamed("doc", "doc_b")).localCheckpoint()
+        val khs5 = keys5.select(col("kh")).distinct()
+          .collect().map(_.getLong(0)).sorted
         val (_, trickleBytes) = measured {
-          val cands = spark.read.parquet(Dedup.ndlBandsPath(ndl))
+          // mirrors the admit's trickle path: literal In(kh, …) fold on
+          // the scan (row-group pruning inside each bucket) + the
+          // equi-join (doc pairing) + broadcast-DPP (bucket pruning)
+          val cands = spark.read.parquet(graft.util.Gen.resolve(
+              spark, Dedup.ndlBandsPath(ndl)))
+            .filter(col("kh").isInCollection(khs5))
             .join(broadcast(keys5), Seq("band", "kb", "kh"))
             .select(col("doc").as("doc_a"), col("doc_b")).distinct()
           primary.select(col("db"), col("doc").as("doc_a"), col("hs"))
@@ -688,7 +698,9 @@ object DedupScaleSmoke {
         def walk(f: java.io.File): Int =
           if (f.isDirectory) f.listFiles().map(walk).sum
           else if (f.getName.startsWith("part-")) 1 else 0
-        walk(new java.io.File(ndl))
+        // walk the RESOLVED generation only — an old generation kept
+        // for reader grace would otherwise double the census
+        walk(new java.io.File(graft.util.Gen.resolve(spark, ndl)))
       }
       val ndlFragged = ndlFiles()
       val ndlRows = time("compactNearDupLedger")(
@@ -707,7 +719,8 @@ object DedupScaleSmoke {
         Dedup.nearDupLedgerForget(spark, ndl,
           docs.filter(col("doc_id") % 200 === 3).select("doc_id"),
           "doc_id"))
-      val postForget = spark.read.parquet(ndl)
+      val postForget = spark.read.parquet(
+        graft.util.Gen.resolve(spark, ndl))
       require(forgot >= 900 && postForget.count() == ndlRows &&
         postForget.filter(col("doc") % 200 === 3 && col("doc") >= 0)
           .isEmpty,

@@ -470,8 +470,8 @@ object ExplainCheck {
         val batch = docs.filter(col("doc_id") < 40)
         val sig = graft.operators.Dedup.minHashSignatures(
           batch, "doc_id", "text").withColumnRenamed("doc_id", "doc")
-        val probe = spark.read.parquet(
-            graft.operators.Dedup.ndlBandsPath(ledger))
+        val probe = spark.read.parquet(graft.util.Gen.resolve(spark,
+            graft.operators.Dedup.ndlBandsPath(ledger)))
           .join(broadcast(graft.operators.Dedup.ndlWithKb(
             graft.operators.Dedup.ndlBandKeys(sig, 4, 4)
               .withColumnRenamed("doc", "doc_b"))),
@@ -482,13 +482,41 @@ object ExplainCheck {
         check("near-dup ledger band probe gets dynamic partition " +
           "pruning on the band store's kb buckets",
           p.contains("dynamicpruningexpression"))
+        // the TRICKLE path's second lever: a small batch's key hashes
+        // fold into a literal In(kh, …) that reaches the parquet scan
+        // as a pushed filter — row-group stats on the kh-SORTED band
+        // files prune INSIDE each kb bucket (the partition floor is
+        // only 1/NdlKeyBuckets). Assembled exactly like the admit's
+        // bandScan fold; both levers must coexist in one plan.
+        val khs = graft.operators.Dedup.ndlWithKb(
+            graft.operators.Dedup.ndlBandKeys(sig, 4, 4))
+          .select(col("kh")).distinct().collect().map(_.getLong(0)).sorted
+        val trickle = spark.read.parquet(graft.util.Gen.resolve(spark,
+            graft.operators.Dedup.ndlBandsPath(ledger)))
+          .filter(col("kh").isInCollection(khs))
+          .join(broadcast(graft.operators.Dedup.ndlWithKb(
+            graft.operators.Dedup.ndlBandKeys(sig, 4, 4)
+              .withColumnRenamed("doc", "doc_b"))),
+            Seq("band", "kb", "kh"))
+          .select(col("doc").as("doc_a"), col("doc_b")).distinct()
+        trickle.count()
+        val tp = trickle.queryExecution.executedPlan.toString
+        check("trickle band probe pushes the literal kh fold into the " +
+          "band-store scan (PushedFilters carries In(kh, …)) with DPP " +
+          "still live in the same plan",
+          tp.contains("PushedFilters: [In(kh") &&
+            tp.contains("dynamicpruningexpression"))
         // ...and the verify stage's hs fetch prunes the PRIMARY store
         // to the candidates' db buckets — the widest column in the
         // ledger is only read where candidates actually live
-        val verify = spark.read.parquet(ledger)
+        val verify = spark.read
+          .parquet(graft.util.Gen.resolve(spark, ledger))
           .select(col("db"), col("doc").as("doc_a"), col("hs"))
+          // db through Dedup.ndlDb — the ONE spelling of the bucket
+          // function, shared with the admit, so a modulus change can
+          // never leave this checker asserting a stale layout
           .join(broadcast(probe.withColumn("db",
-            pmod(xxhash64(col("doc_a")), lit(32L)).cast("int"))),
+            graft.operators.Dedup.ndlDb(col("doc_a")))),
             Seq("db", "doc_a"))
         verify.count()
         val vp = verify.queryExecution.executedPlan.toString

@@ -65,7 +65,8 @@ object IvfLifecycleSmoke {
       println(f"  weighted mean_drift (same distribution): $drift%.6f")
 
       def filesPerCell(): Seq[Int] = {
-        val root = new java.io.File(s"$dir/assigned")
+        val root = new java.io.File(
+          s"${graft.util.Gen.resolve(spark, dir)}/assigned")
         root.listFiles().filter(_.getName.startsWith("cell="))
           .map(_.listFiles().count(_.getName.startsWith("part-"))).toSeq
       }
@@ -313,7 +314,8 @@ object IvfLifecycleSmoke {
         println(s"  deleted $nDel, store $rows -> $compactedDel rows")
         servedDel.forall(_._3 % 30 != 7) &&
           compactedDel == rows - nDel &&
-          !new java.io.File(s"$dir/tombstones").exists()
+          !new java.io.File(
+            s"${graft.util.Gen.resolve(spark, dir)}/tombstones").exists()
       }
 
       // hot-cell write straggler: 2M vectors, ~97% piled near one axis
@@ -386,8 +388,10 @@ object IvfLifecycleSmoke {
         println(s"  hot cell: $hotN rows in $hotF files " +
           s"(bound ${(hotN + 65535) / 65536})")
         hotF > 1 && hotF <= (hotN + 65535) / 65536 &&
-          spark.read.parquet(s"$dirU/assigned").count() ==
-            spark.read.parquet(s"$dirS/assigned").count()
+          spark.read.parquet(
+              s"${graft.util.Gen.resolve(spark, dirU)}/assigned").count() ==
+            spark.read.parquet(
+              s"${graft.util.Gen.resolve(spark, dirS)}/assigned").count()
       } finally {
         graft.util.Fs.deleteRecursively(dirU)
         graft.util.Fs.deleteRecursively(dirS)

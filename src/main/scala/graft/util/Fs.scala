@@ -31,11 +31,15 @@ object Fs {
     * fails LOUDLY at its fence check instead of being silently dropped
     * by the swap. The residual window (an append that passed its fence
     * check just before the marker went down and commits during the
-    * rewrite) is closed by a LISTING RE-VERIFY: the store's file
-    * listing is captured right after marker creation and re-checked
-    * before the first rename — a changed listing aborts the swap with
-    * the store intact (rows committed before the capture are also in
-    * the later snapshot read, so they are never lost). Maintenance
+    * rewrite) is closed by a CONTENT-SUMMARY RE-VERIFY: the store's
+    * recursive (file count, byte count) is captured right after marker
+    * creation and re-checked before the first rename — a changed
+    * summary aborts the swap with the store intact (rows committed
+    * before the capture are also in the later snapshot read, so they
+    * are never lost). The summary is RECURSIVE deliberately: for a
+    * directory-of-datasets store an append commits nested inside a
+    * child dir and leaves the top-level listing unchanged (dir names
+    * and lengths don't change on HDFS/S3A). Maintenance
     * writers fence EACH OTHER across nesting levels: a rewrite fails
     * up front while the ENCLOSING directory's marker is down (a
     * whole-index rebuild owns every store inside it) or while any
@@ -50,10 +54,12 @@ object Fs {
     * transient job failure into an outage. READERS are not
     * fenced: between the two renames the store path does not exist,
     * so a concurrent reader (an index serve, a ledger anti-join) hits
-    * path-not-found for that window — quiesce reads for the rewrite,
-    * or serve through an indirection (versioned dirs + pointer flip)
-    * on deployments that cannot. On rename-is-copy object stores
-    * prefer versioned dirs + a pointer flip outright. */
+    * path-not-found for that window. [[Gen.rewrite]] is the
+    * zero-reader-outage successor (versioned generation dirs + an
+    * atomic commit-marker flip) and is what every in-repo lifecycle
+    * verb routes through; THIS protocol remains as Gen's one-time
+    * MIGRATION path for legacy flat stores, and for callers that
+    * genuinely want rename-swap semantics on POSIX/HDFS. */
   def swapRewrite(spark: org.apache.spark.sql.SparkSession,
       storePath: String)(writeTo: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
@@ -97,15 +103,17 @@ object Fs {
           "recover manually before re-running")
     fs.delete(tmp, true)
     fs.delete(old, true)
-    // capture the post-marker listing: any ingest that slipped through
-    // the check-then-act window and commits AFTER this capture is
-    // caught by the re-verify below; one that committed BEFORE it is
-    // also in writeTo's (later) snapshot read, so nothing is lost
-    def listing(): Seq[(String, Long)] =
-      if (fs.exists(store))
-        fs.listStatus(store).map(s =>
-          (s.getPath.getName, s.getLen)).toSeq.sorted
-      else Seq.empty
+    // capture the post-marker content summary (recursive file + byte
+    // counts — a direct-children listing would miss an append nested
+    // inside a partition/tombstones subdir): any ingest that slipped
+    // through the check-then-act window and commits AFTER this capture
+    // is caught by the re-verify below; one that committed BEFORE it
+    // is also in writeTo's (later) snapshot read, so nothing is lost
+    def listing(): Option[(Long, Long)] =
+      if (fs.exists(store)) {
+        val cs = fs.getContentSummary(store)
+        Some((cs.getFileCount, cs.getLength))
+      } else None
     val preListing = listing()
     try writeTo(tmp.toString)
     catch {

@@ -125,7 +125,8 @@ class PipelineOpsSpec extends SparkTestBase {
       .createTempDirectory("graft_ivf_app").toString
     Similarity.saveIvfIndex(
       Similarity.buildIvfIndex(emb, "vec_id", "embedding"), dir)
-    val centsBefore = spark.read.parquet(s"$dir/centroids")
+    val centsBefore = spark.read.parquet(
+      s"${graft.util.Gen.resolve(spark, dir)}/centroids")
       .orderBy("cent_id").collect().toSeq
     // the appended batch plants an exact twin of query vec 3: it must
     // land in the query's own cell (same centroids on both sides) and
@@ -143,7 +144,8 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(top.getAs[Long]("neighbor_id") === 1000003L)
     assert(top.getAs[Double]("cos_sim") === 1.0)
     // append must not have rewritten the centroid table
-    val centsAfter = spark.read.parquet(s"$dir/centroids")
+    val centsAfter = spark.read.parquet(
+      s"${graft.util.Gen.resolve(spark, dir)}/centroids")
       .orderBy("cent_id").collect().toSeq
     assert(centsAfter === centsBefore)
   }
@@ -178,7 +180,8 @@ class PipelineOpsSpec extends SparkTestBase {
           "vec_id", "embedding")
       }
       def filesPerCell(): Map[String, Int] = {
-        val root = new java.io.File(s"$dir/assigned")
+        val root = new java.io.File(
+          s"${graft.util.Gen.resolve(spark, dir)}/assigned")
         root.listFiles().filter(_.getName.startsWith("cell="))
           .map(d => d.getName ->
             d.listFiles().count(_.getName.startsWith("part-"))).toMap
@@ -187,7 +190,8 @@ class PipelineOpsSpec extends SparkTestBase {
       // the accretion the compactor exists for really happened: at least
       // one cell took files from several batches
       assert(before.values.max > 1, s"no accretion: $before")
-      val rowsBefore = spark.read.parquet(s"$dir/assigned").count()
+      val rowsBefore = spark.read.parquet(
+        s"${graft.util.Gen.resolve(spark, dir)}/assigned").count()
       // the observability kernel agrees with the java.io ground truth
       def stats(): Map[String, (Long, Long)] =
         Similarity.ivfIndexStats(spark, dir).collect()
@@ -313,7 +317,8 @@ class PipelineOpsSpec extends SparkTestBase {
     try {
       Similarity.saveIvfIndex(
         Similarity.buildIvfIndex(emb, "vec_id", "embedding"), dir)
-      val rows = spark.read.parquet(s"$dir/assigned").count()
+      val rows = spark.read.parquet(
+        s"${graft.util.Gen.resolve(spark, dir)}/assigned").count()
       def serve(): Set[(Long, Long, Long)] =
         Similarity.ivfTopKFromIndex(Similarity.loadIvfIndex(spark, dir),
             emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -321,19 +326,31 @@ class PipelineOpsSpec extends SparkTestBase {
           .collect().map(r => (r.getAs[Long]("query_id"),
             r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSet
       val served0 = serve()
-      // simulate a compaction that died between its two renames: the
-      // store is gone, assigned_old holds the only original copy, and a
-      // stale partial rewrite sits in assigned_compacting
+      // simulate a compaction that died mid-write: a partial
+      // UNCOMMITTED generation next to the live one and the
+      // maintenance marker still down. Readers are untouched (resolve
+      // returns the committed generation — the zero-outage claim),
+      // ingest stays fenced, and a compactor re-run sweeps the orphan
+      // and completes.
       val fs = new Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      assert(fs.rename(new Path(s"$dir/assigned"),
-        new Path(s"$dir/assigned_old")))
-      fs.mkdirs(new Path(s"$dir/assigned_compacting"))
+      val orphan = new Path(s"$dir/gen-00000099")
+      fs.mkdirs(orphan)
+      fs.create(new Path(orphan, "junk.parquet"), true).close()
+      val marker = new Path(graft.util.Fs.maintenanceMarkerPath(dir))
+      fs.create(marker, true).close()
+      assert(serve() === served0 && served0.nonEmpty) // readers fine
+      intercept[IllegalStateException] {               // ingest fenced
+        Similarity.appendToIvfIndex(spark, dir,
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding")
+      }
       // the natural recovery action — just re-running the compactor —
-      // must restore the store and complete, not destroy it
+      // must sweep the orphan, publish, and clear the marker
       assert(Similarity.compactIvfIndex(spark, dir) === rows)
-      assert(serve() === served0 && served0.nonEmpty)
-      assert(!fs.exists(new Path(s"$dir/assigned_old")))
+      assert(serve() === served0)
+      assert(!fs.exists(orphan) && !fs.exists(marker))
+      assert(Similarity.appendToIvfIndex(spark, dir,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding") === 3L)
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
@@ -411,7 +428,8 @@ class PipelineOpsSpec extends SparkTestBase {
       // an index persisted before the monitor existed: no baseline/
       val fs = new Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(s"$dir/baseline"), true)
+      fs.delete(new Path(
+        s"${graft.util.Gen.resolve(spark, dir)}/baseline"), true)
       val ex = intercept[IllegalStateException](report())
       assert(ex.getMessage.contains("backfillIvfBaseline"))
       // backfill from the (unappended) store == what save would have
@@ -1756,7 +1774,8 @@ class PipelineOpsSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a2 === Set(11L))
     // ledger now holds exactly the three admitted digests
-    assert(spark.read.parquet(dir).distinct().count() === 3)
+    assert(spark.read.parquet(graft.util.Gen.resolve(spark, dir))
+      .distinct().count() === 3)
     // batch 3: all repeats -> nothing admitted, ledger unchanged;
     // null-text rows are dropped up front (documented precondition),
     // and admittedOut persists the admitted docs BEFORE the append
@@ -1767,7 +1786,8 @@ class PipelineOpsSpec extends SparkTestBase {
         .toDF("doc_id", "text"), "doc_id", "text",
       admittedOut = Some(out3)).count()
     assert(a3 === 0L)
-    assert(spark.read.parquet(dir).count() === 3)
+    assert(spark.read.parquet(graft.util.Gen.resolve(spark, dir))
+      .count() === 3)
     assert(spark.read.parquet(out3).count() === 0)
   }
 
@@ -1784,32 +1804,42 @@ class PipelineOpsSpec extends SparkTestBase {
         dir, Seq((b * 10L, s"content $b"), (b * 10L + 1, s"more $b"))
           .toDF("doc_id", "text"), "doc_id", "text")
     }
-    def partFiles(): Int = new java.io.File(dir)
+    def partFiles(): Int = new java.io.File(
+        graft.util.Gen.resolve(spark, dir))
       .listFiles().count(_.getName.startsWith("part-"))
     val filesBefore = partFiles()
     assert(filesBefore >= 5, s"no accretion: $filesBefore")
-    val digests = spark.read.parquet(dir)
+    val digests = spark.read
+      .parquet(graft.util.Gen.resolve(spark, dir))
       .collect().map(_.getString(0)).toSet
     assert(Dedup.compactDedupLedger(spark, dir, targetFiles = 2)
       === digests.size)
     assert(partFiles() <= 2)
-    assert(spark.read.parquet(dir).collect().map(_.getString(0)).toSet
-      === digests)
+    assert(spark.read.parquet(graft.util.Gen.resolve(spark, dir))
+      .collect().map(_.getString(0)).toSet === digests)
     // admit decisions unchanged: a full repeat admits nothing, a novel
     // doc still lands
     assert(Dedup.ledgerAdmit(spark, dir,
       Seq((90L, "content 0"), (91L, "novel content"))
         .toDF("doc_id", "text"), "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet === Set(91L))
-    // crashed-swap recovery: store renamed aside, stale tmp left behind —
-    // a compaction re-run must restore and complete, not delete the copy
+    // crashed-rewrite recovery: a partial uncommitted generation and
+    // the surviving marker — admits fail loudly, readers keep the
+    // committed generation, and a compaction re-run sweeps the orphan
+    // and completes with the marker cleared
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val n = spark.read.parquet(dir).count()
-    assert(fs.rename(new Path(dir), new Path(dir + "_old")))
-    fs.mkdirs(new Path(dir + "_compacting"))
+    val n = spark.read.parquet(graft.util.Gen.resolve(spark, dir)).count()
+    val orphan = new Path(s"$dir/gen-00000099")
+    fs.mkdirs(orphan)
+    val marker = new Path(graft.util.Fs.maintenanceMarkerPath(dir))
+    fs.create(marker, true).close()
+    intercept[IllegalStateException] {
+      Dedup.ledgerAdmit(spark, dir,
+        Seq((99L, "fenced")).toDF("doc_id", "text"), "doc_id", "text")
+    }
     assert(Dedup.compactDedupLedger(spark, dir, targetFiles = 2) === n)
-    assert(!fs.exists(new Path(dir + "_old")))
+    assert(!fs.exists(orphan) && !fs.exists(marker))
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
@@ -2215,12 +2245,11 @@ class PipelineOpsSpec extends SparkTestBase {
       val ivf = s"$root/ivf"
       Similarity.saveIvfIndex(
         Similarity.buildIvfIndex(emb, "vec_id", "embedding"), ivf)
-      val store = s"$ivf/assigned"
-      val fs = new Path(store)
+      val fs = new Path(ivf)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new Path(
-        graft.util.Fs.maintenanceMarkerPath(store))
-      // a compaction window is open (what swapRewrite does first): the
+        graft.util.Fs.maintenanceMarkerPath(ivf))
+      // a maintenance window is open (what Gen.rewrite does first): the
       // racing append must throw, not silently commit doomed rows
       fs.create(marker, true).close()
       val ex = intercept[IllegalStateException] {
@@ -2229,19 +2258,22 @@ class PipelineOpsSpec extends SparkTestBase {
       }
       assert(ex.getMessage.contains("maintenance"))
       fs.delete(marker, false)
-      // crashed swap: died between the renames WITH the marker still
-      // down — ingest stays fenced off the half-swapped store
-      val rows = spark.read.parquet(store).count()
+      // crashed rewrite: died mid-write WITH the marker still down and
+      // a partial generation on disk — ingest stays fenced; readers
+      // keep the committed generation
+      val rows = spark.read.parquet(
+        s"${graft.util.Gen.resolve(spark, ivf)}/assigned").count()
       fs.create(marker, true).close()
-      assert(fs.rename(new Path(store), new Path(store + "_old")))
+      fs.mkdirs(new Path(s"$ivf/gen-00000099"))
       intercept[IllegalStateException] {
         Similarity.appendToIvfIndex(spark, ivf,
           emb.limit(5), "vec_id", "embedding")
       }
-      // the natural recovery — re-running the compactor — restores the
-      // store AND clears the marker; ingest resumes
+      // the natural recovery — re-running the compactor — sweeps the
+      // orphan, publishes, AND clears the marker; ingest resumes
       assert(Similarity.compactIvfIndex(spark, ivf) === rows)
       assert(!fs.exists(marker))
+      assert(!fs.exists(new Path(s"$ivf/gen-00000099")))
       assert(Similarity.appendToIvfIndex(spark, ivf,
         emb.limit(5), "vec_id", "embedding") === 5L)
       // --- dedup-ledger side (both ledgers share the fence) -------------
@@ -2263,14 +2295,15 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(Dedup.ledgerAdmit(spark, ledger,
         Seq((3L, "c")).toDF("doc_id", "text"), "doc_id", "text")
         .count() === 1L)
-      // swapRewrite itself holds the marker for exactly the rewrite
+      // Gen.rewrite itself holds the marker for exactly the rewrite
       // window: an admit INSIDE the window throws, one after succeeds
-      graft.util.Fs.swapRewrite(spark, ledger) { tmp =>
+      graft.util.Gen.rewrite(spark, ledger) { tmp =>
         intercept[IllegalStateException] {
           Dedup.ledgerAdmit(spark, ledger,
             Seq((4L, "d")).toDF("doc_id", "text"), "doc_id", "text")
         }
-        spark.read.parquet(ledger).write.parquet(tmp)
+        spark.read.parquet(graft.util.Gen.resolve(spark, ledger))
+          .write.parquet(tmp)
       }
       assert(Dedup.ledgerAdmit(spark, ledger,
         Seq((4L, "d")).toDF("doc_id", "text"), "doc_id", "text")
@@ -2405,10 +2438,12 @@ class PipelineOpsSpec extends SparkTestBase {
         expected.contains(203L) && expected.contains(302L))
       // idempotence: a full re-admit of any batch admits nothing and
       // appends nothing (novel-digest set is empty)
-      val rowsBefore = spark.read.parquet(dir).count()
+      val rowsBefore = spark.read
+        .parquet(graft.util.Gen.resolve(spark, dir)).count()
       assert(Dedup.nearDupLedgerAdmit(spark, dir,
         b2.toDF("doc_id", "text"), "doc_id", "text").isEmpty)
-      assert(spark.read.parquet(dir).count() === rowsBefore)
+      assert(spark.read.parquet(graft.util.Gen.resolve(spark, dir))
+        .count() === rowsBefore)
       // geometry guard: admitting with different band geometry fails
       // with the actionable message, not a schema exception downstream
       val gex = intercept[IllegalStateException] {
@@ -2437,16 +2472,19 @@ class PipelineOpsSpec extends SparkTestBase {
           else Seq(f).filter(_.getName.startsWith("part-"))
         walk(new java.io.File(d))
       }
-      assert(partFiles(dir).size >= 3) // ≥ one file set per batch
-      val sigs = spark.read.parquet(dir)
+      assert(partFiles(graft.util.Gen.resolve(spark, dir)).size >= 3)
+      val sigs = spark.read.parquet(graft.util.Gen.resolve(spark, dir))
         .collect().map(_.getString(1)).toSet
       assert(Dedup.compactNearDupLedger(spark, dir) === rowsBefore)
-      // every bucket dir holds exactly one file post-compaction
-      assert(partFiles(dir).groupBy(_.getParent).values
-        .forall(_.size == 1))
-      assert(partFiles(Dedup.ndlBandsPath(dir)).groupBy(_.getParent)
-        .values.forall(_.size == 1))
-      assert(spark.read.parquet(dir)
+      // every bucket dir holds exactly one file post-compaction (in
+      // the CURRENT generation — the previous one survives for reader
+      // grace until the next rewrite's sweep)
+      assert(partFiles(graft.util.Gen.resolve(spark, dir))
+        .groupBy(_.getParent).values.forall(_.size == 1))
+      assert(partFiles(graft.util.Gen.resolve(spark,
+          Dedup.ndlBandsPath(dir)))
+        .groupBy(_.getParent).values.forall(_.size == 1))
+      assert(spark.read.parquet(graft.util.Gen.resolve(spark, dir))
         .collect().map(_.getString(1)).toSet === sigs)
       // post-compaction decisions: exact dup of history still rejected,
       // near-dup of history still rejected, novel doc admitted — and
@@ -2541,18 +2579,21 @@ class PipelineOpsSpec extends SparkTestBase {
       // files (no tombstone filter) no longer contains the ids, the row
       // count drops accordingly, the tombstone dir clears, and the
       // serve is unchanged
-      val rows = spark.read.parquet(s"$ivf/assigned").count()
-      assert(spark.read.parquet(s"$ivf/assigned")
+      def rawStore() = spark.read.parquet(
+        s"${graft.util.Gen.resolve(spark, ivf)}/assigned")
+      val rows = rawStore().count()
+      assert(rawStore()
         .filter(col("neighbor_id").isInCollection(deadIds.toSeq))
         .count() === deadIds.size.toLong) // pre-compaction: still on disk
       assert(Similarity.compactIvfIndex(spark, ivf)
         === rows - deadIds.size)
-      assert(spark.read.parquet(s"$ivf/assigned")
+      assert(rawStore()
         .filter(col("neighbor_id").isInCollection(deadIds.toSeq))
         .isEmpty) // post-compaction: physically gone
       val fs = new Path(ivf)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      assert(!fs.exists(new Path(s"$ivf/tombstones")))
+      assert(!fs.exists(new Path(
+        s"${graft.util.Gen.resolve(spark, ivf)}/tombstones")))
       val postCompact = Similarity.ivfTopKFromIndex(
         Similarity.loadIvfIndex(spark, ivf), queries, "vec_id",
         "embedding", k = 5, nProbe = 16)
@@ -2560,7 +2601,7 @@ class PipelineOpsSpec extends SparkTestBase {
         served.except(postCompact).isEmpty)
       // fence: a delete racing a maintenance window fails loudly
       val marker = new Path(
-        graft.util.Fs.maintenanceMarkerPath(s"$ivf/assigned"))
+        graft.util.Fs.maintenanceMarkerPath(ivf))
       fs.create(marker, true).close()
       intercept[IllegalStateException] {
         Similarity.deleteFromIvfIndex(spark, ivf,
@@ -2573,9 +2614,10 @@ class PipelineOpsSpec extends SparkTestBase {
         .first().getLong(0)
       Similarity.deleteFromIvfIndex(spark, ivf,
         Seq(survivor).toDF("vec_id"), "vec_id")
-      val liveRows = spark.read.parquet(s"$ivf/assigned").count() - 1
+      val liveRows = rawStore().count() - 1
       assert(Similarity.rebuildIvfIndex(spark, ivf) === liveRows)
-      assert(!fs.exists(new Path(s"$ivf/tombstones")))
+      assert(!fs.exists(new Path(
+        s"${graft.util.Gen.resolve(spark, ivf)}/tombstones")))
       // --- IVF+PQ: serve exclusion + corpus-resurrection guard -------
       val pq = s"$root/ivfpq"
       Similarity.saveIvfPqIndex(
@@ -2605,7 +2647,8 @@ class PipelineOpsSpec extends SparkTestBase {
         .isInCollection(deadIds.toSeq)).isEmpty)
       assert(Similarity.compactPqIndex(spark, ppq)
         === emb.count() - deadIds.size)
-      assert(spark.read.parquet(s"$ppq/codes")
+      assert(spark.read.parquet(
+          s"${graft.util.Gen.resolve(spark, ppq)}/codes")
         .filter(col("neighbor_id").isInCollection(deadIds.toSeq))
         .isEmpty)
       // --- SQ8: serve exclusion + physical compaction ----------------
@@ -2620,10 +2663,12 @@ class PipelineOpsSpec extends SparkTestBase {
         .isInCollection(deadIds.toSeq)).isEmpty)
       assert(Similarity.compactSq8Index(spark, sq)
         === emb.count() - deadIds.size)
-      assert(spark.read.parquet(s"$sq/codes")
+      assert(spark.read.parquet(
+          s"${graft.util.Gen.resolve(spark, sq)}/codes")
         .filter(col("neighbor_id").isInCollection(deadIds.toSeq))
         .isEmpty)
-      assert(!fs.exists(new Path(s"$sq/tombstones")))
+      assert(!fs.exists(new Path(
+        s"${graft.util.Gen.resolve(spark, sq)}/tombstones")))
       assert(Similarity.sq8IndexStats(spark, sq)
         .first().getAs[Long]("n_tombstones") === 0L)
     } finally graft.util.Fs.deleteRecursively(root)
@@ -2646,8 +2691,10 @@ class PipelineOpsSpec extends SparkTestBase {
       // forget doc 100 — the takedown: its id must leave both stores...
       assert(Dedup.nearDupLedgerForget(spark, dir,
         Seq(100L).toDF("doc_id"), "doc_id") === 1L)
-      val store = spark.read.parquet(dir)
-      val bandStore = spark.read.parquet(Dedup.ndlBandsPath(dir))
+      val store = spark.read
+        .parquet(graft.util.Gen.resolve(spark, dir))
+      val bandStore = spark.read.parquet(
+        graft.util.Gen.resolve(spark, Dedup.ndlBandsPath(dir)))
       assert(store.filter(col("doc") === 100L).isEmpty)
       assert(bandStore.filter(col("doc") === 100L).isEmpty)
       assert(store.count() === 2L) // ...but its SIGNATURE row stays
@@ -2676,7 +2723,8 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(Dedup.nearDupLedgerForget(spark, dir,
         Seq(101L).toDF("doc_id"), "doc_id") === 1L)
       Dedup.compactNearDupLedger(spark, dir)
-      val compacted = spark.read.parquet(dir)
+      val compacted = spark.read
+        .parquet(graft.util.Gen.resolve(spark, dir))
       assert(compacted.count() === 4L)
       assert(compacted.filter(col("doc").isin(100L, 101L)).isEmpty)
       assert(Dedup.nearDupLedgerAdmit(spark, dir,
@@ -2702,7 +2750,8 @@ class PipelineOpsSpec extends SparkTestBase {
       // (build-time centroids + codebooks) assignment/encode of the
       // union — the independent construction from the public kernels
       def storeRows(): Set[(Long, Long, Seq[Int])] =
-        spark.read.parquet(s"$dir/codes")
+        spark.read.parquet(
+          s"${graft.util.Gen.resolve(spark, dir)}/codes")
           .select(col("neighbor_id"), col("cell").cast("long"),
             col("codes"))
           .collect().map(r => (r.getLong(0), r.getLong(1),
@@ -2719,7 +2768,8 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(storeRows() === expected)
       // compaction: append left ≥2 files in cells both writes touched;
       // the rewrite bounds every cell to one file with rows identical
-      def maxFilesPerCell(): Int = new java.io.File(s"$dir/codes")
+      def maxFilesPerCell(): Int = new java.io.File(
+          s"${graft.util.Gen.resolve(spark, dir)}/codes")
         .listFiles().filter(_.getName.startsWith("cell="))
         .map(_.listFiles().count(_.getName.startsWith("part-"))).max
       assert(maxFilesPerCell() >= 2)
@@ -2742,7 +2792,7 @@ class PipelineOpsSpec extends SparkTestBase {
       // fence: an append inside an open maintenance window fails loudly
       import org.apache.hadoop.fs.Path
       val marker = new Path(
-        graft.util.Fs.maintenanceMarkerPath(s"$dir/codes"))
+        graft.util.Fs.maintenanceMarkerPath(dir))
       val fs = marker
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.create(marker, true).close()
@@ -2932,14 +2982,15 @@ class PipelineOpsSpec extends SparkTestBase {
           "vec_id", "embedding")
       }
       fs.delete(marker, false)
-      // crash between the whole-index renames: dir missing, dir_old the
-      // only copy, stale partial rewrite left — a rebuild re-run must
-      // restore, retrain, and complete
-      assert(fs.rename(new Path(dir), new Path(dir + "_old")))
-      fs.mkdirs(new Path(dir + "_compacting"))
+      // crash mid-rebuild: a partial uncommitted generation and the
+      // surviving marker — readers keep the committed generation, and
+      // a rebuild re-run sweeps the orphan, retrains, and completes
+      val orphanR = new Path(s"$dir/gen-00000099")
+      fs.mkdirs(orphanR)
+      fs.create(marker, true).close()
       assert(Similarity.rebuildIvfIndex(spark, dir,
         nCentroids = 8) === total)
-      assert(!fs.exists(new Path(dir + "_old")))
+      assert(!fs.exists(orphanR) && !fs.exists(marker))
       assert(Similarity.appendToIvfIndex(spark, dir, emb.limit(3),
         "vec_id", "embedding") === 3L)
     } finally graft.util.Fs.deleteRecursively(root)
@@ -3050,7 +3101,8 @@ class PipelineOpsSpec extends SparkTestBase {
         "embedding")
       assert(Similarity.appendToIvfSq8Index(spark, dir, batch,
         "vec_id", "embedding") === batch.count())
-      val stored = spark.read.parquet(s"$dir/codes")
+      val stored = spark.read.parquet(
+        s"${graft.util.Gen.resolve(spark, dir)}/codes")
         .select(col("neighbor_id"), col("cell").cast("long").as("cell"),
           col("vmin"), col("delta"), col("codes"))
       val oneShot = Similarity.assignCells(
@@ -3098,7 +3150,7 @@ class PipelineOpsSpec extends SparkTestBase {
       val fs = new Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new Path(
-        graft.util.Fs.maintenanceMarkerPath(s"$dir/codes"))
+        graft.util.Fs.maintenanceMarkerPath(dir))
       fs.create(marker, true).close()
       intercept[IllegalStateException] {
         Similarity.appendToIvfSq8Index(spark, dir, e.limit(2),
@@ -3114,7 +3166,8 @@ class PipelineOpsSpec extends SparkTestBase {
       // swap drops the tombstones with the old generation
       assert(Similarity.rebuildIvfSq8Index(spark, dir, e, "vec_id",
         "embedding", nCentroids = 8) === e.count() - 7)
-      assert(!fs.exists(new Path(s"$dir/tombstones")))
+      assert(!fs.exists(new Path(
+        s"${graft.util.Gen.resolve(spark, dir)}/tombstones")))
       assert(Similarity.ivfDriftReport(spark, dir, batch, "vec_id",
         "embedding").filter(col("has_baseline")).count() > 0)
       // a tombstone-free compaction is a pure relayout

@@ -637,7 +637,8 @@ class StreamingSpec extends SparkTestBase {
     (5 until 15).map(i => (i.toLong, s"doc content $i"))
       .toDF("doc_id", "text")
       .coalesce(1).write.mode("overwrite").json(streamDir)
-    val ledger = spark.read.parquet(s"$ledgerDir/ledger")
+    val ledger = spark.read.parquet(
+      graft.util.Gen.resolve(spark, s"$ledgerDir/ledger"))
     val gated = spark.readStream.schema("doc_id BIGINT, text STRING")
       .json(streamDir)
       .withColumn("text_md5", md5(col("text")))
@@ -1123,8 +1124,10 @@ class StreamingSpec extends SparkTestBase {
       val streamed = serve(idxStream)
       assert(streamed === serve(idxOnce) && streamed.nonEmpty)
       // and the stores hold the same logical content
-      assert(spark.read.parquet(s"$idxStream/assigned").count() ===
-        spark.read.parquet(s"$idxOnce/assigned").count())
+      assert(spark.read.parquet(
+          s"${graft.util.Gen.resolve(spark, idxStream)}/assigned").count()
+        === spark.read.parquet(
+          s"${graft.util.Gen.resolve(spark, idxOnce)}/assigned").count())
     } finally Seq(srcDir, ckpt, idxStream, idxOnce)
       .foreach(graft.util.Fs.deleteRecursively)
   }
@@ -1178,8 +1181,10 @@ class StreamingSpec extends SparkTestBase {
             r.getAs[Double]("cos_sim"))).toSet
       val streamed = serve(idxStream)
       assert(streamed === serve(idxOnce) && streamed.nonEmpty)
-      assert(spark.read.parquet(s"$idxStream/codes").count() ===
-        spark.read.parquet(s"$idxOnce/codes").count())
+      assert(spark.read.parquet(
+          s"${graft.util.Gen.resolve(spark, idxStream)}/codes").count()
+        === spark.read.parquet(
+          s"${graft.util.Gen.resolve(spark, idxOnce)}/codes").count())
     } finally Seq(srcDir, ckpt, idxStream, idxOnce)
       .foreach(graft.util.Fs.deleteRecursively)
   }
