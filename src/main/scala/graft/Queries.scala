@@ -2628,6 +2628,34 @@ object Queries {
     } finally graft.util.Fs.deleteRecursively(path)
   }
 
+  /** Retention/TTL expiry serve ([[Similarity.expireFromIndex]]): the
+    * save lands at ingest time 1000 µs (vec_id % 3 ≠ 0), an append at
+    * 2000 µs (% 3 = 0), and expiring everything older than 1500 µs
+    * tombstones exactly the save-time rows — the tombstone-filtered
+    * serve must be indistinguishable from an index that only ever held
+    * the appended batch, which is exactly what the oracle computes
+    * (q131's SQL over a code table restricted to vec_id % 3 = 0;
+    * queries unfiltered — an expired doc may still ask). */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q135_ttl").toString
+    try {
+      val idx = s"$path/idx"
+      Similarity.saveSq8Index(
+        Similarity.buildSq8Index(e.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding"), idx, ingestMicros = 1000L)
+      Similarity.appendToSq8Index(s, idx,
+        e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+        ingestMicros = 2000L)
+      Similarity.expireFromIndex(s, idx, olderThanMicros = 1500L)
+      Similarity.sq8TopKFromIndex(Similarity.loadSq8Index(s, idx), e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 3, rerank = 32)
+        .orderBy(col("query_id"), col("rank")).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -3840,6 +3868,7 @@ object Queries {
     "q132_sq8_delete_serve" -> (q132 _),
     "q133_ivfsq8_topk" -> (q133 _),
     "q134_neardup_forget" -> (q134 _),
+    "q135_index_expire_serve" -> (q135 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -6477,6 +6506,43 @@ object Queries {
          |  AND doc_id NOT IN (SELECT doc_id FROM neardrop)
          |  AND doc_id NOT IN (SELECT doc_id FROM exactdrop)
          |ORDER BY doc_id""".stripMargin,
+    // TTL-expiry oracle: the q131/q132 SQ8 replay over a code table
+    // that only ever held the post-cutoff ingest batch (vec_id % 3 = 0
+    // landed at 2000 µs; the 1000 µs save expired at cutoff 1500) —
+    // the ingest-log-driven tombstones must make the serve
+    // indistinguishable from that; queries stay unfiltered
+    "q135_index_expire_serve" ->
+      s"""WITH v AS MATERIALIZED ($normVecSql),
+         | sq AS MATERIALIZED (SELECT vec_id,
+         |    list_min(nv) AS vmin,
+         |    (list_max(nv) - list_min(nv)) / 255.0 AS delta,
+         |    CASE WHEN list_max(nv) > list_min(nv) THEN
+         |      list_transform(nv, x -> CAST(floor(
+         |        (x - list_min(nv)) * 255.0 /
+         |        (list_max(nv) - list_min(nv)) + 0.5) AS DOUBLE))
+         |    ELSE list_transform(nv, x -> 0.0) END AS codes
+         |  FROM v WHERE vec_id % 3 = 0),
+         | q AS (SELECT vec_id AS query_id, nv AS qv,
+         |    list_aggregate(nv, 'sum') AS qsum
+         |  FROM v WHERE vec_id < 10),
+         | approx AS (SELECT q.query_id, q.qv, s.vec_id AS neighbor_id,
+         |    s.vmin * q.qsum + s.delta * list_dot_product(q.qv, s.codes)
+         |      AS approx
+         |  FROM sq s, q WHERE q.query_id <> s.vec_id),
+         | cand AS (SELECT query_id, qv, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx DESC, neighbor_id) AS ar
+         |  FROM approx),
+         | rr AS (SELECT c.query_id, c.neighbor_id,
+         |    round(list_dot_product(c.qv, nb.nv), 6) AS cos_sim
+         |  FROM cand c JOIN v nb ON nb.vec_id = c.neighbor_id
+         |  WHERE c.ar <= 32),
+         | rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS "rank" FROM rr)
+         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id,
+         |  cos_sim
+         |FROM rk WHERE "rank" <= 3
+         |ORDER BY query_id, "rank"""".stripMargin,
     // near-dup ledger oracle: the ledger's two-batch admit decisions ≡
     // one-shot nearDupDrops on the union (spec-pinned parity under the
     // monotone-id contract), and one-shot's ANSI form is the q42

@@ -819,18 +819,49 @@ object Dedup {
       path: String, batch: DataFrame, idCol: String,
       textCol: String, admittedOut: Option[String] = None): DataFrame = {
     graft.util.Fs.failIfUnderMaintenance(spark, path, "ledgerAdmit")
-    val seen =
-      if (graft.util.Gen.hasData(spark, path))
-        spark.read.parquet(graft.util.Gen.resolve(spark, path))
-      else spark.emptyDataFrame
-        .select(lit("").as("text_md5")).limit(0)
+    val hasStore = graft.util.Gen.hasData(spark, path)
     val hashed = batch.filter(col(textCol).isNotNull)
       .withColumn("text_md5", md5(col(textCol)))
     // first occurrence per digest WITHIN the batch (min id — the
-    // groupBy-min shape, no window hot-key risk), then minus the ledger
-    val firstInBatch = hashed
+    // groupBy-min shape, no window hot-key risk)
+    val reps = hashed
       .groupBy(col("text_md5")).agg(min(col(idCol)).as(idCol))
-      .join(seen.select("text_md5"), Seq("text_md5"), "left_anti")
+    // …then minus the ledger. The store is db-bucketed on the digest
+    // hash ([[ledgerWriteDigests]] — the near-dup primary's probe
+    // shape), so the SEEN set comes from an INNER equi-join on
+    // (db, text_md5) with the batch side broadcast: dynamic partition
+    // pruning folds the batch's buckets into the store scan
+    // (ExplainCheck-pinned), and trickle batches (≤ the near-dup
+    // literal bound) additionally fold their digest literals into a
+    // pushed In(text_md5, …) filter that fires parquet row-group
+    // stats on the digest-sorted files. The batch-minus-seen anti-join
+    // then runs batch-vs-batch — no store scan on the anti side.
+    // Legacy un-bucketed stores take the same joins with db derived
+    // on the fly (no pruning; compactDedupLedger is the migration).
+    val firstInBatch =
+      if (!hasStore) reps
+      else {
+        val s0 = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+        val store =
+          if (s0.columns.contains("db")) s0
+          else s0.withColumn("db", ledgerDb(col("text_md5")))
+        val batchDb = reps.select(col("text_md5"))
+          .withColumn("db", ledgerDb(col("text_md5")))
+          .localCheckpoint()
+        val nDigests = batchDb.count()
+        val scan =
+          if (nDigests <= NdlLiteralMaxReps) {
+            val md5s = batchDb.select(col("text_md5"))
+              .collect().map(_.getString(0)).sorted
+            if (md5s.isEmpty) store.limit(0)
+            else store.filter(col("text_md5").isInCollection(md5s))
+          } else store
+        val seenSet = scan.select(col("db"), col("text_md5"))
+          .join(if (nDigests <= NdlDppMaxReps) broadcast(batchDb)
+            else batchDb, Seq("db", "text_md5"))
+          .select(col("text_md5")).distinct()
+        reps.join(seenSet, Seq("text_md5"), "left_anti")
+      }
     val admitted = hashed.join(
         firstInBatch, Seq("text_md5", idCol)).localCheckpoint()
     admittedOut.foreach(out =>
@@ -841,22 +872,44 @@ object Dedup {
     // gen-1 for a fresh ledger — versioned from birth, so the first
     // compaction is already zero-outage).
     if (!admitted.isEmpty)
-      admitted.select(col("text_md5")).write.mode("append")
-        .parquet(graft.util.Gen.appendDir(spark, path))
+      ledgerWriteDigests(admitted.select(col("text_md5")), "append",
+        graft.util.Gen.appendDir(spark, path))
     admitted
   }
+
+  /** Digest-bucket of the exact ledger's store layout — the analog of
+    * [[ndlDb]], baked into partition dirs the same way (a probe
+    * computed with a different modulus would mis-prune and re-admit
+    * duplicates; changing it requires one [[compactDedupLedger]]
+    * migration, which derives db from the digests either way). */
+  private def ledgerDb(md5Col: Column): Column =
+    pmod(xxhash64(md5Col), lit(NdlDocBuckets.toLong)).cast("int")
+
+  /** The exact ledger's one write discipline (append and compaction):
+    * digests land partitioned by db, one file per touched bucket per
+    * write, sorted by digest within the file so the trickle path's
+    * pushed In(text_md5, …) literals fire parquet row-group stats. */
+  private def ledgerWriteDigests(rows: DataFrame, mode: String,
+      dest: String): Unit =
+    rows.withColumn("db", ledgerDb(col("text_md5")))
+      .repartition(col("db"))
+      .sortWithinPartitions(col("text_md5"))
+      .write.mode(mode).partitionBy("db").parquet(dest)
 
   /** Compact the [[ledgerAdmit]] digest store. Every admitted batch
     * appends its own parquet file set, so a year of daily ingest leaves
     * hundreds of small files whose open/footer overhead dominates the
     * anti-join's build-side scan — the same accretion-vs-read-
     * amplification debt the IVF cell store pays, with the same answer.
-    * Rewrites the ledger into `targetFiles` (default: the session's
-    * defaultParallelism) digest-hash-partitioned files as a NEW
+    * Rewrites every db bucket to one digest-sorted file
+    * ([[ledgerWriteDigests]] — `targetFiles` is accepted for API
+    * compatibility but the bucket count is the layout's own) as a NEW
     * GENERATION via [[graft.util.Gen.rewrite]] (atomic commit-marker
     * flip — ZERO reader outage, with the maintenance marker that makes
     * a racing [[ledgerAdmit]] fail loudly instead of losing its rows
-    * to the flip). The rewrite also collapses duplicate digest rows
+    * to the flip). Also the one-time MIGRATION for a ledger written
+    * before the db bucketing existed (db derives from the digests
+    * either way). The rewrite also collapses duplicate digest rows
     * (`distinct` on the 16-byte digest): under the enforced
     * single-writer fence none exist, but a duplicate smuggled in by
     * any historical race is repaired here rather than silently
@@ -864,12 +917,11 @@ object Dedup {
     * ledger (= its row count, post-distinct). */
   def compactDedupLedger(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 0): Long = {
-    val n = if (targetFiles > 0) targetFiles
-      else spark.sparkContext.defaultParallelism
     graft.util.Gen.rewrite(spark, path)(tmp =>
-      spark.read.parquet(graft.util.Gen.resolve(spark, path)).distinct()
-        .repartition(n, col("text_md5"))
-        .write.mode("overwrite").parquet(tmp))
+      ledgerWriteDigests(
+        spark.read.parquet(graft.util.Gen.resolve(spark, path))
+          .select(col("text_md5")).distinct(),
+        "overwrite", tmp))
     spark.read.parquet(graft.util.Gen.resolve(spark, path)).count()
   }
 
@@ -1452,6 +1504,144 @@ object Dedup {
     }
     graft.util.Gen.deleteMarker(spark, path)
     nForgot
+  }
+
+  /** One-row paging surface for the near-dup ledger — the twin of the
+    * index stores' `*IndexHealthReport`s, joining the three signals an
+    * operator otherwise reads separately:
+    *   - FILE ACCRETION per bucket in BOTH stores (every admit batch
+    *     appends one file per touched db/kb bucket, so max files per
+    *     bucket ≈ batches since the last compaction) — drives
+    *     `compact_advised` against `maxFilesPerBucket`;
+    *   - the BAND/PRIMARY SYNC check: every banded signature row (mh0
+    *     non-null) must hold exactly `bands` keys in the band store —
+    *     `band_rows < banded_rows × bands` means lost band keys
+    *     (SILENT missed drops — the failure the store layout must
+    *     never hide) and `>` means duplicate accretion; either sets
+    *     `rebuild_bands_advised` (a missing band store does too, even
+    *     though the next admit would backfill it);
+    *   - the FORGOTTEN-SENTINEL census (`sentinel_rows`) — retention
+    *     bookkeeping, and the population [[nearDupLedgerExpire]]'s
+    *     `dropForgottenSignatures` flag would purge.
+    * One zero-vector-byte scan per store (file name + id/partition
+    * columns only). Quiet-by-default thresholds; spec-pinned on
+    * planted accretion/forget/lost-bands fixtures. */
+  def nearDupLedgerHealthReport(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerBucket: Int = 16): DataFrame = {
+    import spark.implicits._
+    val g = graft.util.Gen.resolve(spark, path)
+    val primary = spark.read.parquet(g)
+    val p = primary
+      .select(col("db"), col("doc"), col("mh0"),
+        input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"),
+        sum(when(col("doc") < 0L, 1L).otherwise(0L)).as("sents"),
+        sum(when(col("mh0").isNotNull, 1L).otherwise(0L)).as("banded"),
+        countDistinct(col("f")).as("files"),
+        countDistinct(col("db")).as("buckets"))
+      .first()
+    val pMaxFiles = primary
+      .select(col("db"), input_file_name().as("f"))
+      .groupBy(col("db")).agg(countDistinct(col("f")).as("nf"))
+      .agg(max(col("nf"))).first().getLong(0)
+    val bandsPath = ndlBandsPath(path)
+    val hasBands = graft.util.Gen.hasData(spark, bandsPath)
+    val (bandRows, bMaxFiles) =
+      if (hasBands) {
+        val b = spark.read
+          .parquet(graft.util.Gen.resolve(spark, bandsPath))
+          .select(col("kb"), input_file_name().as("f"))
+        (b.count(),
+          b.groupBy(col("kb")).agg(countDistinct(col("f")).as("nf"))
+            .agg(max(col("nf"))).first().getLong(0))
+      } else (0L, 0L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBands = ndlReadMeta(fs, path).map(_("bands")).getOrElse(4)
+    val expectedBandRows = p.getAs[Long]("banded") * nBands
+    Seq((p.getAs[Long]("rows"), p.getAs[Long]("sents"),
+      p.getAs[Long]("banded"), pMaxFiles, hasBands, bandRows,
+      expectedBandRows, bMaxFiles,
+      pMaxFiles > maxFilesPerBucket || bMaxFiles > maxFilesPerBucket,
+      !hasBands || bandRows != expectedBandRows))
+      .toDF("primary_rows", "sentinel_rows", "banded_rows",
+        "primary_max_bucket_files", "has_band_store", "band_rows",
+        "expected_band_rows", "band_max_bucket_files",
+        "compact_advised", "rebuild_bands_advised")
+  }
+
+  /** Retention/TTL expiry for the near-dup ledger — the bulk twin of
+    * the per-id [[nearDupLedgerForget]], keyed on the ledger's OWN
+    * ingest axis: the admit contract requires ids monotone in arrival
+    * order, so "everything ingested before horizon H" IS "doc <
+    * beforeDoc" for the id the caller's ingest metadata maps H to —
+    * no extra per-row state, and the expiry predicates are pure column
+    * filters (no join grows with the expired set).
+    *
+    * Two grades, mirroring the forget's signatures-stay reasoning:
+    *   - `dropSignatures = false` (default, takedown-grade): the
+    *     expired docs' IDENTITIES scrub to digest-keyed sentinels
+    *     (delegates to [[nearDupLedgerForget]]); their signatures stay,
+    *     so copies of expired content keep being dropped forever.
+    *   - `dropSignatures = true` (retention-grade): the expired docs'
+    *     signature rows AND band keys are PHYSICALLY dropped — the
+    *     documented horizon after which a near-copy of purged content
+    *     RE-ADMITS (non-transitivity cuts both ways: dropping the row
+    *     is the only way to truly stop matching against it, and a
+    *     retention mandate demands exactly that). Runs under the same
+    *     ledger-level fence as the forget (primary marker spans both
+    *     store rewrites; a crash mid-way leaves admits failing loudly
+    *     until the re-run completes). Previously-forgotten rows
+    *     (negative sentinel ids) carry NO age by construction — their
+    *     identity is gone — so they are purged only when
+    *     `dropForgottenSignatures = true` explicitly says so.
+    *
+    * Returns the number of primary rows scrubbed (takedown grade) or
+    * physically dropped (retention grade). Idempotent either way. */
+  def nearDupLedgerExpire(spark: org.apache.spark.sql.SparkSession,
+      path: String, beforeDoc: Long, dropSignatures: Boolean = false,
+      dropForgottenSignatures: Boolean = false): Long = {
+    if (!dropSignatures) {
+      val ids = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+        .filter(col("doc") >= 0L && col("doc") < beforeDoc)
+        .select(col("doc"))
+      return nearDupLedgerForget(spark, path, ids, "doc")
+    }
+    val expired = col("doc") >= 0L && col("doc") < lit(beforeDoc)
+    val purge =
+      if (dropForgottenSignatures) expired || col("doc") < 0L
+      else expired
+    val primary0 = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+    val nDrop = primary0.filter(purge).count()
+    if (nDrop == 0L) return 0L
+    val bandsPath = ndlBandsPath(path)
+    // the ledger-level fence, exactly the forget's choreography: the
+    // primary's marker spans both rewrites so a crash between them
+    // (bands purged, primary not) keeps admits failing loudly instead
+    // of silently matching candidates whose verify rows are doomed
+    graft.util.Gen.createMarker(spark, path)
+    try {
+      if (graft.util.Gen.hasData(spark, bandsPath))
+        graft.util.Gen.rewrite(spark, bandsPath) { tmp =>
+          spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath))
+            .filter(!purge)
+            .repartition(col("kb"))
+            .sortWithinPartitions(col("band"), col("kh"))
+            .write.mode("overwrite").partitionBy("kb").parquet(tmp)
+        }
+    } catch {
+      case e: Throwable =>
+        graft.util.Gen.deleteMarker(spark, path)
+        throw e
+    }
+    graft.util.Gen.rewrite(spark, path, ownsMarker = true) { tmp =>
+      val s = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+      val dataCols = s.columns.filter(_ != "db")
+      ndlWritePrimary(s.filter(!purge).select(dataCols.map(col): _*),
+        "overwrite", tmp)
+    }
+    graft.util.Gen.deleteMarker(spark, path)
+    nDrop
   }
 
   /** Compact the [[nearDupLedgerAdmit]] stores — same accretion debt

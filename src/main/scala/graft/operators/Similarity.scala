@@ -445,9 +445,13 @@ object Similarity {
     * (`dynamicpruningexpression(cell IN ...)`), asserted by
     * ExplainCheck on a loaded index at nProbe = 2. */
   def saveIvfIndex(index: (DataFrame, DataFrame), path: String,
-      maxRowsPerWriteTask: Long = 0): Unit =
-    graft.util.Gen.rewrite(index._1.sparkSession, path)(g =>
-      writeIvfIndexInto(index, g, maxRowsPerWriteTask))
+      maxRowsPerWriteTask: Long = 0, ingestMicros: Long = -1L): Unit =
+    graft.util.Gen.rewrite(index._1.sparkSession, path) { g =>
+      writeIvfIndexInto(index, g, maxRowsPerWriteTask)
+      logIngest(index._1.sparkSession, g,
+        index._1.sparkSession.read.parquet(s"$g/assigned")
+          .select("neighbor_id"), ingestMicros)
+    }
 
   /** The index-generation payload behind [[saveIvfIndex]] and
     * [[rebuildIvfIndex]] — writes a COMPLETE index (centroids + cell
@@ -607,7 +611,10 @@ object Similarity {
     val src = new org.apache.hadoop.fs.Path(from)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val conf = spark.sparkContext.hadoopConfiguration
-    val skip = Set(except, "tombstones", graft.util.Gen.CommitMarker)
+    // ingest_log is carried SEPARATELY ([[carryIngestLog]] — minus the
+    // tombstoned ids), never byte-copied
+    val skip = Set(except, "tombstones", "ingest_log",
+      graft.util.Gen.CommitMarker)
     fs.listStatus(src).foreach { s =>
       val name = s.getPath.getName
       if (!skip.contains(name) && !name.startsWith("_") &&
@@ -615,6 +622,60 @@ object Similarity {
         org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
           new org.apache.hadoop.fs.Path(s"$to/$name"), false, conf)
     }
+  }
+
+  /** Append (neighbor_id, ingest_us) rows to an index generation's
+    * `ingest_log` — the side dataset behind [[expireFromIndex]]'s
+    * retention verb. A SIDE log, not a store column, deliberately: the
+    * row stores' schemas (and every spec/oracle pinned to them) stay
+    * untouched, and the log is two narrow columns an expiry scan reads
+    * without touching vector bytes. `micros < 0` (the default
+    * everywhere) writes nothing — rows without log entries are
+    * UNEXPIRABLE by design (age unknown), never silently aged. */
+  private def logIngest(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, ids: DataFrame, micros: Long): Unit =
+    if (micros >= 0L)
+      ids.select(col("neighbor_id"), lit(micros).as("ingest_us"))
+        .write.mode("append").parquet(s"$dataDir/ingest_log")
+
+  /** Carry an index generation's ingest log into the next generation a
+    * compaction/rebuild is writing, minus the tombstoned ids — rows and
+    * their ages drop together, so the log stays ∝ live rows. */
+  private def carryIngestLog(spark: org.apache.spark.sql.SparkSession,
+      from: String, to: String): Unit = {
+    val lp = new org.apache.hadoop.fs.Path(s"$from/ingest_log")
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(lp) && fs.listStatus(lp).nonEmpty)
+      dropTombstoned(spark, from, spark.read.parquet(lp.toString))
+        .write.parquet(s"$to/ingest_log")
+  }
+
+  /** Retention/TTL expiry — the OTHER deletion driver next to
+    * takedown-by-ids ([[deleteFromIvfIndex]]): tombstone every row
+    * whose recorded ingest time is strictly before `olderThanMicros`.
+    * Works unchanged on ALL five persisted store families (IVF, PQ,
+    * SQ8, IVF+PQ, IVF×SQ8 — tombstones are family-agnostic): serves
+    * exclude the expired rows immediately, and the next compaction or
+    * rebuild makes the removal physical, exactly the deletion
+    * machinery. Ages come from the `ingest_log` the save/append verbs
+    * write when called with `ingestMicros ≥ 0`; rows ingested without
+    * a timestamp are unexpirable (documented — a retention policy
+    * should fail toward keeping, not silently aging unknowns).
+    * Idempotent: re-expiring appends duplicate tombstones the
+    * distinct-on-read collapses, and compaction drops the applied log
+    * entries with their rows. Returns the number of distinct ids
+    * tombstoned by this call (including re-tombstones of ids already
+    * deleted but not yet compacted). */
+  def expireFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, olderThanMicros: Long): Long = {
+    val g = genDir(spark, path)
+    val lp = new org.apache.hadoop.fs.Path(s"$g/ingest_log")
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(lp) || fs.listStatus(lp).isEmpty) return 0L
+    val ids = spark.read.parquet(lp.toString)
+      .filter(col("ingest_us") < lit(olderThanMicros))
+      .select(col("neighbor_id"))
+    appendTombstones(spark, path, ids, "neighbor_id", "expireFromIndex")
   }
 
   /** Load a persisted IVF index. Tombstoned rows (see
@@ -714,7 +775,8 @@ object Similarity {
     * count. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, idCol: String,
-      vecCol: String, maxRowsPerWriteTask: Long = 0): Long = {
+      vecCol: String, maxRowsPerWriteTask: Long = 0,
+      ingestMicros: Long = -1L): Long = {
     graft.util.Fs.failIfUnderMaintenance(spark, path,
       "appendToIvfIndex")
     val g = genDir(spark, path)
@@ -726,6 +788,7 @@ object Similarity {
       .localCheckpoint()
     writeCellStore(assigned, "append", s"$g/assigned",
       maxRowsPerWriteTask)
+    logIngest(spark, g, assigned.select("neighbor_id"), ingestMicros)
     assigned.count()
   }
 
@@ -756,6 +819,7 @@ object Similarity {
     graft.util.Gen.rewrite(spark, path) { g =>
       val old = genDir(spark, path)
       carryAuxDatasets(spark, old, g, except = "assigned")
+      carryIngestLog(spark, old, g)
       writeCellStore(dropTombstoned(spark, old,
         spark.read.parquet(s"$old/assigned")), "overwrite",
         s"$g/assigned", maxRowsPerWriteTask)
@@ -822,6 +886,9 @@ object Similarity {
         buildIvfIndex(corpus, "neighbor_id", "cv", nCentroids,
           kmeansIters, refineIters),
         g, maxRowsPerWriteTask)
+      // ages survive the rebuild: the new generation derives from the
+      // old store's LIVE rows, whose ingest times are unchanged
+      carryIngestLog(spark, old, g)
     }
     spark.read.parquet(s"${genDir(spark, path)}/assigned").count()
   }
@@ -849,6 +916,7 @@ object Similarity {
         buildIvfPqIndex(live, idCol, vecCol, nCells, m, k),
         g, maxRowsPerWriteTask)
       writeIvfPqErrBaselineInto(spark, g, live, idCol, vecCol)
+      carryIngestLog(spark, genDir(spark, path), g)
     }
     spark.read.parquet(s"${genDir(spark, path)}/codes").count()
   }
@@ -1110,10 +1178,14 @@ object Similarity {
     * vectors). Deploys that serve PQ without coarse cells re-encode
     * nothing per session; mirror of [[saveIvfPqIndex]] minus the cell
     * layout. */
-  def savePqIndex(index: (PqCodebooks, DataFrame), path: String): Unit =
+  def savePqIndex(index: (PqCodebooks, DataFrame), path: String,
+      ingestMicros: Long = -1L): Unit =
     graft.util.Gen.rewrite(index._2.sparkSession, path) { g =>
       writeCodebooks(index._1, index._2.sparkSession, s"$g/codebooks")
       index._2.write.mode("overwrite").parquet(s"$g/codes")
+      logIngest(index._2.sparkSession, g,
+        index._2.sparkSession.read.parquet(s"$g/codes")
+          .select("neighbor_id"), ingestMicros)
     }
 
   /** Load a persisted plain-PQ index (tombstone-filtered, like every
@@ -1137,7 +1209,7 @@ object Similarity {
     * Fenced. Returns the appended count. */
   def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, idCol: String,
-      vecCol: String): Long = {
+      vecCol: String, ingestMicros: Long = -1L): Long = {
     graft.util.Fs.failIfUnderMaintenance(spark, path,
       "appendToPqIndex")
     val g = genDir(spark, path)
@@ -1146,6 +1218,7 @@ object Similarity {
         pqEncodeCol(l2Normalize(col(vecCol)), cb).as("codes"))
       .localCheckpoint()
     rows.write.mode("append").parquet(s"$g/codes")
+    logIngest(spark, g, rows.select("neighbor_id"), ingestMicros)
     rows.count()
   }
 
@@ -1161,6 +1234,7 @@ object Similarity {
     graft.util.Gen.rewrite(spark, path) { g =>
       val old = genDir(spark, path)
       carryAuxDatasets(spark, old, g, except = "codes")
+      carryIngestLog(spark, old, g)
       dropTombstoned(spark, old, spark.read.parquet(s"$old/codes"))
         .repartition(n, col("neighbor_id"))
         .write.mode("overwrite").parquet(s"$g/codes")
@@ -1234,9 +1308,14 @@ object Similarity {
       .select(col("neighbor_id"), col("sq.vmin").as("vmin"),
         col("sq.delta").as("delta"), col("sq.codes").as("codes"))
 
-  def saveSq8Index(index: DataFrame, path: String): Unit =
-    graft.util.Gen.rewrite(index.sparkSession, path)(g =>
-      index.write.mode("overwrite").parquet(s"$g/codes"))
+  def saveSq8Index(index: DataFrame, path: String,
+      ingestMicros: Long = -1L): Unit =
+    graft.util.Gen.rewrite(index.sparkSession, path) { g =>
+      index.write.mode("overwrite").parquet(s"$g/codes")
+      logIngest(index.sparkSession, g,
+        index.sparkSession.read.parquet(s"$g/codes")
+          .select("neighbor_id"), ingestMicros)
+    }
   def loadSq8Index(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val g = genDir(spark, path)
@@ -1250,11 +1329,13 @@ object Similarity {
     * writer. Returns the appended count. */
   def appendToSq8Index(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, idCol: String,
-      vecCol: String): Long = {
+      vecCol: String, ingestMicros: Long = -1L): Long = {
     graft.util.Fs.failIfUnderMaintenance(spark, path,
       "appendToSq8Index")
+    val g = genDir(spark, path)
     val rows = buildSq8Index(newVecs, idCol, vecCol).localCheckpoint()
-    rows.write.mode("append").parquet(s"${genDir(spark, path)}/codes")
+    rows.write.mode("append").parquet(s"$g/codes")
+    logIngest(spark, g, rows.select("neighbor_id"), ingestMicros)
     rows.count()
   }
 
@@ -1270,6 +1351,7 @@ object Similarity {
     graft.util.Gen.rewrite(spark, path) { g =>
       val old = genDir(spark, path)
       carryAuxDatasets(spark, old, g, except = "codes")
+      carryIngestLog(spark, old, g)
       dropTombstoned(spark, old, spark.read.parquet(s"$old/codes"))
         .repartition(n, col("neighbor_id"))
         .write.mode("overwrite").parquet(s"$g/codes")
@@ -1370,9 +1452,13 @@ object Similarity {
     * read only probed cells' partitions, each holding byte codes, not
     * vectors). No codebook table — SQ8 is training-free. */
   def saveIvfSq8Index(index: (DataFrame, DataFrame), path: String,
-      maxRowsPerWriteTask: Long = 0): Unit =
-    graft.util.Gen.rewrite(index._1.sparkSession, path)(g =>
-      writeIvfSq8IndexInto(index, g, maxRowsPerWriteTask))
+      maxRowsPerWriteTask: Long = 0, ingestMicros: Long = -1L): Unit =
+    graft.util.Gen.rewrite(index._1.sparkSession, path) { g =>
+      writeIvfSq8IndexInto(index, g, maxRowsPerWriteTask)
+      logIngest(index._1.sparkSession, g,
+        index._1.sparkSession.read.parquet(s"$g/codes")
+          .select("neighbor_id"), ingestMicros)
+    }
 
   private def writeIvfSq8IndexInto(index: (DataFrame, DataFrame),
       path: String, maxRowsPerWriteTask: Long): Unit = {
@@ -1432,7 +1518,8 @@ object Similarity {
     * Fenced. Returns the appended count. */
   def appendToIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, idCol: String,
-      vecCol: String, maxRowsPerWriteTask: Long = 0): Long = {
+      vecCol: String, maxRowsPerWriteTask: Long = 0,
+      ingestMicros: Long = -1L): Long = {
     graft.util.Fs.failIfUnderMaintenance(spark, path,
       "appendToIvfSq8Index")
     val g = genDir(spark, path)
@@ -1448,6 +1535,7 @@ object Similarity {
       .localCheckpoint()
     writeCellStore(assigned, "append", s"$g/codes",
       maxRowsPerWriteTask)
+    logIngest(spark, g, assigned.select("neighbor_id"), ingestMicros)
     assigned.count()
   }
 
@@ -1488,6 +1576,7 @@ object Similarity {
         buildIvfSq8Index(live, idCol, vecCol, nCentroids, kmeansIters),
         g, maxRowsPerWriteTask)
       writeIvfSq8BaselineInto(spark, g, live, idCol, vecCol)
+      carryIngestLog(spark, genDir(spark, path), g)
     }
     spark.read.parquet(s"${genDir(spark, path)}/codes").count()
   }
@@ -1651,9 +1740,14 @@ object Similarity {
     * [[writeCellStore]] discipline as the IVF store (one file per cell
     * per write, salted escape hatch for hot cells). */
   def saveIvfPqIndex(index: (DataFrame, PqCodebooks, DataFrame),
-      path: String, maxRowsPerWriteTask: Long = 0): Unit =
-    graft.util.Gen.rewrite(index._1.sparkSession, path)(g =>
-      writeIvfPqIndexInto(index, g, maxRowsPerWriteTask))
+      path: String, maxRowsPerWriteTask: Long = 0,
+      ingestMicros: Long = -1L): Unit =
+    graft.util.Gen.rewrite(index._1.sparkSession, path) { g =>
+      writeIvfPqIndexInto(index, g, maxRowsPerWriteTask)
+      logIngest(index._1.sparkSession, g,
+        index._1.sparkSession.read.parquet(s"$g/codes")
+          .select("neighbor_id"), ingestMicros)
+    }
 
   private def writeIvfPqIndexInto(
       index: (DataFrame, PqCodebooks, DataFrame),
@@ -1688,7 +1782,8 @@ object Similarity {
     * racing [[compactIvfPqIndex]]. Returns the appended count. */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, idCol: String,
-      vecCol: String, maxRowsPerWriteTask: Long = 0): Long = {
+      vecCol: String, maxRowsPerWriteTask: Long = 0,
+      ingestMicros: Long = -1L): Long = {
     graft.util.Fs.failIfUnderMaintenance(spark, path,
       "appendToIvfPqIndex")
     val g = genDir(spark, path)
@@ -1703,6 +1798,7 @@ object Similarity {
       .localCheckpoint()
     writeCellStore(assigned, "append", s"$g/codes",
       maxRowsPerWriteTask)
+    logIngest(spark, g, assigned.select("neighbor_id"), ingestMicros)
     assigned.count()
   }
 
@@ -1717,6 +1813,7 @@ object Similarity {
     graft.util.Gen.rewrite(spark, path) { g =>
       val old = genDir(spark, path)
       carryAuxDatasets(spark, old, g, except = "codes")
+      carryIngestLog(spark, old, g)
       writeCellStore(dropTombstoned(spark, old,
         spark.read.parquet(s"$old/codes")), "overwrite",
         s"$g/codes", maxRowsPerWriteTask)

@@ -543,9 +543,13 @@ object DedupScaleSmoke {
             "doc_id", "text")
         }
       }
-      def ledgerFiles(): Int = new java.io.File(
-          graft.util.Gen.resolve(spark, ledger))
-        .listFiles().count(_.getName.startsWith("part-"))
+      // the digest store is db-bucketed (r16): walk the bucket dirs
+      def ledgerFiles(): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.startsWith("part-")) 1 else 0
+        walk(new java.io.File(graft.util.Gen.resolve(spark, ledger)))
+      }
       val fragged = ledgerFiles()
       println(s"  ledger files after 20 batches: $fragged")
       val probe = docs.filter(col("doc_id") < batchSz)
@@ -731,6 +735,38 @@ object DedupScaleSmoke {
         s"near-dup ledger lifecycle broke: admitted=$admitted vs " +
           s"${nDocs - dropped}, reAdmit=$reAdmit, " +
           s"files $ndlFragged -> $ndlCompacted -> ${ndlFiles()}")
+      // the one-row paging surface: post-compaction the ledger must
+      // read healthy (band store in sync, accretion bounded)
+      val h = Dedup.nearDupLedgerHealthReport(spark, ndl).first()
+      println(s"  health: rows=${h.getAs[Long]("primary_rows")} " +
+        s"sentinels=${h.getAs[Long]("sentinel_rows")} " +
+        s"band=${h.getAs[Long]("band_rows")}/" +
+        s"${h.getAs[Long]("expected_band_rows")} " +
+        s"maxFiles p=${h.getAs[Long]("primary_max_bucket_files")} " +
+        s"b=${h.getAs[Long]("band_max_bucket_files")} " +
+        s"compact=${h.getAs[Boolean]("compact_advised")} " +
+        s"rebuildBands=${h.getAs[Boolean]("rebuild_bands_advised")}")
+      require(!h.getAs[Boolean]("rebuild_bands_advised") &&
+        h.getAs[Long]("sentinel_rows") == forgot,
+        "ledger health report disagrees with the lifecycle state")
+      // retention at scale: takedown-grade TTL over the oldest 10% of
+      // the ingest axis (ids ARE arrival order by contract), then the
+      // retention-grade purge of the same span — both fenced rewrites
+      val ttlCut = ndlBatch // the first batch's id span (oldest 10%)
+      val ttlScrubbed = time(
+        s"nearDupLedgerExpire takedown (doc < $ttlCut vs 198k rows)")(
+        Dedup.nearDupLedgerExpire(spark, ndl, beforeDoc = ttlCut))
+      val ttlPurged = time(
+        s"nearDupLedgerExpire retention (dropSignatures, same span)")(
+        Dedup.nearDupLedgerExpire(spark, ndl, beforeDoc = ttlCut,
+          dropSignatures = true, dropForgottenSignatures = true))
+      val postTtl = spark.read.parquet(
+        graft.util.Gen.resolve(spark, ndl))
+      println(s"  ttl: scrubbed $ttlScrubbed, purged $ttlPurged, " +
+        s"rows ${postTtl.count()}")
+      require(ttlScrubbed > 0 && ttlPurged >= ttlScrubbed &&
+        postTtl.filter(col("doc") >= 0L && col("doc") < ttlCut).isEmpty,
+        s"ttl expiry broke: $ttlScrubbed scrubbed, $ttlPurged purged")
     } finally graft.util.Fs.deleteRecursively(ndlRoot)
     spark.stop()
   }

@@ -523,6 +523,32 @@ object ExplainCheck {
         check("near-dup ledger verify fetch gets dynamic partition " +
           "pruning on the primary's db buckets",
           vp.contains("dynamicpruningexpression"))
+        // the EXACT ledger's seen-probe has the same shape since r16
+        // (db-bucketed digest store, broadcast batch, literal digest
+        // fold): both levers must reach the digest scan
+        val exact = s"$root/exact"
+        graft.operators.Dedup.ledgerAdmit(spark, exact, docs,
+          "doc_id", "text")
+        val bd = docs.filter(col("doc_id") < 40)
+          .select(md5(col("text")).as("text_md5")).distinct()
+          .withColumn("db",
+            pmod(xxhash64(col("text_md5")), lit(32L)).cast("int"))
+          .localCheckpoint()
+        val md5s = bd.select(col("text_md5"))
+          .collect().map(_.getString(0)).sorted
+        val seenProbe = spark.read
+          .parquet(graft.util.Gen.resolve(spark, exact))
+          .filter(col("text_md5").isInCollection(md5s))
+          .select(col("db"), col("text_md5"))
+          .join(broadcast(bd), Seq("db", "text_md5"))
+          .select(col("text_md5")).distinct()
+        seenProbe.count()
+        val ep = seenProbe.queryExecution.executedPlan.toString
+        check("exact-ledger seen probe gets DPP on the digest store's " +
+          "db buckets AND pushes the literal digest fold " +
+          "(PushedFilters carries In(text_md5, …))",
+          ep.contains("dynamicpruningexpression") &&
+            ep.contains("PushedFilters: [In(text_md5"))
       } finally graft.util.Fs.deleteRecursively(root)
     }
     println("all plan assertions hold")

@@ -1804,18 +1804,27 @@ class PipelineOpsSpec extends SparkTestBase {
         dir, Seq((b * 10L, s"content $b"), (b * 10L + 1, s"more $b"))
           .toDF("doc_id", "text"), "doc_id", "text")
     }
-    def partFiles(): Int = new java.io.File(
-        graft.util.Gen.resolve(spark, dir))
-      .listFiles().count(_.getName.startsWith("part-"))
-    val filesBefore = partFiles()
+    // the store is db-bucketed (partition dirs): count part files
+    // recursively, per bucket dir
+    def partFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f).filter(_.getName.startsWith("part-"))
+      walk(new java.io.File(graft.util.Gen.resolve(spark, dir)))
+    }
+    val filesBefore = partFiles().size
     assert(filesBefore >= 5, s"no accretion: $filesBefore")
     val digests = spark.read
       .parquet(graft.util.Gen.resolve(spark, dir))
+      .select("text_md5")
       .collect().map(_.getString(0)).toSet
     assert(Dedup.compactDedupLedger(spark, dir, targetFiles = 2)
       === digests.size)
-    assert(partFiles() <= 2)
+    // one digest-sorted file per touched bucket post-compaction
+    assert(partFiles().groupBy(_.getParent).values.forall(_.size == 1))
+    assert(partFiles().size <= digests.size)
     assert(spark.read.parquet(graft.util.Gen.resolve(spark, dir))
+      .select("text_md5")
       .collect().map(_.getString(0)).toSet === digests)
     // admit decisions unchanged: a full repeat admits nothing, a novel
     // doc still lands
@@ -2730,6 +2739,202 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(Dedup.nearDupLedgerAdmit(spark, dir,
         Seq((300L, other + " tail3")).toDF("doc_id", "text"),
         "doc_id", "text").count() === 0L) // near-dup of forgotten 101
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("expireFromIndex: ingest-log TTL tombstones only pre-cutoff " +
+      "rows, compaction makes the drop physical and ages the log with " +
+      "it, untimed rows are unexpirable, rebuild carries ages") {
+    import org.apache.hadoop.fs.Path
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 3 === 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ttl").toString
+    try {
+      // --- SQ8: the q135 shape, plus the physical/log lifecycle ----
+      val sq = s"$root/sq8"
+      Similarity.saveSq8Index(
+        Similarity.buildSq8Index(old, "vec_id", "embedding"), sq,
+        ingestMicros = 1000L)
+      assert(Similarity.appendToSq8Index(spark, sq, fresh, "vec_id",
+        "embedding", ingestMicros = 2000L) === fresh.count())
+      // expire the save-time batch: exactly the old rows tombstone
+      assert(Similarity.expireFromIndex(spark, sq, 1500L)
+        === old.count())
+      val served = Similarity.sq8TopKFromIndex(
+        Similarity.loadSq8Index(spark, sq), emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, rerank = 1000)
+      assert(served.filter(col("neighbor_id") % 3 =!= 0).isEmpty)
+      // the serve ≡ an index that only ever held the fresh batch
+      val oracle = Similarity.sq8TopKFromIndex(
+        Similarity.buildSq8Index(fresh, "vec_id", "embedding"), emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, rerank = 1000)
+      assert(served.except(oracle).isEmpty &&
+        oracle.except(served).isEmpty)
+      // compaction drops rows AND their log entries together: the
+      // re-expire finds nothing left to tombstone
+      assert(Similarity.compactSq8Index(spark, sq) === fresh.count())
+      assert(Similarity.expireFromIndex(spark, sq, 1500L) === 0L)
+      // the surviving batch's ages survive too: a later cutoff expires
+      // the carried 2000 µs rows
+      assert(Similarity.expireFromIndex(spark, sq, 2500L)
+        === fresh.count())
+      // --- untimed rows are UNEXPIRABLE (fail toward keeping) -------
+      val un = s"$root/untimed"
+      Similarity.saveSq8Index(
+        Similarity.buildSq8Index(emb, "vec_id", "embedding"), un)
+      assert(Similarity.expireFromIndex(spark, un, Long.MaxValue)
+        === 0L)
+      assert(Similarity.loadSq8Index(spark, un).count() === emb.count())
+      // --- IVF: same verb, and the rebuild carries ages -------------
+      val ivf = s"$root/ivf"
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(old, "vec_id", "embedding"), ivf,
+        ingestMicros = 1000L)
+      assert(Similarity.appendToIvfIndex(spark, ivf, fresh, "vec_id",
+        "embedding", ingestMicros = 2000L) === fresh.count())
+      // rebuild first: the retrained generation must keep the ages
+      assert(Similarity.rebuildIvfIndex(spark, ivf) === emb.count())
+      assert(Similarity.expireFromIndex(spark, ivf, 1500L)
+        === old.count())
+      val ivfServed = Similarity.ivfTopKFromIndex(
+        Similarity.loadIvfIndex(spark, ivf),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, nProbe = 16)
+      assert(ivfServed.filter(col("neighbor_id") % 3 =!= 0).isEmpty)
+      assert(Similarity.compactIvfIndex(spark, ivf) === fresh.count())
+      assert(!new Path(s"${graft.util.Gen.resolve(spark, ivf)}/tombstones")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new Path(
+          s"${graft.util.Gen.resolve(spark, ivf)}/tombstones")))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("nearDupLedgerExpire: takedown grade scrubs identity with drop " +
+      "power intact; retention grade purges rows so copies re-admit; " +
+      "sentinels purge only on the explicit flag; idempotent") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ndl_ttl").toString
+    val dir = s"$root/ledger"
+    try {
+      val base = "the quick brown fox jumps over the lazy dog and then " +
+        "runs far away into the deep dark forest tonight"
+      val keep = "a completely different document about stream " +
+        "processing watermarks and stateful aggregation semantics"
+      // ids are the ingest axis (the admit contract): 100/101 are the
+      // old cohort, 500 is the young cohort
+      assert(Dedup.nearDupLedgerAdmit(spark, dir,
+        Seq((100L, base), (101L, keep)).toDF("doc_id", "text"),
+        "doc_id", "text").count() === 2L)
+      assert(Dedup.nearDupLedgerAdmit(spark, dir,
+        Seq((500L, keep + " extra tail words here")).toDF(
+          "doc_id", "text"), "doc_id", "text").count() === 1L)
+      // --- takedown grade (default): identity scrubbed, drop power
+      // intact — an exact dup AND a near-dup of expired content are
+      // still rejected, a novel doc admits
+      assert(Dedup.nearDupLedgerExpire(spark, dir, beforeDoc = 200L)
+        === 2L)
+      val store1 = spark.read
+        .parquet(graft.util.Gen.resolve(spark, dir))
+      assert(store1.filter(col("doc").isin(100L, 101L)).isEmpty)
+      assert(store1.count() === 3L) // signatures stay (as sentinels)
+      val got = Dedup.nearDupLedgerAdmit(spark, dir, Seq(
+          (600L, base),                      // exact dup of expired
+          (601L, base + " tail1"),           // near-dup of expired
+          (602L, "novel closing text about adaptive query execution " +
+            "and partition coalescing heuristics"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === Set(602L))
+      // idempotent: everything below the cutoff is already a sentinel
+      assert(Dedup.nearDupLedgerExpire(spark, dir, beforeDoc = 200L)
+        === 0L)
+      // --- retention grade: purge rows ingested before 650, keeping
+      // the sentinels (no explicit flag) — a near-copy of PURGED
+      // content now re-admits (the documented horizon), while the
+      // SENTINEL content still drops. Three rows purge: 500, plus
+      // 601's near-REJECTED-but-novel signature and 602's admitted one
+      val purged = Dedup.nearDupLedgerExpire(spark, dir,
+        beforeDoc = 650L, dropSignatures = true)
+      assert(purged === 3L)
+      val store2 = spark.read
+        .parquet(graft.util.Gen.resolve(spark, dir))
+      assert(store2.filter(col("doc") >= 0L).isEmpty)
+      assert(store2.count() === 2L) // the two sentinels stay
+      val got2 = Dedup.nearDupLedgerAdmit(spark, dir, Seq(
+          (700L, base),                 // sentinel content: still drops
+          (701L, keep + " extra tail words here and more"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // 700 is an exact copy of SENTINEL-held base content: the
+      // takedown grade kept its signature, so it still drops. 701 is
+      // a near-dup only of the PURGED 500-signature (vs the surviving
+      // plain-keep sentinel it sits under the 0.8 threshold) — the
+      // purge horizon means it RE-ADMITS, the documented tradeoff.
+      assert(got2 === Set(701L))
+      // --- retention grade with the explicit sentinel flag: the
+      // whole pre-cutoff history (sentinels included) purges, and an
+      // exact copy of formerly-forgotten content re-admits
+      assert(Dedup.nearDupLedgerExpire(spark, dir,
+        beforeDoc = Long.MaxValue, dropSignatures = true,
+        dropForgottenSignatures = true) === 3L) // 2 sentinels + 701
+      // the purged generation holds zero rows (no data files at all —
+      // hasData is how every consumer checks before reading)
+      assert(!graft.util.Gen.hasData(spark, dir))
+      assert(Dedup.nearDupLedgerAdmit(spark, dir,
+        Seq((800L, base)).toDF("doc_id", "text"), "doc_id", "text")
+        .count() === 1L)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("nearDupLedgerHealthReport: quiet on a fresh compacted ledger, " +
+      "pages compact on accretion, counts sentinels, flags a lost or " +
+      "out-of-sync band store") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ndl_health").toString
+    val dir = s"$root/ledger"
+    try {
+      val mk = (i: Long, t: String) => (i, t)
+      // three admit batches -> >=2 files in buckets touched twice
+      assert(Dedup.nearDupLedgerAdmit(spark, dir, Seq(
+          mk(1L, "first document about distributed query planning"),
+          mk(2L, "second document about shuffle partitioning rules"))
+        .toDF("doc_id", "text"), "doc_id", "text").count() === 2L)
+      assert(Dedup.nearDupLedgerAdmit(spark, dir, Seq(
+          mk(10L, "third document describing broadcast joins at scale"),
+          mk(11L, "fourth document describing watermark semantics"))
+        .toDF("doc_id", "text"), "doc_id", "text").count() === 2L)
+      def health(maxF: Int = 16) =
+        Dedup.nearDupLedgerHealthReport(spark, dir, maxF).first()
+      // healthy: band store in sync (4 keys per banded row), no
+      // sentinels, accretion under the default threshold
+      val h0 = health()
+      assert(h0.getAs[Boolean]("has_band_store"))
+      assert(!h0.getAs[Boolean]("rebuild_bands_advised"))
+      assert(h0.getAs[Long]("band_rows")
+        === h0.getAs[Long]("expected_band_rows"))
+      assert(h0.getAs[Long]("sentinel_rows") === 0L)
+      assert(!h0.getAs[Boolean]("compact_advised"))
+      // a tight threshold pages the compact axis (two batches hit at
+      // least one shared bucket only when keys collide — primary db
+      // buckets ARE per-doc, so use max files >= 1 and threshold 0)
+      assert(health(maxF = 0).getAs[Boolean]("compact_advised"))
+      // forget -> sentinel census
+      assert(Dedup.nearDupLedgerForget(spark, dir,
+        Seq(1L).toDF("doc_id"), "doc_id") === 1L)
+      assert(health().getAs[Long]("sentinel_rows") === 1L)
+      // a LOST band store is the silent-miss hazard: flagged loudly
+      graft.util.Fs.deleteRecursively(Dedup.ndlBandsPath(dir))
+      val lost = health()
+      assert(!lost.getAs[Boolean]("has_band_store"))
+      assert(lost.getAs[Boolean]("rebuild_bands_advised"))
+      // the remediation restores sync (geometry from the sidecar)
+      assert(Dedup.rebuildNearDupLedgerBands(spark, dir)
+        === health().getAs[Long]("expected_band_rows"))
+      assert(!health().getAs[Boolean]("rebuild_bands_advised"))
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
