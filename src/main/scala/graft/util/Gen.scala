@@ -266,6 +266,62 @@ object Gen {
     }
   }
 
+  /** Resolve a SPECIFIC committed generation — the pinned-read form
+    * behind reproducible serving and A/B across a rebuild: a job that
+    * records `currentGeneration` at deploy time keeps serving exactly
+    * that index through later compactions/rebuilds (for as long as its
+    * generation survives the sweep policy — pair with
+    * [[sweepGenerations]]' `keepLast`), and an operator can diff the
+    * pre- and post-rebuild indexes by loading both generations. The
+    * returned dir is stable: every `load*` verb accepts it directly in
+    * place of the store path (resolving a generation dir is the
+    * identity). Fails loudly on a missing or uncommitted generation —
+    * a pinned reader must never silently fall forward. */
+  def resolveAt(spark: SparkSession, storePath: String,
+      generation: Long): String = {
+    val store = new Path(storePath)
+    val fs = fsOf(spark, store)
+    gens(fs, store).find(_._1 == generation) match {
+      case Some((n, true)) => new Path(store, genDirName(n)).toString
+      case Some((_, false)) => throw new IllegalStateException(
+        s"Gen.resolveAt: generation $generation of $storePath exists " +
+          "but is UNCOMMITTED (a crashed or in-flight rewrite) — it " +
+          "holds no publishable data")
+      case None => throw new IllegalStateException(
+        s"Gen.resolveAt: $storePath has no generation $generation " +
+          "(swept, or never written) — list generations with " +
+          "Gen.generationCensus")
+    }
+  }
+
+  /** The current committed generation number, if the store is
+    * versioned. */
+  def currentGeneration(spark: SparkSession,
+      storePath: String): Option[Long] = {
+    val store = new Path(storePath)
+    gens(fsOf(spark, store), store).filter(_._2).lastOption.map(_._1)
+  }
+
+  /** One row per generation dir — the observability surface for the
+    * versioned layout: (generation, committed, current, n_files,
+    * bytes). Uncommitted rows are crashed/in-flight rewrites (swept by
+    * the next rewrite); non-current committed rows are reader-grace
+    * copies [[sweepGenerations]] can reclaim. Driver-side listing
+    * only — no Spark job. */
+  def generationCensus(spark: SparkSession,
+      storePath: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val store = new Path(storePath)
+    val fs = fsOf(spark, store)
+    val gs = gens(fs, store)
+    val cur = gs.filter(_._2).lastOption.map(_._1)
+    gs.map { case (n, committed) =>
+      val cs = fs.getContentSummary(new Path(store, genDirName(n)))
+      (n, committed, committed && cur.contains(n),
+        cs.getFileCount, cs.getLength)
+    }.toDF("generation", "committed", "current", "n_files", "bytes")
+  }
+
   /** Eagerly drop old committed generations, keeping the newest
     * `keepLast` (≥ 1) plus any uncommitted dirs a live rewrite may be
     * writing. For operators who cannot wait for the next rewrite's

@@ -194,6 +194,47 @@ class GenSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("pinned reads: resolveAt serves a SPECIFIC committed generation " +
+      "through later rewrites, refuses uncommitted/missing ones, and " +
+      "generationCensus reports the layout") {
+    val root = tmp("graft_gen_pin")
+    val store = s"$root/store"
+    try {
+      Gen.rewrite(spark, store)(g => rows(4, "v1").write.parquet(g))
+      val pinned = Gen.currentGeneration(spark, store).get
+      assert(pinned === 1L)
+      // maintenance moves the store forward...
+      Gen.rewrite(spark, store)(g => rows(9, "v2").write.parquet(g))
+      // ...but the pinned resolve still serves the deploy-time
+      // generation (reader grace: one maintenance cycle by default)
+      val atPin = Gen.resolveAt(spark, store, pinned)
+      assert(spark.read.parquet(atPin).count() === 4L)
+      // a generation dir resolves to itself — every load* verb accepts
+      // it directly in place of the store path
+      assert(Gen.resolve(spark, atPin) === atPin)
+      assert(spark.read.parquet(Gen.resolve(spark, store))
+        .count() === 9L)
+      // census: one row per generation, current flagged
+      val census = Gen.generationCensus(spark, store)
+        .orderBy(col("generation")).collect()
+      assert(census.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      assert(census.map(_.getBoolean(2)).toSeq === Seq(false, true))
+      assert(census.forall(_.getBoolean(1)))
+      assert(census.forall(_.getLong(4) > 0L))
+      // an uncommitted generation: census shows it, resolveAt refuses
+      fs.mkdirs(new Path(s"$store/gen-00000003"))
+      val c2 = Gen.generationCensus(spark, store)
+        .filter(col("generation") === 3L).first()
+      assert(!c2.getBoolean(1))
+      intercept[IllegalStateException] {
+        Gen.resolveAt(spark, store, 3L)
+      }
+      intercept[IllegalStateException] {
+        Gen.resolveAt(spark, store, 42L)
+      }
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("sweepGenerations reclaims old committed generations eagerly, " +
       "keeping the newest keepLast") {
     val root = tmp("graft_gen_sweep")

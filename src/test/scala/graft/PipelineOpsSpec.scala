@@ -2938,6 +2938,42 @@ class PipelineOpsSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("pinned-generation serve: a load at the deploy-time generation " +
+      "keeps serving the PRE-rebuild index through the rebuild — the " +
+      "reproducible-serving / A-B form of the versioned layout") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gen_pin_ivf").toString
+    try {
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+          nCentroids = 8), dir)
+      val pin = graft.util.Gen.currentGeneration(spark, dir).get
+      val queries = emb.filter(col("vec_id") < 8)
+      def serve(path: String, nProbe: Int): Set[(Long, Long, Long)] =
+        Similarity.ivfTopKFromIndex(
+            Similarity.loadIvfIndex(spark, path), queries,
+            "vec_id", "embedding", k = 3, nProbe = nProbe)
+          .collect().map(r => (r.getAs[Long]("query_id"),
+            r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+      val served0 = serve(dir, 8)
+      // the rebuild retrains with a DIFFERENT cell count — a genuinely
+      // new index generation
+      assert(Similarity.rebuildIvfIndex(spark, dir, nCentroids = 16)
+        === emb.count())
+      // a pinned load serves the pre-rebuild index bit-identically
+      // (loadIvfIndex accepts a generation dir in place of the store)
+      val servedPinned = serve(
+        graft.util.Gen.resolveAt(spark, dir, pin), 8)
+      assert(servedPinned === served0 && served0.nonEmpty)
+      // the current index serves too, and at FULL probe both
+      // generations agree exactly (full probe ≡ brute force over the
+      // same rows — only the cell layout differs)
+      assert(serve(dir, 16) === serve(
+        graft.util.Gen.resolveAt(spark, dir, pin), 8))
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("IVF+PQ lifecycle: frozen-parameter append equals the one-shot " +
       "frozen encode of the union; compaction bounds files and serves " +
       "identically; the fence holds") {
