@@ -116,6 +116,20 @@ class GenSpec extends SparkTestBase {
       assert(boom.getMessage === "transient")
       graft.util.Fs.failIfUnderMaintenance(spark, store, "ingest")
       assert(Gen.resolve(spark, store) === g2)
+      // crash AFTER the commit flip but BEFORE the marker lift: the
+      // publish already happened (readers serve the new generation),
+      // ingest stays fenced, and a maintenance re-run converges — one
+      // extra (identical-content) cycle, marker cleared
+      Gen.createMarker(spark, store)
+      assert(Gen.resolve(spark, store) === g2) // readers unaffected
+      intercept[IllegalStateException] {
+        graft.util.Fs.failIfUnderMaintenance(spark, store, "ingest")
+      }
+      Gen.rewrite(spark, store)(g =>
+        spark.read.parquet(Gen.resolve(spark, store)).write.parquet(g))
+      graft.util.Fs.failIfUnderMaintenance(spark, store, "ingest")
+      assert(spark.read.parquet(Gen.resolve(spark, store))
+        .select("v").as[String].collect().forall(_.startsWith("b")))
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
