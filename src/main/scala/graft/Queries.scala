@@ -2656,6 +2656,54 @@ object Queries {
     } finally graft.util.Fs.deleteRecursively(path)
   }
 
+  /** Near-dup ledger drop-reason AUDIT ([[Dedup.nearDupLedgerAdmit]]
+    * with `auditOut`): two batch admits on a quarter of the corpus,
+    * each persisting one row per dropped doc with the sorted set of
+    * rules that fired (exact_store / exact_batch / near_store /
+    * near_batch) — the explainability surface a takedown review reads.
+    * The oracle re-derives every reason independently in DuckDB: reps
+    * are per-(digest, batch) min-ids, exact reasons come from digest
+    * joins across/within batches, near reasons from the all-pairs
+    * exact-Jaccard rule (q129's parity precedent) split by the
+    * partner's batch. */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    // batch 1 = a quarter of the corpus; batch 2 = four DERIVED copies
+    // of it (the corpus has no exact dups, so the fixtures that
+    // exercise every reason are derived from the table itself — the
+    // same derivation the SQL oracle replays): ids offset so the
+    // monotone-id contract holds and the four copies order A < B < C
+    // < D within the batch. A (verbatim) draws exact_store (+
+    // near_store — an identical text is also a J=1 near hit); B
+    // (verbatim again) collapses onto A in-batch → exact_batch; C
+    // (one appended token) near-matches batch-1 content AND its
+    // same-batch twin A → {near_batch, near_store} for ≥7-token docs;
+    // D (same tweak) collapses onto C → exact_batch. Batch 1's own
+    // natural near pairs add in-batch drops of their own.
+    val base = docs(s, dir).filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("text"))
+    def shift(k: Int, tweak: Boolean) = base.select(
+      (col("doc_id") + lit(1000000L) * k).as("doc_id"),
+      (if (tweak) concat(col("text"), lit(" zzyzx"))
+       else col("text")).as("text"))
+    val b2 = shift(1, tweak = false).unionByName(shift(2, tweak = false))
+      .unionByName(shift(3, tweak = true))
+      .unionByName(shift(4, tweak = true))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q136_audit").toString
+    try {
+      val ledger = s"$path/ledger"
+      Dedup.nearDupLedgerAdmit(s, ledger, base, "doc_id", "text",
+        auditOut = Some(s"$path/audit1"))
+      Dedup.nearDupLedgerAdmit(s, ledger, b2, "doc_id", "text",
+        auditOut = Some(s"$path/audit2"))
+      s.read.parquet(s"$path/audit1")
+        .unionByName(s.read.parquet(s"$path/audit2"))
+        .select(col("doc").as("doc_id"),
+          array_join(col("reasons"), ",").as("reasons"))
+        .orderBy(col("doc_id")).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -3465,6 +3513,17 @@ object Queries {
        |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tk)"""
       .stripMargin
 
+  /** The q136 banding replay strings (shared spelling with
+    * [[minhashOracle]], hoisted because q136 bands a DERIVED doc set,
+    * not the documents table). */
+  private val q136Sig = (0 until 16).map(i =>
+    s"min((h*${Dedup.permA(i)}+${Dedup.permB(i)})%${Dedup.P}) AS mh$i")
+    .mkString(", ")
+  private val q136Bands = (0 until 4).map(b =>
+    s"SELECT doc_id, $b AS band, concat_ws('_', " +
+      (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ") +
+      ") AS key FROM sig").mkString(" UNION ALL ")
+
   private def minhashOracle: String = {
     val sig = (0 until 16).map(i =>
       s"min((h*${Dedup.permA(i)}+${Dedup.permB(i)})%${Dedup.P}) AS mh$i")
@@ -3869,6 +3928,7 @@ object Queries {
     "q133_ivfsq8_topk" -> (q133 _),
     "q134_neardup_forget" -> (q134 _),
     "q135_index_expire_serve" -> (q135 _),
+    "q136_neardup_audit" -> (q136 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -6543,6 +6603,81 @@ object Queries {
          |  cos_sim
          |FROM rk WHERE "rank" <= 3
          |ORDER BY query_id, "rank"""".stripMargin,
+    // drop-reason audit oracle: every reason re-derived independently —
+    // reps are per-(digest, batch) min-ids; exact reasons come from
+    // digest joins within/across batches (restricted to reps for the
+    // _store form, exactly the engine's batchSig side); near reasons
+    // replay the FULL MinHash-LSH pipeline (the q24 banding replay:
+    // permuted mins over hashed distinct shingles, 4×4 band keys,
+    // banded candidates, exact-Jaccard verify — an all-pairs oracle
+    // would assert pairs the banding legitimately misses), attributed
+    // to the LARGER id and split by whether the partner sits in an
+    // earlier batch (near_store) or the same one (near_batch);
+    // reasons sort lexicographically both sides
+    "q136_neardup_audit" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |   WHERE doc_id % 4 = 1),
+         | docs2 AS (
+         |   SELECT doc_id, text, 1 AS b FROM base
+         |   UNION ALL SELECT doc_id + 1000000, text, 2 FROM base
+         |   UNION ALL SELECT doc_id + 2000000, text, 2 FROM base
+         |   UNION ALL SELECT doc_id + 3000000, text || ' zzyzx', 2
+         |     FROM base
+         |   UNION ALL SELECT doc_id + 4000000, text || ' zzyzx', 2
+         |     FROM base),
+         | tk AS (SELECT doc_id,
+         |     regexp_split_to_array(trim(text), '\\s+') AS t
+         |   FROM docs2 WHERE text IS NOT NULL),
+         | shr AS (SELECT doc_id, unnest(list_transform(
+         |   generate_series(1, greatest(len(t)-2, 0)),
+         |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tk),
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | d AS (SELECT doc_id, md5(text) AS dg, b
+         |   FROM docs2 WHERE text IS NOT NULL),
+         | reps AS (SELECT dg, b, min(doc_id) AS rep FROM d
+         |   GROUP BY dg, b),
+         | isrep AS (SELECT d.doc_id, d.dg, d.b FROM d JOIN reps r
+         |   ON d.dg = r.dg AND d.b = r.b AND d.doc_id = r.rep),
+         | hh AS (SELECT DISTINCT doc_id,
+         |     ${H.format("s")} % ${Dedup.P} AS h FROM shr),
+         | sig AS (SELECT doc_id, $q136Sig FROM hh GROUP BY doc_id),
+         | bnd AS ($q136Bands),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |   FROM bnd a JOIN bnd c ON a.band = c.band AND a.key = c.key
+         |     AND a.doc_id < c.doc_id),
+         | inter AS (SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+         |     count(*) AS inter
+         |   FROM sh a JOIN sh bb ON a.s = bb.s AND a.doc_id < bb.doc_id
+         |   GROUP BY 1, 2),
+         | jac AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |   JOIN cand ON cand.doc_a = i.doc_a AND cand.doc_b = i.doc_b
+         |   JOIN sz za ON i.doc_a = za.doc_id
+         |   JOIN sz zb ON i.doc_b = zb.doc_id
+         |   WHERE CAST(i.inter AS DOUBLE) /
+         |     CAST(za.n_sh + zb.n_sh - i.inter AS DOUBLE) >= 0.8),
+         | rs AS (
+         |   SELECT d.doc_id, 'exact_batch' AS reason
+         |     FROM d JOIN reps r ON d.dg = r.dg AND d.b = r.b
+         |     WHERE d.doc_id <> r.rep
+         |   UNION ALL
+         |   SELECT i.doc_id, 'exact_store'
+         |     FROM isrep i WHERE EXISTS (SELECT 1 FROM d e
+         |       WHERE e.dg = i.dg AND e.b < i.b)
+         |   UNION ALL
+         |   SELECT i.doc_id, 'near_store'
+         |     FROM isrep i JOIN jac p ON p.doc_b = i.doc_id
+         |     JOIN d e ON e.doc_id = p.doc_a
+         |     WHERE e.b < i.b
+         |   UNION ALL
+         |   SELECT i.doc_id, 'near_batch'
+         |     FROM isrep i JOIN jac p ON p.doc_b = i.doc_id
+         |     JOIN isrep r2 ON r2.doc_id = p.doc_a
+         |     WHERE r2.b = i.b)
+         |SELECT doc_id,
+         |  array_to_string(list_sort(list(DISTINCT reason)), ',')
+         |    AS reasons
+         |FROM rs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // near-dup ledger oracle: the ledger's two-batch admit decisions ≡
     // one-shot nearDupDrops on the union (spec-pinned parity under the
     // monotone-id contract), and one-shot's ANSI form is the q42

@@ -991,7 +991,13 @@ object Dedup {
     * layout, or a deleted band dir) is backfilled in place on the next
     * admit — one O(history) derivation, then pruned probes forever.
     * Rows with NULL `textCol` are dropped up front; BOTH store paths
-    * are fenced by the generation-rewrite maintenance marker. Returns the
+    * are fenced by the generation-rewrite maintenance marker.
+    * `auditOut` additionally persists the drop-REASON audit — one row
+    * per dropped doc with the sorted set of rules that fired
+    * (`exact_store` / `exact_batch` / `near_store` / `near_batch`),
+    * the explainability surface a takedown or pipeline-debug review
+    * reads; decisions are identical with or without it (spec-pinned,
+    * and q136 hash-oracles the reasons themselves). Returns the
     * admitted batch rows (original columns + text_md5).
     *
     * `hasher` is pluggable like [[nearDupDrops]]'s (pass `xxhash64(_)`
@@ -1010,7 +1016,8 @@ object Dedup {
       n: Int = 3, bands: Int = 4, rows: Int = 4,
       threshold: Double = 0.8,
       admittedOut: Option[String] = None,
-      hasher: Column => Column = hash60(_)): DataFrame = {
+      hasher: Column => Column = hash60(_),
+      auditOut: Option[String] = None): DataFrame = {
     graft.util.Fs.failIfUnderMaintenance(spark, path,
       "nearDupLedgerAdmit")
     graft.util.Fs.failIfUnderMaintenance(spark, ndlBandsPath(path),
@@ -1159,9 +1166,31 @@ object Dedup {
         batchSig.filter(col("mh0").isNotNull), bands, rows)
       .select(col("doc_a"), col("doc_b"))
     val nearInBatch = jaccardDrops(candsInBatch, batchSig, batchSig)
-    val dropped = exactVsStore.unionByName(exactInBatch)
-      .unionByName(nearVsStore).unionByName(nearInBatch)
-      .distinct().localCheckpoint()
+    // `auditOut` materializes the drop REASONS — the explainability/
+    // takedown-audit surface: one row per dropped doc with the sorted
+    // set of rules that fired (exact_store / exact_batch / near_store
+    // / near_batch). The decision SET is identical either way (the
+    // audit path derives `dropped` from the same checkpointed tagged
+    // union; the default path keeps the exact untagged plan, so
+    // audit-off admits are bit-for-bit the r15 shape).
+    val dropped = auditOut match {
+      case None =>
+        exactVsStore.unionByName(exactInBatch)
+          .unionByName(nearVsStore).unionByName(nearInBatch)
+          .distinct().localCheckpoint()
+      case Some(out) =>
+        def tag(df: DataFrame, r: String) =
+          df.select(col("doc"), lit(r).as("reason"))
+        val decisions = tag(exactVsStore, "exact_store")
+          .unionByName(tag(exactInBatch, "exact_batch"))
+          .unionByName(tag(nearVsStore, "near_store"))
+          .unionByName(tag(nearInBatch, "near_batch"))
+          .distinct().localCheckpoint()
+        decisions.groupBy(col("doc"))
+          .agg(sort_array(collect_set(col("reason"))).as("reasons"))
+          .write.mode("overwrite").parquet(out)
+        decisions.select(col("doc")).distinct().localCheckpoint()
+    }
 
     // admitted derives from the caller's batch and the CHECKPOINTED
     // decision set only — no store dependency, so it needs no

@@ -2890,6 +2890,54 @@ class PipelineOpsSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("nearDupLedgerAdmit auditOut: drop reasons are exact per rule, " +
+      "multi-rule docs carry the sorted set, and decisions are " +
+      "identical with the audit on or off") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ndl_audit").toString
+    try {
+      val base = "the quick brown fox jumps over the lazy dog and then " +
+        "runs far away into the deep dark forest tonight"
+      val other = "completely unrelated prose describing adaptive " +
+        "query execution and shuffle partition coalescing at scale"
+      val b1 = Seq((100L, base), (101L, other)).toDF("doc_id", "text")
+      // batch 2 exercises every rule: 200 = exact copy of history
+      // (exact_store + near_store — identical text is a J=1 near hit),
+      // 201 = same copy again (exact_batch vs 200), 202 = near-tweak
+      // of history AND of 200 (near_store + near_batch), 203 = exact
+      // copy of 202 (exact_batch), 204 = novel
+      val b2 = Seq(
+        (200L, base), (201L, base), (202L, base + " tail1"),
+        (203L, base + " tail1"),
+        (204L, "a wholly novel document about watermark semantics " +
+          "and bounded state in streaming aggregation runtimes"))
+        .toDF("doc_id", "text")
+      // audit-off decisions (the r15 plan, bit-for-bit)
+      val plain = s"$root/plain"
+      Dedup.nearDupLedgerAdmit(spark, plain, b1, "doc_id", "text")
+      val admittedPlain = Dedup.nearDupLedgerAdmit(spark, plain, b2,
+        "doc_id", "text").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // audited run
+      val dir = s"$root/ledger"
+      Dedup.nearDupLedgerAdmit(spark, dir, b1, "doc_id", "text",
+        auditOut = Some(s"$root/a1"))
+      val admitted = Dedup.nearDupLedgerAdmit(spark, dir, b2,
+        "doc_id", "text", auditOut = Some(s"$root/a2"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted === admittedPlain && admitted === Set(204L))
+      assert(spark.read.parquet(s"$root/a1").isEmpty) // b1 all novel
+      val reasons = spark.read.parquet(s"$root/a2")
+        .collect().map(r => r.getLong(0) ->
+          r.getAs[Seq[String]]("reasons")).toMap
+      assert(reasons === Map(
+        200L -> Seq("exact_store", "near_store"),
+        201L -> Seq("exact_batch"),
+        202L -> Seq("near_batch", "near_store"),
+        203L -> Seq("exact_batch")))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("nearDupLedgerHealthReport: quiet on a fresh compacted ledger, " +
       "pages compact on accretion, counts sentinels, flags a lost or " +
       "out-of-sync band store") {
