@@ -838,12 +838,18 @@ object Dedup {
     // then runs batch-vs-batch — no store scan on the anti side.
     // Legacy un-bucketed stores take the same joins with db derived
     // on the fly (no pruning; compactDedupLedger is the migration).
+    // a pre-r16 ledger (flat, unbucketed): probe with db derived on
+    // the fly (no pruning) and KEEP APPENDING FLAT — mixing bucket
+    // subdirs into a flat dataset dir would break its reads;
+    // compactDedupLedger is the one-time layout migration
+    var legacyLayout = false
     val firstInBatch =
       if (!hasStore) reps
       else {
         val s0 = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+        legacyLayout = !s0.columns.contains("db")
         val store =
-          if (s0.columns.contains("db")) s0
+          if (!legacyLayout) s0
           else s0.withColumn("db", ledgerDb(col("text_md5")))
         val batchDb = reps.select(col("text_md5"))
           .withColumn("db", ledgerDb(col("text_md5")))
@@ -871,9 +877,15 @@ object Dedup {
     // lands in the CURRENT generation (Gen.appendDir establishes
     // gen-1 for a fresh ledger — versioned from birth, so the first
     // compaction is already zero-outage).
-    if (!admitted.isEmpty)
-      ledgerWriteDigests(admitted.select(col("text_md5")), "append",
-        graft.util.Gen.appendDir(spark, path))
+    if (!admitted.isEmpty) {
+      val dest = graft.util.Gen.appendDir(spark, path)
+      if (legacyLayout)
+        admitted.select(col("text_md5")).write.mode("append")
+          .parquet(dest)
+      else
+        ledgerWriteDigests(admitted.select(col("text_md5")), "append",
+          dest)
+    }
     admitted
   }
 

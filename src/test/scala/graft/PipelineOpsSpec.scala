@@ -2938,6 +2938,42 @@ class PipelineOpsSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("legacy flat exact-ledger: admits keep the flat layout (no " +
+      "bucket dirs mixed in), decisions hold, and compaction is the " +
+      "one-time bucket migration") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ledger_legacy").toString
+    val dir = s"$root/ledger"
+    try {
+      // a pre-r16 store: flat parquet, one text_md5 column, no gens
+      Seq("alpha content", "beta content").toDF("t")
+        .select(md5(col("t")).as("text_md5")).write.parquet(dir)
+      // admit against it: seen digests still bar re-admission, the
+      // novel one lands, and the store dir stays a readable FLAT
+      // dataset (an append of bucket subdirs would break its reads)
+      val a = Dedup.ledgerAdmit(spark, dir,
+        Seq((1L, "alpha content"), (2L, "novel content"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(a === Set(2L))
+      val flat = spark.read.parquet(graft.util.Gen.resolve(spark, dir))
+      assert(flat.columns.toSeq === Seq("text_md5"))
+      assert(flat.count() === 3L)
+      // compaction migrates to the db-bucketed generation layout...
+      assert(Dedup.compactDedupLedger(spark, dir) === 3L)
+      val migrated = spark.read
+        .parquet(graft.util.Gen.resolve(spark, dir))
+      assert(migrated.columns.toSet === Set("text_md5", "db"))
+      // ...and post-migration admits take the bucketed path with the
+      // same decisions
+      assert(Dedup.ledgerAdmit(spark, dir,
+        Seq((3L, "novel content"), (4L, "another novel"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+        === Set(4L))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("nearDupLedgerHealthReport: quiet on a fresh compacted ledger, " +
       "pages compact on accretion, counts sentinels, flags a lost or " +
       "out-of-sync band store") {
