@@ -2679,7 +2679,10 @@ object Queries {
     // same-batch twin A → {near_batch, near_store} for ≥7-token docs;
     // D (same tweak) collapses onto C → exact_batch. Batch 1's own
     // natural near pairs add in-batch drops of their own.
-    val base = docs(s, dir).filter(col("doc_id") % 4 === 1)
+    // an EIGHTH of the corpus: the entry pays two ledger admits plus
+    // the five audit joins, and the derived batch-2 fixtures supply
+    // all four reasons regardless of slice size
+    val base = docs(s, dir).filter(col("doc_id") % 8 === 1)
       .select(col("doc_id"), col("text"))
     def shift(k: Int, tweak: Boolean) = base.select(
       (col("doc_id") + lit(1000000L) * k).as("doc_id"),
@@ -6616,7 +6619,7 @@ object Queries {
     // reasons sort lexicographically both sides
     "q136_neardup_audit" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents
-         |   WHERE doc_id % 4 = 1),
+         |   WHERE doc_id % 8 = 1),
          | docs2 AS (
          |   SELECT doc_id, text, 1 AS b FROM base
          |   UNION ALL SELECT doc_id + 1000000, text, 2 FROM base
