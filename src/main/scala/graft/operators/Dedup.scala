@@ -937,6 +937,45 @@ object Dedup {
     spark.read.parquet(graft.util.Gen.resolve(spark, path)).count()
   }
 
+  /** One-row layout health of the [[ledgerAdmit]] digest store — the
+    * exact ledger's member of the observability matrix every other
+    * persisted store already has: digest count, duplicate-digest count
+    * (0 under the single-writer fence; >0 means a historical race
+    * smuggled rows in and the next compaction will repair it), file
+    * count and max files per db bucket (grows one per admit batch —
+    * the [[compactDedupLedger]] trigger, compared against
+    * `maxFilesPerBucket` for `compact_advised`), and whether the store
+    * still runs the pre-bucketing legacy layout (`bucketed` false →
+    * compaction is also the migration). One scan of the 16-byte digest
+    * column + file names. */
+  def dedupLedgerStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerBucket: Int = 16): DataFrame = {
+    import spark.implicits._
+    val s0 = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+    val bucketed = s0.columns.contains("db")
+    val withDb =
+      if (bucketed) s0
+      else s0.withColumn("db", ledgerDb(col("text_md5")))
+    val t = withDb.select(col("db"), col("text_md5"),
+        input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("text_md5")).as("digests"),
+        countDistinct(col("f")).as("files"))
+      .first()
+    val maxPerBucket =
+      if (bucketed)
+        withDb.select(col("db"), input_file_name().as("f"))
+          .groupBy(col("db")).agg(countDistinct(col("f")).as("nf"))
+          .agg(max(col("nf"))).first().getLong(0)
+      else t.getAs[Long]("files") // flat: one "bucket"
+    Seq((t.getAs[Long]("digests"),
+      t.getAs[Long]("rows") - t.getAs[Long]("digests"),
+      t.getAs[Long]("files"), maxPerBucket, bucketed,
+      maxPerBucket > maxFilesPerBucket || !bucketed))
+      .toDF("n_digests", "n_duplicate_rows", "n_files",
+        "max_bucket_files", "bucketed", "compact_advised")
+  }
+
   /** Persisted NEAR-dup ledger — the incremental twin of [[ledgerAdmit]]
     * for near-duplicates, and the operator a daily 100-TB ingest
     * actually runs: history-aware near-dup WITHOUT re-scanning or

@@ -2938,6 +2938,41 @@ class PipelineOpsSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("dedupLedgerStats: accretion pages compact, compaction quiets " +
+      "it, duplicates count zero under the fence, legacy layout flags") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ledger_stats").toString
+    val dir = s"$root/ledger"
+    try {
+      // 20 digests per batch over 32 buckets: consecutive batches are
+      // pigeonhole-certain to re-touch buckets, so files accrete
+      (0 until 4).foreach { b =>
+        Dedup.ledgerAdmit(spark, dir,
+          (0 until 20).map(i => (b * 100L + i, s"content $b $i"))
+            .toDF("doc_id", "text"), "doc_id", "text")
+      }
+      val accreted = Dedup.dedupLedgerStats(spark, dir,
+        maxFilesPerBucket = 1).first()
+      assert(accreted.getAs[Long]("n_digests") === 80L)
+      assert(accreted.getAs[Long]("n_duplicate_rows") === 0L)
+      assert(accreted.getAs[Boolean]("bucketed"))
+      assert(accreted.getAs[Boolean]("compact_advised"))
+      Dedup.compactDedupLedger(spark, dir)
+      val quiet = Dedup.dedupLedgerStats(spark, dir,
+        maxFilesPerBucket = 1).first()
+      assert(quiet.getAs[Long]("max_bucket_files") === 1L)
+      assert(!quiet.getAs[Boolean]("compact_advised"))
+      // a legacy flat store reads out unbucketed and advises the
+      // migration
+      val legacy = s"$root/legacy"
+      Seq("x", "y").toDF("t").select(md5(col("t")).as("text_md5"))
+        .write.parquet(legacy)
+      val l = Dedup.dedupLedgerStats(spark, legacy).first()
+      assert(!l.getAs[Boolean]("bucketed"))
+      assert(l.getAs[Boolean]("compact_advised"))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("legacy flat exact-ledger: admits keep the flat layout (no " +
       "bucket dirs mixed in), decisions hold, and compaction is the " +
       "one-time bucket migration") {
