@@ -2701,9 +2701,8 @@ object Queries {
         auditOut = Some(s"$path/audit2"))
       s.read.parquet(s"$path/audit1")
         .unionByName(s.read.parquet(s"$path/audit2"))
-        .select(col("doc").as("doc_id"),
-          array_join(col("reasons"), ",").as("reasons"))
-        .orderBy(col("doc_id")).localCheckpoint()
+        .select(col("doc").as("doc_id"), col("reason"), col("partner"))
+        .orderBy(col("doc_id"), col("reason")).localCheckpoint()
     } finally graft.util.Fs.deleteRecursively(path)
   }
 
@@ -6660,27 +6659,27 @@ object Queries {
          |   WHERE CAST(i.inter AS DOUBLE) /
          |     CAST(za.n_sh + zb.n_sh - i.inter AS DOUBLE) >= 0.8),
          | rs AS (
-         |   SELECT d.doc_id, 'exact_batch' AS reason
+         |   SELECT d.doc_id, 'exact_batch' AS reason, r.rep AS partner
          |     FROM d JOIN reps r ON d.dg = r.dg AND d.b = r.b
          |     WHERE d.doc_id <> r.rep
          |   UNION ALL
-         |   SELECT i.doc_id, 'exact_store'
+         |   SELECT i.doc_id, 'exact_store',
+         |       (SELECT min(e.doc_id) FROM d e
+         |        WHERE e.dg = i.dg AND e.b < i.b)
          |     FROM isrep i WHERE EXISTS (SELECT 1 FROM d e
          |       WHERE e.dg = i.dg AND e.b < i.b)
          |   UNION ALL
-         |   SELECT i.doc_id, 'near_store'
+         |   SELECT i.doc_id, 'near_store', min(e.doc_id)
          |     FROM isrep i JOIN jac p ON p.doc_b = i.doc_id
          |     JOIN d e ON e.doc_id = p.doc_a
-         |     WHERE e.b < i.b
+         |     WHERE e.b < i.b GROUP BY i.doc_id
          |   UNION ALL
-         |   SELECT i.doc_id, 'near_batch'
+         |   SELECT i.doc_id, 'near_batch', min(r2.doc_id)
          |     FROM isrep i JOIN jac p ON p.doc_b = i.doc_id
          |     JOIN isrep r2 ON r2.doc_id = p.doc_a
-         |     WHERE r2.b = i.b)
-         |SELECT doc_id,
-         |  array_to_string(list_sort(list(DISTINCT reason)), ',')
-         |    AS reasons
-         |FROM rs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |     WHERE r2.b = i.b GROUP BY i.doc_id)
+         |SELECT doc_id, reason, partner
+         |FROM rs ORDER BY doc_id, reason""".stripMargin,
     // near-dup ledger oracle: the ledger's two-batch admit decisions ≡
     // one-shot nearDupDrops on the union (spec-pinned parity under the
     // monotone-id contract), and one-shot's ANSI form is the q42

@@ -1044,12 +1044,13 @@ object Dedup {
     * Rows with NULL `textCol` are dropped up front; BOTH store paths
     * are fenced by the generation-rewrite maintenance marker.
     * `auditOut` additionally persists the drop-REASON audit — one row
-    * per dropped doc with the sorted set of rules that fired
-    * (`exact_store` / `exact_batch` / `near_store` / `near_batch`),
-    * the explainability surface a takedown or pipeline-debug review
-    * reads; decisions are identical with or without it (spec-pinned,
-    * and q136 hash-oracles the reasons themselves). Returns the
-    * admitted batch rows (original columns + text_md5).
+    * per (dropped doc, rule that fired) with the rule name
+    * (`exact_store` / `exact_batch` / `near_store` / `near_batch`)
+    * and the MINIMUM matching partner id, the explainability surface
+    * a takedown or pipeline-debug review reads; decisions are
+    * identical with or without it (spec-pinned, and q136 hash-oracles
+    * the reasons AND partners themselves). Returns the admitted batch
+    * rows (original columns + text_md5).
     *
     * `hasher` is pluggable like [[nearDupDrops]]'s (pass `xxhash64(_)`
     * at production scale) — but the STORE is hasher-bound: signatures
@@ -1125,7 +1126,7 @@ object Dedup {
         s
       } else batchSig.limit(0).withColumn("db", lit(0).cast("int"))
 
-    def jaccardDrops(cands: DataFrame, left: DataFrame,
+    def jaccardPairs(cands: DataFrame, left: DataFrame,
         right: DataFrame): DataFrame = cands
       .join(left.select(col("doc").as("doc_a"), col("hs").as("hs_a")),
         Seq("doc_a"))
@@ -1138,7 +1139,7 @@ object Dedup {
           (size(col("hs_a")) + size(col("hs_b")) - col("inter"))
             .cast("double"), 6))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_b").as("doc"))
+      .select(col("doc_a"), col("doc_b"))
     // the persisted band-key store: backfill it once when the primary
     // predates it (or its dir was lost) — an O(history) derivation
     // that buys every later admit its pruned probe
@@ -1199,7 +1200,7 @@ object Dedup {
     // widest column in the store is read only for buckets that hold
     // actual candidates
     val candDb = candsVsStore.withColumn("db", ndlDb(col("doc_a")))
-    val nearVsStore = store
+    val nearVsStorePairs = store
       .select(col("db"), col("doc").as("doc_a"), col("hs").as("hs_a"))
       .join(if (smallBatch) broadcast(candDb) else candDb,
         Seq("db", "doc_a"))
@@ -1212,34 +1213,49 @@ object Dedup {
           (size(col("hs_a")) + size(col("hs_b")) - col("inter"))
             .cast("double"), 6))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_b").as("doc"))
+      .select(col("doc_a"), col("doc_b"))
+    val nearVsStore = nearVsStorePairs.select(col("doc_b").as("doc"))
     val candsInBatch = lshCandidatesFromSignatures(
         batchSig.filter(col("mh0").isNotNull), bands, rows)
       .select(col("doc_a"), col("doc_b"))
-    val nearInBatch = jaccardDrops(candsInBatch, batchSig, batchSig)
+    val nearInBatchPairs = jaccardPairs(candsInBatch, batchSig, batchSig)
+    val nearInBatch = nearInBatchPairs.select(col("doc_b").as("doc"))
     // `auditOut` materializes the drop REASONS — the explainability/
-    // takedown-audit surface: one row per dropped doc with the sorted
-    // set of rules that fired (exact_store / exact_batch / near_store
-    // / near_batch). The decision SET is identical either way (the
-    // audit path derives `dropped` from the same checkpointed tagged
-    // union; the default path keeps the exact untagged plan, so
-    // audit-off admits are bit-for-bit the r15 shape).
+    // takedown-audit surface: one row per (dropped doc, rule that
+    // fired) with the MINIMUM matching partner id (exact_store →
+    // the store's holder of the digest; exact_batch → the in-batch
+    // rep; near_* → the smallest verified near-match; a partner that
+    // was forgotten shows as its negative sentinel — its identity is
+    // gone by design). The decision SET is identical either way: the
+    // audit path derives `dropped` from the same checkpointed rule
+    // union, and the default path keeps the exact untagged plan, so
+    // audit-off admits are bit-for-bit the r15 shape.
     val dropped = auditOut match {
       case None =>
         exactVsStore.unionByName(exactInBatch)
           .unionByName(nearVsStore).unionByName(nearInBatch)
           .distinct().localCheckpoint()
       case Some(out) =>
-        def tag(df: DataFrame, r: String) =
-          df.select(col("doc"), lit(r).as("reason"))
-        val decisions = tag(exactVsStore, "exact_store")
-          .unionByName(tag(exactInBatch, "exact_batch"))
-          .unionByName(tag(nearVsStore, "near_store"))
-          .unionByName(tag(nearInBatch, "near_batch"))
-          .distinct().localCheckpoint()
-        decisions.groupBy(col("doc"))
-          .agg(sort_array(collect_set(col("reason"))).as("reasons"))
-          .write.mode("overwrite").parquet(out)
+        def minPartner(pairs: DataFrame, r: String) = pairs
+          .groupBy(col("doc_b")).agg(min(col("doc_a")).as("partner"))
+          .select(col("doc_b").as("doc"), lit(r).as("reason"),
+            col("partner"))
+        val exactStoreP = batchSig
+          .join(store.select(col("text_md5"),
+            col("doc").as("partner")), Seq("text_md5"))
+          .groupBy(col("doc")).agg(min(col("partner")).as("partner"))
+          .select(col("doc"), lit("exact_store").as("reason"),
+            col("partner"))
+        val exactBatchP = withMd5
+          .join(reps.withColumnRenamed("doc", "rep"), Seq("text_md5"))
+          .filter(col("doc") =!= col("rep"))
+          .select(col("doc"), lit("exact_batch").as("reason"),
+            col("rep").as("partner"))
+        val decisions = exactStoreP.unionByName(exactBatchP)
+          .unionByName(minPartner(nearVsStorePairs, "near_store"))
+          .unionByName(minPartner(nearInBatchPairs, "near_batch"))
+          .localCheckpoint()
+        decisions.write.mode("overwrite").parquet(out)
         decisions.select(col("doc")).distinct().localCheckpoint()
     }
 

@@ -2890,9 +2890,9 @@ class PipelineOpsSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
-  test("nearDupLedgerAdmit auditOut: drop reasons are exact per rule, " +
-      "multi-rule docs carry the sorted set, and decisions are " +
-      "identical with the audit on or off") {
+  test("nearDupLedgerAdmit auditOut: drop reasons AND min partners are " +
+      "exact per rule, multi-rule docs carry one row per rule, and " +
+      "decisions are identical with the audit on or off") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_ndl_audit").toString
     try {
@@ -2927,14 +2927,16 @@ class PipelineOpsSpec extends SparkTestBase {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(admitted === admittedPlain && admitted === Set(204L))
       assert(spark.read.parquet(s"$root/a1").isEmpty) // b1 all novel
-      val reasons = spark.read.parquet(s"$root/a2")
-        .collect().map(r => r.getLong(0) ->
-          r.getAs[Seq[String]]("reasons")).toMap
-      assert(reasons === Map(
-        200L -> Seq("exact_store", "near_store"),
-        201L -> Seq("exact_batch"),
-        202L -> Seq("near_batch", "near_store"),
-        203L -> Seq("exact_batch")))
+      val rows = spark.read.parquet(s"$root/a2")
+        .collect().map(r => (r.getAs[Long]("doc"),
+          r.getAs[String]("reason"), r.getAs[Long]("partner"))).toSet
+      assert(rows === Set(
+        (200L, "exact_store", 100L), // the store's holder of the digest
+        (200L, "near_store", 100L),  // identical text is a J=1 near hit
+        (201L, "exact_batch", 200L), // collapsed onto its in-batch rep
+        (202L, "near_batch", 200L),  // min same-batch verified match
+        (202L, "near_store", 100L),  // min store verified match
+        (203L, "exact_batch", 202L)))
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
