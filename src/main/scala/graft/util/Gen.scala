@@ -131,7 +131,12 @@ object Gen {
         fs.listStatus(store).nonEmpty)
       storePath // legacy flat store
     else {
-      val g = new Path(store, genDirName(1))
+      // never adopt an EXISTING uncommitted dir: it is a crashed
+      // write's partial content, and committing it would publish
+      // half-written data — establish a FRESH generation number above
+      // it instead (the orphan sweeps at the next rewrite)
+      val g = new Path(store,
+        genDirName(gs.map(_._1).maxOption.getOrElse(0L) + 1))
       fs.mkdirs(g)
       fs.create(new Path(g, CommitMarker), true).close()
       g.toString

@@ -205,6 +205,18 @@ class GenSpec extends SparkTestBase {
         spark.read.parquet(Gen.resolve(spark, store))
           .write.parquet(g))
       assert(Gen.appendDir(spark, store) === s"$store/gen-00000002")
+      // a crashed FIRST write's uncommitted gen dir is never adopted:
+      // committing it would publish half-written data — a fresh store
+      // whose only gen dir is an orphan gets a NEW generation number
+      val store2 = s"$root/store2"
+      fs.mkdirs(new Path(s"$store2/gen-00000001"))
+      fs.create(new Path(s"$store2/gen-00000001/part-junk.parquet"),
+        true).close()
+      val d2 = Gen.appendDir(spark, store2)
+      assert(d2 === s"$store2/gen-00000002")
+      rows(1, "x").write.mode("append").parquet(d2)
+      assert(spark.read.parquet(Gen.resolve(spark, store2))
+        .count() === 1L)
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
