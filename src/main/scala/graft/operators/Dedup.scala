@@ -817,7 +817,13 @@ object Dedup {
     * rejected through null-keyed joins). */
   def ledgerAdmit(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String,
-      textCol: String, admittedOut: Option[String] = None): DataFrame = {
+      textCol: String, admittedOut: Option[String] = None): DataFrame =
+    // the INGEST LEASE serializes admit-vs-admit: two concurrent
+    // admits each read the store before the other's append lands and
+    // would double-admit content duplicated across the batches — the
+    // loser fails loudly instead (admit-vs-maintenance is the marker
+    // fence + Gen.rewrite's content re-verify, a separate mechanism)
+    graft.util.Fs.withIngestLease(spark, path, "ledgerAdmit") {
     graft.util.Fs.failIfUnderMaintenance(spark, path, "ledgerAdmit")
     val hasStore = graft.util.Gen.hasData(spark, path)
     val hashed = batch.filter(col(textCol).isNotNull)
@@ -1069,7 +1075,14 @@ object Dedup {
       threshold: Double = 0.8,
       admittedOut: Option[String] = None,
       hasher: Column => Column = hash60(_),
-      auditOut: Option[String] = None): DataFrame = {
+      auditOut: Option[String] = None): DataFrame =
+    // ONE ingest lease (on the primary path) covers both stores: the
+    // admit reads primary + bands to decide, then appends to both —
+    // two concurrent admits would each decide against a store missing
+    // the other's rows and double-admit near-dups across the batches
+    // (admit-vs-maintenance stays the marker fence + content
+    // re-verify)
+    graft.util.Fs.withIngestLease(spark, path, "nearDupLedgerAdmit") {
     graft.util.Fs.failIfUnderMaintenance(spark, path,
       "nearDupLedgerAdmit")
     graft.util.Fs.failIfUnderMaintenance(spark, ndlBandsPath(path),

@@ -180,6 +180,54 @@ object Fs {
     }
   }
 
+  /** Sibling path of the INGEST LEASE a ledger admit holds for its
+    * read-decide-append window. */
+  def ingestLeasePath(storePath: String): String =
+    storePath + "_ingest_lease"
+
+  /** Serialize read-decide-append ingest against a store: ledger
+    * admits READ the store to decide, then APPEND — two of them
+    * running concurrently each read the store before the other's
+    * append lands and silently DOUBLE-ADMIT any content duplicated
+    * across (or decided differently by) the two batches. Pure appends
+    * (index appendTo*, tombstone deletes) have no decide step and need
+    * no lease. The lease is one exclusive create (atomic on HDFS;
+    * S3A wants conditional-PUT support, same caveat as
+    * [[Gen]]'s commit pointer) held for the admit and released on ANY
+    * in-JVM exit, success or failure — only a hard crash leaves it
+    * behind, and then admits fail LOUDLY until the operator confirms
+    * the dead admit and clears with [[clearIngestLease]] (the crashed
+    * batch re-runs idempotently afterwards; see ledgerAdmit's
+    * recovery scaladoc). */
+  def withIngestLease[T](spark: org.apache.spark.sql.SparkSession,
+      storePath: String, who: String)(body: => T): T = {
+    import org.apache.hadoop.fs.Path
+    val lease = new Path(ingestLeasePath(storePath))
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.create(lease, false).close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"$who: another admit holds the ingest lease on $storePath " +
+            s"($lease exists) — concurrent admits each read the store " +
+            "before the other's append lands and would DOUBLE-ADMIT " +
+            "duplicates; wait for it to finish, or (if it crashed) " +
+            "clear the lease with Fs.clearIngestLease and re-run its " +
+            "batch")
+    }
+    try body finally fs.delete(lease, false)
+  }
+
+  /** Operator recovery verb for a hard-crashed admit's surviving
+    * lease. Returns true when a lease file was actually removed. */
+  def clearIngestLease(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val lease = new Path(ingestLeasePath(storePath))
+    lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lease, false)
+  }
+
   /** Recursive delete, a no-op when `dir` does not exist. The
     * `Files.walk` stream holds open DirectoryStreams and MUST be
     * closed — leaking it accumulates directory handles on every

@@ -5,20 +5,35 @@ import org.apache.spark.sql.SparkSession
 
 /** Versioned GENERATION layout for every persisted store — the
   * zero-reader-outage successor to [[Fs.swapRewrite]]'s two-rename
-  * window.
+  * window, with OPTIMISTIC CONCURRENCY between maintenance writers.
   *
-  * Layout: a store at `P` holds its data inside numbered generation
-  * dirs, `P/gen-00000001`, `P/gen-00000002`, … Exactly one file makes
-  * a generation REAL: `gen-N/_gen_commit`, created only after the
-  * generation's datasets are fully written (the leading underscore
-  * keeps Spark/parquet readers from treating it as data). Readers
-  * resolve `P` to its highest COMMITTED generation once per load
-  * ([[resolve]]); maintenance (save-over, compaction, rebuild, forget)
-  * writes the NEXT generation and creates its commit marker as the
-  * single atomic publish step ([[rewrite]]) — there is never a moment
-  * when the store path does not exist, so the documented swapRewrite
-  * reader outage (and its rename-is-copy object-store caveat — a
-  * marker CREATE is atomic everywhere, including S3A) both disappear.
+  * Layout (v2): a store at `P` holds its data inside per-writer
+  * STAGING dirs, `P/gen-00000002-3fa91c55/…` — the 8-digit number is
+  * the generation the writer targets, the hex token makes the dir
+  * UNIQUE to that writer (no two rewrites ever touch the same
+  * directory). A generation becomes REAL when its COMMIT POINTER
+  * lands: `P/_commit-00000002`, a tiny file whose content is the name
+  * of the staging dir that won. The pointer is created with
+  * `create(overwrite = false)` — one atomic exclusive CREATE, no
+  * rename anywhere in the hot protocol (atomic on HDFS; on S3A it
+  * needs conditional-create support, the post-2024 S3 conditional
+  * PUT — older S3A narrows it to a small check-then-act window, still
+  * strictly safer than last-writer-wins).
+  *
+  * Concurrent-writer safety, the v2 point: every rewrite fixes its
+  * TARGET number at snapshot time (current committed + 1) and
+  * publishes by exclusively creating `_commit-<target>`. Two racing
+  * rewrites (a scheduled compaction vs an operator-run rebuild)
+  * therefore resolve to exactly ONE winner; the loser's exclusive
+  * create fails and it aborts LOUDLY with the store serving the
+  * winner's generation — its output was derived from a snapshot the
+  * store has moved past, so publishing it would silently drop the
+  * winner's changes. (The v1 layout — a `_gen_commit` marker INSIDE a
+  * shared `gen-N` dir — let both writers build in the SAME directory:
+  * the second's orphan sweep could delete the first's half-written
+  * files mid-job and the first could then publish the second's
+  * incomplete data. v1 stores remain readable; their first v2 rewrite
+  * supersedes them.)
   *
   * Reader grace: the previous generation is NOT deleted at publish
   * time. A reader that resolved before the flip keeps a valid path
@@ -29,9 +44,12 @@ import org.apache.spark.sql.SparkSession
   * a cycle instead.
   *
   * Crash safety, by construction:
-  *   - a crash mid-write leaves an UNCOMMITTED `gen-N` dir that no
-  *     resolve ever returns (the commit marker is the last write) and
-  *     the next rewrite sweeps;
+  *   - a crash mid-write leaves an UNREFERENCED staging dir no
+  *     resolve ever returns (the commit pointer is the last write);
+  *     it is swept once it is provably DOOMED — `_commit-<target>`
+  *     exists and names a different dir, so its writer can never
+  *     publish (a name-based rule: no clocks, no leases, and a LIVE
+  *     writer's staging is never deleted out from under it);
   *   - the maintenance marker (`P_maintenance`, shared spelling with
   *     [[Fs.swapRewrite]]) goes down before the snapshot read and
   *     comes up after the publish, so ingest writers — which call
@@ -43,7 +61,7 @@ import org.apache.spark.sql.SparkSession
   *     check just before the marker went down and commits during the
   *     rewrite) is closed by a RECURSIVE content-summary re-verify
   *     (file count + byte count of the current generation, captured
-  *     after the marker, re-checked before the commit marker is
+  *     after the marker, re-checked before the commit pointer is
   *     created) — a slipped append aborts the publish with the old
   *     generation still current, and nothing is lost.
   *
@@ -53,31 +71,83 @@ import org.apache.spark.sql.SparkSession
   *
   * Legacy flat stores (written before this layout existed) resolve to
   * themselves and keep working; their first [[rewrite]] MIGRATES them
-  * — one last [[Fs.swapRewrite]] whose payload is `gen-00000001`
+  * — one last [[Fs.swapRewrite]] whose payload is generation 1
   * (documented one-time outage), versioned forever after. */
 object Gen {
 
   private val GenPrefix = "gen-"
-  private[graft] val CommitMarker = "_gen_commit"
+  private val CommitPrefix = "_commit-"
+  private[graft] val CommitMarker = "_gen_commit" // v1, read-compat
 
-  private[graft] def genDirName(n: Long): String = f"$GenPrefix$n%08d"
+  private def commitName(n: Long): String = f"$CommitPrefix$n%08d"
 
-  private def parseGen(name: String): Option[Long] =
-    if (name.startsWith(GenPrefix))
-      name.stripPrefix(GenPrefix).toLongOption
+  private[graft] def genDirName(n: Long, token: String): String =
+    f"$GenPrefix$n%08d-$token"
+
+  private def newToken(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  /** `gen-00000002-3fa91c55` → (2, "3fa91c55"); `gen-00000002` (v1)
+    * → (2, ""). */
+  private def parseGen(name: String): Option[(Long, String)] =
+    if (!name.startsWith(GenPrefix)) None
+    else {
+      val rest = name.stripPrefix(GenPrefix)
+      val (num, tok) = rest.indexOf('-') match {
+        case -1 => (rest, "")
+        case i => (rest.take(i), rest.drop(i + 1))
+      }
+      num.toLongOption.map((_, tok))
+    }
+
+  private def parseCommit(name: String): Option[Long] =
+    if (name.startsWith(CommitPrefix))
+      name.stripPrefix(CommitPrefix).toLongOption
     else None
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (gen number, committed?) for every `gen-*` child of `store`,
-    * ascending. Empty for flat/missing stores. */
-  private def gens(fs: FileSystem, store: Path): Seq[(Long, Boolean)] =
-    if (!fs.exists(store)) Seq.empty
-    else fs.listStatus(store).toSeq
-      .flatMap(s => parseGen(s.getPath.getName).map(n =>
-        (n, fs.exists(new Path(s.getPath, CommitMarker)))))
-      .sortBy(_._1)
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString("UTF-8").trim
+    } finally in.close()
+  }
+
+  /** One snapshot of a store's generation artifacts.
+    *   - `commits`: (generation, data dir NAME), ascending — v2
+    *     pointer files plus v1 dirs holding a `_gen_commit` marker;
+    *   - `stagings`: gen-prefixed dirs NOT named by any commit —
+    *     in-flight or crashed writers (v2) and v1 orphans. */
+  private case class Scan(commits: Seq[(Long, String)],
+      stagings: Seq[(Long, String)]) {
+    def current: Option[(Long, String)] = commits.lastOption
+  }
+
+  private def scan(fs: FileSystem, store: Path): Scan =
+    if (!fs.exists(store)) Scan(Seq.empty, Seq.empty)
+    else {
+      val entries = fs.listStatus(store).toSeq
+      val names = entries.map(_.getPath.getName)
+      val v2 = names.flatMap(n => parseCommit(n).map(c =>
+        (c, readSmall(fs, new Path(store, n)))))
+      val dirs = names.flatMap(n => parseGen(n).map { case (g, _) =>
+        (g, n) })
+      val v1 = dirs.filter { case (_, n) =>
+        !v2.exists(_._2 == n) &&
+          fs.exists(new Path(store, s"$n/$CommitMarker"))
+      }
+      val commits = (v2 ++ v1).sortBy(_._1)
+      val stagings = dirs
+        .filter { case (_, n) => !commits.exists(_._2 == n) }
+        .sortBy(_._1)
+      Scan(commits, stagings)
+    }
 
   /** Resolve a store path to the directory a READER should scan: the
     * highest committed generation when versioned, the path itself when
@@ -86,60 +156,75 @@ object Gen {
     * markers — readers are never fenced. */
   def resolve(spark: SparkSession, storePath: String): String = {
     val store = new Path(storePath)
-    val committed = gens(fsOf(spark, store), store).filter(_._2)
-    if (committed.isEmpty) storePath
-    else new Path(store, genDirName(committed.last._1)).toString
+    scan(fsOf(spark, store), store).current match {
+      case Some((_, dir)) => new Path(store, dir).toString
+      case None => storePath
+    }
   }
 
   /** Does the store hold any readable data? Versioned: a committed
     * generation with at least one non-hidden entry. Flat: any
-    * non-hidden entry. Uncommitted generations never count. */
+    * non-hidden entry. Staging dirs never count. */
   def hasData(spark: SparkSession, storePath: String): Boolean = {
     val store = new Path(storePath)
     val fs = fsOf(spark, store)
     if (!fs.exists(store)) return false
-    val gs = gens(fs, store)
+    val s = scan(fs, store)
     val dataDir =
-      if (gs.isEmpty) store
-      else gs.filter(_._2).lastOption match {
-        case Some((n, _)) => new Path(store, genDirName(n))
+      if (s.commits.isEmpty && s.stagings.isEmpty) store
+      else s.current match {
+        case Some((_, dir)) => new Path(store, dir)
         case None => return false
       }
-    fs.exists(dataDir) && fs.listStatus(dataDir).exists { s =>
-      val n = s.getPath.getName
+    fs.exists(dataDir) && fs.listStatus(dataDir).exists { st =>
+      val n = st.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }
   }
 
   /** The directory an INGEST append should write into: the current
     * generation (versioned), the path itself (legacy flat store with
-    * data), or a freshly-established empty `gen-00000001` (new store —
+    * data), or a freshly-established generation 1 (new store —
     * committed immediately: an empty generation receiving appends is
     * indistinguishable from a committed one receiving appends, and
     * versioned-from-birth means the store's first compaction is
-    * already zero-outage). Callers fence with
+    * already zero-outage). Race-safe like [[rewrite]]: two concurrent
+    * first-appends both stage, ONE wins the exclusive `_commit-…`
+    * create, and the loser appends into the winner's dir (its own
+    * empty staging is doomed and sweeps later). Callers fence with
     * [[Fs.failIfUnderMaintenance]] BEFORE calling, per the ingest
     * contract. */
   def appendDir(spark: SparkSession, storePath: String): String = {
     val store = new Path(storePath)
     val fs = fsOf(spark, store)
-    val gs = gens(fs, store)
-    val committed = gs.filter(_._2)
-    if (committed.nonEmpty)
-      new Path(store, genDirName(committed.last._1)).toString
-    else if (gs.isEmpty && fs.exists(store) &&
-        fs.listStatus(store).nonEmpty)
-      storePath // legacy flat store
-    else {
-      // never adopt an EXISTING uncommitted dir: it is a crashed
-      // write's partial content, and committing it would publish
-      // half-written data — establish a FRESH generation number above
-      // it instead (the orphan sweeps at the next rewrite)
-      val g = new Path(store,
-        genDirName(gs.map(_._1).maxOption.getOrElse(0L) + 1))
-      fs.mkdirs(g)
-      fs.create(new Path(g, CommitMarker), true).close()
-      g.toString
+    val s = scan(fs, store)
+    s.current match {
+      case Some((_, dir)) => new Path(store, dir).toString
+      case None =>
+        if (s.stagings.isEmpty && fs.exists(store) &&
+            fs.listStatus(store).nonEmpty)
+          storePath // legacy flat store
+        else {
+          // never adopt an EXISTING staging dir: it is another
+          // writer's — in flight (appending into it would race its
+          // publish) or crashed (partial content) — so establish our
+          // OWN generation-1 staging and publish it with the same
+          // exclusive create every rewrite uses
+          val g = new Path(store, genDirName(1L, newToken()))
+          fs.mkdirs(g)
+          try {
+            val out = fs.create(new Path(store, commitName(1L)),
+              false)
+            out.write(g.getName.getBytes("UTF-8")); out.close()
+            g.toString
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              // lost the establish race — append into the winner's
+              // dir; our empty staging is doomed and sweeps later
+              fs.delete(g, true)
+              resolve(spark, storePath)
+          }
+        }
     }
   }
 
@@ -167,12 +252,42 @@ object Gen {
       Some((cs.getFileCount, cs.getLength))
     }
 
+  /** A staging dir that can no longer win: every LIVE writer's target
+    * is exactly current+1 (it was fixed at snapshot time as
+    * then-current + 1, and a later publish at that number dooms it via
+    * the exclusive create), so a staging numbered anything else is a
+    * lost race, a superseded crash, or junk — deletable without
+    * clocks or leases, and a staging that could still WIN is never
+    * touched. */
+  private def doomed(cur: Option[(Long, String)], n: Long): Boolean =
+    n != cur.map(_._1).getOrElse(0L) + 1
+
+  /** Sweep (a) committed generations older than the current one —
+    * their reader grace ended when a NEWER publish landed — and (b)
+    * DOOMED staging dirs (see [[doomed]]). */
+  private def sweep(fs: FileSystem, store: Path, s: Scan): Unit = {
+    val cur = s.current
+    s.commits.foreach { case (n, dir) =>
+      if (cur.exists(n < _._1)) {
+        fs.delete(new Path(store, dir), true)
+        fs.delete(new Path(store, commitName(n)), false)
+      }
+    }
+    s.stagings.foreach { case (n, dir) =>
+      if (doomed(cur, n))
+        fs.delete(new Path(store, dir), true)
+    }
+  }
+
   /** Rewrite a store as a NEW GENERATION with zero reader outage —
     * the shared maintenance protocol behind every save-over /
-    * compaction / rebuild / forget. `writeTo` receives the next
-    * generation's directory and must fully materialize the new store
-    * content there; the commit marker created afterwards is the
-    * atomic publish. See the object scaladoc for the full protocol.
+    * compaction / rebuild / forget. `writeTo` receives a staging
+    * directory UNIQUE to this call and must fully materialize the new
+    * store content there; the exclusive commit-pointer create
+    * afterwards is the atomic publish, and losing that race to a
+    * concurrent rewrite aborts THIS one loudly with the winner's
+    * generation serving. See the object scaladoc for the full
+    * protocol.
     *
     * `ownsMarker = true` is for callers that hold the store's
     * maintenance marker THEMSELVES across a larger critical section
@@ -201,74 +316,115 @@ object Gen {
         fs.listStatus(dir).toSeq.map(_.getPath.getName)
           .filter(_.endsWith("_maintenance"))
       else Seq.empty
-    val cur0 = gens(fs, store).filter(_._2).lastOption.map(_._1)
-    val inner = innerMarkers(store) ++
-      cur0.toSeq.flatMap(n => innerMarkers(new Path(store, genDirName(n))))
+    val scan0 = scan(fs, store)
+    val inner = innerMarkers(store) ++ scan0.current.toSeq
+      .flatMap { case (_, dir) => innerMarkers(new Path(store, dir)) }
     if (inner.nonEmpty)
       throw new IllegalStateException(
         s"Gen.rewrite: $storePath contains maintenance markers " +
           s"(${inner.mkString(", ")}) — a store inside it is " +
           "mid-rewrite (or crashed mid-rewrite); finish/re-run that " +
           "rewrite first")
+    // fail FAST on a held ingest lease (a live admit mid
+    // read-decide-append) rather than late at the content re-verify;
+    // a crashed admit's surviving lease is operator-cleared
+    // (Fs.clearIngestLease) after its batch is re-run
+    locally {
+      val lease = new Path(Fs.ingestLeasePath(storePath))
+      if (fs.exists(lease))
+        throw new IllegalStateException(
+          s"Gen.rewrite: an ingest admit holds the lease on " +
+            s"$storePath ($lease exists) — in flight (retry after it " +
+            "finishes) or crashed (clear with Fs.clearIngestLease " +
+            "and re-run its batch first)")
+    }
     if (!ownsMarker) createMarker(spark, storePath)
     def lift(): Unit = if (!ownsMarker) deleteMarker(spark, storePath)
-    locally {
-      val gs = gens(fs, store)
-      if (gs.isEmpty && fs.exists(store) &&
-          fs.listStatus(store).nonEmpty) {
-        // LEGACY FLAT STORE — migrate through one last swapRewrite
-        // (documented one-time reader outage): the payload is the
-        // store's first generation, committed inside the temp dir so
-        // the promoting rename publishes data and marker together.
-        // swapRewrite manages the same marker path itself; release
-        // ours first so its create/delete does not fight the
-        // protocol (and re-assert it afterwards for ownsMarker
-        // callers mid-compound-operation).
-        if (!ownsMarker) deleteMarker(spark, storePath)
-        Fs.swapRewrite(spark, storePath) { tmp =>
-          val g = new Path(tmp, genDirName(1))
-          writeTo(g.toString)
-          fs.create(new Path(g, CommitMarker), true).close()
-        }
-        if (ownsMarker) createMarker(spark, storePath)
-        return
+    if (scan0.commits.isEmpty && scan0.stagings.isEmpty &&
+        fs.exists(store) && fs.listStatus(store).nonEmpty) {
+      // LEGACY FLAT STORE — migrate through one last swapRewrite
+      // (documented one-time reader outage): the payload is the
+      // store's first generation, committed inside the temp dir so
+      // the promoting rename publishes data and pointer together.
+      // swapRewrite manages the same marker path itself; release
+      // ours first so its create/delete does not fight the
+      // protocol (and re-assert it afterwards for ownsMarker
+      // callers mid-compound-operation).
+      if (!ownsMarker) deleteMarker(spark, storePath)
+      Fs.swapRewrite(spark, storePath) { tmp =>
+        val g = new Path(tmp, genDirName(1L, newToken()))
+        writeTo(g.toString)
+        val out = fs.create(new Path(tmp, commitName(1L)), true)
+        out.write(g.getName.getBytes("UTF-8")); out.close()
       }
-      // sweep: uncommitted generations (crashed writes) and committed
-      // generations older than current (their reader grace ended when
-      // THIS rewrite started)
-      val cur = gs.filter(_._2).lastOption.map(_._1)
-      gs.foreach { case (n, committed) =>
-        if (!committed || cur.exists(n < _))
-          fs.delete(new Path(store, genDirName(n)), true)
-      }
-      val curDir = cur.map(n => new Path(store, genDirName(n)))
-      val pre = curDir.flatMap(summary(fs, _))
-      val next = new Path(store, genDirName(cur.getOrElse(0L) + 1))
-      try writeTo(next.toString)
-      catch {
-        case e: Throwable =>
-          // nothing was published: the current generation is intact,
-          // so surface the failure instead of leaving ingest fenced
-          fs.delete(next, true)
-          lift()
-          throw e
-      }
-      if (curDir.flatMap(summary(fs, _)) != pre) {
+      if (ownsMarker) createMarker(spark, storePath)
+      return
+    }
+    // reclaim: superseded generations (reader grace over) and doomed
+    // stagings (their target's pointer names another dir). A racing
+    // writer's UNDOOMED staging survives — it owns a different dir
+    // and exactly one of us will win the pointer create below.
+    sweep(fs, store, scan0)
+    val cur = scan0.current
+    val curDir = cur.map { case (_, d) => new Path(store, d) }
+    val pre = curDir.flatMap(summary(fs, _))
+    // the TARGET is fixed at snapshot time: this rewrite's output is
+    // derived from generation `cur`, so it may only ever become
+    // generation cur+1 — if the store advances first, publishing
+    // would silently drop the other writer's changes, and the
+    // exclusive create below turns that into a loud abort instead
+    val target = cur.map(_._1).getOrElse(0L) + 1
+    val next = new Path(store, genDirName(target, newToken()))
+    try writeTo(next.toString)
+    catch {
+      case e: Throwable =>
+        // nothing was published: the current generation is intact,
+        // so surface the failure instead of leaving ingest fenced
+        fs.delete(next, true)
+        lift()
+        throw e
+    }
+    if (scan(fs, store).current != cur) {
+      fs.delete(next, true)
+      lift()
+      throw new IllegalStateException(
+        s"Gen.rewrite: $storePath advanced to a new generation while " +
+          "this rewrite ran (a concurrent rewrite published first) — " +
+          "this writer's snapshot is stale and its output was " +
+          "discarded; re-run against the current generation")
+    }
+    if (curDir.flatMap(summary(fs, _)) != pre) {
+      fs.delete(next, true)
+      lift()
+      throw new IllegalStateException(
+        s"Gen.rewrite: $storePath changed while the rewrite ran (an " +
+          "ingest slipped through the fence's check-then-act " +
+          "window) — the publish was aborted with the old " +
+          "generation still current; re-run to include the new rows")
+    }
+    try {
+      // the atomic publish: exclusive create — one winner per target
+      val out = fs.create(new Path(store, commitName(target)),
+        false)
+      out.write(next.getName.getBytes("UTF-8")); out.close()
+    } catch {
+      // any OTHER IO failure propagates with the marker left down:
+      // the pointer's state is unknown, and a fenced ingest beats a
+      // silently-diverged store — the re-run recovers
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         fs.delete(next, true)
         lift()
         throw new IllegalStateException(
-          s"Gen.rewrite: $storePath changed while the rewrite ran (an " +
-            "ingest slipped through the fence's check-then-act " +
-            "window) — the publish was aborted with the old " +
-            "generation still current; re-run to include the new rows")
-      }
-      fs.create(new Path(next, CommitMarker), true).close() // publish
-      lift()
-      // a sweep/summary IO failure above deliberately leaves the
-      // marker down — the store's state is unverified, and a fenced
-      // ingest beats a silently-lost one; re-running the rewrite
-      // recovers and clears it
+          s"Gen.rewrite: lost the generation-$target publish race on " +
+            s"$storePath to a concurrent rewrite — this writer's " +
+            "snapshot is stale and its output was discarded; re-run " +
+            "against the current generation")
     }
+    lift()
+    // a sweep/summary IO failure above deliberately leaves the
+    // marker down — the store's state is unverified, and a fenced
+    // ingest beats a silently-lost one; re-running the rewrite
+    // recovers and clears it
   }
 
   /** Resolve a SPECIFIC committed generation — the pinned-read form
@@ -285,13 +441,14 @@ object Gen {
   def resolveAt(spark: SparkSession, storePath: String,
       generation: Long): String = {
     val store = new Path(storePath)
-    val fs = fsOf(spark, store)
-    gens(fs, store).find(_._1 == generation) match {
-      case Some((n, true)) => new Path(store, genDirName(n)).toString
-      case Some((_, false)) => throw new IllegalStateException(
-        s"Gen.resolveAt: generation $generation of $storePath exists " +
-          "but is UNCOMMITTED (a crashed or in-flight rewrite) — it " +
-          "holds no publishable data")
+    val s = scan(fsOf(spark, store), store)
+    s.commits.find(_._1 == generation) match {
+      case Some((_, dir)) => new Path(store, dir).toString
+      case None if s.stagings.exists(_._1 == generation) =>
+        throw new IllegalStateException(
+          s"Gen.resolveAt: generation $generation of $storePath is " +
+            "staged but UNCOMMITTED (a crashed or in-flight rewrite) " +
+            "— it holds no publishable data")
       case None => throw new IllegalStateException(
         s"Gen.resolveAt: $storePath has no generation $generation " +
           "(swept, or never written) — list generations with " +
@@ -304,43 +461,53 @@ object Gen {
   def currentGeneration(spark: SparkSession,
       storePath: String): Option[Long] = {
     val store = new Path(storePath)
-    gens(fsOf(spark, store), store).filter(_._2).lastOption.map(_._1)
+    scan(fsOf(spark, store), store).current.map(_._1)
   }
 
-  /** One row per generation dir — the observability surface for the
-    * versioned layout: (generation, committed, current, n_files,
-    * bytes). Uncommitted rows are crashed/in-flight rewrites (swept by
-    * the next rewrite); non-current committed rows are reader-grace
-    * copies [[sweepGenerations]] can reclaim. Driver-side listing
-    * only — no Spark job. */
+  /** One row per generation artifact — the observability surface for
+    * the versioned layout: (generation, committed, current, n_files,
+    * bytes). Uncommitted rows are staging dirs — crashed or in-flight
+    * rewrites (swept once doomed); non-current committed rows are
+    * reader-grace copies [[sweepGenerations]] can reclaim.
+    * Driver-side listing only — no Spark job. */
   def generationCensus(spark: SparkSession,
       storePath: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val store = new Path(storePath)
     val fs = fsOf(spark, store)
-    val gs = gens(fs, store)
-    val cur = gs.filter(_._2).lastOption.map(_._1)
-    gs.map { case (n, committed) =>
-      val cs = fs.getContentSummary(new Path(store, genDirName(n)))
+    val s = scan(fs, store)
+    val cur = s.current.map(_._1)
+    val rows =
+      s.commits.map { case (n, d) => (n, true, d) } ++
+        s.stagings.map { case (n, d) => (n, false, d) }
+    rows.sortBy(r => (r._1, !r._2)).map { case (n, committed, d) =>
+      val cs = fs.getContentSummary(new Path(store, d))
       (n, committed, committed && cur.contains(n),
         cs.getFileCount, cs.getLength)
     }.toDF("generation", "committed", "current", "n_files", "bytes")
   }
 
   /** Eagerly drop old committed generations, keeping the newest
-    * `keepLast` (≥ 1) plus any uncommitted dirs a live rewrite may be
-    * writing. For operators who cannot wait for the next rewrite's
-    * sweep to reclaim disk — only safe once in-flight readers of the
-    * old generations have quiesced. Returns the number of generation
-    * dirs removed. */
+    * `keepLast` (≥ 1), plus any DOOMED staging dirs; an undoomed
+    * staging (a live rewrite may be writing it) is never touched. For
+    * operators who cannot wait for the next rewrite's sweep to reclaim
+    * disk — only safe once in-flight readers of the old generations
+    * have quiesced. Returns the number of generation dirs removed. */
   def sweepGenerations(spark: SparkSession, storePath: String,
       keepLast: Int = 1): Int = {
     require(keepLast >= 1, "keepLast must be ≥ 1")
     val store = new Path(storePath)
     val fs = fsOf(spark, store)
-    val committed = gens(fs, store).filter(_._2).map(_._1)
-    val drop = committed.dropRight(keepLast)
-    drop.foreach(n => fs.delete(new Path(store, genDirName(n)), true))
-    drop.size
+    val s = scan(fs, store)
+    val drop = s.commits.dropRight(keepLast)
+    drop.foreach { case (n, dir) =>
+      fs.delete(new Path(store, dir), true)
+      fs.delete(new Path(store, commitName(n)), false)
+    }
+    val doomed = s.stagings.filter(st => s.commits.exists(_._1 == st._1))
+    doomed.foreach { case (_, dir) =>
+      fs.delete(new Path(store, dir), true)
+    }
+    drop.size + doomed.size
   }
 }

@@ -9,11 +9,14 @@ import graft.util.Gen
   * store's lifecycle verbs route through:
   *   - a reader that resolved BEFORE a rewrite's flip completes
   *     correctly against its generation (the concurrent-reader spec);
-  *   - resolution never lands on a partial generation (the commit
-  *     marker is the last write), and orphaned generations are swept
-  *     (the crash spec);
-  *   - legacy flat stores migrate on their first rewrite and are
-  *     versioned forever after;
+  *   - resolution never lands on a staging dir (the commit POINTER —
+  *     one atomic exclusive create — is the publish), and doomed
+  *     stagings are swept (the crash spec);
+  *   - two CONCURRENT rewrites resolve to exactly one winner: the
+  *     loser's publish aborts loudly with the winner's generation
+  *     serving (the OCC spec);
+  *   - legacy flat stores migrate on their first rewrite, v1
+  *     marker-in-dir stores stay readable and are superseded in place;
   *   - ingest appends land in the CURRENT generation or fail loudly at
   *     the maintenance fence, and an append that slips the fence's
   *     check-then-act window aborts the publish (content re-verify). */
@@ -29,8 +32,13 @@ class GenSpec extends SparkTestBase {
   private def rows(n: Int, tag: String) =
     (0 until n).map(i => (i.toLong, s"$tag-$i")).toDF("id", "v")
 
-  test("create + resolve: a fresh rewrite writes gen-1, resolve returns " +
-      "it, hasData sees it; an uncommitted generation is invisible") {
+  /** Staging-dir basename check: `gen-<8-digit n>-<writer token>`. */
+  private def isGenDir(path: String, n: Long): Boolean =
+    new Path(path).getName.startsWith(f"gen-$n%08d-")
+
+  test("create + resolve: a fresh rewrite stages and publishes gen 1, " +
+      "resolve returns it, hasData sees it; an unpublished staging is " +
+      "invisible") {
     val root = tmp("graft_gen_create")
     val store = s"$root/store"
     try {
@@ -39,14 +47,16 @@ class GenSpec extends SparkTestBase {
       Gen.rewrite(spark, store)(g =>
         rows(4, "a").write.parquet(g))
       val g1 = Gen.resolve(spark, store)
-      assert(g1 === s"$store/gen-00000001")
+      assert(isGenDir(g1, 1L))
+      assert(Gen.currentGeneration(spark, store) === Some(1L))
+      assert(fs.exists(new Path(s"$store/_commit-00000001")))
       assert(Gen.hasData(spark, store))
       assert(spark.read.parquet(g1).count() === 4L)
-      // a partial (uncommitted) generation: resolve and hasData ignore
-      // it — the commit marker IS the publish
-      fs.mkdirs(new Path(s"$store/gen-00000002"))
-      fs.create(new Path(s"$store/gen-00000002/part-junk.parquet"),
-        true).close()
+      // a partial (unpublished) staging: resolve and hasData ignore
+      // it — the commit pointer IS the publish
+      fs.mkdirs(new Path(s"$store/gen-00000002-deadbeef"))
+      fs.create(new Path(
+        s"$store/gen-00000002-deadbeef/part-junk.parquet"), true).close()
       assert(Gen.resolve(spark, store) === g1)
       assert(Gen.hasData(spark, store)) // still: the COMMITTED gen
     } finally graft.util.Fs.deleteRecursively(root)
@@ -59,64 +69,72 @@ class GenSpec extends SparkTestBase {
     val store = s"$root/store"
     try {
       Gen.rewrite(spark, store)(g => rows(6, "old").write.parquet(g))
+      val g1 = Gen.resolve(spark, store)
       // the reader resolves ONCE (the load* contract) and holds a lazy
       // plan over that generation
-      val preFlip = spark.read.parquet(Gen.resolve(spark, store))
+      val preFlip = spark.read.parquet(g1)
       assert(preFlip.count() === 6L)
       // maintenance publishes a NEW generation while the reader is
       // "in flight" (its plan unexecuted)
       Gen.rewrite(spark, store)(g => rows(3, "new").write.parquet(g))
+      val g2 = Gen.resolve(spark, store)
       // the pre-flip reader completes correctly against the OLD
       // generation (kept for reader grace until the NEXT rewrite)
       assert(preFlip.count() === 6L)
       assert(preFlip.select("v").as[String].collect()
         .forall(_.startsWith("old")))
       // a fresh resolve serves the new generation
-      assert(spark.read.parquet(Gen.resolve(spark, store))
-        .count() === 3L)
+      assert(spark.read.parquet(g2).count() === 3L)
       // ...and the next rewrite sweeps the old generation (grace over)
       Gen.rewrite(spark, store)(g => rows(2, "next").write.parquet(g))
-      assert(!fs.exists(new Path(s"$store/gen-00000001")))
-      assert(fs.exists(new Path(s"$store/gen-00000002"))) // new grace
+      assert(!fs.exists(new Path(g1)))
+      assert(!fs.exists(new Path(s"$store/_commit-00000001")))
+      assert(fs.exists(new Path(g2))) // new grace
       assert(spark.read.parquet(Gen.resolve(spark, store))
         .count() === 2L)
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
-  test("crash protocol: a rewrite that dies mid-write leaves an orphan " +
+  test("crash protocol: a rewrite that dies mid-write leaves a staging " +
       "no resolve returns and a marker that fences ingest; the re-run " +
-      "sweeps, publishes, and clears") {
+      "publishes and clears, and the dead staging sweeps once doomed") {
     val root = tmp("graft_gen_crash")
     val store = s"$root/store"
     try {
       Gen.rewrite(spark, store)(g => rows(5, "a").write.parquet(g))
-      // simulate the crash: partial next generation + surviving marker
-      fs.mkdirs(new Path(s"$store/gen-00000002"))
+      // simulate the crash: partial staging + surviving marker
+      val dead = new Path(s"$store/gen-00000002-deadwrtr")
+      fs.mkdirs(dead)
       Gen.createMarker(spark, store)
-      assert(Gen.resolve(spark, store) === s"$store/gen-00000001")
+      assert(isGenDir(Gen.resolve(spark, store), 1L))
       intercept[IllegalStateException] {
         graft.util.Fs.failIfUnderMaintenance(spark, store, "ingest")
       }
-      // re-run: sweeps the orphan (its NUMBER is reusable — no resolve
-      // ever returned it), publishes a fresh committed gen-2, clears
-      // the marker
+      // re-run: publishes its OWN gen-2 staging (never adopts the dead
+      // writer's — it could be live mid-job) and clears the marker;
+      // the dead staging is invisible and now DOOMED (its target's
+      // pointer names the re-run's dir)
       Gen.rewrite(spark, store)(g => rows(5, "b").write.parquet(g))
       val g2 = Gen.resolve(spark, store)
-      assert(g2 === s"$store/gen-00000002")
-      assert(fs.exists(new Path(s"$g2/${"_gen_commit"}")))
+      assert(isGenDir(g2, 2L))
+      assert(g2 !== dead.toString)
+      assert(fs.exists(new Path(s"$store/_commit-00000002")))
       assert(spark.read.parquet(g2).select("v").as[String].collect()
         .forall(_.startsWith("b")))
       graft.util.Fs.failIfUnderMaintenance(spark, store, "ingest")
+      assert(fs.exists(dead)) // doomed, but swept only by a sweep pass
       // a failed writeTo lifts its own marker (store untouched — a
-      // transient job failure must not become an ingest outage)
+      // transient job failure must not become an ingest outage); its
+      // entry sweep reclaims the doomed staging
       val boom = intercept[RuntimeException] {
         Gen.rewrite(spark, store)(_ =>
           throw new RuntimeException("transient"))
       }
       assert(boom.getMessage === "transient")
+      assert(!fs.exists(dead))
       graft.util.Fs.failIfUnderMaintenance(spark, store, "ingest")
       assert(Gen.resolve(spark, store) === g2)
-      // crash AFTER the commit flip but BEFORE the marker lift: the
+      // crash AFTER the pointer create but BEFORE the marker lift: the
       // publish already happened (readers serve the new generation),
       // ingest stays fenced, and a maintenance re-run converges — one
       // extra (identical-content) cycle, marker cleared
@@ -130,6 +148,66 @@ class GenSpec extends SparkTestBase {
       graft.util.Fs.failIfUnderMaintenance(spark, store, "ingest")
       assert(spark.read.parquet(Gen.resolve(spark, store))
         .select("v").as[String].collect().forall(_.startsWith("b")))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("OCC: of two concurrent rewrites exactly one publishes — the " +
+      "loser aborts loudly, its staging is discarded, the store serves " +
+      "the winner, and ingest is not left fenced") {
+    val root = tmp("graft_gen_occ")
+    val store = s"$root/store"
+    try {
+      Gen.rewrite(spark, store)(g => rows(4, "base").write.parquet(g))
+      var loserStaging: String = null
+      // writer A stages its output, then writer B (a concurrent
+      // compaction) runs an ENTIRE rewrite before A reaches its
+      // publish — the snapshot A derived from is now stale
+      val lost = intercept[IllegalStateException] {
+        Gen.rewrite(spark, store) { g =>
+          loserStaging = g
+          rows(9, "loser").write.parquet(g)
+          Gen.rewrite(spark, store)(g2 =>
+            rows(5, "winner").write.parquet(g2))
+        }
+      }
+      assert(lost.getMessage.contains("concurrent rewrite"))
+      // the winner's generation serves; the loser's never will
+      assert(Gen.currentGeneration(spark, store) === Some(2L))
+      val cur = spark.read.parquet(Gen.resolve(spark, store))
+      assert(cur.count() === 5L)
+      assert(cur.select("v").as[String].collect()
+        .forall(_.startsWith("winner")))
+      assert(!fs.exists(new Path(loserStaging)))
+      // no stale fence: the next maintenance and the next ingest both
+      // proceed normally
+      graft.util.Fs.failIfUnderMaintenance(spark, store, "ingest")
+      Gen.rewrite(spark, store)(g => rows(1, "after").write.parquet(g))
+      assert(Gen.currentGeneration(spark, store) === Some(3L))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("v1 back-compat: a marker-in-dir store resolves and appends; " +
+      "its first v2 rewrite supersedes it in place and the v1 dir " +
+      "sweeps after its reader grace") {
+    val root = tmp("graft_gen_v1")
+    val store = s"$root/store"
+    try {
+      // hand-build the v1 layout: gen-N dir made real by _gen_commit
+      val v1 = new Path(s"$store/gen-00000003")
+      rows(4, "v1").write.parquet(v1.toString)
+      fs.create(new Path(v1, "_gen_commit"), true).close()
+      assert(Gen.resolve(spark, store) === v1.toString)
+      assert(Gen.currentGeneration(spark, store) === Some(3L))
+      assert(Gen.hasData(spark, store))
+      assert(Gen.appendDir(spark, store) === v1.toString)
+      // the first v2 rewrite continues the NUMBERING and publishes a
+      // pointer; the v1 dir survives one grace cycle
+      Gen.rewrite(spark, store)(g => rows(2, "v2").write.parquet(g))
+      assert(Gen.currentGeneration(spark, store) === Some(4L))
+      assert(isGenDir(Gen.resolve(spark, store), 4L))
+      assert(fs.exists(v1))
+      Gen.rewrite(spark, store)(g => rows(1, "v2b").write.parquet(g))
+      assert(!fs.exists(v1))
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
@@ -174,25 +252,27 @@ class GenSpec extends SparkTestBase {
       assert(Gen.appendDir(spark, store) === store)
       Gen.rewrite(spark, store)(g =>
         rows(3, "flat").write.parquet(g))
-      assert(Gen.resolve(spark, store) === s"$store/gen-00000001")
+      assert(Gen.currentGeneration(spark, store) === Some(1L))
+      assert(isGenDir(Gen.resolve(spark, store), 1L))
       assert(spark.read.parquet(Gen.resolve(spark, store))
         .count() === 3L)
       Gen.rewrite(spark, store)(g =>
         rows(7, "v2").write.parquet(g))
-      assert(Gen.resolve(spark, store) === s"$store/gen-00000002")
+      assert(Gen.currentGeneration(spark, store) === Some(2L))
       assert(spark.read.parquet(Gen.resolve(spark, store))
         .count() === 7L)
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
-  test("appendDir: establishes a committed gen-1 for a fresh store so " +
+  test("appendDir: establishes a committed gen 1 for a fresh store so " +
       "ingest-born stores are versioned from birth; appends land in " +
-      "the current generation") {
+      "the current generation; a dead first write is never adopted") {
     val root = tmp("graft_gen_append")
     val store = s"$root/store"
     try {
       val d1 = Gen.appendDir(spark, store)
-      assert(d1 === s"$store/gen-00000001")
+      assert(isGenDir(d1, 1L))
+      assert(Gen.currentGeneration(spark, store) === Some(1L))
       rows(2, "b1").write.mode("append").parquet(d1)
       assert(spark.read.parquet(Gen.resolve(spark, store))
         .count() === 2L)
@@ -204,16 +284,19 @@ class GenSpec extends SparkTestBase {
       Gen.rewrite(spark, store)(g =>
         spark.read.parquet(Gen.resolve(spark, store))
           .write.parquet(g))
-      assert(Gen.appendDir(spark, store) === s"$store/gen-00000002")
-      // a crashed FIRST write's uncommitted gen dir is never adopted:
-      // committing it would publish half-written data — a fresh store
-      // whose only gen dir is an orphan gets a NEW generation number
+      assert(Gen.appendDir(spark, store) ===
+        Gen.resolve(spark, store))
+      assert(isGenDir(Gen.appendDir(spark, store), 2L))
+      // a crashed FIRST write's staging is never adopted: committing
+      // it would publish half-written data — the establish writes its
+      // OWN dir and the orphan stays invisible until doomed
       val store2 = s"$root/store2"
-      fs.mkdirs(new Path(s"$store2/gen-00000001"))
-      fs.create(new Path(s"$store2/gen-00000001/part-junk.parquet"),
-        true).close()
+      val orphan = new Path(s"$store2/gen-00000001-deadwrtr")
+      fs.mkdirs(orphan)
+      fs.create(new Path(orphan, "part-junk.parquet"), true).close()
       val d2 = Gen.appendDir(spark, store2)
-      assert(d2 === s"$store2/gen-00000002")
+      assert(isGenDir(d2, 1L))
+      assert(d2 !== orphan.toString)
       rows(1, "x").write.mode("append").parquet(d2)
       assert(spark.read.parquet(Gen.resolve(spark, store2))
         .count() === 1L)
@@ -247,8 +330,8 @@ class GenSpec extends SparkTestBase {
       assert(census.map(_.getBoolean(2)).toSeq === Seq(false, true))
       assert(census.forall(_.getBoolean(1)))
       assert(census.forall(_.getLong(4) > 0L))
-      // an uncommitted generation: census shows it, resolveAt refuses
-      fs.mkdirs(new Path(s"$store/gen-00000003"))
+      // an in-flight staging: census shows it, resolveAt refuses
+      fs.mkdirs(new Path(s"$store/gen-00000003-inflight"))
       val c2 = Gen.generationCensus(spark, store)
         .filter(col("generation") === 3L).first()
       assert(!c2.getBoolean(1))
@@ -267,12 +350,14 @@ class GenSpec extends SparkTestBase {
     val store = s"$root/store"
     try {
       Gen.rewrite(spark, store)(g => rows(1, "a").write.parquet(g))
+      val g1 = Gen.resolve(spark, store)
       Gen.rewrite(spark, store)(g => rows(2, "b").write.parquet(g))
-      // gen-1 (grace) + gen-2 (current) exist; an eager sweep drops
-      // gen-1 without waiting for the next rewrite
-      assert(fs.exists(new Path(s"$store/gen-00000001")))
+      // gen 1 (grace) + gen 2 (current) exist; an eager sweep drops
+      // gen 1 without waiting for the next rewrite
+      assert(fs.exists(new Path(g1)))
       assert(Gen.sweepGenerations(spark, store) === 1)
-      assert(!fs.exists(new Path(s"$store/gen-00000001")))
+      assert(!fs.exists(new Path(g1)))
+      assert(!fs.exists(new Path(s"$store/_commit-00000001")))
       assert(spark.read.parquet(Gen.resolve(spark, store))
         .count() === 2L)
       assert(Gen.sweepGenerations(spark, store) === 0)

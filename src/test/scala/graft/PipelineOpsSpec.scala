@@ -1791,6 +1791,63 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(spark.read.parquet(out3).count() === 0)
   }
 
+  test("ingest lease: a held lease fails a second admit AND a " +
+      "compaction loudly (a concurrent admit would double-admit); the " +
+      "lease releases on success and on failure, and clearIngestLease " +
+      "is the crashed-admit recovery") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lease").toString + "/ledger"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leasePath = new org.apache.hadoop.fs.Path(
+      graft.util.Fs.ingestLeasePath(dir))
+    val b1 = Seq((1L, "alpha content")).toDF("doc_id", "text")
+    // a normal admit acquires and releases
+    assert(Dedup.ledgerAdmit(spark, dir, b1, "doc_id", "text")
+      .count() === 1L)
+    assert(!fs.exists(leasePath))
+    // a held lease (concurrent admit mid-flight, or a hard-crashed
+    // one): the next admit must fail loudly, not double-admit
+    fs.create(leasePath, false).close()
+    val blocked = intercept[IllegalStateException] {
+      Dedup.ledgerAdmit(spark, dir,
+        Seq((2L, "beta content")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    assert(blocked.getMessage.contains("ingest lease"))
+    // ...and maintenance fails FAST at its entry, not late at the
+    // content re-verify
+    val rewriteBlocked = intercept[IllegalStateException] {
+      Dedup.compactDedupLedger(spark, dir)
+    }
+    assert(rewriteBlocked.getMessage.contains("lease"))
+    // the near-dup admit shares the mechanism (lease on ITS primary)
+    val ndl = dir + "_ndl"
+    val ndlLease = new org.apache.hadoop.fs.Path(
+      graft.util.Fs.ingestLeasePath(ndl))
+    fs.create(ndlLease, false).close()
+    val ndlBlocked = intercept[IllegalStateException] {
+      Dedup.nearDupLedgerAdmit(spark, ndl, b1, "doc_id", "text")
+    }
+    assert(ndlBlocked.getMessage.contains("ingest lease"))
+    graft.util.Fs.clearIngestLease(spark, ndl)
+    // operator recovery: clear, then the batch re-runs idempotently
+    assert(graft.util.Fs.clearIngestLease(spark, dir))
+    assert(Dedup.ledgerAdmit(spark, dir,
+      Seq((2L, "beta content")).toDF("doc_id", "text"),
+      "doc_id", "text").count() === 1L)
+    // release-on-failure: an admit that throws at the maintenance
+    // fence leaves NO lease behind
+    graft.util.Gen.createMarker(spark, dir)
+    intercept[IllegalStateException] {
+      Dedup.ledgerAdmit(spark, dir, b1, "doc_id", "text")
+    }
+    graft.util.Gen.deleteMarker(spark, dir)
+    assert(!fs.exists(leasePath))
+    assert(Dedup.ledgerAdmit(spark, dir, b1, "doc_id", "text")
+      .count() === 0L) // alpha already admitted — ledger intact
+  }
+
   test("dedup ledger compaction: bounds the file count, leaves the " +
       "digest set and admit decisions identical, recovers a crashed swap") {
     import org.apache.hadoop.fs.Path
