@@ -2706,6 +2706,42 @@ object Queries {
     } finally graft.util.Fs.deleteRecursively(path)
   }
 
+  /** Pinned-generation serving ([[graft.util.Gen.resolveAt]]) — the
+    * versioned store's time-travel read, oracled. Build + save a full
+    * SQ8 index (generation 1), record the pin, then REPLACE the index
+    * with a save-over that excludes vec_id ≡ 3 (mod 7) (generation 2 —
+    * a refresh that retired rows). A deploy that recorded the pin
+    * keeps serving exactly the deploy-time index through the refresh
+    * (the q131 replay), while fresh loads serve the refreshed one (the
+    * q132 replay) — one entry, both faces, both hash-oracled. Only ONE
+    * rewrite happens after the pin, so the pinned generation is inside
+    * its documented one-cycle reader grace. */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q137_pin").toString
+    try {
+      val idx = s"$path/idx"
+      Similarity.saveSq8Index(
+        Similarity.buildSq8Index(e, "vec_id", "embedding"), idx)
+      val pin = graft.util.Gen.currentGeneration(s, idx).get
+      Similarity.saveSq8Index(
+        Similarity.buildSq8Index(e.filter(col("vec_id") % 7 =!= 3),
+          "vec_id", "embedding"), idx)
+      val qs = e.filter(col("vec_id") < 10)
+      def serve(index: DataFrame, view: String) =
+        Similarity.sq8TopKFromIndex(index, e, qs, "vec_id",
+            "embedding", k = 3, rerank = 32)
+          .withColumn("view", lit(view))
+      serve(Similarity.loadSq8Index(s,
+          graft.util.Gen.resolveAt(s, idx, pin)), "pinned")
+        .unionByName(
+          serve(Similarity.loadSq8Index(s, idx), "current"))
+        .orderBy(col("view"), col("query_id"), col("rank"))
+        .localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -3521,6 +3557,37 @@ object Queries {
   private val q136Sig = (0 until 16).map(i =>
     s"min((h*${Dedup.permA(i)}+${Dedup.permB(i)})%${Dedup.P}) AS mh$i")
     .mkString(", ")
+  /** The q131/q132 SQ8 serve chain (encode → affine approx → top-32
+    * candidates → exact-cosine rerank → top-3), emitted with a CTE-name
+    * suffix and an optional code-table predicate so q137 can replay it
+    * twice (pinned vs current view) in one statement. Expects `v`
+    * (normalized vectors) and `q` (queries with qsum) in scope. */
+  private def sq8ServeCtes(sfx: String, pred: String): String =
+    s""" sq$sfx AS MATERIALIZED (SELECT vec_id,
+       |    list_min(nv) AS vmin,
+       |    (list_max(nv) - list_min(nv)) / 255.0 AS delta,
+       |    CASE WHEN list_max(nv) > list_min(nv) THEN
+       |      list_transform(nv, x -> CAST(floor(
+       |        (x - list_min(nv)) * 255.0 /
+       |        (list_max(nv) - list_min(nv)) + 0.5) AS DOUBLE))
+       |    ELSE list_transform(nv, x -> 0.0) END AS codes
+       |  FROM v $pred),
+       | approx$sfx AS (SELECT q.query_id, q.qv, s.vec_id AS neighbor_id,
+       |    s.vmin * q.qsum + s.delta * list_dot_product(q.qv, s.codes)
+       |      AS approx
+       |  FROM sq$sfx s, q WHERE q.query_id <> s.vec_id),
+       | cand$sfx AS (SELECT query_id, qv, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, neighbor_id) AS ar
+       |  FROM approx$sfx),
+       | rr$sfx AS (SELECT c.query_id, c.neighbor_id,
+       |    round(list_dot_product(c.qv, nb.nv), 6) AS cos_sim
+       |  FROM cand$sfx c JOIN v nb ON nb.vec_id = c.neighbor_id
+       |  WHERE c.ar <= 32),
+       | rk$sfx AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS "rank" FROM rr$sfx)"""
+      .stripMargin
+
   private val q136Bands = (0 until 4).map(b =>
     s"SELECT doc_id, $b AS band, concat_ws('_', " +
       (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ") +
@@ -3931,6 +3998,7 @@ object Queries {
     "q134_neardup_forget" -> (q134 _),
     "q135_index_expire_serve" -> (q135 _),
     "q136_neardup_audit" -> (q136 _),
+    "q137_pinned_generation_serve" -> (q137 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -6680,6 +6748,25 @@ object Queries {
          |     WHERE r2.b = i.b GROUP BY i.doc_id)
          |SELECT doc_id, reason, partner
          |FROM rs ORDER BY doc_id, reason""".stripMargin,
+    // pinned-generation oracle: the pinned view replays q131 (the full
+    // corpus the deploy-time index held), the current view replays
+    // q132's shape (a code table that excludes the retired ids); the
+    // shared SQ8 serve chain is emitted twice with a suffix
+    "q137_pinned_generation_serve" ->
+      s"""WITH v AS MATERIALIZED ($normVecSql),
+         | q AS (SELECT vec_id AS query_id, nv AS qv,
+         |    list_aggregate(nv, 'sum') AS qsum
+         |  FROM v WHERE vec_id < 10),
+         |${sq8ServeCtes("p", "")},
+         |${sq8ServeCtes("c", "WHERE vec_id % 7 <> 3")}
+         |SELECT 'pinned' AS view, query_id,
+         |  CAST("rank" AS BIGINT) AS "rank", neighbor_id, cos_sim
+         |FROM rkp WHERE "rank" <= 3
+         |UNION ALL
+         |SELECT 'current' AS view, query_id,
+         |  CAST("rank" AS BIGINT) AS "rank", neighbor_id, cos_sim
+         |FROM rkc WHERE "rank" <= 3
+         |ORDER BY view, query_id, "rank"""".stripMargin,
     // near-dup ledger oracle: the ledger's two-batch admit decisions ≡
     // one-shot nearDupDrops on the union (spec-pinned parity under the
     // monotone-id contract), and one-shot's ANSI form is the q42
