@@ -41,7 +41,10 @@ import org.apache.spark.sql.SparkSession
   * grace — tune with [[sweepGenerations]] if disk pressure demands
   * eager reclaim, after in-flight readers quiesce). Transient disk
   * cost is the same 2× a swapRewrite held during its window, held for
-  * a cycle instead.
+  * a cycle instead. A deploy that needs a generation to OUTLIVE the
+  * grace window (reproducible serving on a [[resolveAt]] pin, an A/B
+  * held open across rebuilds) takes a [[keepGeneration]] retention
+  * ref, which every sweep honors until [[releaseGeneration]].
   *
   * Crash safety, by construction:
   *   - a crash mid-write leaves an UNREFERENCED staging dir no
@@ -77,6 +80,7 @@ object Gen {
 
   private val GenPrefix = "gen-"
   private val CommitPrefix = "_commit-"
+  private val KeepPrefix = "_keep-"
   private[graft] val CommitMarker = "_gen_commit" // v1, read-compat
 
   private def commitName(n: Long): String = f"$CommitPrefix$n%08d"
@@ -104,6 +108,16 @@ object Gen {
     if (name.startsWith(CommitPrefix))
       name.stripPrefix(CommitPrefix).toLongOption
     else None
+
+  private def keepName(n: Long): String = f"$KeepPrefix$n%08d"
+
+  private def keeps(fs: FileSystem, store: Path): Set[Long] =
+    if (!fs.exists(store)) Set.empty
+    else fs.listStatus(store).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(KeepPrefix)) n.stripPrefix(KeepPrefix).toLongOption
+      else None
+    }.toSet
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -267,8 +281,9 @@ object Gen {
     * DOOMED staging dirs (see [[doomed]]). */
   private def sweep(fs: FileSystem, store: Path, s: Scan): Unit = {
     val cur = s.current
+    val kept = keeps(fs, store)
     s.commits.foreach { case (n, dir) =>
-      if (cur.exists(n < _._1)) {
+      if (cur.exists(n < _._1) && !kept.contains(n)) {
         fs.delete(new Path(store, dir), true)
         fs.delete(new Path(store, commitName(n)), false)
       }
@@ -277,6 +292,34 @@ object Gen {
       if (doomed(cur, n))
         fs.delete(new Path(store, dir), true)
     }
+  }
+
+  /** PROTECT a committed generation from every sweep — the retention
+    * ref that turns a pinned read ([[resolveAt]]) into something a
+    * deploy can actually rely on: without it, the pin dies at the
+    * second maintenance cycle (reader grace is one cycle by design).
+    * Take the keep while the generation is CURRENT (at deploy time,
+    * right after recording [[currentGeneration]]) — taking it later
+    * races the next rewrite's sweep, which is why this verb throws
+    * rather than creating a ref to a generation that is already gone
+    * or never published. Kept generations cost their disk until
+    * [[releaseGeneration]] lets the next sweep reclaim them. */
+  def keepGeneration(spark: SparkSession, storePath: String,
+      generation: Long): Unit = {
+    val store = new Path(storePath)
+    val fs = fsOf(spark, store)
+    resolveAt(spark, storePath, generation) // throws if not committed
+    fs.create(new Path(store, keepName(generation)), true).close()
+  }
+
+  /** Release a [[keepGeneration]] ref; the generation (if no longer
+    * current) is reclaimed by the next rewrite's sweep or an explicit
+    * [[sweepGenerations]]. Returns true when a ref was removed. */
+  def releaseGeneration(spark: SparkSession, storePath: String,
+      generation: Long): Boolean = {
+    val store = new Path(storePath)
+    fsOf(spark, store).delete(new Path(store, keepName(generation)),
+      false)
   }
 
   /** Rewrite a store as a NEW GENERATION with zero reader outage —
@@ -477,29 +520,34 @@ object Gen {
     val fs = fsOf(spark, store)
     val s = scan(fs, store)
     val cur = s.current.map(_._1)
+    val kept = keeps(fs, store)
     val rows =
       s.commits.map { case (n, d) => (n, true, d) } ++
         s.stagings.map { case (n, d) => (n, false, d) }
     rows.sortBy(r => (r._1, !r._2)).map { case (n, committed, d) =>
       val cs = fs.getContentSummary(new Path(store, d))
       (n, committed, committed && cur.contains(n),
-        cs.getFileCount, cs.getLength)
-    }.toDF("generation", "committed", "current", "n_files", "bytes")
+        cs.getFileCount, cs.getLength, committed && kept.contains(n))
+    }.toDF("generation", "committed", "current", "n_files", "bytes",
+      "kept")
   }
 
   /** Eagerly drop old committed generations, keeping the newest
-    * `keepLast` (≥ 1), plus any DOOMED staging dirs; an undoomed
-    * staging (a live rewrite may be writing it) is never touched. For
-    * operators who cannot wait for the next rewrite's sweep to reclaim
-    * disk — only safe once in-flight readers of the old generations
-    * have quiesced. Returns the number of generation dirs removed. */
+    * `keepLast` (≥ 1) and every [[keepGeneration]]-protected one, plus
+    * any DOOMED staging dirs; an undoomed staging (a live rewrite may
+    * be writing it) is never touched. For operators who cannot wait
+    * for the next rewrite's sweep to reclaim disk — only safe once
+    * in-flight readers of the old generations have quiesced. Returns
+    * the number of generation dirs removed. */
   def sweepGenerations(spark: SparkSession, storePath: String,
       keepLast: Int = 1): Int = {
     require(keepLast >= 1, "keepLast must be ≥ 1")
     val store = new Path(storePath)
     val fs = fsOf(spark, store)
     val s = scan(fs, store)
+    val kept = keeps(fs, store)
     val drop = s.commits.dropRight(keepLast)
+      .filterNot { case (n, _) => kept.contains(n) }
     drop.foreach { case (n, dir) =>
       fs.delete(new Path(store, dir), true)
       fs.delete(new Path(store, commitName(n)), false)

@@ -364,6 +364,49 @@ class GenSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("keepGeneration: a retention ref carries a pinned generation " +
+      "through MULTIPLE maintenance cycles and eager sweeps; release " +
+      "reclaims it; a ref to a missing/unpublished generation refuses") {
+    val root = tmp("graft_gen_keep")
+    val store = s"$root/store"
+    try {
+      Gen.rewrite(spark, store)(g => rows(4, "a").write.parquet(g))
+      val pin = Gen.currentGeneration(spark, store).get
+      Gen.keepGeneration(spark, store, pin)
+      // two cycles: without the ref, gen 1's grace ends at the SECOND
+      // rewrite's sweep
+      Gen.rewrite(spark, store)(g => rows(3, "b").write.parquet(g))
+      val g2 = Gen.resolve(spark, store)
+      Gen.rewrite(spark, store)(g => rows(2, "c").write.parquet(g))
+      // gen 1 outlived the cycle that would have swept it (the kept
+      // ref), gen 2 is in its ordinary one-cycle grace
+      val atPin = Gen.resolveAt(spark, store, pin)
+      assert(spark.read.parquet(atPin).select("v").as[String]
+        .collect().forall(_.startsWith("a")))
+      // eager sweep reclaims the unkept grace copy (gen 2) but honors
+      // the ref on gen 1
+      assert(Gen.sweepGenerations(spark, store) === 1)
+      assert(!fs.exists(new Path(g2)))
+      assert(fs.exists(new Path(atPin)))
+      assert(Gen.generationCensus(spark, store)
+        .filter(col("generation") === pin).first().getBoolean(5))
+      // release: the next sweep reclaims, the pin then fails loudly
+      assert(Gen.releaseGeneration(spark, store, pin))
+      assert(Gen.sweepGenerations(spark, store) === 1)
+      intercept[IllegalStateException] {
+        Gen.resolveAt(spark, store, pin)
+      }
+      // refs to generations that cannot serve refuse up front
+      intercept[IllegalStateException] {
+        Gen.keepGeneration(spark, store, 42L)
+      }
+      fs.mkdirs(new Path(s"$store/gen-00000099-inflight"))
+      intercept[IllegalStateException] {
+        Gen.keepGeneration(spark, store, 99L)
+      }
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("ownsMarker: the compound-operation form neither creates nor " +
       "lifts the caller's marker — a failure between two store " +
       "rewrites leaves ingest fenced until the re-run completes") {
