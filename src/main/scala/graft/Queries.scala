@@ -2742,6 +2742,38 @@ object Queries {
     } finally graft.util.Fs.deleteRecursively(path)
   }
 
+  /** Media-format triage ([[Multimodal.mediaTriage]]): the codec-free
+    * magic-byte sniff + claimed-vs-sniffed mismatch page — the first
+    * pass over any fresh media drop. The fixture fabricates payloads
+    * from the documents table (a real container magic prepended to the
+    * utf-8 text), labels each row by `doc_id % 5`, and MISLABELS every
+    * seventh row (its payload carries the NEXT kind's magic) — the
+    * triage must flag exactly those. Fully oracled: DuckDB rebuilds
+    * the same payload hex (magic ∥ hex(encode(text))) and replays the
+    * CASE dispatch clause for clause. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val kinds = Seq("jpeg", "png", "gif", "wav", "pdf")
+    val magics = Map[String, Array[Byte]](
+      "jpeg" -> Array(0xFF, 0xD8, 0xFF).map(_.toByte),
+      "png" -> Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte),
+      "gif" -> "GIF89a".getBytes("UTF-8"),
+      "wav" -> (Array(0x52, 0x49, 0x46, 0x46, 0, 0, 0, 0,
+        0x57, 0x41, 0x56, 0x45).map(_.toByte)),
+      "pdf" -> "%PDF".getBytes("UTF-8"))
+    val kindArr = array(kinds.map(lit): _*)
+    val magicArr = array(kinds.map(k => lit(magics(k))): _*)
+    val claimedIdx = (col("doc_id") % 5).cast("int")
+    val actualIdx = when(col("doc_id") % 7 === 0,
+      ((col("doc_id") + 1) % 5).cast("int")).otherwise(claimedIdx)
+    val media = d.select(col("doc_id"),
+      get(kindArr, claimedIdx).as("kind"),
+      concat(get(magicArr, actualIdx),
+        col("text").cast("binary")).as("payload"))
+    Multimodal.mediaTriage(media, "doc_id", "kind", "payload")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -3999,6 +4031,7 @@ object Queries {
     "q135_index_expire_serve" -> (q135 _),
     "q136_neardup_audit" -> (q136 _),
     "q137_pinned_generation_serve" -> (q137 _),
+    "q138_media_sniff" -> (q138 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -6767,6 +6800,42 @@ object Queries {
          |  CAST("rank" AS BIGINT) AS "rank", neighbor_id, cos_sim
          |FROM rkc WHERE "rank" <= 3
          |ORDER BY view, query_id, "rank"""".stripMargin,
+    // media-sniff oracle: rebuild the fabricated payload as HEX
+    // (magic ∥ hex(utf-8 text)) and replay the magic-byte CASE
+    // dispatch clause for clause (including the clauses this fixture
+    // never fires — parity is with the DISPATCH, not the fixture)
+    "q138_media_sniff" ->
+      s"""WITH k(i, kind, magic, mlen) AS (VALUES
+         |    (0, 'jpeg', 'FFD8FF', 3),
+         |    (1, 'png', '89504E47', 4),
+         |    (2, 'gif', '474946383961', 6),
+         |    (3, 'wav', '524946460000000057415645', 12),
+         |    (4, 'pdf', '25504446', 4)),
+         | m AS (SELECT d.doc_id, kc.kind AS claimed,
+         |    ka.magic || upper(hex(encode(d.text))) AS ph,
+         |    ka.mlen + octet_length(encode(d.text)) AS n_bytes
+         |  FROM documents d
+         |  JOIN k kc ON kc.i = d.doc_id % 5
+         |  JOIN k ka ON ka.i = (CASE WHEN d.doc_id % 7 = 0
+         |    THEN (d.doc_id + 1) % 5 ELSE d.doc_id % 5 END)),
+         | s AS (SELECT doc_id, claimed, n_bytes,
+         |    CASE WHEN substr(ph, 1, 6) = 'FFD8FF' THEN 'jpeg'
+         |      WHEN substr(ph, 1, 8) = '89504E47' THEN 'png'
+         |      WHEN substr(ph, 1, 8) = '47494638' THEN 'gif'
+         |      WHEN substr(ph, 1, 8) = '52494646'
+         |        AND substr(ph, 17, 8) = '57415645' THEN 'wav'
+         |      WHEN substr(ph, 1, 8) = '52494646'
+         |        AND substr(ph, 17, 8) = '57454250' THEN 'webp'
+         |      WHEN substr(ph, 9, 8) = '66747970' THEN 'mp4'
+         |      WHEN substr(ph, 1, 8) = '25504446' THEN 'pdf'
+         |      WHEN substr(ph, 1, 4) = '1F8B' THEN 'gzip'
+         |      WHEN substr(ph, 1, 8) = '28B52FFD' THEN 'zstd'
+         |      ELSE 'unknown' END AS sniffed
+         |  FROM m)
+         |SELECT doc_id, claimed, sniffed,
+         |  CAST(n_bytes AS BIGINT) AS n_bytes,
+         |  claimed = sniffed AS format_ok
+         |FROM s ORDER BY doc_id""".stripMargin,
     // near-dup ledger oracle: the ledger's two-batch admit decisions ≡
     // one-shot nearDupDrops on the union (spec-pinned parity under the
     // monotone-id contract), and one-shot's ANSI form is the q42

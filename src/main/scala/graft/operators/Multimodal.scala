@@ -104,6 +104,46 @@ object Multimodal {
       .agg(min(col("id")).as("keeper"),
         count(lit(1)).as("n_copies"))
 
+  /** Codec-free container-format sniff over a binary column: the
+    * magic-byte dispatch every ingest triage runs BEFORE spending a
+    * decode (and the only format check possible in an environment
+    * with no codecs at all). Reads the first 12 bytes — the binary is
+    * sliced FIRST, so a 100-TB scan hexes 12 bytes per row, never the
+    * payload — and matches the published signatures: JPEG `FF D8 FF`,
+    * PNG `89 50 4E 47`, GIF `GIF8`, RIFF-container WAVE/WEBP (format
+    * tag at byte 9), MP4 (`ftyp` at byte 5), PDF `%PDF`, gzip
+    * `1F 8B`, zstd `28 B5 2F FD`, else `unknown`. Pure built-ins
+    * (slice → hex → CASE), codegen'd, map-only. */
+  def sniffFormat(bin: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val h = upper(hex(substring(bin, 1, 12)))
+    when(h.startsWith("FFD8FF"), "jpeg")
+      .when(h.startsWith("89504E47"), "png")
+      .when(h.startsWith("47494638"), "gif")
+      .when(h.startsWith("52494646") &&
+        substring(h, 17, 8) === "57415645", "wav")
+      .when(h.startsWith("52494646") &&
+        substring(h, 17, 8) === "57454250", "webp")
+      .when(substring(h, 9, 8) === "66747970", "mp4")
+      .when(h.startsWith("25504446"), "pdf")
+      .when(h.startsWith("1F8B"), "gzip")
+      .when(h.startsWith("28B52FFD"), "zstd")
+      .otherwise("unknown")
+  }
+
+  /** Mislabel/corruption triage for a media table: one row per item
+    * with the CLAIMED kind (the metadata), the SNIFFED kind (the
+    * bytes), the payload size, and `format_ok` — false is the page:
+    * a mislabeled asset, a truncated upload, or a payload column fed
+    * from the wrong source. The standard first pass over a fresh
+    * 100-TB media drop — map-only, no decode, no shuffle. */
+  def mediaTriage(df: DataFrame, idCol: String, kindCol: String,
+      binCol: String): DataFrame =
+    df.select(col(idCol), col(kindCol).as("claimed"),
+        sniffFormat(col(binCol)).as("sniffed"),
+        length(col(binCol)).cast("long").as("n_bytes"))
+      .withColumn("format_ok", col("claimed") === col("sniffed"))
+
   /** Byte-distribution Shannon entropy (nats) of a binary column via
     * the native [[graft.expressions.ByteEntropy]] kernel — the
     * codec-free "is this payload what it claims" sniff: compressed

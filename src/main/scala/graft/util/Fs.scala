@@ -55,8 +55,9 @@ object Fs {
     * fenced: between the two renames the store path does not exist,
     * so a concurrent reader (an index serve, a ledger anti-join) hits
     * path-not-found for that window. [[Gen.rewrite]] is the
-    * zero-reader-outage successor (versioned generation dirs + an
-    * atomic commit-marker flip) and is what every in-repo lifecycle
+    * zero-reader-outage successor (per-writer staging dirs + an
+    * atomic exclusive commit-pointer create — one winner under
+    * concurrent maintenance) and is what every in-repo lifecycle
     * verb routes through; THIS protocol remains as Gen's one-time
     * MIGRATION path for legacy flat stores, and for callers that
     * genuinely want rename-swap semantics on POSIX/HDFS. */

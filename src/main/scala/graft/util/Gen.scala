@@ -445,6 +445,13 @@ object Gen {
           "window) — the publish was aborted with the old " +
           "generation still current; re-run to include the new rows")
     }
+    // a writeTo that legitimately wrote nothing must still publish a
+    // dir that EXISTS, or later resolves would hand readers a dangling
+    // path (no-op when the write already created it, i.e. always in
+    // practice; kept AFTER writeTo so the callback keeps its fresh,
+    // nonexistent staging path — default-mode parquet writes depend
+    // on it)
+    fs.mkdirs(next)
     try {
       // the atomic publish: exclusive create — one winner per target
       val out = fs.create(new Path(store, commitName(target)),

@@ -3685,4 +3685,48 @@ class PipelineOpsSpec extends SparkTestBase {
     val orig = docs.filter(col("doc_id") === 0).head().getAs[String]("text")
     assert(new String(rebuilt, "UTF-8") === orig)
   }
+
+  test("sniffFormat: every published magic dispatches to its kind, " +
+      "truncated and text payloads fall to unknown, and mediaTriage " +
+      "pages exactly the mislabeled rows") {
+    import SparkTestBase.session.implicits._
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val tail = "payload-bytes".getBytes("UTF-8")
+    val rows = Seq(
+      ("jpeg", b(0xFF, 0xD8, 0xFF) ++ tail),
+      ("png", b(0x89, 0x50, 0x4E, 0x47) ++ tail),
+      ("gif", "GIF89a".getBytes("UTF-8") ++ tail),
+      ("wav", b(0x52, 0x49, 0x46, 0x46, 1, 2, 3, 4,
+        0x57, 0x41, 0x56, 0x45) ++ tail),
+      ("webp", b(0x52, 0x49, 0x46, 0x46, 1, 2, 3, 4,
+        0x57, 0x45, 0x42, 0x50) ++ tail),
+      // mp4: any 4 size bytes, then 'ftyp' at byte 5
+      ("mp4", b(0, 0, 0, 0x20) ++ "ftypisom".getBytes("UTF-8") ++ tail),
+      ("pdf", "%PDF-1.7".getBytes("UTF-8") ++ tail),
+      ("gzip", b(0x1F, 0x8B, 8) ++ tail),
+      ("zstd", b(0x28, 0xB5, 0x2F, 0xFD) ++ tail),
+      ("unknown", "just some text".getBytes("UTF-8")),
+      ("unknown", b(0xFF)), // truncated: shorter than any magic
+      ("unknown", Array.emptyByteArray))
+    val sniffed = rows.zipWithIndex
+      .map { case ((k, p), i) => (i.toLong, k, p) }
+      .toDF("id", "expected", "payload")
+      .withColumn("sniffed",
+        Multimodal.sniffFormat(col("payload")))
+      .collect().map(r => (r.getAs[String]("expected"),
+        r.getAs[String]("sniffed")))
+    sniffed.foreach { case (exp, got) => assert(got === exp) }
+    // triage: claimed kind comes from metadata; row 1 is MISLABELED
+    // (png bytes claimed as jpeg) and must be the only page
+    val media = Seq(
+      (1L, "jpeg", b(0x89, 0x50, 0x4E, 0x47) ++ tail),
+      (2L, "gif", "GIF89a".getBytes("UTF-8") ++ tail))
+      .toDF("id", "kind", "payload")
+    val triage = Multimodal.mediaTriage(media, "id", "kind", "payload")
+      .orderBy("id").collect()
+    assert(triage.map(_.getAs[Boolean]("format_ok")).toSeq ===
+      Seq(false, true))
+    assert(triage.head.getAs[String]("sniffed") === "png")
+    assert(triage.head.getAs[Long]("n_bytes") === 4L + tail.length)
+  }
 }
