@@ -2774,6 +2774,48 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed-offset media-header extraction ([[Multimodal.mediaHeaders]]):
+    * REAL metadata parsing with zero codecs — PNG IHDR (big-endian),
+    * GIF logical screen (little-endian u16), canonical WAV fmt
+    * (channels + sample rate, little-endian). The fixture CONSTRUCTS
+    * byte-true headers (id-derived dimensions packed in each format's
+    * own endianness plus the utf-8 text as body), the operator parses
+    * them back, and the oracle recomputes the expected fields from the
+    * same id arithmetic — a construct→parse round-trip hashed against
+    * pure arithmetic, so an endianness or offset slip fails loudly. */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Long) =
+      Array.tabulate(4)(i => ((v >> (8 * i)) & 0xFF).toByte)
+    def be32(v: Long) =
+      Array.tabulate(4)(i => ((v >> (8 * (3 - i))) & 0xFF).toByte)
+    val media = docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        val body = text.getBytes("UTF-8")
+        val w = 16 + (id % 1000)
+        val h = 16 + ((id * 7) % 1000)
+        val payload = (id % 3) match {
+          case 0L =>
+            Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+              .map(_.toByte) ++ be32(13L) ++ "IHDR".getBytes("UTF-8") ++
+              be32(w) ++ be32(h) ++ body
+          case 1L =>
+            "GIF89a".getBytes("UTF-8") ++ le16(w.toInt) ++
+              le16(h.toInt) ++ body
+          case _ =>
+            val rate = 8000L + (id % 5) * 8000L
+            val ch = 1 + (id % 2)
+            "RIFF".getBytes("UTF-8") ++ le32(36L + body.length) ++
+              "WAVE".getBytes("UTF-8") ++ "fmt ".getBytes("UTF-8") ++
+              le32(16L) ++ le16(1) ++ le16(ch.toInt) ++ le32(rate) ++ body
+        }
+        (id, payload)
+      }.toDF("doc_id", "payload")
+    Multimodal.mediaHeaders(media, "doc_id", "payload")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -4032,6 +4074,7 @@ object Queries {
     "q136_neardup_audit" -> (q136 _),
     "q137_pinned_generation_serve" -> (q137 _),
     "q138_media_sniff" -> (q138 _),
+    "q139_media_header" -> (q139 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -6828,6 +6871,7 @@ object Queries {
          |        AND substr(ph, 17, 8) = '57454250' THEN 'webp'
          |      WHEN substr(ph, 9, 8) = '66747970' THEN 'mp4'
          |      WHEN substr(ph, 1, 8) = '25504446' THEN 'pdf'
+         |      WHEN substr(ph, 1, 4) = '424D' THEN 'bmp'
          |      WHEN substr(ph, 1, 4) = '1F8B' THEN 'gzip'
          |      WHEN substr(ph, 1, 8) = '28B52FFD' THEN 'zstd'
          |      ELSE 'unknown' END AS sniffed
@@ -6836,6 +6880,24 @@ object Queries {
          |  CAST(n_bytes AS BIGINT) AS n_bytes,
          |  claimed = sniffed AS format_ok
          |FROM s ORDER BY doc_id""".stripMargin,
+    // media-header oracle: the fixture packs id-derived fields into
+    // byte-true PNG/GIF/WAV headers and the operator parses them back,
+    // so the expected values are pure id arithmetic — any endianness
+    // or byte-offset slip in the parser breaks the hash
+    "q139_media_header" ->
+      s"""SELECT doc_id,
+         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+         |    WHEN 1 THEN 'gif' ELSE 'wav' END AS kind,
+         |  CASE WHEN doc_id % 3 < 2
+         |    THEN CAST(16 + doc_id % 1000 AS BIGINT) END AS width,
+         |  CASE WHEN doc_id % 3 < 2
+         |    THEN CAST(16 + (doc_id * 7) % 1000 AS BIGINT) END AS height,
+         |  CASE WHEN doc_id % 3 = 2
+         |    THEN CAST(8000 + (doc_id % 5) * 8000 AS BIGINT)
+         |    END AS sample_rate,
+         |  CASE WHEN doc_id % 3 = 2
+         |    THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // near-dup ledger oracle: the ledger's two-batch admit decisions ≡
     // one-shot nearDupDrops on the union (spec-pinned parity under the
     // monotone-id contract), and one-shot's ANSI form is the q42

@@ -126,10 +126,80 @@ object Multimodal {
         substring(h, 17, 8) === "57454250", "webp")
       .when(substring(h, 9, 8) === "66747970", "mp4")
       .when(h.startsWith("25504446"), "pdf")
+      .when(h.startsWith("424D"), "bmp")
       .when(h.startsWith("1F8B"), "gzip")
       .when(h.startsWith("28B52FFD"), "zstd")
       .otherwise("unknown")
   }
+
+  /** Byte `p` (1-based) of a hex dump occupies chars (2p−1, 2p). */
+  private def byteHex(h: org.apache.spark.sql.Column, p: Int) =
+    substring(h, 2 * p - 1, 2)
+
+  /** Big-endian u32 at byte `p`: hex order IS byte order. */
+  private def beU32(h: org.apache.spark.sql.Column, p: Int) =
+    conv(substring(h, 2 * p - 1, 8), 16, 10).cast("long")
+
+  private def leU16(h: org.apache.spark.sql.Column, p: Int) =
+    conv(concat(byteHex(h, p + 1), byteHex(h, p)), 16, 10).cast("long")
+
+  private def leU32(h: org.apache.spark.sql.Column, p: Int) =
+    conv(concat(byteHex(h, p + 3), byteHex(h, p + 2),
+      byteHex(h, p + 1), byteHex(h, p)), 16, 10).cast("long")
+
+  /** LE signed 32-bit, by arithmetic (an ANSI-mode long→int cast
+    * would THROW on the reinterpret): u − 2³² when the sign bit is
+    * set. */
+  private def leS32(h: org.apache.spark.sql.Column, p: Int) = {
+    val u = leU32(h, p)
+    when(u >= 2147483648L, u - 4294967296L).otherwise(u)
+  }
+
+  /** REAL header metadata for the fixed-offset container formats — no
+    * codec needed, the fields sit at published byte positions:
+    *   - PNG: IHDR width/height, big-endian u32 at bytes 17/21;
+    *   - GIF: logical-screen width/height, little-endian u16 at 7/9;
+    *   - BMP: BITMAPINFOHEADER width/height, little-endian 32-bit at
+    *     19/23 (top-down BMPs store a negative height — abs'd here);
+    *   - WAV: channels (LE u16 at 23) and sample rate (LE u32 at 25),
+    *     canonical fmt-first layout.
+    * Everything else (JPEG's variable SOF scan, MP4's box walk) needs
+    * a real parser and stays NULL — the decode stub's swap point.
+    * Returns a struct (width, height, sample_rate, channels), nulls
+    * where the format doesn't carry the field or the payload is too
+    * short for its own header. Like [[sniffFormat]]: the binary is
+    * sliced to 28 bytes BEFORE hexing, pure built-ins, map-only. */
+  def mediaHeader(bin: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val h = upper(hex(substring(bin, 1, 28)))
+    val kind = sniffFormat(bin)
+    val n = length(bin)
+    val width =
+      when(kind === "png" && n >= 24, beU32(h, 17))
+        .when(kind === "gif" && n >= 10, leU16(h, 7))
+        .when(kind === "bmp" && n >= 26, abs(leS32(h, 19)))
+    val height =
+      when(kind === "png" && n >= 24, beU32(h, 21))
+        .when(kind === "gif" && n >= 10, leU16(h, 9))
+        .when(kind === "bmp" && n >= 26, abs(leS32(h, 23)))
+    val rate = when(kind === "wav" && n >= 28, leU32(h, 25))
+    val channels = when(kind === "wav" && n >= 24, leU16(h, 23))
+    struct(width.as("width"), height.as("height"),
+      rate.as("sample_rate"), channels.as("channels"))
+  }
+
+  /** [[mediaHeader]] over a table: one row per item with the sniffed
+    * kind and the parsed fixed-offset fields — the metadata census a
+    * media ingest runs right after [[mediaTriage]], still with zero
+    * codecs and zero shuffles. */
+  def mediaHeaders(df: DataFrame, idCol: String,
+      binCol: String): DataFrame =
+    df.select(col(idCol), sniffFormat(col(binCol)).as("kind"),
+        mediaHeader(col(binCol)).as("hdr"))
+      .select(col(idCol), col("kind"), col("hdr.width").as("width"),
+        col("hdr.height").as("height"),
+        col("hdr.sample_rate").as("sample_rate"),
+        col("hdr.channels").as("channels"))
 
   /** Mislabel/corruption triage for a media table: one row per item
     * with the CLAIMED kind (the metadata), the SNIFFED kind (the

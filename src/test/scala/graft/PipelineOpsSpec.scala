@@ -3729,4 +3729,50 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(triage.head.getAs[String]("sniffed") === "png")
     assert(triage.head.getAs[Long]("n_bytes") === 4L + tail.length)
   }
+
+  test("mediaHeader: PNG/GIF/WAV/BMP fields parse at their published " +
+      "offsets and endianness (PNG height past u16 proves the BE u32, " +
+      "a top-down BMP's negative height abs's), short payloads and " +
+      "codec-required formats stay null") {
+    import SparkTestBase.session.implicits._
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Long) =
+      Array.tabulate(4)(i => ((v >> (8 * i)) & 0xFF).toByte)
+    def be32(v: Long) =
+      Array.tabulate(4)(i => ((v >> (8 * (3 - i))) & 0xFF).toByte)
+    val body = "media-body".getBytes("UTF-8")
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte) ++ be32(13) ++ "IHDR".getBytes("UTF-8") ++
+      be32(300) ++ be32(70000) ++ body
+    val gif = "GIF89a".getBytes("UTF-8") ++ le16(640) ++ le16(480) ++ body
+    val wav = "RIFF".getBytes("UTF-8") ++ le32(36L + body.length) ++
+      "WAVE".getBytes("UTF-8") ++ "fmt ".getBytes("UTF-8") ++
+      le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++ body
+    val bmp = "BM".getBytes("UTF-8") ++ le32(26L) ++ le32(0) ++
+      le32(26L) ++ le32(40L) ++ le32(800) ++
+      le32(-600L & 0xFFFFFFFFL) ++ body
+    val jpeg = Array(0xFF, 0xD8, 0xFF).map(_.toByte) ++ body
+    val shortPng = png.take(10)
+    val rows = Seq(
+      (1L, png, Some(300L), Some(70000L), None, None),
+      (2L, gif, Some(640L), Some(480L), None, None),
+      (3L, wav, None, None, Some(44100L), Some(2L)),
+      (4L, bmp, Some(800L), Some(600L), None, None),
+      (5L, jpeg, None, None, None, None), // variable SOF: real parser
+      (6L, shortPng, None, None, None, None))
+    val got = Multimodal.mediaHeaders(
+        rows.map(r => (r._1, r._2)).toDF("id", "payload"),
+        "id", "payload")
+      .orderBy("id").collect()
+    rows.zip(got).foreach { case ((_, _, w, h, sr, ch), r) =>
+      def o(c: String): Option[Long] =
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+      assert(o("width") === w, s"width of row ${r.getAs[Long]("id")}")
+      assert(o("height") === h)
+      assert(o("sample_rate") === sr)
+      assert(o("channels") === ch)
+    }
+    assert(got.map(_.getAs[String]("kind")).toSeq ===
+      Seq("png", "gif", "wav", "bmp", "jpeg", "png"))
+  }
 }
