@@ -83,6 +83,11 @@ object IvfLifecycleSmoke {
       val sBefore = time("serve (64 queries, nProbe=2) pre-compaction") {
         serve()
       }
+      // deploy-style pin: record + keep the pre-compaction generation;
+      // it must keep serving EXACTLY the pre-compaction answers through
+      // the maintenance below, then release cleanly
+      val pin = graft.util.Gen.currentGeneration(spark, dir).get
+      graft.util.Gen.keepGeneration(spark, dir, pin)
       val rows = time("compactIvfIndex") {
         Similarity.compactIvfIndex(spark, dir)
       }
@@ -92,6 +97,25 @@ object IvfLifecycleSmoke {
       val sAfter = time("serve (64 queries, nProbe=2) post-compaction") {
         serve()
       }
+      // a SECOND maintenance cycle: without the keep ref the pinned
+      // generation's one-cycle grace would end right here
+      time("compactIvfIndex (second cycle, keep ref must hold)") {
+        Similarity.compactIvfIndex(spark, dir)
+      }
+      val sPinned = time("serve PINNED pre-compaction generation") {
+        Similarity.ivfTopKFromIndex(
+            Similarity.loadIvfIndex(spark,
+              graft.util.Gen.resolveAt(spark, dir, pin)), queries,
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .collect().map(r => (r.getAs[Long]("query_id"),
+            r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+      }
+      require(sPinned.toSeq == sBefore.toSeq,
+        "pinned-generation serve diverged from the pre-compaction serve")
+      require(graft.util.Gen.releaseGeneration(spark, dir, pin),
+        "keep ref was not found at release time")
+      println(s"  pinned serve ≡ pre-compaction serve " +
+        s"(${sPinned.length} rows); keep ref released")
       // drift → recall calibration: the drift report is a proxy; this
       // ties its number to the SLA metric, on a corpus where there is
       // structure TO drift from (a uniform corpus has structureless

@@ -407,6 +407,86 @@ class GenSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("protocol fuzz: seeded random interleavings of rewrite / append " +
+      "/ crash-staging / eager sweep / keep+release never break the " +
+      "reader invariants (resolve serves exactly the expected rows, " +
+      "generations are monotone, kept pins stay resolvable)") {
+    val root = tmp("graft_gen_fuzz")
+    val rnd = new scala.util.Random(42)
+    try {
+      for (trial <- 0 until 4) {
+        val store = s"$root/store$trial"
+        var expected = Set.empty[String] // v-values of the CURRENT gen
+        var op = 0
+        var lastGen = 0L
+        var kept = Map.empty[Long, Set[String]] // pinned gen → its rows
+        def check(): Unit = {
+          val cur = Gen.currentGeneration(spark, store)
+          assert(cur.forall(_ >= lastGen), "generation went backwards")
+          cur.foreach(c => lastGen = c)
+          val got =
+            if (!Gen.hasData(spark, store)) Set.empty[String]
+            else spark.read.parquet(Gen.resolve(spark, store))
+              .select("v").as[String].collect().toSet
+          assert(got === expected, s"trial $trial after op $op")
+          kept.foreach { case (g, rows) =>
+            val atPin = spark.read
+              .parquet(Gen.resolveAt(spark, store, g))
+              .select("v").as[String].collect().toSet
+            assert(atPin === rows, s"kept gen $g of trial $trial")
+          }
+        }
+        for (_ <- 0 until 10) {
+          op += 1
+          rnd.nextInt(6) match {
+            case 0 | 1 => // maintenance rewrite: fresh content
+              val tag = s"rw$trial-$op"
+              val n = 1 + rnd.nextInt(3)
+              Gen.rewrite(spark, store)(g =>
+                rows(n, tag).write.parquet(g))
+              expected = rows(n, tag).select("v").as[String]
+                .collect().toSet
+            case 2 => // ingest append into the current generation —
+              // readers of that generation (including a kept pin ON
+              // the current one) see the new rows by design
+              val tag = s"ap$trial-$op"
+              val n = 1 + rnd.nextInt(2)
+              rows(n, tag).write.mode("append")
+                .parquet(Gen.appendDir(spark, store))
+              val added = rows(n, tag).select("v").as[String]
+                .collect().toSet
+              expected ++= added
+              Gen.currentGeneration(spark, store).foreach { g =>
+                if (kept.contains(g)) kept += g -> (kept(g) ++ added)
+              }
+            case 3 => // crashed writer: a staging dir at a live-looking
+              // OR junk number — must never become visible
+              val n = if (rnd.nextBoolean()) lastGen + 1
+                else 50L + rnd.nextInt(50)
+              fs.mkdirs(new Path(f"$store/gen-$n%08d-deadf$op"))
+            case 4 => // eager reclaim
+              if (Gen.hasData(spark, store))
+                Gen.sweepGenerations(spark, store)
+            case 5 => // pin + keep the current generation (released at
+              // 2 pins to bound disk), only when versioned
+              Gen.currentGeneration(spark, store).foreach { g =>
+                if (!kept.contains(g)) {
+                  Gen.keepGeneration(spark, store, g)
+                  kept += g -> expected
+                  if (kept.size > 2) {
+                    val drop = kept.keys.min
+                    Gen.releaseGeneration(spark, store, drop)
+                    kept -= drop
+                  }
+                }
+              }
+          }
+          check()
+        }
+      }
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("ownsMarker: the compound-operation form neither creates nor " +
       "lifts the caller's marker — a failure between two store " +
       "rewrites leaves ingest fenced until the re-run completes") {
