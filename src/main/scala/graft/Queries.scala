@@ -2816,6 +2816,51 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** JPEG dimension walk ([[Multimodal.jpegDimensions]]): unlike q139's
+    * fixed-offset headers, JPEG dims hide in the first SOF segment
+    * behind a VARIABLE prefix of metadata segments — the fixture
+    * builds byte-true JPEGs (SOI + JFIF APP0 + an id-length EXIF-ish
+    * APP1 on every third doc, so the walk must actually walk) with
+    * id-derived dimensions, plus planted failures (every 7th doc is
+    * not a JPEG; every 5th truncates before the SOF) that must read as
+    * NULL, never garbage. Oracled against pure id arithmetic. */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def be16(v: Int) =
+      Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val media = docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        val body = text.getBytes("UTF-8")
+        val w = 16 + (id % 2000).toInt
+        val h = 16 + ((id * 3) % 2000).toInt
+        val payload: Array[Byte] =
+          if (id % 7 == 0) body // mislabeled: not a JPEG at all
+          else {
+            val soi = Array(0xFF, 0xD8).map(_.toByte)
+            val app0 = Array(0xFF, 0xE0, 0x00, 0x10).map(_.toByte) ++
+              "JFIF".getBytes("UTF-8") ++
+              Array[Int](0, 1, 1, 0, 0, 1, 0, 1, 0, 0).map(_.toByte)
+            val app1 =
+              if (id % 3 == 0) {
+                val pad = 10 + (id % 50).toInt
+                Array(0xFF, 0xE1).map(_.toByte) ++ be16(2 + pad) ++
+                  Array.fill(pad)(0x45.toByte)
+              } else Array.emptyByteArray
+            val sof =
+              Array(0xFF, 0xC0, 0x00, 0x11, 0x08).map(_.toByte) ++
+                be16(h) ++ be16(w) ++
+                Array[Int](0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01,
+                  0x03, 0x11, 0x01).map(_.toByte)
+            val full = soi ++ app0 ++ app1 ++ sof ++ body
+            if (id % 5 == 0) full.take(soi.length + app0.length + 2)
+            else full
+          }
+        (id, payload)
+      }.toDF("doc_id", "payload")
+    Multimodal.jpegDimensions(media, "doc_id", "payload")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -4075,6 +4120,7 @@ object Queries {
     "q137_pinned_generation_serve" -> (q137 _),
     "q138_media_sniff" -> (q138 _),
     "q139_media_header" -> (q139 _),
+    "q140_jpeg_dims" -> (q140 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -6897,6 +6943,17 @@ object Queries {
          |    END AS sample_rate,
          |  CASE WHEN doc_id % 3 = 2
          |    THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // jpeg-dims oracle: the walk's expected output is pure id
+    // arithmetic — non-JPEG (7|id) and truncated-before-SOF (5|id)
+    // rows must be NULL, everything else the planted dimensions
+    "q140_jpeg_dims" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+         |    THEN CAST(16 + doc_id % 2000 AS BIGINT) END AS width,
+         |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+         |    THEN CAST(16 + (doc_id * 3) % 2000 AS BIGINT)
+         |    END AS height
          |FROM documents ORDER BY doc_id""".stripMargin,
     // near-dup ledger oracle: the ledger's two-batch admit decisions ≡
     // one-shot nearDupDrops on the union (spec-pinned parity under the

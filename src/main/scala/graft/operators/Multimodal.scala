@@ -188,10 +188,68 @@ object Multimodal {
       rate.as("sample_rate"), channels.as("channels"))
   }
 
+  /** SOF markers carry dimensions in every JPEG flavor; C4/C8/CC are
+    * DHT/JPG/DAC, not frames. */
+  private def isSof(m: Int): Boolean =
+    m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+
+  /** Bounded JPEG marker walk: (width, height) from the first SOF
+    * segment, or None for non-JPEG / truncated / desynced payloads or
+    * a scan (SOS) / EOI reached before any frame header. */
+  private[graft] def jpegSof(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF ||
+        (b(1) & 0xFF) != 0xD8) return None
+    var i = 2
+    val bound = math.min(b.length, 1 << 16)
+    while (i + 3 < bound) {
+      if ((b(i) & 0xFF) != 0xFF) return None // marker desync: corrupt
+      val m = b(i + 1) & 0xFF
+      if (m == 0xFF) i += 1 // fill byte
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2 // standalone
+      else if (m == 0xD9 || m == 0xDA) return None // EOI/SOS: no frame
+      else {
+        val len = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+        if (len < 2) return None
+        if (isSof(m)) {
+          if (i + 8 >= b.length) return None // SOF itself truncated
+          val h = ((b(i + 5) & 0xFF) << 8) | (b(i + 6) & 0xFF)
+          val w = ((b(i + 7) & 0xFF) << 8) | (b(i + 8) & 0xFF)
+          return Some((w, h))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** REAL JPEG dimensions — the one common image format whose header
+    * is NOT fixed-offset: dimensions live in the first SOF segment,
+    * behind a variable prefix of APP0/APP1(EXIF)/DQT/… segments, so
+    * this is a marker WALK, not a slice — parser work, done as a
+    * bounded partition-parallel scan (first 64 KB; a JPEG whose
+    * metadata exceeds that reads as unparseable rather than scanning
+    * unbounded bytes), the same `mapPartitions` shape as the decode
+    * family. NULLs for non-JPEG, truncated, or desynced payloads.
+    * Completes the image-header family next to [[mediaHeader]]'s
+    * fixed-offset PNG/GIF/BMP. */
+  def jpegDimensions(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(binCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val dims = if (bytes == null) None else jpegSof(bytes)
+        (id, dims.map(_._1.toLong), dims.map(_._2.toLong))
+      })
+      .toDF(idCol, "width", "height")
+  }
+
   /** [[mediaHeader]] over a table: one row per item with the sniffed
     * kind and the parsed fixed-offset fields — the metadata census a
     * media ingest runs right after [[mediaTriage]], still with zero
-    * codecs and zero shuffles. */
+    * codecs and zero shuffles. JPEG needs the marker walk instead —
+    * [[jpegDimensions]]. */
   def mediaHeaders(df: DataFrame, idCol: String,
       binCol: String): DataFrame =
     df.select(col(idCol), sniffFormat(col(binCol)).as("kind"),

@@ -3775,4 +3775,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.map(_.getAs[String]("kind")).toSeq ===
       Seq("png", "gif", "wav", "bmp", "jpeg", "png"))
   }
+
+  test("jpegSof: walks variable metadata segments to the first SOF, " +
+      "tolerates fill bytes and restart markers, refuses desync, " +
+      "scan-before-frame, and truncation") {
+    def bb(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def be16(v: Int) = bb((v >> 8) & 0xFF, v & 0xFF)
+    val soi = bb(0xFF, 0xD8)
+    val app0 = bb(0xFF, 0xE0, 0x00, 0x04, 0x4A, 0x46) // len 4: 2+2
+    val sof2 = bb(0xFF, 0xC2, 0x00, 0x0B, 0x08) ++ be16(1080) ++
+      be16(1920) ++ bb(0x01, 0x01, 0x11, 0x00)
+    assert(Multimodal.jpegSof(soi ++ app0 ++ sof2) === Some((1920, 1080)))
+    // fill bytes + a standalone restart marker between segments
+    assert(Multimodal.jpegSof(
+      soi ++ bb(0xFF) ++ app0 ++ bb(0xFF, 0xD0) ++ sof2) ===
+      Some((1920, 1080)))
+    // SOS (start of scan) before any SOF: entropy data follows — stop
+    assert(Multimodal.jpegSof(
+      soi ++ app0 ++ bb(0xFF, 0xDA, 0x00, 0x02) ++ sof2) === None)
+    // desync: a non-FF byte where a marker must be
+    assert(Multimodal.jpegSof(soi ++ bb(0x00, 0x01) ++ sof2) === None)
+    // truncation: inside a segment header, and inside the SOF itself
+    assert(Multimodal.jpegSof(soi ++ app0.take(3)) === None)
+    assert(Multimodal.jpegSof(soi ++ app0 ++ sof2.take(7)) === None)
+    // DHT (C4) is NOT a frame header even though it sits in C0-CF
+    assert(Multimodal.jpegSof(
+      soi ++ bb(0xFF, 0xC4, 0x00, 0x03, 0x00) ++ sof2) ===
+      Some((1920, 1080)))
+    assert(Multimodal.jpegSof("not a jpeg".getBytes("UTF-8")) === None)
+    assert(Multimodal.jpegSof(Array.emptyByteArray) === None)
+  }
 }
