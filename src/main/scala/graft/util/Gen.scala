@@ -13,12 +13,25 @@ import org.apache.spark.sql.SparkSession
   * UNIQUE to that writer (no two rewrites ever touch the same
   * directory). A generation becomes REAL when its COMMIT POINTER
   * lands: `P/_commit-00000002`, a tiny file whose content is the name
-  * of the staging dir that won. The pointer is created with
-  * `create(overwrite = false)` — one atomic exclusive CREATE, no
-  * rename anywhere in the hot protocol (atomic on HDFS; on S3A it
-  * needs conditional-create support, the post-2024 S3 conditional
-  * PUT — older S3A narrows it to a small check-then-act window, still
-  * strictly safer than last-writer-wins).
+  * of the staging dir that won. The pointer is made SELF-VALID at the
+  * instant it becomes visible: its full content is first written to a
+  * writer-unique hidden temp (`P/.commit-00000002-3fa91c55.tmp`),
+  * closed, and then RENAMED to the pointer name — one atomic metadata
+  * op, so no reader ever observes a pointer whose content is empty or
+  * partial (a create-then-write publish has exactly that torn window,
+  * and a crash inside it would brick the store: an empty pointer that
+  * scan kept treating as the current commit). The rename REFUSES an
+  * existing destination (atomic no-overwrite on HDFS; on POSIX local
+  * and object stores the exists pre-check narrows it to a small
+  * check-then-act window — see [[publishAtomicity]] for the per-scheme
+  * capability and the loud once-per-scheme degradation warning), which
+  * is the one-winner arbitration. Defense in depth for states the
+  * protocol itself can no longer produce (a pre-rename-era crash, a
+  * sweep that died between a dir delete and its pointer delete, a
+  * manually damaged store): [[scan]] treats a pointer that is EMPTY or
+  * names a MISSING dir as POISONED — uncommitted, resolution falls
+  * back to the previous generation — and every sweep deletes poisoned
+  * pointers, so the store self-heals instead of throwing forever.
   *
   * Concurrent-writer safety, the v2 point: every rewrite fixes its
   * TARGET number at snapshot time (current committed + 1) and
@@ -49,10 +62,14 @@ import org.apache.spark.sql.SparkSession
   * Crash safety, by construction:
   *   - a crash mid-write leaves an UNREFERENCED staging dir no
   *     resolve ever returns (the commit pointer is the last write);
-  *     it is swept once it is provably DOOMED — `_commit-<target>`
-  *     exists and names a different dir, so its writer can never
-  *     publish (a name-based rule: no clocks, no leases, and a LIVE
-  *     writer's staging is never deleted out from under it);
+  *     it is swept once it is provably DOOMED — its target number is
+  *     not current+1, so its writer can never publish (a name-based
+  *     rule: no clocks, no leases). Only stagings that could still WIN
+  *     are protected: a doomed-but-LIVE loser (its target already
+  *     superseded) may see its staging reclaimed by a later writer's
+  *     entry sweep mid-write and die with an arbitrary task IO error
+  *     instead of the designed stale-snapshot abort — data-safe either
+  *     way, since a doomed writer could never publish;
   *   - the maintenance marker (`P_maintenance`, shared spelling with
   *     [[Fs.swapRewrite]]) goes down before the snapshot read and
   *     comes up after the publish, so ingest writers — which call
@@ -109,6 +126,17 @@ object Gen {
       name.stripPrefix(CommitPrefix).toLongOption
     else None
 
+  /** `.commit-00000002-3fa91c55.tmp` — the writer-unique staged
+    * pointer content a publish renames into place. Hidden (leading
+    * dot) so data readers never see it. */
+  private def tempCommitName(n: Long, token: String): String =
+    f".commit-$n%08d-$token.tmp"
+
+  private def parseTempCommit(name: String): Option[Long] =
+    if (name.startsWith(".commit-") && name.endsWith(".tmp"))
+      name.stripPrefix(".commit-").take(8).toLongOption
+    else None
+
   private def keepName(n: Long): String = f"$KeepPrefix$n%08d"
 
   private def keeps(fs: FileSystem, store: Path): Set[Long] =
@@ -135,23 +163,41 @@ object Gen {
 
   /** One snapshot of a store's generation artifacts.
     *   - `commits`: (generation, data dir NAME), ascending — v2
-    *     pointer files plus v1 dirs holding a `_gen_commit` marker;
+    *     pointer files whose content names an EXISTING dir, plus v1
+    *     dirs holding a `_gen_commit` marker;
     *   - `stagings`: gen-prefixed dirs NOT named by any commit —
-    *     in-flight or crashed writers (v2) and v1 orphans. */
+    *     in-flight or crashed writers (v2) and v1 orphans;
+    *   - `poisoned`: pointer files that are EMPTY or name a missing
+    *     dir — crash/damage artifacts the rename publish cannot
+    *     produce. Treated as UNCOMMITTED (resolution falls back to the
+    *     previous generation instead of throwing on a dangling path)
+    *     and deleted by every sweep, so a rewrite can re-target their
+    *     number;
+    *   - `temps`: staged pointer-content files (`.commit-N-….tmp`) a
+    *     publish renames into place — a crashed publish's leftover is
+    *     swept once its number is doomed. */
   private case class Scan(commits: Seq[(Long, String)],
-      stagings: Seq[(Long, String)]) {
+      stagings: Seq[(Long, String)],
+      poisoned: Seq[(Long, String)],
+      temps: Seq[(Long, String)]) {
     def current: Option[(Long, String)] = commits.lastOption
   }
 
   private def scan(fs: FileSystem, store: Path): Scan =
-    if (!fs.exists(store)) Scan(Seq.empty, Seq.empty)
+    if (!fs.exists(store)) Scan(Seq.empty, Seq.empty, Seq.empty,
+      Seq.empty)
     else {
       val entries = fs.listStatus(store).toSeq
       val names = entries.map(_.getPath.getName)
-      val v2 = names.flatMap(n => parseCommit(n).map(c =>
-        (c, readSmall(fs, new Path(store, n)))))
       val dirs = names.flatMap(n => parseGen(n).map { case (g, _) =>
         (g, n) })
+      val dirSet = dirs.map(_._2).toSet
+      // the dir-existence check costs no extra RPC: the dir must be a
+      // sibling, and we already hold the full listing
+      val (v2, poisoned) = names
+        .flatMap(n => parseCommit(n).map(c =>
+          (c, readSmall(fs, new Path(store, n)))))
+        .partition { case (_, d) => d.nonEmpty && dirSet.contains(d) }
       val v1 = dirs.filter { case (_, n) =>
         !v2.exists(_._2 == n) &&
           fs.exists(new Path(store, s"$n/$CommitMarker"))
@@ -160,7 +206,8 @@ object Gen {
       val stagings = dirs
         .filter { case (_, n) => !commits.exists(_._2 == n) }
         .sortBy(_._1)
-      Scan(commits, stagings)
+      val temps = names.flatMap(n => parseTempCommit(n).map((_, n)))
+      Scan(commits, stagings, poisoned.sortBy(_._1), temps.sortBy(_._1))
     }
 
   /** Resolve a store path to the directory a READER should scan: the
@@ -215,32 +262,42 @@ object Gen {
     s.current match {
       case Some((_, dir)) => new Path(store, dir).toString
       case None =>
-        if (s.stagings.isEmpty && fs.exists(store) &&
-            fs.listStatus(store).nonEmpty)
+        if (s.stagings.isEmpty && hasFlatData(fs, store))
           storePath // legacy flat store
         else {
+          // a store reduced to crash artifacts (poisoned pointers,
+          // doomed stagings/temps) self-heals here: sweeping first is
+          // what frees a poisoned `_commit-00000001` for the publish
+          sweep(fs, store, s)
           // never adopt an EXISTING staging dir: it is another
           // writer's — in flight (appending into it would race its
           // publish) or crashed (partial content) — so establish our
           // OWN generation-1 staging and publish it with the same
-          // exclusive create every rewrite uses
-          val g = new Path(store, genDirName(1L, newToken()))
+          // temp+rename every rewrite uses
+          val token = newToken()
+          val g = new Path(store, genDirName(1L, token))
           fs.mkdirs(g)
-          try {
-            val out = fs.create(new Path(store, commitName(1L)),
-              false)
-            out.write(g.getName.getBytes("UTF-8")); out.close()
+          if (publishPointer(fs, store, 1L, g.getName, token))
             g.toString
-          } catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-              // lost the establish race — append into the winner's
-              // dir; our empty staging is doomed and sweeps later
-              fs.delete(g, true)
-              resolve(spark, storePath)
+          else {
+            // lost the establish race — append into the winner's
+            // dir; our empty staging is doomed and sweeps later
+            fs.delete(g, true)
+            resolve(spark, storePath)
           }
         }
     }
   }
+
+  /** A legacy FLAT store: no generation artifacts, but real (visible,
+    * non-hidden) content at the root. Counting only visible entries is
+    * deliberate — a store reduced to a poisoned pointer or a publish
+    * temp by a crash must NOT be mistaken for flat data. */
+  private def hasFlatData(fs: FileSystem, store: Path): Boolean =
+    fs.exists(store) && fs.listStatus(store).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
 
   private[graft] def createMarker(spark: SparkSession,
       storePath: String): Unit = {
@@ -277,8 +334,10 @@ object Gen {
     n != cur.map(_._1).getOrElse(0L) + 1
 
   /** Sweep (a) committed generations older than the current one —
-    * their reader grace ended when a NEWER publish landed — and (b)
-    * DOOMED staging dirs (see [[doomed]]). */
+    * their reader grace ended when a NEWER publish landed — (b) DOOMED
+    * staging dirs (see [[doomed]]), (c) POISONED pointers (empty or
+    * dangling — crash artifacts; deleting them is what lets a rewrite
+    * re-target their number), and (d) doomed publish temps. */
   private def sweep(fs: FileSystem, store: Path, s: Scan): Unit = {
     val cur = s.current
     val kept = keeps(fs, store)
@@ -292,6 +351,94 @@ object Gen {
       if (doomed(cur, n))
         fs.delete(new Path(store, dir), true)
     }
+    s.poisoned.foreach { case (n, _) =>
+      fs.delete(new Path(store, commitName(n)), false)
+    }
+    s.temps.foreach { case (n, name) =>
+      if (doomed(cur, n))
+        fs.delete(new Path(store, name), false)
+    }
+  }
+
+  /** The atomic publish: stage the pointer's FULL content in a hidden
+    * writer-unique temp, close it, then rename it to
+    * `_commit-<target>` — the pointer is self-valid the instant it is
+    * visible. Returns true when this writer WON the generation; false
+    * when the target was already committed by a concurrent writer (the
+    * temp is cleaned up — the caller aborts loudly). Any other rename
+    * failure throws with the pointer state unknown (callers leave the
+    * maintenance marker down — a fenced ingest beats a
+    * silently-diverged store). */
+  private def publishPointer(fs: FileSystem, store: Path, target: Long,
+      dirName: String, token: String): Boolean = {
+    val ptr = new Path(store, commitName(target))
+    val tmp = new Path(store, tempCommitName(target, token))
+    val out = fs.create(tmp, true)
+    out.write(dirName.getBytes("UTF-8")); out.close()
+    warnIfDegradedPublish(fs, store)
+    if (fs.exists(ptr)) { fs.delete(tmp, false); return false }
+    if (fs.rename(tmp, ptr)) true
+    else if (fs.exists(ptr)) { fs.delete(tmp, false); false }
+    else {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"Gen: publishing $ptr failed (rename returned false with no " +
+          "winning pointer present) — inspect the store before " +
+          "re-running")
+    }
+  }
+
+  /** Filesystems whose `rename` is a single atomic metadata op that
+    * REFUSES an existing destination — the two properties the publish
+    * needs for true one-winner arbitration with no torn window. */
+  private val AtomicRenameSchemes =
+    Set("hdfs", "webhdfs", "swebhdfs", "viewfs", "ofs", "o3fs")
+
+  /** Capability of the publish rename on the filesystem behind a
+    * store: `"atomic"` (rename is atomic and fails on an existing
+    * destination — HDFS-family) or `"check-then-act"` (POSIX local
+    * rename OVERWRITES an existing destination and object-store
+    * renames are copy+delete, so the exists pre-check narrows the
+    * arbitration to a small race window — still strictly safer than
+    * last-writer-wins, and the stale-snapshot re-scan before the
+    * publish catches every race wider than microseconds). Detection is
+    * by URI scheme; a deployment that KNOWS better (an HDFS-compatible
+    * store behind a custom scheme, or an object store with conditional
+    * PUT wired into rename) declares it via the Hadoop conf key
+    * `graft.gen.publish.atomicity.<scheme>` = atomic|check-then-act,
+    * which takes precedence. A degraded store is announced by ONE loud
+    * warning per scheme per JVM at first publish
+    * ([[warnIfDegradedPublish]]) — visible in the driver log, not
+    * buried per-call. */
+  def publishAtomicity(fs: FileSystem): String = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    Option(fs.getConf.get(s"graft.gen.publish.atomicity.$scheme"))
+      .map(_.trim.toLowerCase)
+      .filter(v => v == "atomic" || v == "check-then-act")
+      .getOrElse(
+        if (AtomicRenameSchemes.contains(scheme)) "atomic"
+        else "check-then-act")
+  }
+
+  /** Convenience overload for operators auditing a store path. */
+  def publishAtomicity(spark: SparkSession, storePath: String): String =
+    publishAtomicity(fsOf(spark, new Path(storePath)))
+
+  private val warnedSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def warnIfDegradedPublish(fs: FileSystem, store: Path): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (publishAtomicity(fs) != "atomic" && warnedSchemes.add(scheme))
+      org.slf4j.LoggerFactory.getLogger("graft.util.Gen").warn(
+        s"Gen publish on scheme '$scheme' (first store: $store) is " +
+          "CHECK-THEN-ACT, not atomic: this filesystem's rename does " +
+          "not refuse an existing destination, so two maintenance " +
+          "writers racing the same generation have a small window " +
+          "where both can publish (last one visible wins). Schedule " +
+          "maintenance single-writer per store, or declare " +
+          s"graft.gen.publish.atomicity.$scheme=atomic if the store " +
+          "is known to honor atomic no-overwrite rename.")
   }
 
   /** PROTECT a committed generation from every sweep — the retention
@@ -337,9 +484,17 @@ object Gen {
     * (the near-dup forget spans two stores under the primary's
     * marker): the rewrite then neither creates nor deletes it, and a
     * failure leaves it down — the caller decides when the compound
-    * operation is complete. */
+    * operation is complete.
+    *
+    * `extraLeases` are ADDITIONAL store paths whose ingest lease fails
+    * this rewrite fast: a store whose ingest is serialized by a
+    * SIBLING's lease (the near-dup band store is appended under the
+    * PRIMARY's lease) would otherwise only be protected by the late
+    * content re-verify — the rewrite would run to completion and then
+    * abort at the publish instead of refusing up front. */
   def rewrite(spark: SparkSession, storePath: String,
-      ownsMarker: Boolean = false)(writeTo: String => Unit): Unit = {
+      ownsMarker: Boolean = false, extraLeases: Seq[String] = Nil)(
+      writeTo: String => Unit): Unit = {
     val store = new Path(storePath)
     val fs = fsOf(spark, store)
     // cross-level fencing, same rules as swapRewrite: an enclosing
@@ -372,19 +527,19 @@ object Gen {
     // read-decide-append) rather than late at the content re-verify;
     // a crashed admit's surviving lease is operator-cleared
     // (Fs.clearIngestLease) after its batch is re-run
-    locally {
-      val lease = new Path(Fs.ingestLeasePath(storePath))
+    (storePath +: extraLeases).foreach { lp =>
+      val lease = new Path(Fs.ingestLeasePath(lp))
       if (fs.exists(lease))
         throw new IllegalStateException(
           s"Gen.rewrite: an ingest admit holds the lease on " +
-            s"$storePath ($lease exists) — in flight (retry after it " +
+            s"$lp ($lease exists) — in flight (retry after it " +
             "finishes) or crashed (clear with Fs.clearIngestLease " +
             "and re-run its batch first)")
     }
     if (!ownsMarker) createMarker(spark, storePath)
     def lift(): Unit = if (!ownsMarker) deleteMarker(spark, storePath)
     if (scan0.commits.isEmpty && scan0.stagings.isEmpty &&
-        fs.exists(store) && fs.listStatus(store).nonEmpty) {
+        hasFlatData(fs, store)) {
       // LEGACY FLAT STORE — migrate through one last swapRewrite
       // (documented one-time reader outage): the payload is the
       // store's first generation, committed inside the temp dir so
@@ -417,7 +572,8 @@ object Gen {
     // would silently drop the other writer's changes, and the
     // exclusive create below turns that into a loud abort instead
     val target = cur.map(_._1).getOrElse(0L) + 1
-    val next = new Path(store, genDirName(target, newToken()))
+    val token = newToken()
+    val next = new Path(store, genDirName(target, token))
     try writeTo(next.toString)
     catch {
       case e: Throwable =>
@@ -452,23 +608,18 @@ object Gen {
     // nonexistent staging path — default-mode parquet writes depend
     // on it)
     fs.mkdirs(next)
-    try {
-      // the atomic publish: exclusive create — one winner per target
-      val out = fs.create(new Path(store, commitName(target)),
-        false)
-      out.write(next.getName.getBytes("UTF-8")); out.close()
-    } catch {
-      // any OTHER IO failure propagates with the marker left down:
-      // the pointer's state is unknown, and a fenced ingest beats a
-      // silently-diverged store — the re-run recovers
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        fs.delete(next, true)
-        lift()
-        throw new IllegalStateException(
-          s"Gen.rewrite: lost the generation-$target publish race on " +
-            s"$storePath to a concurrent rewrite — this writer's " +
-            "snapshot is stale and its output was discarded; re-run " +
-            "against the current generation")
+    // the atomic publish: temp + rename (see publishPointer) — one
+    // winner per target; any non-race IO failure propagates with the
+    // marker left down (pointer state unknown, and a fenced ingest
+    // beats a silently-diverged store — the re-run recovers)
+    if (!publishPointer(fs, store, target, next.getName, token)) {
+      fs.delete(next, true)
+      lift()
+      throw new IllegalStateException(
+        s"Gen.rewrite: lost the generation-$target publish race on " +
+          s"$storePath to a concurrent rewrite — this writer's " +
+          "snapshot is stale and its output was discarded; re-run " +
+          "against the current generation")
     }
     lift()
     // a sweep/summary IO failure above deliberately leaves the
@@ -494,6 +645,12 @@ object Gen {
     val s = scan(fsOf(spark, store), store)
     s.commits.find(_._1 == generation) match {
       case Some((_, dir)) => new Path(store, dir).toString
+      case None if s.poisoned.exists(_._1 == generation) =>
+        throw new IllegalStateException(
+          s"Gen.resolveAt: generation $generation of $storePath has a " +
+            "POISONED commit pointer (empty, or naming a missing dir " +
+            "— a crash/damage artifact) — it holds no servable data " +
+            "and the next sweep reclaims the pointer")
       case None if s.stagings.exists(_._1 == generation) =>
         throw new IllegalStateException(
           s"Gen.resolveAt: generation $generation of $storePath is " +
@@ -516,10 +673,14 @@ object Gen {
 
   /** One row per generation artifact — the observability surface for
     * the versioned layout: (generation, committed, current, n_files,
-    * bytes). Uncommitted rows are staging dirs — crashed or in-flight
-    * rewrites (swept once doomed); non-current committed rows are
-    * reader-grace copies [[sweepGenerations]] can reclaim.
-    * Driver-side listing only — no Spark job. */
+    * bytes, kept, dangling). Uncommitted rows are staging dirs —
+    * crashed or in-flight rewrites (swept once doomed); non-current
+    * committed rows are reader-grace copies [[sweepGenerations]] can
+    * reclaim; `dangling = true` rows are POISONED pointers (empty or
+    * naming a missing dir) or dirs that vanished between the scan and
+    * this listing — reported as distinct rows instead of throwing,
+    * because the census must WORK in exactly the degraded states it
+    * exists to diagnose. Driver-side listing only — no Spark job. */
   def generationCensus(spark: SparkSession,
       storePath: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
@@ -531,12 +692,19 @@ object Gen {
     val rows =
       s.commits.map { case (n, d) => (n, true, d) } ++
         s.stagings.map { case (n, d) => (n, false, d) }
-    rows.sortBy(r => (r._1, !r._2)).map { case (n, committed, d) =>
-      val cs = fs.getContentSummary(new Path(store, d))
-      (n, committed, committed && cur.contains(n),
-        cs.getFileCount, cs.getLength, committed && kept.contains(n))
-    }.toDF("generation", "committed", "current", "n_files", "bytes",
-      "kept")
+    val dirRows = rows.sortBy(r => (r._1, !r._2))
+      .map { case (n, committed, d) =>
+        val cs = summary(fs, new Path(store, d))
+        (n, committed, committed && cur.contains(n),
+          cs.map(_._1).getOrElse(0L), cs.map(_._2).getOrElse(0L),
+          committed && kept.contains(n), cs.isEmpty)
+      }
+    val poisonedRows = s.poisoned.map { case (n, _) =>
+      (n, true, false, 0L, 0L, kept.contains(n), true)
+    }
+    (dirRows ++ poisonedRows)
+      .toDF("generation", "committed", "current", "n_files", "bytes",
+        "kept", "dangling")
   }
 
   /** Eagerly drop old committed generations, keeping the newest
@@ -559,10 +727,23 @@ object Gen {
       fs.delete(new Path(store, dir), true)
       fs.delete(new Path(store, commitName(n)), false)
     }
-    val doomed = s.stagings.filter(st => s.commits.exists(_._1 == st._1))
-    doomed.foreach { case (_, dir) =>
+    // same DOOMED predicate as every rewrite's entry sweep — the
+    // explicit reclaim verb must not leak stagings (a crashed staging
+    // whose same-numbered pointer an earlier sweep already reclaimed
+    // is provably dead under doomed() but invisible to a
+    // commit-exists rule); poisoned pointers and dead publish temps
+    // go with it
+    val dead = s.stagings.filter { case (n, _) => doomed(s.current, n) }
+    dead.foreach { case (_, dir) =>
       fs.delete(new Path(store, dir), true)
     }
-    drop.size + doomed.size
+    s.poisoned.foreach { case (n, _) =>
+      fs.delete(new Path(store, commitName(n)), false)
+    }
+    s.temps.foreach { case (n, name) =>
+      if (doomed(s.current, n))
+        fs.delete(new Path(store, name), false)
+    }
+    drop.size + dead.size
   }
 }

@@ -10,8 +10,10 @@ import graft.util.Gen
   *   - a reader that resolved BEFORE a rewrite's flip completes
   *     correctly against its generation (the concurrent-reader spec);
   *   - resolution never lands on a staging dir (the commit POINTER —
-  *     one atomic exclusive create — is the publish), and doomed
-  *     stagings are swept (the crash spec);
+  *     full content staged to a hidden temp, then one atomic rename —
+  *     is the publish, self-valid the instant it is visible), and
+  *     doomed stagings, poisoned pointers, and dead publish temps are
+  *     swept (the crash specs);
   *   - two CONCURRENT rewrites resolve to exactly one winner: the
   *     loser's publish aborts loudly with the winner's generation
   *     serving (the OCC spec);
@@ -487,6 +489,145 @@ class GenSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("poisoned pointers: an EMPTY commit pointer (crash/damage " +
+      "artifact the rename publish cannot produce) is treated as " +
+      "uncommitted — resolve falls back, census reports it dangling, " +
+      "resolveAt refuses it by name, and the next rewrite sweeps it " +
+      "and re-targets its number instead of bricking the store") {
+    val root = tmp("graft_gen_poison")
+    val store = s"$root/store"
+    try {
+      Gen.rewrite(spark, store)(g => rows(4, "a").write.parquet(g))
+      val g1 = Gen.resolve(spark, store)
+      // simulate the legacy torn publish: _commit-00000002 exists with
+      // EMPTY content (a pre-rename-era crash between create and close)
+      fs.create(new Path(s"$store/_commit-00000002"), true).close()
+      // NOT bricked: resolution falls back to the committed gen 1
+      assert(Gen.resolve(spark, store) === g1)
+      assert(Gen.currentGeneration(spark, store) === Some(1L))
+      assert(Gen.hasData(spark, store))
+      assert(spark.read.parquet(Gen.resolve(spark, store)).count() === 4L)
+      // observability: the census REPORTS the poisoned pointer as a
+      // dangling row instead of throwing in the degraded state
+      val c = Gen.generationCensus(spark, store)
+        .orderBy(col("generation")).collect()
+      assert(c.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      assert(c.map(_.getBoolean(6)).toSeq === Seq(false, true))
+      assert(c(1).getBoolean(1) && !c(1).getBoolean(2))
+      // a pinned read refuses it with the poisoned-specific message
+      val e = intercept[IllegalStateException] {
+        Gen.resolveAt(spark, store, 2L)
+      }
+      assert(e.getMessage.contains("POISONED"))
+      // the next rewrite self-heals: entry sweep deletes the poisoned
+      // pointer, freeing generation 2 for a REAL publish
+      Gen.rewrite(spark, store)(g => rows(7, "b").write.parquet(g))
+      assert(Gen.currentGeneration(spark, store) === Some(2L))
+      assert(spark.read.parquet(Gen.resolve(spark, store)).count() === 7L)
+      assert(!Gen.generationCensus(spark, store).collect()
+        .exists(_.getBoolean(6)))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("dangling pointers: a pointer naming a MISSING dir (crash " +
+      "between a sweep's dir delete and pointer delete) is poisoned — " +
+      "resolve falls back, the census still works, and " +
+      "sweepGenerations reclaims the pointer plus any staging a " +
+      "commit-exists rule would have leaked") {
+    val root = tmp("graft_gen_dangle")
+    val store = s"$root/store"
+    try {
+      Gen.rewrite(spark, store)(g => rows(3, "a").write.parquet(g))
+      Gen.rewrite(spark, store)(g => rows(5, "b").write.parquet(g))
+      val g2 = Gen.resolve(spark, store)
+      // simulate the sweep crash: gen-2's DIR deleted, pointer left
+      fs.delete(new Path(g2), true)
+      assert(Gen.currentGeneration(spark, store) === Some(1L))
+      assert(spark.read.parquet(Gen.resolve(spark, store)).count() === 3L)
+      val c = Gen.generationCensus(spark, store)
+        .filter(col("generation") === 2L).collect()
+      assert(c.length === 1 && c(0).getBoolean(6))
+      // the leaked-staging case the shared doomed() predicate fixes: a
+      // crashed staging at a junk number with NO same-numbered commit
+      val leaked = new Path(s"$store/gen-00000077-deadwrtr")
+      fs.mkdirs(leaked)
+      // sweepGenerations: reclaims the dangling pointer AND the leaked
+      // staging (returned count tallies generation DIRS only — the
+      // dangling pointer has no dir left to count)
+      assert(Gen.sweepGenerations(spark, store) === 1)
+      assert(!fs.exists(new Path(s"$store/_commit-00000002")))
+      assert(!fs.exists(leaked))
+      assert(Gen.currentGeneration(spark, store) === Some(1L))
+      // and the store moves on normally
+      Gen.rewrite(spark, store)(g => rows(2, "c").write.parquet(g))
+      assert(Gen.currentGeneration(spark, store) === Some(2L))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("publish temps: a crashed publish's .commit-N-….tmp is hidden " +
+      "from readers and swept once doomed; appendDir self-heals a " +
+      "store reduced to a poisoned pointer") {
+    val root = tmp("graft_gen_temps")
+    val store = s"$root/store"
+    try {
+      Gen.rewrite(spark, store)(g => rows(2, "a").write.parquet(g))
+      // a crash between temp-write and rename at a SUPERSEDED number
+      val t = new Path(s"$store/.commit-00000001-deadbeef.tmp")
+      val out = fs.create(t, true)
+      out.write("gen-00000001-junk".getBytes("UTF-8")); out.close()
+      assert(Gen.currentGeneration(spark, store) === Some(1L))
+      Gen.rewrite(spark, store)(g => rows(3, "b").write.parquet(g))
+      // doomed (1 != current+1) → swept by the rewrite's entry... or
+      // this rewrite's own sweep ran before our temp was doomed, so
+      // force one more cycle and assert it is gone
+      Gen.rewrite(spark, store)(g => rows(4, "c").write.parquet(g))
+      assert(!fs.exists(t))
+      // appendDir on a store holding ONLY a poisoned gen-1 pointer:
+      // sweeps it and establishes a fresh committed generation 1
+      val store2 = s"$root/store2"
+      fs.mkdirs(new Path(store2))
+      fs.create(new Path(s"$store2/_commit-00000001"), true).close()
+      val d = Gen.appendDir(spark, store2)
+      assert(isGenDir(d, 1L))
+      rows(2, "x").write.mode("append").parquet(d)
+      assert(spark.read.parquet(Gen.resolve(spark, store2)).count() === 2L)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("publishAtomicity: HDFS-family schemes detect atomic, local " +
+      "and unknown schemes are conservatively check-then-act, and a " +
+      "Hadoop conf declaration per scheme takes precedence (a custom " +
+      "FileSystem impl registered under its own scheme gets the " +
+      "conservative default until declared)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    // local fs: POSIX rename overwrites → check-then-act
+    assert(Gen.publishAtomicity(spark, "/tmp/anystore") ===
+      "check-then-act")
+    // a custom FileSystem registered under its own scheme (the fake-FS
+    // pin): unknown scheme → conservative default
+    conf.set("fs.graftmock.impl", classOf[GraftMockFs].getName)
+    try {
+      val mockFs = new Path("graftmock:///x").getFileSystem(conf)
+      assert(mockFs.getUri.getScheme === "graftmock")
+      assert(Gen.publishAtomicity(mockFs) === "check-then-act")
+      // …and the same declaration route upgrades it
+      conf.set("graft.gen.publish.atomicity.graftmock", "atomic")
+      assert(Gen.publishAtomicity(mockFs) === "atomic")
+      conf.unset("graft.gen.publish.atomicity.graftmock")
+      // a deployment that KNOWS its store honors atomic no-overwrite
+      // rename declares it — the declaration wins
+      conf.set("graft.gen.publish.atomicity.file", "atomic")
+      assert(Gen.publishAtomicity(spark, "/tmp/anystore") === "atomic")
+      // junk declarations are ignored, not trusted
+      conf.set("graft.gen.publish.atomicity.file", "yes-please")
+      assert(Gen.publishAtomicity(spark, "/tmp/anystore") ===
+        "check-then-act")
+    } finally {
+      conf.unset("graft.gen.publish.atomicity.file")
+      conf.unset("fs.graftmock.impl")
+    }
+  }
+
   test("ownsMarker: the compound-operation form neither creates nor " +
       "lifts the caller's marker — a failure between two store " +
       "rewrites leaves ingest fenced until the re-run completes") {
@@ -515,4 +656,14 @@ class GenSpec extends SparkTestBase {
       graft.util.Fs.failIfUnderMaintenance(spark, store, "ingest")
     } finally graft.util.Fs.deleteRecursively(root)
   }
+}
+
+/** Fake FileSystem for the publish-atomicity capability pin: local
+  * semantics under a scheme [[graft.util.Gen]] has never heard of —
+  * must resolve to the conservative check-then-act default until a
+  * conf declaration says otherwise. Top-level because Hadoop
+  * instantiates `fs.<scheme>.impl` reflectively with a no-arg ctor. */
+class GraftMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI =
+    java.net.URI.create("graftmock:///")
 }
