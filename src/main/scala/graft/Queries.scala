@@ -2861,6 +2861,126 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** MP4/ISO-BMFF box walk ([[Multimodal.mp4Headers]]): the container
+    * family's variable-LAYOUT parser — brand, mvhd timescale/duration
+    * (v0 AND v1 64-bit headers, both planted), and the first video
+    * track's 16.16-fixed tkhd dims, behind an optional `free` box the
+    * walk must skip. Planted failures: every 7th doc is not an MP4 at
+    * all, every 5th truncates 12 bytes into its moov — both must read
+    * NULL, never garbage; every 9th is an audio-only movie (times
+    * parse, dims NULL). Oracled against pure id arithmetic, the
+    * q139/q140 construct→parse round-trip discipline. */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def be32(v: Long) =
+      Array.tabulate(4)(i => ((v >> (8 * (3 - i))) & 0xFF).toByte)
+    def be64(v: Long) =
+      Array.tabulate(8)(i => ((v >> (8 * (7 - i))) & 0xFF).toByte)
+    def bx(t: String, p: Array[Byte]) =
+      be32(8L + p.length) ++ t.getBytes("ISO-8859-1") ++ p
+    val media = docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        val body = text.getBytes("UTF-8")
+        val ts = 600L + (id % 9) * 400L
+        val dur = 10000L + (id * 37) % 90000L
+        val w = 16L + id % 1280L
+        val h = 16L + (id * 3) % 720L
+        val payload: Array[Byte] =
+          if (id % 7 == 0) body // mislabeled: not an MP4 at all
+          else {
+            val ftyp = bx("ftyp", "isom".getBytes("ISO-8859-1") ++
+              be32(512L) ++ "mp41".getBytes("ISO-8859-1"))
+            val free =
+              if (id % 3 == 0)
+                bx("free", Array.fill(8 + (id % 32).toInt)(0x46.toByte))
+              else Array.emptyByteArray
+            val mvhd =
+              if (id % 11 == 0) // version 1: 64-bit times
+                bx("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0L) ++
+                  be64(0L) ++ be32(ts) ++ be64(dur) ++
+                  Array.fill(80)(0.toByte))
+              else
+                bx("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++
+                  be32(0L) ++ be32(ts) ++ be32(dur) ++
+                  Array.fill(80)(0.toByte))
+            val (tw, th) =
+              if (id % 9 == 0) (0L, 0L) else (w << 16, h << 16)
+            val tkhd =
+              if (id % 4 == 0) // version 1
+                bx("tkhd", Array[Byte](1, 0, 0, 0) ++
+                  Array.fill(84)(0.toByte) ++ be32(tw) ++ be32(th))
+              else
+                bx("tkhd", Array[Byte](0, 0, 0, 0) ++
+                  Array.fill(72)(0.toByte) ++ be32(tw) ++ be32(th))
+            val moov = bx("moov", mvhd ++ bx("trak", tkhd))
+            val full = ftyp ++ free ++ moov ++ body
+            if (id % 5 == 0)
+              full.take(ftyp.length + free.length + 12)
+            else full
+          }
+        (id, payload)
+      }.toDF("doc_id", "payload")
+    Multimodal.mp4Headers(media, "doc_id", "payload")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Streamed near-dup ledger admit
+    * ([[Dedup.nearDupLedgerAdmitStreamBatch]]) on q129's two-batch
+    * split — AND the epoch-retry pin inside the oracled path: batch 1
+    * admits as epoch 0, batch 2 as epoch 1, then epoch 0 is
+    * RE-DELIVERED (the at-least-once retry) against the fully-moved
+    * ledger and the emitted rows use that replay's output. A protocol
+    * that re-decided instead of re-emitting the sealed decisions
+    * would hash-mismatch (the replayed batch is 100% seen by then).
+    * Oracle = q129's (decisions ≡ the batch replay ≡ one-shot
+    * nearDupDrops under the monotone-id contract). */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q142_ndls").toString
+    try {
+      val ledger = s"$path/ledger"
+      val epochs = s"$path/epochs"
+      Dedup.nearDupLedgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") <= cut), "doc_id", "text", 0L)
+      val a2 = Dedup.nearDupLedgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") > cut), "doc_id", "text", 1L)
+        .select(col("doc_id"), lit(2L).as("batch"))
+      val r0 = Dedup.nearDupLedgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") <= cut), "doc_id", "text", 0L)
+        .select(col("doc_id"), lit(1L).as("batch"))
+      r0.unionByName(a2).orderBy(col("doc_id")).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
+  /** Streamed EXACT-dedup ledger admit ([[Dedup.ledgerAdmitStreamBatch]])
+    * — the exact ledger's first fully-oracled multi-batch entry, same
+    * shape as q142: two epochs split at max(doc_id)/2, epoch 0
+    * re-delivered after the ledger moved, emitted rows from the
+    * replay. Under monotone ids the admitted set is exactly the
+    * global min-id representative per content digest, which is what
+    * the oracle computes. */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q143_ls").toString
+    try {
+      val ledger = s"$path/ledger"
+      val epochs = s"$path/epochs"
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") <= cut), "doc_id", "text", 0L)
+      val a2 = Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") > cut), "doc_id", "text", 1L)
+        .select(col("doc_id"), lit(2L).as("batch"))
+      val r0 = Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") <= cut), "doc_id", "text", 0L)
+        .select(col("doc_id"), lit(1L).as("batch"))
+      r0.unionByName(a2).orderBy(col("doc_id")).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -3731,12 +3851,13 @@ object Queries {
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** SimHash-per-doc SELECT (no ORDER BY) — shared by q26 and q48. */
-  private def simhashSelect: String = {
-    val bitSums = (0 until 32).map(i =>
+  /** SimHash-per-doc SELECT (no ORDER BY), width-parametric — shared
+    * by q26/q48 (32 bits) and q144 (60 bits). */
+  private def simhashSelectBits(bits: Int): String = {
+    val bitSums = (0 until bits).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
       .mkString(", ")
-    val combine = (0 until 32).map(i =>
+    val combine = (0 until bits).map(i =>
       s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
     s"""WITH tok AS (SELECT DISTINCT doc_id, unnest($toksSql) AS tk
        |   FROM documents),
@@ -3744,6 +3865,8 @@ object Queries {
        | b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
        |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM b""".stripMargin
   }
+
+  private def simhashSelect: String = simhashSelectBits(32)
 
   private def simhashOracle: String = simhashSelect + " ORDER BY doc_id"
 
@@ -3755,6 +3878,16 @@ object Queries {
        |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
        |FROM sh a JOIN sh c ON a.doc_id < c.doc_id
        |WHERE bit_count(xor(a.simhash, c.simhash)) <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q144: the same ground-truth rule at the corpus-scale geometry
+    * (60-bit signatures, Hamming ≤ 3). */
+  private def simhash60BandedOracle: String =
+    s"""WITH sh AS (${simhashSelectBits(60)})
+       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh c ON a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Matches Similarity.l2Normalize + DotProduct: normalize each vector
@@ -4121,6 +4254,9 @@ object Queries {
     "q138_media_sniff" -> (q138 _),
     "q139_media_header" -> (q139 _),
     "q140_jpeg_dims" -> (q140 _),
+    "q141_mp4_header" -> (q141 _),
+    "q142_neardup_ledger_stream" -> (q142 _),
+    "q143_exact_ledger_stream" -> (q143 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -4143,6 +4279,14 @@ object Queries {
       // equal by pigeonhole recall 1 + exact hamming verify
       Dedup.simHashNearDupsBanded(docs(s, dir), "doc_id", "text",
         maxDist = 1)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q144_simhash60_banded" -> ((s: SparkSession, dir: String) =>
+      // the corpus-scale geometry the scaladoc recommends (bits = 60,
+      // 4 pigeonhole bands of 15 bits): same all-pairs oracle rule,
+      // recall 1 by construction at maxDist 3
+      Dedup.simHashNearDupsBanded(docs(s, dir), "doc_id", "text",
+        maxDist = 3, bits = 60)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("doc_a"), col("doc_b"))),
     // --- trained / approximate / sketch ops ------------------------------
@@ -5199,6 +5343,7 @@ object Queries {
     "q25_minhash_lsh" -> minhashOracle,
     "q26_simhash" -> simhashOracle,
     "q48_simhash_neardup" -> simhashBandedOracle,
+    "q144_simhash60_banded" -> simhash60BandedOracle,
     // LSH oracle: the seeded hyperplanes are DETERMINISTIC (same
     // scala.util.Random(42) draw order as Similarity.lshTopK), so the
     // oracle embeds them as SQL list literals (Double.toString
@@ -6955,6 +7100,31 @@ object Queries {
          |    THEN CAST(16 + (doc_id * 3) % 2000 AS BIGINT)
          |    END AS height
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // mp4 box-walk oracle: pure id arithmetic — non-MP4 (7|id) and
+    // truncated-moov (5|id) rows all-NULL, audio-only (9|id) rows
+    // keep times but NULL dims; duration_ms is the integer division
+    // the operator computes
+    "q141_mp4_header" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+         |    THEN 'isom' END AS major_brand,
+         |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+         |    THEN CAST(600 + (doc_id % 9) * 400 AS BIGINT)
+         |    END AS timescale,
+         |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+         |    THEN CAST(10000 + (doc_id * 37) % 90000 AS BIGINT)
+         |    END AS duration,
+         |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+         |    THEN CAST((10000 + (doc_id * 37) % 90000) * 1000
+         |      // (600 + (doc_id % 9) * 400) AS BIGINT)
+         |    END AS duration_ms,
+         |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+         |      AND doc_id % 9 <> 0
+         |    THEN CAST(16 + doc_id % 1280 AS BIGINT) END AS width,
+         |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+         |      AND doc_id % 9 <> 0
+         |    THEN CAST(16 + (doc_id * 3) % 720 AS BIGINT) END AS height
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // near-dup ledger oracle: the ledger's two-batch admit decisions ≡
     // one-shot nearDupDrops on the union (spec-pinned parity under the
     // monotone-id contract), and one-shot's ANSI form is the q42
@@ -6985,6 +7155,45 @@ object Queries {
          |  AND doc_id NOT IN (SELECT doc_id FROM neardrop)
          |  AND doc_id NOT IN (SELECT doc_id FROM exactdrop)
          |ORDER BY doc_id""".stripMargin,
+    // streamed near-dup admit: decisions ≡ the q129 batch replay (the
+    // epoch protocol re-emits sealed decisions; the entry itself
+    // replays epoch 0 against the moved ledger, so a re-deciding
+    // protocol would hash-mismatch)
+    "q142_neardup_ledger_stream" ->
+      s"""$shinglesSql,
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |     count(*) AS inter
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |   GROUP BY 1, 2),
+         | neardrop AS (SELECT DISTINCT doc_b AS doc_id FROM inter
+         |   JOIN sz za ON doc_a = za.doc_id
+         |   JOIN sz zb ON doc_b = zb.doc_id
+         |   WHERE CAST(inter AS DOUBLE) /
+         |     CAST(za.n_sh + zb.n_sh - inter AS DOUBLE) >= 0.8),
+         | exactdrop AS (SELECT DISTINCT d.doc_id FROM documents d
+         |   JOIN documents e ON md5(e.text) = md5(d.text)
+         |     AND e.doc_id < d.doc_id),
+         | cut AS (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS c
+         |   FROM documents)
+         |SELECT doc_id, CAST(CASE WHEN doc_id <= (SELECT c FROM cut)
+         |    THEN 1 ELSE 2 END AS BIGINT) AS batch
+         |FROM documents
+         |WHERE text IS NOT NULL
+         |  AND doc_id NOT IN (SELECT doc_id FROM neardrop)
+         |  AND doc_id NOT IN (SELECT doc_id FROM exactdrop)
+         |ORDER BY doc_id""".stripMargin,
+    // streamed exact admit: under monotone ids the two-epoch admitted
+    // set is the global min-id representative per content digest
+    "q143_exact_ledger_stream" ->
+      s"""WITH cut AS (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT)
+         |    AS c FROM documents),
+         | f AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+         |   FROM documents WHERE text IS NOT NULL GROUP BY 1)
+         |SELECT doc_id, CAST(CASE WHEN doc_id <= (SELECT c FROM cut)
+         |    THEN 1 ELSE 2 END AS BIGINT) AS batch
+         |FROM f ORDER BY doc_id""".stripMargin,
     "q119_interevent_gaps" ->
       s"""WITH g AS (SELECT event_type,
          |    epoch_us(ts) - lag(epoch_us(ts)) OVER (

@@ -824,6 +824,21 @@ object Dedup {
     // loser fails loudly instead (admit-vs-maintenance is the marker
     // fence + Gen.rewrite's content re-verify, a separate mechanism)
     graft.util.Fs.withIngestLease(spark, path, "ledgerAdmit") {
+      val (admitted, legacyLayout) =
+        ledgerDecide(spark, path, batch, idCol, textCol)
+      admittedOut.foreach(out =>
+        admitted.write.mode("overwrite").parquet(out))
+      ledgerAppend(spark, path, admitted, legacyLayout)
+      admitted
+    }
+
+  /** The admit's READ-DECIDE half ([[ledgerAdmit]]'s body up to the
+    * checkpointed admitted set) — split out so the streamed form can
+    * persist the decisions per epoch BEFORE any append. Callers hold
+    * the ingest lease. Returns (admitted, legacyLayout). */
+  private def ledgerDecide(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String,
+      textCol: String): (DataFrame, Boolean) = {
     graft.util.Fs.failIfUnderMaintenance(spark, path, "ledgerAdmit")
     val hasStore = graft.util.Gen.hasData(spark, path)
     val hashed = batch.filter(col(textCol).isNotNull)
@@ -876,13 +891,17 @@ object Dedup {
       }
     val admitted = hashed.join(
         firstInBatch, Seq("text_md5", idCol)).localCheckpoint()
-    admittedOut.foreach(out =>
-      admitted.write.mode("overwrite").parquet(out))
-    // same no-fragmentation guard as the near-dup ledger: an
-    // all-duplicate batch must not grow the file count. The append
-    // lands in the CURRENT generation (Gen.appendDir establishes
-    // gen-1 for a fresh ledger — versioned from birth, so the first
-    // compaction is already zero-outage).
+    (admitted, legacyLayout)
+  }
+
+  /** The admit's APPEND half — same no-fragmentation guard as the
+    * near-dup ledger: an all-duplicate batch must not grow the file
+    * count. The append lands in the CURRENT generation
+    * (Gen.appendDir establishes gen-1 for a fresh ledger — versioned
+    * from birth, so the first compaction is already zero-outage).
+    * Callers hold the ingest lease. */
+  private def ledgerAppend(spark: org.apache.spark.sql.SparkSession,
+      path: String, admitted: DataFrame, legacyLayout: Boolean): Unit =
     if (!admitted.isEmpty) {
       val dest = graft.util.Gen.appendDir(spark, path)
       if (legacyLayout)
@@ -892,8 +911,92 @@ object Dedup {
         ledgerWriteDigests(admitted.select(col("text_md5")), "append",
           dest)
     }
-    admitted
-  }
+
+  /** Streamed [[ledgerAdmit]] — the `foreachBatch` epoch protocol that
+    * makes RETRIED micro-batches idempotent. Structured Streaming
+    * re-delivers an epoch after a failure (at-least-once into
+    * `foreachBatch`), and a naive re-run would re-DECIDE the batch
+    * against a ledger its first delivery already appended to: every
+    * row of the batch is now "seen", so the retry admits nothing and
+    * the downstream sink (which may have lost the first delivery —
+    * that is why the epoch was retried) permanently loses them.
+    * The fix is the crash-safe order [[ledgerAdmit]]'s scaladoc
+    * specifies, keyed by epoch: the admit DECISIONS are persisted
+    * under `epochRoot/epoch-<id>/admitted` and sealed with a
+    * `_decided` marker BEFORE the digest append, and an `_appended`
+    * marker seals the append — so a re-delivered epoch at any crash
+    * point re-emits the SAME decisions:
+    *   - crash before `_decided`: re-decide against the unchanged
+    *     ledger (deterministic — min-id reps, static store) and
+    *     overwrite the partial epoch output;
+    *   - crash between `_decided` and `_appended`: decisions are
+    *     sealed; the retry appends the STORED admitted digests and
+    *     seals (a crash mid-append can double-append digests — unique
+    *     by construction in the seen-set semantics, reported by
+    *     [[dedupLedgerStats]] and collapsed by
+    *     [[compactDedupLedger]]'s distinct, decisions unaffected);
+    *   - after `_appended`: the epoch is complete — re-emit the stored
+    *     decisions, touch nothing.
+    * Each epoch takes the same ingest lease as a batch admit, so
+    * streamed and batch ingest serialize against each other and
+    * maintenance fail-fasts against both. Returns the epoch's admitted
+    * rows (always the stored copy — bit-stable across retries). */
+  def ledgerAdmitStreamBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, epochRoot: String, batch: DataFrame, idCol: String,
+      textCol: String, epochId: Long): DataFrame =
+    graft.util.Fs.withIngestLease(spark, path,
+        s"ledgerAdmitStream(epoch=$epochId)") {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val eDir = epochDir(epochRoot, epochId)
+      val decidedM = new org.apache.hadoop.fs.Path(s"$eDir/_decided")
+      val appendedM = new org.apache.hadoop.fs.Path(s"$eDir/_appended")
+      val admittedPath = s"$eDir/admitted"
+      if (fs.exists(appendedM)) spark.read.parquet(admittedPath)
+      else {
+        if (!fs.exists(decidedM)) {
+          val (admitted, _) =
+            ledgerDecide(spark, path, batch, idCol, textCol)
+          admitted.write.mode("overwrite").parquet(admittedPath)
+          fs.create(decidedM, true).close()
+        }
+        val admitted = spark.read.parquet(admittedPath)
+        // legacy re-derives from the store itself (a schema read), so
+        // the append is correct whether this is a first run or a
+        // retry against a layout the first run already established
+        val legacy = graft.util.Gen.hasData(spark, path) &&
+          !spark.read.parquet(graft.util.Gen.resolve(spark, path))
+            .columns.contains("db")
+        ledgerAppend(spark, path, admitted, legacy)
+        fs.create(appendedM, true).close()
+        admitted
+      }
+    }
+
+  /** Wire a document stream into the exact-dedup ledger: one
+    * [[ledgerAdmitStreamBatch]] per micro-batch via `foreachBatch`,
+    * with the sink's checkpoint at `checkpointLocation` driving the
+    * epoch ids. The admitted rows of epoch N are at
+    * `epochRoot/epoch-<N>/admitted` — a downstream consumer reads them
+    * from there (the streamed analog of `admittedOut`), and retries
+    * re-emit identical content (see the epoch protocol). Caller stops
+    * the returned query. */
+  def ledgerAdmitStream(spark: org.apache.spark.sql.SparkSession,
+      path: String, epochRoot: String, stream: DataFrame, idCol: String,
+      textCol: String, checkpointLocation: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (b: DataFrame, epochId: Long) =>
+        ledgerAdmitStreamBatch(spark, path, epochRoot, b, idCol,
+          textCol, epochId)
+        ()
+      }
+      .start()
+
+  /** One epoch's state dir under the streamed-admit root. */
+  private def epochDir(epochRoot: String, epochId: Long): String =
+    f"$epochRoot/epoch-$epochId%012d"
 
   /** Digest-bucket of the exact ledger's store layout — the analog of
     * [[ndlDb]], baked into partition dirs the same way (a probe
@@ -1081,8 +1184,27 @@ object Dedup {
     // two concurrent admits would each decide against a store missing
     // the other's rows and double-admit near-dups across the batches
     // (admit-vs-maintenance stays the marker fence + content
-    // re-verify)
+    // re-verify; maintenance on the BANDS store also fail-fasts on
+    // this primary lease via Gen.rewrite's extraLeases)
     graft.util.Fs.withIngestLease(spark, path, "nearDupLedgerAdmit") {
+      val (admitted, novel) = ndlDecide(spark, path, batch, idCol,
+        textCol, n, bands, rows, threshold, hasher, auditOut)
+      admittedOut.foreach(out =>
+        admitted.write.mode("overwrite").parquet(out))
+      ndlAppend(spark, path, novel, bands, rows)
+      admitted
+    }
+
+  /** The near-dup admit's READ-DECIDE half ([[nearDupLedgerAdmit]]'s
+    * body through the checkpointed decision and novel-signature sets)
+    * — split out so the streamed form can persist both per epoch
+    * BEFORE any append. Callers hold the primary's ingest lease.
+    * Returns (admitted, novel). */
+  private def ndlDecide(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rows: Int, threshold: Double,
+      hasher: Column => Column,
+      auditOut: Option[String]): (DataFrame, DataFrame) = {
     graft.util.Fs.failIfUnderMaintenance(spark, path,
       "nearDupLedgerAdmit")
     graft.util.Fs.failIfUnderMaintenance(spark, ndlBandsPath(path),
@@ -1285,20 +1407,91 @@ object Dedup {
       .join(store.select(col("text_md5")), Seq("text_md5"), "left_anti")
       .select(storeCols.map(col): _*) // USING-join reorders; keep layout
       .localCheckpoint()
-    admittedOut.foreach(out =>
-      admitted.write.mode("overwrite").parquet(out))
-    // an all-duplicate batch (a daily re-run, a replayed feed) appends
-    // NOTHING — an unconditional append would still write one empty
-    // part file per re-run and fragment the store for no information.
-    // Band keys land FIRST (see the scaladoc's crash-ordering note).
+    (admitted, novel)
+  }
+
+  /** The near-dup admit's APPEND half. An all-duplicate batch (a daily
+    * re-run, a replayed feed) appends NOTHING — an unconditional
+    * append would still write one empty part file per re-run and
+    * fragment the store for no information. Band keys land FIRST (see
+    * [[nearDupLedgerAdmit]]'s crash-ordering note). Callers hold the
+    * primary's ingest lease. */
+  private def ndlAppend(spark: org.apache.spark.sql.SparkSession,
+      path: String, novel: DataFrame, bands: Int, rows: Int): Unit =
     if (!novel.isEmpty) {
       ndlWriteBands(ndlBandKeys(novel, bands, rows), "append",
-        graft.util.Gen.appendDir(spark, bandsPath))
+        graft.util.Gen.appendDir(spark, ndlBandsPath(path)))
       ndlWritePrimary(novel, "append",
         graft.util.Gen.appendDir(spark, path))
     }
-    admitted
-  }
+
+  /** Streamed [[nearDupLedgerAdmit]] — the same epoch protocol as
+    * [[ledgerAdmitStreamBatch]] (read its scaladoc for the retry
+    * semantics), with TWO persisted decision sets per epoch: the
+    * admitted batch rows (`epoch-<id>/admitted`, what downstream
+    * consumes) and the novel signature rows (`epoch-<id>/novel`, what
+    * the append writes to both stores) — both sealed by `_decided`
+    * before any append, so a re-delivered epoch re-emits identical
+    * decisions AND re-appends exactly the signatures it first decided,
+    * never re-deriving either against a ledger the first delivery
+    * moved. A retry that crashed mid-append can double-append novel
+    * rows: decisions are unaffected (candidates and verify pairs
+    * de-duplicate) and [[compactNearDupLedger]]'s distinct collapses
+    * them. Audit output is per-epoch when `audit = true`
+    * (`epoch-<id>/audit`, same schema as the batch `auditOut`). */
+  def nearDupLedgerAdmitStreamBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, epochRoot: String, batch: DataFrame, idCol: String,
+      textCol: String, epochId: Long, n: Int = 3, bands: Int = 4,
+      rows: Int = 4, threshold: Double = 0.8,
+      hasher: Column => Column = hash60(_),
+      audit: Boolean = false): DataFrame =
+    graft.util.Fs.withIngestLease(spark, path,
+        s"nearDupLedgerAdmitStream(epoch=$epochId)") {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val eDir = epochDir(epochRoot, epochId)
+      val decidedM = new org.apache.hadoop.fs.Path(s"$eDir/_decided")
+      val appendedM = new org.apache.hadoop.fs.Path(s"$eDir/_appended")
+      val admittedPath = s"$eDir/admitted"
+      val novelPath = s"$eDir/novel"
+      if (fs.exists(appendedM)) spark.read.parquet(admittedPath)
+      else {
+        if (!fs.exists(decidedM)) {
+          val (admitted, novel) = ndlDecide(spark, path, batch, idCol,
+            textCol, n, bands, rows, threshold, hasher,
+            if (audit) Some(s"$eDir/audit") else None)
+          admitted.write.mode("overwrite").parquet(admittedPath)
+          novel.write.mode("overwrite").parquet(novelPath)
+          fs.create(decidedM, true).close()
+        }
+        ndlAppend(spark, path, spark.read.parquet(novelPath), bands,
+          rows)
+        fs.create(appendedM, true).close()
+        spark.read.parquet(admittedPath)
+      }
+    }
+
+  /** Wire a document stream into the near-dup ledger: one
+    * [[nearDupLedgerAdmitStreamBatch]] per micro-batch via
+    * `foreachBatch`, the sink checkpoint at `checkpointLocation`
+    * driving the epoch ids; admitted rows of epoch N land at
+    * `epochRoot/epoch-<N>/admitted` and retries re-emit identical
+    * content. Caller stops the returned query. */
+  def nearDupLedgerAdmitStream(spark: org.apache.spark.sql.SparkSession,
+      path: String, epochRoot: String, stream: DataFrame, idCol: String,
+      textCol: String, checkpointLocation: String, n: Int = 3,
+      bands: Int = 4, rows: Int = 4, threshold: Double = 0.8,
+      hasher: Column => Column = hash60(_), audit: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (b: DataFrame, epochId: Long) =>
+        nearDupLedgerAdmitStreamBatch(spark, path, epochRoot, b, idCol,
+          textCol, epochId, n, bands, rows, threshold, hasher, audit)
+        ()
+      }
+      .start()
 
   /** Number of doc buckets in the near-dup ledger's primary store — the
     * partition-pruning granularity of the verify stage's hs fetch. A
@@ -1511,9 +1704,9 @@ object Dedup {
       s"band geometry ${useBands}x$useRows does not match the ledger's " +
         s"$mh signature columns")
     val bandsPath = ndlBandsPath(path)
-    graft.util.Gen.rewrite(spark, bandsPath)(g =>
-      ndlWriteBands(ndlBandKeys(primary, useBands, useRows), "overwrite",
-        g))
+    graft.util.Gen.rewrite(spark, bandsPath, extraLeases = Seq(path))(
+      g => ndlWriteBands(ndlBandKeys(primary, useBands, useRows),
+        "overwrite", g))
     spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath)).count()
   }
 
@@ -1578,7 +1771,13 @@ object Dedup {
     graft.util.Gen.createMarker(spark, path)
     try {
       if (graft.util.Gen.hasData(spark, bandsPath))
-        graft.util.Gen.rewrite(spark, bandsPath) { tmp =>
+        // the band store's ingest is serialized by the PRIMARY's lease
+        // (one lease covers the admit's appends to both stores), so
+        // fail fast on it here too — without this, an admit that took
+        // its lease before our marker went down would only be caught
+        // by the late content re-verify
+        graft.util.Gen.rewrite(spark, bandsPath,
+            extraLeases = Seq(path)) { tmp =>
           spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath))
             .join(broadcast(mapping), Seq("doc"), "left")
             .select(col("kb"), col("band"), col("kh"),
@@ -1731,7 +1930,10 @@ object Dedup {
     graft.util.Gen.createMarker(spark, path)
     try {
       if (graft.util.Gen.hasData(spark, bandsPath))
-        graft.util.Gen.rewrite(spark, bandsPath) { tmp =>
+        // fail fast on the PRIMARY's lease too — it is the lease that
+        // serializes ingest into this band store (see the forget)
+        graft.util.Gen.rewrite(spark, bandsPath,
+            extraLeases = Seq(path)) { tmp =>
           spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath))
             .filter(!purge)
             .repartition(col("kb"))
@@ -1780,7 +1982,10 @@ object Dedup {
     }
     val bandsPath = ndlBandsPath(path)
     if (graft.util.Gen.hasData(spark, bandsPath))
-      graft.util.Gen.rewrite(spark, bandsPath) { tmp =>
+      // fail fast on the PRIMARY's lease too — it is the lease that
+      // serializes ingest into this band store (see the forget)
+      graft.util.Gen.rewrite(spark, bandsPath,
+          extraLeases = Seq(path)) { tmp =>
         spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath))
           .distinct()
           // kb recomputes from kh — this is what makes compaction the

@@ -163,8 +163,10 @@ object Multimodal {
     *     19/23 (top-down BMPs store a negative height — abs'd here);
     *   - WAV: channels (LE u16 at 23) and sample rate (LE u32 at 25),
     *     canonical fmt-first layout.
-    * Everything else (JPEG's variable SOF scan, MP4's box walk) needs
-    * a real parser and stays NULL — the decode stub's swap point.
+    * The variable-layout formats have their own real parsers now —
+    * [[jpegDimensions]] (SOF marker walk) and [[mp4Headers]] (ISO-BMFF
+    * box walk); only the pixel/sample DECODE remains the stub's swap
+    * point.
     * Returns a struct (width, height, sample_rate, channels), nulls
     * where the format doesn't carry the field or the payload is too
     * short for its own header. Like [[sniffFormat]]: the binary is
@@ -243,6 +245,164 @@ object Multimodal {
         (id, dims.map(_._1.toLong), dims.map(_._2.toLong))
       })
       .toDF(idCol, "width", "height")
+  }
+
+  private def mp4U32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+
+  private def mp4U64(b: Array[Byte], i: Int): Long =
+    (mp4U32(b, i) << 32) | mp4U32(b, i + 4)
+
+  private def mp4Type(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "ISO-8859-1")
+
+  /** One ISO-BMFF box at `i`: (type, payloadStart, boxEnd), or None on
+    * a truncated/desynced header. size==1 reads the 64-bit largesize;
+    * size==0 extends to EOF; any size below the header's own length is
+    * desync. */
+  private def mp4Box(b: Array[Byte], i: Int,
+      end: Int): Option[(String, Int, Long)] = {
+    if (i + 8 > end) return None
+    val size = mp4U32(b, i)
+    val t = mp4Type(b, i + 4)
+    if (size == 0L) Some((t, i + 8, b.length.toLong))
+    else if (size == 1L) {
+      if (i + 16 > end) None
+      else {
+        val s64 = mp4U64(b, i + 8)
+        if (s64 < 16L) None else Some((t, i + 16, i + s64))
+      }
+    } else if (size < 8L) None
+    else Some((t, i + 8, i + size))
+  }
+
+  /** Bounded ISO-BMFF (MP4/MOV) box walk over the payload head:
+    * (major_brand, timescale, duration, first video track dims).
+    * None for non-MP4 (no leading `ftyp`), truncated, or desynced
+    * payloads; dims None for audio-only movies (no track with nonzero
+    * tkhd width/height). The `moov` must sit inside the first
+    * `bound` bytes — faststart layout; a moov-at-end file reads as
+    * unparseable rather than walking unbounded (a production tail
+    * fetch passes a larger slice the same way q140's JPEG bound is
+    * tuned). Handles mvhd/tkhd version 0 AND 1 (the 64-bit time
+    * variants); tkhd dims are 16.16 fixed point, integer part kept. */
+  private[graft] def mp4Walk(b: Array[Byte],
+      bound: Int = 1 << 16): Option[
+      (String, Long, Long, Option[(Long, Long)])] = {
+    if (b == null || b.length < 12) return None
+    val end = math.min(b.length, bound)
+    // the file-type box must lead (the sniff contract): brand at 8..12
+    if (mp4Type(b, 4) != "ftyp") return None
+    val brand = mp4Type(b, 8)
+    var timescale = -1L
+    var duration = -1L
+    var dims: Option[(Long, Long)] = None
+
+    def parseMvhd(p: Int, boxEnd: Int): Boolean = {
+      if (p >= boxEnd) return false
+      val v = b(p) & 0xFF
+      if (v == 0) {
+        if (p + 20 > boxEnd) return false
+        timescale = mp4U32(b, p + 12); duration = mp4U32(b, p + 16)
+      } else if (v == 1) {
+        if (p + 32 > boxEnd) return false
+        timescale = mp4U32(b, p + 20); duration = mp4U64(b, p + 24)
+      } else return false
+      true
+    }
+
+    def parseTkhd(p: Int, boxEnd: Int): Option[(Long, Long)] = {
+      if (p >= boxEnd) return None
+      val off = (b(p) & 0xFF) match {
+        case 0 => 76
+        case 1 => 88
+        case _ => return None
+      }
+      if (p + off + 8 > boxEnd) return None
+      // 16.16 fixed point — integer part
+      val w = mp4U32(b, p + off) >> 16
+      val h = mp4U32(b, p + off + 4) >> 16
+      if (w > 0L && h > 0L) Some((w, h)) else None
+    }
+
+    // child walks return false on desync/truncation inside a container
+    // we committed to parsing — the whole payload then reads as NULL,
+    // never as a half-parsed row
+    def walkTrak(from: Int, to: Int): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        mp4Box(b, i, to) match {
+          case Some((t, p, e)) if e <= to =>
+            if (t == "tkhd" && dims.isEmpty)
+              dims = parseTkhd(p, e.toInt)
+            i = e.toInt
+          case _ => return false
+        }
+      }
+      i == to
+    }
+
+    def walkMoov(from: Int, to: Int): Boolean = {
+      var i = from
+      var sawMvhd = false
+      while (i + 8 <= to) {
+        mp4Box(b, i, to) match {
+          case Some((t, p, e)) if e <= to =>
+            if (t == "mvhd") {
+              if (!parseMvhd(p, e.toInt)) return false
+              sawMvhd = true
+            } else if (t == "trak" && dims.isEmpty) {
+              if (!walkTrak(p, e.toInt)) return false
+            }
+            i = e.toInt
+          case _ => return false
+        }
+      }
+      sawMvhd && i == to
+    }
+
+    var i = 0
+    while (i + 8 <= end) {
+      mp4Box(b, i, end) match {
+        case Some((t, p, e)) =>
+          if (t == "moov") {
+            // the movie metadata must be COMPLETE inside the bound —
+            // a truncated moov reads as NULL, never a partial parse
+            if (e > end || !walkMoov(p, e.toInt)) return None
+            return Some((brand, timescale, duration, dims))
+          }
+          if (e <= i) return None // zero-progress guard
+          i = if (e > end.toLong) end else e.toInt
+        case None => return None
+      }
+    }
+    None // no moov inside the bound (moov-at-end, or truncated)
+  }
+
+  /** REAL MP4/ISO-BMFF header metadata — the box WALK the container
+    * family needs where [[mediaHeader]]'s fixed offsets cannot reach:
+    * `ftyp` major brand, `mvhd` timescale + duration (+ the derived
+    * integer `duration_ms`), and the first video track's `tkhd`
+    * dimensions, parsed from the first 64 KB with zero codecs in the
+    * same bounded `mapPartitions` shape as [[jpegDimensions]]. NULLs
+    * for non-MP4, truncated, desynced, or moov-at-end payloads; dims
+    * NULL (times kept) for audio-only movies. */
+  def mp4Headers(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(binCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val info = mp4Walk(bytes)
+        (id, info.map(_._1), info.map(_._2), info.map(_._3),
+          info.flatMap { case (_, ts, d, _) =>
+            if (ts > 0L) Some(d * 1000L / ts) else None },
+          info.flatMap(_._4.map(_._1)), info.flatMap(_._4.map(_._2)))
+      })
+      .toDF(idCol, "major_brand", "timescale", "duration",
+        "duration_ms", "width", "height")
   }
 
   /** [[mediaHeader]] over a table: one row per item with the sniffed

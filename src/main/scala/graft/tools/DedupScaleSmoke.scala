@@ -568,6 +568,32 @@ object DedupScaleSmoke {
         fragged > compacted && compacted <= 32,
         s"ledger lifecycle broke: re1=$re1 re2=$re2 " +
           s"files $fragged -> $compacted")
+      // the STREAMED trickle path (r17): the same drain through the
+      // epoch-keyed foreachBatch protocol — per-epoch cost is the
+      // admit plus one small decision write, and a forced re-delivery
+      // of an early epoch against the moved ledger re-emits its sealed
+      // decisions without rescanning history
+      val sLedger = s"$ledgerRoot/stream_ledger"
+      val epochs = s"$ledgerRoot/epochs"
+      val admits = time(s"5 streamed ledgerAdmitStreamBatch epochs of " +
+          s"$batchSz") {
+        (0 until 5).map { e =>
+          graft.operators.Dedup.ledgerAdmitStreamBatch(spark, sLedger,
+            epochs, docs.filter(col("doc_id") >= e * batchSz &&
+              col("doc_id") < (e + 1) * batchSz),
+            "doc_id", "text", e.toLong).count()
+        }.sum
+      }
+      val replayed = time("forced re-delivery of epoch 0 (sealed " +
+          "decisions re-emitted)") {
+        graft.operators.Dedup.ledgerAdmitStreamBatch(spark, sLedger,
+          epochs, docs.filter(col("doc_id") < batchSz),
+          "doc_id", "text", 0L).count()
+      }
+      val epoch0 = spark.read.parquet(
+        f"$epochs/epoch-${0L}%012d/admitted").count()
+      require(replayed == epoch0 && admits > 0L,
+        s"streamed epoch replay broke: $replayed vs $epoch0")
     } finally graft.util.Fs.deleteRecursively(ledgerRoot)
 
     // the NEAR-dup ledger's production life: same daily drain, but each

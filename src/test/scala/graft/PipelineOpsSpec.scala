@@ -3805,4 +3805,67 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(Multimodal.jpegSof("not a jpeg".getBytes("UTF-8")) === None)
     assert(Multimodal.jpegSof(Array.emptyByteArray) === None)
   }
+
+  test("mp4Walk: bounded ISO-BMFF box walk — ftyp brand, mvhd v0/v1 " +
+      "times, first VIDEO track's tkhd dims past audio tracks and " +
+      "free boxes; refuses non-mp4, truncation, child desync, and " +
+      "moov beyond the bound") {
+    def bb(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def be32(v: Long) =
+      Array.tabulate(4)(i => ((v >> (8 * (3 - i))) & 0xFF).toByte)
+    def be64(v: Long) =
+      Array.tabulate(8)(i => ((v >> (8 * (7 - i))) & 0xFF).toByte)
+    def box(t: String, p: Array[Byte]) =
+      be32(8L + p.length) ++ t.getBytes("ISO-8859-1") ++ p
+    val ftyp = box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ be32(512L) ++
+        "mp41".getBytes("ISO-8859-1"))
+    def mvhd0(ts: Long, d: Long) = box("mvhd",
+      bb(0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(ts) ++ be32(d) ++
+        Array.fill(80)(0.toByte))
+    def mvhd1(ts: Long, d: Long) = box("mvhd",
+      bb(1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(ts) ++ be64(d) ++
+        Array.fill(80)(0.toByte))
+    def tkhd0(w: Long, h: Long) = box("tkhd",
+      bb(0, 0, 0, 0) ++ Array.fill(72)(0.toByte) ++
+        be32(w << 16) ++ be32(h << 16))
+    def tkhd1(w: Long, h: Long) = box("tkhd",
+      bb(1, 0, 0, 0) ++ Array.fill(84)(0.toByte) ++
+        be32(w << 16) ++ be32(h << 16))
+    def moov(parts: Array[Byte]*) = box("moov", parts.flatten.toArray)
+    def trak(t: Array[Byte]) = box("trak", t)
+
+    val simple = ftyp ++ moov(mvhd0(600L, 12000L),
+      trak(tkhd0(1280L, 720L)))
+    assert(Multimodal.mp4Walk(simple) ===
+      Some(("isom", 600L, 12000L, Some((1280L, 720L)))))
+    // v1 headers, a free box before moov, an audio (zero-dim) track
+    // BEFORE the video track — the walk must keep walking
+    val v1 = ftyp ++ box("free", Array.fill(16)(0.toByte)) ++
+      moov(mvhd1(90000L, 123456789L), trak(tkhd0(0L, 0L)),
+        trak(tkhd1(640L, 480L)))
+    assert(Multimodal.mp4Walk(v1) ===
+      Some(("isom", 90000L, 123456789L, Some((640L, 480L)))))
+    // audio-only movie: times parse, dims None
+    assert(Multimodal.mp4Walk(
+      ftyp ++ moov(mvhd0(8000L, 16000L), trak(tkhd0(0L, 0L)))) ===
+      Some(("isom", 8000L, 16000L, None)))
+    // non-mp4 / too short
+    assert(Multimodal.mp4Walk("definitely not an mp4 file"
+      .getBytes("UTF-8")) === None)
+    assert(Multimodal.mp4Walk(Array.emptyByteArray) === None)
+    // truncation inside the moov header/payload
+    assert(Multimodal.mp4Walk(simple.take(ftyp.length + 12)) === None)
+    assert(Multimodal.mp4Walk(simple.dropRight(6)) === None)
+    // child desync: a moov child whose size is below its own header
+    assert(Multimodal.mp4Walk(ftyp ++ box("moov",
+      be32(3L) ++ "mvhd".getBytes("ISO-8859-1"))) === None)
+    // moov BEYOND the bound (the moov-at-end layout): unparseable,
+    // never an unbounded scan
+    val atEnd = ftyp ++ box("mdat", Array.fill(64)(0.toByte)) ++
+      moov(mvhd0(600L, 1200L), trak(tkhd0(64L, 64L)))
+    assert(Multimodal.mp4Walk(atEnd, bound = ftyp.length + 16) === None)
+    assert(Multimodal.mp4Walk(atEnd) ===
+      Some(("isom", 600L, 1200L, Some((64L, 64L))))) // default bound ok
+  }
 }

@@ -1266,6 +1266,140 @@ class StreamingSpec extends SparkTestBase {
       .foreach(graft.util.Fs.deleteRecursively)
   }
 
+  test("streamed exact-ledger admit (ledgerAdmitStream): epoch-keyed " +
+      "decisions match the batch replay, and a forcibly RE-RUN epoch " +
+      "re-emits bit-identical decisions without re-deciding against " +
+      "the moved ledger or growing it") {
+    import SparkTestBase.session.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_lstream").toString
+    val ledger = s"$root/ledger"
+    val epochs = s"$root/epochs"
+    val srcDir = s"$root/src"
+    try {
+      // two micro-batches with cross-batch AND in-batch duplicates:
+      // epoch 0 = docs 0-9, epoch 1 = docs 10-19 where 10-14 duplicate
+      // 5-9's content and 18/19 duplicate 16/17's within the batch
+      val b1 = (0 until 10).map(i => (i.toLong, s"content ${i}"))
+      val b2 = (10 until 20).map(i =>
+        (i.toLong, s"content ${if (i < 15) i - 5 else if (i > 17) i - 2
+          else i}"))
+      b1.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").json(s"$srcDir/b1")
+      b2.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").json(s"$srcDir/b2")
+      new java.io.File(s"$srcDir/b1").listFiles()
+        .foreach(_.setLastModified(1000000000L))
+      new java.io.File(s"$srcDir/b2").listFiles()
+        .foreach(_.setLastModified(1000060000L))
+      val q = Dedup.ledgerAdmitStream(spark, ledger, epochs,
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", "1").json(s"$srcDir/*"),
+        "doc_id", "text", s"$root/ckpt")
+      q.processAllAvailable(); q.stop()
+      // per-epoch decisions ≡ the batch two-admit replay
+      val e0 = spark.read.parquet(s"$epochs/epoch-000000000000/admitted")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val e1 = spark.read.parquet(s"$epochs/epoch-000000000001/admitted")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val ledgerB = s"$root/ledgerB"
+      val a1 = Dedup.ledgerAdmit(spark, ledgerB,
+        b1.toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val a2 = Dedup.ledgerAdmit(spark, ledgerB,
+        b2.toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(e0 === a1 && e1 === a2)
+      assert(e1 === Seq(15L, 16L, 17L)) // 10-14 cross-dup, 18/19 in-dup
+      def digests() = spark.read
+        .parquet(graft.util.Gen.resolve(spark, ledger)).count()
+      val nBefore = digests()
+      // FORCED epoch re-delivery (the at-least-once retry): epoch 0
+      // re-runs against a ledger both epochs already moved — a naive
+      // re-decide would now admit nothing; the protocol re-emits the
+      // SEALED decisions and appends nothing
+      val replay = Dedup.ledgerAdmitStreamBatch(spark, ledger, epochs,
+        b1.toDF("doc_id", "text"), "doc_id", "text", 0L)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(replay === e0)
+      assert(digests() === nBefore)
+      // crash BETWEEN _decided and _appended: drop epoch 1's append
+      // seal and retry — decisions still come from the sealed store
+      // (bit-identical), the re-append may duplicate digests, and
+      // compaction collapses them to the same distinct count
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$epochs/epoch-000000000001/_appended"), false)
+      val replay2 = Dedup.ledgerAdmitStreamBatch(spark, ledger, epochs,
+        b2.toDF("doc_id", "text"), "doc_id", "text", 1L)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(replay2 === e1)
+      assert(Dedup.compactDedupLedger(spark, ledger) === nBefore)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("streamed near-dup ledger admit (nearDupLedgerAdmitStream): " +
+      "epoch decisions match the batch replay and a forced epoch " +
+      "re-run re-emits identical decisions with both stores unmoved") {
+    import SparkTestBase.session.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_ndlstream").toString
+    val ledger = s"$root/ledger"
+    val epochs = s"$root/epochs"
+    val srcDir = s"$root/src"
+    try {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") < 300).select("doc_id", "text")
+      val cut = 150L
+      docs.filter(col("doc_id") < cut).coalesce(1)
+        .write.mode("overwrite").json(s"$srcDir/b1")
+      docs.filter(col("doc_id") >= cut).coalesce(1)
+        .write.mode("overwrite").json(s"$srcDir/b2")
+      new java.io.File(s"$srcDir/b1").listFiles()
+        .foreach(_.setLastModified(1000000000L))
+      new java.io.File(s"$srcDir/b2").listFiles()
+        .foreach(_.setLastModified(1000060000L))
+      val q = Dedup.nearDupLedgerAdmitStream(spark, ledger, epochs,
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", "1").json(s"$srcDir/*"),
+        "doc_id", "text", s"$root/ckpt")
+      q.processAllAvailable(); q.stop()
+      val e0 = spark.read.parquet(s"$epochs/epoch-000000000000/admitted")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val e1 = spark.read.parquet(s"$epochs/epoch-000000000001/admitted")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val ledgerB = s"$root/ledgerB"
+      val a1 = Dedup.nearDupLedgerAdmit(spark, ledgerB,
+        docs.filter(col("doc_id") < cut), "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val a2 = Dedup.nearDupLedgerAdmit(spark, ledgerB,
+        docs.filter(col("doc_id") >= cut), "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(e0 === a1 && e1 === a2 && e0.nonEmpty && e1.nonEmpty)
+      // the streamed ledger pair holds the same signature set as the
+      // batch pair
+      def sigs(p: String) = spark.read
+        .parquet(graft.util.Gen.resolve(spark, p))
+        .select("text_md5").as[String].collect().toSet
+      assert(sigs(ledger) === sigs(ledgerB))
+      // forced re-delivery of epoch 0 against the fully-moved ledger:
+      // identical decisions, primary AND band stores unmoved
+      def counts() = (
+        spark.read.parquet(graft.util.Gen.resolve(spark, ledger))
+          .count(),
+        spark.read.parquet(graft.util.Gen.resolve(spark,
+          s"${ledger}_bands")).count())
+      val before = counts()
+      val replay = Dedup.nearDupLedgerAdmitStreamBatch(spark, ledger,
+        epochs, docs.filter(col("doc_id") < cut), "doc_id", "text", 0L)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(replay === e0)
+      assert(counts() === before)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
