@@ -3868,4 +3868,71 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(Multimodal.mp4Walk(atEnd) ===
       Some(("isom", 600L, 1200L, Some((64L, 64L))))) // default bound ok
   }
+
+  test("storeHealthReport: ONE dispatcher detects every persisted " +
+      "store family from layout alone, routes to its report with " +
+      "store_kind leading, redirects a bands store to its ledger " +
+      "pair, and refuses unknown directories loudly") {
+    import graft.operators.StoreHealth
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_health").toString
+    try {
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(e, "vec_id", "embedding"),
+        s"$root/ivf")
+      Similarity.savePqIndex(
+        Similarity.buildPqIndex(e, "vec_id", "embedding"), s"$root/pq")
+      Similarity.saveIvfPqIndex(
+        Similarity.buildIvfPqIndex(e, "vec_id", "embedding",
+          nCells = 8), s"$root/ivfpq")
+      Similarity.saveSq8Index(
+        Similarity.buildSq8Index(e, "vec_id", "embedding"),
+        s"$root/sq8")
+      Similarity.saveIvfSq8Index(
+        Similarity.buildIvfSq8Index(e, "vec_id", "embedding"),
+        s"$root/ivfsq8")
+      val docsDf = (0 until 20).map(i => (i.toLong, s"doc number $i"))
+        .toDF("doc_id", "text")
+      Dedup.ledgerAdmit(spark, s"$root/ledger", docsDf,
+        "doc_id", "text")
+      Dedup.nearDupLedgerAdmit(spark, s"$root/ndl", docsDf,
+        "doc_id", "text")
+      val expected = Seq(
+        s"$root/ivf" -> "ivf", s"$root/pq" -> "pq",
+        s"$root/ivfpq" -> "ivf_pq", s"$root/sq8" -> "sq8",
+        s"$root/ivfsq8" -> "ivf_sq8",
+        s"$root/ledger" -> "dedup_ledger",
+        s"$root/ndl" -> "neardup_ledger",
+        s"$root/ndl_bands" -> "neardup_bands")
+      expected.foreach { case (p, kind) =>
+        assert(StoreHealth.detectStoreKind(spark, p) === kind,
+          s"kind of $p")
+        val r = StoreHealth.storeHealthReport(spark, p)
+        assert(r.columns.head === "store_kind")
+        val rows = r.collect()
+        assert(rows.nonEmpty && rows.forall(_.getString(0) === kind),
+          s"report of $p")
+      }
+      // the bands redirect reports the PAIR: same tail columns as the
+      // primary's own report
+      assert(StoreHealth.storeHealthReport(spark, s"$root/ndl_bands")
+        .columns.tail.toSeq ===
+        StoreHealth.storeHealthReport(spark, s"$root/ndl")
+          .columns.tail.toSeq)
+      // a generation dir resolves to itself — detection sees through
+      assert(StoreHealth.detectStoreKind(spark,
+        graft.util.Gen.resolve(spark, s"$root/ivf")) === "ivf")
+      // empty and unknown fail loudly, with the diagnosis in the text
+      assert(StoreHealth.detectStoreKind(spark, s"$root/nope") ===
+        "empty")
+      docsDf.write.parquet(s"$root/junk")
+      assert(StoreHealth.detectStoreKind(spark, s"$root/junk") ===
+        "unknown")
+      val boom = intercept[IllegalArgumentException] {
+        StoreHealth.storeHealthReport(spark, s"$root/junk")
+      }
+      assert(boom.getMessage.contains("not a recognizable graft store"))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
 }
