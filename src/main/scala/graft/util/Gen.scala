@@ -410,19 +410,31 @@ object Gen {
     * warning per scheme per JVM at first publish
     * ([[warnIfDegradedPublish]]) — visible in the driver log, not
     * buried per-call. */
-  def publishAtomicity(fs: FileSystem): String = {
-    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    Option(fs.getConf.get(s"graft.gen.publish.atomicity.$scheme"))
+  def publishAtomicity(scheme: String,
+      conf: org.apache.hadoop.conf.Configuration): String =
+    Option(conf.get(s"graft.gen.publish.atomicity.$scheme"))
       .map(_.trim.toLowerCase)
       .filter(v => v == "atomic" || v == "check-then-act")
       .getOrElse(
         if (AtomicRenameSchemes.contains(scheme)) "atomic"
         else "check-then-act")
-  }
 
-  /** Convenience overload for operators auditing a store path. */
+  private def schemeOf(fs: FileSystem): String =
+    Option(fs.getUri.getScheme).getOrElse("file")
+
+  /** Capability by FileSystem — declarations read from the conf the
+    * FS was CREATED with (the cached-FS snapshot), so prefer the
+    * (scheme, conf) or (spark, path) forms when the declaration may
+    * have been set on the live session conf after the FS cache warmed
+    * up. */
+  def publishAtomicity(fs: FileSystem): String =
+    publishAtomicity(schemeOf(fs), fs.getConf)
+
+  /** Convenience overload for operators auditing a store path —
+    * declarations resolve against the LIVE session Hadoop conf. */
   def publishAtomicity(spark: SparkSession, storePath: String): String =
-    publishAtomicity(fsOf(spark, new Path(storePath)))
+    publishAtomicity(schemeOf(fsOf(spark, new Path(storePath))),
+      spark.sparkContext.hadoopConfiguration)
 
   private val warnedSchemes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

@@ -610,9 +610,12 @@ class GenSpec extends SparkTestBase {
       val mockFs = new Path("graftmock:///x").getFileSystem(conf)
       assert(mockFs.getUri.getScheme === "graftmock")
       assert(Gen.publishAtomicity(mockFs) === "check-then-act")
-      // …and the same declaration route upgrades it
+      // …and the same declaration route upgrades it (resolved against
+      // an explicit conf — the FS-object form reads the conf snapshot
+      // the cached FS was created with, which under a parallel suite
+      // may predate this test's set())
       conf.set("graft.gen.publish.atomicity.graftmock", "atomic")
-      assert(Gen.publishAtomicity(mockFs) === "atomic")
+      assert(Gen.publishAtomicity("graftmock", conf) === "atomic")
       conf.unset("graft.gen.publish.atomicity.graftmock")
       // a deployment that KNOWS its store honors atomic no-overwrite
       // rename declares it — the declaration wins
