@@ -998,6 +998,70 @@ object Dedup {
   private def epochDir(epochRoot: String, epochId: Long): String =
     f"$epochRoot/epoch-$epochId%012d"
 
+  private def parseEpoch(name: String): Option[Long] =
+    if (name.startsWith("epoch-"))
+      name.stripPrefix("epoch-").toLongOption
+    else None
+
+  /** The downstream-consumer verb for a streamed-admit root: every
+    * SEALED epoch's admitted rows as one DataFrame with an `epoch`
+    * column, ascending. Epochs that never completed their append
+    * (`_appended` missing — a crash the stream's retry will finish)
+    * are EXCLUDED: their decisions are not yet contractual, and a
+    * consumer that read them would double-count rows once the retry
+    * re-emits. One driver-side listing; the read is a plain
+    * multi-path parquet scan. */
+  def readAdmittedEpochs(spark: org.apache.spark.sql.SparkSession,
+      epochRoot: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(epochRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sealedEpochs =
+      if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).toSeq
+        .flatMap(st => parseEpoch(st.getPath.getName))
+        .filter(e => fs.exists(new org.apache.hadoop.fs.Path(
+          s"${epochDir(epochRoot, e)}/_appended")))
+        .sorted
+    require(sealedEpochs.nonEmpty,
+      s"readAdmittedEpochs: $epochRoot holds no sealed epochs — the " +
+        "stream has not completed a micro-batch yet (or the root is " +
+        "wrong)")
+    sealedEpochs.map { e =>
+      spark.read.parquet(s"${epochDir(epochRoot, e)}/admitted")
+        .withColumn("epoch", lit(e))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Retention for a streamed-admit root: epoch dirs accumulate one
+    * per micro-batch forever, but their idempotence value has a
+    * horizon — Structured Streaming only ever re-delivers epochs
+    * newer than the sink checkpoint's committed watermark, so sealed
+    * epochs far behind the newest can be reclaimed once downstream
+    * has consumed them. Drops SEALED epochs older than the newest
+    * `keepLast` (≥ 1). UNSEALED epochs are never touched regardless
+    * of age: an epoch without `_appended` is a crashed delivery whose
+    * retry NEEDS the sealed decisions (`_decided`) to stay
+    * idempotent — deleting it would re-decide against a moved ledger.
+    * Returns the number of epoch dirs removed. */
+  def sweepAdmitEpochs(spark: org.apache.spark.sql.SparkSession,
+      epochRoot: String, keepLast: Int = 8): Int = {
+    require(keepLast >= 1, "keepLast must be ≥ 1")
+    val root = new org.apache.hadoop.fs.Path(epochRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val all = fs.listStatus(root).toSeq
+      .flatMap(st => parseEpoch(st.getPath.getName)).sorted
+    if (all.isEmpty) return 0
+    // the oldest epoch that stays — everything sealed below it goes
+    val cut = all.drop(math.max(0, all.size - keepLast)).head
+    val drop = all.filter(_ < cut).filter(e =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"${epochDir(epochRoot, e)}/_appended")))
+    drop.foreach(e => fs.delete(
+      new org.apache.hadoop.fs.Path(epochDir(epochRoot, e)), true))
+    drop.size
+  }
+
   /** Digest-bucket of the exact ledger's store layout — the analog of
     * [[ndlDb]], baked into partition dirs the same way (a probe
     * computed with a different modulus would mis-prune and re-admit

@@ -1400,6 +1400,66 @@ class StreamingSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("streamed-admit epoch lifecycle: readAdmittedEpochs consumes " +
+      "only SEALED epochs with their epoch label; sweepAdmitEpochs " +
+      "reclaims old sealed epochs but never an unsealed (crashed) " +
+      "one, and a swept root keeps serving the retained tail") {
+    import SparkTestBase.session.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_epochs").toString
+    val ledger = s"$root/ledger"
+    val epochs = s"$root/epochs"
+    try {
+      // four epochs of disjoint content
+      (0 until 4).foreach { e =>
+        Dedup.ledgerAdmitStreamBatch(spark, ledger, epochs,
+          (e * 10 until e * 10 + 5).map(i => (i.toLong, s"text $i"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", e.toLong)
+      }
+      val all = Dedup.readAdmittedEpochs(spark, epochs)
+      assert(all.count() === 20L)
+      assert(all.groupBy("epoch").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap ===
+        (0L until 4L).map(_ -> 5L).toMap)
+      // an UNSEALED epoch (crash between _decided and _appended) is
+      // invisible to consumers...
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        f"$epochs/epoch-${3L}%012d/_appended"), false)
+      assert(Dedup.readAdmittedEpochs(spark, epochs)
+        .select("epoch").distinct().as[Long].collect().sorted.toSeq ===
+        Seq(0L, 1L, 2L))
+      // ...and the sweep never touches it, no matter how old: epochs
+      // 0 and 1 (sealed, older than the newest 2) go, 3 (unsealed)
+      // stays for its retry
+      assert(Dedup.sweepAdmitEpochs(spark, epochs, keepLast = 2) === 2)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        f"$epochs/epoch-${0L}%012d")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        f"$epochs/epoch-${3L}%012d/_decided")))
+      // the retained tail still reads
+      assert(Dedup.readAdmittedEpochs(spark, epochs)
+        .select("epoch").distinct().as[Long].collect().sorted.toSeq ===
+        Seq(2L))
+      // the crashed epoch's retry completes from its sealed decisions
+      // and becomes consumable again
+      val replay = Dedup.ledgerAdmitStreamBatch(spark, ledger, epochs,
+        (30 until 35).map(i => (i.toLong, s"text $i"))
+          .toDF("doc_id", "text"), "doc_id", "text", 3L)
+      assert(replay.count() === 5L)
+      assert(Dedup.readAdmittedEpochs(spark, epochs)
+        .select("epoch").distinct().as[Long].collect().sorted.toSeq ===
+        Seq(2L, 3L))
+      // idempotent sweep; keepLast floor enforced
+      assert(Dedup.sweepAdmitEpochs(spark, epochs, keepLast = 2) === 0)
+      intercept[IllegalArgumentException] {
+        Dedup.sweepAdmitEpochs(spark, epochs, keepLast = 0)
+      }
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
