@@ -308,6 +308,9 @@ object Multimodal {
       } else if (v == 1) {
         if (p + 32 > boxEnd) return false
         timescale = mp4U32(b, p + 20); duration = mp4U64(b, p + 24)
+        // a u64 duration past Long.MaxValue reads negative — garbage a
+        // real movie cannot carry; treat as desync, never emit it
+        if (duration < 0L) return false
       } else return false
       true
     }
@@ -333,7 +336,10 @@ object Multimodal {
       var i = from
       while (i + 8 <= to) {
         mp4Box(b, i, to) match {
-          case Some((t, p, e)) if e <= to =>
+          // e > i also rejects a largesize whose i + s64 wrapped
+          // negative — without it a crafted box could jump the walk
+          // BACKWARDS (infinite loop in the task) or index negatively
+          case Some((t, p, e)) if e > i && e <= to =>
             if (t == "tkhd" && dims.isEmpty)
               dims = parseTkhd(p, e.toInt)
             i = e.toInt
@@ -348,7 +354,7 @@ object Multimodal {
       var sawMvhd = false
       while (i + 8 <= to) {
         mp4Box(b, i, to) match {
-          case Some((t, p, e)) if e <= to =>
+          case Some((t, p, e)) if e > i && e <= to =>
             if (t == "mvhd") {
               if (!parseMvhd(p, e.toInt)) return false
               sawMvhd = true
@@ -398,7 +404,12 @@ object Multimodal {
         val info = mp4Walk(bytes)
         (id, info.map(_._1), info.map(_._2), info.map(_._3),
           info.flatMap { case (_, ts, d, _) =>
-            if (ts > 0L) Some(d * 1000L / ts) else None },
+            // d * 1000 must not overflow Long (an untrusted 64-bit
+            // field): a duration that large is garbage — NULL, never
+            // a wrapped negative millisecond count
+            if (ts > 0L && d <= Long.MaxValue / 1000L)
+              Some(d * 1000L / ts)
+            else None },
           info.flatMap(_._4.map(_._1)), info.flatMap(_._4.map(_._2)))
       })
       .toDF(idCol, "major_brand", "timescale", "duration",

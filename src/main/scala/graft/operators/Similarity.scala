@@ -1363,12 +1363,6 @@ object Similarity {
     * n_tombstones) — files grow one set per append batch (compaction
     * trigger), tombstones count rows awaiting physical drop. One
     * zero-data-byte scan + the tombstone ids. */
-  /** [[sq8IndexStats]]' layout triple for the plain-PQ store — the
-    * same flat `codes` dataset under the generation dir, the same
-    * (n_rows, n_files, n_tombstones) signals. */
-  def pqIndexStats(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = sq8IndexStats(spark, path)
-
   def sq8IndexStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val g = genDir(spark, path)
@@ -1379,6 +1373,12 @@ object Similarity {
         countDistinct(col("f")).as("n_files"))
       .withColumn("n_tombstones", lit(nTs))
   }
+
+  /** [[sq8IndexStats]]' layout triple for the plain-PQ store — the
+    * same flat `codes` dataset under the generation dir, the same
+    * (n_rows, n_files, n_tombstones) signals. */
+  def pqIndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = sq8IndexStats(spark, path)
 
   /** SQ8 top-k serve: queries broadcast with a precomputed `Σq_j`; the
     * code scan scores each pair with the affine identity

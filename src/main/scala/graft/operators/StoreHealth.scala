@@ -74,9 +74,24 @@ object StoreHealth {
       case "sq8" => Similarity.sq8IndexStats(spark, path)
       case "dedup_ledger" => Dedup.dedupLedgerStats(spark, path)
       case "neardup_ledger" => Dedup.nearDupLedgerHealthReport(spark, path)
-      case "neardup_bands" if path.endsWith("_bands") =>
-        Dedup.nearDupLedgerHealthReport(spark,
-          path.stripSuffix("_bands"))
+      case "neardup_bands" =>
+        // the pair's primary derives from the store root — the path
+        // itself, or (for a generation dir handed straight in) its
+        // parent; a renamed/copied band store has no derivable pair
+        val bandsRoot =
+          if (path.endsWith("_bands")) Some(path)
+          else Option(new org.apache.hadoop.fs.Path(path).getParent)
+            .map(_.toString).filter(_.endsWith("_bands"))
+        bandsRoot match {
+          case Some(b) => Dedup.nearDupLedgerHealthReport(spark,
+            b.stripSuffix("_bands"))
+          case None => throw new IllegalArgumentException(
+            s"storeHealthReport: $path is a near-dup BAND store " +
+              "whose ledger primary cannot be derived from the path " +
+              "(the pair lives at <primary> and <primary>_bands) — " +
+              "pass the ledger primary path; its report audits both " +
+              "stores")
+        }
       case other =>
         throw new IllegalArgumentException(
           s"storeHealthReport: $path is not a recognizable graft " +

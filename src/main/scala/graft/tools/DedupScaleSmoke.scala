@@ -742,6 +742,27 @@ object DedupScaleSmoke {
         Dedup.nearDupLedgerAdmit(spark, ndl,
           docs.filter(col("doc_id") < ndlBatch),
           "doc_id", "text").count())
+      // the STREAMED near-dup path (r17) against the full 200k-row
+      // history: one epoch through the foreachBatch protocol (same
+      // decide cost as the batch admit + one small decision write),
+      // then a forced re-delivery — the replay must re-emit the
+      // sealed decisions in metadata time (no signatures, no band
+      // probe, no verify)
+      val ndlEpochs = s"$ndlRoot/epochs"
+      val sAdmit = time("nearDupLedgerAdmitStreamBatch epoch 0 " +
+          "(all-dup batch vs full history)") {
+        Dedup.nearDupLedgerAdmitStreamBatch(spark, ndl, ndlEpochs,
+          docs.filter(col("doc_id") < ndlBatch),
+          "doc_id", "text", 0L).count()
+      }
+      val sReplay = time("forced re-delivery of that epoch (sealed " +
+          "decisions re-emitted)") {
+        Dedup.nearDupLedgerAdmitStreamBatch(spark, ndl, ndlEpochs,
+          docs.filter(col("doc_id") < ndlBatch),
+          "doc_id", "text", 0L).count()
+      }
+      require(sAdmit == 0L && sReplay == 0L,
+        s"streamed ndl epoch broke: admit $sAdmit, replay $sReplay")
       // the takedown verb at scale: forget 1k docs from the 198k-row
       // ledger — identity scrubbed from both stores, signature rows
       // (and therefore future drop decisions) intact

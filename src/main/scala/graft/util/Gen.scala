@@ -133,9 +133,16 @@ object Gen {
     f".commit-$n%08d-$token.tmp"
 
   private def parseTempCommit(name: String): Option[Long] =
-    if (name.startsWith(".commit-") && name.endsWith(".tmp"))
-      name.stripPrefix(".commit-").take(8).toLongOption
-    else None
+    if (name.startsWith(".commit-") && name.endsWith(".tmp")) {
+      // parse the FULL number up to the token separator — %08d pads to
+      // 8 digits but prints 9+ for generations ≥ 1e8, and truncating
+      // would misclassify a live publish temp as doomed
+      val rest = name.stripPrefix(".commit-")
+      rest.indexOf('-') match {
+        case -1 => None
+        case i => rest.take(i).toLongOption
+      }
+    } else None
 
   private def keepName(n: Long): String = f"$KeepPrefix$n%08d"
 
@@ -352,12 +359,34 @@ object Gen {
         fs.delete(new Path(store, dir), true)
     }
     s.poisoned.foreach { case (n, _) =>
-      fs.delete(new Path(store, commitName(n)), false)
+      deleteIfStillPoisoned(fs, store, n)
     }
     s.temps.foreach { case (n, name) =>
       if (doomed(cur, n))
         fs.delete(new Path(store, name), false)
     }
+  }
+
+  /** Delete a pointer a SCAN classified poisoned, re-validating at
+    * delete time: between that scan and this delete a concurrent
+    * writer's own sweep may have reclaimed the crash artifact and
+    * published a REAL pointer under the same name — deleting on the
+    * stale classification would silently unreference its generation.
+    * The re-read narrows the window to the microseconds between this
+    * check and the delete (the same residue class as every other
+    * check-then-act on a plain FileSystem — closed in practice because
+    * the publish path never creates a pointer that is not already
+    * self-valid, so a pointer that re-validates as poisoned can only
+    * be the original artifact). */
+  private def deleteIfStillPoisoned(fs: FileSystem, store: Path,
+      n: Long): Unit = {
+    val ptr = new Path(store, commitName(n))
+    val stillPoisoned =
+      try {
+        val d = readSmall(fs, ptr)
+        d.isEmpty || !fs.exists(new Path(store, d))
+      } catch { case _: java.io.FileNotFoundException => false }
+    if (stillPoisoned) fs.delete(ptr, false)
   }
 
   /** The atomic publish: stage the pointer's FULL content in a hidden
@@ -750,7 +779,7 @@ object Gen {
       fs.delete(new Path(store, dir), true)
     }
     s.poisoned.foreach { case (n, _) =>
-      fs.delete(new Path(store, commitName(n)), false)
+      deleteIfStillPoisoned(fs, store, n)
     }
     s.temps.foreach { case (n, name) =>
       if (doomed(s.current, n))

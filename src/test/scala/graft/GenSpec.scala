@@ -594,6 +594,38 @@ class GenSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("wide generation numbers: a 9-digit generation round-trips " +
+      "through pointer/staging/temp parsing — a live publish temp at " +
+      "current+1 survives the sweep instead of being misparsed as a " +
+      "truncated (doomed) number") {
+    val root = tmp("graft_gen_wide")
+    val store = s"$root/store"
+    try {
+      // hand-build a committed 9-digit generation (the %08d pad prints
+      // all digits past 1e8)
+      val n = 123456789L
+      val g = new Path(f"$store/gen-$n%08d-abcd1234")
+      rows(2, "w").write.parquet(g.toString)
+      val out = fs.create(new Path(f"$store/_commit-$n%08d"), true)
+      out.write(g.getName.getBytes("UTF-8")); out.close()
+      assert(Gen.currentGeneration(spark, store) === Some(n))
+      assert(spark.read.parquet(Gen.resolve(spark, store)).count() === 2L)
+      // a live writer's publish temp at current+1 — MUST survive a
+      // sweep (truncating its number to 8 digits would doom it); a
+      // junk temp at an unrelated wide number goes
+      val live = new Path(f"$store/.commit-${n + 1}%08d-tok1.tmp")
+      fs.create(live, true).close()
+      val junk = new Path(f"$store/.commit-${n + 77}%08d-tok2.tmp")
+      fs.create(junk, true).close()
+      Gen.sweepGenerations(spark, store)
+      assert(fs.exists(live))
+      assert(!fs.exists(junk))
+      // and the store advances normally past 1e8
+      Gen.rewrite(spark, store)(d => rows(3, "x").write.parquet(d))
+      assert(Gen.currentGeneration(spark, store) === Some(n + 1))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("publishAtomicity: HDFS-family schemes detect atomic, local " +
       "and unknown schemes are conservatively check-then-act, and a " +
       "Hadoop conf declaration per scheme takes precedence (a custom " +

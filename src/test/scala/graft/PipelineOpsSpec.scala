@@ -3867,6 +3867,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(Multimodal.mp4Walk(atEnd, bound = ftyp.length + 16) === None)
     assert(Multimodal.mp4Walk(atEnd) ===
       Some(("isom", 600L, 1200L, Some((64L, 64L))))) // default bound ok
+    // adversarial: a child largesize near Long.MaxValue wraps i + s64
+    // NEGATIVE — must read as NULL, never jump the walk backwards
+    // (infinite loop) or index out of bounds
+    val wrap = ftyp ++ box("moov",
+      be32(1L) ++ "free".getBytes("ISO-8859-1") ++
+        be64(Long.MaxValue - 7L) ++ mvhd0(600L, 1200L))
+    assert(Multimodal.mp4Walk(wrap) === None)
+    // a u64 duration that reads negative (≥ 2^63) is desync, and one
+    // that would overflow the ms derivation keeps the raw fields but
+    // NULLs duration_ms — never a wrapped negative count
+    assert(Multimodal.mp4Walk(ftyp ++ moov(
+      mvhd1(600L, -42L), trak(tkhd0(64L, 64L)))) === None)
+    val big = ftyp ++ moov(mvhd1(600L, Long.MaxValue / 2L),
+      trak(tkhd0(64L, 64L)))
+    val r = Multimodal.mp4Headers(
+      Seq((1L, big)).toDF("id", "payload"), "id", "payload").first()
+    assert(r.getAs[Long]("duration") === Long.MaxValue / 2L)
+    assert(r.isNullAt(r.fieldIndex("duration_ms")))
   }
 
   test("storeHealthReport: ONE dispatcher detects every persisted " +
@@ -3915,11 +3933,18 @@ class PipelineOpsSpec extends SparkTestBase {
           s"report of $p")
       }
       // the bands redirect reports the PAIR: same tail columns as the
-      // primary's own report
+      // primary's own report — and it works when handed the bands
+      // store's GENERATION dir too (the pass-through the kind
+      // detection supports)
       assert(StoreHealth.storeHealthReport(spark, s"$root/ndl_bands")
         .columns.tail.toSeq ===
         StoreHealth.storeHealthReport(spark, s"$root/ndl")
           .columns.tail.toSeq)
+      val bandsGen = graft.util.Gen.resolve(spark, s"$root/ndl_bands")
+      assert(StoreHealth.detectStoreKind(spark, bandsGen) ===
+        "neardup_bands")
+      assert(StoreHealth.storeHealthReport(spark, bandsGen)
+        .collect().nonEmpty)
       // a generation dir resolves to itself — detection sees through
       assert(StoreHealth.detectStoreKind(spark,
         graft.util.Gen.resolve(spark, s"$root/ivf")) === "ivf")
