@@ -2981,6 +2981,39 @@ object Queries {
     } finally graft.util.Fs.deleteRecursively(path)
   }
 
+  /** Streamed-admit EPOCH LIFECYCLE oracled end to end
+    * ([[Dedup.sweepAdmitEpochs]] + [[Dedup.readAdmittedEpochs]]):
+    * three epochs split at the id terciles, retention sweeps the
+    * oldest (keepLast = 2), and the read-back emits the surviving
+    * epochs' admitted rows with their epoch labels. The oracle
+    * recomputes both the admit semantics (global min-id per content
+    * digest under monotone ids) and the retention cut (only rows past
+    * the first tercile survive, labeled by which remaining epoch
+    * admitted them) — a sweep that dropped the wrong epoch, or a
+    * read-back that resurrected a swept one, hash-mismatches. */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+    val (c1, c2) = (mx / 3, 2 * mx / 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q145_epochs").toString
+    try {
+      val ledger = s"$path/ledger"
+      val epochs = s"$path/epochs"
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") <= c1), "doc_id", "text", 0L)
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        "doc_id", "text", 1L)
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") > c2), "doc_id", "text", 2L)
+      Dedup.sweepAdmitEpochs(s, epochs, keepLast = 2)
+      Dedup.readAdmittedEpochs(s, epochs)
+        .select(col("doc_id"), col("epoch"))
+        .orderBy(col("doc_id")).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -4257,6 +4290,7 @@ object Queries {
     "q141_mp4_header" -> (q141 _),
     "q142_neardup_ledger_stream" -> (q142 _),
     "q143_exact_ledger_stream" -> (q143 _),
+    "q145_admit_epoch_lifecycle" -> (q145 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -7194,6 +7228,20 @@ object Queries {
          |SELECT doc_id, CAST(CASE WHEN doc_id <= (SELECT c FROM cut)
          |    THEN 1 ELSE 2 END AS BIGINT) AS batch
          |FROM f ORDER BY doc_id""".stripMargin,
+    // epoch lifecycle: three tercile epochs, retention sweeps epoch 0,
+    // the read-back emits the survivors labeled — admit semantics are
+    // min-id-per-digest, the retention cut is pure id arithmetic
+    "q145_admit_epoch_lifecycle" ->
+      s"""WITH m AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx
+         |    FROM documents),
+         | f AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+         |   FROM documents WHERE text IS NOT NULL GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN doc_id <= 2 * (SELECT mx FROM m) // 3
+         |    THEN 1 ELSE 2 END AS BIGINT) AS epoch
+         |FROM f
+         |WHERE doc_id > (SELECT mx FROM m) // 3
+         |ORDER BY doc_id""".stripMargin,
     "q119_interevent_gaps" ->
       s"""WITH g AS (SELECT event_type,
          |    epoch_us(ts) - lag(epoch_us(ts)) OVER (

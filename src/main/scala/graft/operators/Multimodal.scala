@@ -390,18 +390,20 @@ object Multimodal {
     * family needs where [[mediaHeader]]'s fixed offsets cannot reach:
     * `ftyp` major brand, `mvhd` timescale + duration (+ the derived
     * integer `duration_ms`), and the first video track's `tkhd`
-    * dimensions, parsed from the first 64 KB with zero codecs in the
-    * same bounded `mapPartitions` shape as [[jpegDimensions]]. NULLs
+    * dimensions, parsed from the first `bound` bytes (default 64 KB —
+    * raise it for a corpus whose payloads are tail-fetched moov-at-end
+    * slices) with zero codecs in the same bounded `mapPartitions`
+    * shape as [[jpegDimensions]]. NULLs
     * for non-MP4, truncated, desynced, or moov-at-end payloads; dims
     * NULL (times kept) for audio-only movies. */
   def mp4Headers(df: DataFrame, idCol: String,
-      binCol: String): DataFrame = {
+      binCol: String, bound: Int = 1 << 16): DataFrame = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long").as("id"),
         col(binCol).as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val info = mp4Walk(bytes)
+        val info = mp4Walk(bytes, bound)
         (id, info.map(_._1), info.map(_._2), info.map(_._3),
           info.flatMap { case (_, ts, d, _) =>
             // d * 1000 must not overflow Long (an untrusted 64-bit
