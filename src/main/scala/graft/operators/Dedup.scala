@@ -1009,8 +1009,11 @@ object Dedup {
     * (`_appended` missing — a crash the stream's retry will finish)
     * are EXCLUDED: their decisions are not yet contractual, and a
     * consumer that read them would double-count rows once the retry
-    * re-emits. One driver-side listing; the read is a plain
-    * multi-path parquet scan. */
+    * re-emits. One driver-side listing; the read is ONE flat
+    * multi-path parquet scan with the epoch label derived from the
+    * file path — NOT a per-epoch union fold, whose plan depth would
+    * grow with every micro-batch ever run (a year of 5-minute epochs
+    * is ~10⁵ nodes; this stays one scan node at any epoch count). */
   def readAdmittedEpochs(spark: org.apache.spark.sql.SparkSession,
       epochRoot: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(epochRoot)
@@ -1026,10 +1029,11 @@ object Dedup {
       s"readAdmittedEpochs: $epochRoot holds no sealed epochs — the " +
         "stream has not completed a micro-batch yet (or the root is " +
         "wrong)")
-    sealedEpochs.map { e =>
-      spark.read.parquet(s"${epochDir(epochRoot, e)}/admitted")
-        .withColumn("epoch", lit(e))
-    }.reduce(_.unionByName(_))
+    spark.read.parquet(
+        sealedEpochs.map(e => s"${epochDir(epochRoot, e)}/admitted"): _*)
+      .withColumn("epoch",
+        regexp_extract(input_file_name(), "epoch-(\\d+)/admitted", 1)
+          .cast("long"))
   }
 
   /** Retention for a streamed-admit root: epoch dirs accumulate one
