@@ -1029,10 +1029,16 @@ object Dedup {
       s"readAdmittedEpochs: $epochRoot holds no sealed epochs — the " +
         "stream has not completed a micro-batch yet (or the root is " +
         "wrong)")
-    spark.read.parquet(
+    // mergeSchema makes cross-epoch schema drift DETERMINISTIC (a
+    // column added mid-stream reads as null for older epochs) instead
+    // of letting one sampled footer silently win; the label regex is
+    // anchored to the path TAIL so an epoch root that itself lives
+    // under a path containing "epoch-N/admitted" cannot mislabel rows
+    spark.read.option("mergeSchema", "true").parquet(
         sealedEpochs.map(e => s"${epochDir(epochRoot, e)}/admitted"): _*)
       .withColumn("epoch",
-        regexp_extract(input_file_name(), "epoch-(\\d+)/admitted", 1)
+        regexp_extract(input_file_name(),
+          "epoch-(\\d+)/admitted/[^/]+$", 1)
           .cast("long"))
   }
 

@@ -391,9 +391,11 @@ object Multimodal {
     * `ftyp` major brand, `mvhd` timescale + duration (+ the derived
     * integer `duration_ms`), and the first video track's `tkhd`
     * dimensions, parsed from the first `bound` bytes (default 64 KB —
-    * raise it for a corpus whose payloads are tail-fetched moov-at-end
-    * slices) with zero codecs in the same bounded `mapPartitions`
-    * shape as [[jpegDimensions]]. NULLs
+    * raise it when payload columns carry the FULL file and moov sits
+    * deep; a tail-only byte-range slice can never parse, because the
+    * walk requires the leading `ftyp` and contiguous boxes) with zero
+    * codecs in the same bounded `mapPartitions` shape as
+    * [[jpegDimensions]]. NULLs
     * for non-MP4, truncated, desynced, or moov-at-end payloads; dims
     * NULL (times kept) for audio-only movies. */
   def mp4Headers(df: DataFrame, idCol: String,
