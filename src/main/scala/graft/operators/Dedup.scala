@@ -1042,6 +1042,38 @@ object Dedup {
           .cast("long"))
   }
 
+  /** [[readAdmittedEpochs]]' sibling for the near-dup stream's
+    * per-epoch AUDIT output ([[nearDupLedgerAdmitStreamBatch]] with
+    * `audit = true`): every sealed epoch's drop-reason rows —
+    * (doc, reason, partner) — labeled by epoch, one flat scan. Epochs
+    * that ran without audit simply contribute no paths; a root where
+    * NO sealed epoch carries an audit fails loudly (the caller almost
+    * certainly forgot `audit = true`). */
+  def readAuditEpochs(spark: org.apache.spark.sql.SparkSession,
+      epochRoot: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(epochRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val audited =
+      if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).toSeq
+        .flatMap(st => parseEpoch(st.getPath.getName))
+        .filter { e =>
+          val d = epochDir(epochRoot, e)
+          fs.exists(new org.apache.hadoop.fs.Path(s"$d/_appended")) &&
+            fs.exists(new org.apache.hadoop.fs.Path(s"$d/audit"))
+        }
+        .sorted
+    require(audited.nonEmpty,
+      s"readAuditEpochs: $epochRoot holds no sealed AUDITED epochs — " +
+        "run the stream with audit = true (or check the root)")
+    spark.read.option("mergeSchema", "true").parquet(
+        audited.map(e => s"${epochDir(epochRoot, e)}/audit"): _*)
+      .withColumn("epoch",
+        regexp_extract(input_file_name(),
+          "epoch-(\\d+)/audit/[^/]+$", 1)
+          .cast("long"))
+  }
+
   /** Retention for a streamed-admit root: epoch dirs accumulate one
     * per micro-batch forever, but their idempotence value has a
     * horizon — Structured Streaming only ever re-delivers epochs
@@ -1359,8 +1391,14 @@ object Dedup {
       // band store is impossible (fresh stores just get gen-1)
       graft.util.Gen.rewrite(spark, bandsPath)(g =>
         ndlWriteBands(ndlBandKeys(store, bands, rows), "overwrite", g))
+    // hasData (not just hasStore): an all-unshingleable history (every
+    // doc shorter than the shingle width) appends ZERO band keys, and
+    // partitionBy writes no files for an empty frame — the store dir
+    // exists but holds no schema to infer. Such a history has no
+    // bandable signatures by construction, so the empty typed frame is
+    // exactly its band store.
     val bandStore =
-      if (hasStore)
+      if (hasStore && graft.util.Gen.hasData(spark, bandsPath))
         spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath))
       else ndlWithKb(ndlBandKeys(batchSig.limit(0), bands, rows))
 
@@ -1781,7 +1819,13 @@ object Dedup {
     graft.util.Gen.rewrite(spark, bandsPath, extraLeases = Seq(path))(
       g => ndlWriteBands(ndlBandKeys(primary, useBands, useRows),
         "overwrite", g))
-    spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath)).count()
+    // an all-unshingleable primary rebuilds to an EMPTY band store
+    // (no files, no schema) — report 0 keys instead of failing to
+    // infer a schema that was never written
+    if (graft.util.Gen.hasData(spark, bandsPath))
+      spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath))
+        .count()
+    else 0L
   }
 
   /** Forget documents from the near-dup ledger — the takedown/opt-out

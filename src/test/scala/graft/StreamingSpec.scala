@@ -1460,6 +1460,45 @@ class StreamingSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("streamed near-dup audit read-back: per-epoch drop reasons " +
+      "surface with their epoch label and match the batch audit; an " +
+      "unaudited root refuses loudly") {
+    import SparkTestBase.session.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_audepochs").toString
+    val ledger = s"$root/ledger"
+    val epochs = s"$root/epochs"
+    try {
+      // epoch 0: three docs, one in-batch exact dup; epoch 1: one
+      // cross-epoch exact dup + one novel
+      val b1 = Seq((1L, "alpha text"), (2L, "beta text"),
+        (3L, "alpha text")).toDF("doc_id", "text")
+      val b2 = Seq((10L, "beta text"), (11L, "gamma text"))
+        .toDF("doc_id", "text")
+      Dedup.nearDupLedgerAdmitStreamBatch(spark, ledger, epochs, b1,
+        "doc_id", "text", 0L, audit = true)
+      Dedup.nearDupLedgerAdmitStreamBatch(spark, ledger, epochs, b2,
+        "doc_id", "text", 1L, audit = true)
+      val audit = Dedup.readAuditEpochs(spark, epochs)
+      val rows = audit.select("epoch", "doc", "reason", "partner")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2), r.getLong(3))).toSet
+      assert(rows === Set(
+        (0L, 3L, "exact_batch", 1L),
+        (1L, 10L, "exact_store", 2L)))
+      // a root whose epochs ran WITHOUT audit refuses
+      val root2 = Files.createTempDirectory("graft_audepochs2").toString
+      try {
+        Dedup.nearDupLedgerAdmitStreamBatch(spark, s"$root2/ledger",
+          s"$root2/epochs", b1, "doc_id", "text", 0L)
+        val e = intercept[IllegalArgumentException] {
+          Dedup.readAuditEpochs(spark, s"$root2/epochs")
+        }
+        assert(e.getMessage.contains("audit = true"))
+      } finally graft.util.Fs.deleteRecursively(root2)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
