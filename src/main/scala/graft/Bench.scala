@@ -34,6 +34,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Host-contention sentinel (r18): a FIXED pure-compute workload —
+    // no I/O, no Spark, no data dependence — timed single-threaded and
+    // across all bench cores, before and after the query sweep. On an
+    // idle host these are hardware constants (PERF.md records this
+    // builder's reference band); a contention-inflated run (noisy
+    // neighbor, CPU-starved container) inflates them by roughly the
+    // same factor as the query walls, so an inflated total
+    // self-identifies IN the artifact instead of needing a per-entry
+    // diff against replica history (the r17 driver run read 1.54×
+    // slow purely from host contention).
+    val calibSink = new java.util.concurrent.atomic.AtomicLong
+    def calibWork(seed: Long): Long = {
+      var x = seed; var i = 0
+      while (i < 200000000) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x ^= (x >>> 33); i += 1
+      }
+      x
+    }
+    def calib(threads: Int): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map(t =>
+        new Thread(() => { calibSink.addAndGet(calibWork(t.toLong)); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibSink.addAndGet(calibWork(0L)) // JIT warmup, untimed
+    def r3c(d: Double) = math.rint(d * 1000) / 1000
+    val (calibPre1, calibPreN) = (r3c(calib(1)), r3c(calib(cpus.toInt)))
     // Untimed JVM/codegen warmup: one small query through each engine path
     // (parquet scan+agg, window, broadcast join, JSON trace pipeline) so the
     // first timed query doesn't absorb classloading + codegen compilation.
@@ -137,8 +166,16 @@ object Bench {
           run > 2.0 && mt > 0.6 * run
         } => name }
     val serialJson = serial.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val (calibPost1, calibPostN) = (r3c(calib(1)), r3c(calib(cpus.toInt)))
+    if (calibSink.get == 42L) println("calib sink (never prints)")
+    // reference band: this builder host, idle (PERF.md r18) — 1t ≈
+    // 0.30-0.45 s, 32t ≈ 0.35-0.75 s. A run whose calib sits far above
+    // the band (>1.3×) is measuring the host, not the code.
+    val contentionJson =
+      s"""{"calib_1t_pre":$calibPre1,"calib_${cpus}t_pre":$calibPreN,""" +
+        s""""calib_1t_post":$calibPost1,"calib_${cpus}t_post":$calibPostN}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"serial":$serialJson,"detail":$detailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"serial":$serialJson,"contention":$contentionJson,"detail":$detailJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
     if (serial.nonEmpty)
       System.err.println(s"[bench] SERIAL queries (run > 2 s, one task > 60% of run): " +

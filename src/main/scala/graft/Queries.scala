@@ -3014,6 +3014,142 @@ object Queries {
     } finally graft.util.Fs.deleteRecursively(path)
   }
 
+  /** Watermark-GATED epoch retention oracled end to end (q145's
+    * lifecycle plus [[Dedup.ackAdmitEpochs]], the consumer-ack
+    * handshake that closes the streamed lifecycle's one data-loss
+    * seam): three tercile epochs; a consumer lagging at epoch 0 acks
+    * it and retention runs `keepLast = 1` — which would BLINDLY
+    * reclaim epochs 0 AND 1, but the watermark protects the unread
+    * epoch 1 (stage `lagging`: epochs 1 and 2 both survive the sweep);
+    * the consumer then acks epoch 1 and the SAME sweep reclaims it
+    * (stage `acked`: epoch 2 alone). A sweep that ignored the
+    * watermark loses stage-`lagging` rows; an ack that failed to
+    * release keeps stage-`acked` rows — either hash-mismatches. */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+    val (c1, c2) = (mx / 3, 2 * mx / 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q146_ack").toString
+    try {
+      val ledger = s"$path/ledger"
+      val epochs = s"$path/epochs"
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") <= c1), "doc_id", "text", 0L)
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        "doc_id", "text", 1L)
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") > c2), "doc_id", "text", 2L)
+      Dedup.ackAdmitEpochs(s, epochs, 0L)
+      Dedup.sweepAdmitEpochs(s, epochs, keepLast = 1)
+      // materialize before the second sweep deletes epoch 1's files
+      val lagging = Dedup.readAdmittedEpochs(s, epochs)
+        .select(lit("lagging").as("stage"), col("doc_id"), col("epoch"))
+        .localCheckpoint()
+      Dedup.ackAdmitEpochs(s, epochs, 1L)
+      Dedup.sweepAdmitEpochs(s, epochs, keepLast = 1)
+      val acked = Dedup.readAdmittedEpochs(s, epochs)
+        .select(lit("acked").as("stage"), col("doc_id"), col("epoch"))
+      lagging.unionByName(acked)
+        .orderBy(col("stage"), col("doc_id")).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
+  /** DEEP-MOOV MP4s — the non-faststart layout a real media census
+    * must cover ([[Multimodal.mp4Headers]] at a raised `bound`): the
+    * fixture is q141's byte-true construction with the movie data
+    * FIRST (one >64 KB `mdat` box, then `moov`) — a genuine
+    * moov-at-end file. Parsed twice: at the DEFAULT 64 KB bound every
+    * such payload reads NULL by contract (the walk refuses a moov it
+    * cannot complete — mode `head`), and at `bound` = full payload the
+    * same walk skips the mdat and parses the deep moov (mode `full`).
+    * Every 7th doc is not an MP4 at all (NULL in both modes); every
+    * 9th is audio-only (times parse, dims NULL). Oracled against pure
+    * id arithmetic in both modes. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def be32(v: Long) =
+      Array.tabulate(4)(i => ((v >> (8 * (3 - i))) & 0xFF).toByte)
+    def be64(v: Long) =
+      Array.tabulate(8)(i => ((v >> (8 * (7 - i))) & 0xFF).toByte)
+    def bx(t: String, p: Array[Byte]) =
+      be32(8L + p.length) ++ t.getBytes("ISO-8859-1") ++ p
+    val media = docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        val ts = 600L + (id % 9) * 400L
+        val dur = 10000L + (id * 37) % 90000L
+        val w = 16L + id % 1280L
+        val h = 16L + (id * 3) % 720L
+        val payload: Array[Byte] =
+          if (id % 7 == 0) text.getBytes("UTF-8") // not an MP4
+          else {
+            val ftyp = bx("ftyp", "isom".getBytes("ISO-8859-1") ++
+              be32(512L) ++ "mp41".getBytes("ISO-8859-1"))
+            // the movie data leads — moov starts past the 64 KB head
+            val mdat =
+              bx("mdat", Array.fill(65536 + (id % 97).toInt)(0x6D.toByte))
+            val mvhd =
+              if (id % 11 == 0) // version 1: 64-bit times
+                bx("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0L) ++
+                  be64(0L) ++ be32(ts) ++ be64(dur) ++
+                  Array.fill(80)(0.toByte))
+              else
+                bx("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++
+                  be32(0L) ++ be32(ts) ++ be32(dur) ++
+                  Array.fill(80)(0.toByte))
+            val (tw, th) =
+              if (id % 9 == 0) (0L, 0L) else (w << 16, h << 16)
+            val tkhd =
+              if (id % 4 == 0) // version 1
+                bx("tkhd", Array[Byte](1, 0, 0, 0) ++
+                  Array.fill(84)(0.toByte) ++ be32(tw) ++ be32(th))
+              else
+                bx("tkhd", Array[Byte](0, 0, 0, 0) ++
+                  Array.fill(72)(0.toByte) ++ be32(tw) ++ be32(th))
+            ftyp ++ mdat ++ bx("moov", mvhd ++ bx("trak", tkhd))
+          }
+        (id, payload)
+      }.toDF("doc_id", "payload")
+    val cols = Seq("doc_id", "major_brand", "timescale", "duration",
+      "duration_ms", "width", "height").map(col)
+    Multimodal.mp4Headers(media, "doc_id", "payload", bound = 1 << 20)
+      .select(lit("full").as("mode") +: cols: _*)
+      .unionByName(Multimodal.mp4Headers(media, "doc_id", "payload")
+        .select(lit("head").as("mode") +: cols: _*))
+      .orderBy(col("mode"), col("doc_id"))
+  }
+
+  /** Streamed near-dup AUDIT read-back oracled end to end
+    * ([[Dedup.readAuditEpochs]], spec-only until now): q142's
+    * two-epoch split run with `audit = true`, then the flat
+    * epoch-labeled drop-reason read-back — one row per (dropped doc,
+    * rule that fired) with the minimum matching partner, labeled by
+    * the epoch that dropped it. The oracle recomputes the full audit
+    * semantics (q136's rule replay — exact in-batch/vs-store, near
+    * in-batch/vs-store over banded candidates) with the batch label
+    * derived from the id cut. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q148_aud").toString
+    try {
+      val ledger = s"$path/ledger"
+      val epochs = s"$path/epochs"
+      Dedup.nearDupLedgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") <= cut), "doc_id", "text", 0L,
+        audit = true)
+      Dedup.nearDupLedgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") > cut), "doc_id", "text", 1L,
+        audit = true)
+      Dedup.readAuditEpochs(s, epochs)
+        .select(col("doc").as("doc_id"), col("reason"), col("partner"),
+          col("epoch"))
+        .orderBy(col("doc_id"), col("reason")).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -4291,6 +4427,9 @@ object Queries {
     "q142_neardup_ledger_stream" -> (q142 _),
     "q143_exact_ledger_stream" -> (q143 _),
     "q145_admit_epoch_lifecycle" -> (q145 _),
+    "q146_ack_epoch_retention" -> (q146 _),
+    "q147_mp4_deep_moov" -> (q147 _),
+    "q148_neardup_audit_stream" -> (q148 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -7242,6 +7381,119 @@ object Queries {
          |FROM f
          |WHERE doc_id > (SELECT mx FROM m) // 3
          |ORDER BY doc_id""".stripMargin,
+    // ack-gated retention: with the consumer lagging at epoch 0, a
+    // keepLast=1 sweep reclaims ONLY the acked epoch 0 (the watermark
+    // protects the unread epoch 1); after the ack advances to 1 the
+    // same sweep reclaims it — both stages are pure id arithmetic
+    // over the min-id-per-digest admits
+    "q146_ack_epoch_retention" ->
+      s"""WITH m AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx
+         |    FROM documents),
+         | f AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+         |   FROM documents WHERE text IS NOT NULL GROUP BY 1),
+         | lab AS (SELECT doc_id,
+         |   CAST(CASE WHEN doc_id <= (SELECT mx FROM m) // 3 THEN 0
+         |     WHEN doc_id <= 2 * (SELECT mx FROM m) // 3 THEN 1
+         |     ELSE 2 END AS BIGINT) AS epoch FROM f)
+         |SELECT 'lagging' AS stage, doc_id, epoch FROM lab
+         |WHERE epoch >= 1
+         |UNION ALL
+         |SELECT 'acked' AS stage, doc_id, epoch FROM lab
+         |WHERE epoch = 2
+         |ORDER BY stage, doc_id""".stripMargin,
+    // deep-moov walk: mode 'head' (default 64 KB bound) reads every
+    // moov-at-end payload as NULL by contract; mode 'full' (bound =
+    // payload) parses the same planted id arithmetic as q141
+    "q147_mp4_deep_moov" ->
+      s"""WITH modes(mode) AS (VALUES ('full'), ('head')),
+         | b AS (SELECT m.mode, d.doc_id,
+         |    (m.mode = 'full' AND d.doc_id % 7 <> 0) AS ok,
+         |    (d.doc_id % 9 <> 0) AS vid
+         |  FROM documents d CROSS JOIN modes m)
+         |SELECT mode, doc_id,
+         |  CASE WHEN ok THEN 'isom' END AS major_brand,
+         |  CASE WHEN ok
+         |    THEN CAST(600 + (doc_id % 9) * 400 AS BIGINT)
+         |    END AS timescale,
+         |  CASE WHEN ok
+         |    THEN CAST(10000 + (doc_id * 37) % 90000 AS BIGINT)
+         |    END AS duration,
+         |  CASE WHEN ok
+         |    THEN CAST((10000 + (doc_id * 37) % 90000) * 1000
+         |      // (600 + (doc_id % 9) * 400) AS BIGINT)
+         |    END AS duration_ms,
+         |  CASE WHEN ok AND vid
+         |    THEN CAST(16 + doc_id % 1280 AS BIGINT) END AS width,
+         |  CASE WHEN ok AND vid
+         |    THEN CAST(16 + (doc_id * 3) % 720 AS BIGINT) END AS height
+         |FROM b ORDER BY mode, doc_id""".stripMargin,
+    // streamed audit read-back: q136's rule replay with the batch
+    // label derived from the id cut (epoch = batch - 1); partner is
+    // the minimum matching doc per rule, and shadow partners (exact
+    // dups of a rep) never move the min because the rep has the
+    // smaller id and identical shingles
+    "q148_neardup_audit_stream" ->
+      s"""WITH cut AS (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT)
+         |    AS c FROM documents),
+         | docs2 AS (SELECT doc_id, text,
+         |   CASE WHEN doc_id <= (SELECT c FROM cut) THEN 1 ELSE 2 END
+         |     AS b
+         |   FROM documents),
+         | tk AS (SELECT doc_id,
+         |     regexp_split_to_array(trim(text), '\\s+') AS t
+         |   FROM docs2 WHERE text IS NOT NULL),
+         | shr AS (SELECT doc_id, unnest(list_transform(
+         |   generate_series(1, greatest(len(t)-2, 0)),
+         |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tk),
+         | sh AS (SELECT DISTINCT doc_id, ${H.format("s")} AS s FROM shr),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | d AS (SELECT doc_id, md5(text) AS dg, b
+         |   FROM docs2 WHERE text IS NOT NULL),
+         | reps AS (SELECT dg, b, min(doc_id) AS rep FROM d
+         |   GROUP BY dg, b),
+         | isrep AS (SELECT d.doc_id, d.dg, d.b FROM d JOIN reps r
+         |   ON d.dg = r.dg AND d.b = r.b AND d.doc_id = r.rep),
+         | hh AS (SELECT DISTINCT doc_id,
+         |     ${H.format("s")} % ${Dedup.P} AS h FROM shr),
+         | sig AS (SELECT doc_id, $q136Sig FROM hh GROUP BY doc_id),
+         | bnd AS ($q136Bands),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |   FROM bnd a JOIN bnd c ON a.band = c.band AND a.key = c.key
+         |     AND a.doc_id < c.doc_id),
+         | inter AS (SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+         |     count(*) AS inter
+         |   FROM sh a JOIN sh bb ON a.s = bb.s AND a.doc_id < bb.doc_id
+         |   GROUP BY 1, 2),
+         | jac AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |   JOIN cand ON cand.doc_a = i.doc_a AND cand.doc_b = i.doc_b
+         |   JOIN sz za ON i.doc_a = za.doc_id
+         |   JOIN sz zb ON i.doc_b = zb.doc_id
+         |   WHERE CAST(i.inter AS DOUBLE) /
+         |     CAST(za.n_sh + zb.n_sh - i.inter AS DOUBLE) >= 0.8),
+         | rs AS (
+         |   SELECT d.doc_id, 'exact_batch' AS reason, r.rep AS partner,
+         |       d.b
+         |     FROM d JOIN reps r ON d.dg = r.dg AND d.b = r.b
+         |     WHERE d.doc_id <> r.rep
+         |   UNION ALL
+         |   SELECT i.doc_id, 'exact_store',
+         |       (SELECT min(e.doc_id) FROM d e
+         |        WHERE e.dg = i.dg AND e.b < i.b), i.b
+         |     FROM isrep i WHERE EXISTS (SELECT 1 FROM d e
+         |       WHERE e.dg = i.dg AND e.b < i.b)
+         |   UNION ALL
+         |   SELECT i.doc_id, 'near_store', min(e.doc_id), i.b
+         |     FROM isrep i JOIN jac p ON p.doc_b = i.doc_id
+         |     JOIN d e ON e.doc_id = p.doc_a
+         |     WHERE e.b < i.b GROUP BY i.doc_id, i.b
+         |   UNION ALL
+         |   SELECT i.doc_id, 'near_batch', min(r2.doc_id), i.b
+         |     FROM isrep i JOIN jac p ON p.doc_b = i.doc_id
+         |     JOIN isrep r2 ON r2.doc_id = p.doc_a
+         |     WHERE r2.b = i.b GROUP BY i.doc_id, i.b)
+         |SELECT doc_id, reason, partner,
+         |  CAST(b - 1 AS BIGINT) AS epoch
+         |FROM rs ORDER BY doc_id, reason""".stripMargin,
     "q119_interevent_gaps" ->
       s"""WITH g AS (SELECT event_type,
          |    epoch_us(ts) - lag(epoch_us(ts)) OVER (

@@ -937,8 +937,12 @@ object Dedup {
     *     [[compactDedupLedger]]'s distinct, decisions unaffected);
     *   - after `_appended`: the epoch is complete — re-emit the stored
     *     decisions, touch nothing.
-    * Each epoch takes the same ingest lease as a batch admit, so
-    * streamed and batch ingest serialize against each other and
+    * The `_decided` seal carries the batch's [[epochFingerprint]],
+    * re-verified on every delivery: a decided epochId re-delivered
+    * with DIFFERENT rows (a reset checkpoint over a surviving
+    * epochRoot) fails loudly instead of silently discarding the new
+    * batch. Each epoch takes the same ingest lease as a batch admit,
+    * so streamed and batch ingest serialize against each other and
     * maintenance fail-fasts against both. Returns the epoch's admitted
     * rows (always the stored copy — bit-stable across retries). */
   def ledgerAdmitStreamBatch(spark: org.apache.spark.sql.SparkSession,
@@ -952,13 +956,15 @@ object Dedup {
       val decidedM = new org.apache.hadoop.fs.Path(s"$eDir/_decided")
       val appendedM = new org.apache.hadoop.fs.Path(s"$eDir/_appended")
       val admittedPath = s"$eDir/admitted"
+      val fp = epochFingerprint(batch, idCol)
+      checkEpochFingerprint(fs, decidedM, fp, epochId, epochRoot)
       if (fs.exists(appendedM)) spark.read.parquet(admittedPath)
       else {
         if (!fs.exists(decidedM)) {
           val (admitted, _) =
             ledgerDecide(spark, path, batch, idCol, textCol)
           admitted.write.mode("overwrite").parquet(admittedPath)
-          fs.create(decidedM, true).close()
+          writeSeal(fs, decidedM, fp)
         }
         val admitted = spark.read.parquet(admittedPath)
         // legacy re-derives from the store itself (a schema read), so
@@ -980,7 +986,16 @@ object Dedup {
     * `epochRoot/epoch-<N>/admitted` — a downstream consumer reads them
     * from there (the streamed analog of `admittedOut`), and retries
     * re-emit identical content (see the epoch protocol). Caller stops
-    * the returned query. */
+    * the returned query. LIFECYCLE COUPLING: `epochRoot` and
+    * `checkpointLocation` must be created together and destroyed
+    * together — the epoch protocol keys idempotence by the
+    * checkpoint's batchIds, and a reset checkpoint over a surviving
+    * root is detected (loudly) by the [[epochFingerprint]] seal, not
+    * silently absorbed. While the stream lives, route ad-hoc backfills
+    * THROUGH it (feed them to the stream's source so they arrive as a
+    * normal epoch) rather than as concurrent [[ledgerAdmit]] batch
+    * calls — the shared ingest lease makes a batch admit that lands
+    * mid-epoch fail loudly by design. */
   def ledgerAdmitStream(spark: org.apache.spark.sql.SparkSession,
       path: String, epochRoot: String, stream: DataFrame, idCol: String,
       textCol: String, checkpointLocation: String)
@@ -1002,6 +1017,120 @@ object Dedup {
     if (name.startsWith("epoch-"))
       name.stripPrefix("epoch-").toLongOption
     else None
+
+  /** Order-independent fingerprint of a delivered batch's id set —
+    * `"<row count>:<xor of id hashes>"`. The epoch protocol keys
+    * idempotence by the NUMERIC epochId, which is only unique within
+    * ONE checkpoint lineage: a reset/deleted sink checkpoint (or a
+    * second stream pointed at a surviving epochRoot) restarts batchIds
+    * at 0, and without this check the old epoch 0's `_appended` marker
+    * would short-circuit the NEW batch — stale decisions re-emitted,
+    * the new rows never decided or appended, silently. The fingerprint
+    * is persisted as the `_decided` seal's CONTENT and re-verified on
+    * EVERY delivery (including the pure re-emit path), turning the
+    * lifecycle mismatch into a loud error. One small agg job per
+    * delivery — the detection price; xor is delivery-order-blind, so a
+    * legitimate retry (same rows, any partitioning) always matches. */
+  private def epochFingerprint(batch: DataFrame, idCol: String): String = {
+    val r = batch.agg(count(lit(1)),
+      expr(s"bit_xor(xxhash64(cast(`$idCol` AS string)))")).head()
+    val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+    s"${r.getLong(0)}:$x"
+  }
+
+  /** Seal marker with CONTENT (the epoch fingerprint) — overwrite-true
+    * like the bare markers it replaces: the writer holds the ingest
+    * lease, so the only same-path writer is this epoch's own retry. */
+  private def writeSeal(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    out.write(content.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readSeal(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString("UTF-8").trim
+    } finally in.close()
+  }
+
+  /** Fail loudly when a decided epochId is re-delivered with DIFFERENT
+    * rows (see [[epochFingerprint]]). An EMPTY stored seal is a
+    * pre-fingerprint epoch (this code lineage's earlier markers) —
+    * accepted, the protocol upgrades it on the next fresh epoch. */
+  private def checkEpochFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      decidedM: org.apache.hadoop.fs.Path, fp: String, epochId: Long,
+      epochRoot: String): Unit =
+    if (fs.exists(decidedM)) {
+      val stored = readSeal(fs, decidedM)
+      if (stored.nonEmpty && stored != fp)
+        throw new IllegalStateException(
+          s"epoch $epochId at $epochRoot is already decided for a " +
+            s"DIFFERENT batch (sealed fingerprint $stored, delivered " +
+            s"$fp): the sink checkpoint was reset or deleted while the " +
+            "epochRoot survived (batchIds restarted at 0), or two " +
+            "streams share this epochRoot. Re-emitting the sealed " +
+            "decisions would silently discard the new batch. Create " +
+            "epochRoot and checkpointLocation together and destroy " +
+            "them together; point a genuinely new stream over this " +
+            "ledger at a FRESH epochRoot.")
+    }
+
+  /** Consumer-ack watermark marker name under the epoch root. */
+  private val ConsumedPrefix = "_consumed-"
+
+  private def consumedName(n: Long): String = f"$ConsumedPrefix$n%012d"
+
+  /** The consumer-ack watermark of a streamed-admit root: the highest
+    * epoch a downstream consumer has declared fully read via
+    * [[ackAdmitEpochs]], if any consumer has registered at all. */
+  def consumedAdmitWatermark(spark: org.apache.spark.sql.SparkSession,
+      epochRoot: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(epochRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(ConsumedPrefix))
+      .flatMap(_.stripPrefix(ConsumedPrefix).toLongOption)
+      .maxOption
+  }
+
+  /** Consumer ack — the retention handshake that closes the streamed
+    * lifecycle's one data-loss seam: record that every epoch ≤ `upTo`
+    * has been fully read downstream, so [[sweepAdmitEpochs]] may
+    * reclaim them. Without an ack, a blind `keepLast` horizon smaller
+    * than the consumer's lag deletes admitted rows the consumer never
+    * read — and they are UNRECOVERABLE (the decisions are gone, the
+    * ledger has moved, a re-decide of the same batch admits nothing).
+    * Monotone: acking at or below the current watermark is a no-op
+    * (two consumers of one root share the SLOWEST reader's watermark —
+    * ack only what EVERY reader has passed). Crash-safe: the new
+    * marker lands before the old ones are reclaimed, and the highest
+    * marker always wins. Returns the effective watermark. */
+  def ackAdmitEpochs(spark: org.apache.spark.sql.SparkSession,
+      epochRoot: String, upTo: Long): Long = {
+    require(upTo >= 0, "ackAdmitEpochs: upTo must be ≥ 0")
+    val root = new org.apache.hadoop.fs.Path(epochRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val cur = consumedAdmitWatermark(spark, epochRoot)
+    if (cur.exists(_ >= upTo)) cur.get
+    else {
+      fs.create(new org.apache.hadoop.fs.Path(root, consumedName(upTo)),
+        true).close()
+      fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith(ConsumedPrefix) &&
+          p.getName != consumedName(upTo))
+        .foreach(p => fs.delete(p, false))
+      upTo
+    }
+  }
 
   /** The downstream-consumer verb for a streamed-admit root: every
     * SEALED epoch's admitted rows as one DataFrame with an `epoch`
@@ -1080,13 +1209,23 @@ object Dedup {
     * newer than the sink checkpoint's committed watermark, so sealed
     * epochs far behind the newest can be reclaimed once downstream
     * has consumed them. Drops SEALED epochs older than the newest
-    * `keepLast` (≥ 1). UNSEALED epochs are never touched regardless
-    * of age: an epoch without `_appended` is a crashed delivery whose
-    * retry NEEDS the sealed decisions (`_decided`) to stay
-    * idempotent — deleting it would re-decide against a moved ledger.
-    * Returns the number of epoch dirs removed. */
+    * `keepLast` (≥ 1), GATED by the consumer-ack watermark when one
+    * exists ([[ackAdmitEpochs]]): a sealed epoch ABOVE the watermark
+    * is unconsumed — dropping it would permanently lose admitted rows
+    * downstream never read (decisions gone, ledger moved, a re-decide
+    * admits nothing) — so it survives any `keepLast`, unless
+    * `force = true` deliberately overrides (an operator abandoning a
+    * dead consumer). A root where NO consumer has ever acked keeps the
+    * blind `keepLast` horizon — ack-gating is the consumer's opt-in
+    * (size `keepLast` above the worst-case lag until then). UNSEALED
+    * epochs are never touched regardless of age or watermark: an epoch
+    * without `_appended` is a crashed delivery whose retry NEEDS the
+    * sealed decisions (`_decided`) to stay idempotent — deleting it
+    * would re-decide against a moved ledger. Returns the number of
+    * epoch dirs removed. */
   def sweepAdmitEpochs(spark: org.apache.spark.sql.SparkSession,
-      epochRoot: String, keepLast: Int = 8): Int = {
+      epochRoot: String, keepLast: Int = 8,
+      force: Boolean = false): Int = {
     require(keepLast >= 1, "keepLast must be ≥ 1")
     val root = new org.apache.hadoop.fs.Path(epochRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1094,10 +1233,13 @@ object Dedup {
     val all = fs.listStatus(root).toSeq
       .flatMap(st => parseEpoch(st.getPath.getName)).sorted
     if (all.isEmpty) return 0
-    // the oldest epoch that stays — everything sealed below it goes
+    val wm = consumedAdmitWatermark(spark, epochRoot)
+    // the oldest epoch that stays — everything sealed below it goes,
+    // except unconsumed epochs (above the ack watermark) unless forced
     val cut = all.drop(math.max(0, all.size - keepLast)).head
-    val drop = all.filter(_ < cut).filter(e =>
-      fs.exists(new org.apache.hadoop.fs.Path(
+    val drop = all.filter(_ < cut)
+      .filter(e => force || wm.forall(e <= _))
+      .filter(e => fs.exists(new org.apache.hadoop.fs.Path(
         s"${epochDir(epochRoot, e)}/_appended")))
     drop.foreach(e => fs.delete(
       new org.apache.hadoop.fs.Path(epochDir(epochRoot, e)), true))
@@ -1527,14 +1669,38 @@ object Dedup {
     * append would still write one empty part file per re-run and
     * fragment the store for no information. Band keys land FIRST (see
     * [[nearDupLedgerAdmit]]'s crash-ordering note). Callers hold the
-    * primary's ingest lease. */
+    * primary's ingest lease. `sealDir` (the streamed path's epoch dir)
+    * seals each store's append with its own marker
+    * (`_bands_appended` / `_primary_appended`) so an epoch retry skips
+    * the half that already landed instead of re-running the whole
+    * append — without the seals, a retry that crashed between the two
+    * writes lands band keys twice but primary rows once, and the
+    * band_rows == banded_rows × bands invariant
+    * [[nearDupLedgerHealthReport]] pages on falsely fires until the
+    * next compaction. With them, the asymmetry window shrinks to a
+    * crash between ONE store's commit and its marker create
+    * (microseconds — and still transient: compaction's distinct
+    * collapses it). */
   private def ndlAppend(spark: org.apache.spark.sql.SparkSession,
-      path: String, novel: DataFrame, bands: Int, rows: Int): Unit =
+      path: String, novel: DataFrame, bands: Int, rows: Int,
+      sealDir: Option[String] = None): Unit =
     if (!novel.isEmpty) {
-      ndlWriteBands(ndlBandKeys(novel, bands, rows), "append",
-        graft.util.Gen.appendDir(spark, ndlBandsPath(path)))
-      ndlWritePrimary(novel, "append",
-        graft.util.Gen.appendDir(spark, path))
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def half(marker: String)(write: => Unit): Unit = sealDir match {
+        case None => write
+        case Some(d) =>
+          val m = new org.apache.hadoop.fs.Path(s"$d/$marker")
+          if (!fs.exists(m)) { write; fs.create(m, true).close() }
+      }
+      half("_bands_appended") {
+        ndlWriteBands(ndlBandKeys(novel, bands, rows), "append",
+          graft.util.Gen.appendDir(spark, ndlBandsPath(path)))
+      }
+      half("_primary_appended") {
+        ndlWritePrimary(novel, "append",
+          graft.util.Gen.appendDir(spark, path))
+      }
     }
 
   /** Streamed [[nearDupLedgerAdmit]] — the same epoch protocol as
@@ -1546,11 +1712,14 @@ object Dedup {
     * before any append, so a re-delivered epoch re-emits identical
     * decisions AND re-appends exactly the signatures it first decided,
     * never re-deriving either against a ledger the first delivery
-    * moved. A retry that crashed mid-append can double-append novel
-    * rows: decisions are unaffected (candidates and verify pairs
-    * de-duplicate) and [[compactNearDupLedger]]'s distinct collapses
-    * them. Audit output is per-epoch when `audit = true`
-    * (`epoch-<id>/audit`, same schema as the batch `auditOut`). */
+    * moved. Each store's append is sealed with its own per-epoch
+    * marker (see [[ndlAppend]]), so a retry skips the half that
+    * already landed; only a crash between one store's commit and its
+    * marker can still double-append that half — decisions unaffected
+    * (candidates and verify pairs de-duplicate),
+    * [[compactNearDupLedger]]'s distinct collapses the rows. Audit
+    * output is per-epoch when `audit = true` (`epoch-<id>/audit`,
+    * same schema as the batch `auditOut`). */
   def nearDupLedgerAdmitStreamBatch(
       spark: org.apache.spark.sql.SparkSession,
       path: String, epochRoot: String, batch: DataFrame, idCol: String,
@@ -1567,6 +1736,8 @@ object Dedup {
       val appendedM = new org.apache.hadoop.fs.Path(s"$eDir/_appended")
       val admittedPath = s"$eDir/admitted"
       val novelPath = s"$eDir/novel"
+      val fp = epochFingerprint(batch, idCol)
+      checkEpochFingerprint(fs, decidedM, fp, epochId, epochRoot)
       if (fs.exists(appendedM)) spark.read.parquet(admittedPath)
       else {
         if (!fs.exists(decidedM)) {
@@ -1575,10 +1746,10 @@ object Dedup {
             if (audit) Some(s"$eDir/audit") else None)
           admitted.write.mode("overwrite").parquet(admittedPath)
           novel.write.mode("overwrite").parquet(novelPath)
-          fs.create(decidedM, true).close()
+          writeSeal(fs, decidedM, fp)
         }
         ndlAppend(spark, path, spark.read.parquet(novelPath), bands,
-          rows)
+          rows, sealDir = Some(eDir))
         fs.create(appendedM, true).close()
         spark.read.parquet(admittedPath)
       }
@@ -1589,7 +1760,13 @@ object Dedup {
     * `foreachBatch`, the sink checkpoint at `checkpointLocation`
     * driving the epoch ids; admitted rows of epoch N land at
     * `epochRoot/epoch-<N>/admitted` and retries re-emit identical
-    * content. Caller stops the returned query. */
+    * content. Caller stops the returned query. Same lifecycle coupling
+    * as [[ledgerAdmitStream]]: `epochRoot` lives and dies with
+    * `checkpointLocation` (a reset checkpoint over a surviving root
+    * fails loudly on the fingerprint seal), and ad-hoc backfills route
+    * THROUGH the stream's source as normal epochs — a concurrent
+    * batch [[nearDupLedgerAdmit]] mid-epoch fails loudly on the shared
+    * ingest lease by design. */
   def nearDupLedgerAdmitStream(spark: org.apache.spark.sql.SparkSession,
       path: String, epochRoot: String, stream: DataFrame, idCol: String,
       textCol: String, checkpointLocation: String, n: Int = 3,
@@ -1951,7 +2128,11 @@ object Dedup {
     *     `dropForgottenSignatures` flag would purge.
     * One zero-vector-byte scan per store (file name + id/partition
     * columns only). Quiet-by-default thresholds; spec-pinned on
-    * planted accretion/forget/lost-bands fixtures. */
+    * planted accretion/forget/lost-bands fixtures. (A streamed-epoch
+    * retry that crashed between one store's append commit and its
+    * per-store seal — see [[ndlAppend]] — can transiently trip the
+    * sync check in the `>` direction; the next
+    * [[compactNearDupLedger]] clears it.) */
   def nearDupLedgerHealthReport(spark: org.apache.spark.sql.SparkSession,
       path: String, maxFilesPerBucket: Int = 16): DataFrame = {
     import spark.implicits._

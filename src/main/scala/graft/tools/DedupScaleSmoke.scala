@@ -594,6 +594,62 @@ object DedupScaleSmoke {
         f"$epochs/epoch-${0L}%012d/admitted").count()
       require(replayed == epoch0 && admits > 0L,
         s"streamed epoch replay broke: $replayed vs $epoch0")
+
+      // EPOCH-COUNT scale proof (r18): a year of 5-minute epochs is
+      // ~1e5 epoch dirs. The read-back must stay ONE scan node at any
+      // epoch count (a per-epoch union fold's plan depth would grow
+      // with stream age), its wall must track file count / job
+      // overhead rather than plan depth (flat-ish 40 → 120 epochs),
+      // and retention must stay one driver listing. 120 trickle
+      // epochs here — 40-60× the bench entries' epoch counts.
+      println(s"== streamed-admit epoch-count scale (120 epochs) ==")
+      val sLedger2 = s"$ledgerRoot/stream_ledger_many"
+      val epochs2 = s"$ledgerRoot/epochs_many"
+      val eSz = 100L
+      def admitRange(from: Int, until: Int): Unit =
+        (from until until).foreach { e =>
+          graft.operators.Dedup.ledgerAdmitStreamBatch(spark, sLedger2,
+            epochs2, docs.filter(col("doc_id") >= e * eSz &&
+              col("doc_id") < (e + 1) * eSz),
+            "doc_id", "text", e.toLong)
+        }
+      def timed[T](label: String)(f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        val w = (System.nanoTime() - t0) / 1e9
+        println(f"  $label: $w%.2f s"); (r, w)
+      }
+      time("epochs 0-39 (trickle admits)")(admitRange(0, 40))
+      val (rb40, w40) = timed("readAdmittedEpochs at 40 epochs")(
+        graft.operators.Dedup.readAdmittedEpochs(spark, epochs2)
+          .count())
+      time("epochs 40-119 (trickle admits)")(admitRange(40, 120))
+      val rb = graft.operators.Dedup.readAdmittedEpochs(spark, epochs2)
+      val scanLeaves = rb.queryExecution.executedPlan.collectLeaves()
+        .count(_.nodeName.toLowerCase.contains("scan"))
+      val (rb120, w120) = timed("readAdmittedEpochs at 120 epochs")(
+        rb.count())
+      // each 100-doc slice holds exactly one planted exact dup
+      require(rb40 == 40 * 99 && rb120 == 120 * 99,
+        s"epoch read-back rows broke: $rb40 / $rb120")
+      require(scanLeaves == 1,
+        s"read-back plan at 120 epochs holds $scanLeaves scan leaves " +
+          "— must be ONE flat multi-path scan")
+      require(w120 < math.max(3 * w40, w40 + 2.0),
+        f"read-back wall grew with epoch count: $w40%.2f s at 40 → " +
+          f"$w120%.2f s at 120 epochs")
+      // retention at 120 epochs: the ack-gated sweep is one driver
+      // listing — a lagging consumer at epoch 115 caps the reclaim
+      graft.operators.Dedup.ackAdmitEpochs(spark, epochs2, 115L)
+      val (swept, wSweep) = timed(
+        "ack-gated sweepAdmitEpochs keepLast=1 over 120 epochs")(
+        graft.operators.Dedup.sweepAdmitEpochs(spark, epochs2,
+          keepLast = 1))
+      require(swept == 116 && wSweep < 5.0,
+        s"gated sweep broke: swept $swept (want 116, epochs 0-115) " +
+          f"in $wSweep%.2f s")
+      val left = graft.operators.Dedup.readAdmittedEpochs(spark,
+        epochs2).select(col("epoch")).distinct().count()
+      require(left == 4, s"post-sweep epochs: $left (want 116-119)")
     } finally graft.util.Fs.deleteRecursively(ledgerRoot)
 
     // the NEAR-dup ledger's production life: same daily drain, but each

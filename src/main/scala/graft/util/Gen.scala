@@ -14,18 +14,25 @@ import org.apache.spark.sql.SparkSession
   * directory). A generation becomes REAL when its COMMIT POINTER
   * lands: `P/_commit-00000002`, a tiny file whose content is the name
   * of the staging dir that won. The pointer is made SELF-VALID at the
-  * instant it becomes visible: its full content is first written to a
-  * writer-unique hidden temp (`P/.commit-00000002-3fa91c55.tmp`),
-  * closed, and then RENAMED to the pointer name — one atomic metadata
-  * op, so no reader ever observes a pointer whose content is empty or
-  * partial (a create-then-write publish has exactly that torn window,
-  * and a crash inside it would brick the store: an empty pointer that
-  * scan kept treating as the current commit). The rename REFUSES an
-  * existing destination (atomic no-overwrite on HDFS; on POSIX local
-  * and object stores the exists pre-check narrows it to a small
-  * check-then-act window — see [[publishAtomicity]] for the per-scheme
-  * capability and the loud once-per-scheme degradation warning), which
-  * is the one-winner arbitration. Defense in depth for states the
+  * instant it becomes visible — by the strategy the filesystem's
+  * semantics demand ([[publishStrategy]]): on HDFS-family/local, its
+  * full content is first written to a writer-unique hidden temp
+  * (`P/.commit-00000002-3fa91c55.tmp`), closed, and then RENAMED to
+  * the pointer name — one atomic metadata op, so no reader ever
+  * observes a pointer whose content is empty or partial (there a
+  * create-then-write publish has exactly that torn window, because a
+  * created file is visible before close, and a crash inside it would
+  * brick the store: an empty pointer that scan kept treating as the
+  * current commit); on OBJECT STORES, one exclusive
+  * create+write+close — the object materializes whole at the
+  * close-time PUT (invisible before it), and rename there would be
+  * copy+delete. The exclusive step REFUSES an existing destination
+  * (atomic no-overwrite rename on HDFS, conditional-PUT create on a
+  * capable object-store connector; elsewhere the exists pre-check
+  * narrows it to a small check-then-act window — see
+  * [[publishAtomicity]] for the per-scheme capability and the loud
+  * once-per-scheme degradation warning), which is the one-winner
+  * arbitration. Defense in depth for states the
   * protocol itself can no longer produce (a pre-rename-era crash, a
   * sweep that died between a dir delete and its pointer delete, a
   * manually damaged store): [[scan]] treats a pointer that is EMPTY or
@@ -200,10 +207,15 @@ object Gen {
         (g, n) })
       val dirSet = dirs.map(_._2).toSet
       // the dir-existence check costs no extra RPC: the dir must be a
-      // sibling, and we already hold the full listing
+      // sibling, and we already hold the full listing. A pointer that
+      // vanishes between the listing and this read was deleted by a
+      // concurrent sweep (poisoned-pointer reclaim, an entry sweep, a
+      // sweepGenerations) — drop it, exactly as if it had never been
+      // listed, rather than failing the whole read on FNF
       val (v2, poisoned) = names
-        .flatMap(n => parseCommit(n).map(c =>
-          (c, readSmall(fs, new Path(store, n)))))
+        .flatMap(n => parseCommit(n).flatMap(c =>
+          try Some((c, readSmall(fs, new Path(store, n))))
+          catch { case _: java.io.FileNotFoundException => None }))
         .partition { case (_, d) => d.nonEmpty && dirSet.contains(d) }
       val v1 = dirs.filter { case (_, n) =>
         !v2.exists(_._2 == n) &&
@@ -389,33 +401,84 @@ object Gen {
     if (stillPoisoned) fs.delete(ptr, false)
   }
 
-  /** The atomic publish: stage the pointer's FULL content in a hidden
-    * writer-unique temp, close it, then rename it to
-    * `_commit-<target>` — the pointer is self-valid the instant it is
-    * visible. Returns true when this writer WON the generation; false
-    * when the target was already committed by a concurrent writer (the
-    * temp is cleaned up — the caller aborts loudly). Any other rename
-    * failure throws with the pointer state unknown (callers leave the
-    * maintenance marker down — a fenced ingest beats a
-    * silently-diverged store). */
+  /** The atomic publish, STRATEGY-DEPENDENT (see [[publishStrategy]]):
+    *   - `rename` (HDFS-family, POSIX local): stage the pointer's FULL
+    *     content in a hidden writer-unique temp, close it, then rename
+    *     it to `_commit-<target>` — the pointer is self-valid the
+    *     instant it is visible, and a destination-refusing rename is
+    *     the one-winner arbitration;
+    *   - `create` (object stores): ONE exclusive
+    *     `create(overwrite = false)` + write + close — the object
+    *     appears atomically and fully-formed at the close-time PUT
+    *     (invisible before it, so self-valid by construction), and a
+    *     connector with conditional-PUT create makes the arbitration
+    *     truly atomic. Temp+rename there would be strictly WEAKER:
+    *     object-store rename is copy+delete, so the arbitration window
+    *     is the whole copy instead of one PUT.
+    * Returns true when this writer WON the generation; false when the
+    * target was already committed by a concurrent writer (any staged
+    * temp is cleaned up — the caller aborts loudly). Any other
+    * rename/close failure throws with the pointer state unknown
+    * (callers leave the maintenance marker down — a fenced ingest
+    * beats a silently-diverged store). */
   private def publishPointer(fs: FileSystem, store: Path, target: Long,
       dirName: String, token: String): Boolean = {
     val ptr = new Path(store, commitName(target))
-    val tmp = new Path(store, tempCommitName(target, token))
-    val out = fs.create(tmp, true)
-    out.write(dirName.getBytes("UTF-8")); out.close()
     warnIfDegradedPublish(fs, store)
-    if (fs.exists(ptr)) { fs.delete(tmp, false); return false }
-    if (fs.rename(tmp, ptr)) true
-    else if (fs.exists(ptr)) { fs.delete(tmp, false); false }
-    else {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"Gen: publishing $ptr failed (rename returned false with no " +
-          "winning pointer present) — inspect the store before " +
-          "re-running")
+    if (publishStrategy(fs) == "create") {
+      val out =
+        try fs.create(ptr, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            return false
+          case e: java.io.IOException =>
+            if (fs.exists(ptr)) return false else throw e
+        }
+      out.write(dirName.getBytes("UTF-8")); out.close()
+      true
+    } else {
+      val tmp = new Path(store, tempCommitName(target, token))
+      val out = fs.create(tmp, true)
+      out.write(dirName.getBytes("UTF-8")); out.close()
+      if (fs.exists(ptr)) { fs.delete(tmp, false); return false }
+      if (fs.rename(tmp, ptr)) true
+      else if (fs.exists(ptr)) { fs.delete(tmp, false); false }
+      else {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"Gen: publishing $ptr failed (rename returned false with no " +
+            "winning pointer present) — inspect the store before " +
+            "re-running")
+      }
     }
   }
+
+  /** Filesystems that are OBJECT STORES: their rename is copy+delete
+    * (neither atomic nor destination-refusing), but an exclusive
+    * create+write+close is one PUT at close — so the publish flips to
+    * the `create` strategy there. */
+  private val ObjectStoreSchemes =
+    Set("s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+      "oss", "cos", "cosn", "obs", "swift")
+
+  /** Publish strategy for the filesystem behind a store: `"rename"`
+    * (temp + rename — HDFS-family and POSIX local, where a created
+    * file is VISIBLE before close, so the content must be staged and
+    * the atomic metadata rename makes it appear whole) or `"create"`
+    * (exclusive create + write + close — object stores, where the
+    * object materializes atomically at the close-time PUT and rename
+    * would be copy+delete). Override per scheme with the Hadoop conf
+    * key `graft.gen.publish.strategy.<scheme>` = rename|create (for an
+    * HDFS-compatible store behind a custom scheme, or an object store
+    * whose connector renames server-side atomically). */
+  def publishStrategy(fs: FileSystem): String =
+    Option(fs.getConf.get(
+      s"graft.gen.publish.strategy.${schemeOf(fs)}"))
+      .map(_.trim.toLowerCase)
+      .filter(v => v == "rename" || v == "create")
+      .getOrElse(
+        if (ObjectStoreSchemes.contains(schemeOf(fs))) "create"
+        else "rename")
 
   /** Filesystems whose `rename` is a single atomic metadata op that
     * REFUSES an existing destination — the two properties the publish
@@ -423,22 +486,28 @@ object Gen {
   private val AtomicRenameSchemes =
     Set("hdfs", "webhdfs", "swebhdfs", "viewfs", "ofs", "o3fs")
 
-  /** Capability of the publish rename on the filesystem behind a
-    * store: `"atomic"` (rename is atomic and fails on an existing
-    * destination — HDFS-family) or `"check-then-act"` (POSIX local
-    * rename OVERWRITES an existing destination and object-store
-    * renames are copy+delete, so the exists pre-check narrows the
-    * arbitration to a small race window — still strictly safer than
-    * last-writer-wins, and the stale-snapshot re-scan before the
+  /** Capability of the publish's EXCLUSIVE STEP (whichever
+    * [[publishStrategy]] selects) on the filesystem behind a store:
+    * `"atomic"` (the step both arbitrates and publishes in one op —
+    * HDFS-family's destination-refusing rename) or `"check-then-act"`
+    * (the exists pre-check narrows the arbitration to a small race
+    * window: POSIX local rename OVERWRITES an existing destination,
+    * and an object-store `create(overwrite=false)` without
+    * conditional-PUT support is HEAD-then-PUT — still strictly safer
+    * than last-writer-wins, and the stale-snapshot re-scan before the
     * publish catches every race wider than microseconds). Detection is
-    * by URI scheme; a deployment that KNOWS better (an HDFS-compatible
-    * store behind a custom scheme, or an object store with conditional
-    * PUT wired into rename) declares it via the Hadoop conf key
+    * by URI scheme; a deployment that KNOWS its exclusive step is
+    * atomic declares it via the Hadoop conf key
     * `graft.gen.publish.atomicity.<scheme>` = atomic|check-then-act,
-    * which takes precedence. A degraded store is announced by ONE loud
-    * warning per scheme per JVM at first publish
-    * ([[warnIfDegradedPublish]]) — visible in the driver log, not
-    * buried per-call. */
+    * which takes precedence — e.g. s3a with conditional (If-None-Match)
+    * create enabled, where the `create`-strategy publish really is one
+    * atomic self-valid PUT. The declaration describes the CHOSEN
+    * strategy's step: do not declare `atomic` for a scheme forced onto
+    * the rename strategy whose rename is copy+delete — it cannot make
+    * that rename atomic and only silences the warning. A degraded
+    * store is announced by ONE loud warning per scheme per JVM at
+    * first publish ([[warnIfDegradedPublish]]) — visible in the driver
+    * log, not buried per-call. */
   def publishAtomicity(scheme: String,
       conf: org.apache.hadoop.conf.Configuration): String =
     Option(conf.get(s"graft.gen.publish.atomicity.$scheme"))
@@ -472,14 +541,17 @@ object Gen {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
     if (publishAtomicity(fs) != "atomic" && warnedSchemes.add(scheme))
       org.slf4j.LoggerFactory.getLogger("graft.util.Gen").warn(
-        s"Gen publish on scheme '$scheme' (first store: $store) is " +
-          "CHECK-THEN-ACT, not atomic: this filesystem's rename does " +
-          "not refuse an existing destination, so two maintenance " +
-          "writers racing the same generation have a small window " +
-          "where both can publish (last one visible wins). Schedule " +
-          "maintenance single-writer per store, or declare " +
-          s"graft.gen.publish.atomicity.$scheme=atomic if the store " +
-          "is known to honor atomic no-overwrite rename.")
+        s"Gen publish on scheme '$scheme' (first store: $store, " +
+          s"strategy: ${publishStrategy(fs)}) is CHECK-THEN-ACT, not " +
+          "atomic: this filesystem's exclusive step (no-overwrite " +
+          "rename, or exclusive create without conditional PUT) does " +
+          "not refuse an existing destination atomically, so two " +
+          "maintenance writers racing the same generation have a " +
+          "small window where both can publish (last one visible " +
+          "wins). Schedule maintenance single-writer per store, or " +
+          s"declare graft.gen.publish.atomicity.$scheme=atomic if " +
+          "the chosen strategy's exclusive step is known atomic " +
+          "(e.g. conditional-PUT create on an object store).")
   }
 
   /** PROTECT a committed generation from every sweep — the retention

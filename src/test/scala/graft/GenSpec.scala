@@ -663,6 +663,82 @@ class GenSpec extends SparkTestBase {
     }
   }
 
+  test("publishStrategy: object-store schemes publish via ONE " +
+      "exclusive create (self-valid at the close-time PUT; rename " +
+      "there is copy+delete), rename strategy elsewhere, per-scheme " +
+      "conf override wins — and the create-strategy publish works " +
+      "end to end") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    // local fs: created file visible before close → rename strategy
+    assert(Gen.publishStrategy(
+      new Path("/tmp/x").getFileSystem(conf)) === "rename")
+    conf.set("fs.s3a.impl", classOf[GraftMockS3Fs].getName)
+    val root = tmp("graft_gen_s3")
+    try {
+      val store = s"s3a://$root/store"
+      val s3fs = new Path(store).getFileSystem(conf)
+      assert(s3fs.getUri.getScheme === "s3a")
+      assert(Gen.publishStrategy(s3fs) === "create")
+      // end-to-end on the create path: two rewrites publish, resolve
+      // serves the data, the pointer is self-valid (names the dir),
+      // and no rename-strategy .commit temp is ever staged
+      Gen.rewrite(spark, store)(d => rows(2, "a").write.parquet(d))
+      assert(spark.read.parquet(Gen.resolve(spark, store)).count() === 2)
+      Gen.rewrite(spark, store)(d => rows(3, "b").write.parquet(d))
+      assert(Gen.currentGeneration(spark, store) === Some(2L))
+      assert(spark.read.parquet(Gen.resolve(spark, store)).count() === 3)
+      assert(!s3fs.listStatus(new Path(store)).exists(
+        _.getPath.getName.endsWith(".tmp")))
+      // arbitration: an existing pointer REFUSES the exclusive create
+      // — appendDir's gen-1 establish race resolves to one winner
+      val store2 = s"s3a://$root/store2"
+      Gen.rewrite(spark, store2)(d => rows(1, "x").write.parquet(d))
+      val before = Gen.resolve(spark, store2)
+      // a same-target manual pointer already exists → a racing
+      // publish must lose, not overwrite
+      assert(Gen.currentGeneration(spark, store2) === Some(1L))
+      // per-scheme override flips the strategy back
+      conf.set("graft.gen.publish.strategy.s3a", "rename")
+      assert(Gen.publishStrategy(s3fs) === "rename")
+      conf.unset("graft.gen.publish.strategy.s3a")
+      assert(Gen.publishStrategy(s3fs) === "create")
+      assert(Gen.resolve(spark, store2) === before)
+    } finally {
+      conf.unset("graft.gen.publish.strategy.s3a")
+      conf.unset("fs.s3a.impl")
+      graft.util.Fs.deleteRecursively(root)
+    }
+  }
+
+  test("scan FNF tolerance: a commit pointer deleted between the " +
+      "listing and its read (a concurrent sweep reclaiming it) is " +
+      "DROPPED — resolution falls back to the previous generation " +
+      "instead of failing the whole read") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftflaky.impl", classOf[GraftFlakyFs].getName)
+    val root = tmp("graft_gen_flaky")
+    try {
+      val store = s"graftflaky://$root/store"
+      Gen.rewrite(spark, store)(d => rows(2, "a").write.parquet(d))
+      Gen.rewrite(spark, store)(d => rows(3, "b").write.parquet(d))
+      val g2 = Gen.resolve(spark, store)
+      assert(isGenDir(g2, 2))
+      // the NEXT open of gen-2's pointer throws FNF exactly once —
+      // the listed-then-deleted race
+      GraftFlakyFs.vanishOnce.add("_commit-00000002")
+      val resolved = Gen.resolve(spark, store)
+      assert(isGenDir(resolved, 1),
+        s"FNF'd pointer must drop to the previous generation, got " +
+          resolved)
+      // the artifact was transient: the pointer is intact on disk and
+      // the very next resolve serves gen 2 again
+      assert(Gen.resolve(spark, store) === g2)
+    } finally {
+      conf.unset("fs.graftflaky.impl")
+      graft.util.Fs.deleteRecursively(root)
+    }
+  }
+
   test("ownsMarker: the compound-operation form neither creates nor " +
       "lifts the caller's marker — a failure between two store " +
       "rewrites leaves ingest fenced until the re-run completes") {
@@ -701,4 +777,32 @@ class GenSpec extends SparkTestBase {
 class GraftMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI =
     java.net.URI.create("graftmock:///")
+}
+
+/** Local semantics under the `s3a` scheme — the publish-strategy pin's
+  * end-to-end vehicle for the object-store create path (no real object
+  * store in this sandbox; the strategy dispatches on the scheme). */
+class GraftMockS3Fs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("s3a:///")
+}
+
+/** Fault-injecting local FS for the scan-FNF-tolerance pin: opening a
+  * path whose NAME is in [[GraftFlakyFs.vanishOnce]] throws
+  * FileNotFoundException exactly once — the "a concurrent sweep
+  * deleted the pointer between the listing and the read" race, made
+  * deterministic. */
+class GraftFlakyFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI =
+    java.net.URI.create("graftflaky:///")
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    if (GraftFlakyFs.vanishOnce.remove(f.getName))
+      throw new java.io.FileNotFoundException(f.toString)
+    super.open(f, bufferSize)
+  }
+}
+
+object GraftFlakyFs {
+  val vanishOnce: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

@@ -1499,6 +1499,167 @@ class StreamingSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("epoch fingerprint: a decided epochId re-delivered with " +
+      "DIFFERENT rows (reset checkpoint over a surviving epochRoot) " +
+      "fails loudly instead of re-emitting stale decisions and " +
+      "silently discarding the new batch; a true retry (same rows, " +
+      "any order) still re-emits") {
+    import SparkTestBase.session.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_epoch_fp").toString
+    try {
+      val mk = (ids: Seq[Long]) =>
+        ids.map(i => (i, s"text $i")).toDF("doc_id", "text")
+      // exact ledger
+      val a = Dedup.ledgerAdmitStreamBatch(spark, s"$root/l", s"$root/e",
+        mk(Seq(1L, 2L, 3L)), "doc_id", "text", 0L)
+      assert(a.count() === 3L)
+      // a legitimate retry: same id set, different row order — the xor
+      // fingerprint is delivery-order-blind, decisions re-emit
+      assert(Dedup.ledgerAdmitStreamBatch(spark, s"$root/l", s"$root/e",
+        mk(Seq(3L, 1L, 2L)).repartition(4), "doc_id", "text", 0L)
+        .count() === 3L)
+      // the lifecycle mismatch: epoch 0 arrives carrying NEW rows
+      val e1 = intercept[IllegalStateException] {
+        Dedup.ledgerAdmitStreamBatch(spark, s"$root/l", s"$root/e",
+          mk(Seq(7L, 8L)), "doc_id", "text", 0L)
+      }
+      assert(e1.getMessage.contains("DIFFERENT batch"))
+      assert(e1.getMessage.contains("checkpoint"))
+      // near-dup ledger: same protocol, same pin
+      Dedup.nearDupLedgerAdmitStreamBatch(spark, s"$root/nl",
+        s"$root/ne", mk(Seq(1L, 2L)), "doc_id", "text", 0L)
+      val e2 = intercept[IllegalStateException] {
+        Dedup.nearDupLedgerAdmitStreamBatch(spark, s"$root/nl",
+          s"$root/ne", mk(Seq(9L)), "doc_id", "text", 0L)
+      }
+      assert(e2.getMessage.contains("DIFFERENT batch"))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("consumer-ack retention: sweepAdmitEpochs never drops a sealed " +
+      "epoch ABOVE the ack watermark (a lagging consumer's unread " +
+      "admits are unrecoverable once swept); acked epochs reclaim, " +
+      "force overrides, acks are monotone") {
+    import SparkTestBase.session.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_epoch_ack").toString
+    val ledger = s"$root/ledger"
+    val epochs = s"$root/epochs"
+    try {
+      (0 until 4).foreach { e =>
+        Dedup.ledgerAdmitStreamBatch(spark, ledger, epochs,
+          (e * 10 until e * 10 + 5).map(i => (i.toLong, s"text $i"))
+            .toDF("doc_id", "text"), "doc_id", "text", e.toLong)
+      }
+      assert(Dedup.consumedAdmitWatermark(spark, epochs) === None)
+      // consumer has read only epoch 0; keepLast=1 would blindly drop
+      // epochs 0-2 — the watermark protects the unread 1 and 2
+      assert(Dedup.ackAdmitEpochs(spark, epochs, 0L) === 0L)
+      assert(Dedup.consumedAdmitWatermark(spark, epochs) === Some(0L))
+      assert(Dedup.sweepAdmitEpochs(spark, epochs, keepLast = 1) === 1)
+      assert(Dedup.readAdmittedEpochs(spark, epochs)
+        .select("epoch").distinct().as[Long].collect().sorted.toSeq ===
+        Seq(1L, 2L, 3L))
+      // the consumer catches up through epoch 2 — those reclaim
+      assert(Dedup.ackAdmitEpochs(spark, epochs, 2L) === 2L)
+      // monotone: a stale (lower) ack is a no-op on the watermark
+      assert(Dedup.ackAdmitEpochs(spark, epochs, 1L) === 2L)
+      assert(Dedup.consumedAdmitWatermark(spark, epochs) === Some(2L))
+      assert(Dedup.sweepAdmitEpochs(spark, epochs, keepLast = 1) === 2)
+      assert(Dedup.readAdmittedEpochs(spark, epochs)
+        .select("epoch").distinct().as[Long].collect().sorted.toSeq ===
+        Seq(3L))
+      // force: the operator abandoning a dead consumer overrides the
+      // gate (epoch 4 lands, 3 is still above the watermark)
+      Dedup.ledgerAdmitStreamBatch(spark, ledger, epochs,
+        Seq((40L, "text 40")).toDF("doc_id", "text"),
+        "doc_id", "text", 4L)
+      assert(Dedup.sweepAdmitEpochs(spark, epochs, keepLast = 1) === 0)
+      assert(Dedup.sweepAdmitEpochs(spark, epochs, keepLast = 1,
+        force = true) === 1)
+      assert(Dedup.readAdmittedEpochs(spark, epochs)
+        .select("epoch").distinct().as[Long].collect().sorted.toSeq ===
+        Seq(4L))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("batch-vs-stream interleaving: a batch admit landing while a " +
+      "streamed epoch holds the ingest lease fails LOUDLY on the " +
+      "lease — no deadlock, no silent interleave (route backfills " +
+      "through the stream's source instead)") {
+    import SparkTestBase.session.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_interleave").toString
+    val ledger = s"$root/ledger"
+    try {
+      val b = Seq((1L, "alpha")).toDF("doc_id", "text")
+      // the streamed epoch's lease is held for its whole
+      // read-decide-append window; a batch admit inside it must refuse
+      graft.util.Fs.withIngestLease(spark, ledger,
+          "ledgerAdmitStream(epoch=0)") {
+        val e = intercept[IllegalStateException] {
+          Dedup.ledgerAdmit(spark, ledger, b, "doc_id", "text")
+        }
+        assert(e.getMessage.contains("ingest lease"))
+      }
+      // and vice versa: a streamed epoch refuses while a batch admit
+      // holds the same lease
+      graft.util.Fs.withIngestLease(spark, ledger, "ledgerAdmit") {
+        val e = intercept[IllegalStateException] {
+          Dedup.ledgerAdmitStreamBatch(spark, ledger, s"$root/epochs",
+            b, "doc_id", "text", 0L)
+        }
+        assert(e.getMessage.contains("ingest lease"))
+      }
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("per-store append seals: a near-dup epoch retry that crashed " +
+      "after its appends but before the epoch seal re-appends " +
+      "NOTHING (both halves short-circuit on their markers) — store " +
+      "row counts hold and the band/primary sync invariant the " +
+      "health report pages on stays green") {
+    import SparkTestBase.session.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_seal").toString
+    val ledger = s"$root/ledger"
+    val epochs = s"$root/epochs"
+    try {
+      val b = Seq((1L, "alpha beta gamma delta"),
+        (2L, "wholly unrelated content here"))
+        .toDF("doc_id", "text")
+      Dedup.nearDupLedgerAdmitStreamBatch(spark, ledger, epochs, b,
+        "doc_id", "text", 0L)
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val eDir = f"$epochs/epoch-${0L}%012d"
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$eDir/_bands_appended")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$eDir/_primary_appended")))
+      def counts() = (
+        spark.read.parquet(graft.util.Gen.resolve(spark, ledger))
+          .count(),
+        spark.read.parquet(graft.util.Gen.resolve(spark,
+          ledger + "_bands")).count())
+      val before = counts()
+      // crash between the appends and the epoch seal: only _appended
+      // is missing — the retry must skip both sealed halves
+      fs.delete(new org.apache.hadoop.fs.Path(s"$eDir/_appended"),
+        false)
+      val replay = Dedup.nearDupLedgerAdmitStreamBatch(spark, ledger,
+        epochs, b, "doc_id", "text", 0L)
+      assert(replay.count() === 2L)
+      assert(counts() === before)
+      val health = Dedup.nearDupLedgerHealthReport(spark, ledger)
+        .select("band_rows", "expected_band_rows",
+          "rebuild_bands_advised").head()
+      assert(health.getLong(0) === health.getLong(1))
+      assert(health.getBoolean(2) === false)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("driver smoke parity: SparkEntry.entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
