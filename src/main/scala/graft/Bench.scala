@@ -63,6 +63,19 @@ object Bench {
     calibSink.addAndGet(calibWork(0L)) // JIT warmup, untimed
     def r3c(d: Double) = math.rint(d * 1000) / 1000
     val (calibPre1, calibPreN) = (r3c(calib(1)), r3c(calib(cpus.toInt)))
+    // Second sentinel class: a pinned TRIVIAL Spark job (32 tasks over
+    // a generated range — no I/O, no shuffle beyond the final agg).
+    // The CPU loop above catches compute starvation (the r17 driver
+    // run: uniform 1.48× including pure-compute entries); this one
+    // catches SCHEDULER/small-task-tier drift, which inflates
+    // many-small-job suites while pure-CPU loops stay clean (observed
+    // r18: a 1.3× tier day with calib_1t flat). Min of 3 after one
+    // untimed warmup — steady-state scheduling cost, not JIT.
+    def calibJob(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(32L * 1000000L).selectExpr("sum(id)").head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // Untimed JVM/codegen warmup: one small query through each engine path
     // (parquet scan+agg, window, broadcast join, JSON trace pipeline) so the
     // first timed query doesn't absorb classloading + codegen compilation.
@@ -71,7 +84,9 @@ object Bench {
       SparkEntry.queries("q03_topk")(spark, sfDir).count()
       SparkEntry.queries("q14_window_rank")(spark,
         sfDir.replace("sf0.1", "sf0.001")).count()
+      spark.range(1000L).selectExpr("sum(id)").head() // calibJob warmup
     } catch { case _: Throwable => () }
+    val calibJobPre = r3c(calibJob())
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // Per-query task-metric breakdown so a slow wall-clock is attributable
     // (executor work vs GC vs scheduler/host noise) instead of argued from
@@ -167,13 +182,17 @@ object Bench {
         } => name }
     val serialJson = serial.map("\"" + _ + "\"").mkString("[", ",", "]")
     val (calibPost1, calibPostN) = (r3c(calib(1)), r3c(calib(cpus.toInt)))
+    val calibJobPost = r3c(calibJob())
     if (calibSink.get == 42L) println("calib sink (never prints)")
     // reference band: this builder host, idle (PERF.md r18) — 1t ≈
-    // 0.30-0.45 s, 32t ≈ 0.35-0.75 s. A run whose calib sits far above
-    // the band (>1.3×) is measuring the host, not the code.
+    // 0.38-0.46 s, 32t ≈ 0.40-0.75 s, job ≈ see PERF.md. A run whose
+    // calib sits far above the band (>1.3×) is measuring the host,
+    // not the code: calib_1t/Nt flag CPU starvation, calib_job flags
+    // scheduler/small-task tier drift.
     val contentionJson =
       s"""{"calib_1t_pre":$calibPre1,"calib_${cpus}t_pre":$calibPreN,""" +
-        s""""calib_1t_post":$calibPost1,"calib_${cpus}t_post":$calibPostN}"""
+        s""""calib_1t_post":$calibPost1,"calib_${cpus}t_post":$calibPostN,""" +
+        s""""calib_job_pre":$calibJobPre,"calib_job_post":$calibJobPost}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"serial":$serialJson,"contention":$contentionJson,"detail":$detailJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
