@@ -1110,9 +1110,14 @@ object Dedup {
     * ledger has moved, a re-decide of the same batch admits nothing).
     * Monotone: acking at or below the current watermark is a no-op
     * (two consumers of one root share the SLOWEST reader's watermark —
-    * ack only what EVERY reader has passed). Crash-safe: the new
-    * marker lands before the old ones are reclaimed, and the highest
-    * marker always wins. Returns the effective watermark. */
+    * ack only what EVERY reader has passed). Crash/race-safe: the new
+    * marker lands before any old one is reclaimed, the highest marker
+    * always wins, and the cleanup removes ONLY markers BELOW this
+    * ack's own — a stale ack racing a fresh one (its pre-check read
+    * the old watermark) may thus leave its lower marker next to the
+    * fresh one, but can never delete the higher marker and move the
+    * watermark backwards; the next ack reclaims the leftovers.
+    * Returns the effective watermark as of this call's own writes. */
   def ackAdmitEpochs(spark: org.apache.spark.sql.SparkSession,
       epochRoot: String, upTo: Long): Long = {
     require(upTo >= 0, "ackAdmitEpochs: upTo must be ≥ 0")
@@ -1126,7 +1131,8 @@ object Dedup {
         true).close()
       fs.listStatus(root).map(_.getPath)
         .filter(p => p.getName.startsWith(ConsumedPrefix) &&
-          p.getName != consumedName(upTo))
+          p.getName.stripPrefix(ConsumedPrefix).toLongOption
+            .exists(_ < upTo))
         .foreach(p => fs.delete(p, false))
       upTo
     }
@@ -1142,7 +1148,12 @@ object Dedup {
     * multi-path parquet scan with the epoch label derived from the
     * file path — NOT a per-epoch union fold, whose plan depth would
     * grow with every micro-batch ever run (a year of 5-minute epochs
-    * is ~10⁵ nodes; this stays one scan node at any epoch count). */
+    * is ~10⁵ nodes; this stays one scan node at any epoch count).
+    * Retention protocol: read, THEN [[ackAdmitEpochs]] — a consumer
+    * only ever re-reads epochs above its own watermark, so it never
+    * races [[sweepAdmitEpochs]]' reclaim (which stays at or below
+    * it); re-reading already-acked epochs forfeits that guarantee by
+    * definition. */
   def readAdmittedEpochs(spark: org.apache.spark.sql.SparkSession,
       epochRoot: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(epochRoot)

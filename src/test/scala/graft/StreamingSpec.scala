@@ -1581,6 +1581,21 @@ class StreamingSpec extends SparkTestBase {
       assert(Dedup.readAdmittedEpochs(spark, epochs)
         .select("epoch").distinct().as[Long].collect().sorted.toSeq ===
         Seq(4L))
+      // ack-race safety: a stale concurrent ack (its pre-check read
+      // the OLD watermark, its marker landed next to the fresh one)
+      // must never move the watermark backwards — max wins, and a
+      // later ack reclaims the leftover lower marker
+      val fs = new org.apache.hadoop.fs.Path(epochs).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(epochs,
+        f"_consumed-${1L}%012d"), true).close() // the stale ack's marker
+      assert(Dedup.consumedAdmitWatermark(spark, epochs) === Some(2L))
+      assert(Dedup.ackAdmitEpochs(spark, epochs, 1L) === 2L) // no-op
+      assert(Dedup.ackAdmitEpochs(spark, epochs, 4L) === 4L)
+      // the higher ack's cleanup reclaimed every LOWER marker
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(epochs))
+        .map(_.getPath.getName).count(_.startsWith("_consumed-")) === 1)
+      assert(Dedup.consumedAdmitWatermark(spark, epochs) === Some(4L))
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
