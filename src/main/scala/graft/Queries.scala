@@ -3150,6 +3150,53 @@ object Queries {
     } finally graft.util.Fs.deleteRecursively(path)
   }
 
+  /** Epoch-root HEALTH report oracled end to end
+    * ([[Dedup.admitEpochHealthReport]] through the
+    * [[StoreHealth.storeHealthReport]] dispatcher): three tercile
+    * epochs, epoch 2's seal removed (a crashed delivery awaiting its
+    * retry), consumer acked at epoch 0, horizon 1 — the report must
+    * count 2 sealed / 1 unsealed / 0 audited, name the sealed span
+    * [0, 1], read the watermark 0 and lag 1, PAGE on the horizon, and
+    * count the sealed epochs' admitted rows (data-dependent: the
+    * min-id digest reps of the first two terciles). The dispatcher
+    * detects the root by layout and prepends `store_kind`. */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+    val (c1, c2) = (mx / 3, 2 * mx / 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q149_health").toString
+    try {
+      val ledger = s"$path/ledger"
+      val epochs = s"$path/epochs"
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") <= c1), "doc_id", "text", 0L)
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        "doc_id", "text", 1L)
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") > c2), "doc_id", "text", 2L)
+      val fs = new org.apache.hadoop.fs.Path(epochs).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        f"$epochs/epoch-${2L}%012d/_appended"), false)
+      Dedup.ackAdmitEpochs(s, epochs, 0L)
+      // horizon is a parameter of the report, not the dispatcher —
+      // run the direct verb at horizon = 1 and prepend the
+      // dispatcher's DETECTED kind (the layout-detection pin; the
+      // case routing itself is spec-pinned in ExtensionsSpec)
+      Dedup.admitEpochHealthReport(s, epochs, horizon = 1)
+        .select(lit(graft.operators.StoreHealth
+            .detectStoreKind(s, epochs)).as("store_kind"),
+          col("epochs_sealed"), col("epochs_unsealed"),
+          col("epochs_audited"), col("oldest_sealed"),
+          col("newest_sealed"), col("consumed_watermark"),
+          col("consumer_lag"), col("lag_exceeds_horizon"),
+          col("admitted_rows"))
+        .localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -4430,6 +4477,7 @@ object Queries {
     "q146_ack_epoch_retention" -> (q146 _),
     "q147_mp4_deep_moov" -> (q147 _),
     "q148_neardup_audit_stream" -> (q148 _),
+    "q149_stream_health" -> (q149 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -7494,6 +7542,27 @@ object Queries {
          |SELECT doc_id, reason, partner,
          |  CAST(b - 1 AS BIGINT) AS epoch
          |FROM rs ORDER BY doc_id, reason""".stripMargin,
+    // epoch-root health: the structural fields are fixed by the
+    // entry's construction (3 epochs, one unsealed, ack at 0,
+    // horizon 1); admitted_rows is data-dependent — the min-id digest
+    // reps of the first two terciles
+    "q149_stream_health" ->
+      s"""WITH m AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx
+         |    FROM documents),
+         | f AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+         |   FROM documents WHERE text IS NOT NULL GROUP BY 1)
+         |SELECT 'admit_epochs' AS store_kind,
+         |  CAST(2 AS BIGINT) AS epochs_sealed,
+         |  CAST(1 AS BIGINT) AS epochs_unsealed,
+         |  CAST(0 AS BIGINT) AS epochs_audited,
+         |  CAST(0 AS BIGINT) AS oldest_sealed,
+         |  CAST(1 AS BIGINT) AS newest_sealed,
+         |  CAST(0 AS BIGINT) AS consumed_watermark,
+         |  CAST(1 AS BIGINT) AS consumer_lag,
+         |  TRUE AS lag_exceeds_horizon,
+         |  (SELECT count(*) FROM f
+         |   WHERE doc_id <= 2 * (SELECT mx FROM m) // 3)
+         |    AS admitted_rows""".stripMargin,
     "q119_interevent_gaps" ->
       s"""WITH g AS (SELECT event_type,
          |    epoch_us(ts) - lag(epoch_us(ts)) OVER (

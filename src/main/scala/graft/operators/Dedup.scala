@@ -1257,6 +1257,56 @@ object Dedup {
     drop.size
   }
 
+  /** One-row health of a streamed-admit epoch root — the epoch
+    * lifecycle's member of the observability matrix every persisted
+    * store already has (routed by
+    * [[graft.operators.StoreHealth.storeHealthReport]]): sealed /
+    * unsealed / audited epoch counts, the oldest and newest SEALED
+    * epoch, the consumer-ack watermark, the consumer LAG in epochs
+    * (newest sealed − watermark; -1 when no consumer has registered),
+    * and the page — `lag_exceeds_horizon`: a registered consumer
+    * lagging by `horizon` or more (default 8, [[sweepAdmitEpochs]]'
+    * default keepLast) means retention is BLOCKED on it (the ack gate
+    * refuses to reclaim its unread epochs, so disk grows until the
+    * consumer advances or an operator decides it is dead and sweeps
+    * with force). An unsealed epoch is a crashed delivery awaiting its
+    * retry — persistent nonzero counts here page too, by eye.
+    * `admitted_rows` counts the sealed epochs' admitted rows — the one
+    * Spark job (the same flat multi-path scan as
+    * [[readAdmittedEpochs]]); everything else is one driver listing. */
+  def admitEpochHealthReport(spark: org.apache.spark.sql.SparkSession,
+      epochRoot: String, horizon: Int = 8): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(epochRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all =
+      if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).toSeq
+        .flatMap(st => parseEpoch(st.getPath.getName)).sorted
+    val sealedEpochs = all.filter(e =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"${epochDir(epochRoot, e)}/_appended")))
+    val audited = sealedEpochs.count(e => fs.exists(
+      new org.apache.hadoop.fs.Path(s"${epochDir(epochRoot, e)}/audit")))
+    val wm = consumedAdmitWatermark(spark, epochRoot)
+    val newestSealed = sealedEpochs.lastOption.getOrElse(-1L)
+    val lag = wm match {
+      case Some(w) if newestSealed >= 0 => newestSealed - w
+      case _ => -1L
+    }
+    val admittedRows =
+      if (sealedEpochs.isEmpty) 0L
+      else readAdmittedEpochs(spark, epochRoot).count()
+    Seq((sealedEpochs.size.toLong, (all.size - sealedEpochs.size).toLong,
+      audited.toLong, sealedEpochs.headOption.getOrElse(-1L),
+      newestSealed,
+      wm.getOrElse(-1L), lag, wm.isDefined && lag >= horizon,
+      admittedRows))
+      .toDF("epochs_sealed", "epochs_unsealed", "epochs_audited",
+        "oldest_sealed", "newest_sealed", "consumed_watermark",
+        "consumer_lag", "lag_exceeds_horizon", "admitted_rows")
+  }
+
   /** Digest-bucket of the exact ledger's store layout — the analog of
     * [[ndlDb]], baked into partition dirs the same way (a probe
     * computed with a different modulus would mis-prune and re-admit

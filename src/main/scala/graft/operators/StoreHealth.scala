@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   *   - `centroids/` + `codes/`               → `ivf_sq8`
   *   - `codebooks/` + `codes/`               → `pq`
   *   - `codes/` alone                        → `sq8`
+  *   - `epoch-NNNNNNNNNNNN/` child dirs      → `admit_epochs`
+  *     (a streamed-admit epoch root — [[Dedup.admitEpochHealthReport]])
   *   - flat rows with `hs` + `mh*` signatures → `neardup_ledger`
   *   - flat rows with only digest columns    → `dedup_ledger`
   *   - flat rows with `band`/`kh` keys       → `neardup_bands`
@@ -49,6 +51,9 @@ object StoreHealth {
       else "unknown"
     } else if (has("codebooks") && has("codes")) "pq"
     else if (has("codes")) "sq8"
+    else if (fs.listStatus(new org.apache.hadoop.fs.Path(g)).exists(st =>
+      st.isDirectory && st.getPath.getName.matches("epoch-\\d+")))
+      "admit_epochs" // a streamed-admit epoch root (never versioned)
     else {
       // flat dataset: one schema footer decides among the ledgers
       val cols = spark.read.parquet(g).columns.toSet
@@ -73,6 +78,7 @@ object StoreHealth {
       case "pq" => Similarity.pqIndexStats(spark, path)
       case "sq8" => Similarity.sq8IndexStats(spark, path)
       case "dedup_ledger" => Dedup.dedupLedgerStats(spark, path)
+      case "admit_epochs" => Dedup.admitEpochHealthReport(spark, path)
       case "neardup_ledger" => Dedup.nearDupLedgerHealthReport(spark, path)
       case "neardup_bands" =>
         // the pair's primary derives from the store root — the path

@@ -3916,13 +3916,16 @@ class PipelineOpsSpec extends SparkTestBase {
         "doc_id", "text")
       Dedup.nearDupLedgerAdmit(spark, s"$root/ndl", docsDf,
         "doc_id", "text")
+      Dedup.ledgerAdmitStreamBatch(spark, s"$root/sledger",
+        s"$root/epochs", docsDf, "doc_id", "text", 0L)
       val expected = Seq(
         s"$root/ivf" -> "ivf", s"$root/pq" -> "pq",
         s"$root/ivfpq" -> "ivf_pq", s"$root/sq8" -> "sq8",
         s"$root/ivfsq8" -> "ivf_sq8",
         s"$root/ledger" -> "dedup_ledger",
         s"$root/ndl" -> "neardup_ledger",
-        s"$root/ndl_bands" -> "neardup_bands")
+        s"$root/ndl_bands" -> "neardup_bands",
+        s"$root/epochs" -> "admit_epochs")
       expected.foreach { case (p, kind) =>
         assert(StoreHealth.detectStoreKind(spark, p) === kind,
           s"kind of $p")
@@ -3932,6 +3935,21 @@ class PipelineOpsSpec extends SparkTestBase {
         assert(rows.nonEmpty && rows.forall(_.getString(0) === kind),
           s"report of $p")
       }
+      // the epoch-root report tracks the lifecycle: one sealed epoch,
+      // no consumer registered (lag -1, no page), then an ack lands
+      val h0 = StoreHealth.storeHealthReport(spark, s"$root/epochs")
+        .head()
+      assert(h0.getAs[Long]("epochs_sealed") === 1L &&
+        h0.getAs[Long]("epochs_unsealed") === 0L &&
+        h0.getAs[Long]("consumed_watermark") === -1L &&
+        h0.getAs[Long]("consumer_lag") === -1L &&
+        !h0.getAs[Boolean]("lag_exceeds_horizon") &&
+        h0.getAs[Long]("admitted_rows") === 20L)
+      Dedup.ackAdmitEpochs(spark, s"$root/epochs", 0L)
+      val h1 = Dedup.admitEpochHealthReport(spark, s"$root/epochs")
+        .head()
+      assert(h1.getAs[Long]("consumed_watermark") === 0L &&
+        h1.getAs[Long]("consumer_lag") === 0L)
       // the bands redirect reports the PAIR: same tail columns as the
       // primary's own report — and it works when handed the bands
       // store's GENERATION dir too (the pass-through the kind
