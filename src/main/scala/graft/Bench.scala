@@ -71,9 +71,15 @@ object Bench {
     // many-small-job suites while pure-CPU loops stay clean (observed
     // r18: a 1.3× tier day with calib_1t flat). Min of 3 after one
     // untimed warmup — steady-state scheduling cost, not JIT.
+    // numSlices pinned to 32 EXPLICITLY: spark.range's default is the
+    // session parallelism, which would make the task count (and hence
+    // the sentinel's reference band) depend on SPARK_GRAFT_CPUS — a
+    // 4-task job barely samples the per-task overhead this exists to
+    // measure
     def calibJob(): Double = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      spark.range(32L * 1000000L).selectExpr("sum(id)").head()
+      spark.range(0L, 32L * 1000000L, 1L, 32)
+        .selectExpr("sum(id)").head()
       (System.nanoTime() - t0) / 1e9
     }.min
     // Untimed JVM/codegen warmup: one small query through each engine path
@@ -84,7 +90,8 @@ object Bench {
       SparkEntry.queries("q03_topk")(spark, sfDir).count()
       SparkEntry.queries("q14_window_rank")(spark,
         sfDir.replace("sf0.1", "sf0.001")).count()
-      spark.range(1000L).selectExpr("sum(id)").head() // calibJob warmup
+      spark.range(0L, 1000L, 1L, 32)
+        .selectExpr("sum(id)").head() // calibJob warmup (same shape)
     } catch { case _: Throwable => () }
     val calibJobPre = r3c(calibJob())
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]

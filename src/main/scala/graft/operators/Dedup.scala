@@ -956,7 +956,7 @@ object Dedup {
       val decidedM = new org.apache.hadoop.fs.Path(s"$eDir/_decided")
       val appendedM = new org.apache.hadoop.fs.Path(s"$eDir/_appended")
       val admittedPath = s"$eDir/admitted"
-      val fp = epochFingerprint(batch, idCol)
+      val fp = epochFingerprint(batch, idCol, textCol)
       checkEpochFingerprint(fs, decidedM, fp, epochId, epochRoot)
       if (fs.exists(appendedM)) spark.read.parquet(admittedPath)
       else {
@@ -1018,23 +1018,33 @@ object Dedup {
       name.stripPrefix("epoch-").toLongOption
     else None
 
-  /** Order-independent fingerprint of a delivered batch's id set —
-    * `"<row count>:<xor of id hashes>"`. The epoch protocol keys
-    * idempotence by the NUMERIC epochId, which is only unique within
-    * ONE checkpoint lineage: a reset/deleted sink checkpoint (or a
-    * second stream pointed at a surviving epochRoot) restarts batchIds
-    * at 0, and without this check the old epoch 0's `_appended` marker
-    * would short-circuit the NEW batch — stale decisions re-emitted,
-    * the new rows never decided or appended, silently. The fingerprint
-    * is persisted as the `_decided` seal's CONTENT and re-verified on
-    * EVERY delivery (including the pure re-emit path), turning the
-    * lifecycle mismatch into a loud error. One small agg job per
-    * delivery — the detection price; xor is delivery-order-blind, so a
-    * legitimate retry (same rows, any partitioning) always matches. */
-  private def epochFingerprint(batch: DataFrame, idCol: String): String = {
+  /** Order-independent fingerprint of a delivered batch's CONTENT —
+    * `"<row count>:<sum of (id, text) hashes>"`. The epoch protocol
+    * keys idempotence by the NUMERIC epochId, which is only unique
+    * within ONE checkpoint lineage: a reset/deleted sink checkpoint
+    * (or a second stream pointed at a surviving epochRoot) restarts
+    * batchIds at 0, and without this check the old epoch 0's
+    * `_appended` marker would short-circuit the NEW batch — stale
+    * decisions re-emitted, the new rows never decided or appended,
+    * silently. The fingerprint is persisted as the `_decided` seal's
+    * CONTENT and re-verified on EVERY delivery (including the pure
+    * re-emit path), turning the lifecycle mismatch into a loud error.
+    * One small agg job per delivery — the detection price. Hash shape,
+    * deliberately: the per-row hash covers the id AND the text (a
+    * rebuilt pipeline whose doc ids ALSO restart at 0 delivers the
+    * same id set with different content — ids alone would wave it
+    * through), and rows combine by decimal SUM, which is
+    * delivery-order-blind (a legitimate retry matches under any
+    * partitioning) yet multiset-sensitive (an xor would cancel
+    * even-multiplicity rows — {A,A,B} vs {B,B,B} collide). */
+  private def epochFingerprint(batch: DataFrame, idCol: String,
+      textCol: String): String = {
     val r = batch.agg(count(lit(1)),
-      expr(s"bit_xor(xxhash64(cast(`$idCol` AS string)))")).head()
-    val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+      expr(s"sum(cast(xxhash64(cast(`$idCol` AS string), " +
+        s"coalesce(cast(`$textCol` AS string), '')) " +
+        "as decimal(20, 0)))")).head()
+    val x = if (r.isNullAt(1)) "0"
+      else r.getDecimal(1).toBigInteger.toString
     s"${r.getLong(0)}:$x"
   }
 
@@ -1117,12 +1127,34 @@ object Dedup {
     * the old watermark) may thus leave its lower marker next to the
     * fresh one, but can never delete the higher marker and move the
     * watermark backwards; the next ack reclaims the leftovers.
+    * Refuses an `upTo` beyond the newest SEALED epoch: a consumer
+    * cannot have read epochs that do not exist (an accidental ack of
+    * a row count, a not-yet-sealed epoch, a wrong root) would push
+    * the watermark above everything and silently revert the sweep to
+    * the blind horizon — permanently, since acks are monotone by
+    * design. Same refuse-up-front rule as `keepGeneration`: a
+    * protection verb must never be silently unprotective.
     * Returns the effective watermark as of this call's own writes. */
   def ackAdmitEpochs(spark: org.apache.spark.sql.SparkSession,
       epochRoot: String, upTo: Long): Long = {
     require(upTo >= 0, "ackAdmitEpochs: upTo must be ≥ 0")
     val root = new org.apache.hadoop.fs.Path(epochRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newestSealed =
+      if (!fs.exists(root)) None
+      else fs.listStatus(root).toSeq
+        .flatMap(st => parseEpoch(st.getPath.getName))
+        .filter(e => fs.exists(new org.apache.hadoop.fs.Path(
+          s"${epochDir(epochRoot, e)}/_appended")))
+        .maxOption
+    if (!newestSealed.exists(_ >= upTo))
+      throw new IllegalArgumentException(
+        s"ackAdmitEpochs: cannot ack epoch $upTo at $epochRoot — the " +
+          s"newest SEALED epoch is ${newestSealed.getOrElse(-1L)}. A " +
+          "consumer can only have read epochs that exist; acking past " +
+          "them would silently disable the retention gate (acks are " +
+          "monotone). Check the value (an epoch id, not a row count) " +
+          "and the root.")
     fs.mkdirs(root)
     val cur = consumedAdmitWatermark(spark, epochRoot)
     if (cur.exists(_ >= upTo)) cur.get
@@ -1797,7 +1829,7 @@ object Dedup {
       val appendedM = new org.apache.hadoop.fs.Path(s"$eDir/_appended")
       val admittedPath = s"$eDir/admitted"
       val novelPath = s"$eDir/novel"
-      val fp = epochFingerprint(batch, idCol)
+      val fp = epochFingerprint(batch, idCol, textCol)
       checkEpochFingerprint(fs, decidedM, fp, epochId, epochRoot)
       if (fs.exists(appendedM)) spark.read.parquet(admittedPath)
       else {

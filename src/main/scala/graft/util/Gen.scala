@@ -453,12 +453,21 @@ object Gen {
     }
   }
 
-  /** Filesystems that are OBJECT STORES: their rename is copy+delete
-    * (neither atomic nor destination-refusing), but an exclusive
-    * create+write+close is one PUT at close — so the publish flips to
-    * the `create` strategy there. */
+  /** Filesystems that are OBJECT STORES with PUT-at-close visibility:
+    * their rename is copy+delete (neither atomic nor
+    * destination-refusing) and a created object is INVISIBLE until
+    * close — so the publish flips to the `create` strategy there.
+    * Deliberately NOT in this set: abfs/abfss (ADLS Gen2), whose
+    * semantics are the HDFS-shaped opposite on both axes — its rename
+    * is one atomic server-side metadata op AND its create is visible
+    * as an empty file before close, so the create strategy there
+    * would reintroduce exactly the torn empty-pointer window the
+    * rename strategy exists to close; it stays on `rename` (declare
+    * `graft.gen.publish.atomicity.abfs=atomic` if the account has
+    * hierarchical namespace). wasb/wasbs (flat Blob) keep `create`:
+    * their rename is client-side copy+delete. */
   private val ObjectStoreSchemes =
-    Set("s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+    Set("s3a", "s3", "s3n", "gs", "wasb", "wasbs",
       "oss", "cos", "cosn", "obs", "swift")
 
   /** Publish strategy for the filesystem behind a store: `"rename"`

@@ -703,9 +703,52 @@ class GenSpec extends SparkTestBase {
       conf.unset("graft.gen.publish.strategy.s3a")
       assert(Gen.publishStrategy(s3fs) === "create")
       assert(Gen.resolve(spark, store2) === before)
+      // abfs/abfss (ADLS Gen2) deliberately stay on RENAME: their
+      // rename is one atomic server-side op and their create is
+      // visible-before-close — the create strategy there would
+      // reintroduce the torn empty-pointer window
+      conf.set("fs.abfs.impl", classOf[GraftMockAbfsFs].getName)
+      try assert(Gen.publishStrategy(
+        new Path("abfs:///x").getFileSystem(conf)) === "rename")
+      finally conf.unset("fs.abfs.impl")
     } finally {
       conf.unset("graft.gen.publish.strategy.s3a")
       conf.unset("fs.s3a.impl")
+      graft.util.Fs.deleteRecursively(root)
+    }
+  }
+
+  test("create-strategy arbitration: a winner's pointer landing " +
+      "between the stale-snapshot re-scan and the exclusive create " +
+      "makes the loser REFUSE and abort loudly — never overwrite the " +
+      "winner") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.gs.impl", classOf[GraftRacyGsFs].getName)
+    val root = tmp("graft_gen_race_gs")
+    try {
+      val store = s"gs://$root/store"
+      val gsFs = new Path(store).getFileSystem(conf)
+      assert(Gen.publishStrategy(gsFs) === "create")
+      Gen.rewrite(spark, store)(d => rows(2, "base").write.parquet(d))
+      val g1 = new Path(Gen.resolve(spark, store)).getName
+      // inject the race: the moment the loser's exclusive create of
+      // _commit-00000002 runs, a concurrent winner's pointer has
+      // already landed (content = an existing dir, so it is a REAL
+      // commit) — the create must refuse, not replace it
+      GraftRacyGsFs.winnerDir.set(g1)
+      GraftRacyGsFs.raceOnce.add("_commit-00000002")
+      val lost = intercept[IllegalStateException] {
+        Gen.rewrite(spark, store)(d =>
+          rows(3, "loser").write.parquet(d))
+      }
+      assert(lost.getMessage.contains("lost the generation-2 publish"))
+      // the winner's pointer survives byte-identical and serves
+      assert(Gen.currentGeneration(spark, store) === Some(2L))
+      assert(new Path(Gen.resolve(spark, store)).getName === g1)
+      // the loser's staging was discarded and ingest is not fenced
+      graft.util.Fs.failIfUnderMaintenance(spark, store, "ingest")
+    } finally {
+      conf.unset("fs.gs.impl")
       graft.util.Fs.deleteRecursively(root)
     }
   }
@@ -805,4 +848,40 @@ class GraftFlakyFs extends org.apache.hadoop.fs.RawLocalFileSystem {
 object GraftFlakyFs {
   val vanishOnce: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+}
+
+/** Local semantics under the `abfs` scheme — the strategy pin only
+  * (no IO through it): ADLS Gen2 must resolve to the RENAME
+  * strategy. */
+class GraftMockAbfsFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("abfs:///")
+}
+
+/** Race-injecting local FS under the `gs` scheme for the
+  * create-strategy arbitration pin: the first exclusive create of a
+  * path named in [[GraftRacyGsFs.raceOnce]] finds a concurrent
+  * winner's pointer (content = [[GraftRacyGsFs.winnerDir]]) landed
+  * just before it — the exact between-rescan-and-create window the
+  * exclusive create exists to arbitrate. */
+class GraftRacyGsFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("gs:///")
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite && GraftRacyGsFs.raceOnce.remove(f.getName)) {
+      val out = super.create(f, true, bufferSize, replication,
+        blockSize, progress)
+      out.write(GraftRacyGsFs.winnerDir.get().getBytes("UTF-8"))
+      out.close()
+    }
+    super.create(f, overwrite, bufferSize, replication, blockSize,
+      progress)
+  }
+}
+
+object GraftRacyGsFs {
+  val raceOnce: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  val winnerDir = new java.util.concurrent.atomic.AtomicReference("")
 }

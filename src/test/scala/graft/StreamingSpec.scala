@@ -1526,6 +1526,15 @@ class StreamingSpec extends SparkTestBase {
       }
       assert(e1.getMessage.contains("DIFFERENT batch"))
       assert(e1.getMessage.contains("checkpoint"))
+      // the harder mismatch: a rebuilt pipeline whose doc ids ALSO
+      // restart — same id set, different CONTENT (the fingerprint
+      // hashes id AND text, so ids alone cannot wave it through)
+      val e1b = intercept[IllegalStateException] {
+        Dedup.ledgerAdmitStreamBatch(spark, s"$root/l", s"$root/e",
+          Seq((1L, "text 1"), (2L, "day-two content"), (3L, "text 3"))
+            .toDF("doc_id", "text"), "doc_id", "text", 0L)
+      }
+      assert(e1b.getMessage.contains("DIFFERENT batch"))
       // near-dup ledger: same protocol, same pin
       Dedup.nearDupLedgerAdmitStreamBatch(spark, s"$root/nl",
         s"$root/ne", mk(Seq(1L, 2L)), "doc_id", "text", 0L)
@@ -1553,6 +1562,15 @@ class StreamingSpec extends SparkTestBase {
             .toDF("doc_id", "text"), "doc_id", "text", e.toLong)
       }
       assert(Dedup.consumedAdmitWatermark(spark, epochs) === None)
+      // guard: an ack beyond the newest sealed epoch (a row count, a
+      // wrong root) would silently disable the gate forever — refuse
+      val over = intercept[IllegalArgumentException] {
+        Dedup.ackAdmitEpochs(spark, epochs, 50000L)
+      }
+      assert(over.getMessage.contains("newest SEALED"))
+      intercept[IllegalArgumentException] {
+        Dedup.ackAdmitEpochs(spark, s"$root/virgin", 0L)
+      }
       // consumer has read only epoch 0; keepLast=1 would blindly drop
       // epochs 0-2 — the watermark protects the unread 1 and 2
       assert(Dedup.ackAdmitEpochs(spark, epochs, 0L) === 0L)
