@@ -1092,41 +1092,93 @@ object Dedup {
             "ledger at a FRESH epochRoot.")
     }
 
-  /** Consumer-ack watermark marker name under the epoch root. */
+  /** Consumer-ack watermark marker names under the epoch root. The
+    * ANONYMOUS consumer (the single-downstream case) writes
+    * `_consumed-NNNNNNNNNNNN`; a NAMED consumer group writes
+    * `_consumed.<name>-NNNNNNNNNNNN` — `.` separates the family so the
+    * two parses can never collide, and names are restricted to
+    * `[A-Za-z0-9_]+` so the trailing `-<number>` split is
+    * unambiguous. */
   private val ConsumedPrefix = "_consumed-"
+  private val ConsumerPrefix = "_consumed."
 
   private def consumedName(n: Long): String = f"$ConsumedPrefix$n%012d"
 
-  /** The consumer-ack watermark of a streamed-admit root: the highest
-    * epoch a downstream consumer has declared fully read via
-    * [[ackAdmitEpochs]], if any consumer has registered at all. */
+  private def consumedName(consumer: String, n: Long): String =
+    f"$ConsumerPrefix$consumer-$n%012d"
+
+  private def requireConsumerName(consumer: String): Unit =
+    require(consumer.nonEmpty && consumer.matches("[A-Za-z0-9_]+"),
+      s"consumer name '$consumer' must match [A-Za-z0-9_]+ (it is " +
+        "embedded in a marker file name)")
+
+  /** All ack markers under a root: (consumer, epoch) — the anonymous
+    * consumer reads as the empty string. */
+  private def ackMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName).flatMap { n =>
+      if (n.startsWith(ConsumerPrefix)) {
+        val rest = n.stripPrefix(ConsumerPrefix)
+        val i = rest.lastIndexOf('-')
+        if (i <= 0) None
+        else rest.drop(i + 1).toLongOption.map((rest.take(i), _))
+      } else if (n.startsWith(ConsumedPrefix))
+        n.stripPrefix(ConsumedPrefix).toLongOption.map(("", _))
+      else None
+    }
+
+  /** The RETENTION GATE of a streamed-admit root: the SLOWEST
+    * registered consumer's watermark — `min` over every consumer
+    * group's own highest ack ([[ackAdmitEpochs]]; the anonymous,
+    * unnamed ack is one consumer like any other). None when no
+    * consumer has ever registered (retention then follows the blind
+    * `keepLast` horizon). A sweep may reclaim an epoch only when
+    * EVERY registered consumer has read past it — one lagging group
+    * holds retention for all, which is the point: its unread admits
+    * are unrecoverable once swept. */
   def consumedAdmitWatermark(spark: org.apache.spark.sql.SparkSession,
       epochRoot: String): Option[Long] = {
     val root = new org.apache.hadoop.fs.Path(epochRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) None
-    else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(ConsumedPrefix))
-      .flatMap(_.stripPrefix(ConsumedPrefix).toLongOption)
-      .maxOption
+    val byConsumer = ackMarkers(fs, root).groupBy(_._1)
+    if (byConsumer.isEmpty) None
+    else Some(byConsumer.values.map(_.map(_._2).max).min)
+  }
+
+  /** One named consumer group's own watermark (its highest ack), if it
+    * has registered. The retention gate is the min over ALL groups —
+    * [[consumedAdmitWatermark]]. */
+  def consumerAdmitWatermark(spark: org.apache.spark.sql.SparkSession,
+      epochRoot: String, consumer: String): Option[Long] = {
+    requireConsumerName(consumer)
+    val root = new org.apache.hadoop.fs.Path(epochRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ackMarkers(fs, root).filter(_._1 == consumer).map(_._2).maxOption
   }
 
   /** Consumer ack — the retention handshake that closes the streamed
     * lifecycle's one data-loss seam: record that every epoch ≤ `upTo`
-    * has been fully read downstream, so [[sweepAdmitEpochs]] may
-    * reclaim them. Without an ack, a blind `keepLast` horizon smaller
-    * than the consumer's lag deletes admitted rows the consumer never
-    * read — and they are UNRECOVERABLE (the decisions are gone, the
-    * ledger has moved, a re-decide of the same batch admits nothing).
-    * Monotone: acking at or below the current watermark is a no-op
-    * (two consumers of one root share the SLOWEST reader's watermark —
-    * ack only what EVERY reader has passed). Crash/race-safe: the new
-    * marker lands before any old one is reclaimed, the highest marker
-    * always wins, and the cleanup removes ONLY markers BELOW this
-    * ack's own — a stale ack racing a fresh one (its pre-check read
-    * the old watermark) may thus leave its lower marker next to the
-    * fresh one, but can never delete the higher marker and move the
-    * watermark backwards; the next ack reclaims the leftovers.
+    * has been fully read by this consumer, so [[sweepAdmitEpochs]] may
+    * reclaim them once EVERY consumer has passed them. Without an ack,
+    * a blind `keepLast` horizon smaller than the consumer's lag
+    * deletes admitted rows the consumer never read — and they are
+    * UNRECOVERABLE (the decisions are gone, the ledger has moved, a
+    * re-decide of the same batch admits nothing). This unnamed form is
+    * the single-downstream case (one anonymous consumer group); a
+    * fan-out of independent downstreams uses the NAMED form — each
+    * group acks under its own name and the retention gate
+    * ([[consumedAdmitWatermark]]) is the SLOWEST group's watermark,
+    * so no group coordinates with any other and none can have its
+    * unread epochs swept by a faster sibling's acks.
+    * Per-consumer MONOTONE: acking at or below this consumer's own
+    * watermark is a no-op. Crash/race-safe: the new marker lands
+    * before any old one is reclaimed, the highest own marker always
+    * wins, and the cleanup removes ONLY this consumer's markers BELOW
+    * its own ack — a stale ack racing a fresh one (its pre-check read
+    * the old watermark) may leave its lower marker next to the fresh
+    * one, but can never delete a higher marker and move any watermark
+    * backwards; the next ack reclaims the leftovers.
     * Refuses an `upTo` beyond the newest SEALED epoch: a consumer
     * cannot have read epochs that do not exist (an accidental ack of
     * a row count, a not-yet-sealed epoch, a wrong root) would push
@@ -1134,9 +1186,21 @@ object Dedup {
     * the blind horizon — permanently, since acks are monotone by
     * design. Same refuse-up-front rule as `keepGeneration`: a
     * protection verb must never be silently unprotective.
-    * Returns the effective watermark as of this call's own writes. */
+    * Returns this consumer's own watermark after the call. */
   def ackAdmitEpochs(spark: org.apache.spark.sql.SparkSession,
-      epochRoot: String, upTo: Long): Long = {
+      epochRoot: String, upTo: Long): Long =
+    ackInternal(spark, epochRoot, "", upTo)
+
+  /** Named-consumer-group form of [[ackAdmitEpochs]] — see its
+    * scaladoc. `consumer` must match `[A-Za-z0-9_]+`. */
+  def ackAdmitEpochs(spark: org.apache.spark.sql.SparkSession,
+      epochRoot: String, consumer: String, upTo: Long): Long = {
+    requireConsumerName(consumer)
+    ackInternal(spark, epochRoot, consumer, upTo)
+  }
+
+  private def ackInternal(spark: org.apache.spark.sql.SparkSession,
+      epochRoot: String, consumer: String, upTo: Long): Long = {
     require(upTo >= 0, "ackAdmitEpochs: upTo must be ≥ 0")
     val root = new org.apache.hadoop.fs.Path(epochRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1156,16 +1220,15 @@ object Dedup {
           "monotone). Check the value (an epoch id, not a row count) " +
           "and the root.")
     fs.mkdirs(root)
-    val cur = consumedAdmitWatermark(spark, epochRoot)
-    if (cur.exists(_ >= upTo)) cur.get
+    val own = ackMarkers(fs, root).filter(_._1 == consumer).map(_._2)
+    def nameOf(n: Long) =
+      if (consumer.isEmpty) consumedName(n) else consumedName(consumer, n)
+    if (own.nonEmpty && own.max >= upTo) own.max
     else {
-      fs.create(new org.apache.hadoop.fs.Path(root, consumedName(upTo)),
+      fs.create(new org.apache.hadoop.fs.Path(root, nameOf(upTo)),
         true).close()
-      fs.listStatus(root).map(_.getPath)
-        .filter(p => p.getName.startsWith(ConsumedPrefix) &&
-          p.getName.stripPrefix(ConsumedPrefix).toLongOption
-            .exists(_ < upTo))
-        .foreach(p => fs.delete(p, false))
+      own.filter(_ < upTo).foreach(n => fs.delete(
+        new org.apache.hadoop.fs.Path(root, nameOf(n)), false))
       upTo
     }
   }
@@ -1294,8 +1357,10 @@ object Dedup {
     * store already has (routed by
     * [[graft.operators.StoreHealth.storeHealthReport]]): sealed /
     * unsealed / audited epoch counts, the oldest and newest SEALED
-    * epoch, the consumer-ack watermark, the consumer LAG in epochs
-    * (newest sealed − watermark; -1 when no consumer has registered),
+    * epoch, the retention-gate watermark (the SLOWEST registered
+    * consumer GROUP's — `n_consumers` says how many groups hold it),
+    * the consumer LAG in epochs (newest sealed − gate; -1 when no
+    * consumer has registered),
     * and the page — `lag_exceeds_horizon`: a registered consumer
     * lagging by `horizon` or more (default 8, [[sweepAdmitEpochs]]'
     * default keepLast) means retention is BLOCKED on it (the ack gate
@@ -1320,7 +1385,10 @@ object Dedup {
         s"${epochDir(epochRoot, e)}/_appended")))
     val audited = sealedEpochs.count(e => fs.exists(
       new org.apache.hadoop.fs.Path(s"${epochDir(epochRoot, e)}/audit")))
+    // the gate (the SLOWEST group's watermark) drives the lag/page;
+    // n_consumers says how many groups hold it
     val wm = consumedAdmitWatermark(spark, epochRoot)
+    val nConsumers = ackMarkers(fs, root).map(_._1).distinct.size
     val newestSealed = sealedEpochs.lastOption.getOrElse(-1L)
     val lag = wm match {
       case Some(w) if newestSealed >= 0 => newestSealed - w
@@ -1333,10 +1401,11 @@ object Dedup {
       audited.toLong, sealedEpochs.headOption.getOrElse(-1L),
       newestSealed,
       wm.getOrElse(-1L), lag, wm.isDefined && lag >= horizon,
-      admittedRows))
+      nConsumers.toLong, admittedRows))
       .toDF("epochs_sealed", "epochs_unsealed", "epochs_audited",
         "oldest_sealed", "newest_sealed", "consumed_watermark",
-        "consumer_lag", "lag_exceeds_horizon", "admitted_rows")
+        "consumer_lag", "lag_exceeds_horizon", "n_consumers",
+        "admitted_rows")
   }
 
   /** Digest-bucket of the exact ledger's store layout — the analog of

@@ -1617,6 +1617,60 @@ class StreamingSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("named consumer groups: the retention gate is the SLOWEST " +
+      "group's watermark — a fast sibling's acks can never release a " +
+      "lagging group's unread epochs; per-group acks are monotone " +
+      "and independently race-safe") {
+    import SparkTestBase.session.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_groups").toString
+    val ledger = s"$root/ledger"
+    val epochs = s"$root/epochs"
+    try {
+      (0 until 4).foreach { e =>
+        Dedup.ledgerAdmitStreamBatch(spark, ledger, epochs,
+          (e * 10 until e * 10 + 5).map(i => (i.toLong, s"text $i"))
+            .toDF("doc_id", "text"), "doc_id", "text", e.toLong)
+      }
+      // trainer raced ahead; evalpipe is still on epoch 0
+      assert(Dedup.ackAdmitEpochs(spark, epochs, "trainer", 3L) === 3L)
+      assert(Dedup.ackAdmitEpochs(spark, epochs, "evalpipe", 0L) === 0L)
+      assert(Dedup.consumerAdmitWatermark(spark, epochs, "trainer") ===
+        Some(3L))
+      assert(Dedup.consumedAdmitWatermark(spark, epochs) === Some(0L))
+      // the gate holds retention for the slowest group: keepLast=1
+      // would blindly drop 0-2, but only epoch 0 is past EVERY group
+      assert(Dedup.sweepAdmitEpochs(spark, epochs, keepLast = 1) === 1)
+      assert(Dedup.readAdmittedEpochs(spark, epochs)
+        .select("epoch").distinct().as[Long].collect().sorted.toSeq ===
+        Seq(1L, 2L, 3L))
+      // per-group monotonicity: a stale trainer ack is a no-op and
+      // cannot lower the trainer's own watermark
+      assert(Dedup.ackAdmitEpochs(spark, epochs, "trainer", 1L) === 3L)
+      // the laggard catches up — the gate advances with the min
+      assert(Dedup.ackAdmitEpochs(spark, epochs, "evalpipe", 2L) === 2L)
+      assert(Dedup.consumedAdmitWatermark(spark, epochs) === Some(2L))
+      assert(Dedup.sweepAdmitEpochs(spark, epochs, keepLast = 1) === 2)
+      assert(Dedup.readAdmittedEpochs(spark, epochs)
+        .select("epoch").distinct().as[Long].collect().sorted.toSeq ===
+        Seq(3L))
+      // an anonymous ack registers as its own (third) group and the
+      // health report counts the groups behind the gate
+      Dedup.ackAdmitEpochs(spark, epochs, 1L)
+      assert(Dedup.consumedAdmitWatermark(spark, epochs) === Some(1L))
+      val h = Dedup.admitEpochHealthReport(spark, epochs).head()
+      assert(h.getAs[Long]("n_consumers") === 3L)
+      assert(h.getAs[Long]("consumed_watermark") === 1L)
+      // names are marker-file-embedded: refuse anything else loudly
+      intercept[IllegalArgumentException] {
+        Dedup.ackAdmitEpochs(spark, epochs, "bad/name", 1L)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.ackAdmitEpochs(spark, epochs, "bad-name", 1L)
+      }
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("batch-vs-stream interleaving: a batch admit landing while a " +
       "streamed epoch holds the ingest lease fails LOUDLY on the " +
       "lease — no deadlock, no silent interleave (route backfills " +
