@@ -3150,6 +3150,40 @@ object Queries {
     } finally graft.util.Fs.deleteRecursively(path)
   }
 
+  /** Streamed EXACT-dedup AUDIT read-back oracled end to end — the
+    * exact ledger's explainability twin of q148: q143's two-epoch
+    * split run with `audit = true`, then the flat epoch-labeled
+    * drop-reason read-back. `exact_batch` rows name the in-batch
+    * min-id representative; `exact_store` rows carry a NULL partner BY
+    * DESIGN — the digest store is id-free (its takedown story), so
+    * "an earlier ingest admitted this content" is the whole knowable
+    * fact, and the oracle asserts exactly that NULL. The documents
+    * corpus holds no exact duplicates, so epoch 1 is the q136-style
+    * planted re-ingest: every epoch-0 text arrives TWICE under new
+    * ids (+1M, +2M) — the +1M copy is its digest's in-batch rep and
+    * drops `exact_store` (the store has the epoch-0 digest), the +2M
+    * copy drops `exact_batch` naming the +1M rep. */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q150_exaud").toString
+    try {
+      val ledger = s"$path/ledger"
+      val epochs = s"$path/epochs"
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d, "doc_id", "text", 0L, audit = true)
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .unionByName(d.select((col("doc_id") + 2000000L)
+            .as("doc_id"), col("text"))),
+        "doc_id", "text", 1L, audit = true)
+      Dedup.readAuditEpochs(s, epochs)
+        .select(col("doc").as("doc_id"), col("reason"), col("partner"),
+          col("epoch"))
+        .orderBy(col("doc_id"), col("reason")).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
   /** Epoch-root HEALTH report oracled end to end
     * ([[Dedup.admitEpochHealthReport]] through the
     * [[StoreHealth.storeHealthReport]] dispatcher): three tercile
@@ -4478,6 +4512,7 @@ object Queries {
     "q147_mp4_deep_moov" -> (q147 _),
     "q148_neardup_audit_stream" -> (q148 _),
     "q149_stream_health" -> (q149 _),
+    "q150_exact_audit_stream" -> (q150 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -7539,6 +7574,31 @@ object Queries {
          |     FROM isrep i JOIN jac p ON p.doc_b = i.doc_id
          |     JOIN isrep r2 ON r2.doc_id = p.doc_a
          |     WHERE r2.b = i.b GROUP BY i.doc_id, i.b)
+         |SELECT doc_id, reason, partner,
+         |  CAST(b - 1 AS BIGINT) AS epoch
+         |FROM rs ORDER BY doc_id, reason""".stripMargin,
+    // exact-ledger audit: in-batch drops name the min-id rep of their
+    // digest within their epoch's batch; a rep whose digest an earlier
+    // epoch admitted drops as exact_store with a NULL partner (the
+    // digest store is id-free by design); epoch 1 is the planted
+    // double re-ingest of every epoch-0 text under +1M/+2M ids
+    "q150_exact_audit_stream" ->
+      s"""WITH d0 AS (SELECT doc_id, md5(text) AS dg FROM documents
+         |   WHERE text IS NOT NULL),
+         | d AS (SELECT doc_id, dg, 1 AS b FROM d0
+         |   UNION ALL SELECT doc_id + 1000000, dg, 2 FROM d0
+         |   UNION ALL SELECT doc_id + 2000000, dg, 2 FROM d0),
+         | reps AS (SELECT dg, b, min(doc_id) AS rep FROM d
+         |   GROUP BY dg, b),
+         | rs AS (
+         |   SELECT d.doc_id, 'exact_batch' AS reason, r.rep AS partner,
+         |       d.b
+         |     FROM d JOIN reps r ON d.dg = r.dg AND d.b = r.b
+         |     WHERE d.doc_id <> r.rep
+         |   UNION ALL
+         |   SELECT r.rep, 'exact_store', CAST(NULL AS BIGINT), r.b
+         |     FROM reps r WHERE EXISTS (SELECT 1 FROM d e
+         |       WHERE e.dg = r.dg AND e.b < r.b))
          |SELECT doc_id, reason, partner,
          |  CAST(b - 1 AS BIGINT) AS epoch
          |FROM rs ORDER BY doc_id, reason""".stripMargin,

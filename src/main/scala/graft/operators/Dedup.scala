@@ -814,10 +814,15 @@ object Dedup {
     * table format (Iceberg/Delta commit). Rows with a NULL `textCol`
     * carry no content digest and are dropped up front (documented
     * precondition — they would otherwise vanish from BOTH admitted and
-    * rejected through null-keyed joins). */
+    * rejected through null-keyed joins). `auditOut` materializes the
+    * drop reasons — (doc, reason, partner): `exact_batch` names the
+    * in-batch representative, `exact_store` carries a NULL partner by
+    * design (the digest store is id-free — its takedown story — so
+    * there is no identity to name). */
   def ledgerAdmit(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String,
-      textCol: String, admittedOut: Option[String] = None): DataFrame =
+      textCol: String, admittedOut: Option[String] = None,
+      auditOut: Option[String] = None): DataFrame =
     // the INGEST LEASE serializes admit-vs-admit: two concurrent
     // admits each read the store before the other's append lands and
     // would double-admit content duplicated across the batches — the
@@ -825,7 +830,7 @@ object Dedup {
     // fence + Gen.rewrite's content re-verify, a separate mechanism)
     graft.util.Fs.withIngestLease(spark, path, "ledgerAdmit") {
       val (admitted, legacyLayout) =
-        ledgerDecide(spark, path, batch, idCol, textCol)
+        ledgerDecide(spark, path, batch, idCol, textCol, auditOut)
       admittedOut.foreach(out =>
         admitted.write.mode("overwrite").parquet(out))
       ledgerAppend(spark, path, admitted, legacyLayout)
@@ -835,10 +840,20 @@ object Dedup {
   /** The admit's READ-DECIDE half ([[ledgerAdmit]]'s body up to the
     * checkpointed admitted set) — split out so the streamed form can
     * persist the decisions per epoch BEFORE any append. Callers hold
-    * the ingest lease. Returns (admitted, legacyLayout). */
+    * the ingest lease. Returns (admitted, legacyLayout).
+    *
+    * `auditOut` materializes the drop REASONS — the exact ledger's
+    * explainability surface, mirroring the near-dup `auditOut`: one
+    * row per dropped doc, (doc, reason, partner) —
+    * `exact_batch` names the in-batch representative it lost to;
+    * `exact_store` carries a NULL partner BY DESIGN: the digest store
+    * is id-free (its takedown story — there is no identity to name),
+    * so "an earlier ingest admitted this content" is the whole
+    * knowable fact. */
   private def ledgerDecide(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String,
-      textCol: String): (DataFrame, Boolean) = {
+      textCol: String,
+      auditOut: Option[String] = None): (DataFrame, Boolean) = {
     graft.util.Fs.failIfUnderMaintenance(spark, path, "ledgerAdmit")
     val hasStore = graft.util.Gen.hasData(spark, path)
     val hashed = batch.filter(col(textCol).isNotNull)
@@ -891,6 +906,24 @@ object Dedup {
       }
     val admitted = hashed.join(
         firstInBatch, Seq("text_md5", idCol)).localCheckpoint()
+    auditOut.foreach { out =>
+      val repOf = reps.withColumnRenamed(idCol, "rep")
+      val exactBatch = hashed
+        .select(col(idCol).as("doc"), col("text_md5"))
+        .join(repOf, Seq("text_md5"))
+        .filter(col("doc") =!= col("rep"))
+        .select(col("doc"), lit("exact_batch").as("reason"),
+          col("rep").as("partner"))
+      // reps whose digest the store already held = reps minus the
+      // batch-first set the anti-join produced
+      val storeDropped = repOf
+        .join(firstInBatch.select(col("text_md5")), Seq("text_md5"),
+          "left_anti")
+        .select(col("rep").as("doc"), lit("exact_store").as("reason"),
+          lit(null).cast("long").as("partner"))
+      exactBatch.unionByName(storeDropped)
+        .write.mode("overwrite").parquet(out)
+    }
     (admitted, legacyLayout)
   }
 
@@ -943,11 +976,16 @@ object Dedup {
     * epochRoot) fails loudly instead of silently discarding the new
     * batch. Each epoch takes the same ingest lease as a batch admit,
     * so streamed and batch ingest serialize against each other and
-    * maintenance fail-fasts against both. Returns the epoch's admitted
+    * maintenance fail-fasts against both. `audit = true` writes the
+    * per-epoch drop reasons to `epoch-<id>/audit` (sealed by
+    * `_decided` with the decisions; read back flat with
+    * [[readAuditEpochs]] — exact_store rows carry a NULL partner, see
+    * [[ledgerAdmit]]). Returns the epoch's admitted
     * rows (always the stored copy — bit-stable across retries). */
   def ledgerAdmitStreamBatch(spark: org.apache.spark.sql.SparkSession,
       path: String, epochRoot: String, batch: DataFrame, idCol: String,
-      textCol: String, epochId: Long): DataFrame =
+      textCol: String, epochId: Long,
+      audit: Boolean = false): DataFrame =
     graft.util.Fs.withIngestLease(spark, path,
         s"ledgerAdmitStream(epoch=$epochId)") {
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -962,7 +1000,8 @@ object Dedup {
       else {
         if (!fs.exists(decidedM)) {
           val (admitted, _) =
-            ledgerDecide(spark, path, batch, idCol, textCol)
+            ledgerDecide(spark, path, batch, idCol, textCol,
+              if (audit) Some(s"$eDir/audit") else None)
           admitted.write.mode("overwrite").parquet(admittedPath)
           writeSeal(fs, decidedM, fp)
         }
@@ -998,13 +1037,14 @@ object Dedup {
     * mid-epoch fail loudly by design. */
   def ledgerAdmitStream(spark: org.apache.spark.sql.SparkSession,
       path: String, epochRoot: String, stream: DataFrame, idCol: String,
-      textCol: String, checkpointLocation: String)
+      textCol: String, checkpointLocation: String,
+      audit: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (b: DataFrame, epochId: Long) =>
         ledgerAdmitStreamBatch(spark, path, epochRoot, b, idCol,
-          textCol, epochId)
+          textCol, epochId, audit)
         ()
       }
       .start()

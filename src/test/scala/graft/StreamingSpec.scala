@@ -1617,6 +1617,35 @@ class StreamingSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("streamed exact-ledger audit: per-epoch drop reasons surface " +
+      "epoch-labeled — exact_batch names the in-batch rep, " +
+      "exact_store carries a NULL partner by design (the digest " +
+      "store is id-free)") {
+    import SparkTestBase.session.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_exaudit").toString
+    try {
+      // epoch 0: one in-batch exact dup; epoch 1: one cross-epoch
+      // exact dup + one novel
+      val b1 = Seq((1L, "alpha text"), (2L, "beta text"),
+        (3L, "alpha text")).toDF("doc_id", "text")
+      val b2 = Seq((10L, "beta text"), (11L, "gamma text"))
+        .toDF("doc_id", "text")
+      Dedup.ledgerAdmitStreamBatch(spark, s"$root/ledger",
+        s"$root/epochs", b1, "doc_id", "text", 0L, audit = true)
+      Dedup.ledgerAdmitStreamBatch(spark, s"$root/ledger",
+        s"$root/epochs", b2, "doc_id", "text", 1L, audit = true)
+      val rows = Dedup.readAuditEpochs(spark, s"$root/epochs")
+        .select("epoch", "doc", "reason", "partner")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      assert(rows === Set(
+        (0L, 3L, "exact_batch", Some(1L)),
+        (1L, 10L, "exact_store", None)))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("named consumer groups: the retention gate is the SLOWEST " +
       "group's watermark — a fast sibling's acks can never release a " +
       "lagging group's unread epochs; per-group acks are monotone " +
