@@ -915,9 +915,13 @@ object Dedup {
         .select(col("doc"), lit("exact_batch").as("reason"),
           col("rep").as("partner"))
       // reps whose digest the store already held = reps minus the
-      // batch-first set the anti-join produced
+      // admitted digests. Anti-joining against the CHECKPOINTED
+      // admitted frame (digest-identical to firstInBatch by
+      // construction) instead of firstInBatch's lineage matters: the
+      // latter would re-execute the whole digest-store probe (store
+      // scan + seen-set join) a second time per audited admit
       val storeDropped = repOf
-        .join(firstInBatch.select(col("text_md5")), Seq("text_md5"),
+        .join(admitted.select(col("text_md5")), Seq("text_md5"),
           "left_anti")
         .select(col("rep").as("doc"), lit("exact_store").as("reason"),
           lit(null).cast("long").as("partner"))
@@ -1070,22 +1074,32 @@ object Dedup {
     * CONTENT and re-verified on EVERY delivery (including the pure
     * re-emit path), turning the lifecycle mismatch into a loud error.
     * One small agg job per delivery — the detection price. Hash shape,
-    * deliberately: the per-row hash covers the id AND the text (a
-    * rebuilt pipeline whose doc ids ALSO restart at 0 delivers the
-    * same id set with different content — ids alone would wave it
-    * through), and rows combine by decimal SUM, which is
-    * delivery-order-blind (a legitimate retry matches under any
-    * partitioning) yet multiset-sensitive (an xor would cancel
-    * even-multiplicity rows — {A,A,B} vs {B,B,B} collide). */
+    * deliberately: the per-row hash covers the id, the text, AND a
+    * null flag (a rebuilt pipeline whose doc ids ALSO restart at 0
+    * delivers the same id set with different content — ids alone
+    * would wave it through; and a NULL text is decided differently
+    * from an empty one, so coalesce alone must not conflate them),
+    * and rows combine by decimal SUM, which is delivery-order-blind
+    * (a legitimate retry matches under any partitioning) yet
+    * multiset-sensitive (an xor would cancel even-multiplicity rows —
+    * {A,A,B} vs {B,B,B} collide). The value is VERSION-PREFIXED
+    * (`fp1:`): a seal whose prefix this code does not recognize is a
+    * PREVIOUS format's — accepted like the r17 empty seals (the
+    * protocol upgrades the seal at the next fresh epoch; refusing
+    * would crash-loop every in-flight root on upgrade), with a
+    * once-per-JVM log warning that the guard is not yet active for
+    * that epoch. */
+  private val EpochFpPrefix = "fp1:"
+
   private def epochFingerprint(batch: DataFrame, idCol: String,
       textCol: String): String = {
     val r = batch.agg(count(lit(1)),
       expr(s"sum(cast(xxhash64(cast(`$idCol` AS string), " +
-        s"coalesce(cast(`$textCol` AS string), '')) " +
-        "as decimal(20, 0)))")).head()
+        s"coalesce(cast(`$textCol` AS string), ''), " +
+        s"isnull(`$textCol`)) as decimal(20, 0)))")).head()
     val x = if (r.isNullAt(1)) "0"
       else r.getDecimal(1).toBigInteger.toString
-    s"${r.getLong(0)}:$x"
+    s"$EpochFpPrefix${r.getLong(0)}:$x"
   }
 
   /** Seal marker with CONTENT (the epoch fingerprint) — overwrite-true
@@ -1110,16 +1124,30 @@ object Dedup {
     } finally in.close()
   }
 
+  private val warnedLegacySeals =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Fail loudly when a decided epochId is re-delivered with DIFFERENT
-    * rows (see [[epochFingerprint]]). An EMPTY stored seal is a
-    * pre-fingerprint epoch (this code lineage's earlier markers) —
-    * accepted, the protocol upgrades it on the next fresh epoch. */
+    * rows (see [[epochFingerprint]]). An EMPTY stored seal (the r17
+    * pre-fingerprint markers) or one carrying an UNRECOGNIZED format
+    * prefix (an earlier fingerprint algorithm) is accepted with a
+    * once-per-root warning — the guard is defense-in-depth, and
+    * refusing on upgrade would crash-loop every in-flight root; the
+    * protocol re-seals in the current format at the next fresh
+    * epoch. */
   private def checkEpochFingerprint(fs: org.apache.hadoop.fs.FileSystem,
       decidedM: org.apache.hadoop.fs.Path, fp: String, epochId: Long,
       epochRoot: String): Unit =
     if (fs.exists(decidedM)) {
       val stored = readSeal(fs, decidedM)
-      if (stored.nonEmpty && stored != fp)
+      if (stored.nonEmpty && !stored.startsWith(EpochFpPrefix)) {
+        if (warnedLegacySeals.add(epochRoot))
+          org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+            .warn(s"epoch $epochId at $epochRoot carries a seal in a " +
+              "previous fingerprint format — the reset-checkpoint " +
+              "guard is inactive for epochs sealed before the " +
+              "upgrade; fresh epochs re-seal in the current format")
+      } else if (stored.nonEmpty && stored != fp)
         throw new IllegalStateException(
           s"epoch $epochId at $epochRoot is already decided for a " +
             s"DIFFERENT batch (sealed fingerprint $stored, delivered " +
@@ -1244,14 +1272,29 @@ object Dedup {
     require(upTo >= 0, "ackAdmitEpochs: upTo must be ≥ 0")
     val root = new org.apache.hadoop.fs.Path(epochRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val newestSealed =
-      if (!fs.exists(root)) None
+    // the idempotent no-op comes FIRST: a consumer re-acking its own
+    // persisted progress after a restart must succeed even when every
+    // sealed epoch at or below it has since been swept (the marker
+    // outlives the epochs it acknowledges — that is its job)
+    val own = ackMarkers(fs, root).filter(_._1 == consumer).map(_._2)
+    if (own.nonEmpty && own.max >= upTo) return own.max
+    // an ADVANCING ack must reference a sealed epoch that exists: a
+    // row count, an unsealed epoch, or a wrong root would push the
+    // monotone watermark above everything and silently disable the
+    // gate forever. Newest-first with early exit — the common ack
+    // (at or near the head) costs one existence probe, not one per
+    // epoch dir ever created.
+    val epochsDesc =
+      if (!fs.exists(root)) Seq.empty[Long]
       else fs.listStatus(root).toSeq
-        .flatMap(st => parseEpoch(st.getPath.getName))
-        .filter(e => fs.exists(new org.apache.hadoop.fs.Path(
+        .flatMap(st => parseEpoch(st.getPath.getName)).sorted.reverse
+    val sealedAtOrAbove = epochsDesc.filter(_ >= upTo).exists(e =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"${epochDir(epochRoot, e)}/_appended")))
+    if (!sealedAtOrAbove) {
+      val newestSealed = epochsDesc.find(e =>
+        fs.exists(new org.apache.hadoop.fs.Path(
           s"${epochDir(epochRoot, e)}/_appended")))
-        .maxOption
-    if (!newestSealed.exists(_ >= upTo))
       throw new IllegalArgumentException(
         s"ackAdmitEpochs: cannot ack epoch $upTo at $epochRoot — the " +
           s"newest SEALED epoch is ${newestSealed.getOrElse(-1L)}. A " +
@@ -1259,18 +1302,14 @@ object Dedup {
           "them would silently disable the retention gate (acks are " +
           "monotone). Check the value (an epoch id, not a row count) " +
           "and the root.")
-    fs.mkdirs(root)
-    val own = ackMarkers(fs, root).filter(_._1 == consumer).map(_._2)
+    }
     def nameOf(n: Long) =
       if (consumer.isEmpty) consumedName(n) else consumedName(consumer, n)
-    if (own.nonEmpty && own.max >= upTo) own.max
-    else {
-      fs.create(new org.apache.hadoop.fs.Path(root, nameOf(upTo)),
-        true).close()
-      own.filter(_ < upTo).foreach(n => fs.delete(
-        new org.apache.hadoop.fs.Path(root, nameOf(n)), false))
-      upTo
-    }
+    fs.create(new org.apache.hadoop.fs.Path(root, nameOf(upTo)),
+      true).close()
+    own.filter(_ < upTo).foreach(n => fs.delete(
+      new org.apache.hadoop.fs.Path(root, nameOf(n)), false))
+    upTo
   }
 
   /** The downstream-consumer verb for a streamed-admit root: every
@@ -1317,10 +1356,15 @@ object Dedup {
           .cast("long"))
   }
 
-  /** [[readAdmittedEpochs]]' sibling for the near-dup stream's
-    * per-epoch AUDIT output ([[nearDupLedgerAdmitStreamBatch]] with
-    * `audit = true`): every sealed epoch's drop-reason rows —
-    * (doc, reason, partner) — labeled by epoch, one flat scan. Epochs
+  /** [[readAdmittedEpochs]]' sibling for a stream's per-epoch AUDIT
+    * output — the near-dup root ([[nearDupLedgerAdmitStreamBatch]]
+    * with `audit = true`: reasons exact_batch/exact_store/near_batch/
+    * near_store, partner = the minimum matching doc) and the EXACT
+    * root ([[ledgerAdmitStreamBatch]] with `audit = true`: reasons
+    * exact_batch with the in-batch rep as partner, exact_store with a
+    * NULL partner — the digest store is id-free by design): every
+    * sealed epoch's drop-reason rows — (doc, reason, partner) —
+    * labeled by epoch, one flat scan. Epochs
     * that ran without audit simply contribute no paths; a root where
     * NO sealed epoch carries an audit fails loudly (the caller almost
     * certainly forgot `audit = true`). */

@@ -1543,6 +1543,30 @@ class StreamingSpec extends SparkTestBase {
           s"$root/ne", mk(Seq(9L)), "doc_id", "text", 0L)
       }
       assert(e2.getMessage.contains("DIFFERENT batch"))
+      // NULL text and EMPTY text fingerprint differently: the decide
+      // drops null-text rows up front, so conflating them would
+      // re-emit stale decisions over a batch that now carries content
+      Dedup.ledgerAdmitStreamBatch(spark, s"$root/l2", s"$root/e2",
+        Seq((1L, null.asInstanceOf[String]), (2L, "x"))
+          .toDF("doc_id", "text"), "doc_id", "text", 0L)
+      val e3 = intercept[IllegalStateException] {
+        Dedup.ledgerAdmitStreamBatch(spark, s"$root/l2", s"$root/e2",
+          Seq((1L, ""), (2L, "x")).toDF("doc_id", "text"),
+          "doc_id", "text", 0L)
+      }
+      assert(e3.getMessage.contains("DIFFERENT batch"))
+      // a seal in a PREVIOUS fingerprint format (a pre-upgrade epoch)
+      // is accepted, not crash-looped: the guard is defense-in-depth
+      // and fresh epochs re-seal in the current format
+      val fs2 = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val dM = new org.apache.hadoop.fs.Path(
+        f"$root/e/epoch-${0L}%012d/_decided")
+      val o = fs2.create(dM, true)
+      o.write("3:12345".getBytes("UTF-8")); o.close()
+      assert(Dedup.ledgerAdmitStreamBatch(spark, s"$root/l",
+        s"$root/e", mk(Seq(3L, 1L, 2L)), "doc_id", "text", 0L)
+        .count() === 3L)
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
@@ -1696,6 +1720,19 @@ class StreamingSpec extends SparkTestBase {
       }
       intercept[IllegalArgumentException] {
         Dedup.ackAdmitEpochs(spark, epochs, "bad-name", 1L)
+      }
+      // a consumer re-acking its PERSISTED progress after a restart
+      // is a no-op even when every sealed epoch at or below it has
+      // been swept and the newest delivery crashed unsealed — the
+      // marker outlives the epochs it acknowledges; only an ADVANCING
+      // ack needs a sealed epoch to reference
+      val fsA = new org.apache.hadoop.fs.Path(epochs).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fsA.delete(new org.apache.hadoop.fs.Path(
+        f"$epochs/epoch-${3L}%012d/_appended"), false)
+      assert(Dedup.ackAdmitEpochs(spark, epochs, "trainer", 3L) === 3L)
+      intercept[IllegalArgumentException] {
+        Dedup.ackAdmitEpochs(spark, epochs, "trainer", 4L)
       }
     } finally graft.util.Fs.deleteRecursively(root)
   }
