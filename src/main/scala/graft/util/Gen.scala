@@ -211,7 +211,11 @@ object Gen {
       // vanishes between the listing and this read was deleted by a
       // concurrent sweep (poisoned-pointer reclaim, an entry sweep, a
       // sweepGenerations) — drop it, exactly as if it had never been
-      // listed, rather than failing the whole read on FNF
+      // listed, rather than failing the whole read on FNF. The drop
+      // reclassifies the dir it named into `stagings` for THIS scan,
+      // which is why every sweep re-probes before deleting a doomed
+      // staging (stagingIsCommitted) — a spurious FNF must degrade a
+      // read, never destroy a committed generation
       val (v2, poisoned) = names
         .flatMap(n => parseCommit(n).flatMap(c =>
           try Some((c, readSmall(fs, new Path(store, n))))
@@ -367,7 +371,7 @@ object Gen {
       }
     }
     s.stagings.foreach { case (n, dir) =>
-      if (doomed(cur, n))
+      if (doomed(cur, n) && !stagingIsCommitted(fs, store, n, dir))
         fs.delete(new Path(store, dir), true)
     }
     s.poisoned.foreach { case (n, _) =>
@@ -378,6 +382,29 @@ object Gen {
         fs.delete(new Path(store, name), false)
     }
   }
+
+  /** Is this "staging" actually a COMMITTED generation's data dir
+    * right now? [[scan]] tolerates a commit pointer whose read throws
+    * FileNotFoundException (deleted between the listing and the read
+    * by a concurrent sweep — a real race), but the SAME tolerance can
+    * misclassify on a SPURIOUS/transient FNF (an object-store hiccup,
+    * an FS-cache wobble): the pointer still exists, yet the scan
+    * dropped it, so the committed data dir it names fell into
+    * `stagings` — where the doomed() rule protects only current+1.
+    * Deleting on that stale classification would destroy a committed
+    * — possibly [[keepGeneration]]-PROTECTED — generation's data while
+    * its pointer survives (a dangling pointer a later sweep reclaims:
+    * silent data loss where the pre-tolerance behavior failed the read
+    * loudly, which was fail-safe). So both sweep paths RE-PROBE at
+    * delete time: a staging whose number's pointer exists AND names
+    * this exact dir is committed — skipped; a genuine loser staging
+    * (pointer absent, or naming the winner's dir) still sweeps. Same
+    * delete-time re-validation discipline as
+    * [[deleteIfStillPoisoned]]. */
+  private def stagingIsCommitted(fs: FileSystem, store: Path, n: Long,
+      dir: String): Boolean =
+    try readSmall(fs, new Path(store, commitName(n))) == dir
+    catch { case _: java.io.FileNotFoundException => false }
 
   /** Delete a pointer a SCAN classified poisoned, re-validating at
     * delete time: between that scan and this delete a concurrent
@@ -854,8 +881,11 @@ object Gen {
     // whose same-numbered pointer an earlier sweep already reclaimed
     // is provably dead under doomed() but invisible to a
     // commit-exists rule); poisoned pointers and dead publish temps
-    // go with it
-    val dead = s.stagings.filter { case (n, _) => doomed(s.current, n) }
+    // go with it. Same delete-time re-probe as the entry sweep: a
+    // committed dir misclassified as a staging by a transient
+    // pointer-read FNF must not be reclaimed (stagingIsCommitted).
+    val dead = s.stagings.filter { case (n, dir) =>
+      doomed(s.current, n) && !stagingIsCommitted(fs, store, n, dir) }
     dead.foreach { case (_, dir) =>
       fs.delete(new Path(store, dir), true)
     }

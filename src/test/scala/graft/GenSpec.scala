@@ -782,6 +782,54 @@ class GenSpec extends SparkTestBase {
     }
   }
 
+  test("sweep FNF fail-safe: a transient pointer-read FNF that " +
+      "reclassifies a committed, keepGeneration-PROTECTED " +
+      "generation's data dir as a doomed staging must NOT let either " +
+      "sweep path delete it (delete-time pointer re-probe), while a " +
+      "genuine loser staging still sweeps") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftflaky.impl", classOf[GraftFlakyFs].getName)
+    val root = tmp("graft_gen_fnf_sweep")
+    try {
+      val store = s"graftflaky://$root/store"
+      val ffs = new Path(store).getFileSystem(conf)
+      Gen.rewrite(spark, store)(d => rows(2, "a").write.parquet(d))
+      Gen.keepGeneration(spark, store, 1L)
+      Gen.rewrite(spark, store)(d => rows(3, "b").write.parquet(d))
+      Gen.rewrite(spark, store)(d => rows(4, "c").write.parquet(d))
+      val g1 = new Path(Gen.resolveAt(spark, store, 1L))
+      // a genuine loser staging at a doomed number: its pointer names
+      // the OTHER writer's dir, so the re-probe must not protect it
+      val loser = new Path(s"$store/gen-00000002-0badcafe")
+      ffs.mkdirs(loser)
+      // the spurious FNF: gen 1's pointer read fails exactly once, so
+      // the scan drops it and gen 1's data dir lands in `stagings`
+      // (doomed: 1 != cur+1) — the exact misclassification that made
+      // the old sweep delete a kept generation's data
+      GraftFlakyFs.vanishOnce.add("_commit-00000001")
+      Gen.sweepGenerations(spark, store, keepLast = 2)
+      assert(ffs.exists(g1),
+        "explicit sweep deleted a committed KEPT generation on a " +
+          "transient pointer-read FNF")
+      assert(!ffs.exists(loser), "genuine doomed staging survived")
+      assert(spark.read.parquet(
+        Gen.resolveAt(spark, store, 1L)).count() === 2L)
+      // same race through a REWRITE's entry sweep: gen 1 must survive
+      // and the rewrite must still target cur+1 correctly
+      GraftFlakyFs.vanishOnce.add("_commit-00000001")
+      Gen.rewrite(spark, store)(d => rows(5, "d").write.parquet(d))
+      assert(Gen.currentGeneration(spark, store) === Some(4L))
+      assert(ffs.exists(g1),
+        "rewrite entry sweep deleted a committed KEPT generation on " +
+          "a transient pointer-read FNF")
+      assert(spark.read.parquet(
+        Gen.resolveAt(spark, store, 1L)).count() === 2L)
+    } finally {
+      conf.unset("fs.graftflaky.impl")
+      graft.util.Fs.deleteRecursively(root)
+    }
+  }
+
   test("ownsMarker: the compound-operation form neither creates nor " +
       "lifts the caller's marker — a failure between two store " +
       "rewrites leaves ingest fenced until the re-run completes") {
