@@ -2920,7 +2920,13 @@ object Queries {
           }
         (id, payload)
       }.toDF("doc_id", "payload")
+    // needed_bound projected away: every planted refusal here is a
+    // truncation/desync no bound can fix (q147 oracles the deep-moov
+    // diagnostic where it is meaningful)
     Multimodal.mp4Headers(media, "doc_id", "payload")
+      .select(col("doc_id"), col("major_brand"), col("timescale"),
+        col("duration"), col("duration_ms"), col("width"),
+        col("height"))
       .orderBy(col("doc_id"))
   }
 
@@ -3062,9 +3068,15 @@ object Queries {
     * FIRST (one >64 KB `mdat` box, then `moov`) — a genuine
     * moov-at-end file. Parsed twice: at the DEFAULT 64 KB bound every
     * such payload reads NULL by contract (the walk refuses a moov it
-    * cannot complete — mode `head`), and at `bound` = full payload the
-    * same walk skips the mdat and parses the deep moov (mode `full`).
-    * Every 7th doc is not an MP4 at all (NULL in both modes); every
+    * cannot complete — mode `head`) but carries `needed_bound`, the
+    * moov's end offset read from the already-parsed top-level box
+    * lengths — exactly ftyp(20) + mdat(8 + 65536 + id%97) + moov(the
+    * planted mvhd/tkhd version geometry), so the oracle asserts the
+    * diagnostic's ARITHMETIC, not just non-nullness; at `bound` =
+    * full payload the same walk skips the mdat and parses the deep
+    * moov (mode `full`, needed_bound NULL — nothing refused).
+    * Every 7th doc is not an MP4 at all (NULL in both modes,
+    * needed_bound NULL — no bound fixes a non-MP4); every
     * 9th is audio-only (times parse, dims NULL). Oracled against pure
     * id arithmetic in both modes. */
   private def q147(s: SparkSession, dir: String): DataFrame = {
@@ -3112,7 +3124,7 @@ object Queries {
         (id, payload)
       }.toDF("doc_id", "payload")
     val cols = Seq("doc_id", "major_brand", "timescale", "duration",
-      "duration_ms", "width", "height").map(col)
+      "duration_ms", "width", "height", "needed_bound").map(col)
     Multimodal.mp4Headers(media, "doc_id", "payload", bound = 1 << 20)
       .select(lit("full").as("mode") +: cols: _*)
       .unionByName(Multimodal.mp4Headers(media, "doc_id", "payload")
@@ -3228,6 +3240,49 @@ object Queries {
           col("consumer_lag"), col("lag_exceeds_horizon"),
           col("admitted_rows"))
         .localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
+  /** Consumer-group RETIREMENT oracled end to end
+    * ([[Dedup.retireConsumer]], the surgical verb that closes the
+    * force-forever seam): three tercile epochs; group `fast` has read
+    * through epoch 1, group `slow` (a decommissioned downstream) is
+    * stuck at 0. A keepLast=1 sweep reclaims only epoch 0 — the dead
+    * group's watermark gates everything above it (stage `gated`:
+    * epochs 1 and 2 survive). The operator retires `slow`; the SAME
+    * sweep now recomputes over the survivors and reclaims epoch 1,
+    * fast's unread epoch 2 still protected (stage `retired`). A
+    * retire that dropped the wrong group's markers, or a gate that
+    * failed to recompute, hash-mismatches one of the stages. */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+    val (c1, c2) = (mx / 3, 2 * mx / 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q151_retire").toString
+    try {
+      val ledger = s"$path/ledger"
+      val epochs = s"$path/epochs"
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") <= c1), "doc_id", "text", 0L)
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        "doc_id", "text", 1L)
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        d.filter(col("doc_id") > c2), "doc_id", "text", 2L)
+      Dedup.ackAdmitEpochs(s, epochs, "fast", 1L)
+      Dedup.ackAdmitEpochs(s, epochs, "slow", 0L)
+      Dedup.sweepAdmitEpochs(s, epochs, keepLast = 1)
+      // materialize before the post-retire sweep deletes epoch 1
+      val gated = Dedup.readAdmittedEpochs(s, epochs)
+        .select(lit("gated").as("stage"), col("doc_id"), col("epoch"))
+        .localCheckpoint()
+      Dedup.retireConsumer(s, epochs, "slow")
+      Dedup.sweepAdmitEpochs(s, epochs, keepLast = 1)
+      val retired = Dedup.readAdmittedEpochs(s, epochs)
+        .select(lit("retired").as("stage"), col("doc_id"), col("epoch"))
+      gated.unionByName(retired)
+        .orderBy(col("stage"), col("doc_id")).localCheckpoint()
     } finally graft.util.Fs.deleteRecursively(path)
   }
 
@@ -4513,6 +4568,7 @@ object Queries {
     "q148_neardup_audit_stream" -> (q148 _),
     "q149_stream_health" -> (q149 _),
     "q150_exact_audit_stream" -> (q150 _),
+    "q151_retire_consumer" -> (q151 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -7485,8 +7541,14 @@ object Queries {
          |WHERE epoch = 2
          |ORDER BY stage, doc_id""".stripMargin,
     // deep-moov walk: mode 'head' (default 64 KB bound) reads every
-    // moov-at-end payload as NULL by contract; mode 'full' (bound =
-    // payload) parses the same planted id arithmetic as q141
+    // moov-at-end payload as NULL by contract BUT carries the
+    // needed_bound diagnostic — the moov end offset, recomputable as
+    // pure box-length arithmetic over the planted construction:
+    // ftyp 20 + mdat (8 + 65536 + id%97) + moov (16 + mvhd + tkhd),
+    // mvhd 108 (+12 for version 1: id%11=0), tkhd 92 (+12 for
+    // version 1: id%4=0) = 65780 + id%97 + the version bumps; mode
+    // 'full' (bound = payload) parses the same planted id arithmetic
+    // as q141 with needed_bound NULL (nothing refused)
     "q147_mp4_deep_moov" ->
       s"""WITH modes(mode) AS (VALUES ('full'), ('head')),
          | b AS (SELECT m.mode, d.doc_id,
@@ -7508,7 +7570,12 @@ object Queries {
          |  CASE WHEN ok AND vid
          |    THEN CAST(16 + doc_id % 1280 AS BIGINT) END AS width,
          |  CASE WHEN ok AND vid
-         |    THEN CAST(16 + (doc_id * 3) % 720 AS BIGINT) END AS height
+         |    THEN CAST(16 + (doc_id * 3) % 720 AS BIGINT) END AS height,
+         |  CASE WHEN mode = 'head' AND doc_id % 7 <> 0
+         |    THEN CAST(65780 + doc_id % 97
+         |      + CASE WHEN doc_id % 11 = 0 THEN 12 ELSE 0 END
+         |      + CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 0 END AS BIGINT)
+         |    END AS needed_bound
          |FROM b ORDER BY mode, doc_id""".stripMargin,
     // streamed audit read-back: q136's rule replay with the batch
     // label derived from the id cut (epoch = batch - 1); partner is
@@ -7602,6 +7669,27 @@ object Queries {
          |SELECT doc_id, reason, partner,
          |  CAST(b - 1 AS BIGINT) AS epoch
          |FROM rs ORDER BY doc_id, reason""".stripMargin,
+    // consumer retirement: with the dead group stuck at 0 the
+    // keepLast=1 sweep reclaims only epoch 0 (stage gated: 1 and 2
+    // survive); after retiring it the gate recomputes over the
+    // surviving group's watermark 1 and the same sweep reclaims
+    // epoch 1 (stage retired: 2 alone) — pure id arithmetic over the
+    // min-id-per-digest admits, q146's construction
+    "q151_retire_consumer" ->
+      s"""WITH m AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx
+         |    FROM documents),
+         | f AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+         |   FROM documents WHERE text IS NOT NULL GROUP BY 1),
+         | lab AS (SELECT doc_id,
+         |   CAST(CASE WHEN doc_id <= (SELECT mx FROM m) // 3 THEN 0
+         |     WHEN doc_id <= 2 * (SELECT mx FROM m) // 3 THEN 1
+         |     ELSE 2 END AS BIGINT) AS epoch FROM f)
+         |SELECT 'gated' AS stage, doc_id, epoch FROM lab
+         |WHERE epoch >= 1
+         |UNION ALL
+         |SELECT 'retired' AS stage, doc_id, epoch FROM lab
+         |WHERE epoch = 2
+         |ORDER BY stage, doc_id""".stripMargin,
     // epoch-root health: the structural fields are fixed by the
     // entry's construction (3 epochs, one unsealed, ack at 0,
     // horizon 1); admitted_rows is data-dependent — the min-id digest

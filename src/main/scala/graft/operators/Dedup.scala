@@ -1128,26 +1128,36 @@ object Dedup {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Fail loudly when a decided epochId is re-delivered with DIFFERENT
-    * rows (see [[epochFingerprint]]). An EMPTY stored seal (the r17
-    * pre-fingerprint markers) or one carrying an UNRECOGNIZED format
-    * prefix (an earlier fingerprint algorithm) is accepted with a
-    * once-per-root warning — the guard is defense-in-depth, and
-    * refusing on upgrade would crash-loop every in-flight root; the
-    * protocol re-seals in the current format at the next fresh
-    * epoch. */
+    * rows (see [[epochFingerprint]]). An EMPTY stored seal (the
+    * pre-fingerprint bare markers) or one carrying an UNRECOGNIZED
+    * format prefix (an earlier fingerprint algorithm) is accepted with
+    * a once-per-root warning — the guard is defense-in-depth, and
+    * refusing on upgrade would crash-loop every in-flight root; fresh
+    * epochs seal in the current format, so the guarded surface grows
+    * forward from the upgrade. Both legacy shapes warn: the empty
+    * seals are exactly the LOW epoch ids (0, 1, …) a reset checkpoint
+    * re-delivers into, so a silent accept there would leave the guard
+    * invisibly inactive where it matters most. A legacy epoch is
+    * deliberately NOT re-sealed on re-delivery: neither legacy shape
+    * can VERIFY the delivered rows match the originally-decided batch,
+    * and stamping the delivered fingerprint as truth would eternalize
+    * a possibly-reset batch — the warning tells the operator which
+    * roots still carry unguarded epochs instead. */
   private def checkEpochFingerprint(fs: org.apache.hadoop.fs.FileSystem,
       decidedM: org.apache.hadoop.fs.Path, fp: String, epochId: Long,
       epochRoot: String): Unit =
     if (fs.exists(decidedM)) {
       val stored = readSeal(fs, decidedM)
-      if (stored.nonEmpty && !stored.startsWith(EpochFpPrefix)) {
+      if (stored.isEmpty || !stored.startsWith(EpochFpPrefix)) {
         if (warnedLegacySeals.add(epochRoot))
           org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
-            .warn(s"epoch $epochId at $epochRoot carries a seal in a " +
-              "previous fingerprint format — the reset-checkpoint " +
-              "guard is inactive for epochs sealed before the " +
-              "upgrade; fresh epochs re-seal in the current format")
-      } else if (stored.nonEmpty && stored != fp)
+            .warn(s"epoch $epochId at $epochRoot carries a " +
+              (if (stored.isEmpty) "pre-fingerprint (empty) seal"
+               else "seal in a previous fingerprint format") +
+              " — the reset-checkpoint guard is inactive for epochs " +
+              "sealed before the upgrade; fresh epochs seal in the " +
+              "current format")
+      } else if (stored != fp)
         throw new IllegalStateException(
           s"epoch $epochId at $epochRoot is already decided for a " +
             s"DIFFERENT batch (sealed fingerprint $stored, delivered " +
@@ -1312,6 +1322,73 @@ object Dedup {
     upTo
   }
 
+  /** Unregister a DEAD consumer group: delete its ack markers so
+    * [[consumedAdmitWatermark]] recomputes over the SURVIVING groups
+    * and retention resumes ack-gated — the surgical verb the named-
+    * group design needs, where `sweepAdmitEpochs(force = true)` is the
+    * nuclear one. Without this, a decommissioned downstream's stale
+    * watermark blocks reclaim FOREVER (its markers persist by design),
+    * and the only documented escape — `force` — silently abandons
+    * EVERY group's unread epochs on every sweep it gates, including
+    * live laggards': the exact loss the ack gate exists to prevent,
+    * made a permanent operational requirement. Retiring is for groups
+    * that will never read again: a retired group's unread epochs
+    * become reclaimable by the next sweep, and a group retired by
+    * mistake simply re-registers at its next ack (its own watermark
+    * restarts from that ack). Retiring the LAST registered group
+    * reverts the root to the blind `keepLast` horizon — logged loudly,
+    * not refused, because decommissioning the final downstream is a
+    * legitimate end-of-life step. Fails loudly on a group that holds
+    * no markers (a typo'd name must not report success), naming the
+    * registered groups. Returns the number of markers removed. */
+  def retireConsumer(spark: org.apache.spark.sql.SparkSession,
+      epochRoot: String, consumer: String): Int = {
+    requireConsumerName(consumer)
+    retireInternal(spark, epochRoot, consumer)
+  }
+
+  /** [[retireConsumer]] for the ANONYMOUS consumer group (the unnamed
+    * [[ackAdmitEpochs]] form) — it is one group like any other and
+    * must be retirable the same way. */
+  def retireAnonymousConsumer(spark: org.apache.spark.sql.SparkSession,
+      epochRoot: String): Int = retireInternal(spark, epochRoot, "")
+
+  private def retireInternal(spark: org.apache.spark.sql.SparkSession,
+      epochRoot: String, consumer: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(epochRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = ackMarkers(fs, root)
+    val own = all.filter(_._1 == consumer)
+    val label =
+      if (consumer.isEmpty) "the anonymous consumer" else s"'$consumer'"
+    if (own.isEmpty) {
+      val registered = all.map(_._1).distinct.sorted
+        .map(c => if (c.isEmpty) "<anonymous>" else c)
+      throw new IllegalArgumentException(
+        s"retireConsumer: $label holds no ack markers at $epochRoot — " +
+          "nothing to retire. Registered consumer groups: " +
+          (if (registered.isEmpty) "none" else registered.mkString(", ")) +
+          ". Check the name and the root (retiring must not silently " +
+          "succeed on a typo while the real dead group keeps blocking " +
+          "retention).")
+    }
+    val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+    if (all.map(_._1).distinct.size == 1)
+      log.warn(s"retireConsumer: retiring $label removes the LAST " +
+        s"registered consumer group at $epochRoot — retention reverts " +
+        "to the blind keepLast horizon until a consumer acks again; " +
+        "size keepLast above the worst-case downstream lag meanwhile")
+    else
+      log.info(s"retireConsumer: retiring $label at $epochRoot " +
+        s"(watermark was ${own.map(_._2).max}); the retention gate " +
+        "recomputes over the surviving groups at the next sweep")
+    def nameOf(n: Long) =
+      if (consumer.isEmpty) consumedName(n) else consumedName(consumer, n)
+    own.foreach { case (_, n) => fs.delete(
+      new org.apache.hadoop.fs.Path(root, nameOf(n)), false) }
+    own.size
+  }
+
   /** The downstream-consumer verb for a streamed-admit root: every
     * SEALED epoch's admitted rows as one DataFrame with an `epoch`
     * column, ascending. Epochs that never completed their append
@@ -1404,8 +1481,13 @@ object Dedup {
     * is unconsumed — dropping it would permanently lose admitted rows
     * downstream never read (decisions gone, ledger moved, a re-decide
     * admits nothing) — so it survives any `keepLast`, unless
-    * `force = true` deliberately overrides (an operator abandoning a
-    * dead consumer). A root where NO consumer has ever acked keeps the
+    * `force = true` deliberately overrides. `force` is the NUCLEAR
+    * option: it abandons ALL laggards' unread epochs — every group's,
+    * live ones included — and leaves the dead group's markers in
+    * place, so it re-gates every subsequent sweep (force forever). To
+    * remove ONE dead group and let retention resume ack-gated over
+    * the survivors, use [[retireConsumer]] instead. A root where NO
+    * consumer has ever acked keeps the
     * blind `keepLast` horizon — ack-gating is the consumer's opt-in
     * (size `keepLast` above the worst-case lag until then). UNSEALED
     * epochs are never touched regardless of age or watermark: an epoch
@@ -1452,9 +1534,12 @@ object Dedup {
     * consumer advances or an operator decides it is dead and sweeps
     * with force). An unsealed epoch is a crashed delivery awaiting its
     * retry — persistent nonzero counts here page too, by eye.
-    * `admitted_rows` counts the sealed epochs' admitted rows — the one
-    * Spark job (the same flat multi-path scan as
-    * [[readAdmittedEpochs]]); everything else is one driver listing. */
+    * `admitted_rows` counts the sealed epochs' admitted rows from
+    * their parquet FOOTERS (exact by the format's contract — same
+    * number a scan would count), so the whole report is driver-side
+    * metadata I/O with ZERO Spark jobs at any store age: a health
+    * poll on a year-old root (~10⁵ epochs) must not launch a scan
+    * whose task count grows with stream age. */
   def admitEpochHealthReport(spark: org.apache.spark.sql.SparkSession,
       epochRoot: String, horizon: Int = 8): DataFrame = {
     import spark.implicits._
@@ -1478,9 +1563,23 @@ object Dedup {
       case Some(w) if newestSealed >= 0 => newestSealed - w
       case _ => -1L
     }
-    val admittedRows =
-      if (sealedEpochs.isEmpty) 0L
-      else readAdmittedEpochs(spark, epochRoot).count()
+    // footer row-count sum, one small metadata read per admitted file
+    // — never a Spark job (see the scaladoc); non-data siblings
+    // (_SUCCESS, hidden files) are excluded by the .parquet suffix
+    val admittedRows = sealedEpochs.iterator.map { e =>
+      val d = new org.apache.hadoop.fs.Path(
+        s"${epochDir(epochRoot, e)}/admitted")
+      if (!fs.exists(d)) 0L
+      else fs.listStatus(d).iterator
+        .filter(st => st.isFile &&
+          st.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+              st, spark.sparkContext.hadoopConfiguration))
+          try r.getRecordCount finally r.close()
+        }.sum
+    }.sum
     Seq((sealedEpochs.size.toLong, (all.size - sealedEpochs.size).toLong,
       audited.toLong, sealedEpochs.headOption.getOrElse(-1L),
       newestSealed,

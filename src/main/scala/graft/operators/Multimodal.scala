@@ -386,6 +386,45 @@ object Multimodal {
     None // no moov inside the bound (moov-at-end, or truncated)
   }
 
+  /** Size-guided diagnostic for a payload [[mp4Walk]] REFUSED: the
+    * bound the caller would need for the walk to reach and complete
+    * the `moov`. The box LENGTHS are already parsed, so when the walk
+    * gives up (moov beyond `bound`, or extending past it) this
+    * second pass skips the top-level boxes through the FULL payload —
+    * a handful of 8/16-byte header reads (ftyp/free/mdat/moov is the
+    * whole top level of a real movie), never the content — and
+    * returns the moov's END offset. A census then runs ONE targeted
+    * second pass at `needed_bound` over just the refused rows instead
+    * of re-reading the whole corpus at max bound. None when the
+    * payload is not walkable at all (no ftyp, desync, a top-level
+    * header truncated before moov — a bigger bound would not help
+    * THIS payload) or when the moov completes inside `bound` already
+    * (the refusal was a desync inside it, not a size problem — a
+    * bigger bound changes nothing, so reporting one would mislead).
+    * The moov header itself must sit inside the payload; its CONTENT
+    * may extend past it (a head-slice fetch) — the returned bound
+    * then tells the census how much MORE file to fetch, same
+    * arithmetic. */
+  private[graft] def mp4NeededBound(b: Array[Byte],
+      bound: Int = 1 << 16): Option[Long] = {
+    if (b == null || b.length < 12 || mp4Type(b, 4) != "ftyp")
+      return None
+    val end = b.length
+    var i = 0
+    while (i + 8 <= end) {
+      mp4Box(b, i, end) match {
+        // e > i: same wrapped-largesize guard as the main walk
+        case Some((t, _, e)) if e > i =>
+          if (t == "moov")
+            return if (e > bound) Some(e) else None
+          if (e > end.toLong) return None // next header out of payload
+          i = e.toInt
+        case _ => return None
+      }
+    }
+    None
+  }
+
   /** REAL MP4/ISO-BMFF header metadata — the box WALK the container
     * family needs where [[mediaHeader]]'s fixed offsets cannot reach:
     * `ftyp` major brand, `mvhd` timescale + duration (+ the derived
@@ -397,7 +436,10 @@ object Multimodal {
     * codecs in the same bounded `mapPartitions` shape as
     * [[jpegDimensions]]. NULLs
     * for non-MP4, truncated, desynced, or moov-at-end payloads; dims
-    * NULL (times kept) for audio-only movies. */
+    * NULL (times kept) for audio-only movies. A refused deep-moov row
+    * additionally carries `needed_bound` — the bound a targeted
+    * second pass needs to parse it (see [[mp4NeededBound]]); NULL on
+    * parsed rows and on payloads no bound can fix. */
   def mp4Headers(df: DataFrame, idCol: String,
       binCol: String, bound: Int = 1 << 16): DataFrame = {
     import df.sparkSession.implicits._
@@ -414,10 +456,14 @@ object Multimodal {
             if (ts > 0L && d <= Long.MaxValue / 1000L)
               Some(d * 1000L / ts)
             else None },
-          info.flatMap(_._4.map(_._1)), info.flatMap(_._4.map(_._2)))
+          info.flatMap(_._4.map(_._1)), info.flatMap(_._4.map(_._2)),
+          // the size-guided diagnostic, only for refused payloads —
+          // the header skips it costs were already paid by the walk's
+          // failure, and the box count at top level is tiny
+          if (info.isDefined) None else mp4NeededBound(bytes, bound))
       })
       .toDF(idCol, "major_brand", "timescale", "duration",
-        "duration_ms", "width", "height")
+        "duration_ms", "width", "height", "needed_bound")
   }
 
   /** [[mediaHeader]] over a table: one row per item with the sniffed

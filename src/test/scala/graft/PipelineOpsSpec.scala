@@ -3885,6 +3885,39 @@ class PipelineOpsSpec extends SparkTestBase {
       Seq((1L, big)).toDF("id", "payload"), "id", "payload").first()
     assert(r.getAs[Long]("duration") === Long.MaxValue / 2L)
     assert(r.isNullAt(r.fieldIndex("duration_ms")))
+
+    // size-guided refusal diagnostic: a deep-moov refusal reports the
+    // bound a targeted second pass needs (the moov END offset, from
+    // the already-parsed top-level box lengths)...
+    assert(Multimodal.mp4NeededBound(atEnd, ftyp.length + 16) ===
+      Some(atEnd.length.toLong))
+    // ...a payload that PARSES reports nothing...
+    assert(Multimodal.mp4NeededBound(simple) === None)
+    // ...a desync INSIDE a moov that already fits the bound reports
+    // nothing (a bigger bound would not change the outcome)...
+    assert(Multimodal.mp4NeededBound(ftyp ++ box("moov",
+      be32(3L) ++ "mvhd".getBytes("ISO-8859-1"))) === None)
+    // ...nor does a non-MP4 (no bound fixes it)
+    assert(Multimodal.mp4NeededBound(
+      "definitely not an mp4 file".getBytes("UTF-8")) === None)
+    // a HEAD-SLICE fetch whose moov header made it in but whose
+    // content did not: the needed bound (how much MORE file to
+    // fetch) still reports — it exceeds the slice by construction
+    val slice = atEnd.take(atEnd.length - 20)
+    assert(Multimodal.mp4NeededBound(slice, ftyp.length + 16) ===
+      Some(atEnd.length.toLong))
+    // end-to-end column contract at the DEFAULT bound: a genuinely
+    // deep moov (>64 KB mdat) refuses WITH needed_bound, a faststart
+    // payload parses with needed_bound NULL
+    val deep = ftyp ++ box("mdat", Array.fill(70000)(0.toByte)) ++
+      moov(mvhd0(600L, 1200L), trak(tkhd0(64L, 64L)))
+    val nb = Multimodal.mp4Headers(
+      Seq((1L, deep), (2L, simple)).toDF("id", "payload"),
+      "id", "payload").orderBy("id").collect()
+    assert(nb(0).getAs[Long]("needed_bound") === deep.length.toLong)
+    assert(nb(0).isNullAt(nb(0).fieldIndex("major_brand")))
+    assert(nb(1).isNullAt(nb(1).fieldIndex("needed_bound")))
+    assert(nb(1).getAs[String]("major_brand") === "isom")
   }
 
   test("storeHealthReport: ONE dispatcher detects every persisted " +

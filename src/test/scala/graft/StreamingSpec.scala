@@ -1737,6 +1737,164 @@ class StreamingSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
+  test("retireConsumer: deleting ONE dead group's ack markers lets " +
+      "the retention gate recompute over the survivors (the next " +
+      "sweep reclaims up to the remaining min); retiring the LAST " +
+      "group reverts to the blind horizon; a typo'd name refuses " +
+      "loudly; a mistaken retire self-heals at the next ack") {
+    import SparkTestBase.session.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_retire").toString
+    val ledger = s"$root/ledger"
+    val epochs = s"$root/epochs"
+    try {
+      (0 until 4).foreach { e =>
+        Dedup.ledgerAdmitStreamBatch(spark, ledger, epochs,
+          (e * 10 until e * 10 + 5).map(i => (i.toLong, s"text $i"))
+            .toDF("doc_id", "text"), "doc_id", "text", e.toLong)
+      }
+      Dedup.ackAdmitEpochs(spark, epochs, "trainer", 2L)
+      Dedup.ackAdmitEpochs(spark, epochs, "deadpipe", 0L)
+      // the dead group gates: keepLast=1 reclaims only epoch 0
+      assert(Dedup.sweepAdmitEpochs(spark, epochs, keepLast = 1) === 1)
+      // a typo must fail loudly (naming the registered groups), not
+      // report success while the real dead group keeps blocking
+      val typo = intercept[IllegalArgumentException] {
+        Dedup.retireConsumer(spark, epochs, "deadpip")
+      }
+      assert(typo.getMessage.contains("deadpip") &&
+        typo.getMessage.contains("deadpipe"))
+      intercept[IllegalArgumentException] {
+        Dedup.retireConsumer(spark, epochs, "bad/name")
+      }
+      // retire the dead group: the SAME sweep now reclaims up to the
+      // surviving group's watermark
+      assert(Dedup.retireConsumer(spark, epochs, "deadpipe") === 1)
+      assert(Dedup.consumedAdmitWatermark(spark, epochs) === Some(2L))
+      assert(Dedup.sweepAdmitEpochs(spark, epochs, keepLast = 1) === 2)
+      assert(Dedup.readAdmittedEpochs(spark, epochs)
+        .select("epoch").distinct().as[Long].collect().sorted.toSeq ===
+        Seq(3L))
+      // ...and the health report stops paging on the retired group
+      val h = Dedup.admitEpochHealthReport(spark, epochs,
+        horizon = 2).head()
+      assert(h.getAs[Long]("n_consumers") === 1L)
+      assert(!h.getAs[Boolean]("lag_exceeds_horizon"))
+      // retiring the LAST group reverts to the blind horizon (logged
+      // loudly, not refused): an epoch above nobody's watermark is
+      // reclaimable again
+      assert(Dedup.retireConsumer(spark, epochs, "trainer") === 1)
+      assert(Dedup.consumedAdmitWatermark(spark, epochs) === None)
+      Dedup.ledgerAdmitStreamBatch(spark, ledger, epochs,
+        Seq((99L, "text 99")).toDF("doc_id", "text"),
+        "doc_id", "text", 4L)
+      assert(Dedup.sweepAdmitEpochs(spark, epochs, keepLast = 1) === 1)
+      // a group retired by mistake re-registers at its next ack
+      assert(Dedup.ackAdmitEpochs(spark, epochs, "trainer", 4L) === 4L)
+      assert(Dedup.consumedAdmitWatermark(spark, epochs) === Some(4L))
+      // the anonymous group is one group like any other — retirable,
+      // and multiple leftover markers all go (the race-leftover shape)
+      Dedup.ackAdmitEpochs(spark, epochs, 4L)
+      val fsR = new org.apache.hadoop.fs.Path(epochs).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fsR.create(new org.apache.hadoop.fs.Path(epochs,
+        f"_consumed-${3L}%012d"), true).close() // stale-ack leftover
+      assert(Dedup.retireAnonymousConsumer(spark, epochs) === 2)
+      assert(Dedup.consumedAdmitWatermark(spark, epochs) === Some(4L))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("admitEpochHealthReport is driver-side metadata only: ZERO " +
+      "Spark jobs at any epoch count (admitted_rows comes from " +
+      "parquet footers) and the footer count matches the scan count " +
+      "exactly") {
+    import SparkTestBase.session.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_health_meta").toString
+    val ledger = s"$root/ledger"
+    val epochs = s"$root/epochs"
+    try {
+      (0 until 3).foreach { e =>
+        Dedup.ledgerAdmitStreamBatch(spark, ledger, epochs,
+          (e * 10 until e * 10 + 4).map(i => (i.toLong, s"text $i"))
+            .toDF("doc_id", "text"), "doc_id", "text", e.toLong)
+      }
+      val scanCount = Dedup.readAdmittedEpochs(spark, epochs).count()
+      assert(scanCount === 12L)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val tap = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart)
+            : Unit = { jobs.incrementAndGet(); () }
+      }
+      org.apache.spark.GraftSparkBridge.drainListenerBus(
+        spark.sparkContext)
+      spark.sparkContext.addSparkListener(tap)
+      try {
+        val h = Dedup.admitEpochHealthReport(spark, epochs).head()
+        assert(h.getAs[Long]("admitted_rows") === scanCount)
+        org.apache.spark.GraftSparkBridge.drainListenerBus(
+          spark.sparkContext)
+        assert(jobs.get === 0,
+          s"health report launched ${jobs.get} Spark jobs — a health " +
+            "poll must stay one driver listing at any store age")
+      } finally spark.sparkContext.removeSparkListener(tap)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("legacy-seal upgrade path: a root holding a bare (empty, " +
+      "pre-fingerprint) _decided receives a fresh epoch — the new " +
+      "seal is fp1-prefixed and a reset-checkpoint replay against " +
+      "the FRESH epoch fails loudly, while the legacy epoch stays " +
+      "readable and re-emits (guard documented-inactive there)") {
+    import SparkTestBase.session.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_seal_migrate").toString
+    val ledger = s"$root/ledger"
+    val epochs = s"$root/epochs"
+    try {
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      // epoch 0 in the OLD format: run it, then strip the seal's
+      // content back to the bare pre-fingerprint marker shape
+      Dedup.ledgerAdmitStreamBatch(spark, ledger, epochs,
+        Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+        "doc_id", "text", 0L)
+      fs.create(new org.apache.hadoop.fs.Path(
+        f"$epochs/epoch-${0L}%012d/_decided"), true).close()
+      // a fresh epoch on the same root seals in the CURRENT format
+      Dedup.ledgerAdmitStreamBatch(spark, ledger, epochs,
+        Seq((3L, "gamma")).toDF("doc_id", "text"),
+        "doc_id", "text", 1L)
+      def sealContent(e: Long): String = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(
+          f"$epochs/epoch-$e%012d/_decided"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+      assert(sealContent(0L).isEmpty)
+      assert(sealContent(1L).startsWith("fp1:"))
+      // reset-checkpoint replay against the FRESH epoch: loud failure
+      val e = intercept[IllegalStateException] {
+        Dedup.ledgerAdmitStreamBatch(spark, ledger, epochs,
+          Seq((9L, "reset batch")).toDF("doc_id", "text"),
+          "doc_id", "text", 1L)
+      }
+      assert(e.getMessage.contains("DIFFERENT batch"))
+      // the legacy epoch is accepted (once-per-root warning; the
+      // guard is documented-inactive for pre-upgrade epochs) and
+      // re-emits its sealed decisions even under a different
+      // delivered batch — an empty seal cannot distinguish one
+      assert(Dedup.ledgerAdmitStreamBatch(spark, ledger, epochs,
+        Seq((9L, "reset batch")).toDF("doc_id", "text"),
+        "doc_id", "text", 0L).count() === 2L)
+      // the mixed-format root reads back flat, both epochs labeled
+      assert(Dedup.readAdmittedEpochs(spark, epochs)
+        .select("epoch").distinct().as[Long].collect().sorted.toSeq ===
+        Seq(0L, 1L))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("batch-vs-stream interleaving: a batch admit landing while a " +
       "streamed epoch holds the ingest lease fails LOUDLY on the " +
       "lease — no deadlock, no silent interleave (route backfills " +
