@@ -18,6 +18,57 @@ import org.apache.spark.sql.SparkSession
   *     the driver's parser).
   */
 object Bench {
+
+  /** The contention sentinel's fixed pure-compute unit: `iters` LCG
+    * steps, data-independent, no allocation — a hardware constant on
+    * an idle host (PERF.md records this builder's band). Object-level
+    * so the spec can time the SAME loop under deliberate load. */
+  private[graft] def calibWork(seed: Long,
+      iters: Int = 200000000): Long = {
+    var x = seed; var i = 0
+    while (i < iters) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x ^= (x >>> 33); i += 1
+    }
+    x
+  }
+
+  /** Sentinel VERDICT (r19): turns the raw calib numbers into a flag
+    * the artifact itself carries, so an inflated run is labeled in
+    * bench.json instead of adjudicated from PERF prose after the
+    * fact. Two independent signals per sentinel class:
+    *   - BAND ratio — the worse (max) of pre/post against the
+    *     recorded idle band's UPPER edge (PERF.md r18: calib_1t
+    *     0.38-0.46 s, calib_job 0.10-0.15 s; env-overridable for a
+    *     different host). Above 1.3× the run is measuring the host:
+    *     the r17 driver mode read a uniform ~1.5× here.
+    *   - SHIFT — pre vs post disagreeing by more than the shift
+    *     threshold means the tier CHANGED mid-run, which no band can
+    *     absolve (the r18 driver signature: calib_job 0.182 pre vs
+    *     0.045 post on a host FASTER than the builder band, CPU
+    *     spotless). Job shift threshold 2.5× (the idle band itself
+    *     spans 1.5×); CPU shift 1.5× (calib_1t is a hardware
+    *     constant, idle wobble is a few percent).
+    * `cpu_contended` outranks `scheduler_drift`: compute starvation
+    * inflates the job sentinel too, and the wider diagnosis should
+    * win the label. */
+  private[graft] def tierVerdict(c1tPre: Double, c1tPost: Double,
+      jobPre: Double, jobPost: Double, ref1t: Double,
+      refJob: Double): (String, Double, Double, Double, Double) = {
+    val cpuRatio = math.max(c1tPre, c1tPost) / ref1t
+    val jobRatio = math.max(jobPre, jobPost) / refJob
+    def shift(a: Double, b: Double): Double =
+      if (math.min(a, b) <= 0) 1.0
+      else math.max(a, b) / math.min(a, b)
+    val cpuShift = shift(c1tPre, c1tPost)
+    val jobShift = shift(jobPre, jobPost)
+    val flag =
+      if (cpuRatio > 1.3 || cpuShift > 1.5) "cpu_contended"
+      else if (jobRatio > 1.3 || jobShift > 2.5) "scheduler_drift"
+      else "clean"
+    (flag, cpuRatio, jobRatio, cpuShift, jobShift)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,14 +96,6 @@ object Bench {
     // diff against replica history (the r17 driver run read 1.54×
     // slow purely from host contention).
     val calibSink = new java.util.concurrent.atomic.AtomicLong
-    def calibWork(seed: Long): Long = {
-      var x = seed; var i = 0
-      while (i < 200000000) {
-        x = x * 6364136223846793005L + 1442695040888963407L
-        x ^= (x >>> 33); i += 1
-      }
-      x
-    }
     def calib(threads: Int): Double = {
       val t0 = System.nanoTime()
       val ts = (1 to threads).map(t =>
@@ -192,14 +235,29 @@ object Bench {
     val calibJobPost = r3c(calibJob())
     if (calibSink.get == 42L) println("calib sink (never prints)")
     // reference band: this builder host, idle (PERF.md r18) — 1t ≈
-    // 0.38-0.46 s, 32t ≈ 0.40-0.75 s, job ≈ see PERF.md. A run whose
-    // calib sits far above the band (>1.3×) is measuring the host,
-    // not the code: calib_1t/Nt flag CPU starvation, calib_job flags
-    // scheduler/small-task tier drift.
+    // 0.38-0.46 s, 32t ≈ 0.40-0.75 s, job ≈ 0.10-0.15 s. tierVerdict
+    // turns the numbers into the in-artifact flag (band ratio vs the
+    // upper edge at 1.3×, pre/post shift for a mid-run tier change);
+    // the refs are env-overridable for a host with a different band.
+    val ref1t =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_REF_1T", "0.46").toDouble
+    val refJob =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_REF_JOB", "0.15").toDouble
+    val (tierFlag, cpuRatio, jobRatio, cpuShift, jobShift) =
+      tierVerdict(calibPre1, calibPost1, calibJobPre, calibJobPost,
+        ref1t, refJob)
     val contentionJson =
       s"""{"calib_1t_pre":$calibPre1,"calib_${cpus}t_pre":$calibPreN,""" +
         s""""calib_1t_post":$calibPost1,"calib_${cpus}t_post":$calibPostN,""" +
-        s""""calib_job_pre":$calibJobPre,"calib_job_post":$calibJobPost}"""
+        s""""calib_job_pre":$calibJobPre,"calib_job_post":$calibJobPost,""" +
+        s""""tier_flag":"$tierFlag","cpu_ratio":${r3(cpuRatio)},""" +
+        s""""job_ratio":${r3(jobRatio)},"cpu_shift":${r3(cpuShift)},""" +
+        s""""job_shift":${r3(jobShift)}}"""
+    if (tierFlag != "clean")
+      System.err.println(s"[bench] SENTINEL: tier_flag=$tierFlag " +
+        f"(cpu_ratio $cpuRatio%.2f, job_ratio $jobRatio%.2f, " +
+        f"cpu_shift $cpuShift%.2f, job_shift $jobShift%.2f) — this " +
+        "run's walls are measuring the host, compare with care")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"serial":$serialJson,"contention":$contentionJson,"detail":$detailJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")

@@ -871,6 +871,99 @@ object DedupScaleSmoke {
         postTtl.filter(col("doc") >= 0L && col("doc") < ttlCut).isEmpty,
         s"ttl expiry broke: $ttlScrubbed scrubbed, $ttlPurged purged")
     } finally graft.util.Fs.deleteRecursively(ndlRoot)
+
+    // NEAR-DUP epoch-count scale (r19): the exact ledger's 120-epoch
+    // proof above, re-run through nearDupLedgerAdmitStreamBatch with
+    // audit = true. The near-dup epoch dir carries 4 extra artifacts
+    // per epoch (the two per-store append seals, the novel decision
+    // set, the audit output), so the flatness claims need their own
+    // datapoint: admitted AND audit read-backs must each stay ONE
+    // scan leaf with flat wall 40 → 120 epochs, every sealed epoch
+    // must carry both per-store seals, and the ack-gated sweep stays
+    // one driver listing.
+    println(s"== near-dup streamed-admit epoch-count scale " +
+      "(120 audited epochs) ==")
+    val ndeRoot = java.nio.file.Files
+      .createTempDirectory("graft_nde_scale").toString
+    try {
+      val ndeLedger = s"$ndeRoot/ledger"
+      val ndeEpochs = s"$ndeRoot/epochs"
+      val eSz = 50L
+      def admitRange(from: Int, until: Int): Unit =
+        (from until until).foreach { e =>
+          Dedup.nearDupLedgerAdmitStreamBatch(spark, ndeLedger,
+            ndeEpochs, docs.filter(col("doc_id") >= e * eSz &&
+              col("doc_id") < (e + 1) * eSz),
+            "doc_id", "text", e.toLong, audit = true)
+        }
+      def timed[T](label: String)(f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        val w = (System.nanoTime() - t0) / 1e9
+        println(f"  $label: $w%.2f s"); (r, w)
+      }
+      time("epochs 0-39 (near-dup trickle admits, audit on)")(
+        admitRange(0, 40))
+      val (rb40, w40) = timed("readAdmittedEpochs at 40 epochs")(
+        Dedup.readAdmittedEpochs(spark, ndeEpochs).count())
+      val (au40, a40) = timed("readAuditEpochs at 40 epochs")(
+        Dedup.readAuditEpochs(spark, ndeEpochs).count())
+      time("epochs 40-119 (near-dup trickle admits, audit on)")(
+        admitRange(40, 120))
+      val rb = Dedup.readAdmittedEpochs(spark, ndeEpochs)
+      val rbLeaves = rb.queryExecution.executedPlan.collectLeaves()
+        .count(_.nodeName.toLowerCase.contains("scan"))
+      val (rb120, w120) = timed("readAdmittedEpochs at 120 epochs")(
+        rb.count())
+      val au = Dedup.readAuditEpochs(spark, ndeEpochs)
+      val auLeaves = au.queryExecution.executedPlan.collectLeaves()
+        .count(_.nodeName.toLowerCase.contains("scan"))
+      val (au120, a120) = timed("readAuditEpochs at 120 epochs")(
+        au.count())
+      // planted ground truth per EVEN 50-doc slice (offsets 0-49 of a
+      // %100 block): one exact in-batch copy (always dropped, one
+      // exact_batch audit row) and one near-dup (dropped at LSH
+      // recall ≈ 0.97, one near_batch audit row); odd slices are all
+      // base docs. Counts are banded, not exact, by LSH recall.
+      val evens = 60L
+      require(rb120 >= 120 * eSz - 2 * evens &&
+        rb120 <= 120 * eSz - evens - (evens * 8) / 10,
+        s"near-dup epoch read-back rows broke: $rb120")
+      require(au120 >= evens + (evens * 8) / 10 && au120 <= 2 * evens,
+        s"audit read-back rows broke: $au120")
+      require(rb40 > 0 && au40 > 0, s"40-epoch baseline empty")
+      require(rbLeaves == 1 && auLeaves == 1,
+        s"read-back plans at 120 epochs hold $rbLeaves/$auLeaves scan " +
+          "leaves — each must be ONE flat multi-path scan")
+      require(w120 < math.max(3 * w40, w40 + 2.0) &&
+        a120 < math.max(3 * a40, a40 + 2.0),
+        f"read-back wall grew with epoch count: admitted $w40%.2f → " +
+          f"$w120%.2f s, audit $a40%.2f → $a120%.2f s")
+      // per-store append seals: every sealed epoch carries BOTH (all
+      // slices hold novel signatures, so both halves always write)
+      val ndeFs = new org.apache.hadoop.fs.Path(ndeEpochs)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val missingSeals = (0 until 120).count { e =>
+        val d = f"$ndeEpochs/epoch-$e%012d"
+        !(ndeFs.exists(new org.apache.hadoop.fs.Path(s"$d/_appended")) &&
+          ndeFs.exists(new org.apache.hadoop.fs.Path(
+            s"$d/_bands_appended")) &&
+          ndeFs.exists(new org.apache.hadoop.fs.Path(
+            s"$d/_primary_appended")))
+      }
+      require(missingSeals == 0,
+        s"$missingSeals epochs lack a per-store append seal")
+      // ack-gated retention: one driver listing at 120 epochs
+      Dedup.ackAdmitEpochs(spark, ndeEpochs, 115L)
+      val (ndeSwept, wSweep2) = timed(
+        "ack-gated sweepAdmitEpochs keepLast=1 over 120 epochs")(
+        Dedup.sweepAdmitEpochs(spark, ndeEpochs, keepLast = 1))
+      require(ndeSwept == 116 && wSweep2 < 5.0,
+        s"near-dup gated sweep broke: swept $ndeSwept (want 116) " +
+          f"in $wSweep2%.2f s")
+      require(Dedup.readAdmittedEpochs(spark, ndeEpochs)
+        .select(col("epoch")).distinct().count() == 4,
+        "post-sweep epoch count broke")
+    } finally graft.util.Fs.deleteRecursively(ndeRoot)
     spark.stop()
   }
 }
