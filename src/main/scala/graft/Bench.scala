@@ -46,9 +46,13 @@ object Bench {
     *     threshold means the tier CHANGED mid-run, which no band can
     *     absolve (the r18 driver signature: calib_job 0.182 pre vs
     *     0.045 post on a host FASTER than the builder band, CPU
-    *     spotless). Job shift threshold 2.5× (the idle band itself
-    *     spans 1.5×); CPU shift 1.5× (calib_1t is a hardware
-    *     constant, idle wobble is a few percent).
+    *     spotless — shift 4.0). Job shift threshold 3.0×: the idle
+    *     band itself spans 1.5× and a cold-pre vs warm-post on
+    *     recorded IDLE builder replicas reaches 2.78× (whose elevated
+    *     pre the band ratio already labels) — 3.0 separates the
+    *     observed drift mode from idle wobble. CPU shift 1.5×
+    *     (calib_1t is a hardware constant, idle wobble is a few
+    *     percent).
     * `cpu_contended` outranks `scheduler_drift`: compute starvation
     * inflates the job sentinel too, and the wider diagnosis should
     * win the label. */
@@ -64,7 +68,7 @@ object Bench {
     val jobShift = shift(jobPre, jobPost)
     val flag =
       if (cpuRatio > 1.3 || cpuShift > 1.5) "cpu_contended"
-      else if (jobRatio > 1.3 || jobShift > 2.5) "scheduler_drift"
+      else if (jobRatio > 1.3 || jobShift > 3.0) "scheduler_drift"
       else "clean"
     (flag, cpuRatio, jobRatio, cpuShift, jobShift)
   }

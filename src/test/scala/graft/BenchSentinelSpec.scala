@@ -23,7 +23,19 @@ class BenchSentinelSpec extends AnyFunSuite {
     // 0.045), so no absolute band fires — the pre/post shift must
     val d = Bench.tierVerdict(0.383, 0.379, 0.182, 0.045, 0.46, 0.15)
     assert(d._1 === "scheduler_drift")
-    assert(d._5 > 2.5) // job_shift ≈ 4.0
+    assert(d._5 > 3.0) // job_shift ≈ 4.0
+    // the recorded IDLE builder replica with the widest cold-pre vs
+    // warm-post shift (2.78, bench_full_r18_5): the SHIFT alone must
+    // not flag it — its elevated pre is the band ratio's job (1.35,
+    // which labels the run scheduler_drift on absolute grounds, the
+    // honest reading of an 0.203 s pre on a 0.10-0.15 band)
+    val idle5 = Bench.tierVerdict(0.431, 0.382, 0.203, 0.073,
+      0.46, 0.15)
+    assert(idle5._1 === "scheduler_drift" && idle5._3 > 1.3 &&
+      idle5._5 < 3.0)
+    // the same shift on an in-band pair stays clean
+    assert(Bench.tierVerdict(0.40, 0.40, 0.139, 0.050,
+      0.46, 0.15)._1 === "clean")
     // r17 driver mode: uniform ~1.5x compute starvation
     assert(Bench.tierVerdict(0.62, 0.60, 0.16, 0.15,
       0.46, 0.15)._1 === "cpu_contended")
