@@ -3286,6 +3286,62 @@ object Queries {
     } finally graft.util.Fs.deleteRecursively(path)
   }
 
+  /** Compression CENSUS oracled end to end
+    * ([[Multimodal.compressedSizeHint]]): byte-true gzip members
+    * (RFC 1952 — ISIZE is the little-endian u32 TAIL) and zstd frame
+    * headers (RFC 8878 — Frame_Content_Size at a flag-dependent
+    * offset), planted to cover EVERY header geometry: gzip with a
+    * planted truncation (every 11th — NULL by the 18-byte member
+    * minimum), zstd across all four FCS field sizes × dictionary-id
+    * sizes × single-segment on/off — including the two contractual
+    * NULLs (fcs flag 0 without single-segment = unknown length; an
+    * 8-byte size past Long range = garbage) — and raw text (codec
+    * unknown, size NULL). The oracle recomputes codec and size from
+    * pure id arithmetic; an offset slip anywhere in the CASE tree
+    * breaks the hash. */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def le(v: Long, n: Int) =
+      Array.tabulate(n)(i => ((v >> (8 * i)) & 0xFF).toByte)
+    val media = docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        val payload: Array[Byte] =
+          if (id % 7 == 3) // not compressed at all
+            ("raw payload " + text).getBytes("UTF-8")
+          else if (id % 5 == 0) {
+            // gzip: header + deflate-shaped garbage + CRC32 + ISIZE
+            val gz = Array[Byte](0x1F.toByte, 0x8B.toByte, 8, 0) ++
+              le(0L, 4) ++ Array[Byte](0, 3) ++
+              Array.fill(6 + (id % 11).toInt)(0x55.toByte) ++
+              le((id * 53L) % 4294967296L, 4) ++ le(id * 131L, 4)
+            if (id % 11 == 0) gz.take(10) else gz // truncated member
+          } else {
+            // zstd: magic + FHD + [window] + [dict id] + FCS
+            val fcsFlag = (id % 4).toInt
+            val didFlag = ((id / 4) % 4).toInt
+            val ss = id % 3 == 0
+            val didLen = if (didFlag == 3) 4 else didFlag
+            val fhd = (fcsFlag << 6) | (if (ss) 32 else 0) | didFlag
+            val fcs: Array[Byte] = fcsFlag match {
+              case 0 => if (ss) le(id % 256, 1) else Array.emptyByteArray
+              case 1 => le((id * 37L) % 65536L, 2)
+              case 2 => le(id * 97L, 4)
+              case _ =>
+                val hi = if (id % 9 == 0) 2147483653L else id % 100000L
+                le(id * 53L, 4) ++ le(hi, 4)
+            }
+            Array(0x28, 0xB5, 0x2F, 0xFD).map(_.toByte) ++
+              Array(fhd.toByte) ++
+              (if (ss) Array.emptyByteArray else Array(0x58.toByte)) ++
+              le(id % 1000L, didLen) ++ fcs ++
+              Array.fill(4 + (id % 13).toInt)(0x66.toByte)
+          }
+        (id, payload)
+      }.toDF("doc_id", "payload")
+    Multimodal.compressionCensus(media, "doc_id", "payload")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -4569,6 +4625,7 @@ object Queries {
     "q149_stream_health" -> (q149 _),
     "q150_exact_audit_stream" -> (q150 _),
     "q151_retire_consumer" -> (q151 _),
+    "q152_compression_census" -> (q152 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -7690,6 +7747,33 @@ object Queries {
          |SELECT 'retired' AS stage, doc_id, epoch FROM lab
          |WHERE epoch = 2
          |ORDER BY stage, doc_id""".stripMargin,
+    // compression census: codec by the planted branch, size by the
+    // planted header arithmetic — gzip ISIZE = id*131 (truncated
+    // members NULL), zstd FCS by flag (fcs0 only with single-segment;
+    // fcs1 stores value−256; fcs3 NULL when the u64 exceeds Long)
+    "q152_compression_census" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN 'raw'
+         |         WHEN doc_id % 5 = 0 THEN 'gzip'
+         |         ELSE 'zstd' END AS k
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN k = 'raw' THEN 'unknown' ELSE k END AS codec,
+         |  CASE WHEN k = 'gzip' AND doc_id % 11 <> 0
+         |         THEN CAST(doc_id * 131 AS BIGINT)
+         |       WHEN k = 'zstd' THEN
+         |         CASE doc_id % 4
+         |           WHEN 0 THEN CASE WHEN doc_id % 3 = 0
+         |             THEN CAST(doc_id % 256 AS BIGINT) END
+         |           WHEN 1 THEN CAST((doc_id * 37) % 65536 + 256
+         |             AS BIGINT)
+         |           WHEN 2 THEN CAST(doc_id * 97 AS BIGINT)
+         |           ELSE CASE WHEN doc_id % 9 <> 0
+         |             THEN CAST((doc_id % 100000) * 4294967296
+         |               + doc_id * 53 AS BIGINT) END
+         |         END
+         |  END AS uncompressed_size
+         |FROM b ORDER BY doc_id""".stripMargin,
     // epoch-root health: the structural fields are fixed by the
     // entry's construction (3 epochs, one unsealed, ack at 0,
     // horizon 1); admitted_rows is data-dependent — the min-id digest

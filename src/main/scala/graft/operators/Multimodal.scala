@@ -466,6 +466,93 @@ object Multimodal {
         "duration_ms", "width", "height", "needed_bound")
   }
 
+  /** Byte `p` (1-based, as a COLUMN) of a hex dump — the dynamic-
+    * offset sibling of [[byteHex]], for headers whose field positions
+    * depend on flag bytes (the zstd frame header). */
+  private def byteHexAt(h: org.apache.spark.sql.Column,
+      p: org.apache.spark.sql.Column) =
+    h.substr(p * 2 - 1, lit(2))
+
+  /** Little-endian unsigned integer of `nBytes` at dynamic byte
+    * position `p` (1-based column): hex bytes concatenated highest-
+    * address first, then one base-16 conv. nBytes ≤ 4 keeps the
+    * result inside a non-negative Long with no ANSI overflow. */
+  private def leAt(h: org.apache.spark.sql.Column,
+      p: org.apache.spark.sql.Column, nBytes: Int) =
+    conv(concat((nBytes - 1 to 0 by -1)
+      .map(i => byteHexAt(h, p + i)): _*), 16, 10).cast("long")
+
+  /** UNCOMPRESSED-size hint for compressed payloads, with zero
+    * decompression — the census a 100-TB compressed drop needs before
+    * spending any decode: expansion ratio, downstream storage
+    * planning, and the absurd-ratio page (a 1000× "expansion" is a
+    * zip-bomb-shaped upload). Sources, both from published container
+    * formats, both pure built-ins (slice → hex → CASE), codegen'd,
+    * map-only:
+    *   - gzip (RFC 1952): `ISIZE`, the little-endian u32 in the LAST
+    *     four bytes — the original size MOD 2³² of the final member.
+    *     By contract, not a parse gap: sizes ≥ 4 GiB alias (pair with
+    *     the compressed length to disambiguate at census scale) and a
+    *     multi-member concatenation reports its last member; payloads
+    *     shorter than the 18-byte minimal single member read NULL.
+    *   - zstd (RFC 8878): the frame header's Frame_Content_Size
+    *     field, whose OFFSET depends on the descriptor byte —
+    *     magic(4) + FHD(1) + window descriptor(1, absent when
+    *     single-segment) + dictionary id(0/1/2/4 by DID flag) + FCS
+    *     (fcs flag 0 → 1 byte IF single-segment else ABSENT — a
+    *     stream of unknown length reads NULL, correctly; 1 → 2 bytes
+    *     PLUS 256; 2 → 4 bytes; 3 → 8 bytes, NULL when the u64 would
+    *     not fit a Long — garbage a real file cannot carry). A set
+    *     reserved bit (a corrupt or future-format frame) reads NULL,
+    *     never a misparse.
+    * Everything else (raw text, images, unknown) reads NULL — the
+    * `codec` column carries [[sniffFormat]]'s dispatch so the census
+    * can split known-uncompressible from unknown. */
+  def compressedSizeHint(bin: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val kind = sniffFormat(bin)
+    val n = length(bin)
+    // gzip: one 4-byte tail slice, hexed — never the payload
+    val tailHex = upper(hex(substring(bin, -4, 4)))
+    val gzipSize = leU32(tailHex, 1)
+    // zstd: max header = magic 4 + FHD 1 + window 1 + did 4 + fcs 8
+    val h = upper(hex(substring(bin, 1, 18)))
+    val fhd = conv(byteHex(h, 5), 16, 10).cast("int")
+    val ss = fhd.bitwiseAND(lit(32)) =!= 0
+    val reserved = fhd.bitwiseAND(lit(8)) =!= 0
+    val fcsFlag = shiftright(fhd, 6).bitwiseAND(lit(3))
+    val didFlag = fhd.bitwiseAND(lit(3))
+    val didLen = when(didFlag === 3, 4).otherwise(didFlag)
+    // first FCS byte, 1-based: after magic+FHD (5), the window byte
+    // (absent when single-segment), and the dictionary id
+    val off = lit(6) + when(ss, 0).otherwise(1) + didLen
+    val fcsLen = when(fcsFlag === 0, when(ss, 1).otherwise(0))
+      .when(fcsFlag === 1, 2).when(fcsFlag === 2, 4).otherwise(8)
+    val fits = n >= off + fcsLen - 1
+    val hi = leAt(h, off + 4, 4)
+    val lo = leAt(h, off, 4)
+    val zstdSize =
+      when(fcsFlag === 0,
+        when(ss, leAt(h, off, 1)).otherwise(lit(null)))
+        .when(fcsFlag === 1, leAt(h, off, 2) + 256L)
+        .when(fcsFlag === 2, leAt(h, off, 4))
+        .otherwise(
+          // 8-byte LE assembled from two u32 halves: hi ≤ 2³¹−1
+          // keeps hi·2³² + lo ≤ 2⁶³−1 (no ANSI overflow, ever);
+          // anything larger is garbage — NULL, never a throw
+          when(hi < 2147483648L, hi * 4294967296L + lo))
+    when(kind === "gzip" && n >= 18, gzipSize)
+      .when(kind === "zstd" && !reserved && fits, zstdSize)
+  }
+
+  /** [[compressedSizeHint]] over a table: (id, codec,
+    * uncompressed_size) — one row per payload, the compression census
+    * next to [[mediaTriage]]. */
+  def compressionCensus(df: DataFrame, idCol: String,
+      binCol: String): DataFrame =
+    df.select(col(idCol), sniffFormat(col(binCol)).as("codec"),
+      compressedSizeHint(col(binCol)).as("uncompressed_size"))
+
   /** [[mediaHeader]] over a table: one row per item with the sniffed
     * kind and the parsed fixed-offset fields — the metadata census a
     * media ingest runs right after [[mediaTriage]], still with zero

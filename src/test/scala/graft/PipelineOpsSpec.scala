@@ -3920,6 +3920,42 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(nb(1).getAs[String]("major_brand") === "isom")
   }
 
+  test("compressedSizeHint: REAL gzip and zstd round-trips read the " +
+      "original byte count from headers alone (no decompression); " +
+      "truncated members and uncompressed payloads read NULL") {
+    // real compressors, not planted bytes: java.util.zip for gzip,
+    // the zstd-jni Spark ships for zstd — a header-offset slip that
+    // happened to match q152's planted geometry cannot match both
+    val data = ("The quick brown fox jumps over the lazy dog. " * 40)
+      .getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gzo = new java.util.zip.GZIPOutputStream(bos)
+    gzo.write(data); gzo.close()
+    val gz = bos.toByteArray
+    val zs = com.github.luben.zstd.Zstd.compress(data)
+    val rows = Multimodal.compressionCensus(
+      Seq((1L, gz), (2L, zs), (3L, "plain text".getBytes("UTF-8")),
+        (4L, gz.take(10))).toDF("id", "payload"), "id", "payload")
+      .orderBy("id").collect()
+    assert(rows(0).getAs[String]("codec") === "gzip")
+    assert(rows(0).getAs[Long]("uncompressed_size") ===
+      data.length.toLong)
+    assert(rows(1).getAs[String]("codec") === "zstd")
+    assert(rows(1).getAs[Long]("uncompressed_size") ===
+      data.length.toLong)
+    assert(rows(2).getAs[String]("codec") === "unknown")
+    assert(rows(2).isNullAt(rows(2).fieldIndex("uncompressed_size")))
+    assert(rows(3).getAs[String]("codec") === "gzip")
+    assert(rows(3).isNullAt(rows(3).fieldIndex("uncompressed_size")))
+    // a zstd frame with the reserved descriptor bit set (corrupt or
+    // future format) refuses rather than misparsing
+    val corrupt = zs.clone(); corrupt(4) = (corrupt(4) | 0x08).toByte
+    val cr = Multimodal.compressionCensus(
+      Seq((1L, corrupt)).toDF("id", "payload"), "id", "payload")
+      .first()
+    assert(cr.isNullAt(cr.fieldIndex("uncompressed_size")))
+  }
+
   test("storeHealthReport: ONE dispatcher detects every persisted " +
       "store family from layout alone, routes to its report with " +
       "store_kind leading, redirects a bands store to its ledger " +
