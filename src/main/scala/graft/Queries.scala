@@ -3342,6 +3342,85 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Encoding CENSUS oracled end to end
+    * ([[Multimodal.encodingCensus]]): byte-true payloads planted to
+    * cover the whole verdict surface — all five BOMs (incl. the
+    * `FF FE 00 00` UTF-32LE-over-UTF-16LE tiebreak), plain ASCII,
+    * valid multibyte UTF-8 at widths 2/3/4, every strict-UTF-8
+    * rejection class (bare continuation, overlong `C0 AF`, surrogate
+    * half `ED A0 80`, past-U+10FFFF `F5`, truncated tail), UTF-16
+    * surrogate pairing (astral pair valid, lone high invalid, odd
+    * tail invalid), UTF-32 range/alignment (past-max and surrogate
+    * units invalid, ragged tail invalid), and the NUL-count page for
+    * BOM-less UTF-16 masquerading as ASCII. The oracle recomputes
+    * encoding, validity, FIRST-INVALID byte offset, code-point count,
+    * and NUL count from pure id arithmetic — an off-by-one anywhere
+    * in any scanner breaks the hash. */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val k = (id % 7).toInt
+        val m = 1 + (id % 3).toInt
+        val a = Array.fill(k)('a'.toByte)
+        def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+        def rep(seq: Array[Byte], t: Int): Array[Byte] =
+          Array.fill(t)(seq).flatten
+        val payload: Array[Byte] = (id % 5) match {
+          case f @ (0 | 1) =>
+            val bom = if (f == 1) bs(0xEF, 0xBB, 0xBF)
+              else Array.emptyByteArray
+            val body = (id % 9) match {
+              case 0 => Array.emptyByteArray
+              case 1 => rep(bs(0xC3, 0xA9), m) // é ×m
+              case 2 => rep(bs(0xE2, 0x82, 0xAC), m) // € ×m
+              case 3 => rep(bs(0xF0, 0x9F, 0x98, 0x80), m) // 😀 ×m
+              case 4 => bs(0x80) // bare continuation
+              case 5 => bs(0xC0, 0xAF) // overlong /
+              case 6 => bs(0xED, 0xA0, 0x80) // surrogate half
+              case 7 => bs(0xF5, 0x80, 0x80) // past U+10FFFF
+              case _ => bs(0xE2, 0x82) // truncated 3-byte seq
+            }
+            bom ++ a ++ body
+          case 2 =>
+            val le = id % 2 == 0
+            def u16(v: Int): Array[Byte] =
+              if (le) bs(v & 0xFF, v >>> 8) else bs(v >>> 8, v & 0xFF)
+            val bom = if (le) bs(0xFF, 0xFE) else bs(0xFE, 0xFF)
+            val chars = rep(u16('a'), k)
+            val tail = (id % 4) match {
+              case 0 => Array.emptyByteArray
+              case 1 => u16(0xD83D) ++ u16(0xDE00) // 😀 as a pair
+              case 2 => u16(0xD800) ++ u16('b') // lone high surrogate
+              case _ => bs(0x61) // odd trailing byte
+            }
+            bom ++ chars ++ tail
+          case 3 =>
+            val le = id % 2 == 0
+            def u32(v: Long): Array[Byte] =
+              if (le) bs((v & 0xFF).toInt, ((v >> 8) & 0xFF).toInt,
+                ((v >> 16) & 0xFF).toInt, ((v >> 24) & 0xFF).toInt)
+              else bs(((v >> 24) & 0xFF).toInt, ((v >> 16) & 0xFF).toInt,
+                ((v >> 8) & 0xFF).toInt, (v & 0xFF).toInt)
+            val bom = if (le) bs(0xFF, 0xFE, 0x00, 0x00)
+              else bs(0x00, 0x00, 0xFE, 0xFF)
+            val chars = rep(u32('a'.toLong), k)
+            val tail = (id % 4) match {
+              case 0 => u32(0x1F600L) // astral, valid
+              case 1 => u32(0x110000L) // past U+10FFFF
+              case 2 => u32(0xD800L) // surrogate value
+              case _ => bs(0x61, 0x61) // ragged 2-byte tail
+            }
+            bom ++ chars ++ tail
+          case _ => // BOM-less NUL page: ascii text with planted NULs
+            a ++ Array.fill(m)(0x00.toByte) ++ Array('b'.toByte)
+        }
+        (id, payload)
+      }.toDF("doc_id", "payload")
+    Multimodal.encodingCensus(media, "doc_id", "payload")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -4626,6 +4705,7 @@ object Queries {
     "q150_exact_audit_stream" -> (q150 _),
     "q151_retire_consumer" -> (q151 _),
     "q152_compression_census" -> (q152 _),
+    "q153_encoding_census" -> (q153 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -7773,6 +7853,57 @@ object Queries {
          |               + doc_id * 53 AS BIGINT) END
          |         END
          |  END AS uncompressed_size
+         |FROM b ORDER BY doc_id""".stripMargin,
+    // encoding census: every column recomputed from the planted
+    // construction — family f (utf8/bom, utf16, utf32, nul page),
+    // ascii prefix k, repeat m; first_invalid is the byte offset of
+    // the planted breakage (bom + prefix widths), n_chars the planted
+    // code-point count, n_nul the planted zero bytes (utf16 'a' units
+    // carry one each, utf32 'a' units three, the BOMs two)
+    "q153_encoding_census" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    doc_id % 5 AS f, CAST(doc_id % 7 AS BIGINT) AS k,
+         |    CAST(1 + doc_id % 3 AS BIGINT) AS m,
+         |    doc_id % 9 AS c9, doc_id % 4 AS c4,
+         |    doc_id % 2 = 0 AS le
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN f IN (0, 1) THEN
+         |      CASE WHEN f = 1 THEN 'utf8_bom'
+         |           WHEN c9 >= 4 THEN 'binary'
+         |           WHEN c9 = 0 THEN 'ascii'
+         |           ELSE 'utf8' END
+         |    WHEN f = 2 THEN
+         |      CASE WHEN le THEN 'utf16le' ELSE 'utf16be' END
+         |    WHEN f = 3 THEN
+         |      CASE WHEN le THEN 'utf32le' ELSE 'utf32be' END
+         |    ELSE 'ascii' END AS encoding,
+         |  CASE
+         |    WHEN f IN (0, 1) THEN c9 < 4
+         |    WHEN f = 2 THEN c4 <= 1
+         |    WHEN f = 3 THEN c4 = 0
+         |    ELSE TRUE END AS valid,
+         |  CAST(CASE
+         |    WHEN f IN (0, 1) AND c9 >= 4 THEN 3 * f + k
+         |    WHEN f = 2 AND c4 >= 2 THEN 2 + 2 * k
+         |    WHEN f = 3 AND c4 >= 1 THEN 4 + 4 * k
+         |    END AS BIGINT) AS first_invalid,
+         |  CAST(CASE
+         |    WHEN f IN (0, 1) THEN
+         |      CASE WHEN c9 = 0 THEN k WHEN c9 <= 3 THEN k + m END
+         |    WHEN f = 2 THEN
+         |      CASE WHEN c4 = 0 THEN k WHEN c4 = 1 THEN k + 1 END
+         |    WHEN f = 3 THEN CASE WHEN c4 = 0 THEN k + 1 END
+         |    ELSE k + m + 1 END AS BIGINT) AS n_chars,
+         |  CAST(CASE
+         |    WHEN f IN (0, 1) THEN 0
+         |    WHEN f = 2 THEN k +
+         |      CASE c4 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END
+         |    WHEN f = 3 THEN 2 + 3 * k +
+         |      CASE WHEN c4 IN (1, 2) THEN 3
+         |           WHEN c4 = 0 THEN 2 ELSE 0 END
+         |    ELSE m END AS BIGINT) AS n_nul
          |FROM b ORDER BY doc_id""".stripMargin,
     // epoch-root health: the structural fields are fixed by the
     // entry's construction (3 epochs, one unsealed, ack at 0,

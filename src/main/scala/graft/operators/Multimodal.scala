@@ -553,6 +553,194 @@ object Multimodal {
     df.select(col(idCol), sniffFormat(col(binCol)).as("codec"),
       compressedSizeHint(col(binCol)).as("uncompressed_size"))
 
+  /** Strict RFC 3629 UTF-8 scan from `from`: (first invalid offset —
+    * the LEAD byte of the broken sequence — or None when the tail is
+    * fully valid, decoded code-point count up to that point).
+    * Rejects everything the spec rejects: bare continuation bytes,
+    * overlong forms (C0/C1 leads, E0 80-9F, F0 80-8F), surrogate
+    * halves (ED A0-BF), planes past U+10FFFF (F4 90+, F5-FF leads),
+    * and sequences truncated by the payload end. No String or char
+    * buffer is ever materialized — a pure byte walk, so a 100-TB
+    * census never pays decode allocation for payloads it only needs
+    * to JUDGE. */
+  private[graft] def utf8Scan(b: Array[Byte],
+      from: Int): (Option[Int], Long) = {
+    var i = from; var n = 0L
+    while (i < b.length) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) { i += 1; n += 1 }
+      else if (c < 0xC2 || c > 0xF4) return (Some(i), n)
+      else {
+        val len = if (c < 0xE0) 2 else if (c < 0xF0) 3 else 4
+        if (i + len > b.length) return (Some(i), n)
+        val c1 = b(i + 1) & 0xFF
+        val lo = c match {
+          case 0xE0 => 0xA0 // shorter forms encode in 2 bytes
+          case 0xF0 => 0x90 // shorter forms encode in 3 bytes
+          case _ => 0x80
+        }
+        val hi = c match {
+          case 0xED => 0x9F // D800-DFFF are surrogates, not chars
+          case 0xF4 => 0x8F // 10FFFF is the last code point
+          case _ => 0xBF
+        }
+        if (c1 < lo || c1 > hi) return (Some(i), n)
+        var j = i + 2
+        var bad = false
+        while (j < i + len && !bad) {
+          val cj = b(j) & 0xFF
+          bad = cj < 0x80 || cj > 0xBF
+          j += 1
+        }
+        if (bad) return (Some(i), n)
+        i += len; n += 1
+      }
+    }
+    (None, n)
+  }
+
+  /** UTF-16 code-unit scan from `from`: (first invalid BYTE offset or
+    * None, code-point count). Invalid = a lone or trailing-first
+    * surrogate (the offset of the offending unit) or an odd trailing
+    * byte (its own offset). */
+  private[graft] def utf16Scan(b: Array[Byte], from: Int,
+      littleEndian: Boolean): (Option[Int], Long) = {
+    def unit(j: Int): Int =
+      if (littleEndian) (b(j) & 0xFF) | ((b(j + 1) & 0xFF) << 8)
+      else ((b(j) & 0xFF) << 8) | (b(j + 1) & 0xFF)
+    var i = from; var n = 0L
+    while (i < b.length) {
+      if (i + 2 > b.length) return (Some(i), n)
+      val u = unit(i)
+      if (u >= 0xD800 && u <= 0xDBFF) {
+        if (i + 4 > b.length) return (Some(i), n)
+        val u2 = unit(i + 2)
+        if (u2 < 0xDC00 || u2 > 0xDFFF) return (Some(i), n)
+        i += 4; n += 1
+      } else if (u >= 0xDC00 && u <= 0xDFFF) return (Some(i), n)
+      else { i += 2; n += 1 }
+    }
+    (None, n)
+  }
+
+  /** UTF-32 unit scan from `from`: (first invalid BYTE offset or None,
+    * code-point count). Invalid = a unit past U+10FFFF, a surrogate
+    * value (D800-DFFF — ill-formed in UTF-32 too), or a trailing
+    * fragment shorter than 4 bytes. */
+  private[graft] def utf32Scan(b: Array[Byte], from: Int,
+      littleEndian: Boolean): (Option[Int], Long) = {
+    def unit(j: Int): Long =
+      if (littleEndian)
+        (b(j) & 0xFFL) | ((b(j + 1) & 0xFFL) << 8) |
+          ((b(j + 2) & 0xFFL) << 16) | ((b(j + 3) & 0xFFL) << 24)
+      else
+        ((b(j) & 0xFFL) << 24) | ((b(j + 1) & 0xFFL) << 16) |
+          ((b(j + 2) & 0xFFL) << 8) | (b(j + 3) & 0xFFL)
+    var i = from; var n = 0L
+    while (i < b.length) {
+      if (i + 4 > b.length) return (Some(i), n)
+      val u = unit(i)
+      if (u > 0x10FFFFL || (u >= 0xD800L && u <= 0xDFFFL))
+        return (Some(i), n)
+      i += 4; n += 1
+    }
+    (None, n)
+  }
+
+  /** One payload's encoding verdict — see [[encodingCensus]] for the
+    * column contract. */
+  private[graft] def encodingScan(b: Array[Byte])
+      : (String, Boolean, Option[Long], Option[Long], Long) = {
+    var nul = 0L
+    var i = 0
+    while (i < b.length) { if (b(i) == 0) nul += 1; i += 1 }
+    def u(j: Int) = b(j) & 0xFF
+    val n = b.length
+    // BOM dispatch, longest first: FF FE 00 00 is UTF-32LE, not a
+    // UTF-16LE BOM followed by U+0000 (the standard tiebreak; a
+    // UTF-16LE string genuinely STARTING with NUL is misread — it is
+    // byte-identical, no sniffer can do better)
+    val bom: Option[(String, Int)] =
+      if (n >= 4 && u(0) == 0xFF && u(1) == 0xFE && u(2) == 0 &&
+        u(3) == 0) Some(("utf32le", 4))
+      else if (n >= 4 && u(0) == 0 && u(1) == 0 && u(2) == 0xFE &&
+        u(3) == 0xFF) Some(("utf32be", 4))
+      else if (n >= 3 && u(0) == 0xEF && u(1) == 0xBB && u(2) == 0xBF)
+        Some(("utf8_bom", 3))
+      else if (n >= 2 && u(0) == 0xFF && u(1) == 0xFE)
+        Some(("utf16le", 2))
+      else if (n >= 2 && u(0) == 0xFE && u(1) == 0xFF)
+        Some(("utf16be", 2))
+      else None
+    bom match {
+      case Some((enc, skip)) =>
+        val (bad, chars) = enc match {
+          case "utf8_bom" => utf8Scan(b, skip)
+          case "utf16le" => utf16Scan(b, skip, littleEndian = true)
+          case "utf16be" => utf16Scan(b, skip, littleEndian = false)
+          case "utf32le" => utf32Scan(b, skip, littleEndian = true)
+          case _ => utf32Scan(b, skip, littleEndian = false)
+        }
+        (enc, bad.isEmpty, bad.map(_.toLong),
+          if (bad.isEmpty) Some(chars) else None, nul)
+      case None =>
+        val (bad, chars) = utf8Scan(b, 0)
+        if (bad.isEmpty) {
+          val ascii = chars == n // every code point was one byte
+          (if (ascii) "ascii" else "utf8", true, None, Some(chars), nul)
+        } else ("binary", false, bad.map(_.toLong), None, nul)
+    }
+  }
+
+  /** ENCODING census over a table of binary payloads — the text-side
+    * triage sibling of [[mediaTriage]] and [[compressionCensus]]: a
+    * web-scale text drop is full of mislabeled charsets, multibyte
+    * tails truncated by byte-range fetches, BOM'd Windows exports and
+    * binary masquerading as text, and every tokenizer downstream
+    * assumes guaranteed-valid UTF-8. One row per payload:
+    *   - `encoding`: `ascii` (valid UTF-8, no byte ≥ 0x80) / `utf8`
+    *     (valid, multibyte present) / `utf8_bom` / `utf16le` /
+    *     `utf16be` / `utf32le` / `utf32be` (by BOM, longest match
+    *     first — `FF FE 00 00` is UTF-32LE by the standard tiebreak)
+    *     / `binary` (no BOM and not valid UTF-8).
+    *   - `valid`: does the payload body validate under the detected
+    *     encoding — strict RFC 3629 for the UTF-8 family (overlongs,
+    *     surrogate halves, >U+10FFFF, truncations all rejected),
+    *     surrogate PAIRING for UTF-16, range+alignment for UTF-32.
+    *     `binary` is false by definition.
+    *   - `first_invalid`: byte offset (0-based, BOM included) of the
+    *     first offending sequence's first byte — where to look, and
+    *     the tail-truncation signature (== a byte-range fetch cut)
+    *     reads as first_invalid near n_bytes. NULL when valid.
+    *   - `n_chars`: decoded code-point count, BOM excluded; NULL when
+    *     invalid (a partial count would read as a real one in
+    *     downstream aggregates).
+    *   - `n_nul`: raw 0x00 byte count over the whole payload — the
+    *     BOM-less UTF-16 / binary-contamination page (ASCII text
+    *     exported as UTF-16 without a BOM is byte-alternating NULs
+    *     and classifies `ascii`; nonzero n_nul is what flags it).
+    * Map-only `mapPartitions` like the media family: no shuffle, no
+    * String materialization (pure byte walks), nothing but the five
+    * small columns flows onward — the shape that survives 100 TB. */
+  def encodingCensus(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(binCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        if (bytes == null)
+          (id, None: Option[String], None: Option[Boolean],
+            None: Option[Long], None: Option[Long], None: Option[Long])
+        else {
+          val (enc, ok, bad, chars, nul) = encodingScan(bytes)
+          (id, Some(enc), Some(ok), bad, chars, Some(nul))
+        }
+      })
+      .toDF(idCol, "encoding", "valid", "first_invalid", "n_chars",
+        "n_nul")
+  }
+
   /** [[mediaHeader]] over a table: one row per item with the sniffed
     * kind and the parsed fixed-offset fields — the metadata census a
     * media ingest runs right after [[mediaTriage]], still with zero

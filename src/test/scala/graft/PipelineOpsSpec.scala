@@ -3956,6 +3956,104 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(cr.isNullAt(cr.fieldIndex("uncompressed_size")))
   }
 
+  test("encodingCensus: BOM dispatch (incl. the FF FE 00 00 UTF-32LE " +
+      "tiebreak), strict verdicts, first-invalid offsets, and the " +
+      "NUL page on planted edge payloads") {
+    def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val rows = Multimodal.encodingCensus(Seq(
+      1L -> "plain ascii".getBytes("UTF-8"),
+      2L -> "héllo €".getBytes("UTF-8"),
+      3L -> bs(0xEF, 0xBB, 0xBF, 'x', 0xC3, 0xA9), // BOM + x + é
+      4L -> bs(0xFF, 0xFE, 'a', 0, 'b', 0), // utf16le "ab"
+      5L -> bs(0xFE, 0xFF, 0, 'a', 0xD8, 0x3D, 0xDE, 0x00), // be a+😀
+      6L -> bs(0xFF, 0xFE, 0x00, 0x00, 'a', 0, 0, 0), // utf32le "a"
+      7L -> bs(0x00, 0x00, 0xFE, 0xFF, 0, 0, 0xD8, 0x00), // u32 surr
+      8L -> bs('o', 'k', 0xED, 0xA0, 0x80), // surrogate half in utf8
+      9L -> Array.emptyByteArray, // empty = valid ascii, 0 chars
+      10L -> bs('a', 0, 'b', 0, 'c', 0), // BOM-less utf16: NUL page
+      11L -> (null: Array[Byte])
+    ).toDF("id", "payload"), "id", "payload").orderBy("id").collect()
+    def enc(i: Int) = rows(i).getAs[String]("encoding")
+    def ok(i: Int) = rows(i).getAs[Boolean]("valid")
+    def inv(i: Int): Any = rows(i).get(rows(i).fieldIndex("first_invalid"))
+    def nch(i: Int): Any = rows(i).get(rows(i).fieldIndex("n_chars"))
+    def nul(i: Int) = rows(i).getAs[Long]("n_nul")
+    assert(enc(0) === "ascii" && ok(0) && nch(0) === 11L && nul(0) === 0L)
+    assert(enc(1) === "utf8" && ok(1) && nch(1) === 7L) // é, € multibyte
+    assert(enc(2) === "utf8_bom" && ok(2) && nch(2) === 2L) // BOM excl.
+    assert(enc(3) === "utf16le" && ok(3) && nch(3) === 2L && nul(3) === 2L)
+    assert(enc(4) === "utf16be" && ok(4) && nch(4) === 2L) // pair = 1 cp
+    assert(enc(5) === "utf32le" && ok(5) && nch(5) === 1L && nul(5) === 5L)
+    assert(enc(6) === "utf32be" && !ok(6) && inv(6) === 4L && nch(6) == null)
+    assert(enc(7) === "binary" && !ok(7) && inv(7) === 2L && nch(7) == null)
+    assert(enc(8) === "ascii" && ok(8) && nch(8) === 0L && nul(8) === 0L)
+    assert(enc(9) === "ascii" && ok(9) && nch(9) === 6L && nul(9) === 3L)
+    assert(rows(10).isNullAt(rows(10).fieldIndex("encoding")) &&
+      rows(10).isNullAt(rows(10).fieldIndex("n_nul"))) // null payload
+  }
+
+  test("encoding scanners agree with java.nio STRICT decoders on " +
+      "seeded random payloads (verdict and code-point count)") {
+    import java.nio.charset.{Charset, CodingErrorAction}
+    def javaVerdict(cs: Charset, b: Array[Byte]): (Boolean, Long) = {
+      val dec = cs.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      val in = java.nio.ByteBuffer.wrap(b)
+      val out = java.nio.CharBuffer.allocate(b.length * 2 + 8)
+      val res = dec.decode(in, out, true)
+      val fl = if (res.isError) res else dec.flush(out)
+      if (res.isError || fl.isError) (false, -1L)
+      else {
+        out.flip()
+        (true, out.toString.codePointCount(0, out.length()).toLong)
+      }
+    }
+    val rnd = new scala.util.Random(4242)
+    def randomPayload(): Array[Byte] = {
+      val n = rnd.nextInt(25)
+      Array.fill(n) {
+        // bias toward the interesting byte classes: ASCII, leads,
+        // continuations — pure-random bytes are almost always
+        // invalid in the first two positions
+        rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(0x80).toByte // ascii
+          case 1 => (0x80 + rnd.nextInt(0x40)).toByte // continuation
+          case 2 => (0xC0 + rnd.nextInt(0x40)).toByte // 2/3/4 lead
+          case _ => rnd.nextInt(256).toByte
+        }
+      }
+    }
+    (1 to 800).foreach { _ =>
+      val b = randomPayload()
+      val (bad, chars) = Multimodal.utf8Scan(b, 0)
+      val (jOk, jChars) = javaVerdict(Charset.forName("UTF-8"), b)
+      assert(bad.isEmpty === jOk,
+        s"utf8 verdict diverged on ${b.map("%02X".format(_)).mkString}")
+      if (jOk) assert(chars === jChars,
+        s"utf8 count diverged on ${b.map("%02X".format(_)).mkString}")
+    }
+    (1 to 800).foreach { _ =>
+      val b = randomPayload()
+      for (le <- Seq(true, false)) {
+        val (bad, chars) = Multimodal.utf16Scan(b, 0, le)
+        val (jOk, jChars) = javaVerdict(
+          Charset.forName(if (le) "UTF-16LE" else "UTF-16BE"), b)
+        assert(bad.isEmpty === jOk,
+          s"utf16 le=$le verdict diverged on " +
+            b.map("%02X".format(_)).mkString)
+        if (jOk) assert(chars === jChars)
+        val (bad32, chars32) = Multimodal.utf32Scan(b, 0, le)
+        val (jOk32, jChars32) = javaVerdict(
+          Charset.forName(if (le) "UTF-32LE" else "UTF-32BE"), b)
+        assert(bad32.isEmpty === jOk32,
+          s"utf32 le=$le verdict diverged on " +
+            b.map("%02X".format(_)).mkString)
+        if (jOk32) assert(chars32 === jChars32)
+      }
+    }
+  }
+
   test("storeHealthReport: ONE dispatcher detects every persisted " +
       "store family from layout alone, routes to its report with " +
       "store_kind leading, redirects a bands store to its ledger " +
