@@ -3421,6 +3421,56 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** URL census + canonicalization oracled end to end
+    * ([[TextFunctions.urlCensus]] / `urlNormalize` — THE dedup key of
+    * a web-crawl manifest): planted URLs covering case-mixed scheme
+    * and host (lowercased), userinfo (dropped from the canonical
+    * form), default vs non-default ports (http:80/https:443 dropped,
+    * 8080 and MISMATCHED defaults — https:80 — kept), 0-3 path
+    * segments with and without trailing slash (empty path → `/`),
+    * unsorted querystrings with duplicate keys and empty params
+    * (`a=3&&a=1` — sorted, empties dropped), fragments (dropped),
+    * plus the two unparseable classes a crawl always has (no scheme:
+    * relative path; no structure: garbage) which read NULL canonical
+    * with `parseable` false rather than inventing a key. Every column
+    * recomputed in DuckDB from the construction arithmetic. */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urls = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val url: String =
+          if (id % 13 == 0) s"not a url $id %%"
+          else if (id % 13 == 1) s"/relative/path/$id?x=1"
+          else {
+            val scheme = if (id % 3 == 1) "https" else "HTTP"
+            val user = if (id % 11 == 0) "u:pw@" else ""
+            val host = s"WWW.Site${id % 20}.ExAmple.COM"
+            val port = (id % 4) match {
+              case 0 => ":80"
+              case 1 => ":443"
+              case 2 => ":8080"
+              case _ => ""
+            }
+            val nSeg = ((id / 4) % 4).toInt
+            val path =
+              if (nSeg == 0) ""
+              else (0 until nSeg).map(i => s"seg$i")
+                .mkString("/", "/", "") +
+                (if (id % 5 == 0) "/" else "")
+            val query = ((id / 3) % 3) match {
+              case 0 => ""
+              case 1 => s"?b=${id % 7}&a=1"
+              case _ => s"?z=9&m=${id % 5}&a=3&&a=1"
+            }
+            val frag = if (id % 2 == 0) "#sec" else ""
+            s"$scheme://$user$host$port$path$query$frag"
+          }
+        (id, url)
+      }.toDF("doc_id", "url")
+    TextFunctions.urlCensus(urls, "doc_id", "url")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -4706,6 +4756,7 @@ object Queries {
     "q151_retire_consumer" -> (q151 _),
     "q152_compression_census" -> (q152 _),
     "q153_encoding_census" -> (q153 _),
+    "q154_url_census" -> (q154 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -7905,6 +7956,51 @@ object Queries {
          |           WHEN c4 = 0 THEN 2 ELSE 0 END
          |    ELSE m END AS BIGINT) AS n_nul
          |FROM b ORDER BY doc_id""".stripMargin,
+    // url census: the canonical form rebuilt from the construction
+    // arithmetic — lowercased scheme/host, userinfo dropped, default
+    // port dropped ONLY when it matches the scheme (https:80 kept),
+    // empty path -> '/', query params sorted with empties dropped,
+    // fragment dropped; the two unparseable families read NULL with
+    // parseable false
+    "q154_url_census" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    doc_id % 13 AS g, doc_id % 3 AS sc,
+         |    (doc_id // 3) % 3 AS qs, doc_id % 4 AS pt,
+         |    (doc_id // 4) % 4 AS nseg, doc_id % 5 = 0 AS tsl,
+         |    doc_id % 20 AS hk, doc_id % 7 AS bv, doc_id % 5 AS mv
+         |  FROM documents),
+         | e AS (SELECT *,
+         |    CASE WHEN sc = 1 THEN 'https' ELSE 'http' END AS sch,
+         |    'www.site' || hk || '.example.com' AS hst,
+         |    CASE WHEN pt = 2 THEN ':8080'
+         |         WHEN pt = 0 AND sc = 1 THEN ':80'
+         |         WHEN pt = 1 AND sc <> 1 THEN ':443'
+         |         ELSE '' END AS prt,
+         |    CASE WHEN nseg = 0 THEN '/'
+         |         ELSE CASE nseg WHEN 1 THEN '/seg0'
+         |              WHEN 2 THEN '/seg0/seg1'
+         |              ELSE '/seg0/seg1/seg2' END ||
+         |           CASE WHEN tsl THEN '/' ELSE '' END END AS pth,
+         |    CASE qs WHEN 0 THEN ''
+         |         WHEN 1 THEN '?a=1&b=' || bv
+         |         ELSE '?a=1&a=3&m=' || mv || '&z=9' END AS qry
+         |  FROM b)
+         |SELECT doc_id,
+         |  CASE WHEN g >= 2 THEN sch END AS scheme,
+         |  CASE WHEN g >= 2 THEN hst END AS host,
+         |  CAST(CASE WHEN g >= 2 THEN
+         |    CASE pt WHEN 0 THEN 80 WHEN 1 THEN 443 WHEN 2 THEN 8080
+         |    END END AS BIGINT) AS port,
+         |  CASE WHEN g >= 2
+         |    THEN sch || '://' || hst || prt || pth || qry
+         |  END AS url_norm,
+         |  CAST(CASE WHEN g = 0 THEN 1 WHEN g = 1 THEN 3
+         |    ELSE nseg END AS BIGINT) AS path_depth,
+         |  CAST(CASE WHEN g = 0 THEN 0 WHEN g = 1 THEN 1
+         |    ELSE CASE qs WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 4 END
+         |  END AS BIGINT) AS n_params,
+         |  g >= 2 AS parseable
+         |FROM e ORDER BY doc_id""".stripMargin,
     // epoch-root health: the structural fields are fixed by the
     // entry's construction (3 epochs, one unsealed, ack at 0,
     // horizon 1); admitted_rows is data-dependent — the min-id digest

@@ -291,4 +291,103 @@ object TextFunctions {
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.expressions.HashedEmbedding(
         org.apache.spark.sql.GraftSqlBridge.expression(tokens(text)), d))
+
+  /** The RFC 3986 appendix-B URL split regex, component-tightened:
+    * scheme must be a legal scheme token, the authority splits into
+    * userinfo / host / port, the fragment is matched (and discarded
+    * by every caller — [[urlNormalize]] drops it by contract). One
+    * regex, all groups extracted with codegen'd `regexp_extract` —
+    * no UDF, no java.net.URI (whose parser throws on the malformed
+    * URLs a crawl is FULL of; a census must classify them, not die). */
+  private val UrlRe =
+    "^(?:([A-Za-z][A-Za-z0-9+.-]*):)?" + // 1 scheme
+      "(?://(?:([^/?#@]*)@)?" + // 2 userinfo
+      "([^/?#:]*)" + // 3 host
+      "(?::([0-9]+))?)?" + // 4 port
+      "([^?#]*)" + // 5 path
+      "(?:\\?([^#]*))?" + // 6 query
+      "(?:#.*)?$"
+
+  private def grp(url: Column, i: Int): Column = {
+    val g = regexp_extract(url, UrlRe, i)
+    when(g =!= "", g)
+  }
+
+  /** URL components as a struct: (scheme, userinfo, host, port, path,
+    * query) — lowercased scheme/host (the case-insensitive parts per
+    * RFC 3986 §6.2.2.1; path and query stay case-significant), port as
+    * a long, empty components NULL. Unparseable-as-absolute URLs
+    * (no scheme or no host) read as NULL scheme/host with the whole
+    * string in `path` — the classification signal, never a throw. */
+  def urlParts(url: Column): Column = struct(
+    lower(grp(url, 1)).as("scheme"),
+    grp(url, 2).as("userinfo"),
+    lower(grp(url, 3)).as("host"),
+    grp(url, 4).cast("long").as("port"),
+    grp(url, 5).as("path"),
+    grp(url, 6).as("query"))
+
+  /** Canonical URL — THE dedup key of a web-crawl pipeline (the same
+    * page arrives as `HTTP://Example.com:80/a?b=2&a=1#frag` and
+    * `http://example.com/a?a=1&b=2` across crawls; byte-identity
+    * finds none of it). Normalization steps, each from RFC 3986 §6 or
+    * standard crawler practice, each visible in the oracle:
+    * lowercase scheme+host; DROP userinfo (credentials in a stored
+    * key are a leak, and `u@host` vs `host` is the same resource);
+    * drop the scheme's default port (http:80, https:443 — others
+    * kept); empty path → `/`; SORT query parameters bytewise (order
+    * is almost never significant, and unsorted order is the #1
+    * false-non-dup source), dropping empty params (`a=1&&b=2`); drop
+    * the fragment (client-side only). NULL when the URL has no
+    * scheme or no host — a relative or garbage URL has no canonical
+    * absolute form; count them, don't invent one. Pure built-ins +
+    * array HOFs over the one regex split: map-only, codegen-friendly,
+    * no java.net parsing that throws on crawl garbage. */
+  def urlNormalize(url: Column): Column = {
+    val p = urlParts(url)
+    val scheme = p.getField("scheme")
+    val host = p.getField("host")
+    val port = p.getField("port")
+    val keptPort = when(
+      (scheme === "http" && port === 80L) ||
+        (scheme === "https" && port === 443L), lit(null))
+      .otherwise(port)
+    val path = coalesce(p.getField("path"), lit(""))
+    val normPath = when(path === "", "/").otherwise(path)
+    val params = filter(split(p.getField("query"), "&"), x => x =!= "")
+    val normQuery = when(size(params) > 0,
+      array_join(array_sort(params), "&"))
+    when(scheme.isNotNull && host.isNotNull, concat(
+      scheme, lit("://"), host,
+      when(keptPort.isNotNull, concat(lit(":"), keptPort))
+        .otherwise(lit("")),
+      normPath,
+      when(normQuery.isNotNull, concat(lit("?"), normQuery))
+        .otherwise(lit(""))))
+  }
+
+  /** URL census over a table: one row per URL with the parsed
+    * components, the canonical form ([[urlNormalize]] — the dedup
+    * key), the path depth (non-empty segments) and query-parameter
+    * count, and `parseable` — false is the relative/garbage page a
+    * crawl manifest always contains. Map-only; the downstream
+    * canonical-URL dedup is one digest-only exact dedup over
+    * `url_norm` (the [[graft.operators.Dedup.exact]] shape). */
+  def urlCensus(df: DataFrame, idCol: String,
+      urlCol: String): DataFrame = {
+    val p = urlParts(col(urlCol))
+    val segs = filter(split(coalesce(p.getField("path"), lit("")), "/"),
+      x => x =!= "")
+    val params = filter(split(p.getField("query"), "&"), x => x =!= "")
+    df.select(col(idCol), p.as("p"),
+        urlNormalize(col(urlCol)).as("url_norm"),
+        coalesce(size(segs), lit(0)).cast("long").as("path_depth"),
+        when(p.getField("query").isNull, 0L)
+          .otherwise(size(params).cast("long")).as("n_params"))
+      .select(col(idCol), col("p.scheme").as("scheme"),
+        col("p.host").as("host"), col("p.port").as("port"),
+        col("url_norm"), col("path_depth"), col("n_params"),
+        (col("p.scheme").isNotNull && col("p.host").isNotNull)
+          .as("parseable"))
+  }
 }

@@ -3956,6 +3956,36 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(cr.isNullAt(cr.fieldIndex("uncompressed_size")))
   }
 
+  test("urlNormalize: case, userinfo, default-port, empty-path, " +
+      "query-sort and fragment rules on planted edges; unparseable " +
+      "URLs read NULL, never throw") {
+    import graft.functions.TextFunctions
+    val rows = TextFunctions.urlCensus(Seq(
+      1L -> "HTTP://User:Pw@ExAmple.COM:80/A/b?z=1&a=2&a=1#frag",
+      2L -> "https://example.com:80/x", // MISMATCHED default: kept
+      3L -> "https://example.com:443", // matched default + empty path
+      4L -> "http://example.com/a//b/", // empty segments don't count
+      5L -> "ftp://files.example.com:21/pub", // non-http scheme: port kept
+      6L -> "//protocol-relative.example.com/x", // no scheme
+      7L -> "mailto:someone", // scheme but no authority -> no host
+      8L -> "",
+      9L -> (null: String)
+    ).toDF("id", "url"), "id", "url").orderBy("id").collect()
+    def norm(i: Int) = rows(i).getAs[String]("url_norm")
+    def depth(i: Int) = rows(i).getAs[Long]("path_depth")
+    assert(norm(0) === "http://example.com/A/b?a=1&a=2&z=1")
+    assert(rows(0).getAs[Long]("port") === 80L && depth(0) === 2L)
+    assert(norm(1) === "https://example.com:80/x")
+    assert(norm(2) === "https://example.com/")
+    assert(norm(3) === "http://example.com/a//b/" && depth(3) === 2L)
+    assert(norm(4) === "ftp://files.example.com:21/pub")
+    (5 to 8).foreach { i =>
+      assert(norm(i) == null, s"row $i should be unparseable")
+      assert(!rows(i).getAs[Boolean]("parseable") ||
+        rows(i).isNullAt(rows(i).fieldIndex("parseable")))
+    }
+  }
+
   test("encodingCensus: BOM dispatch (incl. the FF FE 00 00 UTF-32LE " +
       "tiebreak), strict verdicts, first-invalid offsets, and the " +
       "NUL page on planted edge payloads") {
