@@ -254,6 +254,30 @@ object ExplainCheck {
       "Exchange hashpartitioning".r.findAllIn(p).isEmpty &&
         p.contains("graft_byte_entropy")
     })
+    // the r19 censuses: both are pure per-row judgments and must plan
+    // map-only over the real documents table — any exchange would mean
+    // payloads entering a shuffle, the exact thing the census family
+    // exists to avoid at 100 TB
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val enc = graft.operators.Multimodal.encodingCensus(
+        docs.select(col("doc_id"), col("text").cast("binary")
+          .as("payload")), "doc_id", "payload")
+      check("encodingCensus is map-only (zero exchanges)",
+        "Exchange".r.findAllIn(
+          enc.queryExecution.executedPlan.toString).isEmpty)
+      val urls = graft.functions.TextFunctions.urlCensus(
+        docs.select(col("doc_id"),
+          concat(lit("http://h"), col("doc_id") % 50,
+            lit(".example.com/p?b=2&a=1")).as("url")),
+        "doc_id", "url")
+      check("urlCensus is map-only (zero exchanges, no UDF)", {
+        val p = urls.queryExecution.executedPlan.toString
+        "Exchange".r.findAllIn(p).isEmpty &&
+          !p.contains("BatchEvalPython") && !p.contains("ScalaUDF")
+      })
+    }
     // column profiler: ONE lineitem scan for the whole column list (the
     // multi-countDistinct plans via a single scan + Expand); the r8 form
     // paid one scan per profiled column
