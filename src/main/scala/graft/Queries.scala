@@ -3471,6 +3471,60 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** WARC record walk oracled end to end
+    * ([[Multimodal.warcHeaders]], the ISO 28500 web-crawl container):
+    * byte-true multi-record payloads (1-3 records each) with four
+    * planted families — a payload whose LAST block the byte stream
+    * truncates (emitted with `block_truncated`, the partial-fetch
+    * page), a garbage tail after the final trailer (clean stop, no
+    * invented records), extra headers (WARC-Date + Content-Type —
+    * unknown-to-the-census headers must skip cleanly and the typed
+    * ones must land), and a mid-stream desync at record 1 (a header
+    * line without a colon — records before it kept, nothing after it
+    * guessed). The oracle rebuilds record counts, every header
+    * field, and the cumulative BLOCK OFFSETS (strlen over the same
+    * constructed header text + a window sum over prior records) —
+    * one byte of drift anywhere in the walk breaks the hash. */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val nRec = 1 + (id % 3).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        def put(t: String): Unit = bos.write(t.getBytes("ISO-8859-1"))
+        (0 until nRec).foreach { r =>
+          if (id % 13 == 3 && r >= 1) {
+            // mid-stream desync: a header line without a colon
+            if (r == 1) put("WARC/1.0\r\nBadHeaderNoColon\r\n\r\nxxxx")
+          } else {
+            val typ = (r % 3) match {
+              case 0 => "response"
+              case 1 => "request"
+              case _ => "warcinfo"
+            }
+            val uri = s"http://s${id % 10}.example.com/$r"
+            val len = (10 + (id * 7 + r * 5) % 23).toInt
+            put("WARC/1.0\r\n")
+            put(s"WARC-Type: $typ\r\n")
+            put(s"WARC-Target-URI: $uri\r\n")
+            if (id % 13 == 2) {
+              put("WARC-Date: 2024-01-01T00:00:00Z\r\n")
+              put("Content-Type: application/http\r\n")
+            }
+            put(s"Content-Length: $len\r\n")
+            put("\r\n")
+            val cut = if (id % 13 == 0 && r == nRec - 1) len / 2 else len
+            bos.write(Array.fill(cut)('x'.toByte))
+            if (!(id % 13 == 0 && r == nRec - 1)) put("\r\n\r\n")
+          }
+        }
+        if (id % 13 == 1) put("GARBAGE")
+        (id, bos.toByteArray)
+      }.toDF("doc_id", "payload")
+    Multimodal.warcHeaders(media, "doc_id", "payload")
+      .orderBy(col("doc_id"), col("rec"))
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -4757,6 +4811,7 @@ object Queries {
     "q152_compression_census" -> (q152 _),
     "q153_encoding_census" -> (q153 _),
     "q154_url_census" -> (q154 _),
+    "q155_warc_walk" -> (q155 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -8001,6 +8056,47 @@ object Queries {
          |  END AS BIGINT) AS n_params,
          |  g >= 2 AS parseable
          |FROM e ORDER BY doc_id""".stripMargin,
+    // warc walk: the record stream rebuilt arithmetically — per-id
+    // record count (capped at 1 by the fam-3 desync), header fields
+    // from the same construction, block offsets as strlen over the
+    // SAME header text plus a window sum of prior records' totals
+    // (header + declared length + the 4-byte trailer)
+    "q155_warc_walk" ->
+      s"""WITH series(r) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)),
+         | b AS (SELECT d.doc_id, s.r,
+         |    1 + d.doc_id % 3 AS nrec, d.doc_id % 13 AS fam,
+         |    CASE s.r % 3 WHEN 0 THEN 'response'
+         |      WHEN 1 THEN 'request' ELSE 'warcinfo' END AS typ,
+         |    'http://s' || (d.doc_id % 10) || '.example.com/' || s.r
+         |      AS uri,
+         |    10 + (d.doc_id * 7 + s.r * 5) % 23 AS len
+         |  FROM documents d, series s
+         |  WHERE s.r < 1 + d.doc_id % 3),
+         | keep AS (SELECT * FROM b WHERE NOT (fam = 3 AND r >= 1)),
+         | h AS (SELECT *,
+         |    strlen('WARC/1.0' || chr(13) || chr(10) ||
+         |      'WARC-Type: ' || typ || chr(13) || chr(10) ||
+         |      'WARC-Target-URI: ' || uri || chr(13) || chr(10) ||
+         |      CASE WHEN fam = 2 THEN
+         |        'WARC-Date: 2024-01-01T00:00:00Z' || chr(13) ||
+         |        chr(10) || 'Content-Type: application/http' ||
+         |        chr(13) || chr(10) ELSE '' END ||
+         |      'Content-Length: ' || len || chr(13) || chr(10) ||
+         |      chr(13) || chr(10)) AS hdr_len
+         |  FROM keep),
+         | o AS (SELECT *,
+         |    COALESCE(SUM(hdr_len + len + 4) OVER (
+         |      PARTITION BY doc_id ORDER BY r
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      + hdr_len AS off
+         |  FROM h)
+         |SELECT doc_id, r AS rec, typ AS warc_type, uri AS target_uri,
+         |  CASE WHEN fam = 2 THEN 'application/http' END
+         |    AS content_type,
+         |  CAST(len AS BIGINT) AS content_length,
+         |  CAST(off AS BIGINT) AS block_offset,
+         |  fam = 0 AND r = nrec - 1 AS block_truncated
+         |FROM o ORDER BY doc_id, rec""".stripMargin,
     // epoch-root health: the structural fields are fixed by the
     // entry's construction (3 epochs, one unsealed, ack at 0,
     // horizon 1); admitted_rows is data-dependent — the min-id digest

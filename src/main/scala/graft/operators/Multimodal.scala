@@ -741,6 +741,117 @@ object Multimodal {
         "n_nul")
   }
 
+  /** One parsed WARC record: header fields + the block's position in
+    * the payload. */
+  private[graft] case class WarcRec(rec: Long, warcType: Option[String],
+      targetUri: Option[String], contentType: Option[String],
+      contentLength: Long, blockOffset: Long, blockTruncated: Boolean)
+
+  /** Walk the concatenated WARC records in one payload (ISO 28500 —
+    * the web-crawl container): each record is `WARC/1.x` + CRLF
+    * header lines + CRLF + a Content-Length byte block + CRLF CRLF.
+    * Returns the records parsed IN ORDER; stops at the first
+    * malformation (bad magic, header line without a colon, a header
+    * larger than `maxHeader`, missing/unparseable Content-Length,
+    * missing inter-record CRLF CRLF) — records before the desync are
+    * kept, nothing after it is guessed at. A block the payload
+    * truncates (a partial fetch) is EMITTED with
+    * `blockTruncated = true`, then the walk stops. Header names are
+    * case-insensitive per the spec; folded continuation lines (SP/TAB
+    * lead) extend the previous value. Headers are ASCII by the spec —
+    * read as ISO-8859-1, never a charset guess. */
+  private[graft] def warcWalk(b: Array[Byte], maxRecords: Int = 10000,
+      maxHeader: Int = 1 << 16): Seq[WarcRec] = {
+    if (b == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRec]
+    var i = 0
+    var stopped = false
+    while (!stopped && i < b.length && out.size < maxRecords) {
+      // magic: WARC/ leading the record's first CRLF-terminated line
+      if (i + 5 > b.length ||
+        new String(b, i, 5, "ISO-8859-1") != "WARC/") stopped = true
+      else {
+        val headerEnd = { // index just past the CRLF CRLF
+          var j = i
+          var found = -1
+          val cap = math.min(b.length - 3, i + maxHeader)
+          while (found < 0 && j < cap) {
+            if (b(j) == '\r' && b(j + 1) == '\n' && b(j + 2) == '\r' &&
+              b(j + 3) == '\n') found = j + 4
+            j += 1
+          }
+          found
+        }
+        if (headerEnd < 0) stopped = true
+        else {
+          val lines = new String(b, i, headerEnd - 2 - i, "ISO-8859-1")
+            .split("\r\n", -1).toSeq.dropRight(1) // drop trailing ""
+          // fold continuations (SP/TAB lead extends the previous value)
+          val folded = lines.drop(1).foldLeft(List.empty[String]) {
+            case (acc, l) if l.nonEmpty &&
+              (l.head == ' ' || l.head == '\t') && acc.nonEmpty =>
+              (acc.head + " " + l.trim) :: acc.tail
+            case (acc, l) => l :: acc
+          }.reverse
+          if (folded.exists(_.indexOf(':') <= 0)) stopped = true
+          else {
+            val kvs = folded.map { l =>
+              val c = l.indexOf(':')
+              (l.take(c).trim.toLowerCase(java.util.Locale.ROOT),
+                l.drop(c + 1).trim)
+            }.toMap
+            kvs.get("content-length").flatMap(_.toLongOption)
+              .filter(_ >= 0) match {
+              case None => stopped = true
+              case Some(len) =>
+                val truncated = headerEnd + len > b.length
+                out += WarcRec(out.size.toLong, kvs.get("warc-type"),
+                  kvs.get("warc-target-uri"), kvs.get("content-type"),
+                  len, headerEnd.toLong, truncated)
+                val next = headerEnd + len
+                // the trailer: exactly CRLF CRLF before the next record
+                if (truncated || next + 4 > b.length) stopped = true
+                else {
+                  val n = next.toInt
+                  if (b(n) == '\r' && b(n + 1) == '\n' &&
+                    b(n + 2) == '\r' && b(n + 3) == '\n') i = n + 4
+                  else stopped = true
+                }
+            }
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** WARC record census — the ingest walk for web-crawl drops: one
+    * OUTPUT row per record in each payload (id, record index, type,
+    * target URI, content type, declared block length, the block's
+    * byte offset — the field a production reader range-fetches with —
+    * and `block_truncated`, the partial-fetch page). Payloads that
+    * desync mid-stream keep their already-parsed records; pure
+    * garbage yields zero rows. Runs on UNCOMPRESSED record streams —
+    * Common-Crawl-style per-record-gzip files pair this with
+    * [[compressionCensus]] after member decompression. Same
+    * `mapPartitions` discipline as the media family: the payload
+    * bytes never enter a shuffle; only the small header fields flow
+    * onward (the blocks stay where they are, addressed by offset). */
+  def warcHeaders(df: DataFrame, idCol: String, binCol: String,
+      maxRecords: Int = 10000): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(binCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        warcWalk(bytes, maxRecords).map(r => (id, r.rec, r.warcType,
+          r.targetUri, r.contentType, r.contentLength, r.blockOffset,
+          r.blockTruncated))
+      }
+      .toDF(idCol, "rec", "warc_type", "target_uri", "content_type",
+        "content_length", "block_offset", "block_truncated")
+  }
+
   /** [[mediaHeader]] over a table: one row per item with the sniffed
     * kind and the parsed fixed-offset fields — the metadata census a
     * media ingest runs right after [[mediaTriage]], still with zero

@@ -3956,6 +3956,56 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(cr.isNullAt(cr.fieldIndex("uncompressed_size")))
   }
 
+  test("warcWalk: folding, case-insensitive names, CRLF strictness, " +
+      "length desyncs, and the record cap on hand-built records") {
+    def rec(headers: Seq[String], block: String,
+        trailer: Boolean = true): String =
+      "WARC/1.0\r\n" + headers.map(_ + "\r\n").mkString + "\r\n" +
+        block + (if (trailer) "\r\n\r\n" else "")
+    def walk(s: String, max: Int = 10000) =
+      Multimodal.warcWalk(s.getBytes("ISO-8859-1"), max)
+    // a Common-Crawl-shaped record: case-mixed names, folded URI
+    val cc = walk(rec(Seq(
+      "warc-type: response",
+      "WARC-Target-URI: http://example.com/a",
+      "  /very/long/path", // folded continuation extends the value
+      "WARC-Date: 2017-03-06T04:02:55Z",
+      "content-length: 5",
+      "Content-Type: application/http; msgtype=response"), "hello"))
+    assert(cc.size === 1)
+    assert(cc.head.warcType === Some("response"))
+    assert(cc.head.targetUri ===
+      Some("http://example.com/a /very/long/path"))
+    assert(cc.head.contentType ===
+      Some("application/http; msgtype=response"))
+    assert(cc.head.contentLength === 5L && !cc.head.blockTruncated)
+    // two records: offsets accumulate over header + block + trailer
+    val two = rec(Seq("Content-Length: 3"), "abc") +
+      rec(Seq("Content-Length: 4"), "defg")
+    val w2 = walk(two)
+    assert(w2.map(_.rec) === Seq(0L, 1L))
+    val h1 = "WARC/1.0\r\nContent-Length: 3\r\n\r\n".length
+    assert(w2(0).blockOffset === h1.toLong)
+    // the second header is byte-identical in length (same digit count)
+    assert(w2(1).blockOffset === (h1 + 3 + 4 + h1).toLong)
+    // missing Content-Length, negative length, LF-only line ends,
+    // no-colon lines: all stop cleanly with the prior records kept
+    assert(walk(two + rec(Seq("WARC-Type: x"), "")).size === 2)
+    assert(walk(two + rec(Seq("Content-Length: -5"), "")).size === 2)
+    assert(walk(two.replace("\r\n", "\n")).isEmpty)
+    assert(walk(two + "WARC/1.0\r\nnocolon\r\n\r\nzz").size === 2)
+    // a block the payload truncates is emitted flagged, then stop
+    val cut = two + rec(Seq("Content-Length: 50"), "short",
+      trailer = false)
+    val wc = walk(cut)
+    assert(wc.size === 3 && wc(2).blockTruncated &&
+      wc(2).contentLength === 50L)
+    // record cap, empty, null
+    assert(walk(two, max = 1).size === 1)
+    assert(walk("").isEmpty)
+    assert(Multimodal.warcWalk(null).isEmpty)
+  }
+
   test("urlNormalize: case, userinfo, default-port, empty-path, " +
       "query-sort and fragment rules on planted edges; unparseable " +
       "URLs read NULL, never throw") {
