@@ -3525,6 +3525,27 @@ object Queries {
       .orderBy(col("doc_id"), col("rec"))
   }
 
+  /** Unicode script census oracled end to end
+    * ([[TextFunctions.scriptCensus]]): texts planted as arithmetic
+    * mixes of seven scripts (Latin/Han/Cyrillic/Arabic/Devanagari/
+    * Kana/Hangul) + digits + fixed punctuation, so every count and
+    * the tie-broken dominant label recompute as pure id arithmetic —
+    * a script-class slip in any of the eight regex passes, or a
+    * tie-break drift in the dominant chain, breaks the hash. */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val texts = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val t = "a" * (id % 7).toInt + "中" * ((id / 7) % 5).toInt +
+          "д" * ((id / 5) % 4).toInt + "م" * ((id / 3) % 3).toInt +
+          "क" * (id % 2).toInt + "あ" * ((id / 2) % 3).toInt +
+          "한" * ((id / 11) % 2).toInt + "7" * (id % 3).toInt + " ."
+        (id, t)
+      }.toDF("doc_id", "text")
+    TextFunctions.scriptCensus(texts, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -4812,6 +4833,7 @@ object Queries {
     "q153_encoding_census" -> (q153 _),
     "q154_url_census" -> (q154 _),
     "q155_warc_walk" -> (q155 _),
+    "q156_script_census" -> (q156 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -8097,6 +8119,34 @@ object Queries {
          |  CAST(off AS BIGINT) AS block_offset,
          |  fam = 0 AND r = nrec - 1 AS block_truncated
          |FROM o ORDER BY doc_id, rec""".stripMargin,
+    // script census: the planted multipliers ARE the counts; dominant
+    // replays the same greatest + fixed-precedence tie-break chain
+    "q156_script_census" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(doc_id % 7 AS BIGINT) AS latin,
+         |    CAST((doc_id // 7) % 5 AS BIGINT) AS han,
+         |    CAST((doc_id // 5) % 4 AS BIGINT) AS cyrillic,
+         |    CAST((doc_id // 3) % 3 AS BIGINT) AS arabic,
+         |    CAST(doc_id % 2 AS BIGINT) AS devanagari,
+         |    CAST((doc_id // 2) % 3 AS BIGINT) AS kana,
+         |    CAST((doc_id // 11) % 2 AS BIGINT) AS hangul,
+         |    CAST(doc_id % 3 AS BIGINT) AS digit
+         |  FROM documents),
+         | g AS (SELECT *, greatest(latin, han, cyrillic, arabic,
+         |    devanagari, kana, hangul) AS mx FROM b)
+         |SELECT doc_id, latin, han, cyrillic, arabic, devanagari,
+         |  kana, hangul, digit,
+         |  latin + han + cyrillic + arabic + devanagari + kana +
+         |    hangul + digit + 2 AS n_chars,
+         |  CASE WHEN mx = 0 THEN NULL
+         |       WHEN latin = mx THEN 'latin'
+         |       WHEN han = mx THEN 'han'
+         |       WHEN cyrillic = mx THEN 'cyrillic'
+         |       WHEN arabic = mx THEN 'arabic'
+         |       WHEN devanagari = mx THEN 'devanagari'
+         |       WHEN kana = mx THEN 'kana'
+         |       ELSE 'hangul' END AS dominant
+         |FROM g ORDER BY doc_id""".stripMargin,
     // epoch-root health: the structural fields are fixed by the
     // entry's construction (3 epochs, one unsealed, ack at 0,
     // horizon 1); admitted_rows is data-dependent — the min-id digest

@@ -292,6 +292,67 @@ object TextFunctions {
       graft.expressions.HashedEmbedding(
         org.apache.spark.sql.GraftSqlBridge.expression(tokens(text)), d))
 
+  /** Unicode SCRIPT composition of a text column — the page a
+    * lexicon-based [[langId]] cannot see: a document whose CLAIMED
+    * language is English but whose characters are 90% Han/Cyrillic/
+    * Arabic is mislabeled (or mojibake) regardless of what any
+    * stopword list says, and script mix drives tokenizer-fertility
+    * and quality-gate decisions at corpus scale. Counts per script
+    * family (Latin, Han, Cyrillic, Arabic, Devanagari, Kana =
+    * Hiragana+Katakana, Hangul) plus decimal digits and the total
+    * char count, all via codegen'd `regexp_count` over Java's
+    * Unicode-script classes — eight passes of a per-char table
+    * lookup, map-only; a single-pass native Expression (the
+    * byte-entropy precedent) is the documented optimization if a
+    * profile-heavy pipeline ever measures the passes. NULL text
+    * reads NULL counts. */
+  def scriptProfile(text: Column): Column = {
+    def n(p: String) = regexp_count(text, lit(p)).cast("long")
+    struct(
+      n("\\p{IsLatin}").as("latin"),
+      n("\\p{IsHan}").as("han"),
+      n("\\p{IsCyrillic}").as("cyrillic"),
+      n("\\p{IsArabic}").as("arabic"),
+      n("\\p{IsDevanagari}").as("devanagari"),
+      n("[\\p{IsHiragana}\\p{IsKatakana}]").as("kana"),
+      n("\\p{IsHangul}").as("hangul"),
+      n("\\p{Nd}").as("digit"),
+      length(text).cast("long").as("n_chars"))
+  }
+
+  /** The script with the highest [[scriptProfile]] count — ties break
+    * by the fixed order latin > han > cyrillic > arabic > devanagari
+    * > kana > hangul (deterministic, and the tie case is a mixed-
+    * script doc where any single label is arbitrary); NULL when no
+    * scripted character occurs (digits/punct/whitespace only). */
+  def dominantScript(profile: Column): Column = {
+    val names = Seq("latin", "han", "cyrillic", "arabic",
+      "devanagari", "kana", "hangul")
+    val counts = names.map(profile.getField)
+    val mx = greatest(counts: _*)
+    names.zip(counts).foldLeft(
+      when(mx.isNull || mx === 0, lit(null).cast("string"))) {
+      case (acc, (nm, c)) => acc.when(c === mx, nm)
+    }
+  }
+
+  /** [[scriptProfile]] + [[dominantScript]] over a table — the script
+    * census next to [[langId]]: one row per doc with the eight counts
+    * flattened and the dominant script label. Map-only. */
+  def scriptCensus(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    // materialize the struct once; dominant reads the bound attribute
+    // so the eight regexp passes are not duplicated in the plan
+    df.select(col(idCol), scriptProfile(col(textCol)).as("p"))
+      .select(col(idCol), col("p.latin").as("latin"),
+        col("p.han").as("han"), col("p.cyrillic").as("cyrillic"),
+        col("p.arabic").as("arabic"),
+        col("p.devanagari").as("devanagari"), col("p.kana").as("kana"),
+        col("p.hangul").as("hangul"), col("p.digit").as("digit"),
+        col("p.n_chars").as("n_chars"),
+        dominantScript(col("p")).as("dominant"))
+  }
+
   /** The RFC 3986 appendix-B URL split regex, component-tightened:
     * scheme must be a legal scheme token, the authority splits into
     * userinfo / host / port, the fragment is matched (and discarded

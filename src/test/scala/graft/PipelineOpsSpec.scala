@@ -3956,6 +3956,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(cr.isNullAt(cr.fieldIndex("uncompressed_size")))
   }
 
+  test("scriptCensus: mixed-script text, tie-breaks, digit-only and " +
+      "NULL rows") {
+    import graft.functions.TextFunctions
+    val rows = TextFunctions.scriptCensus(Seq(
+      1L -> "Привет мир, hello!", // cyrillic-dominant over latin
+      2L -> "日本語のテキスト", // han + kana, kana wins 4-3... no: 日本語 3 han, のテキスト 5 kana
+      3L -> "abc 中文 abc", // latin 6 > han 2
+      4L -> "42 + 17 = 59", // digits only: dominant NULL
+      5L -> "한국어 텍스트", // hangul
+      6L -> (null: String)
+    ).toDF("id", "text"), "id", "text").orderBy("id").collect()
+    def dom(i: Int) = rows(i).getAs[String]("dominant")
+    assert(dom(0) === "cyrillic" &&
+      rows(0).getAs[Long]("cyrillic") === 9L &&
+      rows(0).getAs[Long]("latin") === 5L)
+    assert(dom(1) === "kana" && rows(1).getAs[Long]("han") === 3L &&
+      rows(1).getAs[Long]("kana") === 5L)
+    assert(dom(2) === "latin")
+    assert(dom(3) == null && rows(3).getAs[Long]("digit") === 6L)
+    assert(dom(4) === "hangul" && rows(4).getAs[Long]("hangul") === 6L)
+    assert(rows(5).isNullAt(rows(5).fieldIndex("n_chars")) &&
+      dom(5) == null)
+  }
+
   test("warcWalk: folding, case-insensitive names, CRLF strictness, " +
       "length desyncs, and the record cap on hand-built records") {
     def rec(headers: Seq[String], block: String,
