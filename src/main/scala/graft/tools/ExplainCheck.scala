@@ -277,6 +277,18 @@ object ExplainCheck {
         "Exchange".r.findAllIn(p).isEmpty &&
           !p.contains("BatchEvalPython") && !p.contains("ScalaUDF")
       })
+      val warc = graft.operators.Multimodal.warcHeaders(
+        docs.select(col("doc_id"), col("text").cast("binary")
+          .as("payload")), "doc_id", "payload")
+      check("warcHeaders is map-only (zero exchanges)",
+        "Exchange".r.findAllIn(
+          warc.queryExecution.executedPlan.toString).isEmpty)
+      val scripts = graft.functions.TextFunctions.scriptCensus(
+        docs, "doc_id", "text")
+      check("scriptCensus is map-only (zero exchanges, no UDF)", {
+        val p = scripts.queryExecution.executedPlan.toString
+        "Exchange".r.findAllIn(p).isEmpty && !p.contains("ScalaUDF")
+      })
     }
     // column profiler: ONE lineitem scan for the whole column list (the
     // multi-countDistinct plans via a single scan + Expand); the r8 form
