@@ -3546,6 +3546,66 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** The CRAWL-INGEST composition, oracled end to end — the r19
+    * censuses chained the way a real web-crawl front door chains
+    * them: [[Multimodal.warcRecords]] splits multi-record WARC
+    * payloads (blocks sliced in the same walk, no join back to the
+    * source bytes), [[TextFunctions.urlNormalize]] canonicalizes each
+    * record's case-mixed target URI, a deterministic window-rank
+    * dedup keeps the FIRST record per canonical URL (the q06 shape —
+    * crawl dup rates are planted via a 97-bucket URI space), and the
+    * [[Multimodal.encodingCensus]] gate then drops keepers that are
+    * not valid UTF-8/ASCII (a kept-but-binary URL dies, it is not
+    * replaced by a later duplicate — gate AFTER dedup, the cheap-
+    * first order). Blocks are judged map-side and projected away
+    * before the dedup shuffle — the shuffle carries only (url, ids,
+    * census fields). The oracle replays the whole chain as id
+    * arithmetic + one window. */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val nRec = 1 + (id % 3).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        def put(t: String): Unit = bos.write(t.getBytes("ISO-8859-1"))
+        (0 until nRec).foreach { r =>
+          val k = (id * 7 + r) % 97
+          val uri = s"HTTP://Site$k.example.COM/p"
+          val block: Array[Byte] = ((id + r) % 4) match {
+            case 0 => s"doc $id rec $r".getBytes("UTF-8")
+            case 1 => ("é" * (1 + (id % 5)).toInt).getBytes("UTF-8")
+            case 2 => Array(0x80.toByte) // binary: gated out
+            case _ => Array(0xFF.toByte, 0xFE.toByte, 0x61.toByte,
+              0x00.toByte) // valid utf16le: still gated out
+          }
+          put("WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: $uri\r\n" +
+            s"Content-Length: ${block.length}\r\n\r\n")
+          bos.write(block)
+          put("\r\n\r\n")
+        }
+        (id, bos.toByteArray)
+      }.toDF("doc_id", "payload")
+    val recs = Multimodal.warcRecords(media, "doc_id", "payload")
+      .select(col("doc_id"), col("rec"),
+        (col("doc_id") * 4 + col("rec")).as("rid"),
+        col("target_uri"), col("block"))
+      .localCheckpoint()
+    val urls = recs.select(col("rid"), col("doc_id"), col("rec"),
+      TextFunctions.urlNormalize(col("target_uri")).as("url_norm"))
+    val cen = Multimodal.encodingCensus(
+      recs.select(col("rid"), col("block")), "rid", "block")
+    val w = Window.partitionBy(col("url_norm"))
+      .orderBy(col("doc_id"), col("rec"))
+    urls.join(cen, "rid")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("valid") &&
+        col("encoding").isin("ascii", "utf8"))
+      .select(col("url_norm"), col("doc_id"), col("rec"),
+        col("n_chars"))
+      .orderBy(col("url_norm"), col("doc_id"))
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -4834,6 +4894,7 @@ object Queries {
     "q154_url_census" -> (q154 _),
     "q155_warc_walk" -> (q155 _),
     "q156_script_census" -> (q156 _),
+    "q157_crawl_ingest" -> (q157 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -8147,6 +8208,27 @@ object Queries {
          |       WHEN kana = mx THEN 'kana'
          |       ELSE 'hangul' END AS dominant
          |FROM g ORDER BY doc_id""".stripMargin,
+    // crawl ingest: the whole chain replayed as arithmetic — the
+    // 97-bucket URI space plants the dup rate, first-per-bucket by
+    // (doc_id, rec) is the dedup, c IN (0,1) is the encoding gate
+    // (ascii text / utf8 é-runs pass; the binary byte and the VALID
+    // utf16le block both gate out)
+    "q157_crawl_ingest" ->
+      s"""WITH series(r) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)),
+         | recs AS (SELECT d.doc_id, s.r,
+         |    (d.doc_id * 7 + s.r) % 97 AS k,
+         |    (d.doc_id + s.r) % 4 AS c
+         |  FROM documents d, series s
+         |  WHERE s.r < 1 + d.doc_id % 3),
+         | f AS (SELECT *, row_number() OVER (
+         |    PARTITION BY k ORDER BY doc_id, r) AS rn FROM recs)
+         |SELECT 'http://site' || k || '.example.com/p' AS url_norm,
+         |  doc_id, r AS rec,
+         |  CAST(CASE WHEN c = 0
+         |    THEN strlen('doc ' || doc_id || ' rec ' || r)
+         |    ELSE 1 + doc_id % 5 END AS BIGINT) AS n_chars
+         |FROM f WHERE rn = 1 AND c IN (0, 1)
+         |ORDER BY url_norm, doc_id""".stripMargin,
     // epoch-root health: the structural fields are fixed by the
     // entry's construction (3 epochs, one unsealed, ack at 0,
     // horizon 1); admitted_rows is data-dependent — the min-id digest

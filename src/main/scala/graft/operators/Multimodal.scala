@@ -852,6 +852,36 @@ object Multimodal {
         "content_length", "block_offset", "block_truncated")
   }
 
+  /** [[warcHeaders]] WITH the block bytes (`block`, a truncated
+    * block's available prefix) — the INGEST form: the same single
+    * walk slices each record's block in place, so the content reaches
+    * downstream per-record operators (encoding census, text
+    * extraction) without any join back to the source payload. The
+    * caller's discipline stays the family's: compute per-record
+    * judgments map-side and PROJECT THE BLOCK AWAY before any
+    * shuffle — at 100 TB the alternative for late content access is
+    * an offset-addressed range fetch using [[warcHeaders]]'s
+    * `block_offset`. */
+  def warcRecords(df: DataFrame, idCol: String, binCol: String,
+      maxRecords: Int = 10000): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(binCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        warcWalk(bytes, maxRecords).map { r =>
+          val from = r.blockOffset.toInt
+          val until = math.min(bytes.length.toLong,
+            r.blockOffset + r.contentLength).toInt
+          (id, r.rec, r.warcType, r.targetUri, r.contentType,
+            r.contentLength, r.blockOffset, r.blockTruncated,
+            java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      }
+      .toDF(idCol, "rec", "warc_type", "target_uri", "content_type",
+        "content_length", "block_offset", "block_truncated", "block")
+  }
+
   /** [[mediaHeader]] over a table: one row per item with the sniffed
     * kind and the parsed fixed-offset fields — the metadata census a
     * media ingest runs right after [[mediaTriage]], still with zero
