@@ -3606,6 +3606,36 @@ object Queries {
       .orderBy(col("url_norm"), col("doc_id"))
   }
 
+  /** HTML extraction census oracled end to end
+    * ([[TextFunctions.htmlCensus]]): planted pages exercising every
+    * removal class — comments, `<style>` inside `<head>`, optional
+    * `<script>` in the body, an optional `<title>` (absent → NULL),
+    * 0-3 anchors — plus entity decoding (`&amp;` `&lt;` `&gt;`) in
+    * the visible text. The oracle rebuilds title, the EXACT extracted
+    * text (tag→space collapse included), the anchor count and the
+    * raw tag count from id arithmetic — a greediness slip, a
+    * decode-order slip, or a collapse slip breaks the hash. */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val nL = (id % 4).toInt
+        val links = (0 until nL)
+          .map(i => s"""<a href="/p$i">go $i</a>""").mkString
+        val title =
+          if (id % 9 == 0) "" else s"<title> Doc $id </title>"
+        val script =
+          if (id % 5 == 0) s"<script>var x = $id;</script>" else ""
+        val html = s"<html><head>$title<style>p{x:$id}</style></head>" +
+          s"<body><!-- hidden $id --><h1>Head$id</h1>" +
+          s"<p>A &amp; B &lt;C&gt; #${id % 7}</p>" + script + links +
+          "</body></html>"
+        (id, html)
+      }.toDF("doc_id", "html")
+    TextFunctions.htmlCensus(pages, "doc_id", "html")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -4895,6 +4925,7 @@ object Queries {
     "q155_warc_walk" -> (q155 _),
     "q156_script_census" -> (q156 _),
     "q157_crawl_ingest" -> (q157 _),
+    "q158_html_extract" -> (q158 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -8229,6 +8260,28 @@ object Queries {
          |    ELSE 1 + doc_id % 5 END AS BIGINT) AS n_chars
          |FROM f WHERE rn = 1 AND c IN (0, 1)
          |ORDER BY url_norm, doc_id""".stripMargin,
+    // html extraction: title/text/link/tag-count rebuilt from the
+    // planted page construction — 13 fixed tag tokens + 2 per title/
+    // script/anchor, visible text with decoded entities and
+    // single-space collapse
+    "q158_html_extract" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(doc_id % 4 AS BIGINT) AS nl,
+         |    doc_id % 9 = 0 AS notitle, doc_id % 5 = 0 AS scr,
+         |    doc_id % 7 AS k
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN notitle THEN NULL
+         |    ELSE 'Doc ' || doc_id END AS title,
+         |  'Head' || doc_id || ' A & B <C> #' || k ||
+         |    CASE nl WHEN 0 THEN '' WHEN 1 THEN ' go 0'
+         |      WHEN 2 THEN ' go 0 go 1'
+         |      ELSE ' go 0 go 1 go 2' END AS text,
+         |  nl AS n_links,
+         |  CAST(13 + CASE WHEN notitle THEN 0 ELSE 2 END +
+         |    CASE WHEN scr THEN 2 ELSE 0 END + 2 * nl AS BIGINT)
+         |    AS n_tags
+         |FROM b ORDER BY doc_id""".stripMargin,
     // epoch-root health: the structural fields are fixed by the
     // entry's construction (3 epochs, one unsealed, ack at 0,
     // horizon 1); admitted_rows is data-dependent — the min-id digest

@@ -292,6 +292,65 @@ object TextFunctions {
       graft.expressions.HashedEmbedding(
         org.apache.spark.sql.GraftSqlBridge.expression(tokens(text)), d))
 
+  /** Single-pass named/common-numeric HTML entity decode — `&lt;`
+    * `&gt;` `&quot;` `&apos;` `&#39;` `&#x27;` `&nbsp;` first, `&amp;`
+    * LAST (standard single-pass order: `&amp;lt;` decodes to the
+    * literal text `&lt;`, not to `<`). General numeric references
+    * would need a computed chr() — a custom Expression if a corpus
+    * ever measures them as material. */
+  private def decodeEntities(c: Column): Column = {
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&#39;" -> "'", "&#x27;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(c) { case (acc, (k, v)) => regexp_replace(acc, k, v) }
+    regexp_replace(named, "&amp;", "&")
+  }
+
+  /** Visible text of an HTML payload — the step between a crawl's
+    * WARC blocks and every text operator downstream, as a pure
+    * codegen'd `regexp_replace` chain (no UDF, no DOM library —
+    * crawl HTML is malformed too often for a throwing parser):
+    * comments, `<script>`/`<style>` blocks and the whole `<head>`
+    * are removed (non-greedy, case-insensitive), remaining tags
+    * become spaces, entities decode ([[decodeEntities]]), whitespace
+    * collapses to single spaces. Known regex-extractor limits,
+    * documented not hidden: an UNCLOSED script/style block leaves its
+    * content as text, and numeric entity references beyond the
+    * common quote forms stay literal. Map-only. */
+  def htmlText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noHead = regexp_replace(noStyle,
+      "(?is)<head[^>]*>.*?</head>", " ")
+    val noTags = regexp_replace(noHead, "(?s)<[^>]*>", " ")
+    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
+  }
+
+  /** The `<title>` of an HTML payload (entity-decoded, whitespace
+    * collapsed), NULL when absent or empty. */
+  def htmlTitle(html: Column): Column = {
+    val t = trim(regexp_replace(decodeEntities(regexp_extract(html,
+      "(?is)<title[^>]*>(.*?)</title>", 1)), "\\s+", " "))
+    when(t =!= "", t)
+  }
+
+  /** HTML census over a table: (id, title, text, n_links, n_tags) —
+    * the extraction pass a crawl pipeline runs on every fetched page
+    * right after [[urlCensus]]/[[graft.operators.Multimodal.warcRecords]];
+    * `n_links` (anchors) and `n_tags` (raw tag tokens) are the
+    * cheap page-shape signals (boilerplate-heavy pages run high
+    * tag-to-text). Map-only, all codegen'd regex. */
+  def htmlCensus(df: DataFrame, idCol: String,
+      htmlCol: String): DataFrame =
+    df.select(col(idCol), htmlTitle(col(htmlCol)).as("title"),
+      htmlText(col(htmlCol)).as("text"),
+      regexp_count(col(htmlCol), lit("(?i)<a[\\s>]")).cast("long")
+        .as("n_links"),
+      regexp_count(col(htmlCol), lit("(?s)<[^>]*>")).cast("long")
+        .as("n_tags"))
+
   /** Unicode SCRIPT composition of a text column — the page a
     * lexicon-based [[langId]] cannot see: a document whose CLAIMED
     * language is English but whose characters are 90% Han/Cyrillic/

@@ -289,6 +289,12 @@ object ExplainCheck {
         val p = scripts.queryExecution.executedPlan.toString
         "Exchange".r.findAllIn(p).isEmpty && !p.contains("ScalaUDF")
       })
+      val html = graft.functions.TextFunctions.htmlCensus(
+        docs, "doc_id", "text")
+      check("htmlCensus is map-only (zero exchanges, no UDF)", {
+        val p = html.queryExecution.executedPlan.toString
+        "Exchange".r.findAllIn(p).isEmpty && !p.contains("ScalaUDF")
+      })
     }
     // column profiler: ONE lineitem scan for the whole column list (the
     // multi-countDistinct plans via a single scan + Expand); the r8 form

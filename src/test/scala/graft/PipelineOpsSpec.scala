@@ -3956,6 +3956,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(cr.isNullAt(cr.fieldIndex("uncompressed_size")))
   }
 
+  test("htmlText/htmlTitle: removal classes, entity decode order, " +
+      "case-insensitive tags, and the documented unclosed-block " +
+      "limit") {
+    import graft.functions.TextFunctions
+    val rows = TextFunctions.htmlCensus(Seq(
+      1L -> ("<HTML><HEAD><TITLE>Up&amp;Down</TITLE></HEAD>" +
+        "<BODY><P>Hello</P><SCRIPT>x<1 && y>2</SCRIPT></BODY></HTML>"),
+      2L -> "<p>a &amp;lt; b</p>", // single-pass: &amp;lt; -> &lt;
+      3L -> "<p>q &quot;r&quot; &nbsp; s</p>",
+      4L -> "<body><script>leaks()</body>", // unclosed: content stays
+      5L -> "plain, no markup at all",
+      6L -> (null: String)
+    ).toDF("id", "html"), "id", "html").orderBy("id").collect()
+    def txt(i: Int) = rows(i).getAs[String]("text")
+    assert(rows(0).getAs[String]("title") === "Up&Down")
+    assert(txt(0) === "Hello") // upper-case script block removed whole
+    assert(txt(1) === "a &lt; b")
+    assert(txt(2) === "q \"r\" s")
+    assert(txt(3) === "leaks()") // the documented regex-extractor limit
+    assert(txt(4) === "plain, no markup at all" &&
+      rows(4).getAs[Long]("n_tags") === 0L &&
+      rows(4).isNullAt(rows(4).fieldIndex("title")))
+    assert(rows(5).isNullAt(rows(5).fieldIndex("text")))
+  }
+
   test("scriptCensus: mixed-script text, tie-breaks, digit-only and " +
       "NULL rows") {
     import graft.functions.TextFunctions
