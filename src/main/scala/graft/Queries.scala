@@ -3636,6 +3636,77 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** The INCREMENTAL crawl front door, oracled end to end — q157's
+    * chain feeding the flagship streamed exact ledger
+    * ([[Dedup.ledgerAdmitStreamBatch]]) with the CANONICAL URL as the
+    * dedup text: two crawl batches of multi-record WARC payloads run
+    * warc-split → urlNormalize → encoding gate, then admit
+    * epoch-by-epoch against the persisted digest store — batch 1
+    * admits the first record per canonical URL, batch 2 admits only
+    * URLs the ledger has NEVER seen (cross-batch dedup, the thing a
+    * window over one batch cannot do). The planted 4001-bucket URI
+    * space makes both in-batch and cross-batch collisions real. The
+    * oracle replays the chain as arithmetic plus the ledger's
+    * min-id-per-digest, batch-partitioned rule. */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+    val mid = mx / 2
+    def warcify(df: DataFrame): DataFrame =
+      df.select(col("doc_id")).as[Long].map { id =>
+        val nRec = 1 + (id % 2).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        def put(t: String): Unit = bos.write(t.getBytes("ISO-8859-1"))
+        (0 until nRec).foreach { r =>
+          val k = (id * 13 + r * 7) % 4001
+          val uri = s"HTTP://Site$k.example.COM/p"
+          val block: Array[Byte] = ((id + r) % 3) match {
+            case 0 => s"page $id $r".getBytes("UTF-8")
+            case 1 => "éé".getBytes("UTF-8")
+            case _ => Array(0x80.toByte) // binary: gated out
+          }
+          put("WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: $uri\r\n" +
+            s"Content-Length: ${block.length}\r\n\r\n")
+          bos.write(block)
+          put("\r\n\r\n")
+        }
+        (id, bos.toByteArray)
+      }.toDF("doc_id", "payload")
+    def chain(df: DataFrame): DataFrame = {
+      val recs = Multimodal.warcRecords(df, "doc_id", "payload")
+        .select((col("doc_id") * 4 + col("rec")).as("rid"),
+          col("target_uri"), col("block"))
+        .localCheckpoint()
+      val urls = recs.select(col("rid"),
+        TextFunctions.urlNormalize(col("target_uri")).as("url_norm"))
+      val cen = Multimodal.encodingCensus(
+        recs.select(col("rid"), col("block")), "rid", "block")
+      urls.join(cen, "rid")
+        .filter(col("valid") && col("encoding").isin("ascii", "utf8"))
+        .select(col("rid"), col("url_norm"))
+        .localCheckpoint()
+    }
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q159_crawl").toString
+    try {
+      val ledger = s"$path/ledger"
+      val epochs = s"$path/epochs"
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        chain(warcify(d.filter(col("doc_id") <= mid))),
+        "rid", "url_norm", 0L)
+      Dedup.ledgerAdmitStreamBatch(s, ledger, epochs,
+        chain(warcify(d.filter(col("doc_id") > mid))),
+        "rid", "url_norm", 1L)
+      Dedup.readAdmittedEpochs(s, epochs)
+        .select(floor(col("rid") / 4).cast("long").as("doc_id"),
+          (col("rid") % 4).cast("long").as("rec"),
+          col("url_norm"), col("epoch"))
+        .orderBy(col("doc_id"), col("rec")).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(path)
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -4926,6 +4997,7 @@ object Queries {
     "q156_script_census" -> (q156 _),
     "q157_crawl_ingest" -> (q157 _),
     "q158_html_extract" -> (q158 _),
+    "q159_crawl_ledger_stream" -> (q159 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -8282,6 +8354,33 @@ object Queries {
          |    CASE WHEN scr THEN 2 ELSE 0 END + 2 * nl AS BIGINT)
          |    AS n_tags
          |FROM b ORDER BY doc_id""".stripMargin,
+    // incremental crawl ledger: the chain replayed as arithmetic +
+    // the ledger rule — min rid per URL bucket in batch 0; batch 1
+    // admits only buckets batch 0 never admitted (cross-batch dedup)
+    "q159_crawl_ledger_stream" ->
+      s"""WITH series(r) AS (VALUES (CAST(0 AS BIGINT)), (1)),
+         | m AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS mid
+         |   FROM documents),
+         | recs AS (SELECT d.doc_id, s.r,
+         |    d.doc_id * 4 + s.r AS rid,
+         |    (d.doc_id * 13 + s.r * 7) % 4001 AS k,
+         |    (d.doc_id + s.r) % 3 AS c,
+         |    CASE WHEN d.doc_id <= (SELECT mid FROM m)
+         |      THEN 0 ELSE 1 END AS b
+         |  FROM documents d, series s
+         |  WHERE s.r < 1 + d.doc_id % 2),
+         | gated AS (SELECT * FROM recs WHERE c IN (0, 1)),
+         | a0 AS (SELECT k, min(rid) AS rid FROM gated
+         |   WHERE b = 0 GROUP BY k),
+         | a1 AS (SELECT k, min(rid) AS rid FROM gated
+         |   WHERE b = 1 AND k NOT IN (SELECT k FROM a0) GROUP BY k),
+         | u AS (SELECT rid, k, CAST(0 AS BIGINT) AS epoch FROM a0
+         |   UNION ALL
+         |   SELECT rid, k, CAST(1 AS BIGINT) AS epoch FROM a1)
+         |SELECT CAST(rid // 4 AS BIGINT) AS doc_id,
+         |  CAST(rid % 4 AS BIGINT) AS rec,
+         |  'http://site' || k || '.example.com/p' AS url_norm, epoch
+         |FROM u ORDER BY doc_id, rec""".stripMargin,
     // epoch-root health: the structural fields are fixed by the
     // entry's construction (3 epochs, one unsealed, ack at 0,
     // horizon 1); admitted_rows is data-dependent — the min-id digest
