@@ -316,22 +316,31 @@ object TextFunctions {
     * documented not hidden: an UNCLOSED script/style block leaves its
     * content as text, and numeric entity references beyond the
     * common quote forms stay literal. Map-only. */
-  def htmlText(html: Column): Column = {
+  /** Comments and script/style blocks removed — shared by
+    * [[htmlText]] and [[htmlTitle]] so a commented-out or
+    * script-embedded `<title>` can never shadow the real one. */
+  private def htmlPreClean(html: Column): Column = {
     val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
     val noScript = regexp_replace(noComment,
       "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript,
-      "(?is)<style[^>]*>.*?</style>", " ")
-    val noHead = regexp_replace(noStyle,
+    regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+  }
+
+  def htmlText(html: Column): Column = {
+    val noHead = regexp_replace(htmlPreClean(html),
       "(?is)<head[^>]*>.*?</head>", " ")
     val noTags = regexp_replace(noHead, "(?s)<[^>]*>", " ")
     trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
   }
 
   /** The `<title>` of an HTML payload (entity-decoded, whitespace
-    * collapsed), NULL when absent or empty. */
+    * collapsed), NULL when absent or empty. Extracted AFTER the
+    * comment/script/style strip — a commented-out template title or
+    * a `document.write('<title>…')` in a script must not win over
+    * the real one. */
   def htmlTitle(html: Column): Column = {
-    val t = trim(regexp_replace(decodeEntities(regexp_extract(html,
+    val t = trim(regexp_replace(decodeEntities(regexp_extract(
+      htmlPreClean(html),
       "(?is)<title[^>]*>(.*?)</title>", 1)), "\\s+", " "))
     when(t =!= "", t)
   }
@@ -364,7 +373,10 @@ object TextFunctions {
     * lookup, map-only; a single-pass native Expression (the
     * byte-entropy precedent) is the documented optimization if a
     * profile-heavy pipeline ever measures the passes. NULL text
-    * reads NULL counts. */
+    * reads NULL counts. `n_chars` counts UTF-16 units (Spark's
+    * `length`) — an astral char counts 2 there while the script
+    * counters count BMP chars; the script counts, not n_chars, are
+    * the gating signal. */
   def scriptProfile(text: Column): Column = {
     def n(p: String) = regexp_count(text, lit(p)).cast("long")
     struct(
@@ -422,8 +434,12 @@ object TextFunctions {
   private val UrlRe =
     "^(?:([A-Za-z][A-Za-z0-9+.-]*):)?" + // 1 scheme
       "(?://(?:([^/?#@]*)@)?" + // 2 userinfo
-      "([^/?#:]*)" + // 3 host
-      "(?::([0-9]+))?)?" + // 4 port
+      "(\\[[^\\]/?#]*\\]|[^/?#:]*)" + // 3 host (incl. [v6] literals)
+      "(?::([0-9]+))?" + // 4 port
+      "(?=[/?#]|$))?" + // authority must END cleanly: ':80abc' is
+      // not a port-then-path, it is a malformed authority — the
+      // whole URL then classifies unparseable instead of silently
+      // fabricating a corrupted canonical key
       "([^?#]*)" + // 5 path
       "(?:\\?([^#]*))?" + // 6 query
       "(?:#.*)?$"

@@ -804,7 +804,10 @@ object Multimodal {
               .filter(_ >= 0) match {
               case None => stopped = true
               case Some(len) =>
-                val truncated = headerEnd + len > b.length
+                // compare without adding: headerEnd + len would wrap
+                // negative on a hostile huge Content-Length and walk
+                // off the array instead of stopping
+                val truncated = len > (b.length - headerEnd).toLong
                 out += WarcRec(out.size.toLong, kvs.get("warc-type"),
                   kvs.get("warc-target-uri"), kvs.get("content-type"),
                   len, headerEnd.toLong, truncated)
@@ -871,8 +874,10 @@ object Multimodal {
       .flatMap { case (id, bytes) =>
         warcWalk(bytes, maxRecords).map { r =>
           val from = r.blockOffset.toInt
-          val until = math.min(bytes.length.toLong,
-            r.blockOffset + r.contentLength).toInt
+          // a truncated record's declared length may be huge (hostile
+          // header) — never form offset+length, take the payload tail
+          val until = if (r.blockTruncated) bytes.length
+            else (r.blockOffset + r.contentLength).toInt
           (id, r.rec, r.warcType, r.targetUri, r.contentType,
             r.contentLength, r.blockOffset, r.blockTruncated,
             java.util.Arrays.copyOfRange(bytes, from, until))

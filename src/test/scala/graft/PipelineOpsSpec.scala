@@ -3967,10 +3967,14 @@ class PipelineOpsSpec extends SparkTestBase {
       3L -> "<p>q &quot;r&quot; &nbsp; s</p>",
       4L -> "<body><script>leaks()</body>", // unclosed: content stays
       5L -> "plain, no markup at all",
-      6L -> (null: String)
+      6L -> (null: String),
+      7L -> ("<!-- <title>old template</title> --><head>" +
+        "<title>Real Page</title></head><body>x</body>")
     ).toDF("id", "html"), "id", "html").orderBy("id").collect()
     def txt(i: Int) = rows(i).getAs[String]("text")
     assert(rows(0).getAs[String]("title") === "Up&Down")
+    // a commented-out template title must not shadow the real one
+    assert(rows(6).getAs[String]("title") === "Real Page")
     assert(txt(0) === "Hello") // upper-case script block removed whole
     assert(txt(1) === "a &lt; b")
     assert(txt(2) === "q \"r\" s")
@@ -3986,7 +3990,7 @@ class PipelineOpsSpec extends SparkTestBase {
     import graft.functions.TextFunctions
     val rows = TextFunctions.scriptCensus(Seq(
       1L -> "Привет мир, hello!", // cyrillic-dominant over latin
-      2L -> "日本語のテキスト", // han + kana, kana wins 4-3... no: 日本語 3 han, のテキスト 5 kana
+      2L -> "日本語のテキスト", // 日本語 = 3 han, のテキスト = 5 kana → kana
       3L -> "abc 中文 abc", // latin 6 > han 2
       4L -> "42 + 17 = 59", // digits only: dominant NULL
       5L -> "한국어 텍스트", // hangul
@@ -4053,6 +4057,15 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(walk(two, max = 1).size === 1)
     assert(walk("").isEmpty)
     assert(Multimodal.warcWalk(null).isEmpty)
+    // hostile Content-Length: Long.MaxValue must read as a truncated
+    // block (never wrap negative and walk off the array); a value
+    // past Long is unparseable -> clean stop with prior records kept
+    val hostile = walk(two + rec(
+      Seq(s"Content-Length: ${Long.MaxValue}"), "tail",
+      trailer = false))
+    assert(hostile.size === 3 && hostile(2).blockTruncated)
+    assert(walk(two + rec(
+      Seq("Content-Length: 99999999999999999999"), "x")).size === 2)
   }
 
   test("urlNormalize: case, userinfo, default-port, empty-path, " +
@@ -4065,10 +4078,12 @@ class PipelineOpsSpec extends SparkTestBase {
       3L -> "https://example.com:443", // matched default + empty path
       4L -> "http://example.com/a//b/", // empty segments don't count
       5L -> "ftp://files.example.com:21/pub", // non-http scheme: port kept
-      6L -> "//protocol-relative.example.com/x", // no scheme
-      7L -> "mailto:someone", // scheme but no authority -> no host
-      8L -> "",
-      9L -> (null: String)
+      6L -> "https://[::1]:443/x", // bracketed IPv6 literal
+      7L -> "//protocol-relative.example.com/x", // no scheme
+      8L -> "mailto:someone", // scheme but no authority -> no host
+      9L -> "http://example.com:80abc/x", // malformed port residue
+      10L -> "",
+      11L -> (null: String)
     ).toDF("id", "url"), "id", "url").orderBy("id").collect()
     def norm(i: Int) = rows(i).getAs[String]("url_norm")
     def depth(i: Int) = rows(i).getAs[Long]("path_depth")
@@ -4078,7 +4093,15 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(norm(2) === "https://example.com/")
     assert(norm(3) === "http://example.com/a//b/" && depth(3) === 2L)
     assert(norm(4) === "ftp://files.example.com:21/pub")
-    (5 to 8).foreach { i =>
+    // IPv6: host is the bracketed literal, the matched default port
+    // drops — :443 embedded in a path would be the false-non-dup
+    assert(norm(5) === "https://[::1]/x" &&
+      rows(5).getAs[String]("host") === "[::1]" &&
+      rows(5).getAs[Long]("port") === 443L)
+    // ':80abc' is NOT port 80 + path 'abc/x': the authority is
+    // malformed, the URL classifies unparseable — never a fabricated
+    // canonical key like 'http://example.comabc/x'
+    (6 to 10).foreach { i =>
       assert(norm(i) == null, s"row $i should be unparseable")
       assert(!rows(i).getAs[Boolean]("parseable") ||
         rows(i).isNullAt(rows(i).fieldIndex("parseable")))
