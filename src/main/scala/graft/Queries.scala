@@ -398,7 +398,7 @@ object Queries {
   // ==========================================================================
 
   import graft.functions.TextFunctions
-  import graft.operators.{Dedup, Multimodal, QualityModel, Similarity}
+  import graft.operators.{Dedup, Multimodal, QualityModel, Robots, Similarity}
 
   /** Token statistics per document (tokenizer + HOF aggregation). */
   private def q20(s: SparkSession, dir: String): DataFrame = {
@@ -3707,6 +3707,80 @@ object Queries {
     } finally graft.util.Fs.deleteRecursively(path)
   }
 
+  /** The planted robots.txt body for fixture host `h` — comments,
+    * case-mixed keys, an unknown directive, an EMPTY Disallow (the
+    * RFC's allow-everything idiom, must drop), host-varying wildcard
+    * rules, a global Sitemap line mid-group, and for every 5th host a
+    * second agent-specific group. */
+  private def robotsTxt(h: Long): String = {
+    val sb = new StringBuilder
+    sb ++= "# graft robots fixture\n"
+    sb ++= "User-agent: *\n"
+    sb ++= "disallow: /private\n" // keys are case-insensitive
+    sb ++= "Allow: /private/ok\n"
+    if (h % 2 == 0) sb ++= "Disallow: /tmp*\n"
+    if (h % 3 == 0) sb ++= "Disallow: /*.pdf$\n"
+    sb ++= "Crawl-delay: 5\n" // unknown directive: tolerated in-group
+    sb ++= "Disallow:\n" // empty value: matches nothing, drops
+    if (h % 4 == 0)
+      sb ++= s"Sitemap: https://h$h.example.com/sitemap.xml\n"
+    if (h % 5 == 0) {
+      sb ++= "\nUser-agent: GraftBot\n"
+      sb ++= "Disallow: /\n"
+      sb ++= "Allow: /pub\n"
+    }
+    sb.toString
+  }
+
+  private def robotsFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select((col("doc_id") % 20).as("h")).distinct()
+      .as[Long].map(h => (s"h$h.example.com", robotsTxt(h)))
+      .toDF("host", "txt")
+  }
+
+  /** robots.txt rule CENSUS oracled end to end
+    * ([[Robots.robotsRules]]): the 20-host fixture covers comments,
+    * case-mixed keys, the empty-Disallow drop, unknown directives
+    * inside a group, a mid-group global Sitemap line, presence-
+    * varying wildcard rules (so rule INDICES shift by host), and a
+    * second agent-specific group — every exploded row (host, group,
+    * agents, directive, pattern, rule index) recomputed from host
+    * arithmetic. */
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    Robots.robotsRules(robotsFixture(s, dir), "host", "txt")
+      .orderBy(col("host"), col("grp"), col("rule"))
+
+  /** RFC 9309 VERDICT pass oracled end to end
+    * ([[Robots.robotsAllowed]]): seven path families per doc against
+    * the 20-host rule fixture, evaluated for the case-mixed agent
+    * `GraftBot` — longest-match precedence (`/private/ok` allow beats
+    * `/private` disallow), prefix semantics (`/privateer` disallowed
+    * by `/private`), wildcard and `$`-anchored rules, the
+    * agent-specific full-block group with its longer Allow carve-out,
+    * and a 21st host with NO robots body (left-join miss → allowed,
+    * the no-robots default). */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val paths = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val h = id % 21
+        val p = (id % 7) match {
+          case 0 => s"/pub/x$id"
+          case 1 => "/private/x"
+          case 2 => "/private/ok"
+          case 3 => s"/tmp/a$id.html"
+          case 4 => s"/files/d$id.pdf"
+          case 5 => "/private"
+          case _ => "/privateer"
+        }
+        (id, s"h$h.example.com", p)
+      }.toDF("doc_id", "host", "path")
+    Robots.robotsAllowed(robotsFixture(s, dir), "host", "txt",
+        paths, "doc_id", "host", "path", "GraftBot")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -4998,6 +5072,8 @@ object Queries {
     "q157_crawl_ingest" -> (q157 _),
     "q158_html_extract" -> (q158 _),
     "q159_crawl_ledger_stream" -> (q159 _),
+    "q160_robots_rules" -> (q160 _),
+    "q161_robots_verdict" -> (q161 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -8381,6 +8457,57 @@ object Queries {
          |  CAST(rid % 4 AS BIGINT) AS rec,
          |  'http://site' || k || '.example.com/p' AS url_norm, epoch
          |FROM u ORDER BY doc_id, rec""".stripMargin,
+    // robots rule census: the exploded rows rebuilt from host
+    // arithmetic — rule indices shift with the presence-varying
+    // wildcard rules, the empty Disallow and unknown directives
+    // contribute nothing, sitemap rows carry the global sentinel ids
+    "q160_robots_rules" ->
+      s"""WITH hosts AS (SELECT DISTINCT CAST(doc_id % 20 AS BIGINT)
+         |    AS h FROM documents),
+         | base AS (
+         |  SELECT h, 0 AS grp, '*' AS agents, 'disallow' AS directive,
+         |    '/private' AS pattern, 0 AS rule FROM hosts
+         |  UNION ALL SELECT h, 0, '*', 'allow', '/private/ok', 1
+         |    FROM hosts
+         |  UNION ALL SELECT h, 0, '*', 'disallow', '/tmp*', 2
+         |    FROM hosts WHERE h % 2 = 0
+         |  UNION ALL SELECT h, 0, '*', 'disallow', '/*.pdf$$',
+         |    2 + CASE WHEN h % 2 = 0 THEN 1 ELSE 0 END
+         |    FROM hosts WHERE h % 3 = 0
+         |  UNION ALL SELECT h, 1, 'graftbot', 'disallow', '/', 0
+         |    FROM hosts WHERE h % 5 = 0
+         |  UNION ALL SELECT h, 1, 'graftbot', 'allow', '/pub', 1
+         |    FROM hosts WHERE h % 5 = 0
+         |  UNION ALL SELECT h, -1, '', 'sitemap',
+         |    'https://h' || h || '.example.com/sitemap.xml', -1
+         |    FROM hosts WHERE h % 4 = 0)
+         |SELECT 'h' || h || '.example.com' AS host,
+         |  CAST(grp AS BIGINT) AS grp, agents, directive, pattern,
+         |  CAST(rule AS BIGINT) AS rule
+         |FROM base ORDER BY host, grp, rule""".stripMargin,
+    // robots verdict: RFC 9309 longest-match replayed as arithmetic —
+    // the agent-specific full-block group governs every 5th host
+    // (with the /pub carve-out), the wildcard and anchored rules
+    // apply by host presence, host 20 has no robots (allowed)
+    "q161_robots_verdict" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    CAST(doc_id % 21 AS BIGINT) AS h, doc_id % 7 AS f
+         |  FROM documents)
+         |SELECT doc_id, 'h' || h || '.example.com' AS host,
+         |  CASE f WHEN 0 THEN '/pub/x' || doc_id
+         |       WHEN 1 THEN '/private/x'
+         |       WHEN 2 THEN '/private/ok'
+         |       WHEN 3 THEN '/tmp/a' || doc_id || '.html'
+         |       WHEN 4 THEN '/files/d' || doc_id || '.pdf'
+         |       WHEN 5 THEN '/private'
+         |       ELSE '/privateer' END AS path,
+         |  CASE WHEN h = 20 THEN TRUE
+         |       WHEN f = 0 THEN TRUE
+         |       WHEN f = 2 THEN h % 5 <> 0
+         |       WHEN f = 3 THEN h % 5 <> 0 AND h % 2 <> 0
+         |       WHEN f = 4 THEN h % 5 <> 0 AND h % 3 <> 0
+         |       ELSE FALSE END AS allowed
+         |FROM p ORDER BY doc_id""".stripMargin,
     // epoch-root health: the structural fields are fixed by the
     // entry's construction (3 epochs, one unsealed, ack at 0,
     // horizon 1); admitted_rows is data-dependent — the min-id digest

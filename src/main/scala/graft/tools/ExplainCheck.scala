@@ -295,6 +295,24 @@ object ExplainCheck {
         val p = html.queryExecution.executedPlan.toString
         "Exchange".r.findAllIn(p).isEmpty && !p.contains("ScalaUDF")
       })
+      // robots verdict: the per-host rule sets broadcast; the page
+      // corpus must NOT hash-shuffle for the join
+      val robots = docs.limit(50).select(
+        concat(lit("h"), col("doc_id") % 20, lit(".example.com"))
+          .as("host"),
+        lit("User-agent: *\nDisallow: /private\n").as("txt"))
+      val verdicts = graft.operators.Robots.robotsAllowed(
+        robots, "host", "txt",
+        docs.select(col("doc_id"),
+          concat(lit("h"), col("doc_id") % 20, lit(".example.com"))
+            .as("host"), lit("/private/x").as("path")),
+        "doc_id", "host", "path", "bot")
+      check("robotsAllowed broadcasts rules; paths never " +
+        "hash-shuffle", {
+        val p = verdicts.queryExecution.executedPlan.toString
+        p.contains("BroadcastHashJoin") &&
+          "Exchange hashpartitioning".r.findAllIn(p).isEmpty
+      })
     }
     // column profiler: ONE lineitem scan for the whole column list (the
     // multi-countDistinct plans via a single scan + Expand); the r8 form

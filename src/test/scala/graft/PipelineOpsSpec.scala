@@ -3956,6 +3956,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(cr.isNullAt(cr.fieldIndex("uncompressed_size")))
   }
 
+  test("robots: RFC 9309 parse/merge/longest-match semantics on " +
+      "hand-built bodies") {
+    import graft.operators.Robots
+    // CRLF endings, merged same-agent groups, rules before any
+    // user-agent dropped, case-insensitive agent tokens
+    val txt = "Disallow: /orphan\r\n" + // no group yet: drops
+      "User-agent: A\r\nUser-agent: B\r\nDisallow: /a\r\n" +
+      "User-agent: a\r\nAllow: /a/ok\r\n" + // merges with group 1 ('a')
+      "User-agent: *\r\nDisallow: /x\r\n"
+    val (groups, _) = Robots.parse(txt)
+    assert(groups.size === 3)
+    val rulesA = Robots.selectRules(groups, "A")
+    assert(rulesA.map(_.pattern).sorted === Seq("/a", "/a/ok"))
+    assert(Robots.selectRules(groups, "zzz").map(_.pattern) ===
+      Seq("/x")) // fallback to *
+    // longest match: allow /a/ok beats disallow /a; prefix semantics
+    assert(!Robots.isAllowed(rulesA, "/a/other"))
+    assert(Robots.isAllowed(rulesA, "/a/ok"))
+    assert(Robots.isAllowed(rulesA, "/b"))
+    // tie at equal length: allow wins
+    val tie = Seq(Robots.Rule(false, "/p"), Robots.Rule(true, "/p"))
+    assert(Robots.isAllowed(tie, "/page"))
+    // wildcard + anchor
+    val wc = Seq(Robots.Rule(false, "/*.pdf$"))
+    assert(!Robots.isAllowed(wc, "/d/x.pdf"))
+    assert(Robots.isAllowed(wc, "/d/x.pdfs")) // $ anchors the end
+    // empty rule set and null body both allow
+    assert(Robots.isAllowed(Seq.empty, "/anything"))
+    assert(Robots.parse(null)._1.isEmpty)
+  }
+
   test("htmlText/htmlTitle: removal classes, entity decode order, " +
       "case-insensitive tags, and the documented unclosed-block " +
       "limit") {
