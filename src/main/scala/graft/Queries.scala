@@ -3781,6 +3781,54 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Sitemap XML walk oracled end to end
+    * ([[Robots.sitemapEntries]], the crawl-frontier companion to the
+    * robots `Sitemap:` lines): urlsets of 1-3 `<url>` entries with
+    * entity-encoded query URLs (`&amp;` must decode), optional
+    * lastmod, cycling changefreq, a NON-NUMERIC priority (reads
+    * NULL, never throws) and a planted missing `<loc>` (a NULL-loc
+    * row to count, not an exception); every 11th doc is a
+    * sitemapindex instead — its `<sitemap>` children come back as
+    * kind `sitemap` for the frontier walk to recurse on. Namespaced
+    * wrappers, indentation and attribute-bearing tags throughout.
+    * Every field recomputed from id arithmetic. */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val xmls = docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val xml = if (id % 11 == 0) {
+          val sms = (0 until 2).map { j =>
+            val lm = if (j == 0) "\n    <lastmod>2024-02-01</lastmod>"
+              else ""
+            s"\n  <sitemap>\n    <loc> https://h${id % 20}" +
+              s".example.com/sm$j.xml </loc>$lm\n  </sitemap>"
+          }.mkString
+          "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<sitemapindex " +
+            "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+            s"$sms\n</sitemapindex>"
+        } else {
+          val n = 1 + (id % 3).toInt
+          val urls = (0 until n).map { r =>
+            val loc = if (id % 13 == 4 && r == 0) ""
+              else s"\n    <loc>https://s${(id * 3 + r) % 50}" +
+                s".example.com/p$r?a=1&amp;b=2</loc>"
+            val lm = if (r % 2 == 0)
+              s"\n    <lastmod>2024-01-1$r</lastmod>" else ""
+            val cf = Seq("daily", "weekly", "monthly")(r % 3)
+            val pr = if (r == 2) "high" else s"0.${5 + r}"
+            s"\n  <url>$loc$lm\n    <changefreq>$cf</changefreq>" +
+              s"\n    <priority>$pr</priority>\n  </url>"
+          }.mkString
+          "<?xml version=\"1.0\"?>\n<urlset " +
+            "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+            s"$urls\n</urlset>"
+        }
+        (id, xml)
+      }.toDF("doc_id", "xml")
+    Robots.sitemapEntries(xmls, "doc_id", "xml")
+      .orderBy(col("doc_id"), col("kind"), col("loc"))
+  }
+
   /** Per-converter first-view → first-qualifying-purchase delay frame —
     * the ONE derivation under q127 and its bounded twin t49. */
   private def converterFrame(s: SparkSession, dir: String): DataFrame = {
@@ -5074,6 +5122,7 @@ object Queries {
     "q159_crawl_ledger_stream" -> (q159 _),
     "q160_robots_rules" -> (q160 _),
     "q161_robots_verdict" -> (q161 _),
+    "q162_sitemap_walk" -> (q162 _),
     "t46_service_latency_b" -> ((s: SparkSession, _: String) => t46(s)),
     "t47_interevent_gaps_b" -> (t47 _),
     "t48_op_anomalies_b" -> ((s: SparkSession, _: String) => t48(s)),
@@ -8508,6 +8557,36 @@ object Queries {
          |       WHEN f = 4 THEN h % 5 <> 0 AND h % 3 <> 0
          |       ELSE FALSE END AS allowed
          |FROM p ORDER BY doc_id""".stripMargin,
+    // sitemap walk: url rows rebuilt from the urlset arithmetic
+    // (entity-decoded locs, optional lastmod, non-numeric priority
+    // NULL, the planted missing loc), sitemapindex children as kind
+    // 'sitemap' for every 11th doc
+    "q162_sitemap_walk" ->
+      s"""WITH series(r) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)),
+         | urls AS (SELECT d.doc_id, s.r,
+         |    d.doc_id % 13 = 4 AS noloc
+         |  FROM documents d, series s
+         |  WHERE d.doc_id % 11 <> 0 AND s.r < 1 + d.doc_id % 3),
+         | u AS (SELECT doc_id, 'url' AS kind,
+         |    CASE WHEN noloc AND r = 0 THEN NULL
+         |      ELSE 'https://s' || (doc_id * 3 + r) % 50 ||
+         |        '.example.com/p' || r || '?a=1&b=2' END AS loc,
+         |    CASE WHEN r % 2 = 0 THEN '2024-01-1' || r END AS lastmod,
+         |    CASE r % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+         |      ELSE 'monthly' END AS changefreq,
+         |    CASE WHEN r = 2 THEN NULL
+         |      ELSE CAST('0.' || (5 + r) AS DOUBLE) END AS priority
+         |  FROM urls),
+         | sm AS (SELECT d.doc_id, 'sitemap' AS kind,
+         |    'https://h' || d.doc_id % 20 || '.example.com/sm' ||
+         |      s.r || '.xml' AS loc,
+         |    CASE WHEN s.r = 0 THEN '2024-02-01' END AS lastmod,
+         |    CAST(NULL AS VARCHAR) AS changefreq,
+         |    CAST(NULL AS DOUBLE) AS priority
+         |  FROM documents d, series s
+         |  WHERE d.doc_id % 11 = 0 AND s.r < 2)
+         |SELECT * FROM u UNION ALL SELECT * FROM sm
+         |ORDER BY doc_id, kind, loc""".stripMargin,
     // epoch-root health: the structural fields are fixed by the
     // entry's construction (3 epochs, one unsealed, ack at 0,
     // horizon 1); admitted_rows is data-dependent — the min-id digest

@@ -298,7 +298,7 @@ object TextFunctions {
     * literal text `&lt;`, not to `<`). General numeric references
     * would need a computed chr() — a custom Expression if a corpus
     * ever measures them as material. */
-  private def decodeEntities(c: Column): Column = {
+  private[graft] def decodeEntities(c: Column): Column = {
     val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&apos;" -> "'", "&#39;" -> "'", "&#x27;" -> "'", "&nbsp;" -> " ")
       .foldLeft(c) { case (acc, (k, v)) => regexp_replace(acc, k, v) }

@@ -145,6 +145,45 @@ object Robots {
       .toDF("host", "grp", "agents", "directive", "pattern", "rule")
   }
 
+  /** Sitemap XML → one row per entry — the crawl-frontier companion
+    * to the robots `Sitemap:` lines [[robotsRules]] surfaces: `<url>`
+    * blocks of a urlset and `<sitemap>` blocks of a sitemapindex
+    * (kind `url` vs `sitemap` — an index points at MORE sitemaps, a
+    * frontier walk recurses on those rows), each with its
+    * entity-decoded `<loc>` (ampersands in query URLs arrive as
+    * `&amp;` by the XML spec) and the optional `<lastmod>` /
+    * `<changefreq>` / `<priority>` fields (absent → NULL; a
+    * non-numeric priority reads NULL, never a throw — ANSI
+    * `try_cast` semantics via a digits-only gate). Pure codegen'd
+    * regex + explode — no XML DOM (crawl sitemaps are malformed as
+    * often as crawl HTML; a block missing its `<loc>` yields a NULL
+    * loc row to count, not an exception), map-only, narrow. CDATA
+    * sections and exotic namespaces are out of scope — documented,
+    * not guessed at. */
+  def sitemapEntries(df: DataFrame, idCol: String,
+      xmlCol: String): DataFrame = {
+    def field(block: org.apache.spark.sql.Column, tag: String) = {
+      val v = regexp_extract(block,
+        s"(?is)<$tag[^>]*>\\s*(.*?)\\s*</$tag>", 1)
+      when(v =!= "", v)
+    }
+    def entries(kind: String, blockTag: String) =
+      df.select(col(idCol), lit(kind).as("kind"),
+          explode(regexp_extract_all(col(xmlCol),
+            lit(s"(?is)<$blockTag(?:\\s[^>]*)?>(.*?)</$blockTag>"),
+            lit(1))).as("block"))
+        .select(col(idCol), col("kind"),
+          graft.functions.TextFunctions.decodeEntities(
+            field(col("block"), "loc")).as("loc"),
+          field(col("block"), "lastmod").as("lastmod"),
+          field(col("block"), "changefreq").as("changefreq"),
+          when(field(col("block"), "priority")
+            .rlike("^[0-9]*\\.?[0-9]+$"),
+            field(col("block"), "priority")).cast("double")
+            .as("priority"))
+    entries("url", "url").unionByName(entries("sitemap", "sitemap"))
+  }
+
   /** The VERDICT pass: every (host, path) row of `paths` gains
     * `allowed` — evaluated for `agent` against that host's robots
     * body under the RFC 9309 longest-match rule. Hosts absent from

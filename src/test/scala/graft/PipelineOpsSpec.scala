@@ -3956,6 +3956,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(cr.isNullAt(cr.fieldIndex("uncompressed_size")))
   }
 
+  test("sitemapEntries: attribute-bearing tags, integer priority, " +
+      "missing loc, and garbage input") {
+    import graft.operators.Robots
+    val rows = Robots.sitemapEntries(Seq(
+      1L -> ("<urlset xmlns=\"x\"><url changed=\"y\">" +
+        "<loc href=\"z\">https://a.example.com/?x=1&amp;y=2</loc>" +
+        "<priority>1</priority></url>" +
+        "<url><lastmod>2024-03-01</lastmod></url></urlset>"),
+      2L -> "not xml at all",
+      3L -> (null: String)
+    ).toDF("id", "xml"), "id", "xml").orderBy("id", "loc").collect()
+    assert(rows.length === 2) // garbage and null yield zero rows
+    assert(rows(0).isNullAt(rows(0).fieldIndex("loc")) &&
+      rows(0).getAs[String]("lastmod") === "2024-03-01")
+    assert(rows(1).getAs[String]("loc") ===
+      "https://a.example.com/?x=1&y=2")
+    assert(rows(1).getAs[Double]("priority") === 1.0)
+  }
+
   test("robots: RFC 9309 parse/merge/longest-match semantics on " +
       "hand-built bodies") {
     import graft.operators.Robots
