@@ -86,6 +86,18 @@ object Bench {
       // (q42 alone has ~100 codegen units): with eviction, EVERY rep paid
       // 10+ s of janino recompilation — measured 14.7 s → 3.2 s on q42
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Use the serialized sort-based shuffle writer for EVERY shuffle
+      // (r19, guide §2.1/§7): with shuffle.partitions = local cores
+      // (≤ 200), every exchange otherwise takes the bypass-merge
+      // writer, which creates, writes and re-concatenates one file PER
+      // REDUCER per map task — at this suite's scale that is 32 file
+      // opens + a full rewrite per task, measured as 50-70% of the
+      // ledger family's executor time (q150 run 26.4 s → 4.7 s, q129
+      // 32.2 s → 8.1 s with the sort path). Production clusters run
+      // shuffle.partitions ≫ 200 where bypass-merge NEVER fires, so
+      // threshold 1 makes local execution take exactly the writer the
+      // 100-TB deployment uses — a fidelity fix, not a local tune.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
