@@ -1605,8 +1605,15 @@ object Dedup {
     * pushed In(text_md5, …) literals fire parquet row-group stats. */
   private def ledgerWriteDigests(rows: DataFrame, mode: String,
       dest: String): Unit =
+    // explicit partition count (r19): repartition(col) without a count
+    // lets AQE coalesce the tiny write shuffle to ONE task that writes
+    // all touched bucket files serially (~0.5 s per write at bench
+    // scale) — the explicit NdlDocBuckets count pins the designed
+    // one-task-per-bucket parallel write at every scale (a db value
+    // lands in exactly one partition either way, so file layout and
+    // contents are unchanged)
     rows.withColumn("db", ledgerDb(col("text_md5")))
-      .repartition(col("db"))
+      .repartition(NdlDocBuckets, col("db"))
       .sortWithinPartitions(col("text_md5"))
       .write.mode(mode).partitionBy("db").parquet(dest)
 
@@ -2143,8 +2150,10 @@ object Dedup {
     * one file per write. */
   private def ndlWritePrimary(rows: DataFrame, mode: String,
       dest: String): Unit =
+    // explicit count: see ledgerWriteDigests — pins the parallel
+    // one-task-per-bucket write AQE's coalescing otherwise serializes
     rows.withColumn("db", ndlDb(col("doc")))
-      .repartition(col("db"))
+      .repartition(NdlDocBuckets, col("db"))
       .write.mode(mode).partitionBy("db").parquet(dest)
 
   /** Number of key buckets in the near-dup ledger's band store — the
@@ -2287,9 +2296,11 @@ object Dedup {
     * pruning. */
   private def ndlWriteBands(keys: DataFrame, mode: String,
       dest: String): Unit =
+    // explicit count: see ledgerWriteDigests — pins the parallel
+    // one-task-per-bucket write AQE's coalescing otherwise serializes
     ndlWithKb(keys)
       .select(col("kb"), col("band"), col("kh"), col("doc"))
-      .repartition(col("kb"))
+      .repartition(NdlKeyBuckets, col("kb"))
       .sortWithinPartitions(col("band"), col("kh"))
       .write.mode(mode).partitionBy("kb").parquet(dest)
 
@@ -2422,7 +2433,7 @@ object Dedup {
             .join(broadcast(mapping), Seq("doc"), "left")
             .select(col("kb"), col("band"), col("kh"),
               coalesce(col("new_doc"), col("doc")).as("doc"))
-            .repartition(col("kb"))
+            .repartition(NdlKeyBuckets, col("kb"))
             .sortWithinPartitions(col("band"), col("kh"))
             .write.mode("overwrite").partitionBy("kb").parquet(tmp)
         }
@@ -2580,7 +2591,7 @@ object Dedup {
             extraLeases = Seq(path)) { tmp =>
           spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath))
             .filter(!purge)
-            .repartition(col("kb"))
+            .repartition(NdlKeyBuckets, col("kb"))
             .sortWithinPartitions(col("band"), col("kh"))
             .write.mode("overwrite").partitionBy("kb").parquet(tmp)
         }
@@ -2637,7 +2648,7 @@ object Dedup {
           // modulus relayouts to the current one here)
           .withColumn("kb",
             pmod(col("kh"), lit(NdlKeyBuckets.toLong)).cast("int"))
-          .repartition(col("kb"))
+          .repartition(NdlKeyBuckets, col("kb"))
           .sortWithinPartitions(col("band"), col("kh"))
           .write.mode("overwrite").partitionBy("kb").parquet(tmp)
       }

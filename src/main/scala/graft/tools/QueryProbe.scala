@@ -27,6 +27,7 @@ object QueryProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
     // A/B experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
     val builder = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
