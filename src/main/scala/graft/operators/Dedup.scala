@@ -853,7 +853,8 @@ object Dedup {
   private def ledgerDecide(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String,
       textCol: String,
-      auditOut: Option[String] = None): (DataFrame, Boolean) = {
+      auditOut: Option[String] = None,
+      materializeTo: Option[String] = None): (DataFrame, Boolean) = {
     graft.util.Fs.failIfUnderMaintenance(spark, path, "ledgerAdmit")
     val hasStore = graft.util.Gen.hasData(spark, path)
     val hashed = batch.filter(col(textCol).isNotNull)
@@ -904,8 +905,19 @@ object Dedup {
           .select(col("text_md5")).distinct()
         reps.join(seenSet, Seq("text_md5"), "left_anti")
       }
-    val admitted = hashed.join(
-        firstInBatch, Seq("text_md5", idCol)).localCheckpoint()
+    // the decisions must be materialized before any append moves the
+    // store. The batch path checkpoints; the STREAMED path persists the
+    // epoch's admitted parquet anyway, so `materializeTo` lets that one
+    // write BE the materialization (r19: the checkpoint-then-write pair
+    // was computing and storing every decision twice per epoch) — the
+    // read-back carries the writer's schema, so no footer-inference job
+    val admitted0 = hashed.join(firstInBatch, Seq("text_md5", idCol))
+    val admitted = materializeTo match {
+      case None => admitted0.localCheckpoint()
+      case Some(out) =>
+        admitted0.write.mode("overwrite").parquet(out)
+        spark.read.schema(admitted0.schema).parquet(out)
+    }
     auditOut.foreach { out =>
       val repOf = reps.withColumnRenamed(idCol, "rep")
       val exactBatch = hashed
@@ -1001,18 +1013,26 @@ object Dedup {
       val fp = epochFingerprint(batch, idCol, textCol)
       checkEpochFingerprint(fs, decidedM, fp, epochId, epochRoot)
       if (fs.exists(appendedM)) spark.read.parquet(admittedPath)
-      else {
-        if (!fs.exists(decidedM)) {
-          val (admitted, _) =
-            ledgerDecide(spark, path, batch, idCol, textCol,
-              if (audit) Some(s"$eDir/audit") else None)
-          admitted.write.mode("overwrite").parquet(admittedPath)
-          writeSeal(fs, decidedM, fp)
-        }
+      else if (!fs.exists(decidedM)) {
+        // first delivery: the decide's materializeTo writes the epoch's
+        // admitted parquet directly (one materialization, not a
+        // checkpoint plus a write), and its probe already established
+        // the store layout — no second listing/schema read for `legacy`
+        val (admitted, legacy) =
+          ledgerDecide(spark, path, batch, idCol, textCol,
+            if (audit) Some(s"$eDir/audit") else None,
+            materializeTo = Some(admittedPath))
+        writeSeal(fs, decidedM, fp)
+        ledgerAppend(spark, path, admitted, legacy)
+        fs.create(appendedM, true).close()
+        admitted
+      } else {
+        // retry of a decided-but-unappended epoch: decisions are
+        // sealed — append the STORED admitted digests. legacy
+        // re-derives from the store itself (a schema read), so the
+        // append is correct against whatever layout the first
+        // delivery established
         val admitted = spark.read.parquet(admittedPath)
-        // legacy re-derives from the store itself (a schema read), so
-        // the append is correct whether this is a first run or a
-        // retry against a layout the first run already established
         val legacy = graft.util.Gen.hasData(spark, path) &&
           !spark.read.parquet(graft.util.Gen.resolve(spark, path))
             .columns.contains("db")
@@ -1804,7 +1824,9 @@ object Dedup {
       path: String, batch: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rows: Int, threshold: Double,
       hasher: Column => Column,
-      auditOut: Option[String]): (DataFrame, DataFrame) = {
+      auditOut: Option[String],
+      materializeNovelTo: Option[String] = None)
+      : (DataFrame, DataFrame) = {
     graft.util.Fs.failIfUnderMaintenance(spark, path,
       "nearDupLedgerAdmit")
     graft.util.Fs.failIfUnderMaintenance(spark, ndlBandsPath(path),
@@ -2008,11 +2030,20 @@ object Dedup {
       .withColumn("text_md5", md5(col(textCol)))
       .join(dropped.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
     // novel signatures (all batch reps whose digest is unseen — admitted
-    // AND near-rejected, see the scaladoc) materialize before the append
-    val novel = batchSig
+    // AND near-rejected, see the scaladoc) materialize before the append.
+    // The STREAMED path persists them per epoch anyway, so
+    // `materializeNovelTo` lets that write BE the materialization
+    // instead of a checkpoint followed by a second full write (r19);
+    // the read-back carries the writer's schema — no footer job
+    val novel0 = batchSig
       .join(store.select(col("text_md5")), Seq("text_md5"), "left_anti")
       .select(storeCols.map(col): _*) // USING-join reorders; keep layout
-      .localCheckpoint()
+    val novel = materializeNovelTo match {
+      case None => novel0.localCheckpoint()
+      case Some(out) =>
+        novel0.write.mode("overwrite").parquet(out)
+        spark.read.schema(novel0.schema).parquet(out)
+    }
     (admitted, novel)
   }
 
@@ -2091,15 +2122,23 @@ object Dedup {
       val fp = epochFingerprint(batch, idCol, textCol)
       checkEpochFingerprint(fs, decidedM, fp, epochId, epochRoot)
       if (fs.exists(appendedM)) spark.read.parquet(admittedPath)
-      else {
-        if (!fs.exists(decidedM)) {
-          val (admitted, novel) = ndlDecide(spark, path, batch, idCol,
-            textCol, n, bands, rows, threshold, hasher,
-            if (audit) Some(s"$eDir/audit") else None)
-          admitted.write.mode("overwrite").parquet(admittedPath)
-          novel.write.mode("overwrite").parquet(novelPath)
-          writeSeal(fs, decidedM, fp)
-        }
+      else if (!fs.exists(decidedM)) {
+        // first delivery: the decide's materializeNovelTo writes the
+        // epoch's novel parquet directly (one materialization, not a
+        // checkpoint plus a second full write)
+        val (admitted, novel) = ndlDecide(spark, path, batch, idCol,
+          textCol, n, bands, rows, threshold, hasher,
+          if (audit) Some(s"$eDir/audit") else None,
+          materializeNovelTo = Some(novelPath))
+        admitted.write.mode("overwrite").parquet(admittedPath)
+        writeSeal(fs, decidedM, fp)
+        ndlAppend(spark, path, novel, bands, rows,
+          sealDir = Some(eDir))
+        fs.create(appendedM, true).close()
+        spark.read.parquet(admittedPath)
+      } else {
+        // retry of a decided-but-unappended epoch: append the STORED
+        // novel signatures, touch no decision
         ndlAppend(spark, path, spark.read.parquet(novelPath), bands,
           rows, sealDir = Some(eDir))
         fs.create(appendedM, true).close()
