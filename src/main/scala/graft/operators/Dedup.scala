@@ -2014,11 +2014,16 @@ object Dedup {
           .filter(col("doc") =!= col("rep"))
           .select(col("doc"), lit("exact_batch").as("reason"),
             col("rep").as("partner"))
-        val decisions = exactStoreP.unionByName(exactBatchP)
+        // the audit write IS the materialization (r19): checkpointing
+        // the union and then writing it computed every decision twice;
+        // the decision fence the scaladoc requires is the parquet file,
+        // and `dropped` derives from its schema-pinned read-back
+        val decisions0 = exactStoreP.unionByName(exactBatchP)
           .unionByName(minPartner(nearVsStorePairs, "near_store"))
           .unionByName(minPartner(nearInBatchPairs, "near_batch"))
-          .localCheckpoint()
-        decisions.write.mode("overwrite").parquet(out)
+        decisions0.write.mode("overwrite").parquet(out)
+        val decisions =
+          spark.read.schema(decisions0.schema).parquet(out)
         decisions.select(col("doc")).distinct().localCheckpoint()
     }
 
