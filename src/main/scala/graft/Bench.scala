@@ -73,33 +73,38 @@ object Bench {
     (flag, cpuRatio, jobRatio, cpuShift, jobShift)
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val spark = SparkSession.builder()
+  /** The ONE home of the bench session config (ADVICE r19: QueryProbe
+    * hand-copied this block, so a future Bench config change would
+    * silently diverge the profiler from the workload it attributes —
+    * both now build here).
+    *   - codegen cache 5000: the default 100-entry cache thrashes on
+    *     the wider plans (q42 alone has ~100 codegen units); with
+    *     eviction EVERY rep paid 10+ s of janino recompilation —
+    *     measured 14.7 s → 3.2 s on q42.
+    *   - bypassMergeThreshold 1 (r19, guide §2.1/§7): with
+    *     shuffle.partitions = local cores (≤ 200) every exchange
+    *     otherwise takes the bypass-merge writer — one file created,
+    *     written and re-concatenated per reducer per map task, measured
+    *     as 50-70% of the ledger family's executor time (q150 run
+    *     26.4 s → 4.7 s with the sort path). Production clusters run
+    *     shuffle.partitions ≫ 200 where bypass-merge never fires, so
+    *     threshold 1 makes local execution take exactly the writer the
+    *     100-TB deployment uses — a fidelity fix, not a local tune. */
+  private[graft] def sessionBuilder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the default 100-entry codegen cache thrashes on the wider plans
-      // (q42 alone has ~100 codegen units): with eviction, EVERY rep paid
-      // 10+ s of janino recompilation — measured 14.7 s → 3.2 s on q42
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // Use the serialized sort-based shuffle writer for EVERY shuffle
-      // (r19, guide §2.1/§7): with shuffle.partitions = local cores
-      // (≤ 200), every exchange otherwise takes the bypass-merge
-      // writer, which creates, writes and re-concatenates one file PER
-      // REDUCER per map task — at this suite's scale that is 32 file
-      // opens + a full rewrite per task, measured as 50-70% of the
-      // ledger family's executor time (q150 run 26.4 s → 4.7 s, q129
-      // 32.2 s → 8.1 s with the sort path). Production clusters run
-      // shuffle.partitions ≫ 200 where bypass-merge NEVER fires, so
-      // threshold 1 makes local execution take exactly the writer the
-      // 100-TB deployment uses — a fidelity fix, not a local tune.
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val spark = sessionBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Host-contention sentinel (r18): a FIXED pure-compute workload —
     // no I/O, no Spark, no data dependence — timed single-threaded and

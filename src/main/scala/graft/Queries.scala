@@ -19,8 +19,25 @@ import graft.sources.JaegerJsonSource
   */
 object Queries {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** One footer-inference per (session, table) — r20, guide §1/§6.
+    * `spark.read.parquet(path)` with no schema infers it from the file
+    * footers EVERY call, as a small Spark job (visible as "parquet at
+    * Queries.scala" in the job log) costing ~30-115 ms of driver
+    * latency per table per invocation. The driver tables are immutable
+    * inputs, so the inferred schema is cached per (session, dir, table)
+    * — the same metadata-caching Spark's own catalog does for tables —
+    * and later reads pass it explicitly. Results are byte-identical:
+    * the cached schema IS the one inference would return (same session,
+    * same configs, same files); only the repeated footer jobs go.
+    * The cache holds metadata (a StructType), never data or results —
+    * every read still scans the parquet input. */
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = tableSchemaCache.computeIfAbsent(
+      ckey(spark, dir) + "|" + name,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   /** Driver testdata ships one row group per table, so Spark scans with a
     * single task; the text/embedding pipelines do heavy per-row compute
@@ -45,16 +62,21 @@ object Queries {
     * data instead of funneling through a constant. At 100 TB the input
     * is already many splits and this shim disappears at the ingest
     * layer — the lesson that survives scale is parallelism ∝ data
-    * volume, not executor count. */
-  private def spread(df: DataFrame): DataFrame = {
+    * volume, not executor count.
+    *
+    * r20: evaluating `optimizedPlan.stats` runs the analyzer+optimizer
+    * over the scan subtree — ~10-30 ms of driver CPU per call, per
+    * bench rep. The width is a pure function of the (immutable)
+    * input's size estimate, so [[docs]]/[[emb]] cache it per
+    * (session, dir, table) and apply the repartition directly. */
+  private def spreadWidth(df: DataFrame): Int = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val par = df.sparkSession.sparkContext.defaultParallelism
     // Clamp to [min(8, par), par]: the cluster's parallelism wins over the
     // measured 8-slice floor when the cluster is narrower than 8 — width
     // must never exceed what the scheduler can actually run at once.
-    val width = ((bytes / (1L << 20)) + 1)
+    ((bytes / (1L << 20)) + 1)
       .max(BigInt(math.min(8, par))).min(BigInt(par)).toInt
-    df.repartition(width)
   }
 
   /** Normalize a scanned table onto the canonical engine schema. The
@@ -70,20 +92,26 @@ object Queries {
       if (d.columns.contains(c)) d.withColumn(c, col(c).cast(ty)) else d
     }
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    spread(conform(t(s, dir, "documents"),
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    val d = conform(t(s, dir, "documents"),
       "doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
-      "source" -> "string", "n_chars" -> "bigint"))
+      "source" -> "string", "n_chars" -> "bigint")
+    d.repartition(spreadWidthCache.computeIfAbsent(
+      ckey(s, dir) + "|documents", _ => spreadWidth(d)))
+  }
 
   /** Embedding elements conform to double: float32→double is value-exact,
     * every similarity kernel computes in double anyway (l2Normalize casts
     * internally), and DuckDB's oracle arithmetic is double — so results
     * are encoding-independent whether the driver ships float32 or
     * float64 vectors. */
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    spread(conform(t(s, dir, "embeddings"),
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    val e = conform(t(s, dir, "embeddings"),
       "vec_id" -> "bigint", "embedding" -> "array<double>",
-      "label" -> "int"))
+      "label" -> "int")
+    e.repartition(spreadWidthCache.computeIfAbsent(
+      ckey(s, dir) + "|embeddings", _ => spreadWidth(e)))
+  }
 
   /** All session caches below (IVF/PQ/bloom/cluster). Keys come from
     * [[ckey]] only, so every entry is prefixed `applicationId + "|"` and
@@ -122,6 +150,14 @@ object Queries {
         })
     appId + "|" + dir
   }
+
+  /** [[t]]'s schema cache (declared after [[sessionCache]] so object
+    * init order holds — [[t]] itself is a def and may live above). */
+  private val tableSchemaCache =
+    sessionCache[org.apache.spark.sql.types.StructType]()
+
+  /** [[spreadWidth]]'s per-(session, dir, table) cache — see [[docs]]. */
+  private val spreadWidthCache = sessionCache[Integer]()
 
   /** Session-cached IVF index per (context, sfDir) — the build-once /
     * query-many ANN deployment ([[operators.Similarity.buildIvfIndex]]):
@@ -2699,8 +2735,8 @@ object Queries {
         auditOut = Some(s"$path/audit1"))
       Dedup.nearDupLedgerAdmit(s, ledger, b2, "doc_id", "text",
         auditOut = Some(s"$path/audit2"))
-      s.read.parquet(s"$path/audit1")
-        .unionByName(s.read.parquet(s"$path/audit2"))
+      graft.util.Gen.read(s, s"$path/audit1")
+        .unionByName(graft.util.Gen.read(s, s"$path/audit2"))
         .select(col("doc").as("doc_id"), col("reason"), col("partner"))
         .orderBy(col("doc_id"), col("reason")).localCheckpoint()
     } finally graft.util.Fs.deleteRecursively(path)
@@ -4001,17 +4037,23 @@ object Queries {
     val path = java.nio.file.Files
       .createTempDirectory("graft_t52_ivf").toString
     try {
-      Similarity.saveIvfIndex(
-        Similarity.buildIvfIndex(base, "vec_id", "embedding",
-          nCentroids = 32, kmeansIters = 4), path)
-      Similarity.appendToIvfIndex(s, path, batch, "vec_id", "embedding")
+      graft.util.Fs.labeled(s, "t52:build+save") {
+        Similarity.saveIvfIndex(
+          Similarity.buildIvfIndex(base, "vec_id", "embedding",
+            nCentroids = 32, kmeansIters = 4), path)
+      }
+      graft.util.Fs.labeled(s, "t52:append") {
+        Similarity.appendToIvfIndex(s, path, batch, "vec_id", "embedding")
+      }
       val idx = Similarity.loadIvfIndex(s, path)
       val cand = Similarity.ivfTopKFromIndex(idx, e, "vec_id",
         "embedding", k = 5, nProbe = 32)
-      Similarity.mutualKnnClustersFromCandidates(e, "vec_id", cand)
-        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
-        .orderBy(col("vec_id"))
-        .localCheckpoint()
+      graft.util.Fs.labeled(s, "t52:serve") {
+        Similarity.mutualKnnClustersFromCandidates(e, "vec_id", cand)
+          .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+          .orderBy(col("vec_id"))
+          .localCheckpoint()
+      }
     } finally graft.util.Fs.deleteRecursively(path)
   }
 

@@ -215,7 +215,7 @@ object Curation {
       val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
       if (!marker.getFileSystem(hconf).exists(marker))
         build.write.mode("overwrite").partitionBy("source").parquet(p)
-      spark.read.parquet(p)
+      graft.util.Gen.read(spark, p)
     }
     val raw = stage("0_raw")(
       d.select(col("doc_id"), col("source"), col("text")))

@@ -488,10 +488,87 @@ object Dedup {
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
-    // a small edge list (the usual case: dup pairs are rare relative to
-    // the corpus) iterates faster as one partition — each round is 3 jobs
-    // and per-task scheduling overhead dominates tiny shuffles
-    val edges = if (edgesWide.count() < 1000000)
+    val nEdges = edgesWide.count()
+    // A SMALL edge list (the usual case: dup pairs are rare relative to
+    // the corpus) under the same 1e6 bound the r5 single-partition path
+    // used computes the identical min-label fixpoint with a DRIVER
+    // union-find (r20, guide §1.2 — don't run a distributed iteration
+    // over data one bounded collect holds): the old path funneled every
+    // round through one task anyway (repartition(1)) and paid
+    // 3-4 scheduled jobs PER ROUND — 60-90 jobs of pure driver latency
+    // per clustering at bench scale, the dominant wall in the
+    // serve-side entries (t50/t52/q117/t17). The collect is bounded by
+    // the SAME threshold that picked the single-partition path before
+    // (≤ 1e6 two-long rows ≈ 48 MB); ≥ the bound, or for non-long ids,
+    // the distributed propagation below is unchanged. Labels are
+    // identical by construction: union-find with smaller-root-wins
+    // yields per component exactly the min reachable id — the
+    // propagation fixpoint. The maxIter contract holds EXACTLY: the
+    // distributed loop raises iff it cannot OBSERVE convergence within
+    // maxIter rounds, i.e. iff maxIter ≤ D where D = max BFS distance
+    // from a component's min-id node to its nodes (a label moves one
+    // hop per round; the last decrease anywhere is at round D, and the
+    // no-change round that proves convergence is D+1) — one driver BFS
+    // computes D and the same require fires on the same graphs.
+    if (nEdges < 1000000 &&
+        edgesWide.schema("src").dataType ==
+          org.apache.spark.sql.types.LongType) {
+      val es = edgesWide.collect()
+      val parent = new java.util.HashMap[Long, Long](es.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrDefault(x, x) != x) x = parent.getOrDefault(x, x)
+        // path compression
+        var y = x0
+        while (parent.getOrDefault(y, y) != y) {
+          val p = parent.getOrDefault(y, y); parent.put(y, x); y = p
+        }
+        x
+      }
+      val nodes = new java.util.HashSet[Long](es.length * 2)
+      val adj = new java.util.HashMap[Long,
+        scala.collection.mutable.ArrayBuffer[Long]](es.length * 2)
+      es.foreach { r =>
+        // edgesWide already holds BOTH directions (the union above)
+        val a = r.getLong(0); val b = r.getLong(1)
+        nodes.add(a); nodes.add(b)
+        adj.computeIfAbsent(a,
+          _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += b
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      // BFS from every component root (= its min id): D = the rounds
+      // bound the distributed loop would have needed (see above)
+      val level = new java.util.HashMap[Long, Integer](nodes.size * 2)
+      val queue = new java.util.ArrayDeque[Long]()
+      nodes.forEach { n =>
+        if (find(n) == n) { level.put(n, 0); queue.add(n) }
+      }
+      var maxD = 0
+      while (!queue.isEmpty) {
+        val u = queue.poll(); val lu: Int = level.get(u)
+        val vs = adj.get(u)
+        if (vs != null) vs.foreach { v =>
+          if (!level.containsKey(v)) {
+            level.put(v, lu + 1)
+            if (lu + 1 > maxD) maxD = lu + 1
+            queue.add(v)
+          }
+        }
+      }
+      require(nodes.isEmpty || maxD < maxIter,
+        s"connectedComponents did not converge in $maxIter " +
+          "rounds — diameter exceeds the bound; raise maxIter")
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size)
+      nodes.forEach(n => out.add(org.apache.spark.sql.Row(n, find(n))))
+      val srcField = edgesWide.schema("src")
+      return pairs.sparkSession.createDataFrame(out,
+        org.apache.spark.sql.types.StructType(Seq(
+          srcField.copy(name = "node"), srcField.copy(name = "lbl"))))
+    }
+    // distributed min-label propagation (the ≥ 1e6-edge / non-long path)
+    val edges = if (nEdges < 1000000)
       edgesWide.repartition(1).localCheckpoint()
     else edgesWide
     var labels = edges.select(col("src").as("node")).distinct()
@@ -854,7 +931,8 @@ object Dedup {
       path: String, batch: DataFrame, idCol: String,
       textCol: String,
       auditOut: Option[String] = None,
-      materializeTo: Option[String] = None): (DataFrame, Boolean) = {
+      materializeTo: Option[String] = None): (DataFrame, Boolean) =
+    graft.util.Fs.labeled(spark, "exact:decide") {
     graft.util.Fs.failIfUnderMaintenance(spark, path, "ledgerAdmit")
     val hasStore = graft.util.Gen.hasData(spark, path)
     val hashed = batch.filter(col(textCol).isNotNull)
@@ -883,7 +961,7 @@ object Dedup {
     val firstInBatch =
       if (!hasStore) reps
       else {
-        val s0 = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+        val s0 = graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, path))
         legacyLayout = !s0.columns.contains("db")
         val store =
           if (!legacyLayout) s0
@@ -920,6 +998,7 @@ object Dedup {
     }
     auditOut.foreach { out =>
       val repOf = reps.withColumnRenamed(idCol, "rep")
+      // (runs under the same "exact:decide" label)
       val exactBatch = hashed
         .select(col(idCol).as("doc"), col("text_md5"))
         .join(repOf, Seq("text_md5"))
@@ -1012,7 +1091,7 @@ object Dedup {
       val admittedPath = s"$eDir/admitted"
       val fp = epochFingerprint(batch, idCol, textCol)
       checkEpochFingerprint(fs, decidedM, fp, epochId, epochRoot)
-      if (fs.exists(appendedM)) spark.read.parquet(admittedPath)
+      if (fs.exists(appendedM)) graft.util.Gen.read(spark, admittedPath)
       else if (!fs.exists(decidedM)) {
         // first delivery: the decide's materializeTo writes the epoch's
         // admitted parquet directly (one materialization, not a
@@ -1032,9 +1111,9 @@ object Dedup {
         // re-derives from the store itself (a schema read), so the
         // append is correct against whatever layout the first
         // delivery established
-        val admitted = spark.read.parquet(admittedPath)
+        val admitted = graft.util.Gen.read(spark, admittedPath)
         val legacy = graft.util.Gen.hasData(spark, path) &&
-          !spark.read.parquet(graft.util.Gen.resolve(spark, path))
+          !graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, path))
             .columns.contains("db")
         ledgerAppend(spark, path, admitted, legacy)
         fs.create(appendedM, true).close()
@@ -1660,10 +1739,10 @@ object Dedup {
       path: String, targetFiles: Int = 0): Long = {
     graft.util.Gen.rewrite(spark, path)(tmp =>
       ledgerWriteDigests(
-        spark.read.parquet(graft.util.Gen.resolve(spark, path))
+        graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, path))
           .select(col("text_md5")).distinct(),
         "overwrite", tmp))
-    spark.read.parquet(graft.util.Gen.resolve(spark, path)).count()
+    graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, path)).count()
   }
 
   /** One-row layout health of the [[ledgerAdmit]] digest store — the
@@ -1680,7 +1759,7 @@ object Dedup {
   def dedupLedgerStats(spark: org.apache.spark.sql.SparkSession,
       path: String, maxFilesPerBucket: Int = 16): DataFrame = {
     import spark.implicits._
-    val s0 = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+    val s0 = graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, path))
     val bucketed = s0.columns.contains("db")
     val withDb =
       if (bucketed) s0
@@ -1826,7 +1905,8 @@ object Dedup {
       hasher: Column => Column,
       auditOut: Option[String],
       materializeNovelTo: Option[String] = None)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) =
+    graft.util.Fs.labeled(spark, "ndl:decide") {
     graft.util.Fs.failIfUnderMaintenance(spark, path,
       "nearDupLedgerAdmit")
     graft.util.Fs.failIfUnderMaintenance(spark, ndlBandsPath(path),
@@ -1870,7 +1950,7 @@ object Dedup {
     val storeColsDb = storeCols :+ "db"
     val store =
       if (hasStore) {
-        val s0 = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+        val s0 = graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, path))
         val s = if (s0.columns.toSet == storeColsDb.toSet)
           s0.select(storeColsDb.map(col): _*) else s0
         if (s.columns.toSeq != storeColsDb) throw new IllegalStateException(
@@ -1915,7 +1995,7 @@ object Dedup {
     // exactly its band store.
     val bandStore =
       if (hasStore && graft.util.Gen.hasData(spark, bandsPath))
-        spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath))
+        graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, bandsPath))
       else ndlWithKb(ndlBandKeys(batchSig.limit(0), bands, rows))
 
     val exactVsStore = batchSig
@@ -2072,6 +2152,7 @@ object Dedup {
   private def ndlAppend(spark: org.apache.spark.sql.SparkSession,
       path: String, novel: DataFrame, bands: Int, rows: Int,
       sealDir: Option[String] = None): Unit =
+    graft.util.Fs.labeled(spark, "ndl:append") {
     if (!novel.isEmpty) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2089,6 +2170,7 @@ object Dedup {
         ndlWritePrimary(novel, "append",
           graft.util.Gen.appendDir(spark, path))
       }
+    }
     }
 
   /** Streamed [[nearDupLedgerAdmit]] — the same epoch protocol as
@@ -2126,7 +2208,7 @@ object Dedup {
       val novelPath = s"$eDir/novel"
       val fp = epochFingerprint(batch, idCol, textCol)
       checkEpochFingerprint(fs, decidedM, fp, epochId, epochRoot)
-      if (fs.exists(appendedM)) spark.read.parquet(admittedPath)
+      if (fs.exists(appendedM)) graft.util.Gen.read(spark, admittedPath)
       else if (!fs.exists(decidedM)) {
         // first delivery: the decide's materializeNovelTo writes the
         // epoch's novel parquet directly (one materialization, not a
@@ -2140,14 +2222,14 @@ object Dedup {
         ndlAppend(spark, path, novel, bands, rows,
           sealDir = Some(eDir))
         fs.create(appendedM, true).close()
-        spark.read.parquet(admittedPath)
+        graft.util.Gen.read(spark, admittedPath)
       } else {
         // retry of a decided-but-unappended epoch: append the STORED
         // novel signatures, touch no decision
-        ndlAppend(spark, path, spark.read.parquet(novelPath), bands,
+        ndlAppend(spark, path, graft.util.Gen.read(spark, novelPath), bands,
           rows, sealDir = Some(eDir))
         fs.create(appendedM, true).close()
-        spark.read.parquet(admittedPath)
+        graft.util.Gen.read(spark, admittedPath)
       }
     }
 
@@ -2387,7 +2469,7 @@ object Dedup {
       else 4)
     val useRows = meta.map(_("rows")).getOrElse(if (rows > 0) rows
       else 4)
-    val primary = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+    val primary = graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, path))
     val mh = primary.columns.count(_.startsWith("mh"))
     require(useBands * useRows == mh,
       s"band geometry ${useBands}x$useRows does not match the ledger's " +
@@ -2400,7 +2482,7 @@ object Dedup {
     // (no files, no schema) — report 0 keys instead of failing to
     // infer a schema that was never written
     if (graft.util.Gen.hasData(spark, bandsPath))
-      spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath))
+      graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, bandsPath))
         .count()
     else 0L
   }
@@ -2447,7 +2529,7 @@ object Dedup {
             s"uses ($NdlKeyBuckets, $NdlDocBuckets) — run " +
             "compactNearDupLedger once to migrate, then forget.")
     }
-    val primary0 = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+    val primary0 = graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, path))
     val docType = primary0.schema("doc").dataType
     val sentinel = (lit(-1L) - pmod(xxhash64(col("text_md5")),
       lit(Long.MaxValue))).cast(docType)
@@ -2473,7 +2555,7 @@ object Dedup {
         // by the late content re-verify
         graft.util.Gen.rewrite(spark, bandsPath,
             extraLeases = Seq(path)) { tmp =>
-          spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath))
+          graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, bandsPath))
             .join(broadcast(mapping), Seq("doc"), "left")
             .select(col("kb"), col("band"), col("kh"),
               coalesce(col("new_doc"), col("doc")).as("doc"))
@@ -2493,7 +2575,7 @@ object Dedup {
     // down (ownsMarker = true): the band store may already be
     // scrubbed, and only a COMPLETED re-run restores consistency
     graft.util.Gen.rewrite(spark, path, ownsMarker = true) { tmp =>
-      val s = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+      val s = graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, path))
       val dataCols = s.columns.filter(_ != "db")
       // db recomputes from the scrubbed id — the row MOVES to the
       // sentinel's bucket, which is where the verify fetch (whose
@@ -2537,7 +2619,7 @@ object Dedup {
       path: String, maxFilesPerBucket: Int = 16): DataFrame = {
     import spark.implicits._
     val g = graft.util.Gen.resolve(spark, path)
-    val primary = spark.read.parquet(g)
+    val primary = graft.util.Gen.read(spark, g)
     val p = primary
       .select(col("db"), col("doc"), col("mh0"),
         input_file_name().as("f"))
@@ -2555,8 +2637,8 @@ object Dedup {
     val hasBands = graft.util.Gen.hasData(spark, bandsPath)
     val (bandRows, bMaxFiles) =
       if (hasBands) {
-        val b = spark.read
-          .parquet(graft.util.Gen.resolve(spark, bandsPath))
+        val b = graft.util.Gen
+          .read(spark, graft.util.Gen.resolve(spark, bandsPath))
           .select(col("kb"), input_file_name().as("f"))
         (b.count(),
           b.groupBy(col("kb")).agg(countDistinct(col("f")).as("nf"))
@@ -2609,7 +2691,7 @@ object Dedup {
       path: String, beforeDoc: Long, dropSignatures: Boolean = false,
       dropForgottenSignatures: Boolean = false): Long = {
     if (!dropSignatures) {
-      val ids = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+      val ids = graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, path))
         .filter(col("doc") >= 0L && col("doc") < beforeDoc)
         .select(col("doc"))
       return nearDupLedgerForget(spark, path, ids, "doc")
@@ -2618,7 +2700,7 @@ object Dedup {
     val purge =
       if (dropForgottenSignatures) expired || col("doc") < 0L
       else expired
-    val primary0 = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+    val primary0 = graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, path))
     val nDrop = primary0.filter(purge).count()
     if (nDrop == 0L) return 0L
     val bandsPath = ndlBandsPath(path)
@@ -2633,7 +2715,7 @@ object Dedup {
         // serializes ingest into this band store (see the forget)
         graft.util.Gen.rewrite(spark, bandsPath,
             extraLeases = Seq(path)) { tmp =>
-          spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath))
+          graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, bandsPath))
             .filter(!purge)
             .repartition(NdlKeyBuckets, col("kb"))
             .sortWithinPartitions(col("band"), col("kh"))
@@ -2645,7 +2727,7 @@ object Dedup {
         throw e
     }
     graft.util.Gen.rewrite(spark, path, ownsMarker = true) { tmp =>
-      val s = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+      val s = graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, path))
       val dataCols = s.columns.filter(_ != "db")
       ndlWritePrimary(s.filter(!purge).select(dataCols.map(col): _*),
         "overwrite", tmp)
@@ -2674,7 +2756,7 @@ object Dedup {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.util.Gen.rewrite(spark, path) { tmp =>
-      val s0 = spark.read.parquet(graft.util.Gen.resolve(spark, path))
+      val s0 = graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, path))
       val data = s0.columns.filter(_ != "db")
       ndlWritePrimary(s0.select(data.map(col): _*).distinct(),
         "overwrite", tmp)
@@ -2685,7 +2767,7 @@ object Dedup {
       // serializes ingest into this band store (see the forget)
       graft.util.Gen.rewrite(spark, bandsPath,
           extraLeases = Seq(path)) { tmp =>
-        spark.read.parquet(graft.util.Gen.resolve(spark, bandsPath))
+        graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, bandsPath))
           .distinct()
           // kb recomputes from kh — this is what makes compaction the
           // bucket-modulus MIGRATION (a store written under an older
@@ -2701,7 +2783,7 @@ object Dedup {
     // stays sidecar-less until its next admit backfills one
     ndlReadMeta(fs, path).foreach(m =>
       ndlWriteMeta(fs, path, m("bands"), m("rows")))
-    spark.read.parquet(graft.util.Gen.resolve(spark, path)).count()
+    graft.util.Gen.read(spark, graft.util.Gen.resolve(spark, path)).count()
   }
 
   /** The STREAMING-ingest form of [[removeBoilerplate]]'s rebuild: the

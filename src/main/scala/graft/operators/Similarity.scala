@@ -449,7 +449,7 @@ object Similarity {
     graft.util.Gen.rewrite(index._1.sparkSession, path) { g =>
       writeIvfIndexInto(index, g, maxRowsPerWriteTask)
       logIngest(index._1.sparkSession, g,
-        index._1.sparkSession.read.parquet(s"$g/assigned")
+        graft.util.Gen.read(index._1.sparkSession, s"$g/assigned")
           .select("neighbor_id"), ingestMicros)
     }
 
@@ -481,7 +481,7 @@ object Similarity {
     // the in-memory form
     val spark = index._1.sparkSession
     cellBaseline(index._1,
-      spark.read.parquet(s"$path/assigned")
+      graft.util.Gen.read(spark, s"$path/assigned")
         .select(col("cell").cast("long").as("cell"), col("cv")))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/baseline")
   }
@@ -654,7 +654,7 @@ object Similarity {
     val lp = new org.apache.hadoop.fs.Path(s"$from/ingest_log")
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(lp) && fs.listStatus(lp).nonEmpty)
-      dropTombstoned(spark, from, spark.read.parquet(lp.toString))
+      dropTombstoned(spark, from, graft.util.Gen.read(spark, lp.toString))
         .write.parquet(s"$to/ingest_log")
   }
 
@@ -680,7 +680,7 @@ object Similarity {
     val lp = new org.apache.hadoop.fs.Path(s"$g/ingest_log")
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(lp) || fs.listStatus(lp).isEmpty) return 0L
-    val ids = spark.read.parquet(lp.toString)
+    val ids = graft.util.Gen.read(spark, lp.toString)
       .filter(col("ingest_us") < lit(olderThanMicros))
       .select(col("neighbor_id"))
     appendTombstones(spark, path, ids, "neighbor_id", "expireFromIndex")
@@ -693,8 +693,8 @@ object Similarity {
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, DataFrame) = {
     val g = genDir(spark, path)
-    (spark.read.parquet(s"$g/centroids"),
-      dropTombstoned(spark, g, spark.read.parquet(s"$g/assigned")))
+    (graft.util.Gen.read(spark, s"$g/centroids"),
+      dropTombstoned(spark, g, graft.util.Gen.read(spark, s"$g/assigned")))
   }
 
   /** Delete vectors from a persisted index — the takedown/retention
@@ -754,7 +754,7 @@ object Similarity {
     val tp = new org.apache.hadoop.fs.Path(s"$dataDir/tombstones")
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tp) && fs.listStatus(tp).nonEmpty)
-      Some(spark.read.parquet(tp.toString)
+      Some(graft.util.Gen.read(spark, tp.toString)
         .select(col("neighbor_id")).distinct())
     else None
   }
@@ -788,7 +788,7 @@ object Similarity {
     graft.util.Fs.failIfUnderMaintenance(spark, path,
       "appendToIvfIndex")
     val g = genDir(spark, path)
-    val cents = spark.read.parquet(s"$g/centroids")
+    val cents = graft.util.Gen.read(spark, s"$g/centroids")
     val assigned = assignCells(
       newVecs.select(col(idCol).as("neighbor_id"),
         l2Normalize(col(vecCol)).as("cv")),
@@ -829,10 +829,10 @@ object Similarity {
       carryAuxDatasets(spark, old, g, except = "assigned")
       carryIngestLog(spark, old, g)
       writeCellStore(dropTombstoned(spark, old,
-        spark.read.parquet(s"$old/assigned")), "overwrite",
+        graft.util.Gen.read(spark, s"$old/assigned")), "overwrite",
         s"$g/assigned", maxRowsPerWriteTask)
     }
-    spark.read.parquet(s"${genDir(spark, path)}/assigned").count()
+    graft.util.Gen.read(spark, s"${genDir(spark, path)}/assigned").count()
   }
 
   /** Layout health of a persisted cell store: per cell, row count and
@@ -856,7 +856,7 @@ object Similarity {
 
   private def cellStoreStats(spark: org.apache.spark.sql.SparkSession,
       store: String): DataFrame =
-    spark.read.parquet(store)
+    graft.util.Gen.read(spark, store)
       .select(col("cell"), input_file_name().as("f"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_rows"),
@@ -888,7 +888,7 @@ object Similarity {
       // delete
       val old = genDir(spark, path)
       val corpus = dropTombstoned(spark, old,
-          spark.read.parquet(s"$old/assigned"))
+          graft.util.Gen.read(spark, s"$old/assigned"))
         .select(col("neighbor_id"), col("cv")).localCheckpoint()
       writeIvfIndexInto(
         buildIvfIndex(corpus, "neighbor_id", "cv", nCentroids,
@@ -898,7 +898,7 @@ object Similarity {
       // old store's LIVE rows, whose ingest times are unchanged
       carryIngestLog(spark, old, g)
     }
-    spark.read.parquet(s"${genDir(spark, path)}/assigned").count()
+    graft.util.Gen.read(spark, s"${genDir(spark, path)}/assigned").count()
   }
 
   /** [[rebuildIvfIndex]] for a persisted IVF+PQ index. The code store
@@ -926,7 +926,7 @@ object Similarity {
       writeIvfPqErrBaselineInto(spark, g, live, idCol, vecCol)
       carryIngestLog(spark, genDir(spark, path), g)
     }
-    spark.read.parquet(s"${genDir(spark, path)}/codes").count()
+    graft.util.Gen.read(spark, s"${genDir(spark, path)}/codes").count()
   }
 
   /** Centroid-drift report — the rebuild trigger [[appendToIvfIndex]]'s
@@ -980,7 +980,7 @@ object Similarity {
           "monitor existed). Run Similarity.backfillIvfBaseline(spark, " +
           "path) BEFORE any drifted appends land in the store, or " +
           "rebuild + re-save the index.")
-    val baseDf = spark.read.parquet(s"$g/baseline")
+    val baseDf = graft.util.Gen.read(spark, s"$g/baseline")
     // legacy-SCHEMA guard, not just legacy-existence: a baseline written
     // before the p10 columns would otherwise surface as a raw
     // unresolved-column AnalysisException deep inside the report plan
@@ -992,7 +992,7 @@ object Similarity {
           "only while the store is unappended; if drifted appends have " +
           "already landed, rebuild + re-save the index.")
     driftAgainst(baseDf,
-      spark.read.parquet(s"$g/centroids"), batch, idCol, vecCol)
+      graft.util.Gen.read(spark, s"$g/centroids"), batch, idCol, vecCol)
   }
 
   /** Backfill the `baseline/` dataset for an index persisted before
@@ -1176,7 +1176,7 @@ object Similarity {
 
   private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
       path: String): PqCodebooks = {
-    val r = spark.read.parquet(path).head()
+    val r = graft.util.Gen.read(spark, path).head()
     PqCodebooks(r.getAs[Int]("m"), r.getAs[Int]("k"),
       r.getAs[Int]("dsub"), r.getAs[Seq[Double]]("flat").toArray)
   }
@@ -1192,7 +1192,7 @@ object Similarity {
       writeCodebooks(index._1, index._2.sparkSession, s"$g/codebooks")
       index._2.write.mode("overwrite").parquet(s"$g/codes")
       logIngest(index._2.sparkSession, g,
-        index._2.sparkSession.read.parquet(s"$g/codes")
+        graft.util.Gen.read(index._2.sparkSession, s"$g/codes")
           .select("neighbor_id"), ingestMicros)
     }
 
@@ -1202,7 +1202,7 @@ object Similarity {
       path: String): (PqCodebooks, DataFrame) = {
     val g = genDir(spark, path)
     (readCodebooks(spark, s"$g/codebooks"),
-      dropTombstoned(spark, g, spark.read.parquet(s"$g/codes")))
+      dropTombstoned(spark, g, graft.util.Gen.read(spark, s"$g/codes")))
   }
 
   /** [[deleteFromIvfIndex]] for a persisted plain-PQ index. */
@@ -1243,11 +1243,11 @@ object Similarity {
       val old = genDir(spark, path)
       carryAuxDatasets(spark, old, g, except = "codes")
       carryIngestLog(spark, old, g)
-      dropTombstoned(spark, old, spark.read.parquet(s"$old/codes"))
+      dropTombstoned(spark, old, graft.util.Gen.read(spark, s"$old/codes"))
         .repartition(n, col("neighbor_id"))
         .write.mode("overwrite").parquet(s"$g/codes")
     }
-    spark.read.parquet(s"${genDir(spark, path)}/codes").count()
+    graft.util.Gen.read(spark, s"${genDir(spark, path)}/codes").count()
   }
 
   /** PQ top-k serve: queries broadcast with a precomputed per-query LUT
@@ -1321,13 +1321,13 @@ object Similarity {
     graft.util.Gen.rewrite(index.sparkSession, path) { g =>
       index.write.mode("overwrite").parquet(s"$g/codes")
       logIngest(index.sparkSession, g,
-        index.sparkSession.read.parquet(s"$g/codes")
+        graft.util.Gen.read(index.sparkSession, s"$g/codes")
           .select("neighbor_id"), ingestMicros)
     }
   def loadSq8Index(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val g = genDir(spark, path)
-    dropTombstoned(spark, g, spark.read.parquet(s"$g/codes"))
+    dropTombstoned(spark, g, graft.util.Gen.read(spark, s"$g/codes"))
   }
 
   /** Incremental maintenance for the persisted SQ8 index — the
@@ -1360,11 +1360,11 @@ object Similarity {
       val old = genDir(spark, path)
       carryAuxDatasets(spark, old, g, except = "codes")
       carryIngestLog(spark, old, g)
-      dropTombstoned(spark, old, spark.read.parquet(s"$old/codes"))
+      dropTombstoned(spark, old, graft.util.Gen.read(spark, s"$old/codes"))
         .repartition(n, col("neighbor_id"))
         .write.mode("overwrite").parquet(s"$g/codes")
     }
-    spark.read.parquet(s"${genDir(spark, path)}/codes").count()
+    graft.util.Gen.read(spark, s"${genDir(spark, path)}/codes").count()
   }
 
   /** Layout health of a persisted SQ8 store: (n_rows, n_files,
@@ -1375,7 +1375,7 @@ object Similarity {
       path: String): DataFrame = {
     val g = genDir(spark, path)
     val nTs = tombstonesOf(spark, g).map(_.count()).getOrElse(0L)
-    spark.read.parquet(s"$g/codes")
+    graft.util.Gen.read(spark, s"$g/codes")
       .select(input_file_name().as("f"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("f")).as("n_files"))
@@ -1470,7 +1470,7 @@ object Similarity {
     graft.util.Gen.rewrite(index._1.sparkSession, path) { g =>
       writeIvfSq8IndexInto(index, g, maxRowsPerWriteTask)
       logIngest(index._1.sparkSession, g,
-        index._1.sparkSession.read.parquet(s"$g/codes")
+        graft.util.Gen.read(index._1.sparkSession, s"$g/codes")
           .select("neighbor_id"), ingestMicros)
     }
 
@@ -1507,7 +1507,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String, corpus: DataFrame, idCol: String,
       vecCol: String): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = graft.util.Gen.read(spark, s"$path/centroids")
     cellBaseline(cents,
       assignCells(
         corpus.select(col(idCol).as("bid"),
@@ -1522,8 +1522,8 @@ object Similarity {
   def loadIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, DataFrame) = {
     val g = genDir(spark, path)
-    (spark.read.parquet(s"$g/centroids"),
-      dropTombstoned(spark, g, spark.read.parquet(s"$g/codes")))
+    (graft.util.Gen.read(spark, s"$g/centroids"),
+      dropTombstoned(spark, g, graft.util.Gen.read(spark, s"$g/codes")))
   }
 
   /** Incremental maintenance for the persisted IVF×SQ8 index: frozen
@@ -1537,7 +1537,7 @@ object Similarity {
     graft.util.Fs.failIfUnderMaintenance(spark, path,
       "appendToIvfSq8Index")
     val g = genDir(spark, path)
-    val cents = spark.read.parquet(s"$g/centroids")
+    val cents = graft.util.Gen.read(spark, s"$g/centroids")
     val assigned = assignCells(
       newVecs.select(col(idCol).as("neighbor_id"),
         l2Normalize(col(vecCol)).as("cv")),
@@ -1592,7 +1592,7 @@ object Similarity {
       writeIvfSq8BaselineInto(spark, g, live, idCol, vecCol)
       carryIngestLog(spark, genDir(spark, path), g)
     }
-    spark.read.parquet(s"${genDir(spark, path)}/codes").count()
+    graft.util.Gen.read(spark, s"${genDir(spark, path)}/codes").count()
   }
 
   /** IVF×SQ8 top-k serve: queries argmax into their nProbe cells (the
@@ -1759,7 +1759,7 @@ object Similarity {
     graft.util.Gen.rewrite(index._1.sparkSession, path) { g =>
       writeIvfPqIndexInto(index, g, maxRowsPerWriteTask)
       logIngest(index._1.sparkSession, g,
-        index._1.sparkSession.read.parquet(s"$g/codes")
+        graft.util.Gen.read(index._1.sparkSession, s"$g/codes")
           .select("neighbor_id"), ingestMicros)
     }
 
@@ -1779,9 +1779,9 @@ object Similarity {
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, PqCodebooks, DataFrame) = {
     val g = genDir(spark, path)
-    (spark.read.parquet(s"$g/centroids"),
+    (graft.util.Gen.read(spark, s"$g/centroids"),
       readCodebooks(spark, s"$g/codebooks"),
-      dropTombstoned(spark, g, spark.read.parquet(s"$g/codes")))
+      dropTombstoned(spark, g, graft.util.Gen.read(spark, s"$g/codes")))
   }
 
   /** Incremental maintenance for the persisted IVF+PQ index — the
@@ -1801,7 +1801,7 @@ object Similarity {
     graft.util.Fs.failIfUnderMaintenance(spark, path,
       "appendToIvfPqIndex")
     val g = genDir(spark, path)
-    val cents = spark.read.parquet(s"$g/centroids")
+    val cents = graft.util.Gen.read(spark, s"$g/centroids")
     val cb = readCodebooks(spark, s"$g/codebooks")
     val assigned = assignCells(
       newVecs.select(col(idCol).as("neighbor_id"),
@@ -1829,10 +1829,10 @@ object Similarity {
       carryAuxDatasets(spark, old, g, except = "codes")
       carryIngestLog(spark, old, g)
       writeCellStore(dropTombstoned(spark, old,
-        spark.read.parquet(s"$old/codes")), "overwrite",
+        graft.util.Gen.read(spark, s"$old/codes")), "overwrite",
         s"$g/codes", maxRowsPerWriteTask)
     }
-    spark.read.parquet(s"${genDir(spark, path)}/codes").count()
+    graft.util.Gen.read(spark, s"${genDir(spark, path)}/codes").count()
   }
 
   /** Per-row PQ quantization error: `1 − ⟨v, recon(v)⟩` via the ADC
@@ -1869,7 +1869,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String, corpus: DataFrame, idCol: String,
       vecCol: String): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = graft.util.Gen.read(spark, s"$path/centroids")
     val cb = readCodebooks(spark, s"$path/codebooks")
     val err = assignCells(
       corpus.select(col(idCol).as("bid"),
@@ -1911,7 +1911,7 @@ object Similarity {
           "idCol, vecCol) right after saveIvfPqIndex — sound only " +
           "while no drifted appends have landed; if they have, rebuild " +
           "+ re-save the index.")
-    val cents = spark.read.parquet(s"$g/centroids")
+    val cents = graft.util.Gen.read(spark, s"$g/centroids")
     val cb = readCodebooks(spark, s"$g/codebooks")
     val err = assignCells(
       batch.select(col(idCol).as("bid"),
@@ -1923,7 +1923,7 @@ object Similarity {
         round(avg(col("err")), 6).as("batch_mean_err"),
         round(org.apache.spark.sql.functions
           .expr("percentile(err, 0.90)"), 6).as("batch_p90_err"))
-    bp.join(spark.read.parquet(s"$g/err_baseline"), Seq("cell"),
+    bp.join(graft.util.Gen.read(spark, s"$g/err_baseline"), Seq("cell"),
         "left")
       .select(col("cell"),
         coalesce(col("base_n"), lit(0L)).as("base_n"),

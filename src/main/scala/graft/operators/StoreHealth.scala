@@ -56,7 +56,7 @@ object StoreHealth {
       "admit_epochs" // a streamed-admit epoch root (never versioned)
     else {
       // flat dataset: one schema footer decides among the ledgers
-      val cols = spark.read.parquet(g).columns.toSet
+      val cols = graft.util.Gen.read(spark, g).columns.toSet
       if (cols.contains("hs") && cols.contains("mh0")) "neardup_ledger"
       else if (cols.contains("band") && cols.contains("kh"))
         "neardup_bands"

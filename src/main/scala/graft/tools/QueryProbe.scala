@@ -21,14 +21,10 @@ object QueryProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val b0 = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      .config("spark.ui.enabled", "false")
+    // the bench's own session config, from the one shared home
+    // (ADVICE r19: a hand-copied block would silently diverge the
+    // profiler from the workload it attributes)
+    val b0 = graft.Bench.sessionBuilder(cpus)
     // A/B experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
     val builder = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
       .map(_.split(";").filter(_.contains("=")))
@@ -46,10 +42,15 @@ object QueryProbe {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         // the result stage's name carries the action's call site
-        // (e.g. "parquet at Dedup.scala:2092") — the attribution we need
-        val d = e.stageInfos.sortBy(_.stageId).lastOption
+        // (e.g. "parquet at Dedup.scala:2092"); the job DESCRIPTION
+        // (setJobDescription — the operators label their phases) says
+        // which protocol phase it belongs to. Both are the attribution.
+        val site = e.stageInfos.sortBy(_.stageId).lastOption
           .map(_.name).getOrElse("?")
-        val j = Job(d, e.time)
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .map(d => s"[$d] ").getOrElse("")
+        val j = Job(desc + site, e.time)
         jobs.put(e.jobId, j)
         e.stageIds.foreach(s => stageToJob.put(s, e.jobId))
       }
@@ -57,8 +58,12 @@ object QueryProbe {
         val j = jobs.get(e.jobId); if (j != null) j.t1 = e.time
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        val jid = stageToJob.get(e.stageId)
-        val j = jobs.get(jid)
+        // guarded lookup: CHM[Int,Int].get on a missing stage unboxes
+        // null to 0 and would misattribute the task to job 0 (ADVICE
+        // r19) — check key presence first (a stage registered by
+        // jobStart is never removed mid-job, so this is race-free here)
+        val j = if (stageToJob.containsKey(e.stageId))
+          jobs.get(stageToJob.get(e.stageId)) else null
         if (j != null && e.taskMetrics != null) {
           j.synchronized { j.tasks += 1; j.runMs += e.taskMetrics.executorRunTime }
         }
@@ -80,14 +85,18 @@ object QueryProbe {
       graft.SparkEntry.queries(name)(spark, sfDir).count()
       org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
       var wall = Double.MaxValue
+      // snapshot the jobs map OF THE MIN-WALL REP (ADVICE r19: printing
+      // the last rep's jobs under the min rep's headline wall could
+      // describe a different run than the reported number)
+      var minJobs = Seq.empty[(Int, Job)]
       val walls = (1 to reps).map { _ =>
         jobs.clear(); stageToJob.clear()
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir).count()
         val w = (System.nanoTime() - t0) / 1e9
         org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
-        wall = math.min(wall, w)
         import scala.jdk.CollectionConverters._
+        if (w < wall) { wall = w; minJobs = jobs.asScala.toSeq.sortBy(_._1) }
         val run = jobs.asScala.valuesIterator.map(_.runMs).sum / 1e3
         (w, run)
       }
@@ -95,8 +104,7 @@ object QueryProbe {
         walls.map { case (w, r) => f"$w%.2f/$r%.1f" }.mkString(" ") +
         f"  min $wall%.2f  minRun ${walls.map(_._2).min}%.1f")
       if (!detail) { () } else {
-      import scala.jdk.CollectionConverters._
-      val js = jobs.asScala.toSeq.sortBy(_._1)
+      val js = minJobs
       println(s"\n=== $name  wall ${f"$wall%.2f"} s  jobs ${js.size} ===")
       var prevEnd = 0L
       var sumJob = 0.0; var sumGap = 0.0

@@ -6,6 +6,20 @@ import java.nio.file.{Files, Path, Paths}
   * driver entry, ExplainCheck's DPP probe, the DAG-resume spec). */
 object Fs {
 
+  /** Run `body` with a thread-local Spark job description (guide §1.5
+    * — label your jobs): every action the body triggers is labeled in
+    * the UI/event log/QueryProbe with the protocol phase it belongs
+    * to. Restores the caller's label on exit (labels nest: an admit's
+    * sub-phases append to the admit's own label). Zero effect on
+    * results or plans — scheduling metadata only. */
+  def labeled[T](spark: org.apache.spark.sql.SparkSession,
+      desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
   /** The shared maintenance-rewrite protocol for an on-disk parquet
     * store a Spark job wants to rewrite in place (IVF cell-store
     * compaction, dedup-ledger compaction): `writeTo` materializes the
@@ -235,6 +249,10 @@ object Fs {
     * bench rep / verify pass (the reason this lives in one place
     * instead of three copy-pasted blocks). */
   def deleteRecursively(dir: String): Unit = {
+    // a delete may be followed by a re-create at the same path (tests,
+    // store resets): drop any cached read schemas under it so the next
+    // read re-infers (see Gen.readSchemaCache)
+    Gen.invalidateReadSchemas(dir)
     val p = Paths.get(dir)
     if (Files.exists(p)) {
       val walk = Files.walk(p)

@@ -858,6 +858,30 @@ class GenSpec extends SparkTestBase {
       graft.util.Fs.failIfUnderMaintenance(spark, store, "ingest")
     } finally graft.util.Fs.deleteRecursively(root)
   }
+
+  test("Gen.read: schema-cached reads see appended rows, and a " +
+      "delete+recreate at the same path re-infers (r20 footer-job " +
+      "elimination must never serve a stale schema)") {
+    val root = tmp("graft_gen_readcache")
+    val dir = s"$root/data"
+    try {
+      rows(3, "a").write.parquet(dir)
+      assert(Gen.read(spark, dir).count() === 3L)
+      // append into the same dir: cached schema, fresh listing — the
+      // cache holds METADATA only, every read scans the files
+      rows(2, "b").write.mode("append").parquet(dir)
+      assert(Gen.read(spark, dir).count() === 5L)
+      assert(Gen.read(spark, dir).columns.toSeq === Seq("id", "v"))
+      // delete + recreate with a DIFFERENT schema: deleteRecursively
+      // invalidates, so the next read infers the new schema instead of
+      // failing (or silently projecting) against the stale one
+      graft.util.Fs.deleteRecursively(dir)
+      (0 until 4).map(i => (i.toLong, i * 2L, s"x$i"))
+        .toDF("id", "w", "s").write.parquet(dir)
+      assert(Gen.read(spark, dir).columns.toSeq === Seq("id", "w", "s"))
+      assert(Gen.read(spark, dir).count() === 4L)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
 }
 
 /** Fake FileSystem for the publish-atomicity capability pin: local

@@ -102,6 +102,39 @@ class PipelineOpsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: the distributed propagation path (non-long " +
+      "ids bypass the r20 driver union-find) computes the same labels " +
+      "and honors the same maxIter raise") {
+    // INT ids route around the driver path — same graphs, same answers
+    val pairs = Seq((2, 1), (2, 3), (3, 4),
+      (10, 11), (11, 12), (10, 12), (20, 21))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(got === Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 1,
+      10 -> 10, 11 -> 10, 12 -> 10, 20 -> 20, 21 -> 20))
+    // deep chain: the distributed loop's convergence raise still fires
+    val chain = (0 until 9).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+    // and the driver path raises on the SAME graph at the same bound
+    val chainL = (0 until 9).map(i => (i.toLong, i + 1L))
+      .toDF("doc_a", "doc_b")
+    val eL = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chainL, maxIter = 3).collect()
+    }
+    assert(eL.getMessage.contains("converge"))
+    // boundary agreement: D = 9 converges at maxIter 10 on both paths
+    val okL = Dedup.connectedComponents(chainL, maxIter = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(okL === (0 until 10).map(i => i.toLong -> 0L).toMap)
+    val okI = Dedup.connectedComponents(chain, maxIter = 10).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(okI === (0 until 10).map(i => i -> 0).toMap)
+  }
+
   test("IVF index save/load round-trip serves identical results") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
